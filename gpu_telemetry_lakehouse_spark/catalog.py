@@ -1,0 +1,53 @@
+"""Testdata catalog: load the driver's synthetic parquet tables.
+
+Tables (TESTDATA.md): region nation customer supplier part orders lineitem
+events documents embeddings. ``events.ts`` is parquet TIMESTAMP(NANOS) which
+Spark cannot read natively — we read it as long
+(``spark.sql.legacy.parquet.nanosAsLong``) and integer-divide to microseconds,
+which matches DuckDB's ns->us truncation exactly.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .session import apply_runtime_confs
+
+TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one testdata table with engine-canonical column types."""
+    apply_runtime_confs(spark)
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        # nanos-as-long -> TimestampType (µs), truncating like DuckDB does.
+        df = df.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+    return df
+
+
+def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {t: load_table(spark, sf_dir, t) for t in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str, tables: list[str] | None = None) -> None:
+    """Register temp views (bronze tier semantics: views over parquet,
+    reference: models/bronze/bronze_job_events.sql:1-6)."""
+    for t in tables or TABLES:
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)

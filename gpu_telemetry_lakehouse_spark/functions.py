@@ -1,0 +1,55 @@
+"""Column-expression helpers (all JVM-side, codegen-friendly — no Python UDFs).
+
+These mirror the oracle-SQL fragments in ``queries/registry.py`` so Spark and
+DuckDB produce bit-identical doubles/ints (see that module's docstring).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+ColumnOrName = Column | str
+
+
+def _c(col: ColumnOrName) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def exact_sum(col: ColumnOrName, scale: int = 4) -> Column:
+    """SUM over doubles with deterministic result: stage through decimal so
+    partial-aggregation order cannot change the answer, return double."""
+    return F.sum(_c(col).cast(f"decimal(18,{scale})")).cast("double")
+
+
+def exact_avg(col: ColumnOrName, scale: int = 6) -> Column:
+    """Deterministic mean: exact decimal sum divided by count in double."""
+    c = _c(col)
+    return exact_sum(c, scale) / F.count(c)
+
+
+def md5_int(col: ColumnOrName) -> Column:
+    """Deterministic 60-bit integer hash from md5 (portable to the DuckDB
+    oracle: ``cast('0x'||substring(md5(x),1,15) as bigint)``)."""
+    return F.conv(F.substring(F.md5(_c(col)), 1, 15), 16, 10).cast("long")
+
+
+def tokens(col: ColumnOrName) -> Column:
+    """Whitespace tokenization, identical to DuckDB
+    ``regexp_split_to_array(trim(x), '\\s+')``."""
+    return F.split(F.trim(_c(col)), r"\s+")
+
+
+def dot(a: ColumnOrName, b: ColumnOrName) -> Column:
+    """Element-order dot product over array<float|double> columns, computed in
+    double; matches DuckDB ``list_dot_product`` bit-for-bit."""
+    prod = F.zip_with(
+        _c(a).cast("array<double>"), _c(b).cast("array<double>"), lambda x, y: x * y
+    )
+    return F.aggregate(prod, F.lit(0.0), lambda acc, v: acc + v)
+
+
+def cosine(a: ColumnOrName, b: ColumnOrName) -> Column:
+    """Cosine similarity via explicit dot/norms (element order fixed on both
+    engines -> deterministic)."""
+    return dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))

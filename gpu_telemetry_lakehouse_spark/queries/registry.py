@@ -1,0 +1,59 @@
+"""Central query registry.
+
+Every implemented operator gets a ``@query("name", oracle="...")`` entry:
+the callable takes (spark, sf_dir) -> DataFrame, the oracle is equivalent
+ANSI SQL DuckDB runs over the same parquet tables (driver contract in
+``__spark_entry__.py``). Column names are aliased identically on both sides
+(the driver's compare sorts columns by name before value-hashing).
+
+Float-determinism tactics (verified bit-exact vs DuckDB 1.0):
+- SUM/AVG over doubles: cast the addend to DECIMAL(18,d) first, sum exactly,
+  cast the result back to double (parallel fp addition order then cannot
+  matter on either engine). For AVG divide the decimal sum by the count in
+  double arithmetic.
+- exact percentile: Spark ``percentile`` == DuckDB ``quantile_cont`` (both
+  interpolate the same order statistics); round(6) retained as belt-and-braces.
+- hash-derived ints: md5 hex -> bigint works identically on both engines
+  (Spark ``conv(substring(md5(x),1,15),16,10)`` == DuckDB
+  ``cast('0x'||substring(md5(x),1,15) as bigint)``).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+QUERIES: dict[str, QueryFn] = {}
+ORACLE: dict[str, str] = {}
+
+
+def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
+    """Register a query; ``oracle=None`` marks a genuinely non-SQL-expressible
+    op (driver then records the weaker rows-only check)."""
+
+    def deco(fn: QueryFn) -> QueryFn:
+        assert name not in QUERIES, f"duplicate query name: {name}"
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLE[name] = oracle
+        return fn
+
+    return deco
+
+
+# SQL fragment helpers shared by oracle strings -------------------------------
+
+def dsum(expr: str, alias: str, scale: int = 4) -> str:
+    """Bit-exact double sum via decimal staging (see module docstring)."""
+    return f"CAST(SUM(CAST(({expr}) AS DECIMAL(18,{scale}))) AS DOUBLE) AS {alias}"
+
+
+def davg(expr: str, alias: str, scale: int = 6) -> str:
+    """Bit-exact double mean: exact decimal sum / count, divided in double."""
+    return (
+        f"CAST(SUM(CAST(({expr}) AS DECIMAL(18,{scale}))) AS DOUBLE)"
+        f" / COUNT({expr}) AS {alias}"
+    )

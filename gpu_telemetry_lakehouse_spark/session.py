@@ -1,0 +1,62 @@
+"""SparkSession factory tuned for this engine.
+
+Defaults target local[N] testing but every knob is chosen for cluster
+scale-out: AQE handles runtime re-planning and skew, shuffle partitions
+default to the core count locally (override via ``spark.sql.shuffle.partitions``
+on a real cluster), and the session timezone is pinned UTC so event-time
+semantics are deterministic and match the DuckDB oracle (reference truncated
+days in local tz — we standardize on UTC; see SURVEY.md §1.2).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Runtime confs that every entry point must guarantee, because the driver may
+# hand us a session we did not build. All of these are runtime-settable.
+RUNTIME_CONFS: dict[str, str] = {
+    # testdata events.parquet carries TIMESTAMP(NANOS) which Spark rejects by
+    # default; read as long and convert (catalog.load_table does `ts DIV 1000`).
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+}
+
+
+def apply_runtime_confs(spark: SparkSession) -> SparkSession:
+    """Apply the must-have runtime confs to an externally-built session."""
+    for k, v in RUNTIME_CONFS.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            # non-settable on this build -> keep going; reads may still work
+            pass
+    return spark
+
+
+def get_spark(app: str = "gpu-telemetry-lakehouse-spark", cpus: int | None = None) -> SparkSession:
+    """Build (or fetch) the tuned session.
+
+    ``cpus`` defaults to $SPARK_GRAFT_CPUS or all local cores. On a real
+    cluster the master/memory settings come from spark-submit instead; only
+    the SQL confs below matter there.
+    """
+    if cpus is None:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app)
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+    )
+    for k, v in RUNTIME_CONFS.items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return apply_runtime_confs(spark)
