@@ -1,0 +1,170 @@
+"""Grouping sets / distinct / set operations — SURVEY.md §2.2."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..functions import exact_sum
+from .registry import dsum, query
+
+
+# --- rollup ------------------------------------------------------------------
+@query(
+    "rollup_region_nation",
+    oracle=f"""
+    SELECT r.r_name, n.n_name,
+           COUNT(*) AS n_customers,
+           {dsum("c.c_acctbal", "sum_acctbal", scale=2)}
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY ROLLUP(r.r_name, n.n_name)
+    """,
+)
+def rollup_region_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .rollup("r_name", "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            exact_sum("c_acctbal", scale=2).alias("sum_acctbal"),
+        )
+    )
+
+
+# --- cube --------------------------------------------------------------------
+@query(
+    "cube_order_status",
+    oracle=f"""
+    SELECT o_orderstatus, o_orderpriority,
+           COUNT(*) AS n_orders,
+           {dsum("o_totalprice", "sum_price", scale=2)}
+    FROM orders
+    GROUP BY CUBE(o_orderstatus, o_orderpriority)
+    """,
+)
+def cube_order_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        exact_sum("o_totalprice", scale=2).alias("sum_price"),
+    )
+
+
+# --- distinct ----------------------------------------------------------------
+@query(
+    "distinct_segments",
+    oracle="SELECT DISTINCT c_mktsegment, c_nationkey FROM customer",
+)
+def distinct_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "customer").select("c_mktsegment", "c_nationkey").distinct()
+
+
+# --- deterministic dedup: first row per key ----------------------------------
+# ``dropDuplicates`` keeps an arbitrary row; at scale (and for the oracle) the
+# deterministic form is rn=1 over an explicit ordering (SURVEY.md §2.2 dedup).
+@query(
+    "dedup_first_per_key",
+    oracle="""
+    SELECT l_orderkey, l_partkey, l_quantity
+    FROM (
+        SELECT l_orderkey, l_partkey, l_quantity,
+               ROW_NUMBER() OVER (
+                   PARTITION BY l_orderkey ORDER BY l_linenumber
+               ) AS rn
+        FROM lineitem
+    )
+    WHERE rn = 1
+    """,
+)
+def dedup_first_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    w = W.partitionBy("l_orderkey").orderBy("l_linenumber")
+    return (
+        li.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("l_orderkey", "l_partkey", "l_quantity")
+    )
+
+
+# --- set operations ----------------------------------------------------------
+# Customers active in 1996 vs 1997: INTERSECT / EXCEPT / UNION cardinalities.
+@query(
+    "set_ops_customers",
+    oracle="""
+    WITH y96 AS (
+        SELECT DISTINCT o_custkey FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+    ), y97 AS (
+        SELECT DISTINCT o_custkey FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+    )
+    SELECT 'both' AS cohort, COUNT(*) AS n FROM (SELECT * FROM y96 INTERSECT SELECT * FROM y97)
+    UNION ALL
+    SELECT 'only_96', COUNT(*) FROM (SELECT * FROM y96 EXCEPT SELECT * FROM y97)
+    UNION ALL
+    SELECT 'only_97', COUNT(*) FROM (SELECT * FROM y97 EXCEPT SELECT * FROM y96)
+    UNION ALL
+    SELECT 'either', COUNT(*) FROM (SELECT * FROM y96 UNION SELECT * FROM y97)
+    """,
+)
+def set_ops_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+
+    def cohort(y: int) -> DataFrame:
+        return (
+            o.filter(
+                (F.col("o_orderdate") >= F.lit(f"{y}-01-01").cast("timestamp"))
+                & (F.col("o_orderdate") < F.lit(f"{y + 1}-01-01").cast("timestamp"))
+            )
+            .select("o_custkey")
+            .distinct()
+        )
+
+    y96, y97 = cohort(1996), cohort(1997)
+
+    def counted(tag: str, df: DataFrame) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).alias("n")).select(F.lit(tag).alias("cohort"), "n")
+
+    return (
+        counted("both", y96.intersect(y97))
+        .unionByName(counted("only_96", y96.exceptAll(y97)))
+        .unionByName(counted("only_97", y97.exceptAll(y96)))
+        .unionByName(counted("either", y96.union(y97).distinct()))
+    )
+
+
+# --- exact + approx distinct counts ------------------------------------------
+@query(
+    "count_distinct_users",
+    oracle="""
+    SELECT event_type,
+           COUNT(DISTINCT user_id) AS n_users,
+           COUNT(*) AS n_events
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def count_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+# HLL sketches differ between engines by construction -> rows-only check
+# (SURVEY.md §2.2 approx aggregates; the scale path for 100 TB distincts).
+@query("approx_distinct_users", oracle=None)
+def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id").alias("approx_users"),
+        F.percentile_approx("value", 0.95).alias("approx_p95_value"),
+    )

@@ -1,0 +1,262 @@
+"""Join operators (SURVEY.md §2.2 extension surface).
+
+The reference stages dimension tables "for future joins"
+(reference: README.md:60, 82-83, 209) and names a job×metrics interval
+rollup as future work (reference: README.md:544-551). Each shape here is the
+Spark-first realization: broadcast for small dims, shuffle-hash/sort-merge for
+fact-fact, equi-prejoin + range filter for intervals (so the 100 TB plan is a
+co-partitioned join, never a cross product).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..functions import exact_sum
+from .registry import dsum, query
+
+
+# --- equi joins with broadcast dims ------------------------------------------
+# customer ⋈ nation ⋈ region: dims are tiny -> explicit F.broadcast keeps the
+# big side shuffle-free (at 100 TB the customer scan streams through two
+# BroadcastHashJoins with no exchange).
+@query(
+    "join_broadcast_dims",
+    oracle=f"""
+    SELECT r.r_name, n.n_name,
+           COUNT(*) AS n_customers,
+           {dsum("c.c_acctbal", "sum_acctbal", scale=2)}
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name, n.n_name
+    """,
+)
+def join_broadcast_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            exact_sum("c_acctbal", scale=2).alias("sum_acctbal"),
+        )
+    )
+
+
+# --- semi join (EXISTS) ------------------------------------------------------
+@query(
+    "join_semi",
+    oracle="""
+    SELECT c_mktsegment, COUNT(*) AS n_customers
+    FROM customer c
+    WHERE EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000
+    )
+    GROUP BY c_mktsegment
+    """,
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000)
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+# --- anti join (NOT EXISTS) --------------------------------------------------
+@query(
+    "join_anti",
+    oracle="""
+    SELECT n.n_name, COUNT(*) AS n_idle_customers
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    GROUP BY n.n_name
+    """,
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .join(F.broadcast(n), F.col("c_nationkey") == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.count(F.lit(1)).alias("n_idle_customers"))
+    )
+
+
+# --- left outer join + histogram --------------------------------------------
+@query(
+    "join_outer_histogram",
+    oracle="""
+    SELECT n_orders, COUNT(*) AS n_customers
+    FROM (
+        SELECT c.c_custkey, COUNT(o.o_orderkey) AS n_orders
+        FROM customer c
+        LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+        GROUP BY c.c_custkey
+    )
+    GROUP BY n_orders
+    """,
+)
+def join_outer_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(o, o.o_custkey == c.c_custkey, "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+    return per_cust.groupBy("n_orders").agg(F.count(F.lit(1)).alias("n_customers"))
+
+
+# --- TPC-H Q3 shape: fact-fact join + topk (bench headline) ------------------
+@query(
+    "tpch_q3_shipping",
+    oracle=f"""
+    SELECT l.l_orderkey,
+           {dsum("l.l_extendedprice * (1 - l.l_discount)", "revenue")},
+           o.o_orderdate, o.o_orderpriority
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      AND l.l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+)
+def tpch_q3_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cut = F.lit("1998-01-01 00:00:00").cast("timestamp")
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderdate") < cut)
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cut)
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(exact_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), "l_orderkey")
+        .limit(10)
+    )
+
+
+# --- TPC-H Q5 shape: 6-way join, tests Catalyst join ordering (bench) --------
+@query(
+    "tpch_q5_local_volume",
+    oracle=f"""
+    SELECT n.n_name,
+           {dsum("l.l_extendedprice * (1 - l.l_discount)", "revenue")}
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY n.n_name
+    """,
+)
+def tpch_q5_local_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .join(
+            F.broadcast(s),
+            (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(exact_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+    )
+
+
+# --- interval join: equi-prejoin + range filter ------------------------------
+# The jobs[start,end] × metrics.ts shape (reference: README.md:544-548).
+# Spark-first scale plan: the equi key (orderkey) co-partitions both sides so
+# the range predicate is evaluated inside a hash join, never a cross product.
+@query(
+    "interval_join_shipments",
+    oracle=f"""
+    SELECT CAST(date_trunc('month', o.o_orderdate) AS TIMESTAMP) AS order_month,
+           COUNT(*) AS n_lines,
+           {dsum("l.l_extendedprice * (1 - l.l_discount)", "revenue")}
+    FROM orders o
+    JOIN lineitem l
+      ON l.l_orderkey = o.o_orderkey
+     AND l.l_shipdate >= o.o_orderdate
+     AND l.l_shipdate <= o.o_orderdate + INTERVAL 60 DAY
+    GROUP BY 1
+    """,
+)
+def interval_join_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        o.join(
+            li,
+            (li.l_orderkey == o.o_orderkey)
+            & (li.l_shipdate >= o.o_orderdate)
+            & (li.l_shipdate <= o.o_orderdate + F.expr("INTERVAL 60 DAYS")),
+        )
+        .groupBy(F.date_trunc("month", "o_orderdate").alias("order_month"))
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            exact_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+        )
+    )
+
+
+# --- as-of join: latest prior 'error' event per user -------------------------
+# As-of re-expressed as a running conditional max over an event-time window —
+# one shuffle on the partition key, no join at all (SURVEY.md §2.2 "as-of via
+# window over union"; here both streams share one table).
+@query(
+    "asof_last_error",
+    oracle="""
+    SELECT event_id, ts,
+           MAX(CASE WHEN event_type = 'error' THEN ts END) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+           ) AS last_error_ts
+    FROM events
+    """,
+)
+def asof_last_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    return ev.select(
+        "event_id",
+        "ts",
+        F.max(F.when(F.col("event_type") == "error", F.col("ts"))).over(w).alias("last_error_ts"),
+    )

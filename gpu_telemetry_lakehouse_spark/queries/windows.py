@@ -1,0 +1,111 @@
+"""Window functions (ranking / analytic / frames) — SURVEY.md §2.2.
+
+Named by the reference as future dashboards ("Top anomalous days",
+reference: README.md:571-573). All shapes are single-shuffle on the partition
+key; frames accumulate sequentially so results are deterministic on both
+engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from .registry import query
+
+
+# --- ranking: top-k per group ------------------------------------------------
+@query(
+    "window_topk_per_group",
+    oracle="""
+    SELECT c_custkey, o_orderkey, o_totalprice, rn
+    FROM (
+        SELECT c.c_custkey, o.o_orderkey, o.o_totalprice,
+               ROW_NUMBER() OVER (
+                   PARTITION BY c.c_custkey
+                   ORDER BY o.o_totalprice DESC, o.o_orderkey
+               ) AS rn
+        FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+    )
+    WHERE rn <= 3
+    """,
+)
+def window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("c_custkey").orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+    return (
+        c.join(o, o.o_custkey == c.c_custkey)
+        .select("c_custkey", "o_orderkey", "o_totalprice")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+    )
+
+
+# --- analytic frame: rolling mean + lag + running count ----------------------
+# Rolling utilization over the event stream per user (the reference's
+# timeseries rollup, windowed). Decimal-staged rolling sum keeps the double
+# deterministic; ts deltas computed on integer microseconds.
+@query(
+    "window_rolling_metrics",
+    oracle="""
+    SELECT event_id,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w10 AS DOUBLE)
+             / COUNT(value) OVER w10 AS avg10_value,
+           LAG(value) OVER w AS prev_value,
+           epoch_us(ts) - LAG(epoch_us(ts)) OVER w AS delta_us,
+           COUNT(*) OVER w AS seq
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id),
+           w10 AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
+    """,
+)
+def window_rolling_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    w10 = w.rowsBetween(-9, 0)
+    us = F.unix_micros(F.col("ts"))
+    return ev.select(
+        "event_id",
+        (
+            F.sum(F.col("value").cast("decimal(18,6)")).over(w10).cast("double")
+            / F.count("value").over(w10)
+        ).alias("avg10_value"),
+        F.lag("value").over(w).alias("prev_value"),
+        (us - F.lag(us).over(w)).alias("delta_us"),
+        F.count(F.lit(1)).over(w.rowsBetween(W.unboundedPreceding, 0)).alias("seq"),
+    )
+
+
+# --- lead + running total over daily rollup ----------------------------------
+# "Top anomalous days"-style dashboard feed: day-over-day delta + cumulative.
+@query(
+    "window_daily_momentum",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS dt,
+               COUNT(*) AS n
+        FROM events GROUP BY 1
+    )
+    SELECT dt, n,
+           n - LAG(n) OVER (ORDER BY dt) AS delta_n,
+           LEAD(n) OVER (ORDER BY dt) AS next_n,
+           SUM(n) OVER (ORDER BY dt ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_n,
+           RANK() OVER (ORDER BY n DESC, dt) AS busy_rank
+    FROM daily
+    """,
+)
+def window_daily_momentum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.date_trunc("day", "ts").alias("dt")).agg(F.count(F.lit(1)).alias("n"))
+    wd = W.orderBy("dt")
+    return daily.select(
+        "dt",
+        "n",
+        (F.col("n") - F.lag("n").over(wd)).alias("delta_n"),
+        F.lead("n").over(wd).alias("next_n"),
+        F.sum("n").over(wd.rowsBetween(W.unboundedPreceding, 0)).alias("cum_n"),
+        F.rank().over(W.orderBy(F.col("n").desc(), "dt")).alias("busy_rank"),
+    )
