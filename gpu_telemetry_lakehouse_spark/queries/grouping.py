@@ -76,7 +76,8 @@ def distinct_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM (
         SELECT l_orderkey, l_partkey, l_quantity,
                ROW_NUMBER() OVER (
-                   PARTITION BY l_orderkey ORDER BY l_linenumber
+                   PARTITION BY l_orderkey
+                   ORDER BY l_linenumber, l_partkey, l_quantity
                ) AS rn
         FROM lineitem
     )
@@ -85,7 +86,9 @@ def distinct_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_first_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
-    w = W.partitionBy("l_orderkey").orderBy("l_linenumber")
+    # (l_orderkey, l_linenumber) is NOT unique in the testdata — extend the
+    # ordering over every output column so the kept row is deterministic.
+    w = W.partitionBy("l_orderkey").orderBy("l_linenumber", "l_partkey", "l_quantity")
     return (
         li.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
