@@ -1,0 +1,152 @@
+"""Deduplication operators: exact, shingle-Jaccard, MinHash+LSH, SimHash.
+
+Scale design (100 TB):
+- Signatures (MinHash/SimHash/fingerprints) are row-local map-side work —
+  no shuffle until the candidate join.
+- Candidate generation shuffles on short hash keys (shingle, LSH band bucket),
+  never on document text, so exchange payloads stay small.
+- Verification (exact Jaccard / signature agreement) runs only on candidate
+  pairs, which LSH keeps near-linear in the number of true duplicates.
+
+All hashes are md5-derived so every stage has a DuckDB-oracle twin.
+"""
+
+from __future__ import annotations
+
+import functools
+import operator as _op
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import md5_int, tokens
+from .text import shingles
+
+
+def exact_dedup_keep_first(df: DataFrame, key_cols: list[str], order_cols: list[str]) -> DataFrame:
+    """Deterministic exact dedup: keep the first row per key under a total
+    order (dropDuplicates keeps an arbitrary row — not reproducible)."""
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy(*key_cols).orderBy(*order_cols)
+    return df.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1).drop("__rn")
+
+
+def _seeded_hash(seed: int, s: Column) -> Column:
+    return md5_int(F.concat(F.lit(f"{seed}|"), s))
+
+
+def with_shingles(df: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
+    return df.withColumn("__shingles", shingles(tokens(F.col(text_col)), n))
+
+
+def minhash_signatures(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 8
+) -> DataFrame:
+    """k-permutation MinHash over word 3-shingles, entirely row-local
+    (array_min over a transform — no explode, no shuffle)."""
+    sh = shingles(tokens(F.col(text_col)))
+    sig = {
+        f"h{i}": F.array_min(F.transform(sh, functools.partial(_seeded_hash, i)))
+        for i in range(k)
+    }
+    return df.select(id_col, *[sig[f"h{i}"].alias(f"h{i}") for i in range(k)])
+
+
+def minhash_lsh_pairs(sigs: DataFrame, id_col: str = "doc_id", k: int = 8, bands: int = 4) -> DataFrame:
+    """LSH banding: hash each band of k/bands signature components, equi-join
+    on (band, hash) for candidates, then estimate Jaccard as the fraction of
+    agreeing components. Returns (id_a, id_b, est_jaccard) with id_a < id_b."""
+    rows = k // bands
+    band_cols = []
+    for b in range(bands):
+        parts = [F.col(f"h{b * rows + j}").cast("string") for j in range(rows)]
+        band_cols.append(
+            F.struct(F.lit(b).alias("band"), F.md5(F.concat_ws(":", *parts)).alias("bh"))
+        )
+    buckets = sigs.select(
+        F.col(id_col), *[F.col(f"h{i}") for i in range(k)], F.explode(F.array(*band_cols)).alias("bk")
+    ).select(id_col, *[f"h{i}" for i in range(k)], "bk.band", "bk.bh")
+
+    a, b = buckets.alias("a"), buckets.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            *[F.col(f"a.h{i}").alias(f"ah{i}") for i in range(k)],
+            *[F.col(f"b.h{i}").alias(f"bh{i}") for i in range(k)],
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    agree = functools.reduce(
+        _op.add,
+        [F.when(F.col(f"ah{i}") == F.col(f"bh{i}"), 1).otherwise(0) for i in range(k)],
+    )
+    return cand.select(
+        "id_a", "id_b", F.round(agree / F.lit(float(k)), 6).alias("est_jaccard")
+    )
+
+
+def shingle_jaccard_pairs(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", threshold: float = 0.1
+) -> DataFrame:
+    """Exact n-gram-Jaccard near-dup pairs: explode distinct shingles, candidate
+    pairs via the inverted shingle index, Jaccard from intersection counts."""
+    sh = (
+        with_shingles(df, text_col)
+        .select(F.col(id_col), F.explode(F.array_distinct("__shingles")).alias("s"))
+    )
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n").alias("nb"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("n_inter") / (F.col("na") + F.col("nb") - F.col("n_inter")), 6),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "n_inter", "jaccard")
+    )
+
+
+def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 32) -> DataFrame:
+    """SimHash over distinct word tokens: per bit, sum ±1 weighted by the
+    token hash's bit value; the sign vector packs into an integer."""
+    tok = df.select(
+        F.col(id_col), F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("tok")
+    ).withColumn("h", md5_int(F.col("tok")))
+    contrib = tok.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), i).bitwiseAND(1) == 1, 1).otherwise(-1)
+            ).alias(f"c{i}")
+            for i in range(bits)
+        ]
+    )
+    packed = functools.reduce(
+        _op.add,
+        [
+            F.when(F.col(f"c{i}") > 0, F.lit(2**i).cast("long")).otherwise(F.lit(0).cast("long"))
+            for i in range(bits)
+        ],
+    )
+    return contrib.select(F.col(id_col), packed.alias("simhash"))
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    """Hamming distance between two packed hash columns via bit_count(xor)."""
+    return F.bit_count(a.bitwiseXOR(b))

@@ -1,0 +1,175 @@
+"""Deduplication queries: exact, MinHash(+LSH), SimHash, shingle-Jaccard.
+
+Every stage is md5-derived so even the sketch pipelines have DuckDB oracle
+twins (generated SQL mirrors the Spark expressions term by term).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..operators import dedup as DD
+from .registry import query
+
+K = 8          # minhash permutations
+BANDS = 4      # LSH bands (2 rows each)
+SIMHASH_BITS = 32
+
+# ---- shared DuckDB fragments ------------------------------------------------
+TK = r"regexp_split_to_array(trim(text), '\s+')"
+SHINGLES = (
+    "CASE WHEN len(tk) >= 3 THEN "
+    "list_transform(generate_series(1, len(tk) - 2), "
+    "i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]) "
+    "ELSE [] END"
+)
+
+
+def _md5int(expr: str) -> str:
+    return f"CAST(('0x' || substring(md5({expr}), 1, 15)) AS BIGINT)"
+
+
+# minhash signature columns: h_i = min over shingles of md5int('i|' + shingle)
+def _sig_col(i: int) -> str:
+    seeded = _md5int(f"'{i}|' || x")
+    return f"list_min(list_transform(s, x -> {seeded})) AS h{i}"
+
+
+_SIG_COLS = ",\n           ".join(_sig_col(i) for i in range(K))
+
+_SIGS_CTE = f"""
+    WITH toks AS (SELECT doc_id, {TK} AS tk FROM documents),
+    sh AS (SELECT doc_id, {SHINGLES} AS s FROM toks),
+    sigs AS (
+        SELECT doc_id,
+           {_SIG_COLS}
+        FROM sh
+    )
+"""
+
+# LSH bands: band b hashes components h_{2b}, h_{2b+1}
+_BANDS_SQL = "\n        UNION ALL\n".join(
+    f"        SELECT doc_id, {', '.join(f'h{j}' for j in range(K))}, "
+    f"{b} AS band, md5(h{2 * b}::VARCHAR || ':' || h{2 * b + 1}::VARCHAR) AS bh FROM sigs"
+    for b in range(BANDS)
+)
+
+_AGREE_SQL = " + ".join(
+    f"(CASE WHEN h{i} = bh{i} THEN 1 ELSE 0 END)" for i in range(K)
+)
+
+# simhash: per-bit ±1 sums over distinct-token md5 hashes
+_CONTRIB_COLS = ",\n               ".join(
+    f"SUM(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS c{i}"
+    for i in range(SIMHASH_BITS)
+)
+_PACK_SQL = " + ".join(
+    f"(CASE WHEN c{i} > 0 THEN CAST({2**i} AS BIGINT) ELSE 0 END)"
+    for i in range(SIMHASH_BITS)
+)
+
+
+# --- exact dedup summary -----------------------------------------------------
+# SURVEY.md §2.2 (dedup); hash-groupBy at scale: group on md5, not raw text.
+@query(
+    "dedup_exact_summary",
+    oracle="""
+    SELECT COUNT(*) AS n_docs,
+           COUNT(DISTINCT text) AS n_unique_texts,
+           COUNT(DISTINCT md5(text)) AS n_unique_hashes
+    FROM documents
+    """,
+)
+def dedup_exact_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("text").alias("n_unique_texts"),
+        F.countDistinct(F.md5("text")).alias("n_unique_hashes"),
+    )
+
+
+# --- minhash signatures (row-local, no shuffle) ------------------------------
+@query(
+    "dedup_minhash_sigs",
+    oracle=_SIGS_CTE + "\n    SELECT doc_id, "
+    + ", ".join(f"h{i}" for i in range(K))
+    + " FROM sigs",
+)
+def dedup_minhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return DD.minhash_signatures(docs, k=K)
+
+
+# --- minhash LSH candidate pairs + estimated jaccard -------------------------
+@query(
+    "dedup_minhash_pairs",
+    oracle=_SIGS_CTE
+    + f""",
+    bands AS (
+{_BANDS_SQL}
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+               {', '.join(f'a.h{i}' for i in range(K))},
+               {', '.join(f'b.h{i} AS bh{i}' for i in range(K))}
+        FROM bands a
+        JOIN bands b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b,
+           ROUND(({_AGREE_SQL}) / {float(K)}, 6) AS est_jaccard
+    FROM cand
+    """,
+)
+def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = DD.minhash_signatures(docs, k=K)
+    return DD.minhash_lsh_pairs(sigs, k=K, bands=BANDS)
+
+
+# --- exact shingle-jaccard near-dup pairs ------------------------------------
+@query(
+    "dedup_shingle_jaccard",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {TK} AS tk FROM documents),
+    sh0 AS (SELECT doc_id, {SHINGLES} AS s FROM toks),
+    d AS (SELECT DISTINCT doc_id, unnest(s) AS s FROM sh0),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM d GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+        FROM d a JOIN d b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT id_a, id_b, n_inter,
+           ROUND(n_inter / (sa.n + sb.n - n_inter), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE ROUND(n_inter / (sa.n + sb.n - n_inter), 6) >= 0.1
+    """,
+)
+def dedup_shingle_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return DD.shingle_jaccard_pairs(docs, threshold=0.1)
+
+
+# --- simhash signatures ------------------------------------------------------
+@query(
+    "dedup_simhash",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {TK} AS tk FROM documents),
+    tok AS (SELECT DISTINCT doc_id, unnest(tk) AS t FROM toks),
+    h AS (SELECT doc_id, {_md5int('t')} AS h FROM tok),
+    c AS (
+        SELECT doc_id,
+               {_CONTRIB_COLS}
+        FROM h GROUP BY doc_id
+    )
+    SELECT doc_id, CAST({_PACK_SQL} AS BIGINT) AS simhash FROM c
+    """,
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return DD.simhash(docs, bits=SIMHASH_BITS)

@@ -1,0 +1,99 @@
+"""Similarity-search queries over the ``embeddings`` table.
+
+Cosine is computed as explicit dot/(||a||·||b||) with the same operand order
+on both engines (DuckDB's list_cosine_similarity may associate differently,
+so the oracle mirrors our formula instead).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..operators import similarity as SIM
+from .registry import query
+
+N_QUERIES = 10  # query set = vec_id < 10
+
+_COS = (
+    "list_dot_product(cast(e.embedding AS DOUBLE[]), q.qv)"
+    " / (sqrt(list_dot_product(cast(e.embedding AS DOUBLE[]), cast(e.embedding AS DOUBLE[])))"
+    " * sqrt(list_dot_product(q.qv, q.qv)))"
+)
+
+
+# --- brute-force exact top-k -------------------------------------------------
+@query(
+    "knn_cosine_brute",
+    oracle=f"""
+    WITH q AS (
+        SELECT vec_id AS query_id, cast(embedding AS DOUBLE[]) AS qv
+        FROM embeddings WHERE vec_id < {N_QUERIES}
+    ),
+    scored AS (
+        SELECT q.query_id, e.vec_id AS neighbor_id,
+               ROUND({_COS}, 6) AS cos_sim
+        FROM embeddings e, q
+        WHERE e.vec_id <> q.query_id
+    ),
+    ranked AS (
+        SELECT query_id, neighbor_id, cos_sim,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id
+               ) AS INT) AS rn
+        FROM scored
+    )
+    SELECT query_id, neighbor_id, cos_sim, rn FROM ranked WHERE rn <= 5
+    """,
+)
+def knn_cosine_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+    return SIM.cosine_topk(emb, queries, k=5)
+
+
+# --- bucketed near-dup pairs (IVF-style partition by label) ------------------
+# Embedding near-duplicate detection restricted to a bucket key — the shape
+# of partitioned pair-generation at scale (full O(n²) never materializes).
+@query(
+    "embedding_neardup_pairs",
+    oracle=f"""
+    WITH v AS (SELECT vec_id, label, cast(embedding AS DOUBLE[]) AS qv FROM embeddings)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.label,
+           ROUND(
+               list_dot_product(a.qv, b.qv)
+               / (sqrt(list_dot_product(a.qv, a.qv)) * sqrt(list_dot_product(b.qv, b.qv))),
+             6) AS cos_sim
+    FROM v a
+    JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE ROUND(
+               list_dot_product(a.qv, b.qv)
+               / (sqrt(list_dot_product(a.qv, a.qv)) * sqrt(list_dot_product(b.qv, b.qv))),
+             6) >= 0.4
+    """,
+)
+def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions import cosine
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = emb.select(
+        F.col("vec_id").alias("id_a"), F.col("label"), F.col("embedding").alias("va")
+    )
+    b = emb.select(
+        F.col("vec_id").alias("id_b"), F.col("label").alias("label_b"), F.col("embedding").alias("vb")
+    )
+    return (
+        a.join(b, (F.col("label") == F.col("label_b")) & (F.col("id_a") < F.col("id_b")))
+        .withColumn("cos_sim", F.round(cosine("va", "vb"), 6))
+        .filter(F.col("cos_sim") >= 0.4)
+        .select("id_a", "id_b", "label", "cos_sim")
+    )
+
+
+# --- IVF approximate top-k (scale path; approximate by design -> rows-only) --
+@query("knn_ivf", oracle=None)
+def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+    return SIM.ivf_topk(spark, emb, queries, k=5, n_clusters=8, n_probe=2)

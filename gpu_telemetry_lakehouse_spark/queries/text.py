@@ -1,0 +1,145 @@
+"""Text-analysis + multimodal-bytes queries over the ``documents`` table.
+
+Oracle fragments mirror ``operators/text.py`` expression-for-expression so
+doubles come out bit-identical (same operand order on both engines).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..operators import text as TX
+from .registry import query
+
+# DuckDB-side fragments (keep in sync with operators/text.py)
+TK = r"regexp_split_to_array(trim(text), '\s+')"
+STOPS_SQL = "['" + "','".join(TX.STOPWORDS) + "']"
+
+
+@query(
+    "text_stats",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, n_chars, {TK} AS tk FROM documents)
+    SELECT doc_id, n_chars,
+           CAST(len(tk) AS BIGINT) AS n_tokens,
+           CAST(len(list_distinct(tk)) AS BIGINT) AS n_unique_tokens,
+           CAST(list_sum(list_transform(tk, x -> length(x))) AS DOUBLE)
+             / CAST(len(tk) AS DOUBLE) AS avg_token_len,
+           CAST(len(list_filter(tk, x -> list_contains({STOPS_SQL}, x))) AS DOUBLE)
+             / CAST(len(tk) AS DOUBLE) AS stop_ratio
+    FROM t
+    """,
+)
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    out = TX.with_text_stats(docs.select("doc_id", "n_chars", "text"))
+    return out.select(
+        "doc_id",
+        "n_chars",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("n_unique_tokens").cast("long").alias("n_unique_tokens"),
+        # mirror oracle: double(int sum) / double(count)
+        "avg_token_len",
+        "stop_ratio",
+    )
+
+
+@query(
+    "text_lang_id",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, lang, {TK} AS tk FROM documents)
+    SELECT doc_id, lang,
+           CASE WHEN CAST(len(list_filter(tk, x -> list_contains({STOPS_SQL}, x))) AS DOUBLE)
+                     / CAST(len(tk) AS DOUBLE) >= 0.03
+                THEN 'en' ELSE 'und' END AS lang_pred
+    FROM t
+    """,
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return TX.with_lang_id(docs.select("doc_id", "lang", "text")).select(
+        "doc_id", "lang", "lang_pred"
+    )
+
+
+@query(
+    "text_quality_score",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {TK} AS tk FROM documents),
+    m AS (
+        SELECT doc_id,
+               CAST(len(tk) AS DOUBLE) AS n,
+               CAST(len(list_distinct(tk)) AS DOUBLE) AS uniq,
+               CAST(len(list_filter(tk, x -> list_contains({STOPS_SQL}, x))) AS DOUBLE) AS stop
+        FROM t
+    )
+    SELECT doc_id,
+           ROUND(0.4 * least(1.0, n / 100.0)
+               + 0.4 * (uniq / n)
+               + 0.2 * (CASE WHEN stop / n >= 0.02 AND stop / n <= 0.3 THEN 1.0 ELSE 0.0 END),
+             6) AS quality_score
+    FROM m
+    """,
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return TX.with_quality_score(docs.select("doc_id", "text")).select("doc_id", "quality_score")
+
+
+@query(
+    "text_token_count",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{TX.TOKEN_REGEX}')) AS BIGINT) AS n_bpe_tokens
+    FROM documents
+    """,
+)
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return TX.with_token_count(docs.select("doc_id", "text")).select(
+        "doc_id", F.col("n_bpe_tokens").cast("long").alias("n_bpe_tokens")
+    )
+
+
+@query(
+    "doc_fingerprint",
+    oracle=r"""
+    WITH t AS (
+        SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(('0x' || substring(md5(norm), 1, 15)) AS BIGINT) AS fingerprint,
+           substring(md5(norm), 1, 16) AS fp_hex
+    FROM t
+    """,
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return TX.with_fingerprint(docs.select("doc_id", "text")).select(
+        "doc_id", "fingerprint", "fp_hex"
+    )
+
+
+# --- multimodal bytes plumbing ----------------------------------------------
+# Binary payload columns (image/audio stand-ins): byte length + content hash.
+# Spark md5(encode(text,'utf-8')) == DuckDB md5(text) (same utf-8 bytes).
+@query(
+    "multimodal_bytes",
+    oracle="""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+           md5(text) AS content_md5
+    FROM documents
+    """,
+)
+def multimodal_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    payload = F.encode(F.col("text"), "utf-8")
+    return docs.select(
+        "doc_id",
+        F.octet_length(payload).cast("long").alias("byte_len"),
+        F.md5(payload).alias("content_md5"),
+    )
