@@ -1,0 +1,158 @@
+"""Medallion model registry — the dbt ref()-DAG re-expressed as Python.
+
+Each model is a pure function ``inputs -> DataFrame`` with declared deps;
+``build_all`` topologically orders them (reference: dbt_project DAG,
+SURVEY.md §3.2). Materialization follows the reference: bronze = lazy views,
+silver/gold = persisted tables (models/bronze/*.sql ``materialized='view'``,
+silver/gold ``'table'``).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+@dataclass
+class Model:
+    name: str
+    deps: tuple[str, ...]
+    build: Callable[..., DataFrame]
+    materialized: str = "view"  # "view" | "table"
+
+
+MODELS: dict[str, Model] = {}
+
+
+def model(name: str, deps: tuple[str, ...] = (), materialized: str = "view"):
+    def deco(fn: Callable[..., DataFrame]):
+        MODELS[name] = Model(name, deps, fn, materialized)
+        return fn
+
+    return deco
+
+
+def topo_order(targets: list[str] | None = None) -> list[str]:
+    """Dependency-ordered model list (the dbt compile step, minus Jinja)."""
+    order: list[str] = []
+    seen: set[str] = set()
+
+    def visit(n: str, stack: tuple[str, ...] = ()):
+        if n in seen:
+            return
+        if n in stack:
+            raise ValueError(f"model cycle: {stack + (n,)}")
+        for d in MODELS[n].deps:
+            if d in MODELS:
+                visit(d, stack + (n,))
+        seen.add(n)
+        order.append(n)
+
+    for t in targets or list(MODELS):
+        visit(t)
+    return order
+
+
+def build_all(bronze: dict[str, DataFrame], targets: list[str] | None = None) -> dict[str, DataFrame]:
+    """Build models in dependency order from the bronze inputs.
+
+    ``bronze`` supplies the source frames (bronze_* names); derived models
+    receive their deps' DataFrames as keyword args.
+    """
+    built: dict[str, DataFrame] = dict(bronze)
+    for name in topo_order(targets):
+        m = MODELS[name]
+        kwargs = {d: built[d] for d in m.deps}
+        built[name] = m.build(**kwargs)
+    return built
+
+
+# --- bronze views (passthrough; reference: models/bronze/*.sql) --------------
+@model("bronze_job_events_view", deps=("bronze_job_events",))
+def bronze_job_events_view(bronze_job_events: DataFrame) -> DataFrame:
+    return bronze_job_events
+
+
+# --- silver_jobs -------------------------------------------------------------
+# reference: models/silver/silver_jobs.sql:5-29 — rename map + run_time_sec
+# CASE null-guard (running jobs have NULL end_time; 3VL preserved).
+@model("silver_jobs", deps=("bronze_job_events",), materialized="table")
+def silver_jobs(bronze_job_events: DataFrame) -> DataFrame:
+    return bronze_job_events.select(
+        F.col("job_name").alias("job_id"),
+        F.col("inst_id").alias("instance_id"),
+        F.col("user").alias("user_id"),
+        F.col("status").alias("job_status"),
+        F.col("start_time"),
+        F.col("end_time"),
+        F.when(
+            F.col("end_time").isNotNull(), F.col("end_time") - F.col("start_time")
+        ).alias("run_time_sec"),
+    )
+
+
+# --- silver_gpu_timeseries ---------------------------------------------------
+# reference: models/silver/silver_gpu_timeseries.sql:5-37 — rename map +
+# NULL-timestamp filter; end_time becomes the observation ts.
+@model("silver_gpu_timeseries", deps=("bronze_machine_metrics",), materialized="table")
+def silver_gpu_timeseries(bronze_machine_metrics: DataFrame) -> DataFrame:
+    return bronze_machine_metrics.filter(F.col("end_time").isNotNull()).select(
+        F.col("machine").alias("machine_id"),
+        F.col("worker_name"),
+        F.col("end_time").alias("ts"),
+        F.col("machine_gpu").alias("gpu_util_pct"),
+        F.col("machine_cpu").alias("cpu_util_pct"),
+        F.col("machine_load_1"),
+        F.col("machine_net_receive"),
+        F.col("machine_cpu_iowait"),
+        F.col("machine_cpu_kernel"),
+        F.col("machine_cpu_usr"),
+        F.col("machine_num_worker"),
+    )
+
+
+# --- gold_cluster_util_daily -------------------------------------------------
+# reference: models/gold/gold_cluster_util_daily.sql:5-31 — epoch seconds ->
+# timestamp (UTC pinned), day truncation, avg + exact p95, ordered by day.
+@model("gold_cluster_util_daily", deps=("silver_gpu_timeseries",), materialized="table")
+def gold_cluster_util_daily(silver_gpu_timeseries: DataFrame) -> DataFrame:
+    return (
+        silver_gpu_timeseries.filter(F.col("gpu_util_pct").isNotNull())
+        .withColumn("dt", F.date_trunc("day", F.timestamp_seconds(F.col("ts"))))
+        .groupBy("dt")
+        .agg(
+            F.avg("gpu_util_pct").alias("avg_gpu_util"),
+            F.percentile("gpu_util_pct", F.lit(0.95)).alias("p95_gpu_util"),
+            F.avg("cpu_util_pct").alias("avg_cpu_util"),
+        )
+        .orderBy("dt")
+    )
+
+
+# --- silver_gpu_specs: compound-string parsing (reference future work) -------
+# reference: README.md:73-81 — tpu_gpus.csv compound columns ("24 GB, GDDR6X,
+# 384 bit"; "10496 / 328 / 112"; "1395 MHz") parsed to numerics.
+@model("silver_gpu_specs", deps=("bronze_gpu_specs",), materialized="table")
+def silver_gpu_specs(bronze_gpu_specs: DataFrame) -> DataFrame:
+    mem_parts = F.split(F.col("Memory"), r",\s*")
+    shader_parts = F.split(F.col("Shaders_TMUs_ROPs"), r"\s*/\s*")
+    return bronze_gpu_specs.select(
+        F.col("Product_Name").alias("product_name"),
+        F.col("GPU_Chip").alias("gpu_chip"),
+        F.regexp_extract("Released", r"(\d{4})", 1).cast("int").alias("released_year"),
+        F.regexp_extract(F.element_at(mem_parts, 1), r"([\d.]+)", 1)
+        .cast("double")
+        .alias("mem_gb"),
+        F.element_at(mem_parts, 2).alias("mem_type"),
+        F.regexp_extract(F.element_at(mem_parts, 3), r"(\d+)", 1)
+        .cast("int")
+        .alias("mem_bus_bits"),
+        F.regexp_extract("GPU_clock", r"(\d+)", 1).cast("int").alias("gpu_clock_mhz"),
+        F.regexp_extract("Memory_clock", r"(\d+)", 1).cast("int").alias("mem_clock_mhz"),
+        F.element_at(shader_parts, 1).cast("int").alias("shaders"),
+        F.element_at(shader_parts, 2).cast("int").alias("tmus"),
+        F.element_at(shader_parts, 3).cast("int").alias("rops"),
+    )

@@ -1,0 +1,127 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+Images/audio/video ride as ``binary`` columns with a metadata struct;
+decode / feature-extract / resize / frame-sample run as Arrow-batched
+``mapInPandas`` stages. The decode kernels themselves are STUBBED (no
+image/audio libraries in this environment): ``decode=fake`` produces a
+deterministic md5-derived stand-in so the Spark-side plumbing — schema,
+batching, partitioning, UDF signatures — is real and testable end to end;
+``decode=real`` raises NotImplementedError at the exact point a library
+(Pillow/ffmpeg) would be called.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("media_type", T.StringType(), False),  # image|audio|video
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("source", T.StringType()),
+                    T.StructField("byte_len", T.LongType()),
+                ]
+            ),
+        ),
+    ]
+)
+
+FEATURE_SCHEMA = (
+    "media_id long, media_type string, width int, height int, "
+    "feature array<float>, decode_ok boolean"
+)
+
+
+def documents_as_media(docs: DataFrame, media_type: str = "image") -> DataFrame:
+    """Testdata adapter: document bytes stand in for media payloads."""
+    payload = F.encode(F.col("text"), "utf-8")
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit(media_type).alias("media_type"),
+        payload.alias("payload"),
+        F.struct(
+            F.col("source").alias("source"),
+            F.octet_length(payload).cast("long").alias("byte_len"),
+        ).alias("meta"),
+    )
+
+
+def _fake_decode(payload: bytes) -> tuple[int, int, np.ndarray]:
+    """Deterministic stand-in for an image decoder: dimensions and a 16-dim
+    feature vector derived from the content hash. REPLACE with Pillow/libvips
+    in a real deployment."""
+    digest = hashlib.md5(payload).digest()
+    width = 64 + digest[0]
+    height = 64 + digest[1]
+    feat = np.frombuffer(digest, dtype=np.uint8).astype(np.float32) / 255.0
+    return width, height, feat
+
+
+def extract_features(media: DataFrame, decode: str = "fake") -> DataFrame:
+    """Decode + featurize via mapInPandas (Arrow batches; executors never
+    materialize more than one batch of payloads at a time — the pattern that
+    holds at 100 TB with spark.sql.execution.arrow.maxRecordsPerBatch)."""
+    if decode not in ("fake", "real"):
+        raise ValueError(decode)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if decode == "real":
+                raise NotImplementedError(
+                    "real decode requires an image/audio library (Pillow/ffmpeg); "
+                    "not available in this environment"
+                )
+            rows = []
+            for mid, mtype, payload in zip(
+                pdf["media_id"], pdf["media_type"], pdf["payload"]
+            ):
+                if payload is None:
+                    rows.append((mid, mtype, None, None, None, False))
+                    continue
+                w, h, feat = _fake_decode(bytes(payload))
+                rows.append((mid, mtype, w, h, feat.tolist(), True))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id",
+                    "media_type",
+                    "width",
+                    "height",
+                    "feature",
+                    "decode_ok",
+                ],
+            )
+
+    return media.mapInPandas(run, schema=FEATURE_SCHEMA)
+
+
+def frame_sample(media: DataFrame, every_n_bytes: int = 64, max_frames: int = 4) -> DataFrame:
+    """Video frame-sampling stand-in: slice the payload every N bytes (a real
+    pipeline seeks keyframes with ffmpeg; the explode-to-frames plumbing and
+    output schema are what matter for the Spark plan)."""
+    idx = F.sequence(
+        F.lit(1),
+        F.least(F.lit(max_frames), (F.octet_length("payload") / every_n_bytes).cast("int")),
+    )
+    frames = F.transform(
+        idx,
+        lambda i: F.struct(
+            (i - 1).alias("frame_no"),
+            F.substring(F.col("payload"), ((i - 1) * every_n_bytes + 1).cast("int"), every_n_bytes).alias("frame_bytes"),
+        ),
+    )
+    return media.filter(F.col("media_type") == "video").select(
+        "media_id", F.explode(frames).alias("frame")
+    ).select("media_id", "frame.frame_no", "frame.frame_bytes")

@@ -5,7 +5,17 @@ from .registry import ORACLE, QUERIES, query  # noqa: F401
 # Each import registers its queries via the @query decorator.
 from . import core  # noqa: E402,F401
 
-for _mod in ("joins", "windows", "grouping", "dedup", "similarity", "text", "stream_batch", "ml"):
+for _mod in (
+    "joins",
+    "windows",
+    "grouping",
+    "dedup",
+    "similarity",
+    "text",
+    "strings",
+    "stream_batch",
+    "ml",
+):
     try:
         __import__(f"{__name__}.{_mod}")
     except ModuleNotFoundError:

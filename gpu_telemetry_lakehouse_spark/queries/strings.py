@@ -1,0 +1,74 @@
+"""String & JSON functions (SURVEY.md §2.2).
+
+The reference's compound-string columns (gpu_specs ``Memory``,
+``Shaders_TMUs_ROPs``; reference: README.md:73-81) are parsed with the same
+split/regexp primitives in ``models.py``; here the testdata analogs are
+``part`` (brand/type parsing) and ``events.props`` (JSON payload).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from .registry import query
+
+
+@query(
+    "string_parse_parts",
+    oracle="""
+    SELECT p_partkey,
+           upper(p_name) AS name_upper,
+           CAST(len(regexp_split_to_array(trim(p_name), ' ')) AS BIGINT) AS n_name_words,
+           regexp_split_to_array(trim(p_name), ' ')[1] AS first_word,
+           CAST(regexp_extract(p_brand, 'Brand#([0-9]+)', 1) AS INT) AS brand_num,
+           lower(p_type) AS type_lower,
+           concat(p_brand, '/', p_type) AS brand_type,
+           CAST(length(p_name) AS INT) AS name_len,
+           replace(p_name, ' ', '_') AS name_snake
+    FROM part
+    """,
+)
+def string_parse_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    words = F.split(F.trim("p_name"), " ")
+    return p.select(
+        "p_partkey",
+        F.upper("p_name").alias("name_upper"),
+        F.size(words).cast("long").alias("n_name_words"),
+        F.element_at(words, 1).alias("first_word"),
+        F.regexp_extract("p_brand", r"Brand#([0-9]+)", 1).cast("int").alias("brand_num"),
+        F.lower("p_type").alias("type_lower"),
+        F.concat(F.col("p_brand"), F.lit("/"), F.col("p_type")).alias("brand_type"),
+        F.length("p_name").cast("int").alias("name_len"),
+        F.regexp_replace("p_name", " ", "_").alias("name_snake"),
+    )
+
+
+@query(
+    "json_extract_props",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT)) AS DOUBLE)
+             / COUNT(props) AS avg_k,
+           MIN(CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT)) AS min_k,
+           MAX(CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT)) AS max_k
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        ev.withColumn("k", k)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.sum("k").cast("double") / F.count("k")).alias("avg_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+    )

@@ -1,0 +1,132 @@
+"""Golden-pipeline test: fixture CSVs (FIXTURES.md) through the full
+medallion flow; asserts silver/gold values and the reference's 7 constraints."""
+
+from __future__ import annotations
+
+import math
+
+import pandas as pd
+import pytest
+
+from gpu_telemetry_lakehouse_spark.flow import full_refresh
+
+DAY = 86400.0
+
+
+@pytest.fixture(scope="module")
+def source_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("sources")
+    pd.DataFrame(
+        {
+            "job_name": [f"job_{i}" for i in range(6)],
+            "inst_id": [f"inst_{i}" for i in range(6)],
+            "user": ["u1", "u1", "u2", "u2", "u3", "u3"],
+            "status": ["Terminated"] * 4 + ["Running", "Failed"],
+            "start_time": [0.0, 100.0, 200.0, 300.0, 400.0, 500.0],
+            # Running job -> NULL end_time (drives the CASE null-guard)
+            "end_time": [1000.0, 1100.0, 1200.0, 1300.0, None, 1500.0],
+        }
+    ).to_csv(d / "pai_job_table.csv", index=False)
+
+    rows = []
+    for day in range(3):
+        for m in ("m1", "m2"):
+            for k in range(4):
+                ts = day * DAY + k * 3600.0
+                rows.append(
+                    {
+                        "worker_name": f"w_{m}",
+                        "machine": m,
+                        "start_time": ts - 60,
+                        "end_time": None if (day == 0 and m == "m1" and k == 0) else ts,
+                        "machine_gpu": None if k == 3 else 100.0 * day + 10.0 * k,
+                        "machine_cpu": 50.0 + k,
+                        "machine_cpu_iowait": 1.0,
+                        "machine_cpu_kernel": 2.0,
+                        "machine_cpu_usr": 3.0,
+                        "machine_load_1": 4.0,
+                        "machine_net_receive": 5.0,
+                        "machine_num_worker": 2,
+                    }
+                )
+    pd.DataFrame(rows).to_csv(d / "pai_machine_metric.csv", index=False)
+
+    pd.DataFrame(
+        {
+            "inst_id": ["inst_0", "inst_1"],
+            "job_name": ["job_0", "job_1"],
+            "status": ["Terminated", "Terminated"],
+            "start_time": [0.0, 100.0],
+            "end_time": [1000.0, 1100.0],
+        }
+    ).to_csv(d / "pai_instance_table.csv", index=False)
+
+    pd.DataFrame(
+        {"machine": ["m1", "m2"], "cap_cpu": [96, 96], "cap_mem": [512, 512], "cap_gpu": [8, 8]}
+    ).to_csv(d / "pai_machine_spec.csv", index=False)
+
+    pd.DataFrame(
+        {
+            "Product_Name": ["GeForce RTX 3090", "Radeon RX 6900 XT"],
+            "GPU_Chip": ["GA102", "Navi 21"],
+            "Released": ["Sep 2020", "Dec 2020"],
+            "Bus": ["PCIe 4.0 x16", "PCIe 4.0 x16"],
+            "Memory": ["24 GB, GDDR6X, 384 bit", "16 GB, GDDR6, 256 bit"],
+            "GPU_clock": ["1395 MHz", "1825 MHz"],
+            "Memory_clock": ["1219 MHz", "2000 MHz"],
+            "Shaders_TMUs_ROPs": ["10496 / 328 / 112", "5120 / 320 / 128"],
+        }
+    ).to_csv(d / "tpu_gpus.csv", index=False)
+    return str(d)
+
+
+@pytest.fixture(scope="module")
+def built(spark, source_dir, tmp_path_factory):
+    lake = str(tmp_path_factory.mktemp("lake"))
+    return full_refresh(spark, source_dir, lake)
+
+
+def test_silver_jobs_values(built):
+    rows = {r.job_id: r for r in built["silver_jobs"].collect()}
+    assert len(rows) == 6
+    assert rows["job_0"].run_time_sec == 1000.0
+    assert rows["job_4"].run_time_sec is None  # Running job: NULL end_time
+    assert rows["job_4"].job_status == "Running"
+    assert rows["job_0"].user_id == "u1"  # reserved-word column renamed
+
+
+def test_silver_timeseries_filters_null_ts(built):
+    ts = built["silver_gpu_timeseries"]
+    assert ts.count() == 23  # 24 rows minus the one NULL end_time
+    assert ts.filter(ts.ts.isNull()).count() == 0
+
+
+def test_gold_daily_shape(built):
+    gold = built["gold_cluster_util_daily"].orderBy("dt").collect()
+    assert len(gold) == 3  # three distinct days
+    # day 1: gpu values (k<3 only; k=3 is NULL) = 100,110,120 on both machines
+    d1 = gold[1]
+    assert math.isclose(d1.avg_gpu_util, 110.0)
+    # sorted gpu vals [100,100,110,110,120,120]: idx 0.95*5=4.75 -> 120 exactly
+    assert d1.p95_gpu_util == pytest.approx(120.0)
+    # dt is UTC midnight
+    assert d1.dt.hour == 0 and d1.dt.day == 2
+
+
+def test_gpu_specs_parsing(built):
+    specs = {r.product_name: r for r in built["silver_gpu_specs"].collect()}
+    r3090 = specs["GeForce RTX 3090"]
+    assert r3090.mem_gb == 24.0
+    assert r3090.mem_type == "GDDR6X"
+    assert r3090.mem_bus_bits == 384
+    assert r3090.shaders == 10496 and r3090.tmus == 328 and r3090.rops == 112
+    assert r3090.released_year == 2020
+    assert r3090.gpu_clock_mhz == 1395
+
+
+def test_scored_gold_invariants(built):
+    scored = built["gold_cluster_util_daily_scored"].collect()
+    assert len(scored) == 3
+    flags = {r.anomaly_flag for r in scored}
+    assert flags <= {0, 1}
+    assert all(0.0 < r.anomaly_score <= 1.0 for r in scored)

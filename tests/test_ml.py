@@ -1,0 +1,61 @@
+"""IsolationForest determinism + the distributed pandas-UDF scoring path."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from gpu_telemetry_lakehouse_spark.ml.anomaly import score_distributed, train
+from gpu_telemetry_lakehouse_spark.ml.isolation_forest import IsolationForest, StandardScaler
+from gpu_telemetry_lakehouse_spark.queries import QUERIES
+
+
+def _toy_data(n=200, seed=7):
+    rng = np.random.default_rng(seed)
+    X = rng.normal(0, 1, size=(n, 3))
+    X[:5] += 8.0  # planted outliers
+    return X
+
+
+def test_forest_deterministic():
+    X = _toy_data()
+    s1 = IsolationForest(n_estimators=50, seed=42).fit(X).score_samples(X)
+    s2 = IsolationForest(n_estimators=50, seed=42).fit(X).score_samples(X)
+    assert np.array_equal(s1, s2)
+
+
+def test_forest_finds_planted_outliers():
+    X = _toy_data()
+    f = IsolationForest(n_estimators=100, contamination=0.05, seed=42).fit(X)
+    flags = f.predict_flags(X)
+    assert flags[:5].sum() == 5  # all planted outliers flagged
+    assert abs(flags.mean() - 0.05) < 0.03  # ~contamination rate overall
+
+
+def test_scaler():
+    X = _toy_data()
+    Z = StandardScaler().fit(X).transform(X)
+    assert np.allclose(Z.mean(axis=0), 0, atol=1e-12)
+    assert np.allclose(Z.std(axis=0), 1, atol=1e-12)
+
+
+def test_anomaly_daily_query(spark, sf_dir):
+    out = QUERIES["anomaly_daily"](spark, sf_dir).collect()
+    assert len(out) == 30
+    assert all(r.anomaly_flag in (0, 1) for r in out)
+    n_flagged = sum(r.anomaly_flag for r in out)
+    assert 1 <= n_flagged <= 5  # ~5% contamination of 30 days, top-quantile def
+
+
+def test_distributed_scoring_matches_driver(spark, sf_dir):
+    daily = QUERIES["gold_daily_util"](spark, sf_dir)
+    features = ["avg_value", "p95_value", "med_value"]
+    scaler, forest = train(daily, features)
+    dist = {
+        r.dt: (r.anomaly_score, r.anomaly_flag)
+        for r in score_distributed(daily, scaler, forest, features).collect()
+    }
+    pdf = daily.toPandas()
+    X = scaler.transform(pdf[features].to_numpy(dtype=float))
+    local_scores = forest.score_samples(X).round(6)
+    for dt, score in zip(pdf["dt"], local_scores):
+        assert dist[dt][0] == score  # pandas-UDF path == driver path

@@ -1,0 +1,51 @@
+"""Multimodal plumbing: schema, Arrow batching, stubbed decode semantics."""
+
+from __future__ import annotations
+
+import pytest
+
+from gpu_telemetry_lakehouse_spark.catalog import load_table
+from gpu_telemetry_lakehouse_spark.operators.multimodal import (
+    documents_as_media,
+    extract_features,
+    frame_sample,
+)
+
+
+@pytest.fixture(scope="module")
+def media(spark, sf_dir):
+    return documents_as_media(load_table(spark, sf_dir, "documents"))
+
+
+def test_media_schema(media):
+    assert dict(media.dtypes)["payload"] == "binary"
+    row = media.first()
+    assert row.meta.byte_len == len(row.payload)
+
+
+def test_extract_features_fake_decode(media):
+    feats = extract_features(media, decode="fake")
+    rows = feats.collect()
+    assert len(rows) == media.count()
+    r = rows[0]
+    assert r.decode_ok and len(r.feature) == 16
+    assert 64 <= r.width <= 319 and 64 <= r.height <= 319
+    # deterministic: same payload -> same features
+    again = {x.media_id: x.feature for x in extract_features(media, decode="fake").collect()}
+    assert again[r.media_id] == r.feature
+
+
+def test_extract_features_real_decode_is_stubbed(media):
+    with pytest.raises(Exception, match="NotImplementedError|image/audio library"):
+        extract_features(media, decode="real").collect()
+
+
+def test_frame_sample(spark, sf_dir):
+    video = documents_as_media(load_table(spark, sf_dir, "documents"), media_type="video")
+    frames = frame_sample(video, every_n_bytes=64, max_frames=4)
+    pdf = frames.toPandas()
+    assert not pdf.empty
+    assert set(pdf.columns) == {"media_id", "frame_no", "frame_bytes"}
+    per_doc = pdf.groupby("media_id").frame_no.max()
+    assert per_doc.max() <= 3
+    assert all(len(b) <= 64 for b in pdf.frame_bytes)
