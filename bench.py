@@ -1,0 +1,77 @@
+#!/usr/bin/env python
+"""Benchmark headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query executes fully (noop sink — no driver collect) after a shared
+warm session is up; time measured per query, reported individually and
+summed.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from gpu_telemetry_lakehouse_spark.queries import QUERIES  # noqa: E402
+from gpu_telemetry_lakehouse_spark.session import get_spark  # noqa: E402
+
+HEADLINE = [
+    "gold_daily_util",          # scan -> filter -> day agg (flagship)
+    "tpch_q1",                  # wide grouped aggregation
+    "tpch_q3_shipping",         # 3-way join + topk
+    "tpch_q5_local_volume",     # 6-way join
+    "interval_join_shipments",  # equi+range interval join
+    "join_outer_histogram",     # outer join + re-agg
+    "window_rolling_metrics",   # analytic frames over event stream
+    "window_topk_per_group",    # ranking window
+    "events_hourly_window",     # streaming-equivalent tumbling agg
+    "dedup_minhash_pairs",      # minhash + LSH banding
+    "dedup_shingle_jaccard",    # inverted-index exact jaccard
+    "dedup_simhash",            # simhash signatures
+    "text_stats",               # row-local text featurization
+    "knn_cosine_brute",         # broadcast cosine top-k
+    "embedding_neardup_pairs",  # bucketed pair generation
+    "anomaly_daily",            # gold -> IsolationForest scoring
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else None
+    spark = get_spark(app="gtl-spark-bench")
+
+    # warm the JVM + parquet footers with a trivial action (not measured)
+    spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = QUERIES[name]
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
