@@ -32,8 +32,19 @@ def exact_dedup_keep_first(df: DataFrame, key_cols: list[str], order_cols: list[
     return df.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1).drop("__rn")
 
 
-def _seeded_hash(seed: int, s: Column) -> Column:
-    return md5_int(F.concat(F.lit(f"{seed}|"), s))
+# Universal-hash permutation family for MinHash: h_i(x) = (a_i*x + b_i) mod P.
+# P is the Mersenne prime 2^31-1 so a_i*x stays under 2^63 (no overflow, and
+# int64 arithmetic agrees bit-for-bit between Spark and the DuckDB oracle).
+MINHASH_P = 2147483647
+
+
+def perm_consts(k: int) -> list[tuple[int, int]]:
+    """Deterministic (a_i, b_i) multiplier/offset pairs, shared with the
+    oracle-SQL generator in queries/dedup.py."""
+    return [
+        (((2654435761 * (i + 1)) % MINHASH_P) or 1, (40503 * (i + 1) + 12345) % MINHASH_P)
+        for i in range(k)
+    ]
 
 
 def with_shingles(df: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
@@ -43,39 +54,56 @@ def with_shingles(df: DataFrame, text_col: str = "text", n: int = 3) -> DataFram
 def minhash_signatures(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 8
 ) -> DataFrame:
-    """k-permutation MinHash over word 3-shingles, entirely row-local
-    (array_min over a transform — no explode, no shuffle)."""
-    sh = shingles(tokens(F.col(text_col)))
-    sig = {
-        f"h{i}": F.array_min(F.transform(sh, functools.partial(_seeded_hash, i)))
-        for i in range(k)
-    }
-    return df.select(id_col, *[sig[f"h{i}"].alias(f"h{i}") for i in range(k)])
+    """k-permutation MinHash over word 3-shingles.
+
+    Each shingle is md5-hashed ONCE into a base value x; the k permutations
+    are cheap integer maps (a_i*x+b_i) mod P of that base — not k separate
+    string hashes. Shingles explode to rows and the k mins aggregate with
+    map-side partial aggregation, so the shuffle payload is k longs per doc
+    regardless of document length (scales to 100 TB of text).
+
+    Docs with < 3 tokens keep a NULL-signature row via the [NULL] fallback
+    before explode (min over all-NULL is NULL on both engines).
+    """
+    sh = with_shingles(df, text_col)
+    exploded = sh.select(
+        id_col,
+        F.explode(
+            F.when(F.size("__shingles") > 0, F.col("__shingles")).otherwise(
+                F.array(F.lit(None).cast("string"))
+            )
+        ).alias("__s"),
+    )
+    base = exploded.select(id_col, (md5_int(F.col("__s")) % MINHASH_P).alias("__x"))
+    aggs = [
+        F.min((F.lit(a) * F.col("__x") + F.lit(b)) % MINHASH_P).alias(f"h{i}")
+        for i, (a, b) in enumerate(perm_consts(k))
+    ]
+    return base.groupBy(id_col).agg(*aggs)
 
 
 def minhash_lsh_pairs(sigs: DataFrame, id_col: str = "doc_id", k: int = 8, bands: int = 4) -> DataFrame:
-    """LSH banding: hash each band of k/bands signature components, equi-join
-    on (band, hash) for candidates, then estimate Jaccard as the fraction of
-    agreeing components. Returns (id_a, id_b, est_jaccard) with id_a < id_b."""
+    """LSH banding: equi-join on each band's raw signature components (the
+    band key is the tuple of h-values itself — no re-hashing needed), then
+    estimate Jaccard as the fraction of agreeing components.
+    Returns (id_a, id_b, est_jaccard) with id_a < id_b."""
     rows = k // bands
     band_cols = []
     for b in range(bands):
-        parts = [F.col(f"h{b * rows + j}").cast("string") for j in range(rows)]
-        band_cols.append(
-            F.struct(F.lit(b).alias("band"), F.md5(F.concat_ws(":", *parts)).alias("bh"))
-        )
+        parts = [
+            F.col(f"h{b * rows + j}").alias(f"k{j}") for j in range(rows)
+        ]
+        band_cols.append(F.struct(F.lit(b).alias("band"), *parts))
     buckets = sigs.select(
         F.col(id_col), *[F.col(f"h{i}") for i in range(k)], F.explode(F.array(*band_cols)).alias("bk")
-    ).select(id_col, *[f"h{i}" for i in range(k)], "bk.band", "bk.bh")
+    ).select(id_col, *[f"h{i}" for i in range(k)], "bk.band", *[f"bk.k{j}" for j in range(rows)])
 
     a, b = buckets.alias("a"), buckets.alias("b")
+    key_eq = (F.col("a.band") == F.col("b.band")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+    for j in range(rows):
+        key_eq = key_eq & (F.col(f"a.k{j}") == F.col(f"b.k{j}"))
     cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bh") == F.col("b.bh"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
+        a.join(b, key_eq)
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),

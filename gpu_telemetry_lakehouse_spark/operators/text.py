@@ -24,16 +24,18 @@ TOKEN_REGEX = "[a-z]+|[0-9]+|[^a-z0-9 ]"
 def shingles(tok_col: Column, n: int = 3) -> Column:
     """Word n-gram shingles from a token array; empty array when < n tokens.
 
-    Row-local (transform over the token array — no explode, no shuffle).
+    Row-local (no explode, no shuffle). Built from zip_with over n shifted
+    slices rather than transform+element_at: element_at inside a lambda makes
+    Catalyst's projection collapse re-inline the token expression per array
+    element (n evaluations per shingle), while slice/zip_with evaluate the
+    token array a constant number of times per row.
     """
-    idx = F.sequence(F.lit(1), F.size(tok_col) - (n - 1))
-    make = F.transform(
-        idx,
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(tok_col, (i + j).cast("int")) for j in range(n)]
-        ),
-    )
-    return F.when(F.size(tok_col) >= n, make).otherwise(F.array().cast("array<string>"))
+    m = F.greatest(F.size(tok_col) - (n - 1), F.lit(0))
+    parts = [F.slice(tok_col, j + 1, m) for j in range(n)]
+    out = parts[0]
+    for p in parts[1:]:
+        out = F.zip_with(out, p, lambda x, y: F.concat(x, F.lit(" "), y))
+    return out
 
 
 def stop_hits(tok_col: Column) -> Column:

@@ -31,28 +31,34 @@ def _md5int(expr: str) -> str:
     return f"CAST(('0x' || substring(md5({expr}), 1, 15)) AS BIGINT)"
 
 
-# minhash signature columns: h_i = min over shingles of md5int('i|' + shingle)
-def _sig_col(i: int) -> str:
-    seeded = _md5int(f"'{i}|' || x")
-    return f"list_min(list_transform(s, x -> {seeded})) AS h{i}"
-
-
-_SIG_COLS = ",\n           ".join(_sig_col(i) for i in range(K))
+# minhash: one md5 per shingle -> base x, then k universal-hash permutations
+# (a_i*x + b_i) mod P aggregated as MIN per doc (mirrors operators/dedup.py).
+_P = DD.MINHASH_P
+_SIG_COLS = ",\n           ".join(
+    f"MIN(({a} * x + {b}) % {_P}) AS h{i}"
+    for i, (a, b) in enumerate(DD.perm_consts(K))
+)
 
 _SIGS_CTE = f"""
     WITH toks AS (SELECT doc_id, {TK} AS tk FROM documents),
     sh AS (SELECT doc_id, {SHINGLES} AS s FROM toks),
+    ex AS (
+        SELECT doc_id,
+               unnest(CASE WHEN len(s) > 0 THEN s ELSE [NULL] END) AS sg
+        FROM sh
+    ),
+    base AS (SELECT doc_id, {_md5int('sg')} % {_P} AS x FROM ex),
     sigs AS (
         SELECT doc_id,
            {_SIG_COLS}
-        FROM sh
+        FROM base GROUP BY doc_id
     )
 """
 
-# LSH bands: band b hashes components h_{2b}, h_{2b+1}
+# LSH bands: band b's key is the raw component pair (h_{2b}, h_{2b+1})
 _BANDS_SQL = "\n        UNION ALL\n".join(
     f"        SELECT doc_id, {', '.join(f'h{j}' for j in range(K))}, "
-    f"{b} AS band, md5(h{2 * b}::VARCHAR || ':' || h{2 * b + 1}::VARCHAR) AS bh FROM sigs"
+    f"{b} AS band, h{2 * b} AS k0, h{2 * b + 1} AS k1 FROM sigs"
     for b in range(BANDS)
 )
 
@@ -116,7 +122,8 @@ def dedup_minhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
                {', '.join(f'a.h{i}' for i in range(K))},
                {', '.join(f'b.h{i} AS bh{i}' for i in range(K))}
         FROM bands a
-        JOIN bands b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+        JOIN bands b ON a.band = b.band AND a.k0 = b.k0 AND a.k1 = b.k1
+                    AND a.doc_id < b.doc_id
     )
     SELECT id_a, id_b,
            ROUND(({_AGREE_SQL}) / {float(K)}, 6) AS est_jaccard
