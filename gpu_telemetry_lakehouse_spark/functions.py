@@ -17,13 +17,22 @@ def _c(col: ColumnOrName) -> Column:
 
 
 def exact_sum(col: ColumnOrName, scale: int = 4) -> Column:
-    """SUM over doubles with deterministic result: stage through decimal so
-    partial-aggregation order cannot change the answer, return double."""
-    return F.sum(_c(col).cast(f"decimal(18,{scale})")).cast("double")
+    """SUM over doubles with a deterministic, partial-aggregation-order-proof
+    result: round to ``scale`` decimals as a scaled long, sum longs (exact,
+    commutative), divide back in double.
+
+    round(x * 10^scale) is a pure function of the IEEE double x, so Spark and
+    the DuckDB oracle agree bit-for-bit. Long sums stay codegen-native (a
+    decimal-staged sum is ~4x slower in whole-stage codegen). Overflow bound:
+    |x| * 10^scale * rows must stay under 2^63 (~9.2e18) — e.g. values to 1e5
+    at scale 4 allow ~9e9 rows per group; beyond that, stage through
+    ``decimal(38,scale)`` instead."""
+    m = 10**scale
+    return F.sum(F.round(_c(col) * m, 0).cast("long")) / F.lit(float(m))
 
 
 def exact_avg(col: ColumnOrName, scale: int = 6) -> Column:
-    """Deterministic mean: exact decimal sum divided by count in double."""
+    """Deterministic mean: exact scaled-long sum / count, divided in double."""
     c = _c(col)
     return exact_sum(c, scale) / F.count(c)
 
@@ -38,6 +47,14 @@ def tokens(col: ColumnOrName) -> Column:
     """Whitespace tokenization, identical to DuckDB
     ``regexp_split_to_array(trim(x), '\\s+')``."""
     return F.split(F.trim(_c(col)), r"\s+")
+
+
+def dot_raw(a: ColumnOrName, b: ColumnOrName) -> Column:
+    """Dot product over already-double arrays (no per-evaluation cast —
+    use in pair-join hot paths where the cast is hoisted to a per-row
+    projection)."""
+    prod = F.zip_with(_c(a), _c(b), lambda x, y: x * y)
+    return F.aggregate(prod, F.lit(0.0), lambda acc, v: acc + v)
 
 
 def dot(a: ColumnOrName, b: ColumnOrName) -> Column:

@@ -12,7 +12,19 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from ..functions import cosine, dot
+from ..functions import cosine, dot, dot_raw
+
+
+def with_norm(
+    df: DataFrame, vec_col: str = "embedding", out_vec: str = "v", out_norm: str = "nrm"
+) -> DataFrame:
+    """Per-row projection of (cast-to-double vector, L2 norm). Pair joins then
+    compute cosine as dot(v_a, v_b) / (nrm_a * nrm_b) — one array fold per
+    pair instead of three, with the cast paid once per row, not per pair."""
+    v = F.col(vec_col).cast("array<double>")
+    return df.withColumn(out_vec, v).withColumn(
+        out_norm, F.sqrt(dot_raw(out_vec, out_vec))
+    )
 
 
 def normalize(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
@@ -34,13 +46,16 @@ def cosine_topk(
     One pass over ``vectors`` (the 100 TB side), no shuffle of vector data —
     the only exchange is the per-query top-k reduction.
     """
-    q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    q = with_norm(queries, vec_col, "q_vec", "q_nrm").select(
+        F.col(id_col).alias("query_id"), "q_vec", "q_nrm"
     )
-    scored = vectors.join(F.broadcast(q), F.col(id_col) != F.col("query_id")).select(
+    v = with_norm(vectors, vec_col, "n_vec", "n_nrm").select(id_col, "n_vec", "n_nrm")
+    scored = v.join(F.broadcast(q), F.col(id_col) != F.col("query_id")).select(
         "query_id",
         F.col(id_col).alias("neighbor_id"),
-        F.round(cosine(vec_col, "q_vec"), 6).alias("cos_sim"),
+        F.round(
+            dot_raw("n_vec", "q_vec") / (F.col("n_nrm") * F.col("q_nrm")), 6
+        ).alias("cos_sim"),
     )
     w = W.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), "neighbor_id")
     return (

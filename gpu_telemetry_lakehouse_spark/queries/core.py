@@ -214,8 +214,8 @@ def tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
             exact_sum("l_extendedprice").alias("sum_base_price"),
             exact_sum(disc_price).alias("sum_disc_price"),
             # charge = product of three 2-decimal factors -> exactly 6 decimal
-            # digits; scale 6 makes the decimal cast rounding-free (a scale-4
-            # cast would tie-round and Spark/DuckDB tie-break differently).
+            # digits; scale 6 makes the scaled-long rounding exact (a scale-4
+            # round would tie-round and Spark/DuckDB tie-break differently).
             exact_sum(charge, scale=6).alias("sum_charge"),
             exact_avg("l_quantity").alias("avg_qty"),
             exact_avg("l_extendedprice").alias("avg_price"),
@@ -272,7 +272,10 @@ def sql_cte_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM events WHERE value IS NOT NULL
         ), agg AS (
             SELECT dt, COUNT(*) AS n,
-                   CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(value) AS avg_value
+                   -- 1e6 not 1000000.0: a decimal-typed literal would make
+                   -- Spark SQL's `/` a decimal division (DuckDB's `/` is
+                   -- always double)
+                   (SUM(CAST(ROUND(value * CAST(1e6 AS DOUBLE)) AS BIGINT)) / CAST(1e6 AS DOUBLE)) / COUNT(value) AS avg_value
             FROM base GROUP BY dt
         )
         SELECT dt, n, avg_value FROM agg WHERE n > 100

@@ -7,10 +7,12 @@ ANSI SQL DuckDB runs over the same parquet tables (driver contract in
 (the driver's compare sorts columns by name before value-hashing).
 
 Float-determinism tactics (verified bit-exact vs DuckDB 1.0):
-- SUM/AVG over doubles: cast the addend to DECIMAL(18,d) first, sum exactly,
-  cast the result back to double (parallel fp addition order then cannot
-  matter on either engine). For AVG divide the decimal sum by the count in
-  double arithmetic.
+- SUM/AVG over doubles: round the addend to a scaled BIGINT first
+  (``round(x * 10^d)`` is a pure function of the identical IEEE double on
+  both engines), sum the longs exactly (commutative — parallel fp addition
+  order cannot matter), divide back in double. Long sums also stay
+  codegen-native, where a decimal-staged sum is ~4x slower. For AVG divide
+  the exact sum by the count in double arithmetic.
 - exact percentile: Spark ``percentile`` == DuckDB ``quantile_cont`` (both
   interpolate the same order statistics); round(6) retained as belt-and-braces.
 - hash-derived ints: md5 hex -> bigint works identically on both engines
@@ -47,13 +49,17 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # SQL fragment helpers shared by oracle strings -------------------------------
 
 def dsum(expr: str, alias: str, scale: int = 4) -> str:
-    """Bit-exact double sum via decimal staging (see module docstring)."""
-    return f"CAST(SUM(CAST(({expr}) AS DECIMAL(18,{scale}))) AS DOUBLE) AS {alias}"
+    """Bit-exact double sum, mirroring functions.exact_sum: round to a scaled
+    BIGINT (pure function of the identical IEEE double on both engines), sum
+    exactly, divide back in double."""
+    m = 10**scale
+    return f"(SUM(CAST(ROUND(({expr}) * {m}) AS BIGINT)) / {float(m)}) AS {alias}"
 
 
 def davg(expr: str, alias: str, scale: int = 6) -> str:
-    """Bit-exact double mean: exact decimal sum / count, divided in double."""
+    """Bit-exact double mean, mirroring functions.exact_avg."""
+    m = 10**scale
     return (
-        f"CAST(SUM(CAST(({expr}) AS DECIMAL(18,{scale}))) AS DOUBLE)"
-        f" / COUNT({expr}) AS {alias}"
+        f"((SUM(CAST(ROUND(({expr}) * {m}) AS BIGINT)) / {float(m)})"
+        f" / COUNT({expr})) AS {alias}"
     )

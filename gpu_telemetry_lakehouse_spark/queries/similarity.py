@@ -74,18 +74,20 @@ def knn_cosine_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..functions import cosine
+    from ..functions import dot_raw
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = SIM.with_norm(load_table(spark, sf_dir, "embeddings"))
     a = emb.select(
-        F.col("vec_id").alias("id_a"), F.col("label"), F.col("embedding").alias("va")
+        F.col("vec_id").alias("id_a"), F.col("label"),
+        F.col("v").alias("va"), F.col("nrm").alias("na"),
     )
     b = emb.select(
-        F.col("vec_id").alias("id_b"), F.col("label").alias("label_b"), F.col("embedding").alias("vb")
+        F.col("vec_id").alias("id_b"), F.col("label").alias("label_b"),
+        F.col("v").alias("vb"), F.col("nrm").alias("nb"),
     )
     return (
         a.join(b, (F.col("label") == F.col("label_b")) & (F.col("id_a") < F.col("id_b")))
-        .withColumn("cos_sim", F.round(cosine("va", "vb"), 6))
+        .withColumn("cos_sim", F.round(dot_raw("va", "vb") / (F.col("na") * F.col("nb")), 6))
         .filter(F.col("cos_sim") >= 0.4)
         .select("id_a", "id_b", "label", "cos_sim")
     )

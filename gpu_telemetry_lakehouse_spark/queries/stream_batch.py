@@ -16,7 +16,7 @@ from .registry import query
     SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_start,
            event_type,
            COUNT(*) AS n,
-           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+           (SUM(CAST(ROUND(value * 1000000) AS BIGINT)) / 1000000.0) AS sum_value
     FROM events
     GROUP BY 1, 2
     """,

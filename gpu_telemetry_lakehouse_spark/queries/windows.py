@@ -45,14 +45,14 @@ def window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- analytic frame: rolling mean + lag + running count ----------------------
 # Rolling utilization over the event stream per user (the reference's
-# timeseries rollup, windowed). Decimal-staged rolling sum keeps the double
+# timeseries rollup, windowed). Scaled-long rolling sum keeps the double
 # deterministic; ts deltas computed on integer microseconds.
 @query(
     "window_rolling_metrics",
     oracle="""
     SELECT event_id,
-           CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w10 AS DOUBLE)
-             / COUNT(value) OVER w10 AS avg10_value,
+           ((SUM(CAST(ROUND(value * 1000000) AS BIGINT)) OVER w10 / 1000000.0)
+             / COUNT(value) OVER w10) AS avg10_value,
            LAG(value) OVER w AS prev_value,
            epoch_us(ts) - LAG(epoch_us(ts)) OVER w AS delta_us,
            COUNT(*) OVER w AS seq
@@ -70,7 +70,7 @@ def window_rolling_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.select(
         "event_id",
         (
-            F.sum(F.col("value").cast("decimal(18,6)")).over(w10).cast("double")
+            (F.sum(F.round(F.col("value") * 1_000_000, 0).cast("long")).over(w10) / 1e6)
             / F.count("value").over(w10)
         ).alias("avg10_value"),
         F.lag("value").over(w).alias("prev_value"),
