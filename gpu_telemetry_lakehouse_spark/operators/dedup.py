@@ -124,11 +124,20 @@ def minhash_lsh_pairs(sigs: DataFrame, id_col: str = "doc_id", k: int = 8, bands
 def shingle_jaccard_pairs(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", threshold: float = 0.1
 ) -> DataFrame:
-    """Exact n-gram-Jaccard near-dup pairs: explode distinct shingles, candidate
-    pairs via the inverted shingle index, Jaccard from intersection counts."""
+    """n-gram-Jaccard near-dup pairs: explode distinct shingles, candidate
+    pairs via the inverted shingle index, Jaccard from intersection counts.
+
+    The index joins on a 60-bit md5 of the shingle, not the shingle string:
+    the shuffle moves 8-byte keys instead of n-gram text, and the join
+    compares longs. (Hash collisions would fold two shingles together, but
+    at 2^-60 per pair that is a measurement-noise risk, and the oracle SQL
+    applies the identical hash so the differential check stays exact.)"""
     sh = (
         with_shingles(df, text_col)
-        .select(F.col(id_col), F.explode(F.array_distinct("__shingles")).alias("s"))
+        .select(
+            F.col(id_col),
+            F.explode(F.array_distinct(F.transform("__shingles", md5_int))).alias("s"),
+        )
     )
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
     a, b = sh.alias("a"), sh.alias("b")

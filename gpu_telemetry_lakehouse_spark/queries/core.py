@@ -22,14 +22,19 @@ from .registry import davg, dsum, query
 @query(
     "gold_daily_util",
     oracle=f"""
-    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS dt,
-           COUNT(*) AS n_samples,
-           {davg("value", "avg_value")},
-           ROUND(quantile_cont(value, 0.95), 6) AS p95_value,
-           ROUND(median(value), 6) AS med_value
-    FROM events
-    WHERE value IS NOT NULL
-    GROUP BY 1
+    WITH agg AS (
+        SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS dt,
+               COUNT(*) AS n_samples,
+               {davg("value", "avg_value")},
+               quantile_cont(value, [0.95, 0.5]) AS ps
+        FROM events
+        WHERE value IS NOT NULL
+        GROUP BY 1
+    )
+    SELECT dt, n_samples, avg_value,
+           ROUND(ps[1], 6) AS p95_value,
+           ROUND(ps[2], 6) AS med_value
+    FROM agg
     """,
 )
 def gold_daily_util(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -41,8 +46,16 @@ def gold_daily_util(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_samples"),
             exact_avg("value").alias("avg_value"),
-            F.round(F.percentile("value", F.lit(0.95)), 6).alias("p95_value"),
-            F.round(F.median("value"), 6).alias("med_value"),
+            # both quantiles from ONE percentile state (a second exact
+            # percentile would collect every group's values twice)
+            F.percentile("value", F.array(F.lit(0.95), F.lit(0.5))).alias("__ps"),
+        )
+        .select(
+            "dt",
+            "n_samples",
+            "avg_value",
+            F.round(F.col("__ps")[0], 6).alias("p95_value"),
+            F.round(F.col("__ps")[1], 6).alias("med_value"),
         )
         .orderBy("dt")
     )

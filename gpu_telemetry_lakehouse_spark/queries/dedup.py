@@ -142,7 +142,9 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH toks AS (SELECT doc_id, {TK} AS tk FROM documents),
     sh0 AS (SELECT doc_id, {SHINGLES} AS s FROM toks),
-    d AS (SELECT DISTINCT doc_id, unnest(s) AS s FROM sh0),
+    d AS (SELECT DISTINCT doc_id,
+                 unnest(list_transform(s, x -> {_md5int('x')})) AS s
+          FROM sh0),
     sizes AS (SELECT doc_id, COUNT(*) AS n FROM d GROUP BY doc_id),
     inter AS (
         SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
