@@ -51,6 +51,10 @@ def get_spark(app: str = "gpu-telemetry-lakehouse-spark", cpus: int | None = Non
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app)
         .config("spark.sql.shuffle.partitions", str(cpus))
+        # FAIR lets concurrent queries (bench suite, multi-tenant driver)
+        # share executor slots instead of head-of-line blocking; no effect
+        # on single-query runs.
+        .config("spark.scheduler.mode", "FAIR")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
