@@ -15,6 +15,7 @@ for _mod in (
     "strings",
     "stream_batch",
     "ml",
+    "extended",
 ):
     try:
         __import__(f"{__name__}.{_mod}")

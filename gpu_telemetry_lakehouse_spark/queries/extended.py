@@ -1,0 +1,242 @@
+"""Extended relational surface: classic scan-agg (TPC-H q6/q10 shapes),
+pivot, GROUPING SETS, sessionization (gaps-and-islands), token frequency,
+and exact-dup group extraction.
+
+These widen SURVEY.md §2.2 coverage: pivot/conditional aggregation, explicit
+grouping sets, event sessionization (the streaming session-window's batch
+twin), and the "collect the duplicate groups" form of exact dedup that a
+training-data pipeline actually executes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..catalog import load_table, register_views
+from ..functions import exact_sum, md5_int, tokens
+from .registry import dsum, query
+
+SESSION_GAP_US = 30 * 60 * 1_000_000  # 30 min
+
+
+# --- TPC-H q6 shape: tight scan + filter + single agg ------------------------
+# The canonical predicate-pushdown probe: every filter reaches the parquet
+# row-group zone maps; the agg is one partial-combined long sum.
+@query(
+    "tpch_q6_revenue",
+    oracle=f"""
+    SELECT {dsum("l_extendedprice * l_discount", "revenue", scale=6)},
+           COUNT(*) AS n_rows
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def tpch_q6_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            exact_sum(F.col("l_extendedprice") * F.col("l_discount"), scale=6).alias("revenue"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+# --- TPC-H q10 shape: 3-way join + group + top-k -----------------------------
+@query(
+    "tpch_q10_returns",
+    oracle=f"""
+    SELECT c.c_custkey, c.c_name,
+           {dsum("l.l_extendedprice * (1 - l.l_discount)", "revenue")}
+    FROM customer c
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_returnflag = 'R'
+    GROUP BY c.c_custkey, c.c_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def tpch_q10_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_returnflag") == "R")
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_custkey", "c_name")
+        .agg(exact_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
+    )
+
+
+# --- pivot / conditional aggregation -----------------------------------------
+# Spark's pivot yields NULL for an absent (group, value) cell; the oracle's
+# SUM(CASE WHEN ... THEN 1 END) (no ELSE) reproduces exactly that.
+@query(
+    "pivot_status_by_nation",
+    oracle="""
+    SELECT n.n_name,
+           SUM(CASE WHEN o.o_orderstatus = 'F' THEN 1 END) AS F,
+           SUM(CASE WHEN o.o_orderstatus = 'O' THEN 1 END) AS O,
+           SUM(CASE WHEN o.o_orderstatus = 'P' THEN 1 END) AS P
+    FROM orders o
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    GROUP BY n.n_name
+    """,
+)
+def pivot_status_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.sum(F.lit(1)))
+    )
+
+
+# --- explicit GROUPING SETS --------------------------------------------------
+@query(
+    "grouping_sets_orders",
+    oracle=f"""
+    SELECT o_orderstatus, o_orderpriority,
+           COUNT(*) AS n, {dsum("o_totalprice", "sum_price", scale=2)}
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+    """,
+)
+def grouping_sets_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir, ["orders"])
+    m = 10**2
+    return spark.sql(
+        f"""
+        SELECT o_orderstatus, o_orderpriority,
+               COUNT(*) AS n,
+               (SUM(CAST(ROUND(o_totalprice * {m}) AS BIGINT)) / CAST({m} AS DOUBLE)) AS sum_price
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+        """
+    )
+
+
+# --- sessionization (gaps-and-islands) ---------------------------------------
+# Batch twin of a streaming session window (30-min inactivity gap): mark
+# session starts with lag(), number sessions with a running sum, aggregate.
+# At scale this is one shuffle on user_id; state never leaves the window
+# operator (compare Structured Streaming's session_window for the live path).
+@query(
+    "session_windows_users",
+    oracle=f"""
+    WITH marked AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w > {SESSION_GAP_US}
+                    OR LAG(ts) OVER w IS NULL
+                    THEN 1 ELSE 0 END AS is_start
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    numbered AS (
+        SELECT user_id, ts, event_id,
+               SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+        FROM marked
+    )
+    SELECT user_id, session_no,
+           MIN(ts) AS session_start, MAX(ts) AS session_end,
+           COUNT(*) AS n_events
+    FROM numbered
+    GROUP BY user_id, session_no
+    """,
+)
+def session_windows_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    marked = ev.withColumn(
+        "is_start",
+        F.when(
+            (us - F.lag(us).over(w) > SESSION_GAP_US) | F.lag("ts").over(w).isNull(), 1
+        ).otherwise(0),
+    )
+    numbered = marked.withColumn(
+        "session_no", F.sum("is_start").over(w.rowsBetween(W.unboundedPreceding, 0))
+    )
+    return numbered.groupBy("user_id", "session_no").agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+# --- token frequency (explode -> count -> deterministic top-k) ---------------
+@query(
+    "token_freq_top",
+    oracle=r"""
+    WITH tok AS (
+        SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+        FROM documents
+    )
+    SELECT token, COUNT(*) AS cnt
+    FROM tok
+    GROUP BY token
+    ORDER BY cnt DESC, token
+    LIMIT 50
+    """,
+)
+def token_freq_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(tokens(F.col("text"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "token")
+        .limit(50)
+    )
+
+
+# --- exact-dup groups (the actionable form of exact dedup) -------------------
+# Normalize -> hash -> group; emit only groups with >1 member, with the
+# sorted member list (what a pipeline feeds into "keep first, drop rest").
+@query(
+    "dedup_groups_exact",
+    oracle=r"""
+    WITH h AS (
+        SELECT doc_id,
+               md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS content_hash
+        FROM documents
+    )
+    SELECT content_hash, COUNT(*) AS group_size,
+           list_sort(list(doc_id)) AS doc_ids
+    FROM h
+    GROUP BY content_hash
+    HAVING COUNT(*) > 1
+    """,
+)
+def dedup_groups_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    return (
+        docs.select("doc_id", F.md5(norm).alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(
+            F.count(F.lit(1)).alias("group_size"),
+            F.array_sort(F.collect_list("doc_id")).alias("doc_ids"),
+        )
+        .filter(F.col("group_size") > 1)
+    )
