@@ -77,6 +77,27 @@ def run_to_memory(
     return q, agg.sparkSession.table(name)
 
 
+def session_agg(df: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Session windows per user (inactivity gap): the streaming twin of the
+    batch gaps-and-islands query ``session_windows_users``. Works on both
+    batch and streaming frames; streaming requires a watermark upstream.
+
+    session_window merges rows closer than ``gap``; its ``start`` equals the
+    batch twin's MIN(ts) per island, so the two agree on
+    (user_id, session_start, n_events)."""
+    return (
+        df.groupBy(F.session_window("ts", gap).alias("win"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id", F.col("win.start").alias("session_start"), "n_events"
+        )
+    )
+
+
+def incremental_sessions(stream: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    return session_agg(stream.withWatermark("ts", watermark))
+
+
 def alert_on_bursts(
     stream: DataFrame, threshold: int, sink: list, spark: SparkSession
 ) -> StreamingQuery:

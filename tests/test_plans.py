@@ -1,0 +1,78 @@
+"""Physical-plan quality gates: the properties that make these queries hold
+at 100 TB must be visible in the plan, not just asserted in docstrings.
+
+Each test pins one scale property: filters reach the parquet scan, small
+dims broadcast, row-local operators stay exchange-free, grouped aggregation
+keeps its map-side partial phase, and wide tables are column-pruned at the
+source.
+"""
+
+from __future__ import annotations
+
+from gpu_telemetry_lakehouse_spark.queries import QUERIES
+
+
+def plan_of(spark, name, sf_dir) -> str:
+    df = QUERIES[name](spark, sf_dir)
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_filters_push_into_parquet_scan(spark, sf_dir):
+    """q6's range+band predicates must all reach the scan (row-group skip)."""
+    p = plan_of(spark, "tpch_q6_revenue", sf_dir)
+    pushed = [l for l in p.splitlines() if "PushedFilters" in l]
+    assert pushed and "PushedFilters: []" not in pushed[0]
+    for frag in ("l_shipdate", "l_discount", "l_quantity"):
+        assert frag in pushed[0], f"{frag} not pushed: {pushed[0]}"
+
+
+def test_small_dims_broadcast(spark, sf_dir):
+    """Dimension joins must be broadcast, never shuffled-hash/sort-merge."""
+    for name in ("join_broadcast_dims", "tpch_q5_local_volume", "pivot_status_by_nation"):
+        p = plan_of(spark, name, sf_dir)
+        assert "BroadcastHashJoin" in p, name
+        assert "SortMergeJoin" not in p, name
+
+
+def test_row_local_operators_have_no_exchange(spark, sf_dir):
+    """Text featurization and fingerprinting are map-side only — at 100 TB an
+    accidental shuffle here moves the whole corpus."""
+    for name in ("text_stats", "text_quality_score", "doc_fingerprint", "casts_flags"):
+        p = plan_of(spark, name, sf_dir)
+        assert "Exchange" not in p, f"{name} has a shuffle:\n{p[:800]}"
+
+
+def test_grouped_agg_keeps_partial_phase(spark, sf_dir):
+    """Map-side combine before the exchange: shuffle carries one row per
+    (partition, group), not one per input row."""
+    for name in ("tpch_q1", "gold_daily_util", "events_hourly_window"):
+        p = plan_of(spark, name, sf_dir)
+        assert "partial_" in p, name
+        # exactly one data exchange for a single group-by (ignore AQE reuse)
+        n_exch = sum(1 for l in p.splitlines() if l.strip().startswith("(")
+                     and ") Exchange" in l)
+        assert n_exch <= 2, f"{name}: {n_exch} exchanges"
+
+
+def test_column_pruning_reaches_scan(spark, sf_dir):
+    """topk_orders touches 3 of 6 order columns; the scan must not read more."""
+    p = plan_of(spark, "topk_orders", sf_dir)
+    scan_schema = [l for l in p.splitlines() if "ReadSchema" in l]
+    assert scan_schema, p[:500]
+    line = scan_schema[0]
+    assert line.count(":") < 6, f"scan reads all orders columns: {line}"
+    assert "o_orderpriority" not in line, line
+
+
+def test_minhash_shuffle_is_narrow(spark, sf_dir):
+    """The minhash signature shuffle must carry only (doc_id, k longs) —
+    never document text."""
+    p = plan_of(spark, "dedup_minhash_sigs", sf_dir)
+    exch = [l for l in p.splitlines() if l.startswith("(") and ") Exchange" in l]
+    # locate the Exchange arguments line and confirm `text` is not shuffled
+    import re
+
+    for m in re.finditer(r"\(\d+\) Exchange\n(?:.*\n){0,3}", p):
+        assert "text#" not in m.group(0), m.group(0)

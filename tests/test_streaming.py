@@ -51,3 +51,88 @@ def test_burst_alerts(spark, replay_dir):
         q.stop()
     assert alerts, "expected at least one hourly bucket above threshold"
     assert all(n > 2 for (_, _, _, n) in alerts)
+
+
+def test_stream_sessions_equal_batch(spark, sf_dir, replay_dir):
+    from gpu_telemetry_lakehouse_spark.queries import QUERIES
+    from gpu_telemetry_lakehouse_spark.streaming.pipeline import (
+        incremental_sessions,
+        session_agg,
+    )
+
+    stream = read_event_stream(spark, replay_dir, max_files_per_trigger=2)
+    q, result = run_to_memory(incremental_sessions(stream), spark, name="t_sessions")
+    try:
+        got = {(r.user_id, r.session_start, r.n_events) for r in result.collect()}
+    finally:
+        q.stop()
+
+    # twin 1: the same transform on the batch frame
+    batch = session_agg(load_table(spark, sf_dir, "events"))
+    want = {(r.user_id, r.session_start, r.n_events) for r in batch.collect()}
+    assert got == want
+
+    # twin 2: the oracle-matched gaps-and-islands query agrees on
+    # (user, start, size) — independent formulation, same sessions
+    gi = QUERIES["session_windows_users"](spark, sf_dir)
+    want2 = {(r.user_id, r.session_start, r.n_events) for r in gi.collect()}
+    assert got == want2
+
+
+def test_watermark_drops_late_rows(spark, tmp_path):
+    """Append-mode + watermark: a row later than the watermark for an
+    already-finalized window is dropped, not retro-applied."""
+    import datetime as dt
+
+    from gpu_telemetry_lakehouse_spark.streaming.pipeline import (
+        EVENTS_STREAM_SCHEMA,
+        incremental_hourly_gold,
+    )
+
+    def ev(event_id, hour, minute=0, value=1.0):
+        return (
+            event_id,
+            dt.datetime(2024, 1, 1, hour, minute),
+            1,
+            "telemetry",
+            value,
+            "{}",
+        )
+
+    d = str(tmp_path / "late_src")
+    # phase 1: hours 1..5 -> watermark advances to 03:00 (max 05:00 - 2h)
+    spark.createDataFrame(
+        [ev(i, h) for i, h in enumerate([1, 2, 3, 4, 5])], EVENTS_STREAM_SCHEMA
+    ).coalesce(1).write.mode("overwrite").parquet(d)
+
+    emitted: list = []
+
+    agg = incremental_hourly_gold(
+        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(d)
+    )
+
+    def collect_batch(batch_df, epoch_id):
+        emitted.extend(
+            (r.hour_start, r.event_type, r.n, r.sum_value) for r in batch_df.collect()
+        )
+
+    q = agg.writeStream.outputMode("append").foreachBatch(collect_batch).start()
+    try:
+        q.processAllAvailable()
+        # phase 2: one LATE row for hour 1 (behind watermark -> dropped) and
+        # one fresh row at hour 10 (advances watermark, finalizing the rest)
+        spark.createDataFrame(
+            [ev(100, 1, 30, 99.0), ev(101, 10)], EVENTS_STREAM_SCHEMA
+        ).coalesce(1).write.mode("append").parquet(d)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    by_hour = {h.hour: (n, sv) for (h, _t, n, sv) in emitted}
+    # hour 1 finalized with ONLY the phase-1 row; the late 99.0 never lands
+    assert by_hour[1] == (1, 1.0)
+    # no window was emitted twice
+    hours = [h.hour for (h, _t, _n, _sv) in emitted]
+    assert len(hours) == len(set(hours))
