@@ -9,10 +9,10 @@ fold the dot products JVM-side; no Python in the loop).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import Column, DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from ..functions import cosine, dot, dot_raw
+from ..functions import dot_raw
 
 
 def with_norm(
@@ -25,13 +25,6 @@ def with_norm(
     return df.withColumn(out_vec, v).withColumn(
         out_norm, F.sqrt(dot_raw(out_vec, out_vec))
     )
-
-
-def normalize(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
-    """L2-normalize once so cosine becomes a plain dot product downstream."""
-    v = F.col(vec_col).cast("array<double>")
-    norm = F.sqrt(dot(v, v))
-    return df.withColumn(vec_col, F.transform(v, lambda x: x / norm))
 
 
 def cosine_topk(
@@ -65,49 +58,69 @@ def cosine_topk(
     )
 
 
+def _assign_expr(centroids: list[list[float]]) -> Column:
+    """Row-local nearest-centroid expression over LITERAL centroids.
+
+    Centroids are tiny by construction (k × dim doubles), so they ride into
+    the plan as literals: assignment costs zero joins, zero windows, zero
+    shuffles — it is a projection the parquet scan streams through. Ties
+    resolve to the lowest cluster id (array_position finds the first max).
+    """
+    dots = [
+        F.aggregate(
+            F.zip_with(F.col("v"), F.array(*[F.lit(x) for x in c]), lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        for c in centroids
+    ]
+    scores = F.array(*dots)
+    return (F.array_position(scores, F.array_max(scores)) - 1).cast("int")
+
+
 def kmeans_centroids(
     vectors: DataFrame,
     n_clusters: int = 8,
     n_iter: int = 3,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
-) -> DataFrame:
+) -> list[list[float]]:
     """K-means-lite for IVF: deterministic seeding (first K vectors by id),
-    Lloyd iterations as posexplode->avg aggregations. Returns (cluster, centroid).
+    Lloyd iterations with driver-held centroid state. Each iteration is one
+    map-side assignment + one groupBy(cluster) mean — the only shuffle is
+    n_clusters × dim aggregate rows.
 
-    At 100 TB run this on a sample — centroid quality needs only ~1e6 rows.
+    At 100 TB run this on a sample — centroid quality needs only ~1e6 rows;
+    the k × dim centroid list stays kilobytes regardless of corpus size.
     """
-    v = vectors.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("v"))
-    centroids = (
-        v.orderBy(id_col)
-        .limit(n_clusters)
-        .select(F.col("v").alias("c"))
-        .withColumn("cluster", F.row_number().over(W.orderBy(F.col("c"))) - 1)
-    )
+    import math
+
+    def _unit(vec: list[float]) -> list[float]:
+        n = math.sqrt(sum(x * x for x in vec)) or 1.0
+        return [x / n for x in vec]
+
+    v = with_norm(vectors, vec_col).select(F.col(id_col), "v", "nrm")
+    cents = [_unit(r.v) for r in v.orderBy(id_col).limit(n_clusters).collect()]
     for _ in range(n_iter):
-        assigned = _assign(v, centroids)
-        centroids = (
-            assigned.select("cluster", F.posexplode("v").alias("pos", "x"))
+        # spherical k-means update: mean of UNIT vectors per cluster.
+        # nrm is projected before the generator so the norm is computed once
+        # per row, and x/nrm happens post-explode (never re-inlined per
+        # element by projection collapse).
+        means = (
+            v.withColumn("cluster", _assign_expr(cents))
+            .select("cluster", "nrm", F.posexplode("v").alias("pos", "x"))
             .groupBy("cluster", "pos")
-            .agg(F.avg("x").alias("x"))
-            .groupBy("cluster")
-            .agg(F.array_sort(F.collect_list(F.struct("pos", "x"))).alias("px"))
-            .select("cluster", F.col("px.x").alias("c"))
+            .agg(F.avg(F.col("x") / F.col("nrm")).alias("x"))
+            .collect()
         )
-    return centroids
-
-
-def _assign(v: DataFrame, centroids: DataFrame) -> DataFrame:
-    """Nearest centroid per vector (broadcast centroids, argmin of -dot)."""
-    scored = v.join(F.broadcast(centroids)).select(
-        "vec_id", "v", "cluster", dot("v", "c").alias("d")
-    )
-    w = W.partitionBy("vec_id").orderBy(F.col("d").desc(), "cluster")
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "v", "cluster")
-    )
+        by_cluster: dict[int, dict[int, float]] = {}
+        for r in means:
+            by_cluster.setdefault(r.cluster, {})[r.pos] = r.x
+        cents = [
+            [by_cluster[c][p] for p in sorted(by_cluster[c])] if c in by_cluster else cents[c]
+            for c in range(n_clusters)
+        ]
+    return cents
 
 
 def ivf_topk(
@@ -124,32 +137,57 @@ def ivf_topk(
 
     Scan cost drops to ~n_probe/n_clusters of brute force; recall depends on
     how clustered the corpus is (invariant: a query always finds itself —
-    its own bucket is probed by construction).
-    """
-    nv = normalize(vectors, vec_col)
-    v = nv.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("v"))
-    centroids = kmeans_centroids(nv, n_clusters=n_clusters, vec_col=vec_col, id_col=id_col)
-    bucketed = _assign(v, centroids)
+    its own bucket is probed by construction, since bucketing and probing
+    share the same argmax-over-centroid-dots expression).
 
-    q = normalize(queries, vec_col).select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).cast("array<double>").alias("q_vec")
+    Plan shape at 100 TB: centroid fit on a sample (one narrow shuffle per
+    Lloyd iteration), bucketing as a map-side projection over the corpus
+    scan, probe lists computed row-locally per query, then ONE broadcast
+    equi-join on cluster id + per-query top-k reduction.
+    """
+    v = with_norm(vectors, vec_col).select(F.col(id_col), "v", "nrm")
+    cents = kmeans_centroids(
+        vectors, n_clusters=n_clusters, vec_col=vec_col, id_col=id_col
     )
-    q_probe = (
-        q.join(F.broadcast(centroids))
-        .select("query_id", "q_vec", "cluster", dot("q_vec", "c").alias("d"))
-        .withColumn("rn", F.row_number().over(W.partitionBy("query_id").orderBy(F.col("d").desc(), "cluster")))
-        .filter(F.col("rn") <= n_probe)
-        .select("query_id", "q_vec", "cluster")
+    bucketed = v.withColumn("cluster", _assign_expr(cents))
+
+    q = with_norm(queries, vec_col, "q_vec", "q_nrm").select(
+        F.col(id_col).alias("query_id"), "q_vec", "q_nrm"
+    )
+    # row-local probe list: sort (−dot, cluster) structs, slice top n_probe
+    qdots = [
+        F.aggregate(
+            F.zip_with(F.col("q_vec"), F.array(*[F.lit(x) for x in c]), lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        for c in cents
+    ]
+    ranked = F.array_sort(
+        F.array(
+            *[
+                F.struct((-d).alias("negd"), F.lit(j).cast("int").alias("cluster"))
+                for j, d in enumerate(qdots)
+            ]
+        )
+    )
+    q_probe = q.select(
+        "query_id",
+        "q_vec",
+        "q_nrm",
+        F.explode(F.slice(ranked, 1, n_probe)["cluster"]).alias("cluster"),
     )
     scored = bucketed.join(F.broadcast(q_probe), "cluster").filter(
-        F.col("vec_id") != F.col("query_id")
+        F.col(id_col) != F.col("query_id")
     )
     w = W.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), "neighbor_id")
     return (
         scored.select(
             "query_id",
-            F.col("vec_id").alias("neighbor_id"),
-            F.round(dot("v", "q_vec"), 6).alias("cos_sim"),
+            F.col(id_col).alias("neighbor_id"),
+            F.round(
+                dot_raw("v", "q_vec") / (F.col("nrm") * F.col("q_nrm")), 6
+            ).alias("cos_sim"),
         )
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= k)
