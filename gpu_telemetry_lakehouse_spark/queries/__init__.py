@@ -16,6 +16,7 @@ for _mod in (
     "stream_batch",
     "ml",
     "extended",
+    "subqueries",
 ):
     try:
         __import__(f"{__name__}.{_mod}")

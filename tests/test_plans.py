@@ -66,6 +66,39 @@ def test_column_pruning_reaches_scan(spark, sf_dir):
     assert "o_orderpriority" not in line, line
 
 
+def test_decorrelated_aggregate_sides_broadcast(spark, sf_dir):
+    """Subquery shapes: the aggregate (threshold) side is small and must come
+    back as a broadcast join — the fact table never re-shuffles on the
+    correlation key."""
+    for name in (
+        "small_quantity_revenue",
+        "idle_balance_customers",
+        "above_type_avg_parts",
+        "promo_revenue_share",
+    ):
+        p = plan_of(spark, name, sf_dir)
+        assert "BroadcastHashJoin" in p or "BroadcastNestedLoopJoin" in p, name
+        assert "SortMergeJoin" not in p, name
+
+
+def test_semi_anti_never_materialize_payload(spark, sf_dir):
+    """EXISTS/NOT EXISTS compile to LeftSemi/LeftAnti — no row multiplication,
+    probe side carries only the join key."""
+    p = plan_of(spark, "supplier_churn_9798", sf_dir)
+    assert "LeftSemi" in p and "LeftAnti" in p, p[:800]
+
+
+def test_array_fold_is_row_local(spark, sf_dir):
+    """The per-vector norm fold happens in the scan stage; only the top-k
+    sort exchanges rows."""
+    p = plan_of(spark, "array_norms_vectors", sf_dir)
+    assert "TakeOrderedAndProject" in p, p[:800]
+    n_exch = sum(
+        1 for l in p.splitlines() if l.strip().startswith("(") and ") Exchange" in l
+    )
+    assert n_exch == 0, f"array fold shuffles: {n_exch}"
+
+
 def test_minhash_shuffle_is_narrow(spark, sf_dir):
     """The minhash signature shuffle must carry only (doc_id, k longs) —
     never document text."""
