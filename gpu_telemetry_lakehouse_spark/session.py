@@ -27,6 +27,43 @@ RUNTIME_CONFS: dict[str, str] = {
 }
 
 
+_SHIPPED: set[int] = set()
+
+
+def _ship_package(spark: SparkSession) -> None:
+    """Ship this package to executor Python workers via ``addPyFile``.
+
+    The external driver may run from any cwd; worker processes then cannot
+    import module-level functions referenced from closures (cloudpickle
+    serializes module globals by reference). Zipping the package once per
+    SparkContext makes every pandas-UDF / mapInPandas stage importable on
+    workers — the same mechanism ``spark-submit --py-files`` uses on a real
+    cluster."""
+    sc = spark.sparkContext
+    key = id(sc)
+    if key in _SHIPPED:
+        return
+    import tempfile
+    import zipfile
+
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    pkg_name = os.path.basename(pkg_dir)
+    fd, zpath = tempfile.mkstemp(prefix="gtl_spark_pkg_", suffix=".zip")
+    os.close(fd)
+    with zipfile.ZipFile(zpath, "w") as zf:
+        for root, _dirs, files in os.walk(pkg_dir):
+            for f in files:
+                if f.endswith(".py"):
+                    full = os.path.join(root, f)
+                    rel = os.path.join(pkg_name, os.path.relpath(full, pkg_dir))
+                    zf.write(full, rel)
+    try:
+        sc.addPyFile(zpath)
+        _SHIPPED.add(key)
+    except Exception:
+        pass  # already added or restricted context; worker imports may still work
+
+
 def apply_runtime_confs(spark: SparkSession) -> SparkSession:
     """Apply the must-have runtime confs to an externally-built session."""
     for k, v in RUNTIME_CONFS.items():
@@ -35,6 +72,7 @@ def apply_runtime_confs(spark: SparkSession) -> SparkSession:
         except Exception:
             # non-settable on this build -> keep going; reads may still work
             pass
+    _ship_package(spark)
     return spark
 
 

@@ -98,6 +98,100 @@ def incremental_sessions(stream: DataFrame, watermark: str = "2 hours") -> DataF
     return session_agg(stream.withWatermark("ts", watermark))
 
 
+def sliding_value_rate(df: DataFrame, length: str = "2 hours", slide: str = "1 hour") -> DataFrame:
+    """Sliding-window rate per event_type (each event lands in length/slide
+    overlapping windows). Shared batch/stream transform, like ``hourly_agg``."""
+    return (
+        df.groupBy(F.window("ts", length, slide).alias("win"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.sum(F.round(F.col("value") * 1_000_000, 0).cast("long")) / 1e6).alias("sum_value"),
+        )
+        .select(F.col("win.start").alias("win_start"), "event_type", "n", "sum_value")
+    )
+
+
+def incremental_sliding(stream: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    return sliding_value_rate(stream.withWatermark("ts", watermark))
+
+
+def enriched_segment_hourly(stream: DataFrame, customer_dim: DataFrame) -> DataFrame:
+    """Stream-static enrichment join + windowed rollup: each micro-batch
+    broadcast-joins the (small, slowly-changing) customer dimension — no
+    stream-side state, so this scales to unbounded input; only the dimension
+    must fit in executor memory."""
+    dim = F.broadcast(customer_dim.select("c_custkey", "c_mktsegment"))
+    return (
+        stream.join(dim, F.col("user_id") == F.col("c_custkey"), "inner")
+        .groupBy(F.window("ts", "1 hour").alias("win"), "c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("win.start").alias("hour_start"), "c_mktsegment", "n")
+    )
+
+
+# --- custom stateful operator: applyInPandasWithState ------------------------
+
+RUNNING_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("n_events", T.LongType()),
+        T.StructField("sum_scaled", T.LongType()),  # value * 1e6 as exact long
+        T.StructField("last_ts_us", T.LongType()),
+    ]
+)
+
+RUNNING_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("sum_value", T.DoubleType()),
+        T.StructField("last_ts_us", T.LongType()),
+    ]
+)
+
+
+def running_user_totals(stream: DataFrame) -> DataFrame:
+    """Custom stateful operator (SURVEY.md §2.2 streaming row): arbitrary
+    per-key state that windowed aggregation can't express — exact running
+    totals emitted continuously, not per-window. The batch twin is a plain
+    groupBy; the streaming form keeps one tiny state row per user.
+
+    The state fn is a local closure, not a module-level def, so cloudpickle
+    ships it by value — workers need no importable copy of this package
+    (driver contract: the external harness may run from any cwd)."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def running_totals_fn(key, pdf_iter, state):
+        # Per-user running (count, exact sum, max event time); emits the
+        # updated totals once per micro-batch the user appears in. State is
+        # three longs — bounded and Arrow-cheap — so 10^9 users is ~24 GB of
+        # state cluster-wide, spread across executors by the groupBy hash.
+        import pandas as pd
+
+        n, s, last = state.get if state.exists else (0, 0, 0)
+        for pdf in pdf_iter:
+            n += len(pdf)
+            s += int(pdf["value"].mul(1_000_000).round().sum())
+            ts_us = (pdf["ts"].astype("int64") // 1_000).max()
+            last = max(last, int(ts_us))
+        state.update((n, s, last))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "sum_value": [s / 1e6],
+                "last_ts_us": [last],
+            }
+        )
+
+    return stream.groupBy("user_id").applyInPandasWithState(
+        running_totals_fn,
+        outputStructType=RUNNING_OUTPUT_SCHEMA,
+        stateStructType=RUNNING_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def alert_on_bursts(
     stream: DataFrame, threshold: int, sink: list, spark: SparkSession
 ) -> StreamingQuery:

@@ -79,6 +79,99 @@ def test_stream_sessions_equal_batch(spark, sf_dir, replay_dir):
     assert got == want2
 
 
+def test_sliding_stream_equals_batch(spark, sf_dir, replay_dir):
+    from gpu_telemetry_lakehouse_spark.streaming.pipeline import (
+        incremental_sliding,
+        sliding_value_rate,
+    )
+
+    stream = read_event_stream(spark, replay_dir, max_files_per_trigger=2)
+    q, result = run_to_memory(incremental_sliding(stream), spark, name="t_sliding")
+    try:
+        got = {
+            (r.win_start, r.event_type): (r.n, r.sum_value) for r in result.collect()
+        }
+    finally:
+        q.stop()
+    batch = sliding_value_rate(load_table(spark, sf_dir, "events"))
+    want = {
+        (r.win_start, r.event_type): (r.n, r.sum_value) for r in batch.collect()
+    }
+    assert got == want
+    # sliding windows overlap: strictly more buckets than the tumbling rollup
+    assert len(got) > hourly_agg(load_table(spark, sf_dir, "events")).count()
+
+
+def test_stream_static_enrichment_equals_batch(spark, sf_dir, replay_dir):
+    from gpu_telemetry_lakehouse_spark.streaming.pipeline import (
+        enriched_segment_hourly,
+    )
+
+    dim = load_table(spark, sf_dir, "customer")
+    stream = read_event_stream(spark, replay_dir, max_files_per_trigger=2)
+    q, result = run_to_memory(
+        enriched_segment_hourly(stream.withWatermark("ts", "2 hours"), dim),
+        spark,
+        name="t_enriched",
+    )
+    try:
+        got = {(r.hour_start, r.c_mktsegment): r.n for r in result.collect()}
+    finally:
+        q.stop()
+    batch = enriched_segment_hourly(load_table(spark, sf_dir, "events"), dim)
+    want = {(r.hour_start, r.c_mktsegment): r.n for r in batch.collect()}
+    assert got and got == want
+
+
+def test_stateful_running_totals(spark, sf_dir, replay_dir):
+    """applyInPandasWithState: final per-user state equals the batch ground
+    truth; update mode emits one row per (user, batch-it-appeared-in)."""
+    from gpu_telemetry_lakehouse_spark.streaming.pipeline import (
+        running_user_totals,
+    )
+
+    stream = read_event_stream(spark, replay_dir, max_files_per_trigger=2)
+    emitted: list = []
+
+    def collect_batch(batch_df, epoch_id):
+        emitted.extend(
+            (epoch_id, r.user_id, r.n_events, r.sum_value, r.last_ts_us)
+            for r in batch_df.collect()
+        )
+
+    q = (
+        running_user_totals(stream)
+        .writeStream.outputMode("update")
+        .foreachBatch(collect_batch)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    # last emission per user == running total after the final batch
+    final: dict = {}
+    for epoch, uid, n, sv, last_us in sorted(emitted):
+        final[uid] = (n, sv, last_us)
+
+    # ground truth via pandas (same numpy rounding as the stateful fn)
+    pdf = load_table(spark, sf_dir, "events").select("user_id", "ts", "value").toPandas()
+    g = pdf.groupby("user_id")
+    want = {
+        int(uid): (
+            int(len(grp)),
+            float(grp["value"].mul(1_000_000).round().sum() / 1e6),
+            int(grp["ts"].astype("int64").max() // 1_000),
+        )
+        for uid, grp in g
+    }
+    assert final == want
+    # state accumulated across multiple micro-batches for at least some users
+    multi = {u for (_, u, *_r) in emitted}
+    assert len(emitted) > len(multi), "expected users updated in >1 batch"
+
+
 def test_watermark_drops_late_rows(spark, tmp_path):
     """Append-mode + watermark: a row later than the watermark for an
     already-finalized window is dropped, not retro-applied."""
