@@ -140,10 +140,29 @@ def shingle_jaccard_pairs(
         )
     )
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
-    a, b = sh.alias("a"), sh.alias("b")
+    # Posting-list pair generation: ONE shuffle of the (8-byte key, id) index
+    # builds per-shingle sorted id lists; co-occurring pairs explode in place
+    # (ids sorted ascending => id_a < id_b for free). A self-join would
+    # shuffle the index twice and probe a hash table per row. At web scale,
+    # cap/stop-list high-df shingles first — a shingle shared by m docs emits
+    # m(m-1)/2 pair rows either way.
+    posts = (
+        sh.groupBy("s")
+        .agg(F.sort_array(F.collect_list(F.col(id_col))).alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+    pair_structs = F.flatten(
+        F.transform(
+            "ids",
+            lambda x, i: F.transform(
+                F.slice(F.col("ids"), i + 2, F.size("ids")),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
+        )
+    )
     inter = (
-        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
-        .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        posts.select(F.explode(pair_structs).alias("p"))
+        .groupBy(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )
     sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n").alias("na"))

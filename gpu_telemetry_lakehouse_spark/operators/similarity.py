@@ -84,43 +84,40 @@ def kmeans_centroids(
     n_iter: int = 3,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    sample_rows: int = 100_000,
 ) -> list[list[float]]:
-    """K-means-lite for IVF: deterministic seeding (first K vectors by id),
-    Lloyd iterations with driver-held centroid state. Each iteration is one
-    map-side assignment + one groupBy(cluster) mean — the only shuffle is
-    n_clusters × dim aggregate rows.
+    """K-means-lite for IVF, fit on a collected sample (the FAISS-style coarse
+    quantizer recipe): ONE Spark job collects the first ``sample_rows``
+    unit-normalized vectors by id (deterministic), then Lloyd iterations run
+    in numpy on the driver — centroid quality needs ~1e5-1e6 rows no matter
+    how big the corpus is, and driver-side iterations avoid re-planning the
+    k × dim literal assignment expression once per iteration.
 
-    At 100 TB run this on a sample — centroid quality needs only ~1e6 rows;
-    the k × dim centroid list stays kilobytes regardless of corpus size.
+    Math per iteration (mirrors the distributed form exactly): assign by
+    argmax(v·c) with first-max tie-break, update as the mean of UNIT vectors
+    per cluster (spherical k-means); empty clusters keep their centroid.
+    The k × dim result stays kilobytes regardless of corpus size.
     """
-    import math
+    import numpy as np
 
-    def _unit(vec: list[float]) -> list[float]:
-        n = math.sqrt(sum(x * x for x in vec)) or 1.0
-        return [x / n for x in vec]
-
-    v = with_norm(vectors, vec_col).select(F.col(id_col), "v", "nrm")
-    cents = [_unit(r.v) for r in v.orderBy(id_col).limit(n_clusters).collect()]
+    rows = (
+        with_norm(vectors, vec_col)
+        .orderBy(id_col)
+        .limit(sample_rows)
+        .select(F.transform("v", lambda x: x / F.col("nrm")).alias("u"))
+        .collect()
+    )
+    U = np.array([r.u for r in rows], dtype=np.float64)  # unit vectors
+    cents = U[:n_clusters].copy()
     for _ in range(n_iter):
-        # spherical k-means update: mean of UNIT vectors per cluster.
-        # nrm is projected before the generator so the norm is computed once
-        # per row, and x/nrm happens post-explode (never re-inlined per
-        # element by projection collapse).
-        means = (
-            v.withColumn("cluster", _assign_expr(cents))
-            .select("cluster", "nrm", F.posexplode("v").alias("pos", "x"))
-            .groupBy("cluster", "pos")
-            .agg(F.avg(F.col("x") / F.col("nrm")).alias("x"))
-            .collect()
-        )
-        by_cluster: dict[int, dict[int, float]] = {}
-        for r in means:
-            by_cluster.setdefault(r.cluster, {})[r.pos] = r.x
-        cents = [
-            [by_cluster[c][p] for p in sorted(by_cluster[c])] if c in by_cluster else cents[c]
-            for c in range(n_clusters)
-        ]
-    return cents
+        # assignment uses raw sample vectors' direction == unit vectors here;
+        # argmax over dots, numpy argmax = first max (same as array_position)
+        assign = (U @ cents.T).argmax(axis=1)
+        for c in range(n_clusters):
+            members = U[assign == c]
+            if len(members):
+                cents[c] = members.mean(axis=0)
+    return [list(map(float, c)) for c in cents]
 
 
 def ivf_topk(
