@@ -17,6 +17,7 @@ for _mod in (
     "ml",
     "extended",
     "subqueries",
+    "udtf_ops",
 ):
     try:
         __import__(f"{__name__}.{_mod}")

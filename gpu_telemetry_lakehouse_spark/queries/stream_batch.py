@@ -23,3 +23,49 @@ from .registry import query
 )
 def events_hourly_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hourly_agg(load_table(spark, sf_dir, "events"))
+
+
+# Sliding windows: each event lands in length/slide = 2 buckets, so the
+# oracle unnests the two window starts the event belongs to.
+@query(
+    "events_sliding_window",
+    oracle="""
+    WITH w AS (
+        SELECT unnest([
+                   CAST(date_trunc('hour', ts) AS TIMESTAMP),
+                   CAST(date_trunc('hour', ts) - INTERVAL 1 HOUR AS TIMESTAMP)
+               ]) AS win_start,
+               event_type, value
+        FROM events
+    )
+    SELECT win_start, event_type,
+           COUNT(*) AS n,
+           (SUM(CAST(ROUND(value * 1000000) AS BIGINT)) / 1000000.0) AS sum_value
+    FROM w
+    GROUP BY 1, 2
+    """,
+)
+def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.pipeline import sliding_value_rate
+
+    return sliding_value_rate(load_table(spark, sf_dir, "events"))
+
+
+# Stream-static enrichment's batch twin: broadcast dimension join + rollup.
+@query(
+    "events_enriched_segment_hourly",
+    oracle="""
+    SELECT CAST(date_trunc('hour', e.ts) AS TIMESTAMP) AS hour_start,
+           c.c_mktsegment,
+           COUNT(*) AS n
+    FROM events e
+    JOIN customer c ON c.c_custkey = e.user_id
+    GROUP BY 1, 2
+    """,
+)
+def events_enriched_segment_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.pipeline import enriched_segment_hourly
+
+    return enriched_segment_hourly(
+        load_table(spark, sf_dir, "events"), load_table(spark, sf_dir, "customer")
+    )

@@ -1,0 +1,65 @@
+"""Python UDTF coverage (SURVEY.md §2.2 UDF/UDAF/UDTF row).
+
+A UDTF is the extension point for table-generating logic that built-in
+generators can't express (stateful row expansion, external lookups). This one
+— sentence splitting with ordinal — is deliberately also expressible as
+``explode``; that overlap is what makes a DuckDB oracle possible, so the
+UDTF execution path itself gets a hash-matched differential check.
+
+Slow-path warning: a UDTF runs Python per input row. In production this
+particular transform should be the ``explode(split(...))`` form (JVM
+whole-stage codegen); reach for a UDTF only when no builtin composition
+exists.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.functions import udtf
+
+from ..catalog import register_views
+from .registry import query
+
+_SENT_RE = r"[.!?]+"
+
+
+class _SentenceSplit:
+    def eval(self, doc_id, text):  # noqa: ANN001 - UDTF contract
+        parts = [p.strip() for p in re.split(_SENT_RE, text or "") if p.strip()]
+        for i, p in enumerate(parts, 1):
+            yield doc_id, i, p
+
+
+@query(
+    "udtf_sentences",
+    oracle=rf"""
+    WITH s AS (
+        SELECT doc_id,
+               list_filter(
+                   list_transform(
+                       regexp_split_to_array(text, '{_SENT_RE}'),
+                       x -> trim(x, ' ' || chr(9) || chr(10) || chr(13))
+                   ),
+                   x -> x <> ''
+               ) AS parts
+        FROM documents
+    ),
+    idx AS (
+        SELECT doc_id, parts,
+               unnest(generate_series(1, len(parts))) AS i
+        FROM s
+    )
+    SELECT doc_id, CAST(i AS INT) AS sent_no, parts[i] AS sentence
+    FROM idx
+    """,
+)
+def udtf_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir, ["documents"])
+    fn = udtf(_SentenceSplit, returnType="doc_id bigint, sent_no int, sentence string")
+    spark.udtf.register("sentence_split", fn)
+    return spark.sql(
+        "SELECT t.doc_id, t.sent_no, t.sentence "
+        "FROM documents, LATERAL sentence_split(doc_id, text) t"
+    )
