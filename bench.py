@@ -37,6 +37,10 @@ HEADLINE = [
     "window_rolling_metrics",   # analytic frames over event stream
     "window_topk_per_group",    # ranking window
     "events_hourly_window",     # streaming-equivalent tumbling agg
+    "nation_market_share",      # 6-way broadcast join + conditional ratio
+    "order_count_distribution", # outer join -> double aggregation
+    "large_volume_orders",      # grouped HAVING + join-back + topk
+    "knn_ivf",                  # sampled-centroid IVF approximate topk
     "dedup_minhash_pairs",      # minhash + LSH banding
     "dedup_shingle_jaccard",    # inverted-index exact jaccard
     "dedup_simhash",            # simhash signatures

@@ -18,6 +18,7 @@ for _mod in (
     "extended",
     "subqueries",
     "udtf_ops",
+    "tpch_heavy",
 ):
     try:
         __import__(f"{__name__}.{_mod}")
