@@ -38,6 +38,7 @@ HEADLINE = [
     "window_topk_per_group",    # ranking window
     "events_hourly_window",     # streaming-equivalent tumbling agg
     "nation_market_share",      # 6-way broadcast join + conditional ratio
+    "sole_fault_suppliers",     # q21 shape: double-correlated exists, decorrelated
     "order_count_distribution", # outer join -> double aggregation
     "large_volume_orders",      # grouped HAVING + join-back + topk
     "knn_ivf",                  # sampled-centroid IVF approximate topk

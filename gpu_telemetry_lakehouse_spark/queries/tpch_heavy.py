@@ -137,6 +137,187 @@ def nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- q12 shape: join + conditional two-way counts by a line dimension --------
+# (no l_shipmode in the synthetic schema; l_returnflag plays the mode dim,
+#  and the ship-year window replaces the receiptdate window.)
+@query(
+    "priority_line_counts",
+    oracle="""
+    SELECT l.l_returnflag,
+           SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT','2-HIGH')
+                    THEN 1 ELSE 0 END) AS high_line_count,
+           SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT','2-HIGH')
+                    THEN 1 ELSE 0 END) AS low_line_count
+    FROM lineitem l
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    WHERE l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l.l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY l.l_returnflag
+    ORDER BY l.l_returnflag
+    """,
+)
+def priority_line_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+        )
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+# --- q16 shape: distinct-count per part attrs with NOT-IN supplier exclusion --
+# (lineitem stands in for partsupp as the part↔supplier incidence relation;
+#  the "customer complaints" exclusion becomes a supplier-name pattern.)
+@query(
+    "part_supplier_counts",
+    oracle="""
+    SELECT p.p_brand, p.p_type, p.p_size,
+           COUNT(DISTINCT l.l_suppkey) AS supplier_cnt
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand <> 'Brand#13'
+      AND p.p_type NOT LIKE 'MEDIUM%'
+      AND p.p_size IN (1, 5, 10, 15, 20, 25, 30, 35, 40, 45, 49)
+      AND l.l_suppkey NOT IN (
+          SELECT s_suppkey FROM supplier WHERE s_name LIKE '%7'
+      )
+    GROUP BY p.p_brand, p.p_type, p.p_size
+    ORDER BY supplier_cnt DESC, p.p_brand, p.p_type, p.p_size
+    """,
+)
+def part_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#13")
+        & ~F.col("p_type").like("MEDIUM%")
+        & F.col("p_size").isin(1, 5, 10, 15, 20, 25, 30, 35, 40, 45, 49)
+    )
+    bad = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_name").like("%7"))
+        .select("s_suppkey")
+    )
+    return (
+        li.join(F.broadcast(bad), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size")
+    )
+
+
+# --- q20 shape: suppliers dominating a part's 1997 shipments ------------------
+# (partsupp availqty is absent, so the "more than half of availqty" predicate
+#  becomes "more than half of the part's total shipped quantity" — the same
+#  correlated-threshold shape, decorrelated into agg-then-join. Quantity sums
+#  are integer-valued doubles, hence order-independent and exact.)
+@query(
+    "dominant_part_suppliers",
+    oracle="""
+    WITH sp AS (
+        SELECT l.l_suppkey, l.l_partkey, SUM(l.l_quantity) AS qty
+        FROM lineitem l
+        JOIN part p ON p.p_partkey = l.l_partkey
+        WHERE p.p_name LIKE '%red%'
+          AND l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+          AND l.l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+        GROUP BY l.l_suppkey, l.l_partkey
+    ), pt AS (
+        SELECT l_partkey, SUM(qty) AS tot FROM sp GROUP BY l_partkey
+    )
+    SELECT s.s_suppkey, s.s_name
+    FROM supplier s
+    WHERE EXISTS (
+        SELECT 1 FROM sp JOIN pt ON pt.l_partkey = sp.l_partkey
+        WHERE sp.l_suppkey = s.s_suppkey AND sp.qty > 0.5 * pt.tot
+    )
+    ORDER BY s.s_suppkey
+    """,
+)
+def dominant_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    sp = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+        )
+        .join(F.broadcast(p.select("p_partkey")), F.col("l_partkey") == F.col("p_partkey"), "left_semi")
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+    )
+    pt = sp.groupBy(F.col("l_partkey").alias("pt_partkey")).agg(F.sum("qty").alias("tot"))
+    dominant = (
+        sp.join(F.broadcast(pt), F.col("l_partkey") == F.col("pt_partkey"))
+        .filter(F.col("qty") > 0.5 * F.col("tot"))
+        .select("l_suppkey")
+    )
+    return (
+        s.join(dominant, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .orderBy("s_suppkey")
+    )
+
+
+# --- q21 shape: double-correlated EXISTS / NOT EXISTS, decorrelated ----------
+# ("late supplier" semantics need l_receiptdate, which the synthetic schema
+#  lacks; l_returnflag='R' on 'F'-status orders plays the fault condition.
+#  The correlated pair — EXISTS another supplier on the order / NOT EXISTS
+#  another *faulty* supplier — decorrelates to one per-order distinct-count
+#  aggregate, co-partitioned with the fact join on l_orderkey.)
+@query(
+    "sole_fault_suppliers",
+    oracle="""
+    WITH ord AS (
+        SELECT l_orderkey,
+               COUNT(DISTINCT l_suppkey) AS n_supp,
+               COUNT(DISTINCT CASE WHEN l_returnflag = 'R' THEN l_suppkey END) AS n_supp_r
+        FROM lineitem GROUP BY l_orderkey
+    )
+    SELECT s.s_name, COUNT(*) AS numwait
+    FROM lineitem l1
+    JOIN orders o   ON o.o_orderkey = l1.l_orderkey AND o.o_orderstatus = 'F'
+    JOIN ord        ON ord.l_orderkey = l1.l_orderkey
+    JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+    WHERE l1.l_returnflag = 'R' AND ord.n_supp > 1 AND ord.n_supp_r = 1
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s.s_name
+    LIMIT 100
+    """,
+)
+def sole_fault_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F").select("o_orderkey")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    ord_stats = li.groupBy(F.col("l_orderkey").alias("ok")).agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(
+            F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
+        ).alias("n_supp_r"),
+    )
+    return (
+        li.filter(F.col("l_returnflag") == "R")
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"), "left_semi")
+        .join(ord_stats, F.col("l_orderkey") == F.col("ok"))
+        .filter((F.col("n_supp") > 1) & (F.col("n_supp_r") == 1))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(100)
+    )
+
+
 # --- q9: product profit by supplier nation and year --------------------------
 # (no partsupp at this scale factor: cost proxy = 0.5 * p_retailprice * qty)
 @query(

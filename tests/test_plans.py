@@ -99,6 +99,25 @@ def test_array_fold_is_row_local(spark, sf_dir):
     assert n_exch == 0, f"array fold shuffles: {n_exch}"
 
 
+def test_heavy_joins_stay_broadcast(spark, sf_dir):
+    """The q7/q8/q9/q21 analogues stream the fact table through broadcast
+    hash joins — the only exchanges are the final group-bys (and, for q21,
+    the per-order distinct-count that co-partitions with the fact join)."""
+    for name, max_exch in (
+        ("nation_pair_volume", 2),
+        ("nation_market_share", 2),
+        ("product_profit_by_nation", 2),
+        ("priority_line_counts", 2),
+        ("sole_fault_suppliers", 3),
+    ):
+        p = plan_of(spark, name, sf_dir)
+        assert "SortMergeJoin" not in p, name
+        n_exch = sum(
+            1 for l in p.splitlines() if l.strip().startswith("(") and ") Exchange" in l
+        )
+        assert n_exch <= max_exch, f"{name}: {n_exch} exchanges"
+
+
 def test_minhash_shuffle_is_narrow(spark, sf_dir):
     """The minhash signature shuffle must carry only (doc_id, k longs) —
     never document text."""
