@@ -192,6 +192,21 @@ def running_user_totals(stream: DataFrame) -> DataFrame:
     )
 
 
+def dedup_events_stream(stream: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Streaming exact dedup: at-least-once sources (Kafka, file replay)
+    redeliver rows; keep the first arrival per ``event_id``.
+
+    ``dropDuplicatesWithinWatermark`` bounds the dedup state — keys whose
+    event time falls behind the watermark are evicted, so state size tracks
+    the redelivery horizon (watermark window), not the full stream history.
+    Plain ``dropDuplicates`` on a stream retains every key forever and OOMs
+    on unbounded input; this is the 100 TB-safe form. Batch twin:
+    ``dedup_exact_summary`` / ``dropDuplicates`` (queries/dedup.py)."""
+    return stream.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+
+
 def alert_on_bursts(
     stream: DataFrame, threshold: int, sink: list, spark: SparkSession
 ) -> StreamingQuery:
