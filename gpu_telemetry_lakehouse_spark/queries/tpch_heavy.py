@@ -366,3 +366,124 @@ def product_profit_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(exact_sum("amount", scale=2).alias("sum_profit"))
         .orderBy("nation", F.col("o_year").desc())
     )
+
+
+# --- q2: argmin join-back (cheapest supplier per part) -----------------------
+@query(
+    "cheapest_supplier_per_part",
+    oracle="""
+    WITH unit AS (
+        SELECT DISTINCT l_partkey, l_suppkey,
+               l_extendedprice / l_quantity AS unit_price
+        FROM lineitem
+    ), mn AS (
+        SELECT l_partkey, MIN(unit_price) AS min_unit_price
+        FROM unit GROUP BY l_partkey
+    )
+    SELECT p.p_partkey, p.p_name, s.s_name, s.s_acctbal, mn.min_unit_price
+    FROM unit u
+    JOIN mn ON mn.l_partkey = u.l_partkey AND u.unit_price = mn.min_unit_price
+    JOIN supplier s ON s.s_suppkey = u.l_suppkey
+    JOIN part p ON p.p_partkey = u.l_partkey
+    WHERE p.p_size <= 5
+    ORDER BY s.s_acctbal DESC, p.p_partkey, s.s_name
+    """,
+)
+def cheapest_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q2 analogue (no partsupp table -> lineitem unit price is the
+    supply cost; reference README.md:82-83 stages gpu_specs 'for future
+    joins' but never implements the min-cost pick).
+
+    Decorrelated argmin: the textbook form is a correlated scalar subquery
+    ``WHERE unit_price = (SELECT MIN(...) WHERE l2.l_partkey = p_partkey)``;
+    Catalyst would rewrite that into exactly this aggregate + join-back. The
+    per-part MIN side is |parts|-sized (tiny vs lineitem at 100 TB), so it
+    broadcasts; unit_price equality is safe cross-engine because both sides
+    compute the identical IEEE-754 division. DISTINCT first so repeated
+    (part, supplier, price) lineitems don't duplicate output rows."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name", "s_acctbal")
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_name", "p_size")
+    unit = li.select(
+        "l_partkey",
+        "l_suppkey",
+        (F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_price"),
+    ).distinct()
+    # rename the agg-side key: mn derives from unit, so unit.l_partkey and
+    # mn.l_partkey share lineage and Spark would resolve the equality as
+    # trivially true (self-join ambiguity)
+    mn = (
+        unit.groupBy(F.col("l_partkey").alias("mn_partkey"))
+        .agg(F.min("unit_price").alias("min_unit_price"))
+    )
+    return (
+        unit.join(
+            F.broadcast(mn),
+            (F.col("l_partkey") == F.col("mn_partkey"))
+            & (F.col("unit_price") == F.col("min_unit_price")),
+        )
+        .drop("mn_partkey")
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(
+            F.broadcast(p.filter(F.col("p_size") <= 5)),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .select("p_partkey", "p_name", "s_name", "s_acctbal", "min_unit_price")
+        .orderBy(F.col("s_acctbal").desc(), "p_partkey", "s_name")
+    )
+
+
+# --- q11: global-share HAVING (important parts by inventory value) -----------
+@query(
+    "important_parts_value_share",
+    oracle=f"""
+    WITH val AS (
+        SELECT l.l_partkey, {dsum(_REV, "part_value")}
+        FROM lineitem l
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN nation n   ON n.n_nationkey = s.s_nationkey
+        WHERE n.n_name IN ('NATION_1', 'NATION_2', 'NATION_3')
+        GROUP BY l.l_partkey
+    )
+    SELECT l_partkey, part_value
+    FROM val
+    WHERE part_value > (
+        SELECT (SUM(CAST(ROUND(part_value * 10000) AS BIGINT)) / 10000.0)
+        FROM val
+    ) * 0.001
+    ORDER BY part_value DESC, l_partkey
+    """,
+)
+def important_parts_value_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q11 analogue: per-part value restricted to a supplier-nation
+    slice, kept only when the part's share exceeds a fraction of the GLOBAL
+    total — the ungrouped-scalar-subquery-in-HAVING shape.
+
+    The scalar total is a 1-row aggregate of the already-aggregated per-part
+    frame: broadcast-crossJoin it rather than collect() so the whole thing
+    stays one lazy plan (no driver round-trip; at 100 TB the per-part frame
+    is |parts|-sized and the rollup to 1 row is map-side). Both the per-part
+    and the grand total use the scaled-long exact sum so the > comparison
+    sees bit-identical doubles on both engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = load_table(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin("NATION_1", "NATION_2", "NATION_3")
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    val = (
+        li.join(
+            F.broadcast(s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .select("l_partkey", rev.alias("rev"))
+        .groupBy("l_partkey")
+        .agg(exact_sum("rev").alias("part_value"))
+    )
+    total = val.agg(exact_sum("part_value").alias("grand_total"))
+    return (
+        val.join(F.broadcast(total))
+        .filter(F.col("part_value") > F.col("grand_total") * 0.001)
+        .select("l_partkey", "part_value")
+        .orderBy(F.col("part_value").desc(), "l_partkey")
+    )

@@ -109,6 +109,10 @@ def test_heavy_joins_stay_broadcast(spark, sf_dir):
         ("product_profit_by_nation", 2),
         ("priority_line_counts", 2),
         ("sole_fault_suppliers", 3),
+        # q2 argmin: distinct + per-part-min + final sort; q11: slice agg +
+        # 1-row grand total + final sort — dims all broadcast either way
+        ("cheapest_supplier_per_part", 3),
+        ("important_parts_value_share", 4),
     ):
         p = plan_of(spark, name, sf_dir)
         assert "SortMergeJoin" not in p, name
