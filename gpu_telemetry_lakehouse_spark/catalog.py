@@ -42,6 +42,23 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def spread_input(df: DataFrame) -> DataFrame:
+    """Spread a low-split source across cores before CPU-heavy row-local
+    work (shingling, hashing, vector math).
+
+    Local testdata ships each table as ONE parquet file with one row group,
+    so a scan yields a single input split and featurization runs on one of
+    N cores. At cluster scale (100 TB => tens of thousands of splits) the
+    condition below is false and this is a no-op — production plans carry
+    no extra exchange; locally it trades a sub-MB round-robin shuffle for
+    N-way parallelism on the expensive expression evaluation."""
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {t: load_table(spark, sf_dir, t) for t in TABLES}
 

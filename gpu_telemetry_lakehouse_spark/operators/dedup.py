@@ -131,24 +131,30 @@ def shingle_jaccard_pairs(
     the shuffle moves 8-byte keys instead of n-gram text, and the join
     compares longs. (Hash collisions would fold two shingles together, but
     at 2^-60 per pair that is a measurement-noise risk, and the oracle SQL
-    applies the identical hash so the differential check stays exact.)"""
-    sh = (
-        with_shingles(df, text_col)
-        .select(
-            F.col(id_col),
-            F.explode(F.array_distinct(F.transform("__shingles", md5_int))).alias("s"),
-        )
+    applies the identical hash so the differential check stays exact.)
+
+    Single-pass design: the per-doc distinct-shingle COUNT rides along with
+    every exploded row and through the posting lists, so the union sizes for
+    Jaccard need no separate aggregation and no join-back — the text is
+    tokenized+hashed exactly once, and the whole operator is two exchanges
+    (posting-list groupBy, pair groupBy)."""
+    arr = F.array_distinct(F.transform(shingles(tokens(F.col(text_col)), 3), md5_int))
+    sh = df.select(F.col(id_col), arr.alias("__arr")).select(
+        id_col, F.size("__arr").alias("n"), F.explode("__arr").alias("s")
     )
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
-    # Posting-list pair generation: ONE shuffle of the (8-byte key, id) index
-    # builds per-shingle sorted id lists; co-occurring pairs explode in place
-    # (ids sorted ascending => id_a < id_b for free). A self-join would
-    # shuffle the index twice and probe a hash table per row. At web scale,
-    # cap/stop-list high-df shingles first — a shingle shared by m docs emits
-    # m(m-1)/2 pair rows either way.
+    # Posting-list pair generation: ONE shuffle of the (8-byte key, id, n)
+    # index builds per-shingle id lists sorted by id (struct sort orders on
+    # the first field, and ids are unique) => id_a < id_b for free. A
+    # self-join would shuffle the index twice and probe a hash table per
+    # row. At web scale, cap/stop-list high-df shingles first — a shingle
+    # shared by m docs emits m(m-1)/2 pair rows either way.
     posts = (
         sh.groupBy("s")
-        .agg(F.sort_array(F.collect_list(F.col(id_col))).alias("ids"))
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct(F.col(id_col).alias("id"), F.col("n")))
+            ).alias("ids")
+        )
         .filter(F.size("ids") > 1)
     )
     pair_structs = F.flatten(
@@ -156,20 +162,24 @@ def shingle_jaccard_pairs(
             "ids",
             lambda x, i: F.transform(
                 F.slice(F.col("ids"), i + 2, F.size("ids")),
-                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+                lambda y: F.struct(
+                    x["id"].alias("id_a"),
+                    y["id"].alias("id_b"),
+                    x["n"].alias("na"),
+                    y["n"].alias("nb"),
+                ),
             ),
         )
     )
-    inter = (
-        posts.select(F.explode(pair_structs).alias("p"))
-        .groupBy(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
-        .agg(F.count(F.lit(1)).alias("n_inter"))
-    )
-    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n").alias("na"))
-    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n").alias("nb"))
     return (
-        inter.join(sa, "id_a")
-        .join(sb, "id_b")
+        posts.select(F.explode(pair_structs).alias("p"))
+        .groupBy(
+            F.col("p.id_a").alias("id_a"),
+            F.col("p.id_b").alias("id_b"),
+            F.col("p.na").alias("na"),
+            F.col("p.nb").alias("nb"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_inter"))
         .withColumn(
             "jaccard",
             F.round(F.col("n_inter") / (F.col("na") + F.col("nb") - F.col("n_inter")), 6),

@@ -9,7 +9,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..catalog import load_table
+from ..catalog import load_table, spread_input
 from ..operators import dedup as DD
 from .registry import query
 
@@ -105,7 +105,7 @@ def dedup_exact_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     + " FROM sigs",
 )
 def dedup_minhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread_input(load_table(spark, sf_dir, "documents"))
     return DD.minhash_signatures(docs, k=K)
 
 
@@ -131,7 +131,7 @@ def dedup_minhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread_input(load_table(spark, sf_dir, "documents"))
     sigs = DD.minhash_signatures(docs, k=K)
     return DD.minhash_lsh_pairs(sigs, k=K, bands=BANDS)
 
@@ -160,7 +160,7 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def dedup_shingle_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread_input(load_table(spark, sf_dir, "documents"))
     return DD.shingle_jaccard_pairs(docs, threshold=0.1)
 
 
@@ -180,5 +180,5 @@ def dedup_shingle_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread_input(load_table(spark, sf_dir, "documents"))
     return DD.simhash(docs, bits=SIMHASH_BITS)

@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from ..catalog import load_table, register_views
+from ..catalog import load_table, spread_input, register_views
 from ..functions import exact_sum, md5_int, tokens
 from .registry import dsum, query
 
@@ -200,7 +200,7 @@ def session_windows_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def token_freq_top(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread_input(load_table(spark, sf_dir, "documents"))
     return (
         docs.select(F.explode(tokens(F.col("text"))).alias("token"))
         .groupBy("token")

@@ -10,7 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..catalog import load_table
+from ..catalog import load_table, spread_input
 from ..operators import similarity as SIM
 from .registry import query
 
@@ -48,7 +48,7 @@ _COS = (
     """,
 )
 def knn_cosine_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = spread_input(load_table(spark, sf_dir, "embeddings"))
     queries = emb.filter(F.col("vec_id") < N_QUERIES)
     return SIM.cosine_topk(emb, queries, k=5)
 
@@ -76,7 +76,7 @@ def knn_cosine_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
 def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions import dot_raw
 
-    emb = SIM.with_norm(load_table(spark, sf_dir, "embeddings"))
+    emb = SIM.with_norm(spread_input(load_table(spark, sf_dir, "embeddings")))
     a = emb.select(
         F.col("vec_id").alias("id_a"), F.col("label"),
         F.col("v").alias("va"), F.col("nrm").alias("na"),
@@ -96,6 +96,6 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- IVF approximate top-k (scale path; approximate by design -> rows-only) --
 @query("knn_ivf", oracle=None)
 def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = spread_input(load_table(spark, sf_dir, "embeddings"))
     queries = emb.filter(F.col("vec_id") < N_QUERIES)
     return SIM.ivf_topk(spark, emb, queries, k=5, n_clusters=8, n_probe=2)
