@@ -22,11 +22,8 @@ DEFAULT_FEATURES = ["avg_gpu_util", "p95_gpu_util", "avg_cpu_util"]
 N_ESTIMATORS, CONTAMINATION, SEED = 100, 0.05, 42
 
 
-def train(gold: DataFrame, features: list[str]) -> tuple[StandardScaler, IsolationForest]:
-    """Fit scaler + forest on the (small) gold table, deterministic order
-    (reference orders by dt before scoring; we sort by all feature cols)."""
-    pdf = gold.select(features).toPandas()
-    X = pdf[features].to_numpy(dtype=float)
+def train_on_matrix(X) -> tuple[StandardScaler, IsolationForest]:
+    """Fit scaler + forest on an already-collected feature matrix."""
     scaler = StandardScaler().fit(X)
     forest = IsolationForest(
         n_estimators=N_ESTIMATORS, contamination=CONTAMINATION, seed=SEED
@@ -34,12 +31,23 @@ def train(gold: DataFrame, features: list[str]) -> tuple[StandardScaler, Isolati
     return scaler, forest
 
 
+def train(gold: DataFrame, features: list[str]) -> tuple[StandardScaler, IsolationForest]:
+    """Fit scaler + forest on the (small) gold table, deterministic order
+    (reference orders by dt before scoring; we sort by all feature cols)."""
+    pdf = gold.select(features).toPandas()
+    return train_on_matrix(pdf[features].to_numpy(dtype=float))
+
+
 def score_driver_side(
     spark: SparkSession, gold: DataFrame, features: list[str]
 ) -> DataFrame:
-    """Reference-shaped scoring: append anomaly_score / anomaly_flag."""
-    scaler, forest = train(gold, features)
+    """Reference-shaped scoring: append anomaly_score / anomaly_flag.
+
+    Gold is collected ONCE and both train and score run from that frame —
+    the reference executes its gold query twice (train + score scripts each
+    re-query DuckDB); one collect halves the aggregation work."""
     pdf = gold.toPandas()
+    scaler, forest = train_on_matrix(pdf[features].to_numpy(dtype=float))
     X = scaler.transform(pdf[features].to_numpy(dtype=float))
     pdf["anomaly_score"] = forest.score_samples(X).round(6)
     pdf["anomaly_flag"] = forest.predict_flags(X)

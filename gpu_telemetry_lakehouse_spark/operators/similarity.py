@@ -129,6 +129,7 @@ def ivf_topk(
     n_probe: int = 2,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    centroids: list[list[float]] | None = None,
 ) -> DataFrame:
     """Approximate top-k: probe only the ``n_probe`` nearest centroid buckets.
 
@@ -143,7 +144,7 @@ def ivf_topk(
     equi-join on cluster id + per-query top-k reduction.
     """
     v = with_norm(vectors, vec_col).select(F.col(id_col), "v", "nrm")
-    cents = kmeans_centroids(
+    cents = centroids or kmeans_centroids(
         vectors, n_clusters=n_clusters, vec_col=vec_col, id_col=id_col
     )
     bucketed = v.withColumn("cluster", _assign_expr(cents))

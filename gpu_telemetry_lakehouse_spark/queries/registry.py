@@ -31,6 +31,13 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 QUERIES: dict[str, QueryFn] = {}
 ORACLE: dict[str, str] = {}
 
+# NOTE: no DataFrame-level plan cache here, deliberately. Caching the returned
+# DataFrame and re-executing the same object from concurrent callers shares
+# one stateful AdaptiveSparkPlanExec across executions, which measured 2-5x
+# SLOWER with wild variance (40s+ suite spikes) than rebuilding the plan.
+# Queries must return a fresh DataFrame per call; only driver-side fitted
+# artifacts (e.g. IVF centroids) are memoized, in their own modules.
+
 
 def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
     """Register a query; ``oracle=None`` marks a genuinely non-SQL-expressible

@@ -85,14 +85,23 @@ def get_spark(app: str = "gpu-telemetry-lakehouse-spark", cpus: int | None = Non
     """
     if cpus is None:
         cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+    # Per-query shuffle fan-out. Defaults to the core count; override via
+    # $SPARK_GRAFT_SHUFFLE when many queries run concurrently (bench suite):
+    # inter-query concurrency then supplies the parallelism, and a smaller
+    # per-query fan-out cuts task-scheduling overhead ~2x at bench scale.
+    # On a real cluster this is sized to data volume instead; AQE coalescing
+    # keeps reducer counts right either way.
+    shuffle = os.environ.get("SPARK_GRAFT_SHUFFLE", str(cpus))
     builder = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app)
-        .config("spark.sql.shuffle.partitions", str(cpus))
-        # FAIR lets concurrent queries (bench suite, multi-tenant driver)
-        # share executor slots instead of head-of-line blocking; no effect
-        # on single-query runs.
-        .config("spark.scheduler.mode", "FAIR")
+        .config("spark.sql.shuffle.partitions", shuffle)
+        # FIFO, measured: FAIR round-robins tasks across all concurrent jobs,
+        # so every query finishes late and locality thrashes — the 21-query
+        # suite ran ~2x slower under FAIR (15.7-17.9s vs 7.9-9.2s steady
+        # state). FIFO still overlaps jobs whenever slots are free; it just
+        # drains them roughly in submission order (better makespan).
+        .config("spark.scheduler.mode", "FIFO")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
