@@ -1,0 +1,147 @@
+"""Physical-layout operators for the 100 TB tier.
+
+The reference writes one parquet file per dataset and keeps every table in a
+single-file DuckDB warehouse (pipelines/ingest_bronze.py:16, README.md:337) —
+fine for one machine, fatal at 100 TB. This module supplies the three layout
+tools a cluster deployment needs, each verified by a physical-plan test
+(tests/test_scale.py):
+
+1. **Partitioned writes + partition pruning** — `write_partitioned` lays a
+   table out as `p_col=value/` directories so a filter on the partition
+   column prunes whole directories at planning time (`PartitionFilters` in
+   the scan, zero data files touched for excluded partitions).
+2. **Bucketed co-located joins** — `write_bucketed` hash-buckets both join
+   sides on the join key at write time; a later join reads bucket i against
+   bucket i with NO exchange on either side. This is the only way a
+   fact-to-fact join (lineitem ⋈ orders at 100 TB) avoids shuffling
+   terabytes per query; the shuffle is paid once at ingest.
+3. **Skew-defeating aggregation** — `two_phase_distinct` rewrites
+   COUNT(DISTINCT x) GROUP BY k (whose single-exchange plan sends every
+   (k, x) pair of a hot key to one reducer) into distinct-then-count: the
+   first stage spreads a hot key's values across reducers keyed by
+   (k, x); the second counts tiny per-key rows. `salted_collect` does the
+   same for holistic aggs (collect_set/list) via an explicit salt column.
+
+All helpers are pure layout/rewrite: results are bit-identical to the naive
+plan (asserted in tests), only the exchange structure changes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_cols: list[str],
+    mode: str = "overwrite",
+) -> None:
+    """Directory-partitioned parquet write (`.../p=v/part-*.parquet`).
+
+    Partition columns should be low-cardinality derivations (day, region
+    key): one directory per value, so a time-range or region filter prunes
+    at the driver without listing excluded directories' files. At 100 TB,
+    day-partitioning a telemetry table turns a one-day query from a full
+    scan into ~1/365th of one.
+    """
+    df.write.mode(mode).partitionBy(*partition_cols).parquet(path)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    path: str,
+    bucket_cols: list[str],
+    n_buckets: int,
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Hash-bucketed (and optionally sorted) external table.
+
+    Both sides of a recurring large-large join written with the same
+    `bucket_cols`/`n_buckets` join bucket-to-bucket with no exchange — and
+    with `sort_cols` == join keys, no sort either: the SortMergeJoin reads
+    pre-sorted buckets. The one-off shuffle happens here, at write time.
+
+    The pre-write `repartition(n_buckets, bucket_cols)` keeps each bucket a
+    SINGLE file: Spark's scan only trusts (and elides the read-side sort
+    for) per-file sort order, so multi-file buckets would re-sort on every
+    join. One shuffle at write time buys sort-free joins forever after.
+
+    Note: since Spark 3.0 the scan reports bucket sort order only under
+    `spark.sql.legacy.bucketedTableScan.outputOrdering=true` (the default
+    planner trades sort elision for multi-task bucket reads); exchange
+    elision needs no conf. Set the legacy conf when the read-side sort is
+    the bottleneck, e.g. repeated SMJs over the same sorted buckets.
+    """
+    w = (
+        df.repartition(n_buckets, *[F.col(c) for c in bucket_cols])
+        .write.mode(mode)
+        .option("path", path)
+        .bucketBy(n_buckets, *bucket_cols)
+    )
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    w.saveAsTable(table)
+
+
+def bucketed_join(
+    spark: SparkSession, left_table: str, right_table: str, on: list[str], how: str = "inner"
+) -> DataFrame:
+    """Join two same-bucketed tables; plan must show zero Exchange."""
+    return spark.table(left_table).join(spark.table(right_table), on=on, how=how)
+
+
+def two_phase_distinct(df: DataFrame, keys: list[str], col: str) -> DataFrame:
+    """COUNT(DISTINCT col) GROUP BY keys, skew-proof.
+
+    Stage 1 dedups on (keys, col) — a hot key's values hash across ALL
+    reducers, with map-side partial dedup shrinking the exchange. Stage 2
+    counts the surviving rows per key. Same two exchanges Spark plans for
+    the naive query, but no reducer ever holds more than its hash-share of
+    one key's distinct values.
+    """
+    return (
+        df.select(*keys, col)
+        .distinct()
+        .groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias(f"n_distinct_{col}"))
+    )
+
+
+def salt_col(col: str | Column, n_salt: int) -> Column:
+    """Deterministic salt in [0, n_salt): hash of a high-cardinality column.
+
+    Deterministic (vs `F.rand()`) so retried/speculated tasks land rows in
+    the same salt bucket and differential tests reproduce.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.pmod(F.xxhash64(c), F.lit(n_salt)).cast("int")
+
+
+def salted_collect(
+    df: DataFrame,
+    keys: list[str],
+    value_col: str,
+    n_salt: int = 16,
+) -> DataFrame:
+    """collect_set(value_col) GROUP BY keys for skewed keys.
+
+    Holistic aggs have no map-side combine, so a hot key funnels every row
+    into one reducer. Salting splits each key into `n_salt` sub-groups
+    (salt = hash(value) so duplicate values co-locate and pre-dedup), then a
+    second, tiny aggregation flattens the per-salt sets. Two exchanges, but
+    the big one is keyed (key, salt) — reducer load is bounded by
+    rows/n_salt per hot key instead of all of them.
+    """
+    salted = df.withColumn("__salt", salt_col(value_col, n_salt))
+    partial = salted.groupBy(*keys, "__salt").agg(
+        F.collect_set(value_col).alias("__vals")
+    )
+    return partial.groupBy(*keys).agg(
+        F.array_sort(F.array_distinct(F.flatten(F.collect_list("__vals")))).alias(
+            f"{value_col}_set"
+        )
+    )

@@ -1,0 +1,127 @@
+"""Physical-layout operators (operators/scale.py): the 100 TB story must be
+visible in the plan — partition pruning at the scan, zero exchanges on
+bucketed joins, bounded reducer load on skewed aggregations — while results
+stay bit-identical to the naive plans."""
+
+from __future__ import annotations
+
+import contextlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from gpu_telemetry_lakehouse_spark.catalog import load_table
+from gpu_telemetry_lakehouse_spark.operators import scale as SC
+
+
+def plan_of(df) -> str:
+    # AQE's toString repeats the tree under "== Initial Plan ==" — keep only
+    # the final physical plan so operator counts aren't doubled.
+    full = df._jdf.queryExecution().executedPlan().toString()
+    return full.split("== Initial Plan ==", 1)[0]
+
+
+@contextlib.contextmanager
+def conf(spark, key: str, value: str):
+    old = spark.conf.get(key, None)
+    spark.conf.set(key, value)
+    try:
+        yield
+    finally:
+        if old is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, old)
+
+
+def test_partitioned_write_prunes_directories(spark, sf_dir, tmp_path):
+    orders = load_table(spark, sf_dir, "orders").withColumn(
+        "p_status", F.col("o_orderstatus")
+    )
+    path = str(tmp_path / "orders_by_status")
+    SC.write_partitioned(orders, path, ["p_status"])
+
+    back = spark.read.parquet(path)
+    pruned = back.filter(F.col("p_status") == "F")
+    plan = plan_of(pruned)
+    # The partition filter must be applied at planning time (directory
+    # pruning), not as a row-level data filter over all partitions.
+    assert "PartitionFilters" in plan and "p_status" in plan.split("PartitionFilters", 1)[1]
+
+    expect = orders.filter(F.col("o_orderstatus") == "F").count()
+    assert pruned.count() == expect
+
+
+def test_bucketed_join_has_no_exchange(spark, sf_dir, tmp_path):
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    SC.write_bucketed(
+        li.withColumnRenamed("l_orderkey", "orderkey"),
+        "t_li_bucketed",
+        str(tmp_path / "li"),
+        ["orderkey"],
+        n_buckets=4,
+        sort_cols=["orderkey"],
+    )
+    SC.write_bucketed(
+        orders.withColumnRenamed("o_orderkey", "orderkey"),
+        "t_ord_bucketed",
+        str(tmp_path / "ord"),
+        ["orderkey"],
+        n_buckets=4,
+        sort_cols=["orderkey"],
+    )
+    try:
+        # Force the SMJ path (the point is exchange-free fact-to-fact joins;
+        # broadcast would hide it at test scale). The legacy conf makes the
+        # scan report per-bucket sort order so the read-side sort is elided
+        # too (Spark 3.0+ hides it by default).
+        with conf(spark, "spark.sql.autoBroadcastJoinThreshold", "-1"), conf(
+            spark, "spark.sql.legacy.bucketedTableScan.outputOrdering", "true"
+        ):
+            joined = SC.bucketed_join(spark, "t_li_bucketed", "t_ord_bucketed", ["orderkey"])
+            plan = plan_of(joined)
+            assert "SortMergeJoin" in plan
+            assert "Exchange" not in plan, f"bucketed join still shuffles:\n{plan[:800]}"
+            # Pre-sorted buckets: no Sort operator above the scans either.
+            assert "Sort " not in plan.replace("SortMergeJoin", ""), plan[:800]
+
+            expect = li.join(orders, li.l_orderkey == orders.o_orderkey).count()
+            assert joined.count() == expect
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_li_bucketed")
+        spark.sql("DROP TABLE IF EXISTS t_ord_bucketed")
+
+
+def test_two_phase_distinct_matches_naive(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    rewritten = SC.two_phase_distinct(ev, ["event_type"], "user_id")
+    naive = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_distinct_user_id")
+    )
+    assert sorted(map(tuple, rewritten.collect())) == sorted(map(tuple, naive.collect()))
+    # Two exchanges max: (event_type, user_id) dedup then per-key count.
+    assert plan_of(rewritten).count("Exchange") <= 2
+
+
+def test_salted_collect_matches_naive(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events").limit(2000)
+    salted = SC.salted_collect(ev, ["event_type"], "user_id", n_salt=8)
+    naive = ev.groupBy("event_type").agg(
+        F.array_sort(F.collect_set("user_id")).alias("user_id_set")
+    )
+    got = {r["event_type"]: list(r["user_id_set"]) for r in salted.collect()}
+    want = {r["event_type"]: list(r["user_id_set"]) for r in naive.collect()}
+    assert got == want
+    # The wide exchange is keyed (key, salt): hash partitioning on both.
+    plan = plan_of(salted)
+    assert "__salt" in plan
+
+
+def test_salt_col_is_deterministic_and_bounded(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events").select("user_id").limit(500)
+    salted = ev.withColumn("s", SC.salt_col("user_id", 16))
+    rows = salted.collect()
+    assert all(0 <= r["s"] < 16 for r in rows)
+    again = {(r["user_id"], r["s"]) for r in salted.collect()}
+    assert {(r["user_id"], r["s"]) for r in rows} == again
