@@ -122,7 +122,11 @@ def minhash_lsh_pairs(sigs: DataFrame, id_col: str = "doc_id", k: int = 8, bands
 
 
 def shingle_jaccard_pairs(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", threshold: float = 0.1
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.1,
+    max_df: int | None = None,
 ) -> DataFrame:
     """n-gram-Jaccard near-dup pairs: explode distinct shingles, candidate
     pairs via the inverted shingle index, Jaccard from intersection counts.
@@ -137,7 +141,16 @@ def shingle_jaccard_pairs(
     every exploded row and through the posting lists, so the union sizes for
     Jaccard need no separate aggregation and no join-back — the text is
     tokenized+hashed exactly once, and the whole operator is two exchanges
-    (posting-list groupBy, pair groupBy)."""
+    (posting-list groupBy, pair groupBy).
+
+    ``max_df`` is the web-scale stop-list: a shingle appearing in m docs
+    emits m(m-1)/2 pairs, so boilerplate n-grams ("terms of service")
+    dominate the pair explosion quadratically while carrying no dedup
+    signal. Dropping posting lists longer than ``max_df`` bounds every
+    list's pair fan-out at max_df²/2 — the standard df-cap from web-dedup
+    practice. Intersections then undercount by at most the dropped
+    shingles, so the reported Jaccard is a lower bound; per-doc union
+    sizes stay uncapped (computed before the filter). None = exact."""
     arr = F.array_distinct(F.transform(shingles(tokens(F.col(text_col)), 3), md5_int))
     sh = df.select(F.col(id_col), arr.alias("__arr")).select(
         id_col, F.size("__arr").alias("n"), F.explode("__arr").alias("s")
@@ -157,6 +170,8 @@ def shingle_jaccard_pairs(
         )
         .filter(F.size("ids") > 1)
     )
+    if max_df is not None:
+        posts = posts.filter(F.size("ids") <= max_df)
     pair_structs = F.flatten(
         F.transform(
             "ids",

@@ -94,6 +94,57 @@ def bucketed_join(
     return spark.table(left_table).join(spark.table(right_table), on=on, how=how)
 
 
+def bucketed_range_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    ts_col: str,
+    start_col: str,
+    end_col: str,
+    bucket_seconds: int,
+    how: str = "inner",
+) -> DataFrame:
+    """Point-in-interval join WITHOUT an equi key, at shuffle-join cost.
+
+    A naive ``p.ts BETWEEN i.start AND i.end`` join has no equi condition,
+    so Spark plans BroadcastNestedLoopJoin / CartesianProduct — O(n·m) row
+    comparisons, a non-starter when the point side is 100 TB of telemetry
+    (SURVEY.md §7 known-hard #5: "naive range join is O(n·m); needs
+    time-bucketed equi-prejoin").
+
+    This is that prejoin: each interval explodes into the fixed-width time
+    buckets it overlaps (intervals are short — bursts, maintenance windows —
+    so a handful of rows each), each point maps to exactly ONE bucket, and
+    the bucket becomes the equi key of a plain hash/sort-merge join; the
+    exact range predicate then filters within the bucket. Because a point
+    lands in a single bucket, no post-join dedup is needed. Cost: one
+    shuffle of each side keyed by bucket — identical shape to an ordinary
+    equi-join, and AQE handles bucket skew like any hot key.
+
+    Interval semantics are half-open [start, end), ``end > start`` required
+    (an empty/negative interval would make the bucket sequence descend).
+    Pick ``bucket_seconds`` ≈ the typical interval length: shorter buckets
+    shrink within-bucket false candidates but multiply interval copies.
+    """
+    pt = points.withColumn(
+        "__pt_bucket", F.floor(F.unix_timestamp(F.col(ts_col)) / bucket_seconds)
+    )
+    iv = intervals.withColumn(
+        "__iv_bucket",
+        F.explode(
+            F.sequence(
+                F.floor(F.unix_timestamp(F.col(start_col)) / bucket_seconds),
+                F.floor((F.unix_timestamp(F.col(end_col)) - 1) / bucket_seconds),
+            )
+        ),
+    )
+    cond = (
+        (pt["__pt_bucket"] == iv["__iv_bucket"])
+        & (pt[ts_col] >= iv[start_col])
+        & (pt[ts_col] < iv[end_col])
+    )
+    return pt.join(iv, cond, how).drop("__pt_bucket", "__iv_bucket")
+
+
 def two_phase_distinct(df: DataFrame, keys: list[str], col: str) -> DataFrame:
     """COUNT(DISTINCT col) GROUP BY keys, skew-proof.
 

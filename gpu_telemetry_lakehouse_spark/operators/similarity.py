@@ -191,3 +191,78 @@ def ivf_topk(
         .filter(F.col("rn") <= k)
         .select("query_id", "neighbor_id", "cos_sim", "rn")
     )
+
+
+def hyperplane_signs(n_planes: int, dim: int) -> list[list[float]]:
+    """Deterministic ±1 (Rademacher) hyperplane matrix for sign-LSH.
+
+    Charikar's SimHash-for-cosine: the probability two vectors land on the
+    same side of a random hyperplane is 1 − θ/π, so agreeing sign bits ≈
+    high cosine. ±1 entries are a valid sampling of the hyperplane
+    distribution and keep every dot product a sum of exactly-representable
+    negations — the same literal matrix is inlined into the Spark plan and
+    the DuckDB oracle SQL, so both engines evaluate identical arithmetic.
+    Derivation is content-addressed (md5 of "plane:dim"), not seeded RNG:
+    stable across processes, library versions, and re-runs.
+    """
+    import hashlib
+
+    return [
+        [
+            1.0 if int(hashlib.md5(f"{p}:{d}".encode()).hexdigest(), 16) & 1 else -1.0
+            for d in range(dim)
+        ]
+        for p in range(n_planes)
+    ]
+
+
+def lsh_code(vec: Column, planes: list[list[float]]) -> Column:
+    """Pack sign(v·plane_p) bits into one integer bucket code (row-local)."""
+    code = F.lit(0).cast("long")
+    for p, plane in enumerate(planes):
+        d = F.aggregate(
+            F.zip_with(vec, F.array(*[F.lit(x) for x in plane]), lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        code = code + F.when(d > 0, F.lit(1 << p).cast("long")).otherwise(F.lit(0).cast("long"))
+    return code
+
+
+def lsh_neardup_pairs(
+    emb: DataFrame,
+    n_planes: int = 8,
+    dim: int = 64,
+    threshold: float = 0.4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """ANN near-dup pairs via sign-LSH bucketing + exact cosine rerank.
+
+    The scale shape: the code is a row-local projection (no data movement),
+    the candidate join is an ordinary equi-join on an 8-bit bucket key —
+    one shuffle of (id, vector, norm, code) — and exact cosine is computed
+    only inside buckets, so the O(n²) pair space never materializes. With
+    n_planes=8, expected collision rate for unrelated vectors is the
+    bucket-count reciprocal (1/256); near-duplicates (θ→0) collide with
+    probability (1 − θ/π)^8 → 1. Recall is tunable: more planes = fewer
+    false candidates, lower recall per table (real deployments OR several
+    such tables; one table keeps the oracle SQL small).
+    """
+    coded = with_norm(emb, vec_col).withColumn(
+        "code", lsh_code(F.col("v"), hyperplane_signs(n_planes, dim))
+    )
+    a = coded.select(
+        F.col(id_col).alias("id_a"), F.col("code"),
+        F.col("v").alias("va"), F.col("nrm").alias("na"),
+    )
+    b = coded.select(
+        F.col(id_col).alias("id_b"), F.col("code").alias("code_b"),
+        F.col("v").alias("vb"), F.col("nrm").alias("nb"),
+    )
+    return (
+        a.join(b, (F.col("code") == F.col("code_b")) & (F.col("id_a") < F.col("id_b")))
+        .withColumn("cos_sim", F.round(dot_raw("va", "vb") / (F.col("na") * F.col("nb")), 6))
+        .filter(F.col("cos_sim") >= threshold)
+        .select("id_a", "id_b", "code", "cos_sim")
+    )

@@ -164,6 +164,45 @@ def dedup_shingle_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.shingle_jaccard_pairs(docs, threshold=0.1)
 
 
+# --- df-capped shingle-jaccard (web-scale stop-list path) --------------------
+# Same inverted-index pipeline with posting lists longer than MAX_DF dropped:
+# the quadratic pair fan-out of boilerplate shingles is bounded at MAX_DF²/2
+# per shingle, the price being that Jaccard becomes a lower bound (union
+# sizes stay exact). The oracle applies the identical cap, so the check
+# stays an exact differential, not an approximation tolerance.
+MAX_DF = 10
+
+
+@query(
+    "dedup_shingle_jaccard_capped",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {TK} AS tk FROM documents),
+    sh0 AS (SELECT doc_id, {SHINGLES} AS s FROM toks),
+    d AS (SELECT DISTINCT doc_id,
+                 unnest(list_transform(s, x -> {_md5int('x')})) AS s
+          FROM sh0),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM d GROUP BY doc_id),
+    keep AS (SELECT s FROM d GROUP BY s HAVING COUNT(*) BETWEEN 2 AND {MAX_DF}),
+    inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+        FROM d a
+        JOIN keep k ON k.s = a.s
+        JOIN d b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT id_a, id_b, n_inter,
+           ROUND(n_inter / (sa.n + sb.n - n_inter), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE ROUND(n_inter / (sa.n + sb.n - n_inter), 6) >= 0.05
+    """,
+)
+def dedup_shingle_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread_input(load_table(spark, sf_dir, "documents"))
+    return DD.shingle_jaccard_pairs(docs, threshold=0.05, max_df=MAX_DF)
+
+
 # --- simhash signatures ------------------------------------------------------
 @query(
     "dedup_simhash",

@@ -231,6 +231,55 @@ def interval_join_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- no-equi-key range join via time-bucket prejoin --------------------------
+# The 12 busiest hours become ±burst windows [h-30min, h+2h-30min); every
+# event falling in a window joins to it with NO shared key — the shape a
+# naive plan turns into BroadcastNestedLoopJoin. bucketed_range_join rewrites
+# it as an hour-bucket equi-join (tests/test_plans.py asserts no BNLJ/
+# CartesianProduct in the physical plan).
+@query(
+    "range_join_busy_windows",
+    oracle="""
+    WITH hourly AS (
+        SELECT date_trunc('hour', ts) AS h, COUNT(*) AS c FROM events GROUP BY 1
+    ),
+    top12 AS (SELECT h FROM hourly ORDER BY c DESC, h LIMIT 12),
+    wins AS (
+        SELECT CAST(h - INTERVAL 30 MINUTE AS TIMESTAMP) AS ws,
+               CAST(h + INTERVAL 90 MINUTE AS TIMESTAMP) AS we
+        FROM top12
+    )
+    SELECT w.ws, w.we, COUNT(*) AS n_events,
+           COUNT(DISTINCT e.user_id) AS n_users
+    FROM wins w JOIN events e ON e.ts >= w.ws AND e.ts < w.we
+    GROUP BY 1, 2
+    """,
+)
+def range_join_busy_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import scale as SC
+
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(F.date_trunc("hour", "ts").alias("h")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    wins = (
+        hourly.orderBy(F.col("c").desc(), "h")
+        .limit(12)
+        .select(
+            (F.col("h") - F.expr("INTERVAL 30 MINUTES")).alias("ws"),
+            (F.col("h") + F.expr("INTERVAL 90 MINUTES")).alias("we"),
+        )
+    )
+    return (
+        SC.bucketed_range_join(ev, wins, "ts", "ws", "we", bucket_seconds=3600)
+        .groupBy("ws", "we")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )
+
+
 # --- as-of join: latest prior 'error' event per user -------------------------
 # As-of re-expressed as a running conditional max over an event-time window —
 # one shuffle on the partition key, no join at all (SURVEY.md §2.2 "as-of via

@@ -118,3 +118,41 @@ def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, emb, queries, k=5, n_clusters=8, n_probe=2,
         centroids=_centroids_for(spark, sf_dir, 8),
     )
+
+
+# --- sign-LSH (random hyperplane) near-dup pairs -----------------------------
+# The pure-LSH ANN path (vs knn_ivf's learned centroids): bucket by the signs
+# of 8 fixed ±1 hyperplane projections, exact cosine only within buckets.
+# The identical literal hyperplane matrix is inlined into BOTH engines'
+# expressions, so an approximate-by-design index still gets an exact
+# differential oracle — the judge sees a hash-match, not a tolerance.
+N_PLANES = 8
+_PLANES = SIM.hyperplane_signs(N_PLANES, dim=64)
+_CODE_SQL = " + ".join(
+    "(CASE WHEN list_dot_product(qv, ["
+    + ", ".join(str(x) for x in plane)
+    + f"]) > 0 THEN {1 << p} ELSE 0 END)"
+    for p, plane in enumerate(_PLANES)
+)
+
+
+@query(
+    "neardup_lsh_pairs",
+    oracle=f"""
+    WITH v AS (SELECT vec_id, cast(embedding AS DOUBLE[]) AS qv FROM embeddings),
+    coded AS (
+        SELECT vec_id, qv,
+               sqrt(list_dot_product(qv, qv)) AS nrm,
+               CAST({_CODE_SQL} AS BIGINT) AS code
+        FROM v
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.code,
+           ROUND(list_dot_product(a.qv, b.qv) / (a.nrm * b.nrm), 6) AS cos_sim
+    FROM coded a
+    JOIN coded b ON a.code = b.code AND a.vec_id < b.vec_id
+    WHERE ROUND(list_dot_product(a.qv, b.qv) / (a.nrm * b.nrm), 6) >= 0.2
+    """,
+)
+def neardup_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spread_input(load_table(spark, sf_dir, "embeddings"))
+    return SIM.lsh_neardup_pairs(emb, n_planes=N_PLANES, dim=64, threshold=0.2)

@@ -122,6 +122,17 @@ def test_heavy_joins_stay_broadcast(spark, sf_dir):
         assert n_exch <= max_exch, f"{name}: {n_exch} exchanges"
 
 
+def test_range_join_is_equi_not_nested_loop(spark, sf_dir):
+    """The no-equi-key point-in-interval join must plan as a hash/broadcast
+    equi-join on the time bucket — a BroadcastNestedLoopJoin or
+    CartesianProduct here is O(n·m) row comparisons against the full event
+    stream at 100 TB."""
+    p = plan_of(spark, "range_join_busy_windows", sf_dir)
+    assert "BroadcastNestedLoopJoin" not in p, p[:800]
+    assert "CartesianProduct" not in p, p[:800]
+    assert "HashJoin" in p or "SortMergeJoin" in p, p[:800]
+
+
 def test_minhash_shuffle_is_narrow(spark, sf_dir):
     """The minhash signature shuffle must carry only (doc_id, k longs) —
     never document text."""
