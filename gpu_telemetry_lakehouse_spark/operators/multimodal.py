@@ -107,6 +107,58 @@ def extract_features(media: DataFrame, decode: str = "fake") -> DataFrame:
     return media.mapInPandas(run, schema=FEATURE_SCHEMA)
 
 
+RESIZED_SCHEMA = (
+    "media_id long, width int, height int, out_width int, out_height int, "
+    "pixels array<float>, decode_ok boolean"
+)
+
+
+def resize(media: DataFrame, out_width: int = 8, out_height: int = 8, decode: str = "fake") -> DataFrame:
+    """Decode + resize via mapInPandas: emits a fixed out_width×out_height
+    row-major pixel grid per image — the normalize-before-embed step of a
+    multimodal training pipeline.
+
+    The resample kernel is the stub: with ``decode=fake`` the grid is a
+    deterministic function of (content hash, pixel index), so tests pin the
+    exact batch shape, schema, and null handling; ``decode=real`` raises at
+    the point Pillow's ``Image.resize`` would run. The Spark-side contract —
+    Arrow batch in, fixed-width float array out, one row per input row,
+    nulls pass through with decode_ok=false — is identical either way.
+    """
+    if decode not in ("fake", "real"):
+        raise ValueError(decode)
+    n_px = out_width * out_height
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if decode == "real":
+                raise NotImplementedError(
+                    "real resize requires an image library (Pillow/libvips); "
+                    "not available in this environment"
+                )
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                if payload is None:
+                    rows.append((mid, None, None, out_width, out_height, None, False))
+                    continue
+                w, h, feat = _fake_decode(bytes(payload))
+                # Deterministic "resample": tile the 16-dim content feature
+                # across the output grid, modulated by pixel index.
+                px = np.resize(feat, n_px) * (
+                    1.0 + np.arange(n_px, dtype=np.float32) / n_px
+                )
+                rows.append((mid, w, h, out_width, out_height, px.tolist(), True))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "width", "height",
+                    "out_width", "out_height", "pixels", "decode_ok",
+                ],
+            )
+
+    return media.mapInPandas(run, schema=RESIZED_SCHEMA)
+
+
 def frame_sample(media: DataFrame, every_n_bytes: int = 64, max_frames: int = 4) -> DataFrame:
     """Video frame-sampling stand-in: slice the payload every N bytes (a real
     pipeline seeks keyframes with ffmpeg; the explode-to-frames plumbing and

@@ -196,3 +196,36 @@ def salted_collect(
             f"{value_col}_set"
         )
     )
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    n_salt: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join that survives a hot key without AQE.
+
+    A shuffle join sends every row of a hot key to ONE reducer; when a
+    single key is 10% of 100 TB, that reducer runs for hours while the rest
+    idle. Salting splits the hot side: each left row gets a deterministic
+    salt in [0, n_salt) derived from the whole row (monotonically_increasing_id
+    would break retry determinism, so we hash the partition-local position-
+    free row content via xxhash64 over all columns), and the right side is
+    replicated n_salt times — the join key becomes (key, salt), spreading
+    each hot key across n_salt reducers.
+
+    Replication multiplies the right side's shuffle volume by n_salt, so
+    use when right is much smaller than the hot key's row count (the usual
+    skew shape: huge skewed fact ⋈ modest table). Prefer AQE skew-join when
+    it fires; this is the explicit fallback for joins AQE can't split
+    (e.g. followed by a same-key aggregation Spark wants to co-partition).
+    Results are exactly the naive join's rows (asserted in tests).
+    """
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(n_salt)).cast("int")
+    l_salted = left.withColumn("__salt", salt)
+    r_salted = right.withColumn(
+        "__salt", F.explode(F.array(*[F.lit(i) for i in range(n_salt)]))
+    )
+    return l_salted.join(r_salted, [on, "__salt"], how).drop("__salt")

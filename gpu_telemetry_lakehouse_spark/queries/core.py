@@ -294,3 +294,36 @@ def sql_cte_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT dt, n, avg_value FROM agg WHERE n > 100
         """
     )
+
+
+# --- gold daily util, 100 TB tier: sketch-based percentiles ------------------
+# SURVEY.md §7 known-hard #1: exact percentile shuffles EVERY value of every
+# group to one reducer (holistic aggregate — no map-side combine). This twin
+# swaps in approx_percentile's KLL-style sketch: fixed-size per-partition
+# state, map-side merged, so the exchange carries one sketch per (partition,
+# day) instead of every sample. Approximate by design => rows-only gate
+# (DuckDB's approx_quantile uses a different sketch; values can't hash-match),
+# plus a bounded-error assertion against the exact tier in tests/.
+@query("gold_daily_util_approx", oracle=None)
+def gold_daily_util_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.filter(F.col("value").isNotNull())
+        .withColumn("dt", F.date_trunc("day", "ts"))
+        .groupBy("dt")
+        .agg(
+            F.count(F.lit(1)).alias("n_samples"),
+            exact_avg("value").alias("avg_value"),
+            F.approx_percentile(
+                "value", F.array(F.lit(0.95), F.lit(0.5)), F.lit(10_000)
+            ).alias("__ps"),
+        )
+        .select(
+            "dt",
+            "n_samples",
+            "avg_value",
+            F.round(F.col("__ps")[0], 6).alias("p95_value"),
+            F.round(F.col("__ps")[1], 6).alias("med_value"),
+        )
+        .orderBy("dt")
+    )

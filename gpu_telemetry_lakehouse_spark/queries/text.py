@@ -143,3 +143,23 @@ def multimodal_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.octet_length(payload).cast("long").alias("byte_len"),
         F.md5(payload).alias("content_md5"),
     )
+
+
+# --- multimodal decode->resize feature summary (Arrow mapInPandas path) ------
+# The Pandas-UDF tier of the multimodal pipeline: binary payloads decode and
+# resize to a fixed 8x8 grid inside mapInPandas, then aggregate back to
+# relational space. The decode kernel is a deterministic stub (no image libs
+# in this environment), which is exactly why this entry is rows-only: the
+# Spark-side plumbing (Arrow batches, schema, null passthrough) is the
+# product surface, not the fake pixel values.
+@query("multimodal_resize_summary", oracle=None)
+def multimodal_resize_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import multimodal as MM
+
+    media = MM.documents_as_media(load_table(spark, sf_dir, "documents"))
+    grid = MM.resize(media, out_width=8, out_height=8, decode="fake")
+    return grid.groupBy("out_width", "out_height").agg(
+        F.count(F.lit(1)).alias("n_images"),
+        F.sum(F.when(F.col("decode_ok"), 1).otherwise(0)).alias("n_decoded"),
+        F.round(F.avg(F.element_at("pixels", 1)), 6).alias("avg_first_px"),
+    )

@@ -9,6 +9,7 @@ from gpu_telemetry_lakehouse_spark.operators.multimodal import (
     documents_as_media,
     extract_features,
     frame_sample,
+    resize,
 )
 
 
@@ -38,6 +39,35 @@ def test_extract_features_fake_decode(media):
 def test_extract_features_real_decode_is_stubbed(media):
     with pytest.raises(Exception, match="NotImplementedError|image/audio library"):
         extract_features(media, decode="real").collect()
+
+
+def test_resize_fixed_grid(media):
+    out = resize(media, out_width=8, out_height=8, decode="fake")
+    rows = out.collect()
+    assert len(rows) == media.count()
+    r = rows[0]
+    assert r.decode_ok and len(r.pixels) == 64
+    assert (r.out_width, r.out_height) == (8, 8)
+    # deterministic across runs
+    again = {x.media_id: x.pixels for x in resize(media, 8, 8).collect()}
+    assert again[r.media_id] == r.pixels
+
+
+def test_resize_real_decode_is_stubbed(media):
+    with pytest.raises(Exception, match="NotImplementedError|image library"):
+        resize(media, decode="real").collect()
+
+
+def test_resize_null_payload_passthrough(spark, media):
+    import pyspark.sql.functions as F
+
+    nulled = media.withColumn(
+        "payload", F.when(F.col("media_id") % 2 == 0, F.col("payload"))
+    )
+    out = resize(nulled, decode="fake")
+    bad = out.filter(~F.col("decode_ok"))
+    assert bad.count() > 0
+    assert bad.filter(F.col("pixels").isNotNull()).count() == 0
 
 
 def test_frame_sample(spark, sf_dir):
