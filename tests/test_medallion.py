@@ -130,3 +130,28 @@ def test_scored_gold_invariants(built):
     flags = {r.anomaly_flag for r in scored}
     assert flags <= {0, 1}
     assert all(0.0 < r.anomaly_score <= 1.0 for r in scored)
+
+
+def test_notebook_plot_script_runs(built, tmp_path, spark, source_dir):
+    """V1 parity: the plot notebook's data path (scored gold -> dt-cast ->
+    order -> pandas) runs end to end; without matplotlib it writes the
+    plot-ready CSV."""
+    import subprocess
+    import sys as _sys
+    from pathlib import Path
+
+    lake = None
+    # re-derive the lake dir used by the module-scoped `built` fixture
+    scored = built["gold_cluster_util_daily_scored"]
+    files = scored.inputFiles()
+    assert files, "scored gold not materialized"
+    lake = str(Path(files[0].replace("file:", "")).parent.parent.parent)
+
+    out = tmp_path / "images"
+    proc = subprocess.run(
+        [_sys.executable, "notebooks/plot_daily_anomalies.py", lake, str(out)],
+        capture_output=True, text=True, timeout=300,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    produced = list(out.glob("daily_gpu_util_with_anomalies.*"))
+    assert produced, proc.stdout

@@ -1,0 +1,107 @@
+"""Property-based parity: the scale rewrites (salting, two-phase distinct,
+bucketed range join) must equal their naive plans on ARBITRARY inputs, not
+just the synthetic testdata — hypothesis hunts the edge cases (empty frames,
+single-bucket intervals, all-identical keys, interval exactly on a bucket
+boundary) that fixed fixtures miss."""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from gpu_telemetry_lakehouse_spark.operators import scale as SC
+
+SET = settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+
+kv_rows = st.lists(
+    st.tuples(st.integers(0, 4), st.integers(-5, 5)), min_size=0, max_size=60
+)
+
+KV_SCHEMA = T.StructType(
+    [T.StructField("k", T.IntegerType()), T.StructField("v", T.IntegerType())]
+)
+
+
+@given(rows=kv_rows)
+@SET
+def test_two_phase_distinct_parity(spark, rows):
+    df = spark.createDataFrame(rows, KV_SCHEMA)
+    got = sorted(map(tuple, SC.two_phase_distinct(df, ["k"], "v").collect()))
+    want = sorted(
+        map(tuple, df.groupBy("k").agg(F.countDistinct("v").alias("n_distinct_v")).collect())
+    )
+    assert got == want
+
+
+@given(rows=kv_rows)
+@SET
+def test_salted_collect_parity(spark, rows):
+    df = spark.createDataFrame(rows, KV_SCHEMA)
+    got = {r["k"]: list(r["v_set"]) for r in SC.salted_collect(df, ["k"], "v", n_salt=4).collect()}
+    want = {
+        r["k"]: list(r["s"])
+        for r in df.groupBy("k").agg(F.array_sort(F.collect_set("v")).alias("s")).collect()
+    }
+    assert got == want
+
+
+@given(
+    left=kv_rows,
+    right=st.lists(st.tuples(st.integers(0, 4), st.integers(100, 105)), max_size=12),
+)
+@SET
+def test_salted_join_parity(spark, left, right):
+    ldf = spark.createDataFrame(left, KV_SCHEMA)
+    rdf = spark.createDataFrame(
+        right,
+        T.StructType(
+            [T.StructField("k", T.IntegerType()), T.StructField("w", T.IntegerType())]
+        ),
+    )
+    got = sorted(map(tuple, SC.salted_join(ldf, rdf, on="k", n_salt=4).collect()))
+    want = sorted(map(tuple, ldf.join(rdf, "k").collect()))
+    assert got == want
+
+
+points = st.lists(st.integers(0, 2_000), min_size=0, max_size=40)
+intervals = st.lists(
+    st.tuples(st.integers(0, 2_000), st.integers(1, 500)), min_size=0, max_size=8
+)
+
+
+@given(pts=points, ivs=intervals)
+@SET
+def test_bucketed_range_join_parity(spark, pts, ivs):
+    """[start, end) containment must match the naive theta join for any
+    point/interval layout, including intervals that end exactly on a bucket
+    boundary and points on interval edges."""
+    pdf = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(pts)], "pid int, sec int"
+    ).select("pid", F.timestamp_seconds("sec").alias("ts"))
+    idf = spark.createDataFrame(
+        [(j, s, s + d) for j, (s, d) in enumerate(ivs)], "iid int, s int, e int"
+    ).select(
+        "iid",
+        F.timestamp_seconds("s").alias("ws"),
+        F.timestamp_seconds("e").alias("we"),
+    )
+    got = sorted(
+        (r["pid"], r["iid"])
+        for r in SC.bucketed_range_join(pdf, idf, "ts", "ws", "we", bucket_seconds=100)
+        .select("pid", "iid")
+        .collect()
+    )
+    want = sorted(
+        (r["pid"], r["iid"])
+        for r in pdf.join(idf, (pdf.ts >= idf.ws) & (pdf.ts < idf.we))
+        .select("pid", "iid")
+        .collect()
+    )
+    assert got == want
