@@ -58,6 +58,30 @@ def documents_as_media(docs: DataFrame, media_type: str = "image") -> DataFrame:
     )
 
 
+def read_media_dir(spark, path: str, media_type: str = "image", pattern: str = "*") -> DataFrame:
+    """Ingest a directory of raw media files via Spark's ``binaryFile``
+    source (SURVEY.md §2.2: binary/file columns) into MEDIA_SCHEMA shape.
+
+    binaryFile scans distribute like any file source — one task per file
+    split, content never touches the driver — so a 100 TB image corpus
+    ingests with ordinary scan parallelism; ``pathGlobFilter`` prunes
+    non-media files at listing time. media_id is the path hash: stable
+    across re-ingests, collision odds 2^-63 per pair.
+    """
+    from pyspark.sql import functions as F  # local alias mirrors module import
+
+    raw = spark.read.format("binaryFile").option("pathGlobFilter", pattern).load(path)
+    return raw.select(
+        F.abs(F.xxhash64("path")).alias("media_id"),
+        F.lit(media_type).alias("media_type"),
+        F.col("content").alias("payload"),
+        F.struct(
+            F.col("path").alias("source"),
+            F.col("length").cast("long").alias("byte_len"),
+        ).alias("meta"),
+    )
+
+
 def _fake_decode(payload: bytes) -> tuple[int, int, np.ndarray]:
     """Deterministic stand-in for an image decoder: dimensions and a 16-dim
     feature vector derived from the content hash. REPLACE with Pillow/libvips

@@ -145,6 +145,35 @@ def bucketed_range_join(
     return pt.join(iv, cond, how).drop("__pt_bucket", "__iv_bucket")
 
 
+def overwrite_dynamic_partitions(
+    df: DataFrame, path: str, partition_cols: list[str]
+) -> None:
+    """Incremental refresh: rewrite ONLY the partitions present in ``df``.
+
+    The reference full-refreshes every tier on every run
+    (pipelines/flow_full_refresh.py:79-90) — at 100 TB that's rewriting a
+    year of gold to update yesterday. With
+    ``partitionOverwriteMode=dynamic``, an overwrite write replaces exactly
+    the directories ``df`` contains rows for and leaves every other
+    partition's files untouched (asserted byte-for-byte in
+    tests/test_scale.py) — the parquet-native equivalent of
+    ``MERGE``-by-partition: recompute the affected days from new data,
+    write, done.
+
+    Correct only when ``df`` holds the COMPLETE new content of each
+    affected partition (the natural shape when gold days derive from the
+    day's events); row-level upserts need a key-join rewrite or a table
+    format (Delta/Iceberg) instead.
+    """
+    spark = df.sparkSession
+    old = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        df.write.mode("overwrite").partitionBy(*partition_cols).parquet(path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", old)
+
+
 def two_phase_distinct(df: DataFrame, keys: list[str], col: str) -> DataFrame:
     """COUNT(DISTINCT col) GROUP BY keys, skew-proof.
 

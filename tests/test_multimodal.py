@@ -79,3 +79,24 @@ def test_frame_sample(spark, sf_dir):
     per_doc = pdf.groupby("media_id").frame_no.max()
     assert per_doc.max() <= 3
     assert all(len(b) <= 64 for b in pdf.frame_bytes)
+
+
+def test_read_media_dir_binary_source(spark, tmp_path):
+    from gpu_telemetry_lakehouse_spark.operators.multimodal import read_media_dir
+
+    payloads = {f"img_{i}.bin": bytes(range(i, i + 32)) for i in range(4)}
+    (tmp_path / "skip.txt").write_text("not media")
+    for name, data in payloads.items():
+        (tmp_path / name).write_bytes(data)
+
+    media = read_media_dir(spark, str(tmp_path), media_type="image", pattern="*.bin")
+    rows = media.collect()
+    assert len(rows) == 4
+    assert len({r.media_id for r in rows}) == 4  # path-hash ids unique
+    by_src = {r.meta.source.rsplit("/", 1)[-1]: bytes(r.payload) for r in rows}
+    assert by_src == payloads
+    for r in rows:
+        assert r.meta.byte_len == len(r.payload)
+    # feeds straight into the decode stage
+    feats = extract_features(media, decode="fake").collect()
+    assert len(feats) == 4 and all(f.decode_ok for f in feats)

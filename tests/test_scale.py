@@ -176,3 +176,40 @@ def test_approx_percentile_tracks_exact_tier(spark, sf_dir):
         assert a["avg_value"] == e["avg_value"]  # avg path identical/exact
         assert p90 <= a["p95_value"] <= p99, (dt, a["p95_value"], p90, p99)
         assert p40 <= a["med_value"] <= p60, (dt, a["med_value"], p40, p60)
+
+
+def test_dynamic_partition_overwrite_is_incremental(spark, sf_dir, tmp_path):
+    """Refreshing one day must rewrite only that day's directory: untouched
+    partitions keep their exact files (names + bytes), and the refreshed
+    partition's content replaces (not appends to) the old rows."""
+    import glob
+    import hashlib
+    import os
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "day", F.to_date(F.date_trunc("day", "ts")).cast("string")
+    )
+    gold = ev.groupBy("day").agg(F.count(F.lit(1)).alias("n"))
+    path = str(tmp_path / "gold_by_day")
+    SC.write_partitioned(gold, path, ["day"])
+
+    def snapshot(day: str):
+        files = sorted(glob.glob(os.path.join(path, f"day={day}", "*.parquet")))
+        return [(f, hashlib.md5(open(f, "rb").read()).hexdigest()) for f in files]
+
+    days = sorted(r["day"] for r in gold.select("day").distinct().collect())
+    target, untouched = days[0], days[1]
+    before_untouched = snapshot(untouched)
+
+    patch = (
+        gold.filter(F.col("day") == target)
+        .withColumn("n", F.col("n") + 1000)
+    )
+    SC.overwrite_dynamic_partitions(patch, path, ["day"])
+
+    assert snapshot(untouched) == before_untouched, "untouched partition rewritten"
+    back = spark.read.parquet(path)
+    # partition-dir values re-infer as DATE on read; compare as strings
+    got = {str(r["day"]): r["n"] for r in back.collect()}
+    want = {r["day"]: r["n"] + (1000 if r["day"] == target else 0) for r in gold.collect()}
+    assert got == want
