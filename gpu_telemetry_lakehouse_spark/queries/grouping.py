@@ -171,3 +171,37 @@ def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_count_distinct("user_id").alias("approx_users"),
         F.percentile_approx("value", 0.95).alias("approx_p95_value"),
     )
+
+
+# --- skew-proof rewrites in the graded surface -------------------------------
+# Same answers as the naive plans, materially different exchange structure
+# (operators/scale.py): these exist so the differential gate covers the
+# rewrites a 100 TB deployment actually runs when one event_type dominates.
+@query(
+    "distinct_users_skewproof",
+    oracle="""
+    SELECT event_type, COUNT(DISTINCT user_id) AS n_distinct_user_id
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def distinct_users_skewproof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import scale as SC
+
+    ev = load_table(spark, sf_dir, "events")
+    return SC.two_phase_distinct(ev, ["event_type"], "user_id")
+
+
+@query(
+    "user_sets_salted",
+    oracle="""
+    SELECT event_type, list_sort(list(DISTINCT user_id)) AS user_id_set
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def user_sets_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import scale as SC
+
+    ev = load_table(spark, sf_dir, "events")
+    return SC.salted_collect(ev, ["event_type"], "user_id", n_salt=16)

@@ -4,6 +4,7 @@ proves the windowed aggregation semantics against the DuckDB oracle."""
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..catalog import load_table
 from ..streaming.pipeline import hourly_agg
@@ -68,4 +69,33 @@ def events_enriched_segment_hourly(spark: SparkSession, sf_dir: str) -> DataFram
 
     return enriched_segment_hourly(
         load_table(spark, sf_dir, "events"), load_table(spark, sf_dir, "customer")
+    )
+
+
+# Stream-stream interval join's batch twin: clicks in the 30 minutes before
+# each error by the same user. Same transform fn both modes
+# (tests/test_streaming.py pins stream==batch; this entry pins batch==oracle).
+@query(
+    "clicks_before_errors_batch",
+    oracle="""
+    SELECT e.user_id,
+           e.event_id AS error_id,
+           e.ts AS error_ts,
+           c.event_id AS click_id,
+           c.ts AS click_ts
+    FROM events e
+    JOIN events c
+      ON c.user_id = e.user_id
+     AND c.ts <= e.ts
+     AND c.ts >= e.ts - INTERVAL 30 MINUTE
+    WHERE e.event_type = 'error' AND c.event_type = 'click'
+    """,
+)
+def clicks_before_errors_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.pipeline import clicks_before_errors
+
+    ev = load_table(spark, sf_dir, "events")
+    return clicks_before_errors(
+        ev.filter(F.col("event_type") == "click"),
+        ev.filter(F.col("event_type") == "error"),
     )

@@ -207,6 +207,48 @@ def dedup_events_stream(stream: DataFrame, watermark: str = "2 hours") -> DataFr
     )
 
 
+def clicks_before_errors(
+    clicks: DataFrame,
+    errors: DataFrame,
+    lookback: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream interval join: for each error, the same user's clicks in
+    the preceding ``lookback`` window (the "what led up to the failure"
+    query, run continuously).
+
+    The canonical bounded-state shape Spark REQUIRES for stream-stream
+    joins: watermarks on both sides plus a time-range condition tying the
+    two event times. The range bound lets the engine evict buffered clicks
+    older than error-watermark − lookback and errors older than the click
+    watermark — state tracks the lookback horizon, not stream history. An
+    equi-join without the range condition is rejected by the planner on
+    streams precisely because its state is unbounded.
+
+    Works identically on batch frames (watermarks become no-ops), which is
+    how tests pin stream==batch equality.
+    """
+    c = clicks.select(
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("click_ts"),
+        F.col("event_id").alias("click_id"),
+    ).withWatermark("click_ts", watermark)
+    e = errors.select(
+        F.col("user_id").alias("e_user"),
+        F.col("ts").alias("error_ts"),
+        F.col("event_id").alias("error_id"),
+    ).withWatermark("error_ts", watermark)
+    return c.join(
+        e,
+        (F.col("c_user") == F.col("e_user"))
+        & (F.col("click_ts") <= F.col("error_ts"))
+        & (F.col("click_ts") >= F.col("error_ts") - F.expr(f"INTERVAL {lookback}")),
+        "inner",
+    ).select(
+        F.col("e_user").alias("user_id"), "error_id", "error_ts", "click_id", "click_ts"
+    )
+
+
 def alert_on_bursts(
     stream: DataFrame, threshold: int, sink: list, spark: SparkSession
 ) -> StreamingQuery:

@@ -17,12 +17,29 @@ from gpu_telemetry_lakehouse_spark.streaming.pipeline import (
 
 @pytest.fixture(scope="module")
 def replay_dir(spark, sf_dir, tmp_path_factory):
-    """Events split into several files so maxFilesPerTrigger yields real
-    multi-batch incremental execution."""
-    d = str(tmp_path_factory.mktemp("replay"))
+    """Events split into time-ordered files with strictly increasing mtimes.
+
+    The file stream source orders files by modification time; one parquet job
+    writes all parts within milliseconds, so replay order would be arbitrary
+    and an out-of-order file makes every earlier file late-beyond-watermark.
+    Copying the range-partitioned parts in ts order with spaced mtimes gives a
+    Kafka-like replay: ordered across batches, unordered within a batch."""
+    import os
+    import shutil
+    import time
+
+    stage = tmp_path_factory.mktemp("replay_stage")
+    d = tmp_path_factory.mktemp("replay")
     ev = load_table(spark, sf_dir, "events")
-    ev.repartitionByRange(4, "ts").write.mode("overwrite").parquet(d)
-    return d
+    ev.repartitionByRange(4, "ts").write.mode("overwrite").parquet(str(stage))
+    # part index == ascending ts range for repartitionByRange output
+    parts = sorted(p for p in os.listdir(str(stage)) if p.startswith("part-"))
+    base = time.time() - 100 * len(parts)
+    for i, name in enumerate(parts):
+        tgt = os.path.join(str(d), name)
+        shutil.copy(os.path.join(str(stage), name), tgt)
+        os.utime(tgt, (base + 100 * i, base + 100 * i))
+    return str(d)
 
 
 def test_stream_equals_batch(spark, sf_dir, replay_dir):
@@ -265,3 +282,40 @@ def test_watermark_drops_late_rows(spark, tmp_path):
     # no window was emitted twice
     hours = [h.hour for (h, _t, _n, _sv) in emitted]
     assert len(hours) == len(set(hours))
+
+
+def test_stream_stream_interval_join_equals_batch(spark, sf_dir, replay_dir):
+    """The watermarked stream-stream interval join must emit exactly the
+    batch join's pairs across a multi-batch replay (append mode: each pair
+    exactly once)."""
+    from gpu_telemetry_lakehouse_spark.streaming.pipeline import clicks_before_errors
+
+    stream = read_event_stream(spark, replay_dir)
+    s_clicks = stream.filter(F.col("event_type") == "click")
+    s_errors = stream.filter(F.col("event_type") == "error")
+    joined = clicks_before_errors(s_clicks, s_errors)
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("t_ss_join")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = sorted(
+            (r.user_id, r.error_id, r.click_id)
+            for r in spark.table("t_ss_join").collect()
+        )
+    finally:
+        q.stop()
+
+    ev = load_table(spark, sf_dir, "events")
+    want = sorted(
+        (r.user_id, r.error_id, r.click_id)
+        for r in clicks_before_errors(
+            ev.filter(F.col("event_type") == "click"),
+            ev.filter(F.col("event_type") == "error"),
+        ).collect()
+    )
+    assert len(want) > 0
+    assert got == want
