@@ -19,6 +19,7 @@ for _mod in (
     "subqueries",
     "udtf_ops",
     "tpch_heavy",
+    "sampling",
 ):
     try:
         __import__(f"{__name__}.{_mod}")

@@ -1,0 +1,73 @@
+"""Deterministic sampling — the reproducible-subset primitives a 100 TB
+pipeline needs (quick-look analytics, train/eval splits, A/B cohorts).
+
+``df.sample()`` draws per-partition pseudo-randomly: the subset changes with
+partitioning and Spark version, so it can't be oracle-checked and — worse for
+production — a rerun sees different rows. Hash-gating on a stable key fixes
+both: ``md5(key) prefix < threshold`` picks the same ~p fraction of keys on
+any engine, any partitioning, any day. The gate is a plain filter, so it
+needs no shuffle and rides predicate pushdown's row-group skipping where the
+key is clustered; cohort membership is also stable under late-arriving data
+(a key is in or out forever — exactly what an experiment assignment needs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..functions import exact_sum
+from .registry import dsum, query
+
+# 2-hex-digit md5 prefix < 0x1a keeps 26/256 ~ 10.2% of keys; string compare
+# on lowercase hex is identical in Spark and DuckDB.
+_PREFIX_LT = "1a"
+
+
+def hash_sample(df: DataFrame, key, prefix_lt: str = _PREFIX_LT) -> DataFrame:
+    """Keep rows whose md5(key) 2-hex prefix sorts below ``prefix_lt``."""
+    gate = F.substring(F.md5(F.col(key).cast("string")), 1, 2) < prefix_lt
+    return df.filter(gate)
+
+
+@query(
+    "hash_sample_orders",
+    oracle=f"""
+    SELECT o_orderpriority,
+           COUNT(*) AS n_sampled,
+           {dsum("o_totalprice", "sum_price", scale=2)}
+    FROM orders
+    WHERE substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 2) < '{_PREFIX_LT}'
+    GROUP BY o_orderpriority
+    """,
+)
+def hash_sample_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return hash_sample(o, "o_orderkey").groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_sampled"),
+        exact_sum("o_totalprice", scale=2).alias("sum_price"),
+    )
+
+
+@query(
+    "stratified_user_sample",
+    oracle=f"""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           COUNT(DISTINCT user_id) AS n_users
+    FROM events
+    WHERE substr(md5(CAST(user_id AS VARCHAR)), 1, 2) < '{_PREFIX_LT}'
+    GROUP BY event_type
+    """,
+)
+def stratified_user_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-level (stratified-by-user) sample: gating on user_id instead of
+    the row keeps EVERY row of a sampled user, which is what sequence-level
+    work (sessionization, dedup, training splits) requires — row-level
+    sampling would shred user histories."""
+    ev = load_table(spark, sf_dir, "events")
+    return hash_sample(ev, "user_id").groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count_distinct("user_id").alias("n_users"),
+    )

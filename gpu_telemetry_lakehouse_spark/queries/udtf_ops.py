@@ -1,4 +1,4 @@
-"""Python UDTF coverage (SURVEY.md §2.2 UDF/UDAF/UDTF row).
+"""Python UDTF + UDAF coverage (SURVEY.md §2.2 UDF/UDAF/UDTF row).
 
 A UDTF is the extension point for table-generating logic that built-in
 generators can't express (stateful row expansion, external lookups). This one
@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import re
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.functions import udtf
 
@@ -62,4 +63,41 @@ def udtf_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         "SELECT t.doc_id, t.sent_no, t.sentence "
         "FROM documents, LATERAL sentence_split(doc_id, text) t"
+    )
+
+
+# --- UDAF: Arrow-batched grouped-aggregate pandas UDF ------------------------
+# The custom-aggregate extension point. Unlike built-in aggs, a grouped-agg
+# pandas UDF gets the WHOLE group's columns in one Arrow batch — no map-side
+# partials, so the group's rows all shuffle to one reducer. That cost is the
+# reason built-ins win when they can express the semantics; this entry keeps
+# the execution path itself under the differential gate by picking semantics
+# a SQL oracle can mirror (quantity-weighted average price, integer-exact via
+# cent-scaled arithmetic so the two engines agree bit-for-bit).
+@query(
+    "udaf_weighted_avg_price",
+    oracle="""
+    SELECT l_returnflag,
+           (CAST(SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)
+                     * CAST(ROUND(l_quantity, 0) AS BIGINT)) AS DOUBLE)
+            / CAST(SUM(CAST(ROUND(l_quantity, 0) AS BIGINT)) AS DOUBLE)) / 100.0
+               AS w_avg_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def udaf_weighted_avg_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import pandas_udf
+
+    from ..catalog import load_table
+
+    @pandas_udf("double")
+    def w_avg(price: pd.Series, qty: pd.Series) -> float:
+        cents = price.mul(100).round().astype("int64")
+        q = qty.round().astype("int64")
+        return (int((cents * q).sum()) / int(q.sum())) / 100.0
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        w_avg("l_extendedprice", "l_quantity").alias("w_avg_price")
     )

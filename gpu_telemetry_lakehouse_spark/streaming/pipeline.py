@@ -249,6 +249,31 @@ def clicks_before_errors(
     )
 
 
+def run_to_parquet(
+    agg: DataFrame, out_dir: str, checkpoint_dir: str
+) -> StreamingQuery:
+    """Checkpointed append-mode parquet sink — the production shape of the
+    incremental gold pipeline.
+
+    Exactly-once across restarts: source offsets and window state live in the
+    checkpoint, and the file sink's commit log records which files belong to
+    which epoch, so a query killed mid-batch and restarted from the same
+    checkpoint neither loses nor duplicates a window. Append mode emits each
+    watermark-finalized window exactly once; the last windows (those the
+    watermark never passes on a bounded replay) stay in state, exactly as a
+    live deployment holds its open windows.
+
+    The caller drives the query (``processAllAvailable`` for bounded tests,
+    ``awaitTermination`` in production)."""
+    return (
+        agg.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+
+
 def alert_on_bursts(
     stream: DataFrame, threshold: int, sink: list, spark: SparkSession
 ) -> StreamingQuery:

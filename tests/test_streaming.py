@@ -284,6 +284,64 @@ def test_watermark_drops_late_rows(spark, tmp_path):
     assert len(hours) == len(set(hours))
 
 
+def test_checkpoint_restart_exactly_once(spark, sf_dir, replay_dir, tmp_path):
+    """Kill the checkpointed parquet-sink query mid-replay, restart it from
+    the same checkpoint against the grown source: finalized windows must be
+    emitted exactly once and match the batch rollup (no loss from skipped
+    offsets, no duplicates from reprocessing)."""
+    import os
+    import shutil
+
+    from gpu_telemetry_lakehouse_spark.streaming.pipeline import run_to_parquet
+
+    src = tmp_path / "src"
+    out = tmp_path / "out"
+    ckpt = tmp_path / "ckpt"
+    src.mkdir()
+    parts = sorted(p for p in os.listdir(replay_dir) if p.startswith("part-"))
+
+    def run_once() -> None:
+        stream = read_event_stream(spark, str(src))
+        q = run_to_parquet(incremental_hourly_gold(stream), str(out), str(ckpt))
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    # first run sees half the files, then the query is stopped ("crash")
+    for name in parts[:2]:
+        shutil.copy(os.path.join(replay_dir, name), src / name)
+    run_once()
+    # source grows while the query is down; restart from the same checkpoint
+    for name in parts[2:]:
+        shutil.copy(os.path.join(replay_dir, name), src / name)
+    run_once()
+
+    got = {
+        (r.hour_start, r.event_type): (r.n, r.sum_value)
+        for r in spark.read.parquet(str(out)).collect()
+    }
+    ev = load_table(spark, sf_dir, "events")
+    want = {
+        (r.hour_start, r.event_type): (r.n, r.sum_value)
+        for r in hourly_agg(ev).collect()
+    }
+    # append mode emits only watermark-finalized windows; everything emitted
+    # must match batch exactly, and no key may appear twice in the sink
+    sink_rows = spark.read.parquet(str(out)).count()
+    assert sink_rows == len(got), "duplicate window emitted across restart"
+    assert got, "no windows finalized"
+    assert all(got[k] == want[k] for k in got)
+    # coverage: every batch window finalized well before the end of the
+    # replay (watermark = max ts - 2h) must have been emitted
+    from datetime import timedelta
+
+    max_ts = ev.agg(F.max("ts")).collect()[0][0]
+    horizon = max_ts - timedelta(hours=3)
+    missing = [k for k in want if k not in got and k[0] < horizon]
+    assert not missing, f"finalized windows lost across restart: {missing[:3]}"
+
+
 def test_stream_stream_interval_join_equals_batch(spark, sf_dir, replay_dir):
     """The watermarked stream-stream interval join must emit exactly the
     batch join's pairs across a multi-batch replay (append mode: each pair
