@@ -231,3 +231,57 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits:
 def hamming64(a: Column, b: Column) -> Column:
     """Hamming distance between two packed hash columns via bit_count(xor)."""
     return F.bit_count(a.bitwiseXOR(b))
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Connected components of the (undirected) near-dup pair graph:
+    ``(node, component)`` where component = min node id reachable — which
+    makes the component id itself the canonical "keep this one" document.
+
+    Pair lists are only half the dedup story; training pipelines must drop
+    ALL-BUT-ONE of each duplicate *cluster*, and clusters are the transitive
+    closure of pairs (A~B, B~C => drop two of {A,B,C} even if A~C was never
+    emitted).
+
+    Distributed min-label propagation: each iteration ships every node's
+    current label to its neighbors (one shuffle join on the symmetrized edge
+    list) and keeps the minimum. Converges in O(cluster diameter) rounds —
+    near-dup clusters are shallow (stars/cliques around a common template),
+    so a handful of rounds suffices where the O(log n) large-star/small-star
+    alternative would pay more per round. Scale guards: the edge list is
+    hash-partitioned once and checkpoint-pinned so every round reuses the
+    same co-location; labels are localCheckpoint'ed per round to truncate
+    the iterative lineage (no exponential plan growth); convergence is
+    detected with a LIMIT 1 anti-probe, not a full count.
+    """
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    e = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    e = e.repartition("a").localCheckpoint()
+    labels = (
+        e.select(F.col("a").alias("node")).distinct()
+        .withColumn("lbl", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        cand = e.join(labels, e.a == labels.node).select(
+            F.col("b").alias("node"), F.col("lbl")
+        )
+        new_labels = (
+            labels.union(cand).groupBy("node").agg(F.min("lbl").alias("lbl"))
+        ).localCheckpoint()
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.lbl") != F.col("o.lbl"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels

@@ -28,6 +28,9 @@ plan (asserted in tests), only the exchange structure changes.
 
 from __future__ import annotations
 
+import functools
+import operator as _op
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -258,3 +261,95 @@ def salted_join(
         "__salt", F.explode(F.array(*[F.lit(i) for i in range(n_salt)]))
     )
     return l_salted.join(r_salted, [on, "__salt"], how).drop("__salt")
+
+
+def upsert_by_key(
+    spark: SparkSession,
+    path: str,
+    updates: DataFrame,
+    key_cols: list[str],
+    partition_cols: list[str],
+) -> None:
+    """Row-level MERGE (upsert) into a partitioned parquet table without a
+    table format: new rows insert, existing keys are replaced.
+
+    Plan shape: (1) prune — read ONLY the partitions the updates touch
+    (broadcast semi-join on the partition values, so partition pruning
+    fires); (2) anti-join current rows against the update keys; (3) union
+    the updates; (4) dynamic-partition overwrite of just those partitions.
+    Cost scales with the touched partitions, not the table.
+
+    The localCheckpoint before the write breaks the read-from/write-to-same-
+    path cycle (Spark refuses a self-overwriting plan). It materializes the
+    touched partitions' merged content — bounded by the same touched-
+    partition size the write itself rewrites. A production deployment on an
+    object store gets this durability from a staging-dir write + rename, or
+    from a table format (Delta/Iceberg) whose MERGE is this same plan with
+    a transactional commit.
+    """
+    touched = updates.select(*partition_cols).distinct()
+    current = spark.read.parquet(path).join(
+        F.broadcast(touched), partition_cols, "left_semi"
+    )
+    merged = current.join(updates, key_cols, "left_anti").unionByName(
+        updates
+    ).localCheckpoint()
+    overwrite_dynamic_partitions(merged, path, partition_cols)
+
+
+def compact_partitions(
+    spark: SparkSession,
+    path: str,
+    partition_cols: list[str],
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> None:
+    """Small-file compaction (the OPTIMIZE half of table maintenance).
+
+    Streaming sinks and incremental refreshes accrete a file per trigger per
+    partition; at scan time every file costs a task schedule + open + footer
+    parse, so millions of small files dominate a 100 TB read. This rewrites
+    each partition into ceil(partition_bytes / target) files: per-partition
+    byte sizes drive a tiny (partition -> n_files) plan broadcast back onto
+    the data, rows salt into that many reducers, and a dynamic-partition
+    overwrite swaps in the compacted layout — untouched partitions' files
+    are left as-is.
+    """
+    import math
+    import os
+
+    sizes: dict[tuple, int] = {}
+    for root, _dirs, files in os.walk(path):
+        rel = os.path.relpath(root, path)
+        kv = [p.split("=", 1) for p in rel.split(os.sep) if "=" in p]
+        if len(kv) != len(partition_cols):
+            continue
+        key = tuple(v for _k, v in kv)
+        sizes[key] = sizes.get(key, 0) + sum(
+            os.path.getsize(os.path.join(root, f))
+            for f in files
+            if not f.startswith(("_", "."))
+        )
+    if not sizes:
+        return
+    plan = spark.createDataFrame(
+        [(*k, max(1, math.ceil(b / target_file_bytes))) for k, b in sizes.items()],
+        partition_cols + ["__n_files"],
+    )
+    df = spark.read.parquet(path)
+    # partition dir values come back typed; compare as strings to match the
+    # directory-derived plan keys
+    on = [df[c].cast("string") == plan[c] for c in partition_cols]
+    salted = (
+        df.join(F.broadcast(plan), functools.reduce(_op.and_, on))
+        .drop(*[plan[c] for c in partition_cols])
+        .withColumn(
+            "__salt",
+            F.pmod(F.xxhash64(*[df[c] for c in df.columns]), F.col("__n_files")),
+        )
+    )
+    compacted = (
+        salted.repartition(*[F.col(c) for c in partition_cols], F.col("__salt"))
+        .drop("__n_files", "__salt")
+        .localCheckpoint()
+    )
+    overwrite_dynamic_partitions(compacted, path, partition_cols)

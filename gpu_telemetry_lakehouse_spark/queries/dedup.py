@@ -221,3 +221,61 @@ def dedup_shingle_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spread_input(load_table(spark, sf_dir, "documents"))
     return DD.simhash(docs, bits=SIMHASH_BITS)
+
+
+# --- duplicate clusters: transitive closure of near-dup pairs ----------------
+# Pair lists are half the dedup story: pipelines drop all-but-one per CLUSTER
+# (transitive closure of pairs). Spark side: distributed min-label propagation
+# (operators/dedup.py::connected_components); oracle: recursive-CTE reachable
+# set with MIN label — same fixpoint, so the check stays exact.
+@query(
+    "dedup_clusters",
+    oracle=f"""
+    WITH RECURSIVE toks AS (SELECT doc_id, {TK} AS tk FROM documents),
+    sh0 AS (SELECT doc_id, {SHINGLES} AS s FROM toks),
+    d AS (SELECT DISTINCT doc_id,
+                 unnest(list_transform(s, x -> {_md5int('x')})) AS s
+          FROM sh0),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM d GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+        FROM d a JOIN d b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT id_a, id_b
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE ROUND(n_inter / (sa.n + sb.n - n_inter), 6) >= 0.1
+    ),
+    edges AS (
+        SELECT id_a AS a, id_b AS b FROM pairs
+        UNION ALL
+        SELECT id_b, id_a FROM pairs
+    ),
+    reach(node, lbl) AS (
+        SELECT a, a FROM (SELECT DISTINCT a FROM edges) t
+        UNION
+        SELECT e.b, r.lbl FROM reach r JOIN edges e ON e.a = r.node
+    ),
+    cc AS (SELECT node, MIN(lbl) AS lbl FROM reach GROUP BY node)
+    SELECT doc.doc_id,
+           COALESCE(cc.lbl, doc.doc_id) AS component,
+           CAST(cc.node IS NOT NULL AND cc.lbl <> doc.doc_id AS INT) AS is_drop
+    FROM documents doc LEFT JOIN cc ON cc.node = doc.doc_id
+    """,
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread_input(load_table(spark, sf_dir, "documents"))
+    pairs = DD.shingle_jaccard_pairs(docs, threshold=0.1)
+    cc = DD.connected_components(pairs)
+    return docs.select("doc_id").join(
+        cc, docs.doc_id == cc.node, "left"
+    ).select(
+        "doc_id",
+        F.coalesce(F.col("lbl"), F.col("doc_id")).alias("component"),
+        (F.col("node").isNotNull() & (F.col("lbl") != F.col("doc_id")))
+        .cast("int")
+        .alias("is_drop"),
+    )

@@ -205,3 +205,27 @@ def user_sets_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     return SC.salted_collect(ev, ["event_type"], "user_id", n_salt=16)
+
+
+# --- heavy hitters: Misra-Gries sketch + exact refine ------------------------
+# Exact answer via a sketch-bounded plan (operators/sketch.py): per-partition
+# MG candidates (superset guarantee) then an exact recount of candidates
+# only. The oracle is the naive full groupBy — the differential gate proves
+# the sketch path loses nothing.
+HH_K = 130
+
+
+@query(
+    "heavy_hitter_users",
+    oracle=f"""
+    SELECT user_id, COUNT(*) AS n
+    FROM events
+    GROUP BY user_id
+    HAVING COUNT(*) > (SELECT COUNT(*) FROM events) / {HH_K}
+    """,
+)
+def heavy_hitter_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sketch import heavy_hitters
+
+    ev = load_table(spark, sf_dir, "events")
+    return heavy_hitters(ev, "user_id", k=HH_K)

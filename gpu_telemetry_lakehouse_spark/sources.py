@@ -43,6 +43,16 @@ def write_table(df: DataFrame, path: str, fmt: str = "parquet") -> None:
     w.save(path)
 
 
+def read_parquet_evolved(spark: SparkSession, path: str) -> DataFrame:
+    """Schema-evolution read: merge the footers of every file so a table
+    whose newer files carry added columns reads as one widened schema, with
+    NULLs where old files predate a column. Footer-merge is a per-file
+    metadata scan, so it costs a listing, not a data read — but it IS O(files);
+    a production table pins the contract schema in a catalog and uses this
+    only when the contract changes."""
+    return spark.read.option("mergeSchema", True).parquet(path)
+
+
 def read_table(
     spark: SparkSession, path: str, schema: T.StructType, fmt: str = "parquet"
 ) -> DataFrame:

@@ -213,3 +213,92 @@ def test_dynamic_partition_overwrite_is_incremental(spark, sf_dir, tmp_path):
     got = {str(r["day"]): r["n"] for r in back.collect()}
     want = {r["day"]: r["n"] + (1000 if r["day"] == target else 0) for r in gold.collect()}
     assert got == want
+
+
+def _files(path):
+    import os
+
+    out = []
+    for root, _d, files in os.walk(str(path)):
+        out += [
+            os.path.join(root, f) for f in files if not f.startswith(("_", "."))
+        ]
+    return sorted(out)
+
+
+def test_upsert_by_key(spark, sf_dir, tmp_path):
+    """MERGE semantics: updated keys replaced, new keys inserted, untouched
+    partitions' files not rewritten."""
+    lake = str(tmp_path / "orders")
+    o = load_table(spark, sf_dir, "orders").withColumn(
+        "o_month", F.date_format("o_orderdate", "yyyy-MM")
+    )
+    SC.write_partitioned(o, lake, ["o_month"])
+    months = sorted(r[0] for r in o.select("o_month").distinct().collect())
+    hot, cold = months[0], months[-1]
+    before_cold = _files(tmp_path / "orders" / f"o_month={cold}")
+
+    base = spark.read.parquet(lake)
+    base_count = base.count()
+    victim = base.filter(F.col("o_month") == hot).limit(3).collect()
+    updates = spark.createDataFrame(
+        [
+            # updated existing keys: price bumped
+            *[
+                (r.o_orderkey, r.o_custkey, r.o_orderstatus, 99999.0,
+                 r.o_orderdate, r.o_orderpriority, r.o_month)
+                for r in victim
+            ],
+            # brand-new key in the same partition
+            (10**12, 1, "N", 1.0, victim[0].o_orderdate, "1-URGENT", hot),
+        ],
+        base.schema,
+    )
+    SC.upsert_by_key(spark, lake, updates, ["o_orderkey"], ["o_month"])
+
+    after = spark.read.parquet(lake)
+    assert after.count() == base_count + 1
+    got = {
+        r.o_orderkey: r.o_totalprice
+        for r in after.filter(F.col("o_totalprice") == 99999.0).collect()
+    }
+    assert set(got) == {r.o_orderkey for r in victim}
+    assert after.filter(F.col("o_orderkey") == 10**12).count() == 1
+    # untouched partition: byte-identical files
+    assert _files(tmp_path / "orders" / f"o_month={cold}") == before_cold
+
+
+def test_compact_partitions(spark, sf_dir, tmp_path):
+    """Compaction collapses a fragmented partition to few files without
+    changing its rows."""
+    lake = str(tmp_path / "events")
+    ev = load_table(spark, sf_dir, "events")
+    # fragment: many tiny files per event_type partition
+    ev.repartition(40).write.partitionBy("event_type").parquet(lake)
+    n_before = len(_files(tmp_path / "events"))
+    want = sorted(tuple(r) for r in spark.read.parquet(lake).collect())
+
+    SC.compact_partitions(spark, lake, ["event_type"])
+
+    n_after = len(_files(tmp_path / "events"))
+    got = sorted(tuple(r) for r in spark.read.parquet(lake).collect())
+    n_parts = spark.read.parquet(lake).select("event_type").distinct().count()
+    assert got == want
+    assert n_after == n_parts, f"{n_after} files for {n_parts} partitions"
+    assert n_before > n_after
+
+
+def test_schema_evolution_mergeschema(spark, sf_dir, tmp_path):
+    from gpu_telemetry_lakehouse_spark.sources import read_parquet_evolved
+
+    path = str(tmp_path / "t")
+    ev = load_table(spark, sf_dir, "events")
+    ev.select("event_id", "user_id").write.parquet(path)
+    ev.select("event_id", "user_id", "value").limit(10).write.mode(
+        "append"
+    ).parquet(path)
+    df = read_parquet_evolved(spark, path)
+    assert set(df.columns) == {"event_id", "user_id", "value"}
+    n = ev.count()
+    assert df.count() == n + 10
+    assert df.filter(F.col("value").isNull()).count() >= n
