@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from ..functions import dot_raw
 
@@ -265,4 +266,74 @@ def lsh_neardup_pairs(
         .withColumn("cos_sim", F.round(dot_raw("va", "vb") / (F.col("na") * F.col("nb")), 6))
         .filter(F.col("cos_sim") >= threshold)
         .select("id_a", "id_b", "code", "cos_sim")
+    )
+
+
+def cosine_topk_vectorized(
+    vectors: DataFrame,
+    queries_pdf,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact top-k by cosine, Arrow/numpy path: the query matrix ships to
+    workers by value inside the closure; each Arrow batch scores against ALL
+    queries in one float64 matmul and emits only its per-batch top-k per
+    query.
+
+    Same answer as ``cosine_topk`` (a global winner is necessarily in its
+    own batch's top-k, so batch-partials are a lossless superset), but the
+    exchange shrinks from n_vectors x n_queries scored rows to
+    n_batches x n_queries x k candidates — at 100 TB the shuffle carries
+    kilobytes per task instead of the scan. The matmul also replaces
+    per-row higher-order-function evaluation with BLAS over the whole
+    batch, which is the throughput path when the vector side is wide.
+
+    ``queries_pdf`` is a small pandas frame (id_col, vec_col) — the query
+    set is inherently driver-sized (it's the thing a user asks about).
+    """
+    import numpy as np
+    import pandas as pd
+
+    qids = queries_pdf[id_col].to_numpy()
+    Q = np.stack(queries_pdf[vec_col].to_numpy()).astype(np.float64)  # (q, d)
+    qn = np.sqrt((Q * Q).sum(axis=1))  # (q,)
+
+    out_schema = T.StructType(
+        [
+            T.StructField("query_id", T.LongType()),
+            T.StructField("neighbor_id", T.LongType()),
+            T.StructField("cos_sim", T.DoubleType()),
+        ]
+    )
+
+    def score(it):
+        for pdf in it:
+            ids = pdf[id_col].to_numpy()
+            B = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)  # (n, d)
+            bn = np.sqrt((B * B).sum(axis=1))
+            cos = np.round((B @ Q.T) / (bn[:, None] * qn[None, :]), 6)
+            frames = []
+            for j in range(len(qids)):
+                keep = ids != qids[j]
+                cj, ij = cos[keep, j], ids[keep]
+                # same tie-break as the global rank: cos desc, id asc
+                top = np.lexsort((ij, -cj))[:k]
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": qids[j],
+                            "neighbor_id": ij[top],
+                            "cos_sim": cj[top],
+                        }
+                    )
+                )
+            yield pd.concat(frames, ignore_index=True)
+
+    partial = vectors.select(id_col, vec_col).mapInPandas(score, out_schema)
+    w = W.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), "neighbor_id")
+    return (
+        partial.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rn")
     )

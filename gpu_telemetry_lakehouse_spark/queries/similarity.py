@@ -156,3 +156,38 @@ _CODE_SQL = " + ".join(
 def neardup_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = spread_input(load_table(spark, sf_dir, "embeddings"))
     return SIM.lsh_neardup_pairs(emb, n_planes=N_PLANES, dim=64, threshold=0.2)
+
+
+# --- vectorized (Arrow/numpy) exact top-k ------------------------------------
+# Same oracle as knn_cosine_brute: the differential gate proves the BLAS
+# batch-matmul path returns the identical top-k — the throughput variant for
+# wide vectors, shuffling only per-batch partial top-k candidates.
+@query(
+    "knn_cosine_vectorized",
+    oracle=f"""
+    WITH q AS (
+        SELECT vec_id AS query_id, cast(embedding AS DOUBLE[]) AS qv
+        FROM embeddings WHERE vec_id < {N_QUERIES}
+    ),
+    scored AS (
+        SELECT q.query_id, e.vec_id AS neighbor_id,
+               ROUND({_COS}, 6) AS cos_sim
+        FROM embeddings e, q
+        WHERE e.vec_id <> q.query_id
+    ),
+    ranked AS (
+        SELECT query_id, neighbor_id, cos_sim,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id
+               ) AS INT) AS rn
+        FROM scored
+    )
+    SELECT query_id, neighbor_id, cos_sim, rn FROM ranked WHERE rn <= 5
+    """,
+)
+def knn_cosine_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spread_input(load_table(spark, sf_dir, "embeddings"))
+    queries_pdf = (
+        emb.filter(F.col("vec_id") < N_QUERIES).select("vec_id", "embedding").toPandas()
+    )
+    return SIM.cosine_topk_vectorized(emb, queries_pdf, k=5)
