@@ -9,14 +9,12 @@ source.
 
 from __future__ import annotations
 
+from gpu_telemetry_lakehouse_spark import plans as P
 from gpu_telemetry_lakehouse_spark.queries import QUERIES
 
 
 def plan_of(spark, name, sf_dir) -> str:
-    df = QUERIES[name](spark, sf_dir)
-    return df._sc._jvm.PythonSQLUtils.explainString(
-        df._jdf.queryExecution(), "formatted"
-    )
+    return P.explain_formatted(QUERIES[name](spark, sf_dir))
 
 
 def test_filters_push_into_parquet_scan(spark, sf_dir):
@@ -145,3 +143,28 @@ def test_minhash_shuffle_is_narrow(spark, sf_dir):
     for m in re.finditer(r"\(\d+\) Exchange\n(?:.*\n){0,3}", p):
         if "hashpartitioning" in m.group(0):
             assert "text#" not in m.group(0), m.group(0)
+
+
+def test_plan_helpers_api(spark, sf_dir):
+    """The package-level plan gates (plans.py) behave like the raw string
+    checks above — a deployment can use them on its own queries."""
+    q6 = QUERIES["tpch_q6_revenue"](spark, sf_dir)
+    P.assert_pushed_filter(q6, "l_shipdate", "l_discount", "l_quantity")
+    P.assert_partial_aggregation(QUERIES["tpch_q1"](spark, sf_dir))
+    P.assert_no_exchange(QUERIES["text_stats"](spark, sf_dir))
+    P.assert_broadcast_only(QUERIES["tpch_q5_local_volume"](spark, sf_dir))
+    P.assert_read_schema_excludes(
+        QUERIES["topk_orders"](spark, sf_dir), "o_orderpriority"
+    )
+    assert P.exchange_count(QUERIES["gold_daily_util"](spark, sf_dir)) <= 2
+
+
+def test_new_query_plans(spark, sf_dir):
+    """Gates for the sketch/sampling additions: heavy-hitter recount joins
+    by broadcast (candidates are tiny by construction); hash-gate sampling
+    adds no exchange beyond its aggregation."""
+    hh = QUERIES["heavy_hitter_users"](spark, sf_dir)
+    p = P.explain_formatted(hh)
+    assert "Broadcast" in p and "SortMergeJoin" not in p, p[:800]
+    hs = QUERIES["hash_sample_orders"](spark, sf_dir)
+    assert P.exchange_count(hs) <= 1, P.explain_formatted(hs)[:800]
