@@ -20,6 +20,7 @@ for _mod in (
     "udtf_ops",
     "tpch_heavy",
     "sampling",
+    "timeseries",
 ):
     try:
         __import__(f"{__name__}.{_mod}")

@@ -1,0 +1,126 @@
+"""Time-series reshaping: gap-filling + last-observation-carried-forward.
+
+A telemetry feed has holes (agent restarts, network drops); dashboards and
+anomaly models need a dense hourly grid. The Spark shape: build the hour
+spine IN-PLAN (one-row bounds aggregate -> sequence() -> explode, cross-
+joined with the small key set — no driver round-trip, no collect), left-join
+the real rollup onto it, then carry the last observation forward with an
+ignore-nulls last() over an unbounded-preceding frame. The spine side is
+keys x hours rows — broadcastable for any realistic key count; the window
+partitions by key, so filling parallelizes across the key space.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from .registry import query
+
+
+@query(
+    "gapfill_hourly_locf",
+    oracle="""
+    WITH hourly AS (
+        SELECT event_type, date_trunc('hour', ts) AS hour_start,
+               COUNT(*) AS n,
+               SUM(CAST(ROUND(value * 1000000, 0) AS BIGINT)) / 1e6 AS sum_value
+        FROM events
+        GROUP BY 1, 2
+    ),
+    bounds AS (SELECT MIN(hour_start) AS mn, MAX(hour_start) AS mx FROM hourly),
+    hours AS (
+        SELECT unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS hour_start
+        FROM bounds
+    ),
+    spine AS (
+        SELECT t.event_type, h.hour_start
+        FROM (SELECT DISTINCT event_type FROM hourly) t, hours h
+    ),
+    j AS (
+        SELECT s.event_type, s.hour_start, hh.n, hh.sum_value
+        FROM spine s
+        LEFT JOIN hourly hh
+          ON hh.event_type = s.event_type AND hh.hour_start = s.hour_start
+    )
+    SELECT event_type, hour_start,
+           COALESCE(n, 0) AS n,
+           CAST(n IS NULL AS INT) AS is_gap,
+           last_value(sum_value IGNORE NULLS) OVER (
+               PARTITION BY event_type ORDER BY hour_start
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS sum_value_locf
+    FROM j
+    """,
+)
+def gapfill_hourly_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hour_start")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.sum(F.round(F.col("value") * 1_000_000, 0).cast("long")) / 1e6).alias(
+            "sum_value"
+        ),
+    )
+    bounds = hourly.agg(
+        F.min("hour_start").alias("mn"), F.max("hour_start").alias("mx")
+    )
+    hours = bounds.select(
+        F.explode(
+            F.sequence("mn", "mx", F.expr("INTERVAL 1 HOUR"))
+        ).alias("hour_start")
+    )
+    spine = hourly.select("event_type").distinct().crossJoin(F.broadcast(hours))
+    j = spine.join(hourly, ["event_type", "hour_start"], "left")
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("hour_start")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return j.select(
+        "event_type",
+        "hour_start",
+        F.coalesce(F.col("n"), F.lit(0)).alias("n"),
+        F.col("n").isNull().cast("int").alias("is_gap"),
+        F.last("sum_value", ignorenulls=True).over(w).alias("sum_value_locf"),
+    )
+
+
+# --- unpivot / melt ----------------------------------------------------------
+# The wide->long reshape (df.unpivot, SQL stack()): gold tables are wide per
+# metric, monitoring sinks want (key, metric, value) rows. The oracle uses
+# UNION ALL — the portable relational spelling of the same operator.
+@query(
+    "unpivot_flag_measures",
+    oracle="""
+    WITH base AS (
+        SELECT l_returnflag,
+               SUM(CAST(ROUND(l_quantity, 0) AS BIGINT)) AS sum_qty,
+               SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)) AS sum_price_c,
+               SUM(CAST(ROUND(l_discount * 100, 0) AS BIGINT)) AS sum_disc_c
+        FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, 'sum_qty' AS measure, CAST(sum_qty AS DOUBLE) AS amount FROM base
+    UNION ALL
+    SELECT l_returnflag, 'sum_price_c', CAST(sum_price_c AS DOUBLE) FROM base
+    UNION ALL
+    SELECT l_returnflag, 'sum_disc_c', CAST(sum_disc_c AS DOUBLE) FROM base
+    """,
+)
+def unpivot_flag_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    base = li.groupBy("l_returnflag").agg(
+        F.sum(F.round("l_quantity", 0).cast("long")).alias("sum_qty"),
+        F.sum(F.round(F.col("l_extendedprice") * 100, 0).cast("long")).alias(
+            "sum_price_c"
+        ),
+        F.sum(F.round(F.col("l_discount") * 100, 0).cast("long")).alias("sum_disc_c"),
+    )
+    return base.unpivot(
+        ids=["l_returnflag"],
+        values=["sum_qty", "sum_price_c", "sum_disc_c"],
+        variableColumnName="measure",
+        valueColumnName="amount",
+    ).withColumn("amount", F.col("amount").cast("double"))

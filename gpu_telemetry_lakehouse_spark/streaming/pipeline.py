@@ -249,6 +249,101 @@ def clicks_before_errors(
     )
 
 
+SESSION_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("start_us", T.LongType()),
+        T.StructField("last_us", T.LongType()),
+        T.StructField("n", T.LongType()),
+    ]
+)
+
+SESSION_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("session_start", T.TimestampType()),
+        T.StructField("session_end", T.TimestampType()),
+        T.StructField("n_events", T.LongType()),
+    ]
+)
+
+
+def user_sessions_stateful(
+    stream: DataFrame, gap_minutes: int = 30, watermark: str = "2 hours"
+) -> DataFrame:
+    """Custom sessionization with event-time TIMEOUTS: each closed session
+    emits exactly once, as (user, start, end, n), the moment the watermark
+    proves no more events can extend it.
+
+    ``session_window`` (incremental_sessions) covers the built-in case; this
+    is the arbitrary-state form a pipeline needs when sessions carry custom
+    payloads or close on custom rules. Mechanics: per user the state is
+    three longs (open session start/last/count). A batch's rows are walked
+    in event-time order, splitting on > ``gap_minutes`` silences — sessions
+    that closed *within* the batch emit immediately; the still-open tail is
+    stored and ``setTimeoutTimestamp(last + gap)`` arms an event-time alarm.
+    When the watermark passes that alarm without new rows for the user,
+    Spark calls back with ``hasTimedOut`` and the session emits + clears.
+    State per key is O(1); watermark bounds how long an idle key's state
+    lives — the same eviction contract as the windowed operators.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    gap_us = gap_minutes * 60 * 1_000_000
+
+    def fn(key, pdfs, state):
+        import pandas as pd
+
+        closed: list[tuple] = []
+        if state.hasTimedOut:
+            s, l, n = state.get
+            closed.append((key[0], s, l, n))
+            state.remove()
+        else:
+            parts = [p for p in pdfs if len(p)]
+            ts_us: list[int] = []
+            for p in parts:
+                ts_us += (p["ts"].astype("int64") // 1_000).tolist()
+            ts_us.sort()
+            if ts_us:
+                if state.exists:
+                    s, l, n = state.get
+                else:
+                    s, l, n = ts_us[0], ts_us[0], 0
+                    ts_us = ts_us[1:]
+                    n = 1
+                for t in ts_us:
+                    if t - l > gap_us:
+                        closed.append((key[0], s, l, n))
+                        s, l, n = t, t, 1
+                    else:
+                        l, n = t, n + 1
+                state.update((s, l, n))
+                state.setTimeoutTimestamp(l // 1_000 + gap_minutes * 60 * 1_000)
+        out = pd.DataFrame(
+            closed, columns=["user_id", "start_us", "end_us", "n_events"]
+        ).astype("int64")
+        yield pd.DataFrame(
+            {
+                "user_id": out["user_id"],
+                "session_start": pd.to_datetime(out["start_us"], unit="us"),
+                "session_end": pd.to_datetime(out["end_us"], unit="us"),
+                "n_events": out["n_events"],
+            }
+        )
+
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fn,
+            outputStructType=SESSION_OUT_SCHEMA,
+            stateStructType=SESSION_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
 def run_to_parquet(
     agg: DataFrame, out_dir: str, checkpoint_dir: str
 ) -> StreamingQuery:

@@ -377,3 +377,61 @@ def test_stream_stream_interval_join_equals_batch(spark, sf_dir, replay_dir):
     )
     assert len(want) > 0
     assert got == want
+
+
+def test_stateful_sessions_with_event_time_timeout(spark, sf_dir, replay_dir):
+    """Custom-state sessionization: every session the watermark could close
+    must emit exactly once with exact (start, end, count); nothing else may
+    emit."""
+    from gpu_telemetry_lakehouse_spark.streaming.pipeline import (
+        user_sessions_stateful,
+    )
+
+    GAP_MIN = 30
+    stream = read_event_stream(spark, replay_dir)
+    q = (
+        user_sessions_stateful(stream, gap_minutes=GAP_MIN)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("t_state_sessions")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            (r.user_id, r.session_start, r.session_end): r.n_events
+            for r in spark.table("t_state_sessions").collect()
+        }
+    finally:
+        q.stop()
+
+    # batch truth: gaps-and-islands per user in pandas (testdata is small)
+    import pandas as pd
+    from datetime import timedelta
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts").toPandas()
+    want = {}
+    for uid, g in ev.sort_values("ts").groupby("user_id"):
+        ts = list(g["ts"])
+        s = last = ts[0]
+        n = 1
+        for t in ts[1:]:
+            if (t - last).total_seconds() > GAP_MIN * 60:
+                want[(uid, s, last)] = n
+                s, last, n = t, t, 1
+            else:
+                last, n = t, n + 1
+        want[(uid, s, last)] = n  # trailing open session
+
+    # horizon: a session surely closes once watermark (max_ts - 2h) passes
+    # session_end + gap
+    max_ts = ev["ts"].max()
+    horizon = max_ts - timedelta(hours=2, minutes=GAP_MIN + 5)
+    must_emit = {k: v for k, v in want.items() if k[2] < horizon}
+
+    for k in got:
+        assert k in want, f"emitted session not in batch truth: {k}"
+        assert got[k] == want[k], (k, got[k], want[k])
+    missing = [k for k in must_emit if k not in got]
+    assert not missing, f"closed sessions never emitted: {missing[:3]}"
+    assert len(got) >= len(must_emit) > 0
