@@ -105,3 +105,66 @@ def test_bucketed_range_join_parity(spark, pts, ivs):
         .collect()
     )
     assert got == want
+
+
+# --- connected components: fixpoint vs union-find ----------------------------
+edge_lists = st.lists(
+    st.tuples(st.integers(0, 12), st.integers(0, 12)).filter(lambda e: e[0] != e[1]),
+    min_size=1,
+    max_size=40,
+)
+
+EDGE_SCHEMA = T.StructType(
+    [T.StructField("id_a", T.LongType()), T.StructField("id_b", T.LongType())]
+)
+
+
+def _union_find(edges):
+    parent: dict = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # min node id per component
+    return {n: find(n) for n in parent}
+
+
+@given(edges=edge_lists)
+@SET
+def test_connected_components_equals_union_find(spark, edges):
+    from gpu_telemetry_lakehouse_spark.operators.dedup import connected_components
+
+    df = spark.createDataFrame(edges, EDGE_SCHEMA)
+    got = {r.node: r.lbl for r in connected_components(df).collect()}
+    want = _union_find(edges)
+    # find() compresses to the root, which is the min id by construction
+    want = {n: want[n] for n in want}
+    assert got == want
+
+
+# --- Misra-Gries candidates: the heavy-hitter superset guarantee -------------
+@given(
+    rows=st.lists(st.integers(0, 8), min_size=1, max_size=120),
+    k=st.integers(2, 6),
+)
+@SET
+def test_misra_gries_candidates_cover_heavy_hitters(spark, rows, k):
+    from collections import Counter
+
+    from gpu_telemetry_lakehouse_spark.operators.sketch import (
+        misra_gries_candidates,
+    )
+
+    df = spark.createDataFrame([(v,) for v in rows], "user_id long").repartition(3)
+    cands = {r.user_id for r in misra_gries_candidates(df, "user_id", k).collect()}
+    counts = Counter(rows)
+    heavy = {v for v, c in counts.items() if c > len(rows) / k}
+    assert heavy <= cands, f"missed heavy hitters: {heavy - cands}"
