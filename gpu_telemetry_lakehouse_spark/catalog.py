@@ -39,6 +39,14 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         # nanos-as-long -> TimestampType (µs), truncating like DuckDB does.
         df = df.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+    # Parquet naive (isAdjustedToUTC=false) timestamps surface as
+    # TIMESTAMP_NTZ on newer Spark builds. The engine-canonical type is
+    # TIMESTAMP (session tz pinned UTC, session.py), so the wall-clock value
+    # is unchanged and chrono functions (unix_micros, window(), watermarks)
+    # resolve. Cast is a zero-cost projection; Catalyst folds it into the scan.
+    ntz_cols = [c for c, d in df.dtypes if d == "timestamp_ntz"]
+    for c in ntz_cols:
+        df = df.withColumn(c, F.col(c).cast("timestamp"))
     return df
 
 

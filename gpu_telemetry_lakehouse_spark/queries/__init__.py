@@ -21,6 +21,7 @@ for _mod in (
     "tpch_heavy",
     "sampling",
     "timeseries",
+    "stats",
 ):
     try:
         __import__(f"{__name__}.{_mod}")

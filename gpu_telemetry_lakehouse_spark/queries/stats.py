@@ -1,0 +1,148 @@
+"""Statistical-profile and temporal-bucketing queries.
+
+Covers the aggregate families a telemetry/analytics engine needs beyond
+plain SUM/AVG (SURVEY.md §2.2 extension surface): dispersion (stddev/var),
+association (corr/covar), robust center (median), conditional aggregation
+(count_if / bool_and / bool_or), bitwise aggregates, histogram binning, and
+hypertable-style fixed-width time bucketing (the 15-minute rollup every
+monitoring stack materializes; reference future-work README.md:571-578).
+
+Scale notes: every query here is a single map-side-combinable hash
+aggregation — one shuffle on the group key, partial aggregation pushed to
+the mappers by Catalyst (ObjectHashAggregate / HashAggregate with partial
+merge), so they hold at 100 TB with no skew hazards (group cardinality is
+tiny relative to input).
+
+Float determinism: moment-based stats (stddev/var/corr/covar) accumulate in
+engine-specific order, so bit-exactness across engines is not guaranteed —
+both sides round to a tolerance far coarser than the ~1e-14 relative
+accumulation error but far finer than data resolution (verified stable at
+sf0.001/0.01/0.1). Counts, sums (via the scaled-long trick), medians and
+bucket keys are exact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from .registry import dsum, query
+
+
+# --- dispersion / association / robust-center profile ------------------------
+# The "describe my metric" query: per return-flag dispersion and association
+# of quantity vs price. Spark: one HashAggregate with ImperativeAggregates
+# (CentralMomentAgg family merges Welford partials associatively — safe on
+# any partitioning).
+@query(
+    "stats_profile_lineitem",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(*) AS n_lines,
+           ROUND(stddev_samp(l_quantity), 6) AS stddev_qty,
+           ROUND(var_samp(l_quantity), 6) AS var_qty,
+           ROUND(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+           ROUND(covar_samp(l_quantity, l_extendedprice), 4) AS covar_qty_price,
+           ROUND(median(l_quantity), 6) AS median_qty,
+           ROUND(quantile_cont(l_extendedprice, 0.9), 4) AS p90_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def stats_profile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.round(F.stddev_samp("l_quantity"), 6).alias("stddev_qty"),
+        F.round(F.var_samp("l_quantity"), 6).alias("var_qty"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias("covar_qty_price"),
+        F.round(F.median("l_quantity"), 6).alias("median_qty"),
+        F.round(F.percentile("l_extendedprice", 0.9), 4).alias("p90_price"),
+    )
+
+
+# --- hypertable-style fixed-width time bucket rollup -------------------------
+# 15-minute buckets via Spark's window() (epoch-aligned tumbling window —
+# identical arithmetic to floor(epoch/900)*900). This is the batch form of
+# the continuous-aggregate/hypertable-rollup pattern; the streaming twin is
+# streaming/pipeline.py's tumbling aggregation.
+@query(
+    "time_bucket_rollup_15m",
+    oracle=f"""
+    SELECT make_timestamp(CAST(floor(epoch(ts) / 900) * 900 AS BIGINT) * 1000000)
+               AS bucket_start,
+           event_type,
+           COUNT(*) AS n,
+           {dsum("value", "sum_value", scale=6)}
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def time_bucket_rollup_15m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.window("ts", "15 minutes").getField("start").alias("bucket_start"),
+        "event_type",
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.sum(F.round(F.col("value") * 1_000_000, 0).cast("long")) / 1e6).alias("sum_value"),
+    )
+
+
+# --- conditional + boolean + bitwise aggregation -----------------------------
+# FILTER-clause-style aggregation (count_if), quantified predicates over
+# groups (bool_and/bool_or ≡ EVERY/ANY), and bitwise OR/AND folds — the
+# flag-register pattern for encoded status masks.
+@query(
+    "conditional_flag_aggs",
+    oracle="""
+    SELECT o_orderstatus,
+           COUNT(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS n_urgent,
+           bool_and(o_totalprice > 1000.0) AS all_above_1k,
+           bool_or(o_totalprice > 400000.0) AS any_above_400k,
+           bit_or(o_custkey % 8) AS or_mask,
+           bit_and(o_custkey % 8) AS and_mask
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def conditional_flag_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.count_if(F.col("o_orderpriority") == "1-URGENT").alias("n_urgent"),
+        F.bool_and(F.col("o_totalprice") > 1000.0).alias("all_above_1k"),
+        F.bool_or(F.col("o_totalprice") > 400000.0).alias("any_above_400k"),
+        F.bit_or(F.col("o_custkey") % 8).alias("or_mask"),
+        F.bit_and(F.col("o_custkey") % 8).alias("and_mask"),
+    )
+
+
+# --- histogram binning --------------------------------------------------------
+# Fixed-width value histogram (floor binning — exact integer bucket keys on
+# both engines). The building block for numeric profiling / quality scoring
+# dashboards; at scale it is one partial-aggregated shuffle of ~n_buckets rows.
+@query(
+    "histogram_event_values",
+    oracle="""
+    SELECT CAST(floor(value / 50.0) AS BIGINT) AS bucket,
+           COUNT(*) AS n,
+           ROUND(MIN(value), 6) AS min_value,
+           ROUND(MAX(value), 6) AS max_value
+    FROM events
+    WHERE value IS NOT NULL
+    GROUP BY 1
+    """,
+)
+def histogram_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.filter(F.col("value").isNotNull())
+        .groupBy(F.floor(F.col("value") / 50.0).cast("long").alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("value"), 6).alias("min_value"),
+            F.round(F.max("value"), 6).alias("max_value"),
+        )
+    )
