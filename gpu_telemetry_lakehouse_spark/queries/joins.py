@@ -309,3 +309,70 @@ def asof_last_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ts",
         F.max(F.when(F.col("event_type") == "error", F.col("ts"))).over(w).alias("last_error_ts"),
     )
+
+
+# --- theta (inequality) join, re-planned as bucketed rank counting -----------
+# "For each supplier, how many customers hold a strictly larger account
+# balance?" The textbook plan is a nested-loop inequality join (O(n*m) —
+# BroadcastNestedLoopJoin in Spark, unusable at 100 TB). Two-phase scale
+# re-expression with NO join on the big sides and NO global sort:
+#   1. bucket both sides by a fixed-width value range; a per-bucket customer
+#      histogram (≤ a few thousand rows regardless of data size) is
+#      prefix-summed and broadcast — customers in strictly-higher buckets.
+#   2. within each bucket, a union + ranking window (partitioned by bucket,
+#      so fully parallel) counts same-bucket customers with a larger balance.
+# Tie rule: equal balances must not count, so suppliers order before
+# customers at the same balance (is_customer ASC secondary key); cross-bucket
+# ties are impossible (equal values share a bucket).
+@query(
+    "theta_join_balance_rank",
+    oracle="""
+    SELECT s.s_suppkey,
+           (SELECT COUNT(*) FROM customer c
+            WHERE c.c_acctbal > s.s_acctbal) AS n_richer_customers
+    FROM supplier s
+    """,
+)
+def theta_join_balance_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    bucket = lambda c: F.floor(F.col(c) / 1000.0)  # noqa: E731 — fixed width
+    sup = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("key"),
+        F.col("s_acctbal").alias("bal"),
+        bucket("s_acctbal").alias("bkt"),
+        F.lit(0).alias("is_customer"),
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("key"),
+        F.col("c_acctbal").alias("bal"),
+        bucket("c_acctbal").alias("bkt"),
+        F.lit(1).alias("is_customer"),
+    )
+    # Phase 1: customers in strictly-higher buckets (tiny cumulative histogram,
+    # computed with a window over ≤ O(#buckets) rows, broadcast-joined back).
+    hist = cust.groupBy("bkt").agg(F.count(F.lit(1)).alias("n_in_bkt"))
+    w_hist = W.orderBy(F.col("bkt").desc()).rowsBetween(W.unboundedPreceding, -1)
+    above = hist.select(
+        "bkt", F.coalesce(F.sum("n_in_bkt").over(w_hist), F.lit(0)).alias("n_above_bkt")
+    )
+    # Phase 2: same-bucket strict count via ranking window, parallel per bucket.
+    both = sup.unionByName(cust)
+    w_in = (
+        W.partitionBy("bkt")
+        .orderBy(F.col("bal").desc(), F.col("is_customer").asc())
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    ranked = both.withColumn(
+        "n_in_bucket_above", F.coalesce(F.sum("is_customer").over(w_in), F.lit(0))
+    )
+    return (
+        ranked.filter(F.col("is_customer") == 0)
+        .join(F.broadcast(above), "bkt", "left")
+        .select(
+            F.col("key").alias("s_suppkey"),
+            (F.col("n_in_bucket_above") + F.coalesce(F.col("n_above_bkt"), F.lit(0))).alias(
+                "n_richer_customers"
+            ),
+        )
+    )

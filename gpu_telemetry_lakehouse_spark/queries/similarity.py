@@ -191,3 +191,67 @@ def knn_cosine_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb.filter(F.col("vec_id") < N_QUERIES).select("vec_id", "embedding").toPandas()
     )
     return SIM.cosine_topk_vectorized(emb, queries_pdf, k=5)
+
+
+# --- int8 scalar quantization round-trip error -------------------------------
+# The storage-compression step of an ANN index build: per-vector min/max
+# scalar quantization to 256 levels, then the reconstruction error that
+# quantization costs, profiled per label. Entirely JVM-side higher-order
+# array functions (transform/aggregate) — no UDF, embarrassingly parallel,
+# and the group-by output is one row per label regardless of corpus size.
+@query(
+    "embedding_quantize_error",
+    oracle="""
+    WITH per AS (
+        SELECT label, v,
+               list_min(v) AS vmin,
+               (list_max(v) - list_min(v)) / 255.0 AS step
+        FROM (SELECT label, cast(embedding AS DOUBLE[]) AS v FROM embeddings)
+    ),
+    err AS (
+        SELECT label,
+               CASE WHEN step = 0 THEN 0.0
+                    ELSE list_max(list_transform(
+                        v, x -> abs(vmin + round((x - vmin) / step) * step - x)))
+               END AS maxerr
+        FROM per
+    )
+    SELECT label,
+           COUNT(*) AS n_vecs,
+           ROUND(MAX(maxerr), 9) AS worst_err,
+           (SUM(CAST(ROUND((maxerr) * 1000000000) AS BIGINT)) / 1000000000.0)
+               AS sum_err
+    FROM err
+    GROUP BY label
+    """,
+)
+def embedding_quantize_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spread_input(load_table(spark, sf_dir, "embeddings"))
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    d = emb.select("label", v.alias("v"))
+    vmin = F.array_min(F.col("v"))
+    step = (F.array_max(F.col("v")) - vmin) / F.lit(255.0)
+    d = d.select("label", vmin.alias("vmin"), step.alias("step"), "v")
+    maxerr = F.when(F.col("step") == 0, F.lit(0.0)).otherwise(
+        F.array_max(
+            F.transform(
+                F.col("v"),
+                lambda x: F.abs(
+                    F.col("vmin")
+                    + F.round((x - F.col("vmin")) / F.col("step"), 0) * F.col("step")
+                    - x
+                ),
+            )
+        )
+    )
+    return (
+        d.select("label", maxerr.alias("maxerr"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.round(F.max("maxerr"), 9).alias("worst_err"),
+            (F.sum(F.round(F.col("maxerr") * 1_000_000_000, 0).cast("long")) / 1e9).alias(
+                "sum_err"
+            ),
+        )
+    )

@@ -168,3 +168,22 @@ def test_new_query_plans(spark, sf_dir):
     assert "Broadcast" in p and "SortMergeJoin" not in p, p[:800]
     hs = QUERIES["hash_sample_orders"](spark, sf_dir)
     assert P.exchange_count(hs) <= 1, P.explain_formatted(hs)[:800]
+
+
+def test_theta_join_plan_has_no_nested_loop(spark, sf_dir):
+    """The inequality join is re-planned as bucketed rank counting: no
+    BroadcastNestedLoopJoin / CartesianProduct may appear, the histogram
+    joins back by broadcast, and the windows are bucket-partitioned."""
+    df = QUERIES["theta_join_balance_rank"](spark, sf_dir)
+    p = P.explain_formatted(df)
+    assert "NestedLoop" not in p and "CartesianProduct" not in p, p[:1200]
+    assert "BroadcastHashJoin" in p or "BroadcastExchange" in p, p[:1200]
+
+
+def test_quantize_plan_stays_jvm_side(spark, sf_dir):
+    """Quantization must compile to higher-order array expressions — no
+    Python UDF stage (BatchEvalPython/ArrowEvalPython) in the plan."""
+    df = QUERIES["embedding_quantize_error"](spark, sf_dir)
+    p = P.explain_formatted(df)
+    assert "EvalPython" not in p, p[:1200]
+    P.assert_partial_aggregation(df)
