@@ -1,0 +1,126 @@
+"""Versioned table format (tablog): atomic commits, snapshot isolation,
+time travel, optimistic concurrency, data skipping, compaction, vacuum."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from gpu_telemetry_lakehouse_spark import tablog as T
+from gpu_telemetry_lakehouse_spark.catalog import load_table
+
+
+@pytest.fixture()
+def tbl(tmp_path):
+    return str(tmp_path / "tbl")
+
+
+def _orders(spark, sf_dir):
+    return load_table(spark, sf_dir, "orders")
+
+
+def test_create_append_read_latest(spark, sf_dir, tbl):
+    o = _orders(spark, sf_dir)
+    lo, hi = o.filter("o_orderkey % 2 = 0"), o.filter("o_orderkey % 2 = 1")
+    v0 = T.create_table(lo, tbl, stat_cols=["o_orderkey"])
+    v1 = T.append(hi, tbl, stat_cols=["o_orderkey"])
+    assert (v0, v1) == (0, 1)
+    assert T.read(spark, tbl).count() == o.count()
+
+
+def test_time_travel_and_overwrite_isolation(spark, sf_dir, tbl):
+    o = _orders(spark, sf_dir)
+    first = o.limit(100)
+    T.create_table(first, tbl)
+    n0 = T.read(spark, tbl).count()
+    T.append(o.limit(50), tbl)
+    T.overwrite(o.limit(7), tbl)
+    # Latest sees only the overwrite; every historical snapshot is intact.
+    assert T.read(spark, tbl).count() == 7
+    assert T.read(spark, tbl, version=0).count() == n0 == 100
+    assert T.read(spark, tbl, version=1).count() == 150
+    ops = [h["operation"] for h in T.history(tbl)]
+    assert ops == ["create", "append", "overwrite"]
+
+
+def test_uncommitted_files_are_invisible(spark, sf_dir, tbl):
+    o = _orders(spark, sf_dir)
+    T.create_table(o.limit(10), tbl)
+    # A crashed writer: data file present, no log entry referencing it.
+    o.limit(5).write.mode("overwrite").parquet(tbl + "_orphan_src")
+    src = next(
+        f for f in os.listdir(tbl + "_orphan_src") if f.endswith(".parquet")
+    )
+    os.rename(
+        os.path.join(tbl + "_orphan_src", src),
+        os.path.join(tbl, "part-deadbeef-orphan.parquet"),
+    )
+    assert T.read(spark, tbl).count() == 10  # orphan invisible
+
+
+def test_optimistic_concurrency_retry(spark, sf_dir, tbl):
+    o = _orders(spark, sf_dir)
+    T.create_table(o.limit(10), tbl)
+    # Simulate a racing writer that already claimed version 1.
+    with open(T._entry_path(tbl, 1), "w") as f:
+        json.dump({"version": 1, "operation": "noop", "add": [], "remove": []}, f)
+    v = T.append(o.limit(5), tbl)
+    assert v == 2  # loser retried past the contended slot
+    assert T.read(spark, tbl).count() == 15
+
+
+def test_data_skipping_prunes_files(spark, sf_dir, tbl):
+    o = _orders(spark, sf_dir).orderBy("o_orderkey")
+    # Range-partitioned write -> disjoint per-file key ranges -> skipping pays.
+    T.create_table(o.repartitionByRange(8, "o_orderkey"), tbl, stat_cols=["o_orderkey"])
+    keys = [r[0] for r in o.select("o_orderkey").limit(3).collect()]
+    lo = hi = keys[0]
+    n_read, n_total = T.pruned_file_count(tbl, "o_orderkey", lo, hi)
+    assert n_total == 8 and n_read < n_total, (n_read, n_total)
+    got = T.read(spark, tbl, between=("o_orderkey", lo, hi))
+    want = o.filter(F.col("o_orderkey").between(lo, hi))
+    assert got.count() == want.count() > 0
+
+
+def test_compaction_preserves_rows_and_history(spark, sf_dir, tbl):
+    o = _orders(spark, sf_dir)
+    T.create_table(o.limit(40).repartition(8), tbl, stat_cols=["o_orderkey"])
+    before = {f["file"] for f in T.snapshot_files(tbl)}
+    T.compact(spark, tbl, stat_cols=["o_orderkey"])
+    after = {f["file"] for f in T.snapshot_files(tbl)}
+    assert not (before & after) and len(after) < len(before)
+    assert T.read(spark, tbl).count() == 40
+    assert T.read(spark, tbl, version=0).count() == 40  # pre-compaction snapshot
+
+
+def test_vacuum_bounds_time_travel(spark, sf_dir, tbl):
+    o = _orders(spark, sf_dir)
+    T.create_table(o.limit(20).repartition(4), tbl)
+    T.compact(spark, tbl)
+    deleted = T.vacuum(tbl, keep_versions=1)
+    assert deleted  # compacted-away files reclaimed
+    assert T.read(spark, tbl).count() == 20  # latest snapshot unaffected
+
+
+def test_checkpoint_folds_log(spark, sf_dir, tbl):
+    o = _orders(spark, sf_dir)
+    T.create_table(o.limit(5), tbl)
+    for _ in range(T.CHECKPOINT_EVERY):
+        T.append(o.limit(1), tbl)
+    cps = [f for f in os.listdir(T._log_dir(tbl)) if f.startswith("_checkpoint-")]
+    assert cps, "checkpoint should exist after CHECKPOINT_EVERY commits"
+    assert T.read(spark, tbl).count() == 5 + T.CHECKPOINT_EVERY
+
+
+def test_schema_evolution_merge(spark, sf_dir, tbl):
+    o = _orders(spark, sf_dir)
+    T.create_table(o.select("o_orderkey", "o_totalprice").limit(10), tbl)
+    T.append(
+        o.select("o_orderkey", "o_totalprice", "o_orderstatus").limit(10), tbl
+    )
+    df = T.read(spark, tbl)
+    assert "o_orderstatus" in df.columns
+    assert df.filter(F.col("o_orderstatus").isNull()).count() == 10
