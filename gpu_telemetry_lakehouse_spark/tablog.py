@@ -274,6 +274,49 @@ def history(path: str) -> list[dict]:
     return out
 
 
+def committed_batch_ids(path: str) -> set:
+    """Stream batch ids already recorded in the log (exactly-once ledger)."""
+    ids = set()
+    for v in _list_versions(path):
+        e = _read_entry(path, v)
+        if "batch_id" in e:
+            ids.add(e["batch_id"])
+    return ids
+
+
+def append_batch(
+    df: DataFrame, path: str, batch_id: int, stat_cols: list[str] | None = None
+) -> int | None:
+    """Idempotent append keyed by stream batch id: a replayed epoch (restart
+    between sink write and checkpoint commit) finds its id in the log and
+    becomes a no-op instead of doubling rows — the table-format half of
+    Structured Streaming's exactly-once contract. foreachBatch calls are
+    serialized per query, so the check-then-commit window has no concurrent
+    writer for the same id."""
+    if batch_id in committed_batch_ids(path):
+        return None
+    adds = _stage_files(df, path, stat_cols or [])
+    return _commit(
+        path,
+        {
+            "operation": "stream-append",
+            "batch_id": batch_id,
+            "add": adds,
+            "schema": df.schema.json(),
+        },
+    )
+
+
+def stream_writer(path: str, stat_cols: list[str] | None = None):
+    """``foreachBatch`` callable writing a stream into a tablog table:
+    ``stream.writeStream.foreachBatch(tablog.stream_writer(path)).start()``."""
+
+    def _write(batch_df: DataFrame, batch_id: int) -> None:
+        append_batch(batch_df, path, batch_id, stat_cols)
+
+    return _write
+
+
 def vacuum(path: str, keep_versions: int = 1) -> list[str]:
     """Delete data files unreferenced by the ``keep_versions`` most recent
     snapshots (bounds time travel; frees compacted-away files). Returns the
