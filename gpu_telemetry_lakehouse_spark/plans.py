@@ -87,3 +87,17 @@ def narrow_hash_exchanges(df_or_plan: DataFrame | str, forbidden: str = "text#")
     for m in re.finditer(r"\(\d+\) Exchange\n(?:.*\n){0,3}", p):
         if "hashpartitioning" in m.group(0):
             assert forbidden not in m.group(0), m.group(0)
+
+
+def assert_runtime_bloom_filter(df: DataFrame) -> None:
+    """The optimizer must have injected a runtime bloom filter: the selective
+    dimension side builds a bloom_filter_agg whose might_contain probe is
+    applied to the fact side BEFORE its shuffle — at scale this drops most of
+    the fact scan's output on the map side of a shuffle join. Fires under the
+    production thresholds (creation side ≤ 10MB after filtering, application
+    scan ≥ 10GB); tests lower the application threshold to trigger it at
+    local data sizes."""
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "might_contain" in plan and "bloom_filter_agg" in plan, (
+        "no runtime bloom filter injected:\n" + plan[:1500]
+    )

@@ -187,3 +187,40 @@ def test_quantize_plan_stays_jvm_side(spark, sf_dir):
     p = P.explain_formatted(df)
     assert "EvalPython" not in p, p[:1200]
     P.assert_partial_aggregation(df)
+
+
+def test_runtime_bloom_filter_injection(spark, sf_dir):
+    """With production thresholds a selective dim filter over a big fact join
+    injects a bloom filter into the fact side (on by default in our session).
+    The application-side size gate is 10GB, so locally we lower only that."""
+    from gpu_telemetry_lakehouse_spark.catalog import load_table
+    from pyspark.sql import functions as F
+
+    conf = spark.conf
+    old_bcast = conf.get("spark.sql.autoBroadcastJoinThreshold")
+    old_app = conf.get(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+    )
+    try:
+        conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # force shuffle join
+        conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "1B",
+        )
+        o = load_table(spark, sf_dir, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        li = load_table(spark, sf_dir, "lineitem")
+        j = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        P.assert_runtime_bloom_filter(j)
+        assert j.count() >= 0  # plan executes with the filter in place
+    finally:
+        conf.set("spark.sql.autoBroadcastJoinThreshold", old_bcast)
+        conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            old_app,
+        )
