@@ -376,3 +376,31 @@ def theta_join_balance_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --- as-of enrichment across two tables via cogrouped pandas -----------------
+# Each event picks up the user's latest order date at or before the event —
+# the two-table as-of join, executed as groupBy().cogroup().applyInPandas
+# (pandas merge_asof per user). One co-partitioning shuffle per side, then
+# Arrow-batched per-key merges (operators/cogroup.py).
+@query(
+    "asof_enrich_orders",
+    oracle="""
+    SELECT e.event_id, e.ts, e.user_id,
+           (SELECT MAX(o.o_orderdate) FROM orders o
+            WHERE o.o_custkey = e.user_id AND o.o_orderdate <= e.ts)
+               AS last_order_ts
+    FROM events e
+    """,
+)
+def asof_enrich_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.cogroup import asof_enrich
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "ts", "user_id")
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderdate")
+    return asof_enrich(
+        ev, orders,
+        left_key="user_id", right_key="o_custkey",
+        left_ts="ts", right_ts="o_orderdate",
+        out_col="last_order_ts",
+    )

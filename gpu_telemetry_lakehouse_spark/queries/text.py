@@ -163,3 +163,70 @@ def multimodal_resize_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("decode_ok"), 1).otherwise(0)).alias("n_decoded"),
         F.round(F.avg(F.element_at("pixels", 1)), 6).alias("avg_first_px"),
     )
+
+
+# --- TF-IDF: top-k characteristic terms per document -------------------------
+# The canonical corpus-statistics operator: term frequency within the doc ×
+# inverse document frequency across the corpus, top-3 terms per doc with a
+# deterministic (score desc, token asc) tie-break. Scale shape: two shuffles
+# (doc-term count; term df) + a broadcast of the df table (vocab-sized —
+# millions of rows at web scale, still broadcastable after a min-df cut) and
+# one per-doc ranking window. N is folded in as a broadcast scalar, never a
+# driver collect of data rows.
+@query(
+    "tfidf_top_terms",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, unnest({TK}) AS token FROM documents
+    ),
+    tf AS (
+        SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY 1, 2
+    ),
+    df AS (
+        SELECT token, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY 1
+    ),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+        SELECT tf.doc_id, tf.token,
+               ROUND(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / CAST(df.df AS DOUBLE)), 6)
+                   AS tfidf
+        FROM tf JOIN df USING (token) CROSS JOIN n
+    ),
+    ranked AS (
+        SELECT doc_id, token, tfidf,
+               ROW_NUMBER() OVER (PARTITION BY doc_id
+                                  ORDER BY tfidf DESC, token ASC) AS rk
+        FROM scored
+    )
+    SELECT doc_id, token, tfidf, rk FROM ranked WHERE rk <= 3
+    """,
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from ..functions import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("token"))
+    tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tok.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = docs.groupBy().agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "token")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "token",
+            F.round(
+                F.col("tf")
+                * F.log(F.col("n_docs").cast("double") / F.col("df").cast("double")),
+                6,
+            ).alias("tfidf"),
+        )
+    )
+    w = W.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("token").asc())
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("doc_id", "token", "tfidf", "rk")
+    )
