@@ -4,6 +4,7 @@ medallion flow; asserts silver/gold values and the reference's 7 constraints."""
 from __future__ import annotations
 
 import math
+import os
 
 import pandas as pd
 import pytest
@@ -155,3 +156,19 @@ def test_notebook_plot_script_runs(built, tmp_path, spark, source_dir):
     assert proc.returncode == 0, proc.stderr[-2000:]
     produced = list(out.glob("daily_gpu_util_with_anomalies.*"))
     assert produced, proc.stdout
+
+
+def test_refresh_history_is_versioned(spark, source_dir, tmp_path_factory):
+    """Re-running the pipeline over the same lake commits new warehouse
+    snapshots instead of clobbering: history grows, and time travel to the
+    first refresh still reads the original gold rows."""
+    from gpu_telemetry_lakehouse_spark import tablog as T
+
+    lake = str(tmp_path_factory.mktemp("lake_versioned"))
+    full_refresh(spark, source_dir, lake)
+    full_refresh(spark, source_dir, lake)
+    gold_path = os.path.join(lake, "warehouse", "gold_cluster_util_daily")
+    hist = T.history(gold_path)
+    assert [h["operation"] for h in hist] == ["create", "overwrite"]
+    assert T.read(spark, gold_path, version=0).count() == 3
+    assert T.read(spark, gold_path).count() == 3
