@@ -31,12 +31,21 @@ SOURCE_FILES = {
 def ingest_csv(
     spark: SparkSession, src: str, schema: T.StructType, out_path: str
 ) -> DataFrame:
-    """One CSV -> parquet hop with the declared schema."""
+    """One CSV -> parquet hop with the declared schema.
+
+    Row-count observability (reference X2, ingest_bronze.py:17) rides the
+    write job itself via ``observe`` — no second scan. A separate ``count()``
+    would re-read the data; at 100 TB that doubles ingest cost for a log line.
+    """
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
     df = spark.read.schema(schema).option("header", True).csv(src)
+    obs = Observation()
+    df = df.observe(obs, F.count(F.lit(1)).alias("rows"))
     df.write.mode("overwrite").parquet(out_path)
-    out = spark.read.parquet(out_path)
-    log.info("Wrote %s rows -> %s", out.count(), out_path)
-    return out
+    log.info("Wrote %s rows -> %s", obs.get["rows"], out_path)
+    return spark.read.parquet(out_path)
 
 
 def ingest_all(spark: SparkSession, source_dir: str, lake_dir: str) -> dict[str, DataFrame]:

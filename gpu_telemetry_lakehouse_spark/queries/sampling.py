@@ -71,3 +71,42 @@ def stratified_user_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.count_distinct("user_id").alias("n_users"),
     )
+
+
+# --- deterministic per-group reservoir (fixed-k sample per key) --------------
+# "k examples per user/class" — the training-data balancing op. A true
+# reservoir needs sequential state; the distributed equivalent ranks rows by
+# a uniform deterministic hash and keeps the k smallest per key: same
+# marginal distribution, embarrassingly parallel (one shuffle on the key;
+# partial TakeOrdered per partition caps mapper output at k rows/key), and
+# reproducible run-to-run — which random() reservoirs are not.
+RESERVOIR_K = 5
+
+
+@query(
+    "reservoir_sample_per_user",
+    oracle=f"""
+    WITH ranked AS (
+        SELECT user_id, event_id, event_type,
+               ROW_NUMBER() OVER (
+                   PARTITION BY user_id
+                   ORDER BY md5(CAST(event_id AS VARCHAR)), event_id
+               ) AS rk
+        FROM events
+    )
+    SELECT user_id, event_id, event_type, rk
+    FROM ranked WHERE rk <= {RESERVOIR_K}
+    """,
+)
+def reservoir_sample_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy(
+        F.md5(F.col("event_id").cast("string")), F.col("event_id")
+    )
+    return (
+        ev.select("user_id", "event_id", "event_type")
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= RESERVOIR_K)
+    )
