@@ -27,6 +27,32 @@ def expect_unique(df: DataFrame, col: str, model: str = "") -> None:
         raise CheckError(f"{model}.{col}: duplicate keys present")
 
 
+def expect_accepted_values(
+    df: DataFrame, col: str, values: list, model: str = ""
+) -> None:
+    """dbt ``accepted_values``: every non-null value must be in the allow
+    list. One isin-filtered limit(1) scan — pushed to parquet as an IN."""
+    bad = df.filter(F.col(col).isNotNull() & ~F.col(col).isin(values)).limit(1).count()
+    if bad:
+        raise CheckError(f"{model}.{col}: value outside accepted set {values}")
+
+
+def expect_relationship(
+    child: DataFrame, col: str, parent: DataFrame, parent_col: str, model: str = ""
+) -> None:
+    """dbt ``relationships`` (referential integrity): every non-null child
+    key must exist in the parent. Anti join keeps it one shuffle (broadcast
+    when the parent is dimension-sized); limit(1) stops at first orphan."""
+    orphans = (
+        child.filter(F.col(col).isNotNull())
+        .join(parent.select(F.col(parent_col).alias(col)).distinct(), col, "left_anti")
+        .limit(1)
+        .count()
+    )
+    if orphans:
+        raise CheckError(f"{model}.{col}: orphan keys not in parent.{parent_col}")
+
+
 # (model, column, check) — mirrors the reference's 7 declared tests
 REFERENCE_CHECKS = [
     ("silver_jobs", "job_id", "unique"),
