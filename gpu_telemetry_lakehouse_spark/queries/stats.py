@@ -146,3 +146,44 @@ def histogram_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("value"), 6).alias("max_value"),
         )
     )
+
+
+# --- datetime feature extraction ---------------------------------------------
+# Calendar featurization for temporal ML / partitioning decisions. Field
+# conventions are pinned to ISO on both engines (Spark weekday() is
+# Monday=0 -> +1 == DuckDB isodow; weekofyear == DuckDB ISO week). Day
+# arithmetic goes through epoch math (floor(Δepoch/86400)) so both engines
+# count identical 24h units instead of their differing calendar-boundary
+# semantics; the +30d horizon stays a TIMESTAMP on both sides (never DATE —
+# engines normalize DATE differently in result sets).
+@query(
+    "datetime_features_orders",
+    oracle="""
+    SELECT o_orderkey,
+           EXTRACT(year FROM o_orderdate) AS yr,
+           EXTRACT(quarter FROM o_orderdate) AS qtr,
+           EXTRACT(month FROM o_orderdate) AS mo,
+           EXTRACT(day FROM o_orderdate) AS dom,
+           EXTRACT(isodow FROM o_orderdate) AS dow_iso,
+           EXTRACT(week FROM o_orderdate) AS week_iso,
+           CAST(floor((epoch(o_orderdate) - epoch(TIMESTAMP '1995-01-01 00:00:00'))
+                      / 86400) AS BIGINT) AS days_since_95,
+           o_orderdate + INTERVAL 30 DAY AS due_ts
+    FROM orders
+    """,
+)
+def datetime_features_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    d = F.col("o_orderdate")
+    epoch95 = F.unix_timestamp(F.lit("1995-01-01 00:00:00").cast("timestamp"))
+    return o.select(
+        "o_orderkey",
+        F.year(d).cast("long").alias("yr"),
+        F.quarter(d).cast("long").alias("qtr"),
+        F.month(d).cast("long").alias("mo"),
+        F.dayofmonth(d).cast("long").alias("dom"),
+        (F.weekday(d) + 1).cast("long").alias("dow_iso"),
+        F.weekofyear(d).cast("long").alias("week_iso"),
+        F.floor((F.unix_timestamp(d) - epoch95) / 86400).alias("days_since_95"),
+        (d + F.expr("INTERVAL 30 DAYS")).alias("due_ts"),
+    )

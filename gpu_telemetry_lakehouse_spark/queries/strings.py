@@ -72,3 +72,29 @@ def json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("k").alias("max_k"),
         )
     )
+
+
+# --- edit-distance similarity of adjacent part names -------------------------
+# Levenshtein is the classic fuzzy-matching primitive (catalog entity
+# resolution). Pairing by key+1 keeps the check deterministic and linear —
+# a real entity-resolution pass would block candidates first (LSH/sorted
+# neighborhood) exactly like the dedup operators do.
+@query(
+    "string_similarity_adjacent",
+    oracle="""
+    SELECT a.p_partkey,
+           a.p_name AS name_a, b.p_name AS name_b,
+           levenshtein(a.p_name, b.p_name) AS edit_dist
+    FROM part a JOIN part b ON b.p_partkey = a.p_partkey + 1
+    """,
+)
+def string_similarity_adjacent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    a = p.select(F.col("p_partkey"), F.col("p_name").alias("name_a"))
+    b = p.select((F.col("p_partkey") - 1).alias("p_partkey"), F.col("p_name").alias("name_b"))
+    return a.join(b, "p_partkey").select(
+        "p_partkey",
+        "name_a",
+        "name_b",
+        F.levenshtein("name_a", "name_b").alias("edit_dist"),
+    )

@@ -109,3 +109,39 @@ def window_daily_momentum(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n").over(wd.rowsBetween(W.unboundedPreceding, 0)).alias("cum_n"),
         F.rank().over(W.orderBy(F.col("n").desc(), "dt")).alias("busy_rank"),
     )
+
+
+# --- full ranking-family window: rank/dense_rank/ntile/percent_rank/cume_dist
+# One window spec shared by every ranking function -> Spark evaluates all six
+# in a single Window operator pass (one shuffle on the partition key, no
+# per-function re-sort). Deterministic total order via the key tie-break.
+@query(
+    "window_rank_family",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority,
+           RANK() OVER w AS rk,
+           DENSE_RANK() OVER w AS drk,
+           NTILE(4) OVER w AS quartile,
+           ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
+           ROUND(CUME_DIST() OVER w, 6) AS cume,
+           FIRST_VALUE(o_orderkey) OVER w AS top_key
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority
+                 ORDER BY o_totalprice DESC, o_orderkey)
+    """,
+)
+def window_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.rank().over(w).alias("rk"),
+        F.dense_rank().over(w).alias("drk"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.first("o_orderkey").over(w).alias("top_key"),
+    )
