@@ -25,9 +25,11 @@ from concurrent.futures import ThreadPoolExecutor
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 # 21 queries run concurrently, so inter-query concurrency saturates the cores;
-# a small per-query shuffle fan-out then halves task-scheduling overhead
-# (measured 23.8s -> 12.4s steady-state at sf0.1). Explicit env wins.
-os.environ.setdefault("SPARK_GRAFT_SHUFFLE", "8")
+# a small per-query shuffle fan-out then halves task-scheduling overhead.
+# Swept {4,8,16,24,32} at sf0.1: 16 wins (3.3-3.5s suite wall vs 4.2s @8,
+# 7.4s @32 — 32 tasks/stage x 21 queries thrashes the scheduler, 4-8 leaves
+# cores idle inside the heavy queries' stages). Explicit env wins.
+os.environ.setdefault("SPARK_GRAFT_SHUFFLE", "16")
 
 from gpu_telemetry_lakehouse_spark.queries import QUERIES  # noqa: E402
 from gpu_telemetry_lakehouse_spark.session import get_spark  # noqa: E402
