@@ -10,7 +10,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table, spread_input
+from ..functions import md5_int, tokens
 from ..operators import dedup as DD
+from ..operators import text as TXO
 from .registry import query
 
 K = 8          # minhash permutations
@@ -278,4 +280,64 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("node").isNotNull() & (F.col("lbl") != F.col("doc_id")))
         .cast("int")
         .alias("is_drop"),
+    )
+
+
+# --- cross-source n-gram contamination ---------------------------------------
+# Benchmark-contamination / corpus-leak detection: for every pair of sources,
+# how many distinct 3-gram shingles they share, with the overlap coefficient
+# |A∩B| / min(|A|,|B|). Scale shape: the per-source distinct shingle set is
+# ONE aggregation of (shingle-hash, source) — 8-byte keys, never text — and
+# the pair expansion happens on posting lists over sources (bounded by
+# #sources per shingle, not documents). The per-source set sizes broadcast
+# back for the coefficient.
+@query(
+    "cross_source_contamination",
+    oracle=f"""
+    WITH toks AS (SELECT source, {TK} AS tk FROM documents),
+    sh0 AS (SELECT source, {SHINGLES} AS s FROM toks),
+    d AS (SELECT DISTINCT source,
+                 unnest(list_transform(s, x -> {_md5int('x')})) AS s
+          FROM sh0),
+    sizes AS (SELECT source, COUNT(*) AS n FROM d GROUP BY source),
+    inter AS (
+        SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS n_shared
+        FROM d a JOIN d b ON a.s = b.s AND a.source < b.source
+        GROUP BY 1, 2
+    )
+    SELECT src_a, src_b, n_shared,
+           ROUND(n_shared / LEAST(sa.n, sb.n), 6) AS overlap_coef
+    FROM inter
+    JOIN sizes sa ON sa.source = src_a
+    JOIN sizes sb ON sb.source = src_b
+    WHERE n_shared >= 5
+    """,
+)
+def cross_source_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread_input(load_table(spark, sf_dir, "documents"))
+    arr = F.array_distinct(
+        F.transform(TXO.shingles(tokens(F.col("text")), 3), md5_int)
+    )
+    d = (
+        docs.select("source", arr.alias("__arr"))
+        .select("source", F.explode("__arr").alias("s"))
+        .distinct()
+    )
+    sizes = d.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    a, b = d.alias("a"), d.alias("b")
+    inter = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.source") < F.col("b.source")))
+        .groupBy(F.col("a.source").alias("src_a"), F.col("b.source").alias("src_b"))
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= 5)
+    )
+    sa = sizes.select(F.col("source").alias("src_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("source").alias("src_b"), F.col("n").alias("nb"))
+    return (
+        inter.join(F.broadcast(sa), "src_a")
+        .join(F.broadcast(sb), "src_b")
+        .select(
+            "src_a", "src_b", "n_shared",
+            F.round(F.col("n_shared") / F.least("na", "nb"), 6).alias("overlap_coef"),
+        )
     )

@@ -230,3 +230,71 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= 3)
         .select("doc_id", "token", "tfidf", "rk")
     )
+
+
+# --- unigram log-probability (perplexity-style quality filter) ---------------
+# Corpus-LM quality scoring: sum of ln(corpus unigram probability) per token,
+# normalized by token count — the cheap perplexity proxy used to filter
+# gibberish/boilerplate before training. Same scale shape as TF-IDF: one
+# token-count aggregation, the (vocab-sized) frequency table broadcast back,
+# per-doc sum. Exact cross-engine determinism via the scaled-long sum of
+# per-token ln values (each ln is a pure function of identical doubles).
+@query(
+    "doc_unigram_logprob",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, unnest({TK}) AS token FROM documents
+    ),
+    freq AS (
+        SELECT token, COUNT(*) AS c FROM tok GROUP BY token
+    ),
+    tot AS (SELECT COUNT(*) AS n FROM tok),
+    per_tok AS (
+        SELECT t.doc_id,
+               ln(CAST(f.c AS DOUBLE) / CAST(tot.n AS DOUBLE)) AS lp
+        FROM tok t JOIN freq f USING (token) CROSS JOIN tot
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_tokens,
+           (SUM(CAST(ROUND((lp) * 1000000) AS BIGINT)) / 1000000.0) AS sum_logprob,
+           ROUND((SUM(CAST(ROUND((lp) * 1000000) AS BIGINT)) / 1000000.0)
+                 / COUNT(*), 6) AS avg_logprob
+    FROM per_tok
+    GROUP BY doc_id
+    """,
+)
+def doc_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("token"))
+    freq = tok.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
+    tot = tok.groupBy().agg(F.count(F.lit(1)).alias("n"))
+    lp = F.log(F.col("c").cast("double") / F.col("n").cast("double"))
+    scaled = F.sum(F.round(lp * 1_000_000, 0).cast("long")) / 1e6
+    return (
+        tok.join(F.broadcast(freq), "token")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            scaled.alias("sum_logprob"),
+            F.round(scaled / F.count(F.lit(1)), 6).alias("avg_logprob"),
+        )
+    )
+
+
+# --- sequence packing (rows-only: greedy packing is not SQL-expressible) -----
+@query("sequence_packing", oracle=None)
+def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pack documents into 4096-char bins (operators/packing.py) and emit the
+    per-pack manifest. Deterministic greedy next-fit per hash partition."""
+    from ..operators.packing import pack_greedy
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    packed = pack_greedy(docs, size_col="n_chars", max_units=4096, order_col="doc_id")
+    return packed.groupBy("pack_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.min("doc_id").alias("first_doc"),
+    )
