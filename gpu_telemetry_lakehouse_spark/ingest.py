@@ -48,6 +48,46 @@ def ingest_csv(
     return spark.read.parquet(out_path)
 
 
+def ingest_csv_quarantine(
+    spark: SparkSession, src: str, schema: T.StructType, out_path: str
+) -> tuple[DataFrame, DataFrame]:
+    """CSV ingest that never drops data silently: rows that fail the declared
+    schema land in ``<out_path>_quarantine`` with their raw text, clean rows
+    in ``out_path``. Returns (clean, quarantined).
+
+    Mechanics: PERMISSIVE mode + ``columnNameOfCorruptRecord`` keeps the
+    malformed raw line in-band (one scan, no re-read) instead of FAILFAST
+    aborting a 100 TB job at row 3 or DROPMALFORMED silently shrinking the
+    dataset. Both counts ride the writes as observations."""
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    with_corrupt = T.StructType(
+        schema.fields + [T.StructField("_corrupt_record", T.StringType(), True)]
+    )
+    df = (
+        spark.read.schema(with_corrupt)
+        .option("header", True)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv(src)
+        .cache()  # one scan feeds both branches; corrupt-column reads require it
+    )
+    clean = df.filter(F.col("_corrupt_record").isNull()).drop("_corrupt_record")
+    bad = df.filter(F.col("_corrupt_record").isNotNull()).select("_corrupt_record")
+    obs_c, obs_b = Observation(), Observation()
+    clean.observe(obs_c, F.count(F.lit(1)).alias("rows")).write.mode("overwrite").parquet(out_path)
+    bad.observe(obs_b, F.count(F.lit(1)).alias("rows")).write.mode("overwrite").parquet(
+        out_path + "_quarantine"
+    )
+    df.unpersist()
+    log.info(
+        "Wrote %s clean rows -> %s (%s quarantined)",
+        obs_c.get["rows"], out_path, obs_b.get["rows"],
+    )
+    return spark.read.parquet(out_path), spark.read.parquet(out_path + "_quarantine")
+
+
 def ingest_all(spark: SparkSession, source_dir: str, lake_dir: str) -> dict[str, DataFrame]:
     """All five bronze datasets (skips sources missing on disk)."""
     out: dict[str, DataFrame] = {}

@@ -41,3 +41,31 @@ def test_orc_pushdown_prunes(spark, sf_dir, tmp_path):
         .toString()
     )
     assert "PushedFilters: [" in plan and "event_type" in plan.split("PushedFilters")[1]
+
+
+def test_csv_quarantine_ingest(spark, tmp_path):
+    """Malformed CSV rows are quarantined with their raw text, clean rows
+    ingest under the declared schema — nothing dropped silently."""
+    from pyspark.sql import types as T
+
+    from gpu_telemetry_lakehouse_spark.ingest import ingest_csv_quarantine
+
+    src = tmp_path / "jobs.csv"
+    src.write_text(
+        "job,started,cpu\n"
+        "a,100,1.5\n"
+        "b,not_a_number,2.0\n"   # started fails LongType
+        "c,300,oops\n"           # cpu fails DoubleType
+        "d,400,4.0\n"
+    )
+    schema = T.StructType(
+        [
+            T.StructField("job", T.StringType()),
+            T.StructField("started", T.LongType()),
+            T.StructField("cpu", T.DoubleType()),
+        ]
+    )
+    clean, bad = ingest_csv_quarantine(spark, str(src), schema, str(tmp_path / "out"))
+    assert {r.job for r in clean.collect()} == {"a", "d"}
+    raw = [r._corrupt_record for r in bad.collect()]
+    assert len(raw) == 2 and any("not_a_number" in r for r in raw)
