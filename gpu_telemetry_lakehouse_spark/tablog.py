@@ -274,6 +274,46 @@ def history(path: str) -> list[dict]:
     return out
 
 
+def merge_upsert(
+    spark: SparkSession,
+    updates: DataFrame,
+    path: str,
+    key_cols: list[str],
+    stat_cols: list[str] | None = None,
+    batch_id: int | None = None,
+) -> int | None:
+    """MERGE INTO: rows matching on ``key_cols`` are replaced by the update,
+    unmatched update rows are inserted — committed as ONE atomic version
+    (remove old files + add rewritten ones), so readers see either the whole
+    merge or none of it. ``batch_id`` makes streaming CDC apply idempotent
+    (a replayed epoch is a no-op), turning an at-least-once upstream into an
+    exactly-once table.
+
+    This implementation rewrites the full snapshot (correct at any scale,
+    proportional cost). The production refinement — rewriting only files
+    whose key ranges overlap the updates, found via the log's footer stats —
+    drops cost to O(touched files) and needs no format change; see
+    operators/scale.py::upsert_by_key for the partition-pruned variant over
+    plain layouts."""
+    if batch_id is not None and batch_id in committed_batch_ids(path):
+        return None
+    current = snapshot_files(path)
+    base = read(spark, path)
+    merged = base.join(updates.select(*key_cols), key_cols, "left_anti").unionByName(
+        updates, allowMissingColumns=True
+    )
+    adds = _stage_files(merged, path, stat_cols or [])
+    actions = {
+        "operation": "merge",
+        "add": adds,
+        "remove": [a["file"] for a in current],
+        "schema": merged.schema.json(),
+    }
+    if batch_id is not None:
+        actions["batch_id"] = batch_id
+    return _commit(path, actions)
+
+
 def committed_batch_ids(path: str) -> set:
     """Stream batch ids already recorded in the log (exactly-once ledger)."""
     ids = set()

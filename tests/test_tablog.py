@@ -124,3 +124,33 @@ def test_schema_evolution_merge(spark, sf_dir, tbl):
     df = T.read(spark, tbl)
     assert "o_orderstatus" in df.columns
     assert df.filter(F.col("o_orderstatus").isNull()).count() == 10
+
+
+def test_merge_upsert(spark, sf_dir, tbl):
+    o = _orders(spark, sf_dir)
+    T.create_table(o.limit(20), tbl, stat_cols=["o_orderkey"])
+    keys = [r.o_orderkey for r in T.read(spark, tbl).select("o_orderkey").collect()]
+    # update 3 existing keys (new status) + insert 2 unseen keys
+    upd = (
+        o.filter(F.col("o_orderkey").isin(keys[:3]))
+        .withColumn("o_orderstatus", F.lit("X"))
+        .unionByName(o.filter(~F.col("o_orderkey").isin(keys)).limit(2))
+    )
+    v = T.merge_upsert(spark, upd, tbl, key_cols=["o_orderkey"])
+    assert v == 1
+    got = T.read(spark, tbl)
+    assert got.count() == 22
+    assert got.filter(F.col("o_orderstatus") == "X").count() == 3
+    # pre-merge snapshot intact; merge is one atomic version
+    assert T.read(spark, tbl, version=0).filter(F.col("o_orderstatus") == "X").count() == 0
+    assert [h["operation"] for h in T.history(tbl)] == ["create", "merge"]
+
+
+def test_merge_upsert_idempotent_by_batch_id(spark, sf_dir, tbl):
+    o = _orders(spark, sf_dir)
+    T.create_table(o.limit(10), tbl)
+    upd = o.limit(1).withColumn("o_orderstatus", F.lit("X"))
+    assert T.merge_upsert(spark, upd, tbl, ["o_orderkey"], batch_id=7) == 1
+    # replayed CDC epoch: same batch id -> no-op, no new version
+    assert T.merge_upsert(spark, upd, tbl, ["o_orderkey"], batch_id=7) is None
+    assert len(T.history(tbl)) == 2
