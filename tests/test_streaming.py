@@ -435,3 +435,66 @@ def test_stateful_sessions_with_event_time_timeout(spark, sf_dir, replay_dir):
     missing = [k for k in must_emit if k not in got]
     assert not missing, f"closed sessions never emitted: {missing[:3]}"
     assert len(got) >= len(must_emit) > 0
+
+
+def test_transform_with_state_matches_legacy(spark, sf_dir, replay_dir):
+    """transformWithStateInPandas (RocksDB state store) produces the same
+    final per-user totals as the applyInPandasWithState operator and the
+    batch ground truth. Skips where protobuf (a TWS runtime dependency this
+    container lacks) is unavailable — the operator itself is import-clean."""
+    pytest.importorskip(
+        "google.protobuf.descriptor",
+        reason="transformWithStateInPandas requires protobuf at runtime",
+    )
+    from gpu_telemetry_lakehouse_spark.streaming.pipeline import (
+        running_user_totals_tws,
+    )
+
+    old = spark.conf.get("spark.sql.streaming.stateStore.providerClass", "")
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    emitted: list = []
+
+    def collect_batch(batch_df, epoch_id):
+        emitted.extend(
+            (epoch_id, r.user_id, r.n_events, r.sum_value, r.last_ts_us)
+            for r in batch_df.collect()
+        )
+
+    try:
+        stream = read_event_stream(spark, replay_dir, max_files_per_trigger=2)
+        q = (
+            running_user_totals_tws(stream)
+            .writeStream.outputMode("update")
+            .foreachBatch(collect_batch)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    finally:
+        if old:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", old)
+        else:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+    final: dict = {}
+    for _, uid, n, sv, last_us in sorted(emitted):
+        final[uid] = (n, round(sv, 6), last_us)
+
+    import pandas as pd
+
+    ev = pd.read_parquet(f"{replay_dir}")
+    g = ev.groupby("user_id")
+    want = {
+        int(uid): (
+            int(len(grp)),
+            round(int(grp["value"].mul(1_000_000).round().sum()) / 1e6, 6),
+            int((grp["ts"].astype("int64") // 1_000).max()),
+        )
+        for uid, grp in g
+    }
+    assert final == want
