@@ -59,3 +59,35 @@ def test_distributed_scoring_matches_driver(spark, sf_dir):
     local_scores = forest.score_samples(X).round(6)
     for dt, score in zip(pdf["dt"], local_scores):
         assert dist[dt][0] == score  # pandas-UDF path == driver path
+
+
+def test_fit_distributed_invariants(spark, sf_dir):
+    """Distributed tree-per-group training: deterministic across runs, flags
+    respect the contamination quantile, and scores land in (0, 1]."""
+    from gpu_telemetry_lakehouse_spark.ml.anomaly import (
+        fit_distributed,
+        score_distributed,
+    )
+    from gpu_telemetry_lakehouse_spark.catalog import load_table
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    daily = ev.select(
+        F.col("value").alias("avg_gpu_util"),
+        (F.col("value") * F.col("value") / 100.0).alias("p95_gpu_util"),
+        (F.col("user_id") % 97).cast("double").alias("avg_cpu_util"),
+    )
+    feats = ["avg_gpu_util", "p95_gpu_util", "avg_cpu_util"]
+    sc1, fo1 = fit_distributed(daily, feats, n_estimators=20, max_samples=64)
+    sc2, fo2 = fit_distributed(daily, feats, n_estimators=20, max_samples=64)
+    assert fo1.threshold_ == fo2.threshold_  # deterministic end-to-end
+
+    scored = score_distributed(daily, sc1, fo1, feats)
+    rows = scored.collect()
+    n = len(rows)
+    flags = sum(r.anomaly_flag for r in rows)
+    assert all(0.0 < r.anomaly_score <= 1.0 for r in rows)
+    assert all(r.anomaly_flag in (0, 1) for r in rows)
+    # threshold at the (1-contamination) quantile -> ~5% flagged (ties allow
+    # small overshoot; never more than 20% on continuous scores)
+    assert 1 <= flags <= max(2, n // 5)
