@@ -187,3 +187,29 @@ def datetime_features_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor((F.unix_timestamp(d) - epoch95) / 86400).alias("days_since_95"),
         (d + F.expr("INTERVAL 30 DAYS")).alias("due_ts"),
     )
+
+
+# --- mergeable distinct-count sketches (HLL rollup) --------------------------
+# The re-aggregatable sketch pattern that makes 100 TB distinct-counting
+# incremental: materialize a per-day HyperLogLog sketch of users ONCE, then
+# answer any coarser rollup (weekly here) by merging sketches — no re-scan
+# of raw events, and sketches merge associatively across partitions/days.
+# Estimates are approximate by design -> rows-only; the invariant test pins
+# the estimate within HLL error of the exact count (tests/test_properties or
+# test_ml-style check in tests/test_plans.py companion).
+@query("hll_user_rollup", oracle=None)
+def hll_user_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.date_trunc("day", "ts").alias("dt")).agg(
+        F.expr("hll_sketch_agg(user_id, 14)").alias("sk"),
+        F.count_distinct("user_id").alias("exact_daily"),
+    )
+    return (
+        daily.groupBy(F.date_trunc("week", "dt").alias("week"))
+        .agg(
+            F.expr("hll_sketch_estimate(hll_union_agg(sk))").alias("est_weekly_users"),
+            F.sum("exact_daily").alias("sum_daily_exact"),
+            F.count(F.lit(1)).alias("n_days"),
+        )
+        .select("week", "est_weekly_users", "sum_daily_exact", "n_days")
+    )

@@ -168,3 +168,28 @@ def test_misra_gries_candidates_cover_heavy_hitters(spark, rows, k):
     counts = Counter(rows)
     heavy = {v for v, c in counts.items() if c > len(rows) / k}
     assert heavy <= cands, f"missed heavy hitters: {heavy - cands}"
+
+
+def test_hll_rollup_estimates_within_error(spark, sf_dir):
+    """Merged weekly HLL estimates must sit within HLL(lgK=14) error (<1%,
+    asserted at 3%) of the exact weekly distinct count, and the sum of daily
+    exacts upper-bounds the weekly distinct."""
+    from pyspark.sql import functions as F
+
+    from gpu_telemetry_lakehouse_spark.catalog import load_table
+    from gpu_telemetry_lakehouse_spark.queries import QUERIES
+
+    got = {r.week: r for r in QUERIES["hll_user_rollup"](spark, sf_dir).collect()}
+    ev = load_table(spark, sf_dir, "events")
+    exact = {
+        r.week: r.exact
+        for r in ev.groupBy(
+            F.date_trunc("week", F.date_trunc("day", "ts")).alias("week")
+        )
+        .agg(F.count_distinct("user_id").alias("exact"))
+        .collect()
+    }
+    assert set(got) == set(exact) and got
+    for wk, row in got.items():
+        assert abs(row.est_weekly_users - exact[wk]) <= max(2, 0.03 * exact[wk])
+        assert row.sum_daily_exact >= exact[wk]
