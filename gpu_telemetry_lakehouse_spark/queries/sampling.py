@@ -110,3 +110,40 @@ def reservoir_sample_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= RESERVOIR_K)
     )
+
+
+# --- deterministic train/val/test split --------------------------------------
+# The split every training pipeline needs: entity-keyed (all of a user's
+# rows land in ONE split — row-level splits leak sequences across sets),
+# deterministic (md5 bucket, no RNG state), and proportioned by hash range
+# (~80/10/10). One map-side projection; no shuffle beyond the audit agg.
+@query(
+    "train_val_test_split",
+    oracle="""
+    WITH tagged AS (
+        SELECT event_type,
+               CASE
+                   WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 2) < 'cc'
+                       THEN 'train'
+                   WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 2) < 'e6'
+                       THEN 'val'
+                   ELSE 'test'
+               END AS split
+        FROM events
+    )
+    SELECT split, event_type, COUNT(*) AS n
+    FROM tagged
+    GROUP BY split, event_type
+    """,
+)
+def train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    prefix = F.substring(F.md5(F.col("user_id").cast("string")), 1, 2)
+    split = (
+        F.when(prefix < "cc", "train").when(prefix < "e6", "val").otherwise("test")
+    )
+    return (
+        ev.withColumn("split", split)
+        .groupBy("split", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

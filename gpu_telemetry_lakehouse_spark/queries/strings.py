@@ -98,3 +98,36 @@ def string_similarity_adjacent(spark: SparkSession, sf_dir: str) -> DataFrame:
         "name_b",
         F.levenshtein("name_a", "name_b").alias("edit_dist"),
     )
+
+
+# --- VARIANT semi-structured extraction --------------------------------------
+# Spark 4's VARIANT type: parse JSON once into a binary variant, extract
+# typed paths with variant_get — the modern semi-structured path that
+# replaces per-access get_json_object string re-parsing (at scale, parsing
+# every props string once per referenced field multiplies scan CPU; variant
+# parses once and shreds). Same aggregate shape as json_extract_props so the
+# two stay comparable.
+@query(
+    "variant_props_stats",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n,
+           SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
+           COUNT(DISTINCT CAST(json_extract(props, '$.k') AS BIGINT) % 10)
+               AS n_k_buckets
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def variant_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    k = F.expr("variant_get(parse_json(props), '$.k', 'bigint')")
+    return (
+        ev.withColumn("k", k)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.count_distinct(F.col("k") % 10).alias("n_k_buckets"),
+        )
+    )

@@ -91,3 +91,22 @@ def test_fit_distributed_invariants(spark, sf_dir):
     # threshold at the (1-contamination) quantile -> ~5% flagged (ties allow
     # small overshoot; never more than 20% on continuous scores)
     assert 1 <= flags <= max(2, n // 5)
+
+
+def test_pandas_on_spark_verification_summary(spark, sf_dir):
+    """The reference's verification summary (README.md:526-533: SUM(flag),
+    COUNT(*) over the scored gold) written in pandas-on-Spark — reference
+    users' pandas idioms run on the engine unchanged, executed by Catalyst
+    instead of single-node pandas."""
+    import pyspark.pandas as ps
+
+    from gpu_telemetry_lakehouse_spark.queries import QUERIES
+
+    scored = QUERIES["anomaly_daily"](spark, sf_dir)
+    psdf = scored.pandas_api()
+    num_anomalies = int(psdf["anomaly_flag"].sum())
+    total_days = len(psdf)
+    assert total_days == scored.count()
+    assert 0 < num_anomalies < total_days  # contamination flags a strict subset
+    frac = num_anomalies / total_days
+    assert 0.01 <= frac <= 0.2  # ~5% contamination with small-n tie slack
