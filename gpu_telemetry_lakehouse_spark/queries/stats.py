@@ -213,3 +213,30 @@ def hll_user_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("week", "est_weekly_users", "sum_daily_exact", "n_days")
     )
+
+
+# --- theta sketch set algebra (distinct-set intersection at scale) -----------
+# Theta sketches extend HLL with set OPERATIONS: per-group user sketches
+# support union/intersection/difference estimates without ever holding the
+# sets. Here: estimated distinct-user overlap between every pair of event
+# types — the audience-overlap query that is quadratic-infeasible exactly at
+# 100 TB but constant-space with sketches. Approximate -> rows-only; the
+# invariant test checks against exact intersections at test scale.
+@query("theta_user_overlap", oracle=None)
+def theta_user_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    sk = ev.groupBy("event_type").agg(
+        F.expr("theta_sketch_agg(user_id)").alias("sk")
+    )
+    a = sk.select(F.col("event_type").alias("type_a"), F.col("sk").alias("sk_a"))
+    b = sk.select(F.col("event_type").alias("type_b"), F.col("sk").alias("sk_b"))
+    return (
+        a.join(b, F.col("type_a") < F.col("type_b"))
+        .select(
+            "type_a",
+            "type_b",
+            F.expr("theta_sketch_estimate(theta_intersection(sk_a, sk_b))")
+            .cast("long")
+            .alias("est_shared_users"),
+        )
+    )

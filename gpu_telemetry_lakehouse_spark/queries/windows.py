@@ -145,3 +145,42 @@ def window_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.cume_dist().over(w), 6).alias("cume"),
         F.first("o_orderkey").over(w).alias("top_key"),
     )
+
+
+# --- time-RANGE window frame (value-based, not row-based) --------------------
+# "Everything in the trailing hour" per event: a RANGE frame over epoch
+# seconds — the frame every rolling telemetry metric actually wants (ROWS
+# frames count rows, which breaks under irregular event spacing). Spark
+# evaluates RANGE frames with a sliding aggregate over the sorted partition
+# — same one-shuffle cost as ROWS.
+@query(
+    "window_trailing_hour_range",
+    oracle="""
+    SELECT event_id, user_id,
+           COUNT(*) OVER w AS n_trailing_1h,
+           (SUM(CAST(ROUND(value * 1000000) AS BIGINT)) OVER w) / 1000000.0
+               AS sum_trailing_1h
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch(ts)
+                 RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+    """,
+)
+def window_trailing_hour_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    # epoch seconds as the RANGE ordering key on both engines (DuckDB's
+    # RANGE over a raw timestamp needs an INTERVAL bound; the numeric form
+    # is engine-portable and identical arithmetic)
+    epoch_s = (F.unix_micros(F.col("ts")) / 1_000_000.0)
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(epoch_s)
+        .rangeBetween(-3600, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.count(F.lit(1)).over(w).alias("n_trailing_1h"),
+        (F.sum(F.round(F.col("value") * 1_000_000, 0).cast("long")).over(w) / 1e6).alias(
+            "sum_trailing_1h"
+        ),
+    )

@@ -193,3 +193,28 @@ def test_hll_rollup_estimates_within_error(spark, sf_dir):
     for wk, row in got.items():
         assert abs(row.est_weekly_users - exact[wk]) <= max(2, 0.03 * exact[wk])
         assert row.sum_daily_exact >= exact[wk]
+
+
+def test_theta_overlap_matches_exact_at_test_scale(spark, sf_dir):
+    """Theta-sketch intersection estimates equal the exact pairwise overlap
+    at test cardinalities (sketch is exact below its nominal entries)."""
+    from pyspark.sql import functions as F
+
+    from gpu_telemetry_lakehouse_spark.catalog import load_table
+    from gpu_telemetry_lakehouse_spark.queries import QUERIES
+
+    got = {
+        (r.type_a, r.type_b): r.est_shared_users
+        for r in QUERIES["theta_user_overlap"](spark, sf_dir).collect()
+    }
+    ev = load_table(spark, sf_dir, "events")
+    sets = {
+        r.event_type: set(r.users)
+        for r in ev.groupBy("event_type")
+        .agg(F.collect_set("user_id").alias("users"))
+        .collect()
+    }
+    assert got
+    for (ta, tb), est in got.items():
+        exact = len(sets[ta] & sets[tb])
+        assert abs(est - exact) <= max(1, 0.02 * exact), (ta, tb, est, exact)
