@@ -209,7 +209,10 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     tok = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("token"))
     tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
-    dfreq = tok.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    # df derives from tf (already one row per (doc, token)) — a count per
+    # token over the aggregated frame, NOT a second tokenization pass with a
+    # countDistinct expansion over raw tokens.
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     n_docs = docs.groupBy().agg(F.count(F.lit(1)).alias("n_docs"))
     scored = (
         tf.join(F.broadcast(dfreq), "token")
@@ -269,7 +272,9 @@ def doc_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     tok = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("token"))
     freq = tok.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
-    tot = tok.groupBy().agg(F.count(F.lit(1)).alias("n"))
+    # corpus total derives from the (vocab-sized) frequency table — not a
+    # third scan of the raw token stream
+    tot = freq.groupBy().agg(F.sum("c").alias("n"))
     lp = F.log(F.col("c").cast("double") / F.col("n").cast("double"))
     scaled = F.sum(F.round(lp * 1_000_000, 0).cast("long")) / 1e6
     return (
