@@ -357,6 +357,41 @@ def stream_writer(path: str, stat_cols: list[str] | None = None):
     return _write
 
 
+def current_version(path: str) -> int | None:
+    versions = _list_versions(path)
+    return versions[-1] if versions else None
+
+
+def read_incremental(
+    spark: SparkSession, path: str, since_version: int | None
+) -> tuple[DataFrame | None, int | None]:
+    """Rows added to the table AFTER ``since_version`` (None = everything):
+    the change feed an incremental consumer needs. Returns (df, version to
+    record for the next call); df is None when nothing new arrived.
+
+    Reads only the net-new files named by the log tail — cost proportional
+    to the CHANGE, not the table. This is what turns a 100 TB continuous
+    aggregate from a nightly full re-scan into a per-batch delta
+    aggregation (see the continuous-aggregate test in test_tablog.py).
+    Assumes append-style commits for the delta window (true for stream/
+    append ingestion; an overwrite/merge in the window requires a full
+    recompute, which the caller detects via history())."""
+    tip = current_version(path)
+    if tip is None or (since_version is not None and tip <= since_version):
+        return None, tip
+    if since_version is None:
+        return read(spark, path), tip
+    prev = {a["file"] for a in snapshot_files(path, since_version)}
+    now = snapshot_files(path, tip)
+    new_files = [a for a in now if a["file"] not in prev]
+    if not new_files:
+        return None, tip
+    df = spark.read.option("mergeSchema", "true").parquet(
+        *[os.path.join(path, a["file"]) for a in new_files]
+    )
+    return df, tip
+
+
 def vacuum(path: str, keep_versions: int = 1) -> list[str]:
     """Delete data files unreferenced by the ``keep_versions`` most recent
     snapshots (bounds time travel; frees compacted-away files). Returns the

@@ -154,3 +154,58 @@ def test_merge_upsert_idempotent_by_batch_id(spark, sf_dir, tbl):
     # replayed CDC epoch: same batch id -> no-op, no new version
     assert T.merge_upsert(spark, upd, tbl, ["o_orderkey"], batch_id=7) is None
     assert len(T.history(tbl)) == 2
+
+
+def test_continuous_aggregate_incremental_refresh(spark, sf_dir, tmp_path):
+    """Continuous-aggregate pattern: the rollup refreshes from the change
+    feed (files added since the last seen version) + merge_upsert of only
+    the touched group keys — and stays equal to a full recompute."""
+    from gpu_telemetry_lakehouse_spark.catalog import load_table
+
+    ev_path = str(tmp_path / "events_t")
+    agg_path = str(tmp_path / "agg_t")
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "value")
+
+    def rollup(df):
+        return df.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("value") * 1_000_000, 0).cast("long")).alias("sum_scaled"),
+        )
+
+    # initial load + first full rollup
+    T.create_table(ev.filter("user_id % 3 = 0"), ev_path)
+    delta, seen = T.read_incremental(spark, ev_path, None)
+    T.create_table(rollup(delta), agg_path)
+
+    # two append batches, each refreshed incrementally
+    for m in (1, 2):
+        T.append(ev.filter(f"user_id % 3 = {m}"), ev_path)
+        delta, seen2 = T.read_incremental(spark, ev_path, seen)
+        assert delta is not None and seen2 > seen
+        seen = seen2
+        # merge: combine delta partials with existing groups
+        cur = T.read(spark, agg_path)
+        d = rollup(delta).select(
+            "event_type",
+            F.col("n").alias("dn"),
+            F.col("sum_scaled").alias("dsum"),
+        )
+        merged = (
+            cur.join(d, "event_type", "full_outer")
+            .select(
+                "event_type",
+                (F.coalesce("n", F.lit(0)) + F.coalesce("dn", F.lit(0))).alias("n"),
+                (F.coalesce("sum_scaled", F.lit(0)) + F.coalesce("dsum", F.lit(0))).alias(
+                    "sum_scaled"
+                ),
+            )
+        )
+        T.merge_upsert(spark, merged, agg_path, key_cols=["event_type"])
+
+    # nothing new -> no-op change feed
+    none_delta, _ = T.read_incremental(spark, ev_path, seen)
+    assert none_delta is None
+
+    got = {r.event_type: (r.n, r.sum_scaled) for r in T.read(spark, agg_path).collect()}
+    want = {r.event_type: (r.n, r.sum_scaled) for r in rollup(ev).collect()}
+    assert got == want  # incremental == full recompute, exactly
