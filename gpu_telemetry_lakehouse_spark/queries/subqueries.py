@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..catalog import load_table
+from ..catalog import load_table, register_views
 from ..functions import exact_avg, exact_sum
 from .registry import davg, dsum, query
 
@@ -416,4 +416,48 @@ def array_norms_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("sq_norm_scaled").desc(), "vec_id")
         .limit(100)
+    )
+
+
+# --- recursive CTE (Spark 4): month spine + zero-filled rollup ---------------
+# Generates the complete month spine between the first and last order date
+# by recursion — months with no orders appear with n=0 (the gap every naive
+# GROUP BY silently drops). Both engines run the SAME recursive SQL shape;
+# recursion depth = #months (~80), well under the engine iteration cap.
+# Scale note: a recursive spine is driver-cheap (rows = months); the orders
+# aggregation is the only data-sized stage and joins the spine broadcast.
+@query(
+    "recursive_month_spine",
+    oracle="""
+    WITH RECURSIVE spine(mo) AS (
+        SELECT date_trunc('month', MIN(o_orderdate)) FROM orders
+        UNION ALL
+        SELECT mo + INTERVAL 1 MONTH FROM spine
+        WHERE mo < (SELECT date_trunc('month', MAX(o_orderdate)) FROM orders)
+    ),
+    per_month AS (
+        SELECT date_trunc('month', o_orderdate) AS mo, COUNT(*) AS n_orders
+        FROM orders GROUP BY 1
+    )
+    SELECT s.mo, COALESCE(p.n_orders, 0) AS n_orders
+    FROM spine s LEFT JOIN per_month p ON p.mo = s.mo
+    """,
+)
+def recursive_month_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir, ["orders"])
+    return spark.sql(
+        """
+        WITH RECURSIVE spine(mo) AS (
+            SELECT date_trunc('month', MIN(o_orderdate)) FROM orders
+            UNION ALL
+            SELECT mo + INTERVAL 1 MONTH FROM spine
+            WHERE mo < (SELECT date_trunc('month', MAX(o_orderdate)) FROM orders)
+        ),
+        per_month AS (
+            SELECT date_trunc('month', o_orderdate) AS mo, COUNT(*) AS n_orders
+            FROM orders GROUP BY 1
+        )
+        SELECT s.mo, COALESCE(p.n_orders, 0) AS n_orders
+        FROM spine s LEFT JOIN per_month p ON p.mo = s.mo
+        """
     )

@@ -184,3 +184,33 @@ def window_trailing_hour_range(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_trailing_1h"
         ),
     )
+
+
+# --- holistic aggregates as window functions ---------------------------------
+# Median/percentile evaluated over a window partition: every event carries
+# its type's median and p90 for in-row anomaly ratios (value vs cohort) —
+# no join-back. Holistic window aggs buffer the partition (unlike
+# streaming-friendly frames), so at scale the partition key must bound
+# group size — event_type does (cohort stats), a user-id partition with
+# billions of rows would not.
+@query(
+    "window_median_by_type",
+    oracle="""
+    SELECT event_id,
+           ROUND(median(value) OVER w, 6) AS type_median,
+           ROUND(quantile_cont(value, 0.9) OVER w, 6) AS type_p90,
+           ROUND(value - median(value) OVER w, 6) AS delta_vs_median
+    FROM events
+    WINDOW w AS (PARTITION BY event_type)
+    """,
+)
+def window_median_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("event_type")
+    med = F.median("value").over(w)
+    return ev.select(
+        "event_id",
+        F.round(med, 6).alias("type_median"),
+        F.round(F.percentile("value", 0.9).over(w), 6).alias("type_p90"),
+        F.round(F.col("value") - med, 6).alias("delta_vs_median"),
+    )
