@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..catalog import load_table
+from ..catalog import load_table, register_views
 from .registry import query
 
 
@@ -130,4 +130,33 @@ def variant_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("k").alias("sum_k"),
             F.count_distinct(F.col("k") % 10).alias("n_k_buckets"),
         )
+    )
+
+
+# --- ordered string aggregation (LISTAGG) ------------------------------------
+# The reporting concatenation op (SQL:2023 LISTAGG, Spark 4 native): nations
+# per region as a deterministic ordered CSV. WITHIN GROUP (ORDER BY) is the
+# determinism contract — unordered string_agg output is partition-order
+# dependent and would never hash-match.
+@query(
+    "listagg_nations_per_region",
+    oracle="""
+    SELECT r.r_name,
+           string_agg(n.n_name, ',' ORDER BY n.n_name) AS nations_csv,
+           COUNT(*) AS n_nations
+    FROM region r JOIN nation n ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name
+    """,
+)
+def listagg_nations_per_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir, ["region", "nation"])
+    return spark.sql(
+        """
+        SELECT r.r_name,
+               listagg(n.n_name, ',') WITHIN GROUP (ORDER BY n.n_name)
+                   AS nations_csv,
+               COUNT(*) AS n_nations
+        FROM region r JOIN nation n ON n.n_regionkey = r.r_regionkey
+        GROUP BY r.r_name
+        """
     )

@@ -461,3 +461,40 @@ def recursive_month_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM spine s LEFT JOIN per_month p ON p.mo = s.mo
         """
     )
+
+
+# --- correlated LATERAL derived table ----------------------------------------
+# Top-2 orders per customer via JOIN LATERAL (the per-row subquery form;
+# Catalyst decorrelates it into a ranked window under the hood — same plan
+# class as window_topk_per_group, expressed in the SQL shape analysts write).
+@query(
+    "lateral_top_orders",
+    oracle="""
+    SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+    FROM customer c
+    JOIN LATERAL (
+        SELECT o_orderkey, o_totalprice
+        FROM orders
+        WHERE o_custkey = c.c_custkey
+        ORDER BY o_totalprice DESC, o_orderkey
+        LIMIT 2
+    ) o ON true
+    WHERE c.c_custkey < 100
+    """,
+)
+def lateral_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir, ["customer", "orders"])
+    return spark.sql(
+        """
+        SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+        FROM customer c
+        JOIN LATERAL (
+            SELECT o_orderkey, o_totalprice
+            FROM orders
+            WHERE o_custkey = c.c_custkey
+            ORDER BY o_totalprice DESC, o_orderkey
+            LIMIT 2
+        ) o
+        WHERE c.c_custkey < 100
+        """
+    )
