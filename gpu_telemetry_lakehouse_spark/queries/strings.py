@@ -160,3 +160,36 @@ def listagg_nations_per_region(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY r.r_name
         """
     )
+
+
+# --- ANSI-safe TRY functions -------------------------------------------------
+# Under ANSI mode (Spark 4 default) a single malformed value fails the whole
+# job; try_cast/try_divide convert per-row failures to NULL — the row-level
+# quarantine for expressions (the scan-level twin is
+# ingest.ingest_csv_quarantine). Both engines NULL the same rows, so the
+# differential stays exact.
+@query(
+    "try_safety_functions",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n,
+           COUNT(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT))
+               AS n_numeric_k,
+           SUM(CASE WHEN value IS NULL OR value = 0 THEN 1 ELSE 0 END)
+               AS n_unsafe_div
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def try_safety_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    k_str = F.get_json_object("props", "$.k")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count(F.expr("try_cast(get_json_object(props, '$.k') AS BIGINT)")).alias(
+            "n_numeric_k"
+        ),
+        F.sum(
+            F.expr("try_divide(1.0, value)").isNull().cast("long")
+        ).alias("n_unsafe_div"),
+    )
