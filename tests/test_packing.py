@@ -43,3 +43,28 @@ def test_deterministic_assignment(spark, sf_dir):
     a = _packed(spark, sf_dir).select("doc_id", "pack_id", "pack_pos")
     b = _packed(spark, sf_dir).select("doc_id", "pack_id", "pack_pos")
     assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_pack_greedy_property_random_sizes(spark):
+    """Property check over adversarial size distributions (zeros, oversize
+    rows, max-boundary sizes): budget/completeness/determinism hold."""
+    import random
+
+    rnd = random.Random(7)
+    rows = [
+        (i, rnd.choice([0, 1, 5, MAX // 2, MAX - 1, MAX, MAX + 100, rnd.randint(1, MAX)]))
+        for i in range(500)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, n_chars long")
+    packed = pack_greedy(df, size_col="n_chars", max_units=MAX, order_col="doc_id")
+    out = packed.collect()
+    assert len(out) == 500
+    by_pack: dict = {}
+    for r in out:
+        by_pack.setdefault(r.pack_id, []).append(r)
+    for pid, members in by_pack.items():
+        total = sum(m.n_chars for m in members)
+        if len(members) > 1:
+            assert total <= MAX, (pid, total)
+        poss = sorted(m.pack_pos for m in members)
+        assert poss == list(range(len(members)))
