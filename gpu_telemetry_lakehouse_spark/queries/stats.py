@@ -240,3 +240,22 @@ def theta_user_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("est_shared_users"),
         )
     )
+
+
+# --- bitmap-based exact distinct counting ------------------------------------
+# The EXACT mergeable alternative to HLL: per-bucket roaring-style bitmaps
+# of user ids (bitmap_construct_agg), OR-merged per event type — exact
+# distinct counts with sketch-like re-aggregatability (pre-compute per
+# partition/day, merge later without raw re-scan). Works because ids are
+# dense integers; HLL remains the fallback for unbounded key domains.
+# DuckDB has no bitmap-agg twin -> rows-only; the invariant test pins
+# equality with COUNT(DISTINCT).
+@query("bitmap_distinct_users", oracle=None)
+def bitmap_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    per_bucket = ev.groupBy(
+        "event_type", F.expr("bitmap_bucket_number(user_id)").alias("bkt")
+    ).agg(F.expr("bitmap_construct_agg(bitmap_bit_position(user_id))").alias("bm"))
+    return per_bucket.groupBy("event_type").agg(
+        F.expr("sum(bitmap_count(bm))").cast("long").alias("n_distinct_users")
+    )

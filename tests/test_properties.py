@@ -218,3 +218,25 @@ def test_theta_overlap_matches_exact_at_test_scale(spark, sf_dir):
     for (ta, tb), est in got.items():
         exact = len(sets[ta] & sets[tb])
         assert abs(est - exact) <= max(1, 0.02 * exact), (ta, tb, est, exact)
+
+
+def test_bitmap_distinct_equals_exact(spark, sf_dir):
+    """Bitmap aggregation is EXACT: per-type distinct users via bitmap
+    buckets must equal COUNT(DISTINCT)."""
+    from pyspark.sql import functions as F
+
+    from gpu_telemetry_lakehouse_spark.catalog import load_table
+    from gpu_telemetry_lakehouse_spark.queries import QUERIES
+
+    got = {
+        r.event_type: r.n_distinct_users
+        for r in QUERIES["bitmap_distinct_users"](spark, sf_dir).collect()
+    }
+    want = {
+        r.event_type: r.n
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert got == want and got
