@@ -436,3 +436,40 @@ def running_user_totals_tws(stream: DataFrame) -> DataFrame:
         outputMode="Update",
         timeMode="None",
     )
+
+
+def errors_with_optional_click(
+    clicks: DataFrame,
+    errors: DataFrame,
+    lookback: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join: every error row survives, with
+    NULL click columns when no click preceded it — the variant the inner
+    join (clicks_before_errors) cannot express ("which failures had NO
+    leading user activity?").
+
+    Outer stream-stream joins add a second constraint beyond the inner
+    form's: the NULL-padded result for an unmatched error can only be
+    emitted once the click watermark passes the error's join window (before
+    that a matching click might still arrive), so outer results trail the
+    watermark by design — correctness over latency, deterministically."""
+    e = errors.select(
+        F.col("user_id").alias("e_user"),
+        F.col("ts").alias("error_ts"),
+        F.col("event_id").alias("error_id"),
+    ).withWatermark("error_ts", watermark)
+    c = clicks.select(
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("click_ts"),
+        F.col("event_id").alias("click_id"),
+    ).withWatermark("click_ts", watermark)
+    return e.join(
+        c,
+        (F.col("e_user") == F.col("c_user"))
+        & (F.col("click_ts") <= F.col("error_ts"))
+        & (F.col("click_ts") >= F.col("error_ts") - F.expr(f"INTERVAL {lookback}")),
+        "left_outer",
+    ).select(
+        F.col("e_user").alias("user_id"), "error_id", "error_ts", "click_id", "click_ts"
+    )

@@ -498,3 +498,45 @@ def test_transform_with_state_matches_legacy(spark, sf_dir, replay_dir):
         for uid, grp in g
     }
     assert final == want
+
+
+def test_stream_stream_left_outer_join(spark, sf_dir, replay_dir):
+    """Left-outer stream-stream interval join == its batch twin: every error
+    appears; errors without a preceding click carry NULL click columns."""
+    from gpu_telemetry_lakehouse_spark.streaming.pipeline import (
+        errors_with_optional_click,
+        read_event_stream,
+    )
+
+    stream = read_event_stream(spark, replay_dir, max_files_per_trigger=2)
+    clicks_s = stream.filter(F.col("event_type") == "click")
+    errors_s = stream.filter(F.col("event_type") == "error")
+    q = (
+        errors_with_optional_click(clicks_s, errors_s)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("t_outer_join")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            (r.user_id, r.error_id, r.click_id)
+            for r in spark.table("t_outer_join").collect()
+        }
+    finally:
+        q.stop()
+
+    ev = load_table(spark, sf_dir, "events")
+    batch = errors_with_optional_click(
+        ev.filter(F.col("event_type") == "click"),
+        ev.filter(F.col("event_type") == "error"),
+    )
+    want = {(r.user_id, r.error_id, r.click_id) for r in batch.collect()}
+    # The stream result may lag only by watermark-held NULL rows at stream
+    # end; matched rows must agree exactly and stream ⊆ batch.
+    assert got
+    assert got <= want
+    matched_got = {t for t in got if t[2] is not None}
+    matched_want = {t for t in want if t[2] is not None}
+    assert matched_got == matched_want
