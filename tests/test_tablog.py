@@ -209,3 +209,32 @@ def test_continuous_aggregate_incremental_refresh(spark, sf_dir, tmp_path):
     got = {r.event_type: (r.n, r.sum_scaled) for r in T.read(spark, agg_path).collect()}
     want = {r.event_type: (r.n, r.sum_scaled) for r in rollup(ev).collect()}
     assert got == want  # incremental == full recompute, exactly
+
+
+def test_concurrent_writers_all_commit(spark, sf_dir, tbl):
+    """Four threads appending concurrently: optimistic concurrency must give
+    every writer its own version (no lost updates, no torn reads) and the
+    final table holds every row exactly once."""
+    import threading
+
+    o = _orders(spark, sf_dir)
+    T.create_table(o.limit(0), tbl)
+    chunks = [o.filter(F.col("o_orderkey") % 4 == m).limit(25) for m in range(4)]
+    errors: list = []
+
+    def write(df):
+        try:
+            T.append(df, tbl)
+        except Exception as e:  # pragma: no cover - failure surface
+            errors.append(e)
+
+    threads = [threading.Thread(target=write, args=(c,)) for c in chunks]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors
+    hist = T.history(tbl)
+    assert [h["version"] for h in hist] == [0, 1, 2, 3, 4]  # dense, no gaps
+    expected = sum(c.count() for c in chunks)
+    assert T.read(spark, tbl).count() == expected
