@@ -303,3 +303,31 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_chars").alias("total_chars"),
         F.min("doc_id").alias("first_doc"),
     )
+
+
+# --- positional tokenization (posexplode / WITH ORDINALITY) ------------------
+# Token with its 1-based position — the input shape for positional n-gram
+# features and alignment labels. posexplode is the ordinal-preserving
+# explode; first-5 filter keeps output bounded (prefix tokens are the
+# feature set that matters for headline/title heuristics).
+@query(
+    "tokens_with_position",
+    oracle=f"""
+    SELECT doc_id, pos, token FROM (
+        SELECT doc_id,
+               generate_subscripts(tk, 1) AS pos,
+               unnest(tk) AS token
+        FROM (SELECT doc_id, {TK} AS tk FROM documents)
+    )
+    WHERE pos <= 5
+    """,
+)
+def tokens_with_position(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", F.posexplode(tokens(F.col("text"))).alias("pos0", "token"))
+        .select("doc_id", (F.col("pos0") + 1).alias("pos"), "token")
+        .filter(F.col("pos") <= 5)
+    )
