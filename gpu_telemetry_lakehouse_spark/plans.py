@@ -101,3 +101,57 @@ def assert_runtime_bloom_filter(df: DataFrame) -> None:
     assert "might_contain" in plan and "bloom_filter_agg" in plan, (
         "no runtime bloom filter injected:\n" + plan[:1500]
     )
+
+
+def executed_metrics(df: DataFrame) -> list[tuple[str, dict]]:
+    """Execute ``df`` and return per-operator SQL metrics from ITS OWN query
+    execution — (nodeName, {metric: value}) in plan order, descending through
+    AQE query stages. This is runtime observability (rows/bytes/spills that
+    actually happened), complementing the static shape checks above. Uses
+    collect() so the metrics belong to this execution; intended for
+    diagnostics and tests, not for result-set-sized production outputs."""
+    df.collect()
+    out: list[tuple[str, dict]] = []
+    seen: set[int] = set()
+
+    def walk(node) -> None:
+        if node.id() in seen:
+            return
+        seen.add(node.id())
+        it = node.metrics().iterator()
+        vals: dict = {}
+        while it.hasNext():
+            kv = it.next()
+            vals[kv._1()] = kv._2().value()
+        out.append((node.nodeName(), vals))
+        for i in range(node.children().size()):
+            walk(node.children().apply(i))
+        name = node.nodeName()
+        if name.endswith("QueryStage"):
+            walk(node.plan())
+        elif name == "AdaptiveSparkPlan":
+            walk(node.executedPlan())
+
+    walk(df._jdf.queryExecution().executedPlan())
+    return out
+
+
+def assert_map_side_combine(df: DataFrame, factor: int = 10) -> None:
+    """MEASURED partial-aggregation gate: the records actually written to the
+    shuffle must be at least ``factor``x fewer than the rows the scans
+    produced — i.e. the map-side combine really collapsed the data before
+    the exchange, not just in the plan picture."""
+    metrics = executed_metrics(df)
+    scanned = sum(
+        d.get("numOutputRows", 0)
+        for n, d in metrics
+        if n in ("ColumnarToRow", "Scan parquet", "BatchScan")
+    )
+    shuffled = sum(
+        d.get("shuffleRecordsWritten", 0) for n, d in metrics if n == "Exchange"
+    )
+    assert scanned > 0 and shuffled > 0, metrics
+    assert shuffled * factor <= scanned, (
+        f"shuffle carried {shuffled} records for {scanned} scanned rows — "
+        "partial aggregation is not collapsing the data"
+    )

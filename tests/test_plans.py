@@ -233,3 +233,14 @@ def test_tfidf_and_logprob_broadcast_vocab(spark, sf_dir):
     for name in ("tfidf_top_terms", "doc_unigram_logprob"):
         p = P.explain_formatted(QUERIES[name](spark, sf_dir))
         assert "BroadcastHashJoin" in p and "SortMergeJoin" not in p, (name, p[:1000])
+
+
+def test_measured_map_side_combine(spark, sf_dir):
+    """Runtime-metric gate: gold rollup and q1 must MEASURABLY collapse rows
+    before their exchanges (shuffleRecordsWritten << scanned rows), and the
+    metrics API exposes per-operator runtime values."""
+    for name in ("gold_daily_util", "tpch_q1"):
+        P.assert_map_side_combine(QUERIES[name](spark, sf_dir), factor=10)
+    m = P.executed_metrics(QUERIES["tpch_q6_revenue"](spark, sf_dir))
+    names = [n for n, _ in m]
+    assert any("Scan" in n for n in names)
