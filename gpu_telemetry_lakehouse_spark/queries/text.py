@@ -331,3 +331,35 @@ def tokens_with_position(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", (F.col("pos0") + 1).alias("pos"), "token")
         .filter(F.col("pos") <= 5)
     )
+
+
+# --- array set operations ----------------------------------------------------
+# Set algebra over token arrays (array_intersect/except/union): the in-row
+# form of stopword analysis — how much of each doc's vocabulary is stopwords
+# vs content. Row-local (zero exchanges beyond the scan); sizes only, so the
+# check is order-insensitive by construction.
+@query(
+    "array_set_ops_tokens",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, list_distinct({TK}) AS tk FROM documents)
+    SELECT doc_id,
+           CAST(len(list_intersect(tk, {STOPS_SQL})) AS BIGINT) AS n_stop_vocab,
+           CAST(len(list_filter(tk, x -> NOT list_contains({STOPS_SQL}, x))) AS BIGINT)
+               AS n_content_vocab,
+           CAST(len(list_distinct(list_concat(tk, {STOPS_SQL}))) AS BIGINT)
+               AS n_union_vocab
+    FROM t
+    """,
+)
+def array_set_ops_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    stops = F.array(*[F.lit(s) for s in TX.STOPWORDS])
+    tk = F.array_distinct(tokens(F.col("text")))
+    return docs.select(
+        "doc_id",
+        F.size(F.array_intersect(tk, stops)).cast("long").alias("n_stop_vocab"),
+        F.size(F.array_except(tk, stops)).cast("long").alias("n_content_vocab"),
+        F.size(F.array_union(tk, stops)).cast("long").alias("n_union_vocab"),
+    )
