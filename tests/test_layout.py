@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import os
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -107,3 +109,60 @@ def test_stream_append_exactly_once(spark, tmp_path, events_dir):
     assert T.read(spark, tbl).count() == n
     ops = {h["operation"] for h in T.history(tbl)}
     assert ops == {"stream-append"}
+
+
+def test_streaming_cdc_upsert_keeps_latest(spark, tmp_path, events_dir):
+    """End-to-end streaming CDC: each micro-batch merge-upserts by user_id,
+    so the table converges to exactly one row per user — the user's
+    latest-by-(ts, event_id) event — with per-batch idempotent commits."""
+    from pyspark.sql import Window as W
+
+    from gpu_telemetry_lakehouse_spark.streaming.pipeline import read_event_stream
+
+    tbl = str(tmp_path / "cdc_tbl")
+    ckpt = str(tmp_path / "cdc_ckpt")
+
+    w = W.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+
+    def latest_per_user(df):
+        return (
+            df.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+
+    def apply_cdc(batch_df, batch_id):
+        # Ordered upsert: batches may arrive event-time-disordered, so the
+        # winner per key is max(existing row, batch rows) by (ts, event_id) —
+        # a blind last-write-wins would let a late batch clobber newer state.
+        upd = latest_per_user(batch_df)
+        if not os.path.isdir(os.path.join(tbl, T.LOG_DIR)):
+            T.create_table(upd, tbl)
+            return
+        cur = T.read(spark, tbl).select(*upd.columns)
+        merged = latest_per_user(cur.unionByName(upd))
+        T.merge_upsert(spark, merged, tbl, key_cols=["user_id"], batch_id=batch_id)
+
+    stream = read_event_stream(spark, events_dir)
+    q = (
+        stream.writeStream.foreachBatch(apply_cdc)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = {
+        r.user_id: (r.ts, r.event_id) for r in T.read(spark, tbl).collect()
+    }
+    ev = spark.read.parquet(events_dir)
+    w = W.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    want = {
+        r.user_id: (r.ts, r.event_id)
+        for r in ev.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .collect()
+    }
+    assert got == want and got
