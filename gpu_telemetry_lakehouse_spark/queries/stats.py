@@ -259,3 +259,36 @@ def bitmap_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_bucket.groupBy("event_type").agg(
         F.expr("sum(bitmap_count(bm))").cast("long").alias("n_distinct_users")
     )
+
+
+# --- linear-regression aggregates (regr_* family) ----------------------------
+# Least-squares fit as an aggregate: slope/intercept/R² of price vs quantity
+# per return flag — the telemetry trend-line primitive (drift detection,
+# capacity forecasting) computed in one partial-aggregable pass, no ML
+# library. Moment accumulation is engine-ordered -> round(6) tolerance as
+# with the other moment stats.
+@query(
+    "regression_price_vs_qty",
+    oracle="""
+    SELECT l_returnflag,
+           regr_count(l_extendedprice, l_quantity) AS n_pairs,
+           ROUND(regr_slope(l_extendedprice, l_quantity), 6) AS slope,
+           ROUND(regr_intercept(l_extendedprice, l_quantity), 4) AS intercept,
+           ROUND(regr_r2(l_extendedprice, l_quantity), 6) AS r2,
+           ROUND(regr_avgx(l_extendedprice, l_quantity), 6) AS avg_x,
+           ROUND(regr_avgy(l_extendedprice, l_quantity), 4) AS avg_y
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def regression_price_vs_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    y, x = F.col("l_extendedprice"), F.col("l_quantity")
+    return li.groupBy("l_returnflag").agg(
+        F.regr_count(y, x).alias("n_pairs"),
+        F.round(F.regr_slope(y, x), 6).alias("slope"),
+        F.round(F.regr_intercept(y, x), 4).alias("intercept"),
+        F.round(F.regr_r2(y, x), 6).alias("r2"),
+        F.round(F.regr_avgx(y, x), 6).alias("avg_x"),
+        F.round(F.regr_avgy(y, x), 4).alias("avg_y"),
+    )
