@@ -244,3 +244,29 @@ def test_measured_map_side_combine(spark, sf_dir):
     m = P.executed_metrics(QUERIES["tpch_q6_revenue"](spark, sf_dir))
     names = [n for n, _ in m]
     assert any("Scan" in n for n in names)
+
+
+def test_plan_budget_no_regression(spark, sf_dir):
+    """Plan-regression net: every query's exchange count must not exceed its
+    recorded budget (tests/plan_budget.json), and no query may grow a Python
+    eval stage it didn't have. A legitimate plan change regenerates the
+    budget file (see its docgen snippet in the repo history) — silent
+    regressions fail here instead of surfacing as bench slowdowns rounds
+    later. Budgets were recorded at sf0.01; plan shape is size-independent."""
+    import json
+    import os
+
+    path = os.path.join(os.path.dirname(__file__), "plan_budget.json")
+    with open(path) as f:
+        budget = json.load(f)
+    failures = []
+    for name, b in sorted(budget.items()):
+        if name not in QUERIES:
+            continue  # renamed/removed query: regenerate the budget file
+        p = P.explain_formatted(QUERIES[name](spark, sf_dir))
+        got = P.exchange_count(p)
+        if got > b["exchanges"]:
+            failures.append(f"{name}: exchanges {got} > budget {b['exchanges']}")
+        if not b["python_eval"] and "EvalPython" in p:
+            failures.append(f"{name}: grew a Python eval stage")
+    assert not failures, "\n".join(failures)
