@@ -498,3 +498,53 @@ def lateral_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE c.c_custkey < 100
         """
     )
+
+
+# --- SQL scripting (Spark 4): iterative parameter search ---------------------
+# Control-flow SQL (BEGIN/DECLARE/WHILE): find the coarsest power-of-two
+# histogram bucket width whose busiest bucket holds <= 10% of orders —
+# the adaptive-binning loop a procedure writer expresses imperatively.
+# The oracle is the declarative equivalent (evaluate all candidate widths,
+# take the max satisfying one): monotonicity of "busiest share" in the
+# width makes the halving loop and the declarative max agree exactly.
+@query(
+    "sql_scripting_adaptive_bins",
+    oracle="""
+    WITH cand AS (
+        SELECT CAST(power(2, g) AS BIGINT) AS w FROM generate_series(0, 20) t(g)
+    ),
+    busiest AS (
+        SELECT w,
+               (SELECT MAX(cnt) FROM (
+                   SELECT COUNT(*) AS cnt FROM orders
+                   GROUP BY CAST(FLOOR(o_totalprice / w) AS BIGINT)) q) AS b
+        FROM cand
+    ),
+    lim AS (SELECT COUNT(*) / 10.0 AS l FROM orders)
+    SELECT MAX(w) AS bucket_width
+    FROM busiest, lim WHERE b <= l
+    """,
+)
+def sql_scripting_adaptive_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir, ["orders"])
+    spark.conf.set("spark.sql.scripting.enabled", "true")
+    return spark.sql(
+        """
+        BEGIN
+          DECLARE w BIGINT DEFAULT 1048576;
+          DECLARE busiest BIGINT;
+          DECLARE lim DOUBLE;
+          SET lim = (SELECT COUNT(*) / 10.0 FROM orders);
+          SET busiest = (SELECT MAX(cnt) FROM (
+              SELECT COUNT(*) AS cnt FROM orders
+              GROUP BY CAST(FLOOR(o_totalprice / w) AS BIGINT)) q);
+          WHILE busiest > lim DO
+            SET w = w DIV 2;
+            SET busiest = (SELECT MAX(cnt) FROM (
+                SELECT COUNT(*) AS cnt FROM orders
+                GROUP BY CAST(FLOOR(o_totalprice / w) AS BIGINT)) q);
+          END WHILE;
+          SELECT w AS bucket_width;
+        END
+        """
+    )
