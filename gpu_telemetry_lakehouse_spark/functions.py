@@ -70,3 +70,38 @@ def cosine(a: ColumnOrName, b: ColumnOrName) -> Column:
     """Cosine similarity via explicit dot/norms (element order fixed on both
     engines -> deterministic)."""
     return dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))
+
+
+SQL_FUNCTIONS = {
+    # SQL-language UDFs (Spark 4 CREATE FUNCTION ... RETURN <expr>): the
+    # engine's core expression helpers exposed to pure-SQL users with ZERO
+    # runtime cost — the body inlines into the caller's plan at analysis
+    # time (same codegen as writing the expression by hand), unlike a
+    # Python UDF which would add a serialization boundary.
+    "md5_int60": (
+        "(s STRING) RETURNS BIGINT "
+        "RETURN CAST(conv(substring(md5(s), 1, 15), 16, 10) AS BIGINT)"
+    ),
+    "ws_tokens": (
+        "(s STRING) RETURNS ARRAY<STRING> RETURN split(trim(s), '\\\\s+')"
+    ),
+    "vec_dot": (
+        "(a ARRAY<DOUBLE>, b ARRAY<DOUBLE>) RETURNS DOUBLE "
+        "RETURN aggregate(zip_with(a, b, (x, y) -> x * y), CAST(0.0 AS DOUBLE), "
+        "(acc, v) -> acc + v)"
+    ),
+    "vec_cosine": (
+        "(a ARRAY<DOUBLE>, b ARRAY<DOUBLE>) RETURNS DOUBLE "
+        "RETURN vec_dot(a, b) / (sqrt(vec_dot(a, a)) * sqrt(vec_dot(b, b)))"
+    ),
+    "exact_sum_6": (
+        "(x DOUBLE) RETURNS BIGINT RETURN CAST(ROUND(x * 1000000) AS BIGINT)"
+    ),
+}
+
+
+def register_sql_functions(spark) -> None:
+    """Register the engine helpers as temporary SQL functions so ad-hoc SQL
+    users get the same deterministic primitives the DataFrame API uses."""
+    for name, body in SQL_FUNCTIONS.items():
+        spark.sql(f"CREATE OR REPLACE TEMPORARY FUNCTION {name}{body}")

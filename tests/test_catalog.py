@@ -30,3 +30,49 @@ def test_save_as_table_round_trip(spark, sf_dir):
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {name}")
     assert name not in [t.name for t in spark.catalog.listTables()]
+
+
+def test_sql_function_registration(spark, sf_dir):
+    """Engine helpers as SQL-language UDFs: same results as the DataFrame
+    helpers, fully inlined (no Python eval stage in the plan)."""
+    from gpu_telemetry_lakehouse_spark.catalog import register_views
+    from gpu_telemetry_lakehouse_spark.functions import (
+        md5_int,
+        register_sql_functions,
+        tokens,
+    )
+    from gpu_telemetry_lakehouse_spark.plans import explain_formatted
+
+    register_sql_functions(spark)
+    register_views(spark, sf_dir, ["documents", "embeddings"])
+    sql_df = spark.sql(
+        """
+        SELECT doc_id, md5_int60(text) AS h, size(ws_tokens(text)) AS n
+        FROM documents ORDER BY doc_id LIMIT 20
+        """
+    )
+    assert "EvalPython" not in explain_formatted(sql_df)
+    got = {(r.doc_id, r.h, r.n) for r in sql_df.collect()}
+    docs = load_table(spark, sf_dir, "documents")
+    want = {
+        (r.doc_id, r.h, r.n)
+        for r in docs.select(
+            "doc_id",
+            md5_int(F.col("text")).alias("h"),
+            F.size(tokens(F.col("text"))).alias("n"),
+        )
+        .orderBy("doc_id")
+        .limit(20)
+        .collect()
+    }
+    assert got == want
+
+    cos = spark.sql(
+        """
+        SELECT vec_cosine(CAST(a.embedding AS ARRAY<DOUBLE>),
+                          CAST(b.embedding AS ARRAY<DOUBLE>)) AS c
+        FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
+        WHERE a.vec_id = 0
+        """
+    ).first()
+    assert cos is not None and -1.0 <= cos.c <= 1.0
