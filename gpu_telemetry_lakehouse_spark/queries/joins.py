@@ -404,3 +404,36 @@ def asof_enrich_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         left_ts="ts", right_ts="o_orderdate",
         out_col="last_order_ts",
     )
+
+
+# --- SQL join hints -----------------------------------------------------------
+# The /*+ BROADCAST */ hint surface: analysts pin strategies in SQL the way
+# the DataFrame API uses F.broadcast. Differential on results; the plan gate
+# in tests/test_plans.py pins that the hint was honored (BroadcastHashJoin
+# even though autoBroadcast sizing alone might choose otherwise).
+@query(
+    "hinted_join_revenue",
+    oracle="""
+    SELECT n.n_name, COUNT(*) AS n_orders
+    FROM orders o
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    WHERE o.o_totalprice > 100000
+    GROUP BY n.n_name
+    """,
+)
+def hinted_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..catalog import register_views
+
+    register_views(spark, sf_dir, ["orders", "customer", "nation"])
+    return spark.sql(
+        """
+        SELECT /*+ BROADCAST(c), BROADCAST(n) */
+               n.n_name, COUNT(*) AS n_orders
+        FROM orders o
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation n ON n.n_nationkey = c.c_nationkey
+        WHERE o.o_totalprice > 100000
+        GROUP BY n.n_name
+        """
+    )

@@ -270,3 +270,11 @@ def test_plan_budget_no_regression(spark, sf_dir):
         if not b["python_eval"] and "EvalPython" in p:
             failures.append(f"{name}: grew a Python eval stage")
     assert not failures, "\n".join(failures)
+
+
+def test_sql_broadcast_hint_honored(spark, sf_dir):
+    """The SQL /*+ BROADCAST */ hint must produce BroadcastHashJoins for the
+    hinted relations regardless of size estimates (no SortMergeJoin)."""
+    df = QUERIES["hinted_join_revenue"](spark, sf_dir)
+    p = P.explain_formatted(df)
+    assert p.count("BroadcastHashJoin") >= 2 and "SortMergeJoin" not in p, p[:1200]
