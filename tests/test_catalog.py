@@ -76,3 +76,28 @@ def test_sql_function_registration(spark, sf_dir):
         """
     ).first()
     assert cos is not None and -1.0 <= cos.c <= 1.0
+
+
+def test_parameterized_sql_and_identifier(spark, sf_dir):
+    """Spark 4 parameterized SQL: named parameter binding (values never
+    concatenated into SQL text — the injection-proof path for dynamic
+    filters) and IDENTIFIER() for safe dynamic relation names."""
+    from gpu_telemetry_lakehouse_spark.catalog import register_views
+
+    register_views(spark, sf_dir, ["orders"])
+    got = spark.sql(
+        "SELECT COUNT(*) AS n FROM orders WHERE o_totalprice > :cut",
+        args={"cut": 300000.0},
+    ).first().n
+    want = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 300000.0)
+        .count()
+    )
+    assert got == want > 0
+
+    # IDENTIFIER(): dynamic table name without string-splicing SQL
+    got2 = spark.sql(
+        "SELECT COUNT(*) AS n FROM IDENTIFIER(:tbl)", args={"tbl": "orders"}
+    ).first().n
+    assert got2 == load_table(spark, sf_dir, "orders").count()
