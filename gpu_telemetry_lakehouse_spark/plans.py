@@ -142,10 +142,15 @@ def assert_map_side_combine(df: DataFrame, factor: int = 10) -> None:
     produced — i.e. the map-side combine really collapsed the data before
     the exchange, not just in the plan picture."""
     metrics = executed_metrics(df)
+    # A columnar scan reports the same rows on both 'Scan parquet' and its
+    # 'ColumnarToRow' conversion — summing both would double 'scanned' and
+    # silently halve the enforced factor. Count exactly one operator class.
     scanned = sum(
+        d.get("numOutputRows", 0) for n, d in metrics if n == "ColumnarToRow"
+    ) or sum(
         d.get("numOutputRows", 0)
         for n, d in metrics
-        if n in ("ColumnarToRow", "Scan parquet", "BatchScan")
+        if n in ("Scan parquet", "BatchScan")
     )
     shuffled = sum(
         d.get("shuffleRecordsWritten", 0) for n, d in metrics if n == "Exchange"

@@ -89,9 +89,9 @@ def tpch_q10_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pivot_status_by_nation",
     oracle="""
     SELECT n.n_name,
-           SUM(CASE WHEN o.o_orderstatus = 'F' THEN 1 END) AS F,
-           SUM(CASE WHEN o.o_orderstatus = 'O' THEN 1 END) AS O,
-           SUM(CASE WHEN o.o_orderstatus = 'P' THEN 1 END) AS P
+           CAST(SUM(CASE WHEN o.o_orderstatus = 'F' THEN 1 END) AS BIGINT) AS F,
+           CAST(SUM(CASE WHEN o.o_orderstatus = 'O' THEN 1 END) AS BIGINT) AS O,
+           CAST(SUM(CASE WHEN o.o_orderstatus = 'P' THEN 1 END) AS BIGINT) AS P
     FROM orders o
     JOIN customer c ON c.c_custkey = o.o_custkey
     JOIN nation n ON n.n_nationkey = c.c_nationkey
@@ -153,8 +153,8 @@ def grouping_sets_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     numbered AS (
         SELECT user_id, ts, event_id,
-               SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+               CAST(SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_no
         FROM marked
     )
     SELECT user_id, session_no,

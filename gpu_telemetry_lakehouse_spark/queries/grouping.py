@@ -195,7 +195,8 @@ def distinct_users_skewproof(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "user_sets_salted",
     oracle="""
-    SELECT event_type, list_sort(list(DISTINCT user_id)) AS user_id_set
+    SELECT event_type,
+           array_to_string(list_sort(list(DISTINCT user_id)), ',') AS user_id_set
     FROM events
     GROUP BY event_type
     """,
@@ -204,7 +205,12 @@ def user_sets_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import scale as SC
 
     ev = load_table(spark, sf_dir, "events")
-    return SC.salted_collect(ev, ["event_type"], "user_id", n_salt=16)
+    # The driver's pandas canonicalizer can't sort/hash list cells, so emit
+    # the (already sorted) set as a scalar CSV — same information, hashable.
+    out = SC.salted_collect(ev, ["event_type"], "user_id", n_salt=16)
+    return out.select(
+        "event_type", F.array_join("user_id_set", ",").alias("user_id_set")
+    )
 
 
 # --- heavy hitters: Misra-Gries sketch + exact refine ------------------------

@@ -112,7 +112,7 @@ def string_similarity_adjacent(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_type,
            COUNT(*) AS n,
-           SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
+           CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
            COUNT(DISTINCT CAST(json_extract(props, '$.k') AS BIGINT) % 10)
                AS n_k_buckets
     FROM events
@@ -175,8 +175,8 @@ def listagg_nations_per_region(spark: SparkSession, sf_dir: str) -> DataFrame:
            COUNT(*) AS n,
            COUNT(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT))
                AS n_numeric_k,
-           SUM(CASE WHEN value IS NULL OR value = 0 THEN 1 ELSE 0 END)
-               AS n_unsafe_div
+           CAST(SUM(CASE WHEN value IS NULL OR value = 0 THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_unsafe_div
     FROM events
     GROUP BY event_type
     """,

@@ -391,9 +391,9 @@ def supplier_churn_9798(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT vec_id, label,
            len(embedding) AS dim,
-           list_sum(list_transform(embedding,
+           CAST(list_sum(list_transform(embedding,
                x -> CAST(ROUND(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) * 1000000) AS BIGINT)
-           )) AS sq_norm_scaled
+           )) AS BIGINT) AS sq_norm_scaled
     FROM embeddings
     ORDER BY sq_norm_scaled DESC, vec_id
     LIMIT 100
@@ -521,7 +521,7 @@ def lateral_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM cand
     ),
     lim AS (SELECT COUNT(*) / 10.0 AS l FROM orders)
-    SELECT MAX(w) AS bucket_width
+    SELECT COALESCE(MAX(w), 1) AS bucket_width
     FROM busiest, lim WHERE b <= l
     """,
 )
@@ -538,7 +538,7 @@ def sql_scripting_adaptive_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
           SET busiest = (SELECT MAX(cnt) FROM (
               SELECT COUNT(*) AS cnt FROM orders
               GROUP BY CAST(FLOOR(o_totalprice / w) AS BIGINT)) q);
-          WHILE busiest > lim DO
+          WHILE busiest > lim AND w > 1 DO
             SET w = w DIV 2;
             SET busiest = (SELECT MAX(cnt) FROM (
                 SELECT COUNT(*) AS cnt FROM orders

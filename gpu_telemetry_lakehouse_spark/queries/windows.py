@@ -92,7 +92,7 @@ def window_rolling_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT dt, n,
            n - LAG(n) OVER (ORDER BY dt) AS delta_n,
            LEAD(n) OVER (ORDER BY dt) AS next_n,
-           SUM(n) OVER (ORDER BY dt ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_n,
+           CAST(SUM(n) OVER (ORDER BY dt ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_n,
            RANK() OVER (ORDER BY n DESC, dt) AS busy_rank
     FROM daily
     """,

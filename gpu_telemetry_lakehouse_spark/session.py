@@ -21,6 +21,12 @@ RUNTIME_CONFS: dict[str, str] = {
     # default; read as long and convert (catalog.load_table does `ts DIV 1000`).
     "spark.sql.legacy.parquet.nanosAsLong": "true",
     "spark.sql.session.timeZone": "UTC",
+    # Spark's default parquet timestamp encoding is legacy INT96, which has
+    # NO footer min/max statistics — it silently disables row-group pruning
+    # AND tablog's file-level data skipping on every temporal column. MICROS
+    # is the modern stats-capable encoding (and what every other engine
+    # writes); at 100 TB the difference is "prune to one file" vs "scan all".
+    "spark.sql.parquet.outputTimestampType": "TIMESTAMP_MICROS",
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",

@@ -375,12 +375,23 @@ def alert_on_bursts(
     """foreachBatch alerting (reference: README.md:580-584): any hourly bucket
     whose event count exceeds ``threshold`` is appended to ``sink``."""
     agg = incremental_hourly_gold(stream)
+    # Update mode hands each micro-batch only the buckets that CHANGED (in
+    # complete mode every epoch re-emits the whole history and the sink grows
+    # quadratically on a long replay); the alerted-set dedup makes each hot
+    # bucket alert once even as its count keeps climbing past the threshold.
+    # The set is driver-local per query start — a restart from checkpoint
+    # re-alerts open buckets, the right default for an alerting channel.
+    alerted: set = set()
 
     def emit(batch_df: DataFrame, epoch_id: int) -> None:
         hot = batch_df.filter(F.col("n") > threshold).collect()
-        sink.extend((epoch_id, r.hour_start, r.event_type, r.n) for r in hot)
+        for r in hot:
+            key = (r.hour_start, r.event_type)
+            if key not in alerted:
+                alerted.add(key)
+                sink.append((epoch_id, r.hour_start, r.event_type, r.n))
 
-    return agg.writeStream.outputMode("complete").foreachBatch(emit).start()
+    return agg.writeStream.outputMode("update").foreachBatch(emit).start()
 
 
 def running_user_totals_tws(stream: DataFrame) -> DataFrame:

@@ -36,6 +36,7 @@ primitive is atomic create-if-absent, which every production store provides.
 
 from __future__ import annotations
 
+import datetime as _dt
 import json
 import os
 import shutil
@@ -45,6 +46,16 @@ from pyspark.sql import DataFrame, SparkSession
 
 LOG_DIR = "_txn_log"
 CHECKPOINT_EVERY = 10
+
+
+class ConcurrentModificationError(RuntimeError):
+    """Raised when a remove-bearing commit (overwrite/compact/merge) loses a
+    race: its remove list was computed against a snapshot that is no longer
+    the tip. Retrying blindly would republish stale removes (an overwrite
+    racing an append would drop the append; two merges would double the
+    base), so — like Delta's WriteSerializable conflict — the loser aborts
+    and the caller re-runs against the new tip. Pure appends never conflict
+    and retry transparently."""
 
 
 def _log_dir(path: str) -> str:
@@ -64,6 +75,33 @@ def _list_versions(path: str) -> list[int]:
     )
 
 
+def _canon_stat(v):
+    """Canonical JSON-safe, ORDER-PRESERVING form for a footer stat value.
+
+    Temporal stats become ISO-8601 strings (space-separated, what
+    ``str(datetime)`` yields) whose lexicographic order equals chronological
+    order, so stored stats and normalized probe bounds compare correctly
+    after a JSON round-trip. Numeric stats stay native."""
+    if isinstance(v, _dt.datetime):
+        return v.isoformat(sep=" ")
+    if isinstance(v, _dt.date):
+        return v.isoformat()
+    if isinstance(v, bytes):
+        return v.decode("utf-8", errors="replace")
+    return v
+
+
+def _overlaps(stat: list, lo, hi) -> bool:
+    """File [min,max] vs probe [lo,hi], with bounds normalized to the stored
+    canonical form. Incomparable types keep the file — pruning is an
+    optimization, never a correctness dependency."""
+    lo, hi = _canon_stat(lo), _canon_stat(hi)
+    try:
+        return not (stat[1] < lo or stat[0] > hi)
+    except TypeError:
+        return True
+
+
 def _file_stats(full_path: str, stat_cols: list[str]) -> dict[str, list]:
     """Per-file [min, max] from the parquet footer (no data read)."""
     import pyarrow.parquet as pq
@@ -80,7 +118,7 @@ def _file_stats(full_path: str, stat_cols: list[str]) -> dict[str, list]:
             s = col.statistics
             if not s.has_min_max:
                 continue
-            lo, hi = s.min, s.max
+            lo, hi = _canon_stat(s.min), _canon_stat(s.max)
             if name in stats:
                 stats[name] = [min(stats[name][0], lo), max(stats[name][1], hi)]
             else:
@@ -92,6 +130,12 @@ def _stage_files(df: DataFrame, path: str, stat_cols: list[str]) -> list[dict]:
     """Write df's partitions as uniquely-named parquet files in the table dir
     (invisible until a log entry lists them); return add-actions with stats."""
     staging = os.path.join(path, f"_staging-{uuid.uuid4().hex}")
+    # INT96 (Spark's legacy default) carries no footer stats — force the
+    # stats-capable MICROS encoding so temporal stat_cols actually skip,
+    # even when the caller handed us a vanilla session.
+    df.sparkSession.conf.set(
+        "spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS"
+    )
     df.write.mode("overwrite").parquet(staging)
     os.makedirs(path, exist_ok=True)
     adds = []
@@ -110,12 +154,32 @@ def _read_entry(path: str, version: int) -> dict:
         return json.load(f)
 
 
-def _commit(path: str, actions: dict, max_retries: int = 20) -> int:
+def _commit(
+    path: str,
+    actions: dict,
+    max_retries: int = 20,
+    read_version: int | None = None,
+) -> int:
     """Optimistic-concurrency commit: EXCL-create the next version slot;
-    on collision re-read the log and retry. Returns the committed version."""
+    on collision re-read the log and retry. Returns the committed version.
+
+    ``read_version`` is the snapshot version the caller's action list was
+    computed against (the tip at read time; None for blind appends). A
+    remove-bearing commit whose read snapshot is no longer the tip raises
+    ConcurrentModificationError instead of publishing stale removes —
+    blind-retrying an overwrite/merge against a moved tip would silently
+    drop or duplicate the interleaved writer's rows."""
     os.makedirs(_log_dir(path), exist_ok=True)
     for _ in range(max_retries):
         versions = _list_versions(path)
+        if "remove" in actions:
+            tip = versions[-1] if versions else None
+            if tip != read_version:
+                raise ConcurrentModificationError(
+                    f"{actions.get('operation')} at {path}: snapshot read at "
+                    f"version {read_version} but tip is now {tip}; re-read "
+                    "the table and retry the operation"
+                )
         version = (versions[-1] + 1) if versions else 0
         entry = dict(actions, version=version)
         try:
@@ -184,11 +248,13 @@ def append(df: DataFrame, path: str, stat_cols: list[str] | None = None) -> int:
 
 
 def overwrite(df: DataFrame, path: str, stat_cols: list[str] | None = None) -> int:
+    rv = current_version(path)
+    removes = [a["file"] for a in snapshot_files(path, rv)] if rv is not None else []
     adds = _stage_files(df, path, stat_cols or [])
-    removes = [a["file"] for a in snapshot_files(path)]
     return _commit(
         path,
         {"operation": "overwrite", "add": adds, "remove": removes, "schema": df.schema.json()},
+        read_version=rv,
     )
 
 
@@ -196,12 +262,14 @@ def compact(spark: SparkSession, path: str, stat_cols: list[str] | None = None) 
     """Rewrite the current snapshot as one file per ~128MB (here: coalesced),
     committing adds+removes in a single atomic version — readers of older
     versions are unaffected."""
-    current = snapshot_files(path)
-    df = read(spark, path)
+    rv = current_version(path)
+    current = snapshot_files(path, rv)
+    df = read(spark, path, version=rv)
     adds = _stage_files(df.coalesce(max(1, len(current) // 8)), path, stat_cols or [])
     return _commit(
         path,
         {"operation": "compact", "add": adds, "remove": [a["file"] for a in current]},
+        read_version=rv,
     )
 
 
@@ -219,12 +287,12 @@ def read(
     files = snapshot_files(path, version)
     if between is not None:
         col, lo, hi = between
-        kept = []
-        for a in files:
-            s = a.get("stats", {}).get(col)
-            if s is None or not (s[1] < lo or s[0] > hi):
-                kept.append(a)
-        files = kept
+        files = [
+            a
+            for a in files
+            if a.get("stats", {}).get(col) is None
+            or _overlaps(a["stats"][col], lo, hi)
+        ]
     if not files:
         schema = None
         versions = _list_versions(path)
@@ -252,8 +320,7 @@ def pruned_file_count(path: str, col: str, lo, hi, version: int | None = None) -
     files = snapshot_files(path, version)
     kept = [
         a for a in files
-        if a.get("stats", {}).get(col) is None
-        or not (a["stats"][col][1] < lo or a["stats"][col][0] > hi)
+        if a.get("stats", {}).get(col) is None or _overlaps(a["stats"][col], lo, hi)
     ]
     return len(kept), len(files)
 
@@ -297,8 +364,9 @@ def merge_upsert(
     plain layouts."""
     if batch_id is not None and batch_id in committed_batch_ids(path):
         return None
-    current = snapshot_files(path)
-    base = read(spark, path)
+    rv = current_version(path)
+    current = snapshot_files(path, rv)
+    base = read(spark, path, version=rv)
     merged = base.join(updates.select(*key_cols), key_cols, "left_anti").unionByName(
         updates, allowMissingColumns=True
     )
@@ -311,7 +379,7 @@ def merge_upsert(
     }
     if batch_id is not None:
         actions["batch_id"] = batch_id
-    return _commit(path, actions)
+    return _commit(path, actions, read_version=rv)
 
 
 def committed_batch_ids(path: str) -> set:

@@ -23,6 +23,15 @@ def duck_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
 
 
 def _norm(v):
+    """Canonicalize a cell the way the driver does — STRICTLY.
+
+    The driver hashes typed value reprs (int 364 != float 364.0 — DuckDB
+    HUGEINT sums come back as pandas float64 unless the oracle CASTs to
+    BIGINT), and its pandas canonicalizer cannot sort/hash list cells at
+    all. Mirror both behaviors so local green implies driver green:
+    preserve the int/float distinction via repr, and raise on any nested
+    (list/array/map/struct) cell so the query gets fixed to emit scalars.
+    """
     if v is None:
         return None
     if isinstance(v, float) and math.isnan(v):
@@ -31,21 +40,29 @@ def _norm(v):
         return float(v)
     if isinstance(v, (np.integer,)):
         return int(v)
+    if isinstance(v, (np.bool_,)):
+        return bool(v)
     if isinstance(v, pd.Timestamp):
         return v.to_pydatetime().isoformat()
     if isinstance(v, _dt.datetime):
         return v.isoformat()
     if isinstance(v, _dt.date):
         return v.isoformat()
-    if isinstance(v, (list, np.ndarray)):
-        return tuple(_norm(x) for x in v)
+    if isinstance(v, (list, tuple, set, dict, np.ndarray)):
+        raise TypeError(
+            f"nested cell {type(v).__name__} would crash the driver's "
+            "canonicalizer — emit a scalar (e.g. array_join(array_sort(..)))"
+        )
     return v
 
 
 def rows_of(pdf: pd.DataFrame) -> list[tuple]:
     cols = sorted(pdf.columns)
-    out = [tuple(_norm(v) for v in row) for row in pdf[cols].itertuples(index=False, name=None)]
-    return sorted(out, key=repr)
+    out = [
+        tuple(repr(_norm(v)) for v in row)
+        for row in pdf[cols].itertuples(index=False, name=None)
+    ]
+    return sorted(out)
 
 
 def compare(spark, name: str, sf_dir: str) -> None:
