@@ -5,12 +5,15 @@ Prints ONE JSON line:
   {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
 
 Each query executes fully (noop sink — no driver collect) after a shared
-warm session is up. The suite runs CONCURRENTLY under Spark's FAIR
+warm session is up. The suite runs CONCURRENTLY under Spark's FIFO
 scheduler — an analytics engine serves overlapping queries, and at bench
 scale concurrency also overlaps per-query planning/codegen with execution
 instead of serializing 16 scheduling gaps. ``value`` is the wall-clock to
 complete the whole suite; per-query entries are individual (contended)
-wall times. Set BENCH_SERIAL=1 for the sequential mode.
+wall times. ``serial_value``/``serial_queries`` report an additional
+one-query-at-a-time measured pass — the apples-to-apples number against a
+serial DuckDB oracle run. Set BENCH_SERIAL=1 to skip the concurrent pass
+entirely (value then equals the serial total).
 """
 
 from __future__ import annotations
@@ -56,6 +59,8 @@ HEADLINE = [
     "knn_cosine_brute",         # broadcast cosine top-k
     "embedding_neardup_pairs",  # bucketed pair generation
     "anomaly_daily",            # gold -> IsolationForest scoring
+    "gold_job_efficiency_daily",   # jobs x metrics interval join + day explode
+    "gold_user_gpu_usage_daily",   # per-user day rollup of the jobs dim
 ]
 
 
@@ -90,6 +95,7 @@ def main() -> None:
         "dedup_shingle_jaccard": 7, "knn_ivf": 5, "anomaly_daily": 4,
         "dedup_simhash": 3, "sole_fault_suppliers": 3, "dedup_minhash_pairs": 2,
         "embedding_neardup_pairs": 2, "nation_market_share": 2,
+        "gold_job_efficiency_daily": 2,
     }
     order = sorted(HEADLINE, key=lambda n: -heavy.get(n, 1))
 
@@ -104,10 +110,24 @@ def main() -> None:
         run(name, sf_dir)
         timings[name] = round(time.perf_counter() - t0, 3)
 
+    def serial_pass(passes: int = 2) -> tuple[float, dict[str, float]]:
+        nonlocal timings
+        best: tuple[float, dict[str, float]] | None = None
+        for _ in range(passes):  # best-of-N: same host-contention rationale
+            attempt: dict[str, float] = {}
+            timings = attempt
+            for name in HEADLINE:
+                run_one(name)
+            t = round(sum(attempt.values()), 3)
+            if best is None or t < best[0]:
+                best = (t, attempt)
+        return best
+
+    serial_total: float | None = None
+    serial_timings: dict[str, float] = {}
     if os.environ.get("BENCH_SERIAL"):
-        for name in HEADLINE:
-            run_one(name)
-        total = round(sum(timings.values()), 3)
+        total, timings = serial_pass()
+        serial_total, serial_timings = total, timings
     else:
         # best-of-2 measured passes: host-level contention on shared
         # infrastructure shows 5-10x wall-clock swings between identical
@@ -124,7 +144,11 @@ def main() -> None:
             t = round(time.perf_counter() - t_suite, 3)
             if best is None or t < best[0]:
                 best = (t, attempt)
-        total, timings = best
+        total, conc_timings = best
+        # One measured serial pass: the DuckDB oracle runs serially, so this
+        # is the comparable number; the concurrent wall is the serving number.
+        serial_total, serial_timings = serial_pass()
+        timings = conc_timings
     print(
         json.dumps(
             {
@@ -133,6 +157,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "serial_value": serial_total,
+                "serial_queries": serial_timings,
             }
         )
     )

@@ -28,6 +28,8 @@ STAT_COLS: dict[str, list[str]] = {
     "silver_gpu_timeseries": ["ts", "machine_id"],
     "gold_cluster_util_daily": ["dt"],
     "gold_cluster_util_daily_scored": ["dt"],
+    "gold_job_efficiency_daily": ["dt"],
+    "gold_user_gpu_usage_daily": ["dt"],
 }
 
 

@@ -156,3 +156,138 @@ def silver_gpu_specs(bronze_gpu_specs: DataFrame) -> DataFrame:
         F.element_at(shader_parts, 2).cast("int").alias("tmus"),
         F.element_at(shader_parts, 3).cast("int").alias("rops"),
     )
+
+
+# --- gold_job_efficiency_daily (reference README.md:546-549, future work) ----
+# GPU-hours allocated vs actively used + per-job efficiency, daily. Each
+# silver_jobs row is one instance ~ one GPU allocation (PAI trace shape).
+# The sample data has no machine<->job link (reference README limitation), so
+# "actively used" applies the CLUSTER's daily mean GPU utilization to each
+# job's allocated hours — the honest best available estimator; swap in a
+# per-job metric join when job-level telemetry exists (the registry twin
+# queries/telemetry_gold.py does exactly that via user+interval overlap).
+# Scale shape: day-explode is narrow, the daily-util join is a broadcast of
+# ~365 rows/year, the rollup is one hash agg on (job_id, dt).
+@model(
+    "gold_job_efficiency_daily",
+    deps=("silver_jobs", "silver_gpu_timeseries"),
+    materialized="table",
+)
+def gold_job_efficiency_daily(
+    silver_jobs: DataFrame, silver_gpu_timeseries: DataFrame
+) -> DataFrame:
+    # Observation horizon caps still-running jobs (NULL end_time).
+    horizon = silver_gpu_timeseries.agg(
+        F.max(F.timestamp_seconds("ts")).alias("__horizon")
+    )
+    jobs = (
+        silver_jobs.join(F.broadcast(horizon))
+        .select(
+            "job_id",
+            "instance_id",
+            "user_id",
+            "job_status",
+            F.timestamp_seconds("start_time").alias("__start"),
+            F.coalesce(F.timestamp_seconds("end_time"), F.col("__horizon")).alias(
+                "__end"
+            ),
+        )
+        .filter(F.col("__start").isNotNull() & (F.col("__end") > F.col("__start")))
+    )
+    days = jobs.withColumn(
+        "dt",
+        F.explode(
+            F.sequence(
+                F.date_trunc("day", "__start"),
+                F.date_trunc("day", F.col("__end") - F.expr("INTERVAL 1 MICROSECOND")),
+                F.expr("INTERVAL 1 DAY"),
+            )
+        ),
+    ).withColumn(
+        "__overlap_s",
+        F.least(
+            F.unix_timestamp("__end"),
+            F.unix_timestamp(F.col("dt") + F.expr("INTERVAL 1 DAY")),
+        )
+        - F.greatest(F.unix_timestamp("__start"), F.unix_timestamp("dt")),
+    )
+    daily_util = (
+        silver_gpu_timeseries.filter(F.col("gpu_util_pct").isNotNull())
+        .groupBy(F.date_trunc("day", F.timestamp_seconds("ts")).alias("dt"))
+        .agg(F.avg("gpu_util_pct").alias("cluster_util_pct"))
+    )
+    alloc = days.groupBy("job_id", "user_id", "dt").agg(
+        F.count(F.lit(1)).alias("n_instances"),
+        (F.sum("__overlap_s") / 3600.0).alias("alloc_gpu_hours"),
+    )
+    return alloc.join(F.broadcast(daily_util), "dt", "left").select(
+        "dt",
+        "job_id",
+        "user_id",
+        "n_instances",
+        "alloc_gpu_hours",
+        "cluster_util_pct",
+        (
+            F.col("alloc_gpu_hours")
+            * F.coalesce(F.col("cluster_util_pct"), F.lit(0.0))
+            / 100.0
+        ).alias("used_gpu_hours"),
+        F.coalesce(F.col("cluster_util_pct"), F.lit(0.0)).alias("efficiency_pct"),
+    )
+
+
+# --- gold_user_gpu_usage_daily (reference README.md:550-553, future work) ----
+# Per-user GPU-hours, job counts, failure rates, daily. Derived from the
+# same instance-day explode; one hash aggregation on (user_id, dt).
+@model("gold_user_gpu_usage_daily", deps=("silver_jobs",), materialized="table")
+def gold_user_gpu_usage_daily(silver_jobs: DataFrame) -> DataFrame:
+    jobs = silver_jobs.select(
+        "job_id",
+        "instance_id",
+        "user_id",
+        "job_status",
+        F.timestamp_seconds("start_time").alias("__start"),
+        # running instances count as allocated through their start day only
+        # when end is unknown AND no horizon exists; user rollup needs no
+        # cluster table, so cap NULL ends at start (zero additional hours)
+        # while still counting the job/instance as started and active.
+        F.coalesce(F.timestamp_seconds("end_time"), F.timestamp_seconds("start_time")).alias(
+            "__end"
+        ),
+    ).filter(F.col("__start").isNotNull())
+    days = jobs.withColumn(
+        "dt",
+        F.explode(
+            F.sequence(
+                F.date_trunc("day", "__start"),
+                F.date_trunc(
+                    "day",
+                    F.greatest(
+                        F.col("__end") - F.expr("INTERVAL 1 MICROSECOND"),
+                        F.col("__start"),
+                    ),
+                ),
+                F.expr("INTERVAL 1 DAY"),
+            )
+        ),
+    ).withColumn(
+        "__overlap_s",
+        F.least(
+            F.unix_timestamp("__end"),
+            F.unix_timestamp(F.col("dt") + F.expr("INTERVAL 1 DAY")),
+        )
+        - F.greatest(F.unix_timestamp("__start"), F.unix_timestamp("dt")),
+    )
+    started = F.date_trunc("day", "__start") == F.col("dt")
+    n_started = F.count_distinct(F.when(started, F.col("job_id")))
+    n_failed = F.count_distinct(
+        F.when(started & (F.col("job_status") == "Failed"), F.col("job_id"))
+    )
+    return days.groupBy("user_id", "dt").agg(
+        F.count_distinct("job_id").alias("n_jobs_active"),
+        F.count(F.lit(1)).alias("n_instances_active"),
+        (F.sum("__overlap_s") / 3600.0).alias("gpu_hours"),
+        n_started.alias("n_jobs_started"),
+        n_failed.alias("n_jobs_failed"),
+        (n_failed / F.nullif(n_started, F.lit(0))).alias("failure_rate"),
+    )

@@ -93,20 +93,48 @@ def _fake_decode(payload: bytes) -> tuple[int, int, np.ndarray]:
     return width, height, feat
 
 
-def extract_features(media: DataFrame, decode: str = "fake") -> DataFrame:
+def _resolve_decoder(decode):
+    """Dependency-injection point for the decode kernel.
+
+    ``decode`` is either a CALLABLE ``payload: bytes -> (width, height,
+    feature: np.ndarray)`` — cloudpickle ships it to executors, so with
+    Pillow installed real decode is a one-liner::
+
+        def pil_decode(payload):
+            from io import BytesIO
+            import numpy as np
+            from PIL import Image
+            img = Image.open(BytesIO(payload)).convert("RGB")
+            arr = np.asarray(img, dtype=np.float32) / 255.0
+            return img.width, img.height, arr.mean(axis=(0, 1))
+
+        extract_features(media, decode=pil_decode)
+
+    — or a string: ``"fake"`` (deterministic md5 stand-in, the default in
+    this library-less environment) / ``"real"`` (raises here, naming the
+    injection point, until a callable is supplied)."""
+    if callable(decode):
+        return decode
+    if decode == "fake":
+        return _fake_decode
+    if decode == "real":
+        raise NotImplementedError(
+            "real decode requires an image/audio library (Pillow/ffmpeg) not "
+            "available in this environment; pass decode=<callable "
+            "payload -> (width, height, feature)> to inject one"
+        )
+    raise ValueError(decode)
+
+
+def extract_features(media: DataFrame, decode="fake") -> DataFrame:
     """Decode + featurize via mapInPandas (Arrow batches; executors never
     materialize more than one batch of payloads at a time — the pattern that
-    holds at 100 TB with spark.sql.execution.arrow.maxRecordsPerBatch)."""
-    if decode not in ("fake", "real"):
-        raise ValueError(decode)
+    holds at 100 TB with spark.sql.execution.arrow.maxRecordsPerBatch).
+    ``decode`` injects the kernel — see ``_resolve_decoder``."""
+    decoder = _resolve_decoder(decode)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if decode == "real":
-                raise NotImplementedError(
-                    "real decode requires an image/audio library (Pillow/ffmpeg); "
-                    "not available in this environment"
-                )
             rows = []
             for mid, mtype, payload in zip(
                 pdf["media_id"], pdf["media_type"], pdf["payload"]
@@ -114,8 +142,8 @@ def extract_features(media: DataFrame, decode: str = "fake") -> DataFrame:
                 if payload is None:
                     rows.append((mid, mtype, None, None, None, False))
                     continue
-                w, h, feat = _fake_decode(bytes(payload))
-                rows.append((mid, mtype, w, h, feat.tolist(), True))
+                w, h, feat = decoder(bytes(payload))
+                rows.append((mid, mtype, w, h, np.asarray(feat).tolist(), True))
             yield pd.DataFrame(
                 rows,
                 columns=[
@@ -137,35 +165,31 @@ RESIZED_SCHEMA = (
 )
 
 
-def resize(media: DataFrame, out_width: int = 8, out_height: int = 8, decode: str = "fake") -> DataFrame:
+def resize(media: DataFrame, out_width: int = 8, out_height: int = 8, decode="fake") -> DataFrame:
     """Decode + resize via mapInPandas: emits a fixed out_width×out_height
     row-major pixel grid per image — the normalize-before-embed step of a
     multimodal training pipeline.
 
-    The resample kernel is the stub: with ``decode=fake`` the grid is a
+    The resample kernel is the stub: with ``decode="fake"`` the grid is a
     deterministic function of (content hash, pixel index), so tests pin the
-    exact batch shape, schema, and null handling; ``decode=real`` raises at
-    the point Pillow's ``Image.resize`` would run. The Spark-side contract —
-    Arrow batch in, fixed-width float array out, one row per input row,
-    nulls pass through with decode_ok=false — is identical either way.
+    exact batch shape, schema, and null handling; a CALLABLE ``decode``
+    injects a real kernel (see ``_resolve_decoder``), whose feature vector
+    is tiled to the output grid. The Spark-side contract — Arrow batch in,
+    fixed-width float array out, one row per input row, nulls pass through
+    with decode_ok=false — is identical either way.
     """
-    if decode not in ("fake", "real"):
-        raise ValueError(decode)
+    decoder = _resolve_decoder(decode)
     n_px = out_width * out_height
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if decode == "real":
-                raise NotImplementedError(
-                    "real resize requires an image library (Pillow/libvips); "
-                    "not available in this environment"
-                )
             rows = []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 if payload is None:
                     rows.append((mid, None, None, out_width, out_height, None, False))
                     continue
-                w, h, feat = _fake_decode(bytes(payload))
+                w, h, feat = decoder(bytes(payload))
+                feat = np.asarray(feat, dtype=np.float32)
                 # Deterministic "resample": tile the 16-dim content feature
                 # across the output grid, modulated by pixel index.
                 px = np.resize(feat, n_px) * (

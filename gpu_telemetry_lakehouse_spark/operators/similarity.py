@@ -88,11 +88,15 @@ def kmeans_centroids(
     sample_rows: int = 100_000,
 ) -> list[list[float]]:
     """K-means-lite for IVF, fit on a collected sample (the FAISS-style coarse
-    quantizer recipe): ONE Spark job collects the first ``sample_rows``
-    unit-normalized vectors by id (deterministic), then Lloyd iterations run
+    quantizer recipe): a deterministic hash-threshold filter
+    (``md5(id) < sample_rows/corpus_rows``) selects ~``sample_rows``
+    unit-normalized vectors — a narrow scan, unlike ``orderBy(id).limit``
+    which heap-selects over the WHOLE corpus — then Lloyd iterations run
     in numpy on the driver — centroid quality needs ~1e5-1e6 rows no matter
     how big the corpus is, and driver-side iterations avoid re-planning the
-    k × dim literal assignment expression once per iteration.
+    k × dim literal assignment expression once per iteration. The collected
+    subset is sorted by id, so the fit is independent of partitioning and
+    scheduling (property-tested in tests/test_properties.py).
 
     Math per iteration (mirrors the distributed form exactly): assign by
     argmax(v·c) with first-max tie-break, update as the mean of UNIT vectors
@@ -101,11 +105,22 @@ def kmeans_centroids(
     """
     import numpy as np
 
+    n = vectors.select(id_col).count()  # parquet footer count — no data read
+    if n > sample_rows:
+        # 60-bit md5 of the id vs the scaled fraction: a per-row uniform
+        # deterministic coin, independent of layout; E[|sample|] = sample_rows.
+        thresh = int(sample_rows / n * (1 << 60))
+        frac = F.conv(
+            F.substring(F.md5(F.col(id_col).cast("string")), 1, 15), 16, 10
+        ).cast("long")
+        vectors = vectors.filter(frac < F.lit(thresh))
     rows = (
         with_norm(vectors, vec_col)
-        .orderBy(id_col)
-        .limit(sample_rows)
-        .select(F.transform("v", lambda x: x / F.col("nrm")).alias("u"))
+        .orderBy(id_col)  # sorts only the ~sample_rows survivors
+        .select(
+            F.col(id_col).alias("i"),
+            F.transform("v", lambda x: x / F.col("nrm")).alias("u"),
+        )
         .collect()
     )
     U = np.array([r.u for r in rows], dtype=np.float64)  # unit vectors

@@ -1,0 +1,235 @@
+"""The reference's named future-work marts (reference README.md:546-553):
+
+- ``gold_job_efficiency_daily`` — GPU-hours allocated vs actively used,
+  efficiency per job, daily.
+- ``gold_user_gpu_usage_daily`` — per-user GPU-hours, job counts, failure
+  rates, daily.
+
+The driver testdata has no job-telemetry tables, so the job dimension is
+SIMULATED deterministically from ``orders`` (FIXTURES.md mapping: orders play
+jobs) and re-anchored into the events time range: start/duration/gpus/outcome
+are pure integer functions of (o_orderkey, o_orderdate), reproduced verbatim
+in the DuckDB oracle, so the differential check stays exact. ``events`` plays
+the utilization telemetry (value clamped to [0,100] as util%), linked to jobs
+by user + time overlap — the jobs[start,end) × metrics.ts interval join the
+reference could never run single-node at scale.
+
+Scale shape: the metrics⋈jobs join carries the ``user_id`` equi key, so it
+plans as a plain shuffled/broadcast hash join with the time predicate
+evaluated inside — never a nested-loop. The day explode is a narrow op
+(jobs span ~1-2 days each); per-(job,day) and per-(user,day) rollups are
+single hash aggregations. At 100 TB the jobs dim is orders of magnitude
+smaller than telemetry; Catalyst/AQE broadcasts it and the telemetry table
+is read exactly once per mart.
+
+The warehouse (medallion) versions of these marts over the reference's own
+schema live in models.py; these registry twins are the hard-signal surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..functions import exact_avg
+from .registry import query
+
+# 2024-01-01 00:00:00 UTC — the driver events table's month.
+_BASE_S = 1704067200
+_SPAN_S = 28 * 86400  # jobs start within the first 28 days of the month
+_STRIDE = 3607  # prime stride spreading same-date orders across the span
+
+# Oracle-side jobs dimension — MUST stay the integer-for-integer mirror of
+# ``sim_jobs`` below. DuckDB make_timestamp(micros) == Spark
+# timestamp_seconds(s) at session-UTC for naive timestamps.
+JOBS_SQL = f"""
+    nu AS (SELECT MAX(user_id) + 1 AS n_users FROM events),
+    jobs AS (
+        SELECT o_orderkey AS job_id,
+               o_custkey % n_users AS user_id,
+               o_orderkey % 8 + 1 AS gpus,
+               make_timestamp((
+                   {_BASE_S} + (CAST(epoch(o_orderdate) AS BIGINT)
+                                + o_orderkey * {_STRIDE}) % {_SPAN_S}
+               ) * 1000000) AS start_ts,
+               make_timestamp((
+                   {_BASE_S} + (CAST(epoch(o_orderdate) AS BIGINT)
+                                + o_orderkey * {_STRIDE}) % {_SPAN_S}
+                   + (o_orderkey % 96 + 1) * 1800
+               ) * 1000000) AS end_ts,
+               (o_orderstatus = 'P' OR o_orderkey % 10 = 0) AS failed
+        FROM orders, nu
+    ),
+    job_days AS (
+        SELECT j.*, CAST(d AS TIMESTAMP) AS dt,
+               CAST(least(epoch(end_ts), epoch(d + INTERVAL 1 DAY))
+                    - greatest(epoch(start_ts), epoch(d)) AS BIGINT)
+                   AS overlap_s
+        FROM jobs j,
+             LATERAL unnest(generate_series(
+                 date_trunc('day', start_ts),
+                 date_trunc('day', end_ts - INTERVAL 1 MICROSECOND),
+                 INTERVAL 1 DAY)) t(d)
+    )
+"""
+
+
+def sim_jobs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic simulated job dimension (see module docstring).
+
+    The user-domain cardinality is fetched as ONE driver-side scalar (a
+    single-column max over events) instead of an inline 1-row-aggregate
+    cross join: each DataFrame referencing the dim would otherwise replan —
+    and at scale re-SCAN — that aggregate per branch (Spark lineages don't
+    share subplans), turning one cheap scalar into N full telemetry passes.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    ev = load_table(spark, sf_dir, "events")
+    n_users = ev.agg(F.max("user_id")).first()[0] + 1
+    start_s = (
+        F.lit(_BASE_S)
+        + (F.unix_timestamp("o_orderdate") + F.col("o_orderkey") * _STRIDE) % _SPAN_S
+    )
+    dur_s = (F.col("o_orderkey") % 96 + 1) * 1800
+    return o.select(
+        F.col("o_orderkey").alias("job_id"),
+        (F.col("o_custkey") % F.lit(n_users)).alias("user_id"),
+        (F.col("o_orderkey") % 8 + 1).alias("gpus"),
+        F.timestamp_seconds(start_s).alias("start_ts"),
+        F.timestamp_seconds(start_s + dur_s).alias("end_ts"),
+        ((F.col("o_orderstatus") == "P") | (F.col("o_orderkey") % 10 == 0)).alias(
+            "failed"
+        ),
+    )
+
+
+def _job_days(jobs: DataFrame) -> DataFrame:
+    """Explode each job interval into the days it overlaps, with the exact
+    per-day overlap seconds (half-open [start_ts, end_ts))."""
+    days = jobs.withColumn(
+        "dt",
+        F.explode(
+            F.sequence(
+                F.date_trunc("day", "start_ts"),
+                F.date_trunc("day", F.col("end_ts") - F.expr("INTERVAL 1 MICROSECOND")),
+                F.expr("INTERVAL 1 DAY"),
+            )
+        ),
+    )
+    overlap = F.least(
+        F.unix_timestamp("end_ts"),
+        F.unix_timestamp(F.col("dt") + F.expr("INTERVAL 1 DAY")),
+    ) - F.greatest(F.unix_timestamp("start_ts"), F.unix_timestamp("dt"))
+    return days.withColumn("overlap_s", overlap)
+
+
+@query(
+    "gold_job_efficiency_daily",
+    oracle=f"""
+    WITH {JOBS_SQL},
+    samples AS (
+        SELECT j.job_id,
+               CAST(date_trunc('day', e.ts) AS TIMESTAMP) AS dt,
+               COUNT(*) AS n,
+               COUNT(e.value) AS nv,
+               SUM(CAST(ROUND(least(e.value, 100.0) * 1000000) AS BIGINT)) AS su
+        FROM jobs j
+        JOIN events e
+          ON e.user_id = j.user_id
+         AND e.ts >= j.start_ts AND e.ts < j.end_ts
+        GROUP BY 1, 2
+    )
+    SELECT d.dt, d.job_id, d.user_id, d.gpus,
+           d.overlap_s * d.gpus / 3600.0 AS alloc_gpu_hours,
+           CAST(COALESCE(s.n, 0) AS BIGINT) AS n_samples,
+           (s.su / 1000000.0) / s.nv AS avg_util_pct,
+           d.overlap_s * d.gpus / 3600.0
+               * COALESCE((s.su / 1000000.0) / s.nv, 0) / 100.0
+               AS used_gpu_hours
+    FROM job_days d
+    LEFT JOIN samples s ON s.job_id = d.job_id AND s.dt = d.dt
+    """,
+)
+def gold_job_efficiency_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference README.md:546-549: GPU-hours allocated vs actively used +
+    per-job efficiency, daily. Allocated = interval∩day × gpus; used =
+    allocated × mean clamped utilization of the job's samples that day."""
+    jobs = sim_jobs(spark, sf_dir)
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "value")
+    skeleton = _job_days(jobs)
+    # Broadcast the jobs DIM explicitly: telemetry is the 100 TB side, and
+    # at local fixture sizes AQE would otherwise broadcast whichever input
+    # happens to be smaller (events), the exact inversion of the scale plan.
+    samples = (
+        ev.join(
+            F.broadcast(jobs),
+            (ev["user_id"] == jobs["user_id"])
+            & (ev["ts"] >= jobs["start_ts"])
+            & (ev["ts"] < jobs["end_ts"]),
+        )
+        .groupBy("job_id", F.date_trunc("day", ev["ts"]).alias("dt"))
+        .agg(
+            F.count(F.lit(1)).alias("n_samples"),
+            # NO final round: both engines run the identical IEEE op sequence
+            # on the scaled-long sum, so the raw double is bit-exact, while
+            # ROUND(x, 6) tie-breaks differently on half-ulp decimals.
+            exact_avg(F.least(ev["value"], F.lit(100.0))).alias("avg_util_pct"),
+        )
+    )
+    alloc = (F.col("overlap_s") * F.col("gpus") / 3600.0).alias("alloc_gpu_hours")
+    return (
+        skeleton.join(samples, ["job_id", "dt"], "left")
+        .select(
+            "dt",
+            "job_id",
+            "user_id",
+            "gpus",
+            alloc,
+            F.coalesce("n_samples", F.lit(0)).alias("n_samples"),
+            "avg_util_pct",
+            (
+                F.col("overlap_s")
+                * F.col("gpus")
+                / 3600.0
+                * F.coalesce(F.col("avg_util_pct"), F.lit(0.0))
+                / 100.0
+            ).alias("used_gpu_hours"),
+        )
+    )
+
+
+@query(
+    "gold_user_gpu_usage_daily",
+    oracle=f"""
+    WITH {JOBS_SQL}
+    SELECT user_id, dt,
+           CAST(COUNT(*) AS BIGINT) AS n_jobs_active,
+           CAST(SUM(overlap_s * gpus) AS BIGINT) / 3600.0 AS gpu_hours,
+           CAST(SUM(CASE WHEN date_trunc('day', start_ts) = dt
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_jobs_started,
+           CAST(SUM(CASE WHEN date_trunc('day', start_ts) = dt AND failed
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_jobs_failed,
+           SUM(CASE WHEN date_trunc('day', start_ts) = dt AND failed
+                    THEN 1 ELSE 0 END)
+               / NULLIF(SUM(CASE WHEN date_trunc('day', start_ts) = dt
+                                 THEN 1 ELSE 0 END), 0) AS failure_rate
+    FROM job_days
+    GROUP BY user_id, dt
+    """,
+)
+def gold_user_gpu_usage_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference README.md:550-553: per-user GPU-hours, job counts, failure
+    rates, daily. One narrow day-explode + one hash aggregation on
+    (user_id, dt) — a single shuffle at any scale."""
+    days = _job_days(sim_jobs(spark, sf_dir))
+    started = F.date_trunc("day", "start_ts") == F.col("dt")
+    n_started = F.sum(F.when(started, 1).otherwise(0))
+    n_failed = F.sum(F.when(started & F.col("failed"), 1).otherwise(0))
+    return days.groupBy("user_id", "dt").agg(
+        F.count(F.lit(1)).alias("n_jobs_active"),
+        (F.sum(F.col("overlap_s") * F.col("gpus")) / 3600.0).alias("gpu_hours"),
+        n_started.alias("n_jobs_started"),
+        n_failed.alias("n_jobs_failed"),
+        (n_failed / F.nullif(n_started, F.lit(0))).alias("failure_rate"),
+    )

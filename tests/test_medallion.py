@@ -172,3 +172,61 @@ def test_refresh_history_is_versioned(spark, source_dir, tmp_path_factory):
     assert [h["operation"] for h in hist] == ["create", "overwrite"]
     assert T.read(spark, gold_path, version=0).count() == 3
     assert T.read(spark, gold_path).count() == 3
+
+
+def test_gold_job_efficiency_daily_math(built):
+    """Allocated-vs-used GPU-hours (reference README.md:546-549): allocated =
+    interval∩day hours per instance; used = allocated × that day's mean
+    cluster utilization; the running job (NULL end) is capped at the
+    observation horizon (max metric ts = day2 + 3h)."""
+    rows = {(r.job_id, r.dt.day): r for r in built["gold_job_efficiency_daily"].collect()}
+    # 5 finished jobs live on day 1 only; job_4 spans days 1-3 -> 8 rows
+    assert len(rows) == 8
+    j0 = rows[("job_0", 1)]
+    assert math.isclose(j0.alloc_gpu_hours, 1000 / 3600)
+    # day-0 cluster mean util: m1 k1,k2 + m2 k0..k2 = (10+20+0+10+20)/5 = 12
+    assert math.isclose(j0.cluster_util_pct, 12.0)
+    assert math.isclose(j0.used_gpu_hours, (1000 / 3600) * 12.0 / 100.0)
+    assert math.isclose(j0.efficiency_pct, 12.0)
+    # running job_4: full day 2 allocated, day-1 mean util = 110
+    j4d2 = rows[("job_4", 2)]
+    assert math.isclose(j4d2.alloc_gpu_hours, 24.0)
+    assert math.isclose(j4d2.used_gpu_hours, 24.0 * 110.0 / 100.0)
+    # horizon cap: day 3 holds only 3h (max ts = 2*86400 + 3*3600)
+    j4d3 = rows[("job_4", 3)]
+    assert math.isclose(j4d3.alloc_gpu_hours, 3.0)
+    # day-0 partial: 86400 - 400 seconds
+    assert math.isclose(rows[("job_4", 1)].alloc_gpu_hours, (86400 - 400) / 3600)
+
+
+def test_gold_user_gpu_usage_daily_math(built):
+    """Per-user GPU-hours / job counts / failure rates
+    (reference README.md:550-553)."""
+    rows = {(r.user_id, r.dt.day): r for r in built["gold_user_gpu_usage_daily"].collect()}
+    u1 = rows[("u1", 1)]
+    assert u1.n_jobs_active == 2 and u1.n_jobs_started == 2
+    assert math.isclose(u1.gpu_hours, 2000 / 3600)
+    assert u1.n_jobs_failed == 0 and u1.failure_rate == 0.0
+    # u3: job_4 Running (NULL end -> 0 extra hours, still active/started),
+    # job_5 Failed -> failure rate 1/2
+    u3 = rows[("u3", 1)]
+    assert u3.n_jobs_active == 2 and u3.n_jobs_started == 2
+    assert u3.n_jobs_failed == 1
+    assert math.isclose(u3.failure_rate, 0.5)
+    assert math.isclose(u3.gpu_hours, 1000 / 3600)
+
+
+def test_new_gold_marts_materialized_through_tablog(built, spark):
+    """Both marts are persisted warehouse tables (version-0 tablog commits
+    with dt stats), not lazy views."""
+    import os
+
+    from gpu_telemetry_lakehouse_spark import tablog as T
+
+    for df in (built["gold_job_efficiency_daily"], built["gold_user_gpu_usage_daily"]):
+        files = [f for f in df.inputFiles() if "warehouse" in f]
+        assert files, "mart should be read back from its warehouse table"
+        tbl = os.path.dirname(files[0].replace("file://", ""))
+        assert T.history(tbl)[0]["operation"] == "create"
+        stats = T.snapshot_files(tbl)[0]["stats"]
+        assert "dt" in stats  # temporal stats present (MICROS encoding)

@@ -240,3 +240,19 @@ def test_bitmap_distinct_equals_exact(spark, sf_dir):
         .collect()
     }
     assert got == want and got
+
+
+def test_kmeans_centroid_fit_partition_invariant(spark, sf_dir):
+    """The IVF coarse-quantizer fit must be a pure function of the DATA:
+    hash-threshold sampling + id-sorted collect make the centroids identical
+    under any partitioning/scheduling, with no global TakeOrdered scan."""
+    from gpu_telemetry_lakehouse_spark.catalog import load_table
+    from gpu_telemetry_lakehouse_spark.operators.similarity import kmeans_centroids
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = kmeans_centroids(emb.repartition(7), n_clusters=4, sample_rows=64)
+    b = kmeans_centroids(emb.repartition(3, "label"), n_clusters=4, sample_rows=64)
+    c = kmeans_centroids(emb.coalesce(1), n_clusters=4, sample_rows=64)
+    assert a == b == c
+    # and the sampled fit still differs from nothing: k distinct centroids
+    assert len({tuple(x) for x in a}) == 4
