@@ -119,6 +119,8 @@ DRIVER_WINDOW: list[str] = [
 # Next in line if the driver sweeps deeper: previously-green queries whose
 # category is already represented above (consolidated near-duplicates).
 _SECOND_TIER: list[str] = [
+    "gold_hot_throttled_gpus",
+    "gold_error_spikes_daily",
     "sql_cte_daily",
     "tpch_q3_shipping",
     "tpch_q5_local_volume",

@@ -233,3 +233,136 @@ def gold_user_gpu_usage_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_failed.alias("n_jobs_failed"),
         (n_failed / F.nullif(n_started, F.lit(0))).alias("failure_rate"),
     )
+
+
+# --- Richer GPU-level metrics (reference README.md:556-566 future work) ----
+#
+# "Simulate additional fields such as: GPU memory usage, power draw,
+#  temperature, error counts (ECC, throttling). Build gold tables for:
+#  hot / throttled GPUs, error spikes per day."
+#
+# Simulated sample stream: each event row becomes one GPU sample whose
+# device id / temperature / power / ECC counter are pure integer functions
+# of event_id — reproduced verbatim in the oracle so the check stays exact.
+# temp ∈ [40, 94]; thermal throttle at ≥85; "hot" device-day at max ≥90;
+# ECC errors on a sparse 1/97 subset of samples.
+
+_GPU_COLS_SQL = """
+        SELECT event_id % 64 AS gpu_id,
+               CAST(date_trunc('day', ts) AS TIMESTAMP) AS dt,
+               40 + (event_id * 131) % 55 AS temp_c,
+               150 + (event_id * 17) % 250 AS power_w,
+               CASE WHEN event_id % 97 = 0 THEN event_id % 5 + 1 ELSE 0 END
+                   AS ecc_errors
+        FROM events
+"""
+
+
+def _sim_gpu_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("event_id", "ts")
+    return ev.select(
+        (F.col("event_id") % 64).alias("gpu_id"),
+        F.date_trunc("day", "ts").alias("dt"),
+        (F.lit(40) + (F.col("event_id") * 131) % 55).alias("temp_c"),
+        (F.lit(150) + (F.col("event_id") * 17) % 250).alias("power_w"),
+        F.when(F.col("event_id") % 97 == 0, F.col("event_id") % 5 + 1)
+        .otherwise(F.lit(0))
+        .alias("ecc_errors"),
+    )
+
+
+@query(
+    "gold_hot_throttled_gpus",
+    oracle=f"""
+    WITH samples AS ({_GPU_COLS_SQL})
+    SELECT gpu_id, dt,
+           CAST(COUNT(*) AS BIGINT) AS n_samples,
+           CAST(MAX(temp_c) AS BIGINT) AS max_temp_c,
+           CAST(SUM(temp_c) AS BIGINT) / CAST(COUNT(*) AS DOUBLE) AS avg_temp_c,
+           CAST(MAX(power_w) AS BIGINT) AS max_power_w,
+           CAST(SUM(CASE WHEN temp_c >= 85 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_throttled,
+           SUM(CASE WHEN temp_c >= 85 THEN 1 ELSE 0 END)
+               / CAST(COUNT(*) AS DOUBLE) AS throttle_share,
+           CAST(SUM(ecc_errors) AS BIGINT) AS ecc_errors,
+           CAST(MAX(temp_c) >= 90 AS INT) AS is_hot
+    FROM samples
+    GROUP BY gpu_id, dt
+    HAVING MAX(temp_c) >= 90 OR SUM(CASE WHEN temp_c >= 85 THEN 1 ELSE 0 END) > 0
+    """,
+)
+def gold_hot_throttled_gpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference README.md:556-564: per-device-day thermal health — hot
+    (max temp ≥90) or throttled (any sample ≥85) GPUs with sample counts,
+    temperature/power profile, throttle share and ECC totals. One scan, one
+    hash aggregation on (gpu_id, dt); HAVING prunes healthy devices before
+    anything leaves the aggregation — at 100 TB the output is the handful of
+    unhealthy device-days, not the fleet."""
+    s = _sim_gpu_samples(spark, sf_dir)
+    throttled = F.sum(F.when(F.col("temp_c") >= 85, 1).otherwise(0))
+    return (
+        s.groupBy("gpu_id", "dt")
+        .agg(
+            F.count(F.lit(1)).alias("n_samples"),
+            F.max("temp_c").cast("long").alias("max_temp_c"),
+            (F.sum("temp_c") / F.count(F.lit(1)).cast("double")).alias("avg_temp_c"),
+            F.max("power_w").cast("long").alias("max_power_w"),
+            throttled.alias("n_throttled"),
+            (throttled / F.count(F.lit(1)).cast("double")).alias("throttle_share"),
+            F.sum("ecc_errors").alias("ecc_errors"),
+            (F.max("temp_c") >= 90).cast("int").alias("is_hot"),
+        )
+        .filter((F.col("max_temp_c") >= 90) | (F.col("n_throttled") > 0))
+    )
+
+
+@query(
+    "gold_error_spikes_daily",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS dt,
+               CAST(COUNT(*) AS BIGINT) AS n_errors
+        FROM events WHERE event_type = 'error'
+        GROUP BY 1
+    )
+    SELECT dt, n_errors,
+           CAST(SUM(n_errors) OVER w AS BIGINT)
+               / CAST(COUNT(*) OVER w AS DOUBLE) AS trailing_avg,
+           CAST(COUNT(*) OVER w AS BIGINT) AS n_trailing_days,
+           CAST(COUNT(*) OVER w >= 3
+                AND n_errors * CAST(COUNT(*) OVER w AS DOUBLE)
+                    > 1.5 * SUM(n_errors) OVER w AS INT) AS is_spike
+    FROM daily
+    WINDOW w AS (ORDER BY dt ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+    """,
+)
+def gold_error_spikes_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference README.md:565-566 ("error spikes per day"): daily error
+    volume flagged as a spike when it exceeds 1.5x the trailing-week mean
+    (≥3 prior days required so the first days never self-flag). The spike
+    predicate is cross-multiplied (n*cnt > 1.5*sum) so both engines compare
+    the same integer-derived doubles. Daily rollup is bounded cardinality;
+    the ordered window runs on one row per day — scale-safe."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.filter(F.col("event_type") == "error")
+        .groupBy(F.date_trunc("day", "ts").alias("dt"))
+        .agg(F.count(F.lit(1)).alias("n_errors"))
+    )
+    w = Window.orderBy("dt").rowsBetween(-7, -1)
+    trailing_sum = F.sum("n_errors").over(w)
+    trailing_cnt = F.count(F.lit(1)).over(w)
+    return daily.select(
+        "dt",
+        "n_errors",
+        (trailing_sum / trailing_cnt.cast("double")).alias("trailing_avg"),
+        trailing_cnt.alias("n_trailing_days"),
+        (
+            (trailing_cnt >= 3)
+            & (F.col("n_errors") * trailing_cnt.cast("double") > 1.5 * trailing_sum)
+        )
+        .cast("int")
+        .alias("is_spike"),
+    )
