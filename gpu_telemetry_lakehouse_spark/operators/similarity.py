@@ -59,6 +59,25 @@ def cosine_topk(
     )
 
 
+def _centroid_dots(vec: Column, centroids: list[list[float]]) -> Column:
+    """``array<double>`` of v·c_j for every centroid, as ONE transform over a
+    literal ``array<array<double>>``. The naive form — k separate unrolled
+    ``aggregate(zip_with(...))`` expressions — costs the analyzer/codegen k
+    higher-order-function subtrees per reference; a single lambda over the
+    nested literal keeps the plan O(1) operators with the centroid VALUES as
+    data, which measurably cuts per-query planning latency (the dominant
+    cost of the IVF query at bench scale) without changing the arithmetic:
+    same left-to-right fold per centroid, bit-identical doubles.
+    """
+    cents = F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in centroids])
+    return F.transform(
+        cents,
+        lambda c: F.aggregate(
+            F.zip_with(vec, c, lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x
+        ),
+    )
+
+
 def _assign_expr(centroids: list[list[float]]) -> Column:
     """Row-local nearest-centroid expression over LITERAL centroids.
 
@@ -67,15 +86,7 @@ def _assign_expr(centroids: list[list[float]]) -> Column:
     shuffles — it is a projection the parquet scan streams through. Ties
     resolve to the lowest cluster id (array_position finds the first max).
     """
-    dots = [
-        F.aggregate(
-            F.zip_with(F.col("v"), F.array(*[F.lit(x) for x in c]), lambda a, b: a * b),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        for c in centroids
-    ]
-    scores = F.array(*dots)
+    scores = _centroid_dots(F.col("v"), centroids)
     return (F.array_position(scores, F.array_max(scores)) - 1).cast("int")
 
 
@@ -169,20 +180,11 @@ def ivf_topk(
         F.col(id_col).alias("query_id"), "q_vec", "q_nrm"
     )
     # row-local probe list: sort (−dot, cluster) structs, slice top n_probe
-    qdots = [
-        F.aggregate(
-            F.zip_with(F.col("q_vec"), F.array(*[F.lit(x) for x in c]), lambda a, b: a * b),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        for c in cents
-    ]
+    qdots = _centroid_dots(F.col("q_vec"), cents)
     ranked = F.array_sort(
-        F.array(
-            *[
-                F.struct((-d).alias("negd"), F.lit(j).cast("int").alias("cluster"))
-                for j, d in enumerate(qdots)
-            ]
+        F.transform(
+            qdots,
+            lambda d, j: F.struct((-d).alias("negd"), j.cast("int").alias("cluster")),
         )
     )
     q_probe = q.select(
@@ -233,16 +235,21 @@ def hyperplane_signs(n_planes: int, dim: int) -> list[list[float]]:
 
 
 def lsh_code(vec: Column, planes: list[list[float]]) -> Column:
-    """Pack sign(v·plane_p) bits into one integer bucket code (row-local)."""
-    code = F.lit(0).cast("long")
-    for p, plane in enumerate(planes):
-        d = F.aggregate(
-            F.zip_with(vec, F.array(*[F.lit(x) for x in plane]), lambda a, b: a * b),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        code = code + F.when(d > 0, F.lit(1 << p).cast("long")).otherwise(F.lit(0).cast("long"))
-    return code
+    """Pack sign(v·plane_p) bits into one integer bucket code (row-local).
+
+    One transform over the literal plane matrix + one fold to pack bits —
+    not per-plane unrolled subtrees (see ``_centroid_dots`` rationale)."""
+    dots = _centroid_dots(vec, planes)
+    weights = F.array(*[F.lit(1 << p).cast("long") for p in range(len(planes))])
+    return F.aggregate(
+        F.zip_with(
+            dots,
+            weights,
+            lambda d, w: F.when(d > 0, w).otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
 
 
 def lsh_neardup_pairs(
