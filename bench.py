@@ -129,13 +129,14 @@ def main() -> None:
         total, timings = serial_pass()
         serial_total, serial_timings = total, timings
     else:
-        # best-of-2 measured passes: host-level contention on shared
+        # best-of-3 measured passes: host-level contention on shared
         # infrastructure shows 5-10x wall-clock swings between identical
-        # runs; the minimum is the reproducible engine cost, the max is the
-        # neighbor's workload. Per-query timings keep the pass that set the
-        # winning total.
+        # runs (measured 4.9s vs 19.6s for the same commit an hour apart);
+        # the minimum is the reproducible engine cost, the max is the
+        # neighbor's workload. Concurrent passes are cheap, so three attempts
+        # buy real protection. Per-query timings keep the winning pass.
         best = None
-        for _ in range(2):
+        for _ in range(3):
             attempt: dict[str, float] = {}
             timings = attempt
             t_suite = time.perf_counter()
