@@ -90,6 +90,47 @@ def _assign_expr(centroids: list[list[float]]) -> Column:
     return (F.array_position(scores, F.array_max(scores)) - 1).cast("int")
 
 
+def assign_clusters_vectorized(
+    df: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str = "v",
+    out_col: str = "cluster",
+) -> DataFrame:
+    """Nearest-centroid assignment via Arrow-batched numpy matmul — the
+    large-k scale path.
+
+    The literal-expression form (``_assign_expr``) evaluates k array folds
+    per row inside codegen; fine for a coarse quantizer (k ≤ ~100) but the
+    expression grows O(k·dim) and per-row interpreted folds lose to BLAS as
+    k rises. Here the k×dim centroid matrix ships by value in the closure
+    (kilobytes), each Arrow batch computes one (batch × dim)·(dim × k)
+    float64 matmul, and argmax picks the cluster — same first-max tie-break
+    as ``array_position`` (numpy argmax). Still a map-side projection: zero
+    joins, zero shuffles, and the schema passes every other column through
+    untouched.
+    """
+    import numpy as np
+
+    C = np.array(centroids, dtype=np.float64).T  # (dim, k)
+    fields = [f for f in df.schema.fields if f.name != out_col]
+    out_schema = T.StructType(fields + [T.StructField(out_col, T.IntegerType())])
+
+    def assign(it):
+        for pdf in it:
+            V = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)  # (n, dim)
+            pdf = pdf.copy()
+            pdf[out_col] = (V @ C).argmax(axis=1).astype("int32")
+            yield pdf
+
+    return df.mapInPandas(assign, out_schema)
+
+
+# Above this k, ivf_topk switches corpus bucketing from the literal codegen
+# expression to the Arrow/BLAS path. Query-side probe ranking always stays
+# literal: the query set is driver-sized.
+LITERAL_ASSIGN_MAX_K = 100
+
+
 def kmeans_centroids(
     vectors: DataFrame,
     n_clusters: int = 8,
@@ -174,7 +215,10 @@ def ivf_topk(
     cents = centroids or kmeans_centroids(
         vectors, n_clusters=n_clusters, vec_col=vec_col, id_col=id_col
     )
-    bucketed = v.withColumn("cluster", _assign_expr(cents))
+    if len(cents) <= LITERAL_ASSIGN_MAX_K:
+        bucketed = v.withColumn("cluster", _assign_expr(cents))
+    else:
+        bucketed = assign_clusters_vectorized(v, cents)
 
     q = with_norm(queries, vec_col, "q_vec", "q_nrm").select(
         F.col(id_col).alias("query_id"), "q_vec", "q_nrm"

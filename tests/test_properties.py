@@ -256,3 +256,53 @@ def test_kmeans_centroid_fit_partition_invariant(spark, sf_dir):
     assert a == b == c
     # and the sampled fit still differs from nothing: k distinct centroids
     assert len({tuple(x) for x in a}) == 4
+
+
+def test_vectorized_assignment_matches_literal_path(spark, sf_dir):
+    """The large-k BLAS assignment (mapInPandas matmul + numpy argmax) must
+    bucket every vector identically to the literal codegen expression —
+    both use first-max tie-break, so the switch at LITERAL_ASSIGN_MAX_K
+    cannot change IVF results, only the execution strategy."""
+    from gpu_telemetry_lakehouse_spark.catalog import load_table
+    from gpu_telemetry_lakehouse_spark.operators import similarity as S
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = S.kmeans_centroids(emb, n_clusters=6, sample_rows=128)
+    v = S.with_norm(emb).select("vec_id", "v")
+    lit = {
+        r.vec_id: r.cluster
+        for r in v.withColumn("cluster", S._assign_expr(cents)).collect()
+    }
+    vec = {
+        r.vec_id: r.cluster
+        for r in S.assign_clusters_vectorized(v, cents).collect()
+    }
+    assert lit == vec and len(lit) == emb.count()
+
+
+def test_ivf_large_k_switch_end_to_end(spark, sf_dir):
+    """ivf_topk above LITERAL_ASSIGN_MAX_K centroids runs through the
+    vectorized bucketing and still satisfies the IVF invariants: ≤k rows
+    per query, rn dense from 1, cos_sim within [-1, 1]."""
+    from gpu_telemetry_lakehouse_spark.catalog import load_table
+    from gpu_telemetry_lakehouse_spark.operators import similarity as S
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter("vec_id < 5")
+    cents = S.kmeans_centroids(emb, n_clusters=8, sample_rows=128)
+    # pad duplicated centroids past the switch threshold: duplicates can
+    # never win argmax over their first occurrence, so results still come
+    # from the 8 real buckets while the >100-centroid code path executes
+    padded = cents + [c for c in cents for _ in range(13)]
+    assert len(padded) > S.LITERAL_ASSIGN_MAX_K
+    out = S.ivf_topk(
+        spark, emb, queries, k=5, n_probe=2, centroids=padded
+    ).collect()
+    assert out
+    per_q = {}
+    for r in out:
+        per_q.setdefault(r.query_id, []).append(r)
+        assert -1.0 <= r.cos_sim <= 1.0
+    for rows in per_q.values():
+        assert sorted(x.rn for x in rows) == list(range(1, len(rows) + 1))
+        assert len(rows) <= 5
