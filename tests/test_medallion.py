@@ -14,23 +14,9 @@ from gpu_telemetry_lakehouse_spark.flow import full_refresh
 DAY = 86400.0
 
 
-@pytest.fixture(scope="module")
-def source_dir(tmp_path_factory):
-    d = tmp_path_factory.mktemp("sources")
-    pd.DataFrame(
-        {
-            "job_name": [f"job_{i}" for i in range(6)],
-            "inst_id": [f"inst_{i}" for i in range(6)],
-            "user": ["u1", "u1", "u2", "u2", "u3", "u3"],
-            "status": ["Terminated"] * 4 + ["Running", "Failed"],
-            "start_time": [0.0, 100.0, 200.0, 300.0, 400.0, 500.0],
-            # Running job -> NULL end_time (drives the CASE null-guard)
-            "end_time": [1000.0, 1100.0, 1200.0, 1300.0, None, 1500.0],
-        }
-    ).to_csv(d / "pai_job_table.csv", index=False)
-
+def _machine_metric_rows(days: int, start_day: int = 0) -> list[dict]:
     rows = []
-    for day in range(3):
+    for day in range(start_day, days):
         for m in ("m1", "m2"):
             for k in range(4):
                 ts = day * DAY + k * 3600.0
@@ -50,7 +36,25 @@ def source_dir(tmp_path_factory):
                         "machine_num_worker": 2,
                     }
                 )
-    pd.DataFrame(rows).to_csv(d / "pai_machine_metric.csv", index=False)
+    return rows
+
+
+def write_sources(d, metric_days: int = 3) -> str:
+    pd.DataFrame(
+        {
+            "job_name": [f"job_{i}" for i in range(6)],
+            "inst_id": [f"inst_{i}" for i in range(6)],
+            "user": ["u1", "u1", "u2", "u2", "u3", "u3"],
+            "status": ["Terminated"] * 4 + ["Running", "Failed"],
+            "start_time": [0.0, 100.0, 200.0, 300.0, 400.0, 500.0],
+            # Running job -> NULL end_time (drives the CASE null-guard)
+            "end_time": [1000.0, 1100.0, 1200.0, 1300.0, None, 1500.0],
+        }
+    ).to_csv(d / "pai_job_table.csv", index=False)
+
+    pd.DataFrame(_machine_metric_rows(metric_days)).to_csv(
+        d / "pai_machine_metric.csv", index=False
+    )
 
     pd.DataFrame(
         {
@@ -79,6 +83,11 @@ def source_dir(tmp_path_factory):
         }
     ).to_csv(d / "tpu_gpus.csv", index=False)
     return str(d)
+
+
+@pytest.fixture(scope="module")
+def source_dir(tmp_path_factory):
+    return write_sources(tmp_path_factory.mktemp("sources"))
 
 
 @pytest.fixture(scope="module")
@@ -230,3 +239,46 @@ def test_new_gold_marts_materialized_through_tablog(built, spark):
         assert T.history(tbl)[0]["operation"] == "create"
         stats = T.snapshot_files(tbl)[0]["stats"]
         assert "dt" in stats  # temporal stats present (MICROS encoding)
+
+
+def test_incremental_update_matches_full_rebuild(spark, tmp_path_factory):
+    """Late-arriving day of telemetry applied via incremental_update (silver
+    append + stats-pruned day recompute + gold MERGE on dt) must produce
+    gold and scored tables value-identical to a from-scratch full_refresh
+    over the union of inputs, while silver history files stay untouched."""
+    from gpu_telemetry_lakehouse_spark import tablog as T
+    from gpu_telemetry_lakehouse_spark.flow import incremental_update
+    from gpu_telemetry_lakehouse_spark.schemas import MACHINE_METRICS
+
+    inc_src = write_sources(tmp_path_factory.mktemp("inc_sources"), metric_days=2)
+    inc_lake = str(tmp_path_factory.mktemp("inc_lake"))
+    full_src = write_sources(tmp_path_factory.mktemp("full_sources"), metric_days=3)
+    full_lake = str(tmp_path_factory.mktemp("full_lake"))
+
+    full_refresh(spark, inc_src, inc_lake)
+    import os
+
+    silver_path = os.path.join(inc_lake, "warehouse", "silver_gpu_timeseries")
+    files_before = {a["file"] for a in T.snapshot_files(silver_path)}
+
+    late = spark.createDataFrame(
+        pd.DataFrame(_machine_metric_rows(3, start_day=2)), schema=MACHINE_METRICS
+    )
+    inc = incremental_update(spark, inc_lake, late)
+
+    want = full_refresh(spark, full_src, full_lake)
+
+    def rows(df, cols):
+        return sorted(df.select(*cols).collect())
+
+    gold_cols = ["dt", "avg_gpu_util", "p95_gpu_util", "avg_cpu_util"]
+    assert rows(inc["gold_cluster_util_daily"], gold_cols) == rows(
+        want["gold_cluster_util_daily"], gold_cols
+    )
+    scored_cols = gold_cols + ["anomaly_flag"]
+    assert rows(inc["gold_cluster_util_daily_scored"], scored_cols) == rows(
+        want["gold_cluster_util_daily_scored"], scored_cols
+    )
+    # silver history untouched: every pre-update file still in the snapshot
+    files_after = {a["file"] for a in T.snapshot_files(silver_path)}
+    assert files_before <= files_after and len(files_after) > len(files_before)
