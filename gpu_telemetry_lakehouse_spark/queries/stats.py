@@ -248,9 +248,19 @@ def theta_user_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 # distinct counts with sketch-like re-aggregatability (pre-compute per
 # partition/day, merge later without raw re-scan). Works because ids are
 # dense integers; HLL remains the fallback for unbounded key domains.
-# DuckDB has no bitmap-agg twin -> rows-only; the invariant test pins
-# equality with COUNT(DISTINCT).
-@query("bitmap_distinct_users", oracle=None)
+# DuckDB has no bitmap-agg twin, but it doesn't need one: the RESULT is an
+# exact distinct count, so plain COUNT(DISTINCT) is a complete oracle for
+# the bitmap mechanism (same differential pattern as heavy_hitter_users'
+# Misra-Gries vs naive groupBy).
+@query(
+    "bitmap_distinct_users",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_distinct_users
+    FROM events
+    GROUP BY event_type
+    """,
+)
 def bitmap_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     per_bucket = ev.groupBy(
