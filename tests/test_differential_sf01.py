@@ -1,0 +1,44 @@
+"""Bench-scale differential checks: the driver's correctness gate runs at
+sf0.01; this suite re-runs a representative heavy slice of the registry at
+sf0.1 (~10x rows — enough to exercise multi-batch aggregation, real shuffle
+fan-out, and AQE re-planning) against the same DuckDB oracles, proving the
+hash-matches are not an artifact of tiny inputs.
+
+The slice covers each expensive plan family once: wide grouped agg, multi-way
+broadcast join, interval join, decorrelated double-EXISTS, ordered window,
+MinHash banding, posting-list Jaccard, the telemetry gold marts, and the
+bitmap distinct rollup. Skipped automatically if the sf0.1 testdata is absent.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from .oracle import compare
+
+SF01 = "/root/testdata/sf0.1"
+
+HEAVY_SLICE = [
+    "tpch_q1",
+    "tpch_q5_local_volume",
+    "interval_join_shipments",
+    "sole_fault_suppliers",
+    "window_rolling_metrics",
+    "dedup_minhash_pairs",
+    "dedup_shingle_jaccard_capped",
+    "gold_job_efficiency_daily",
+    "gold_user_gpu_usage_daily",
+    "gold_hot_throttled_gpus",
+    "bitmap_distinct_users",
+]
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(SF01), reason="sf0.1 testdata not present"
+)
+
+
+@pytest.mark.parametrize("name", HEAVY_SLICE)
+def test_heavy_query_matches_oracle_at_bench_scale(spark, name):
+    compare(spark, name, SF01)
