@@ -540,3 +540,77 @@ def test_stream_stream_left_outer_join(spark, sf_dir, replay_dir):
     matched_got = {t for t in got if t[2] is not None}
     matched_want = {t for t in want if t[2] is not None}
     assert matched_got == matched_want
+
+
+def test_stream_maintained_gold_table_equals_batch(spark, tmp_path):
+    """The reference's full streaming-simulation future work (README.md:
+    574-584) end to end: the custom telemetry_replay connector streamed
+    through an ADDITIVE gold maintenance loop — each micro-batch's partial
+    (count, exact scaled sum) folds into the tablog table via an idempotent
+    batch_id MERGE — must land byte-identical to the one-shot batch rollup
+    of the same feed. Additivity keeps arithmetic exact (integer tenths, no
+    float re-ordering) and the pattern scales: per-epoch work is O(touched
+    hours), the history table is never re-scanned."""
+    from gpu_telemetry_lakehouse_spark import tablog as T
+    from gpu_telemetry_lakehouse_spark.streaming import replay_source as R
+
+    R.register(spark)
+    tbl = str(tmp_path / "gold_hourly_stream")
+    ck = str(tmp_path / "ck")
+    opts = {"machines": "4", "ticks": "7"}
+
+    def partial(df):
+        return df.groupBy(F.date_trunc("hour", "ts").alias("hr")).agg(
+            F.count(F.lit(1)).alias("n_samples"),
+            F.sum(F.round(F.col("gpu_util") * 10).cast("long")).alias(
+                "sum_gpu_tenths"
+            ),
+        )
+
+    def apply_batch(bdf, epoch_id):
+        import os as _os
+
+        upd = partial(bdf)
+        if _os.path.isdir(_os.path.join(tbl, T.LOG_DIR)):
+            base = T.read(bdf.sparkSession, tbl)
+            upd = (
+                upd.alias("u")
+                .join(base.alias("b"), "hr", "full_outer")
+                .select(
+                    "hr",
+                    (
+                        F.coalesce(F.col("u.n_samples"), F.lit(0))
+                        + F.coalesce(F.col("b.n_samples"), F.lit(0))
+                    ).alias("n_samples"),
+                    (
+                        F.coalesce(F.col("u.sum_gpu_tenths"), F.lit(0))
+                        + F.coalesce(F.col("b.sum_gpu_tenths"), F.lit(0))
+                    ).alias("sum_gpu_tenths"),
+                )
+            )
+            T.merge_upsert(
+                bdf.sparkSession, upd, tbl, key_cols=["hr"], batch_id=int(epoch_id)
+            )
+        else:
+            T.create_table(upd, tbl)
+
+    stream = (
+        spark.readStream.format("telemetry_replay").options(**opts).load()
+    )
+    q = (
+        stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", ck)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = sorted(T.read(spark, tbl).collect())
+    want = sorted(
+        partial(spark.read.format("telemetry_replay").options(**opts).load()).collect()
+    )
+    assert [tuple(r) for r in got] == [tuple(r) for r in want] and got
+    ops = [h["operation"] for h in T.history(tbl)]
+    assert ops[0] == "create" and set(ops[1:]) <= {"merge"}
