@@ -120,6 +120,7 @@ DRIVER_WINDOW: list[str] = [
 # category is already represented above (consolidated near-duplicates).
 _SECOND_TIER: list[str] = [
     "gold_hot_throttled_gpus",
+    "job_runtime_distribution",
     "gold_error_spikes_daily",
     "sql_cte_daily",
     "tpch_q3_shipping",

@@ -248,6 +248,54 @@ def gold_user_gpu_usage_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- BI layer: job runtime distributions (reference README.md:568-573) ------
+# "Dashboards like: ... job queue and runtime distributions." The queue/
+# runtime profile per outcome — count, quartiles, p95, mean, longest — is
+# the drill-down table behind that dashboard panel. Durations are integer
+# seconds by construction, so exact interpolated percentiles agree between
+# engines bit-for-bit.
+
+
+@query(
+    "job_runtime_distribution",
+    oracle=f"""
+    WITH jobs AS (
+        SELECT (o_orderstatus = 'P' OR o_orderkey % 10 = 0) AS failed,
+               (o_orderkey % 96 + 1) * 1800 AS run_time_s
+        FROM orders
+    )
+    SELECT failed,
+           CAST(COUNT(*) AS BIGINT) AS n_jobs,
+           quantile_cont(run_time_s, 0.25) AS p25_s,
+           quantile_cont(run_time_s, 0.50) AS median_s,
+           quantile_cont(run_time_s, 0.95) AS p95_s,
+           CAST(SUM(run_time_s) AS BIGINT) / CAST(COUNT(*) AS DOUBLE) AS mean_s,
+           CAST(MAX(run_time_s) AS BIGINT) AS max_s
+    FROM jobs
+    GROUP BY failed
+    """,
+)
+def job_runtime_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference README.md:572 ("job queue and runtime distributions"): the
+    runtime profile per job outcome over the simulated jobs dimension. One
+    hash aggregation; exact percentiles are ObjectHashAggregate — at fleet
+    scale swap to approx_percentile (documented weaker check) or pre-bucket."""
+    jobs = sim_jobs(spark, sf_dir)
+    d = F.unix_timestamp("end_ts") - F.unix_timestamp("start_ts")
+    return (
+        jobs.select("failed", d.alias("run_time_s"))
+        .groupBy("failed")
+        .agg(
+            F.count(F.lit(1)).alias("n_jobs"),
+            F.percentile("run_time_s", F.lit(0.25)).alias("p25_s"),
+            F.percentile("run_time_s", F.lit(0.50)).alias("median_s"),
+            F.percentile("run_time_s", F.lit(0.95)).alias("p95_s"),
+            (F.sum("run_time_s") / F.count(F.lit(1)).cast("double")).alias("mean_s"),
+            F.max("run_time_s").cast("long").alias("max_s"),
+        )
+    )
+
+
 # --- Richer GPU-level metrics (reference README.md:556-566 future work) ----
 #
 # "Simulate additional fields such as: GPU memory usage, power draw,
