@@ -12,8 +12,11 @@ instead of serializing 16 scheduling gaps. ``value`` is the wall-clock to
 complete the whole suite; per-query entries are individual (contended)
 wall times. ``serial_value``/``serial_queries`` report an additional
 one-query-at-a-time measured pass — the apples-to-apples number against a
-serial DuckDB oracle run. Set BENCH_SERIAL=1 to skip the concurrent pass
-entirely (value then equals the serial total).
+serial DuckDB oracle run. ``duckdb_serial_value`` is that oracle run,
+measured in the SAME process window (same host-noise conditions), so the
+ratio value/duckdb_serial_value is meaningful even when co-tenant load
+swings absolute walls 5-10x. Set BENCH_SERIAL=1 to skip the concurrent
+pass entirely (value then equals the serial total).
 """
 
 from __future__ import annotations
@@ -123,6 +126,30 @@ def main() -> None:
                 best = (t, attempt)
         return best
 
+    def duckdb_serial(passes: int = 2) -> tuple[float, int]:
+        """Contemporaneous oracle baseline: the same headline queries' oracle
+        SQL on DuckDB (default threads), serial, best-of-N — measured in the
+        SAME process window so host-noise swings (5-10x observed on this
+        shared box) hit both engines alike and the ratio stays meaningful."""
+        import duckdb
+
+        from gpu_telemetry_lakehouse_spark.catalog import TABLES
+        from gpu_telemetry_lakehouse_spark.queries import ORACLE
+
+        names = [n for n in HEADLINE if n in ORACLE]
+        con = duckdb.connect()
+        for t in TABLES:
+            con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        best = None
+        for _ in range(passes):
+            t0 = time.perf_counter()
+            for n in names:
+                con.sql(ORACLE[n]).fetchall()
+            t = round(time.perf_counter() - t0, 3)
+            best = t if best is None or t < best else best
+        con.close()
+        return best, len(names)
+
     serial_total: float | None = None
     serial_timings: dict[str, float] = {}
     if os.environ.get("BENCH_SERIAL"):
@@ -150,6 +177,7 @@ def main() -> None:
         # is the comparable number; the concurrent wall is the serving number.
         serial_total, serial_timings = serial_pass()
         timings = conc_timings
+    duck_total, duck_n = duckdb_serial()
     print(
         json.dumps(
             {
@@ -160,6 +188,8 @@ def main() -> None:
                 "sf": sf,
                 "serial_value": serial_total,
                 "serial_queries": serial_timings,
+                "duckdb_serial_value": duck_total,
+                "duckdb_serial_nqueries": duck_n,
             }
         )
     )
