@@ -285,3 +285,86 @@ def connected_components(
         if changed == 0:
             break
     return labels
+
+
+def clean_corpus(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    bands: int = 4,
+    jaccard_threshold: float = 0.5,
+    max_df: int | None = 1000,
+) -> tuple[DataFrame, DataFrame]:
+    """The full training-data cleaning pipeline as one composable operator:
+
+    1. **exact** — byte-identical texts collapse to the first id (hash
+       groupBy; only (hash, id) pairs shuffle);
+    2. **candidates** — MinHash over shingles, LSH band equi-join (the
+       O(n²) pair space never materializes);
+    3. **verify** — exact shingle-Jaccard ≥ ``jaccard_threshold`` on the
+       candidate pairs only (``max_df`` stop-list caps posting-list
+       fan-out on boilerplate shingles);
+    4. **cluster** — transitive closure of verified pairs (min-label
+       propagation), component id = canonical survivor;
+    5. **keep** — drop every non-canonical member.
+
+    Returns ``(clean_docs, report)`` where ``report`` is a 1-row DataFrame
+    of stage counts (docs in/out, exact dups, candidate/verified pairs,
+    cluster members dropped) — the observability row a production run logs.
+
+    Scale shape: every stage is a hash shuffle of ids/hashes/signatures
+    (never text except the single exact-dedup pass over (hash(text), id));
+    clustering touches only documents that appear in a verified pair —
+    at web scale that is a small fraction of the corpus.
+    """
+    n_in = docs.count()
+
+    # 1. exact: first id per identical text wins
+    hashed = docs.select(
+        F.col(id_col), F.col(text_col), F.md5(F.col(text_col)).alias("__h")
+    )
+    keep_exact = hashed.groupBy("__h").agg(F.min(id_col).alias(id_col))
+    exact_docs = hashed.join(keep_exact, ["__h", id_col]).drop("__h")
+    n_exact = exact_docs.count()
+
+    # 2-3. near-dup candidates (LSH) verified by exact jaccard
+    sigs = minhash_signatures(exact_docs, text_col=text_col, id_col=id_col, k=k)
+    cand = minhash_lsh_pairs(sigs, id_col=id_col, k=k, bands=bands)
+    n_cand = cand.count()
+    exact_pairs = shingle_jaccard_pairs(
+        exact_docs, text_col=text_col, id_col=id_col,
+        threshold=jaccard_threshold, max_df=max_df,
+    )
+    verified = cand.select(
+        F.col("id_a").alias("ca"), F.col("id_b").alias("cb")
+    ).join(
+        exact_pairs.select(F.col("id_a").alias("ca"), F.col("id_b").alias("cb")),
+        ["ca", "cb"],
+    )
+    n_ver = verified.count()
+
+    # 4-5. clusters -> keep component minimum
+    comp = connected_components(verified, src="ca", dst="cb")
+    drop = comp.filter(F.col("node") != F.col("lbl")).select(
+        F.col("node").alias(id_col)
+    )
+    clean = exact_docs.join(drop, id_col, "left_anti")
+    n_out = clean.count()
+
+    spark = docs.sparkSession
+    report = spark.createDataFrame(
+        [
+            (
+                n_in,
+                n_in - n_exact,
+                n_cand,
+                n_ver,
+                n_exact - n_out,
+                n_out,
+            )
+        ],
+        "n_docs_in long, n_exact_dups long, n_lsh_candidates long, "
+        "n_verified_pairs long, n_neardup_dropped long, n_docs_out long",
+    )
+    return clean, report

@@ -306,3 +306,32 @@ def test_ivf_large_k_switch_end_to_end(spark, sf_dir):
     for rows in per_q.values():
         assert sorted(x.rn for x in rows) == list(range(1, len(rows) + 1))
         assert len(rows) <= 5
+
+
+def test_clean_corpus_pipeline_invariants(spark, sf_dir):
+    """The composite cleaning pipeline (exact -> LSH -> verify -> cluster ->
+    keep) must: never invent documents, leave no byte-identical texts, leave
+    no verified near-dup pair intact, balance its report arithmetic, and be
+    idempotent (a second pass over its own output drops nothing)."""
+    from gpu_telemetry_lakehouse_spark.catalog import load_table
+    from gpu_telemetry_lakehouse_spark.operators.dedup import clean_corpus
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    clean, report = clean_corpus(docs, jaccard_threshold=0.5)
+    r = report.collect()[0]
+
+    in_ids = {x.doc_id for x in docs.select("doc_id").collect()}
+    out_ids = {x.doc_id for x in clean.select("doc_id").collect()}
+    assert out_ids <= in_ids and r.n_docs_out == len(out_ids)
+    # report arithmetic balances
+    assert r.n_docs_in - r.n_exact_dups - r.n_neardup_dropped == r.n_docs_out
+    assert r.n_verified_pairs <= r.n_lsh_candidates
+    # no byte-identical texts remain
+    assert (
+        clean.groupBy("text").count().filter("count > 1").count() == 0
+    )
+    # idempotent: a second pass drops nothing
+    clean2, report2 = clean_corpus(clean, jaccard_threshold=0.5)
+    r2 = report2.collect()[0]
+    assert r2.n_exact_dups == 0 and r2.n_neardup_dropped == 0
+    assert r2.n_docs_out == r.n_docs_out
