@@ -142,6 +142,7 @@ _SECOND_TIER: list[str] = [
     "cross_source_contamination",
     "knn_cosine_vectorized",
     "knn_ivf",
+    "knn_ivf_fixed",
     "gold_daily_util_approx",
 ]
 

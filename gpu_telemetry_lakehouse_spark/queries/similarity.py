@@ -120,6 +120,70 @@ def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- IVF with FIXED centroids: the mechanism under an exact oracle -----------
+# knn_ivf's learned centroids are driver-fit (can't be inlined into static
+# oracle SQL), so its check is rows-only. This twin runs the IDENTICAL
+# ivf_topk code path — argmax bucketing, top-n_probe probing, in-bucket
+# cosine, per-query ranking — over content-addressed ±1 centroids that ARE
+# inlined verbatim into DuckDB SQL, giving the IVF mechanism a hash-exact
+# differential check (the same trick neardup_lsh_pairs uses for LSH).
+_IVF_CENTS = SIM.hyperplane_signs(8, dim=64)
+
+
+def _cents_values_sql() -> str:
+    rows = ", ".join(
+        f"({cid}, [{', '.join(str(x) for x in c)}])"
+        for cid, c in enumerate(_IVF_CENTS)
+    )
+    return f"(VALUES {rows}) cents(cid, c)"
+
+
+@query(
+    "knn_ivf_fixed",
+    oracle=f"""
+    WITH v AS (
+        SELECT vec_id, cast(embedding AS DOUBLE[]) AS qv FROM embeddings
+    ),
+    n AS (
+        SELECT vec_id, qv, sqrt(list_dot_product(qv, qv)) AS nrm FROM v
+    ),
+    scored_cents AS (
+        SELECT vec_id, qv, nrm, cid, list_dot_product(qv, c) AS d
+        FROM n, {_cents_values_sql()}
+    ),
+    assign AS (
+        SELECT vec_id, qv, nrm, cid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d DESC, cid) AS crn
+        FROM scored_cents
+    ),
+    bucketed AS (SELECT vec_id, qv, nrm, cid FROM assign WHERE crn = 1),
+    probes AS (
+        SELECT vec_id AS query_id, qv AS q_vec, nrm AS q_nrm, cid
+        FROM assign WHERE vec_id < {N_QUERIES} AND crn <= 2
+    ),
+    cand AS (
+        SELECT p.query_id, b.vec_id AS neighbor_id,
+               ROUND(list_dot_product(b.qv, p.q_vec) / (b.nrm * p.q_nrm), 6)
+                   AS cos_sim
+        FROM probes p JOIN bucketed b ON b.cid = p.cid
+        WHERE b.vec_id <> p.query_id
+    )
+    SELECT query_id, neighbor_id, cos_sim, rn
+    FROM (
+        SELECT *, CAST(ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS INT) AS rn
+        FROM cand
+    ) WHERE rn <= 5
+    """,
+)
+def knn_ivf_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spread_input(load_table(spark, sf_dir, "embeddings"))
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+    return SIM.ivf_topk(
+        spark, emb, queries, k=5, n_probe=2, centroids=[list(c) for c in _IVF_CENTS]
+    )
+
+
 # --- sign-LSH (random hyperplane) near-dup pairs -----------------------------
 # The pure-LSH ANN path (vs knn_ivf's learned centroids): bucket by the signs
 # of 8 fixed ±1 hyperplane projections, exact cosine only within buckets.
