@@ -34,7 +34,9 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 # a small per-query shuffle fan-out then halves task-scheduling overhead.
 # Swept {4,8,16,24,32} at sf0.1: 16 wins (3.3-3.5s suite wall vs 4.2s @8,
 # 7.4s @32 — 32 tasks/stage x 21 queries thrashes the scheduler, 4-8 leaves
-# cores idle inside the heavy queries' stages). Explicit env wins.
+# cores idle inside the heavy queries' stages). Re-swept at 23 queries with
+# the noise-immune duckdb ratio: 8 and 16 indistinguishable (ratios 1.06-1.5
+# both, run-to-run spread dominates), 24 worse — 16 kept. Explicit env wins.
 os.environ.setdefault("SPARK_GRAFT_SHUFFLE", "16")
 
 from gpu_telemetry_lakehouse_spark.queries import QUERIES  # noqa: E402

@@ -140,6 +140,7 @@ _SECOND_TIER: list[str] = [
     "dedup_shingle_jaccard",
     "dedup_simhash",
     "cross_source_contamination",
+    "text_repetition_gopher",
     "knn_cosine_vectorized",
     "knn_ivf",
     "knn_ivf_fixed",

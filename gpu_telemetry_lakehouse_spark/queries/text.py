@@ -363,3 +363,81 @@ def array_set_ops_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.array_except(tk, stops)).cast("long").alias("n_content_vocab"),
         F.size(F.array_union(tk, stops)).cast("long").alias("n_union_vocab"),
     )
+
+
+# --- Gopher-style repetition rules -------------------------------------------
+# The repetition family of LLM-data quality filters (Rae et al. 2021,
+# "Scaling Language Models: ... Gopher", Table A1): documents dominated by
+# repeated words / n-grams are boilerplate or spam and get dropped before
+# training. Signals per doc, all row-local (zero shuffles, scales to any
+# corpus): duplicate-word fraction, duplicate-bigram fraction, most-common-
+# word dominance, mean word length, and the keep verdict. Both engines run
+# the identical integer-count arithmetic, so fractions are bit-exact.
+@query(
+    "text_repetition_gopher",
+    oracle=r"""
+    WITH t AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+        FROM documents
+    ),
+    m AS (
+        SELECT doc_id, w,
+               len(w) AS n,
+               len(list_distinct(w)) AS n_uniq,
+               list_transform(generate_series(1, len(w) - 1),
+                              i -> w[i] || ' ' || w[i + 1]) AS bg,
+               list_max(list_transform(list_distinct(w),
+                        u -> len(list_filter(w, y -> y = u)))) AS top_cnt,
+               list_sum(list_transform(w, x -> length(x))) AS sum_len
+        FROM t
+    )
+    SELECT doc_id,
+           CAST(n AS BIGINT) AS n_words,
+           CAST(sum_len AS BIGINT) / CAST(n AS DOUBLE) AS mean_word_len,
+           CAST(n - n_uniq AS BIGINT) / CAST(n AS DOUBLE) AS dup_word_frac,
+           CASE WHEN len(bg) = 0 THEN NULL
+                ELSE CAST(len(bg) - len(list_distinct(bg)) AS BIGINT)
+                     / CAST(len(bg) AS DOUBLE) END AS dup_bigram_frac,
+           CAST(top_cnt AS BIGINT) / CAST(n AS DOUBLE) AS top_word_frac,
+           CAST(CAST(top_cnt AS BIGINT) / CAST(n AS DOUBLE) < 0.2
+                AND CAST(n - n_uniq AS BIGINT) / CAST(n AS DOUBLE) < 0.95
+                AS INT) AS keep
+    FROM m
+    """,
+)
+def text_repetition_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = tokens(F.col("text"))
+    d = docs.select("doc_id", w.alias("w"))
+    n = F.size("w")
+    n_uniq = F.size(F.array_distinct("w"))
+    bg = F.zip_with(
+        F.slice("w", 1, F.greatest(n - 1, F.lit(0))),
+        F.slice("w", 2, F.greatest(n - 1, F.lit(0))),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    top_cnt = F.array_max(
+        F.transform(
+            F.array_distinct("w"),
+            lambda u: F.size(F.filter("w", lambda y: y == u)),
+        )
+    )
+    sum_len = F.aggregate(
+        F.transform("w", lambda x: F.length(x)), F.lit(0), lambda acc, x: acc + x
+    )
+    nbg = F.size(bg)
+    top_frac = top_cnt.cast("long") / n.cast("double")
+    dup_frac = (n - n_uniq).cast("long") / n.cast("double")
+    return d.select(
+        "doc_id",
+        n.cast("long").alias("n_words"),
+        (sum_len.cast("long") / n.cast("double")).alias("mean_word_len"),
+        dup_frac.alias("dup_word_frac"),
+        F.when(
+            nbg > 0, (nbg - F.size(F.array_distinct(bg))).cast("long") / nbg.cast("double")
+        ).alias("dup_bigram_frac"),
+        top_frac.alias("top_word_frac"),
+        ((top_frac < 0.2) & (dup_frac < 0.95)).cast("int").alias("keep"),
+    )
