@@ -211,10 +211,14 @@ def gold_job_efficiency_daily(
         )
         - F.greatest(F.unix_timestamp("__start"), F.unix_timestamp("dt")),
     )
+    # Clamp per-sample util at 100 before averaging: the PAI machine_gpu
+    # field is in "dataset units" that exceed 100 (sums across GPUs), but an
+    # efficiency mart must keep used_gpu_hours <= alloc_gpu_hours — the same
+    # clamp the registry twin applies (queries/telemetry_gold.py).
     daily_util = (
         silver_gpu_timeseries.filter(F.col("gpu_util_pct").isNotNull())
         .groupBy(F.date_trunc("day", F.timestamp_seconds("ts")).alias("dt"))
-        .agg(F.avg("gpu_util_pct").alias("cluster_util_pct"))
+        .agg(F.avg(F.least(F.col("gpu_util_pct"), F.lit(100.0))).alias("cluster_util_pct"))
     )
     alloc = days.groupBy("job_id", "user_id", "dt").agg(
         F.count(F.lit(1)).alias("n_instances"),
@@ -254,7 +258,11 @@ def gold_user_gpu_usage_daily(silver_jobs: DataFrame) -> DataFrame:
         F.coalesce(F.timestamp_seconds("end_time"), F.timestamp_seconds("start_time")).alias(
             "__end"
         ),
-    ).filter(F.col("__start").isNotNull())
+        # __end >= __start keeps NULL-end rows (coalesced to start: zero
+        # hours, still counted started/active) and drops corrupt
+        # end<start rows that would SUBTRACT from the user's daily hours —
+        # the same guard the efficiency mart applies.
+    ).filter(F.col("__start").isNotNull() & (F.col("__end") >= F.col("__start")))
     days = jobs.withColumn(
         "dt",
         F.explode(

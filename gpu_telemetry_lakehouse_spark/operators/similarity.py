@@ -157,7 +157,10 @@ def kmeans_centroids(
     """
     import numpy as np
 
-    n = vectors.select(id_col).count()  # parquet footer count — no data read
+    # One narrow single-column scan to size the sampling threshold (count
+    # does read the column — parquet metadata answers only bare count(*)
+    # with aggregate pushdown on; treat this as a cheap-but-real pass).
+    n = vectors.select(id_col).count()
     if n > sample_rows:
         # 60-bit md5 of the id vs the scaled fraction: a per-row uniform
         # deterministic coin, independent of layout; E[|sample|] = sample_rows.
@@ -169,10 +172,7 @@ def kmeans_centroids(
     rows = (
         with_norm(vectors, vec_col)
         .orderBy(id_col)  # sorts only the ~sample_rows survivors
-        .select(
-            F.col(id_col).alias("i"),
-            F.transform("v", lambda x: x / F.col("nrm")).alias("u"),
-        )
+        .select(F.transform("v", lambda x: x / F.col("nrm")).alias("u"))
         .collect()
     )
     U = np.array([r.u for r in rows], dtype=np.float64)  # unit vectors

@@ -17,6 +17,9 @@ from .registry import ORACLE, QUERIES, query  # noqa: F401
 # Each import registers its queries via the @query decorator.
 from . import core  # noqa: E402,F401
 
+# Every module must import cleanly: a missing one would silently shrink the
+# driver-visible window, so _rerank() asserts each ranked name registered —
+# let an absent module fail loudly here rather than as a late AssertionError.
 for _mod in (
     "telemetry_gold",
     "joins",
@@ -36,10 +39,7 @@ for _mod in (
     "timeseries",
     "stats",
 ):
-    try:
-        __import__(f"{__name__}.{_mod}")
-    except ModuleNotFoundError:
-        pass  # module not built yet (incremental rounds)
+    __import__(f"{__name__}.{_mod}")
 
 
 # The 50-entry driver window: §2.1 reference rows first, then one-per-§2.2

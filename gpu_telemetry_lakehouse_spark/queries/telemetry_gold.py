@@ -151,6 +151,7 @@ def _job_days(jobs: DataFrame) -> DataFrame:
         JOIN events e
           ON e.user_id = j.user_id
          AND e.ts >= j.start_ts AND e.ts < j.end_ts
+        WHERE e.value IS NOT NULL
         GROUP BY 1, 2
     )
     SELECT d.dt, d.job_id, d.user_id, d.gpus,
@@ -169,7 +170,15 @@ def gold_job_efficiency_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-job efficiency, daily. Allocated = interval∩day × gpus; used =
     allocated × mean clamped utilization of the job's samples that day."""
     jobs = sim_jobs(spark, sf_dir)
-    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "value")
+    # NULL utilization readings are not measurements: exclude them BEFORE
+    # the join so the sample count and the mean share one denominator on
+    # both engines (least(NULL, 100) would otherwise smuggle NULL samples
+    # into the sum as 100% — both Spark's and DuckDB's least skip nulls).
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", "ts", "value")
+        .filter(F.col("value").isNotNull())
+    )
     skeleton = _job_days(jobs)
     # Broadcast the jobs DIM explicitly: telemetry is the 100 TB side, and
     # at local fixture sizes AQE would otherwise broadcast whichever input
