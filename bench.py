@@ -133,15 +133,11 @@ def main() -> None:
         SQL on DuckDB (default threads), serial, best-of-N — measured in the
         SAME process window so host-noise swings (5-10x observed on this
         shared box) hit both engines alike and the ratio stays meaningful."""
-        import duckdb
-
-        from gpu_telemetry_lakehouse_spark.catalog import TABLES
         from gpu_telemetry_lakehouse_spark.queries import ORACLE
+        from tests.oracle import duck_con  # same registration as the gate
 
         names = [n for n in HEADLINE if n in ORACLE]
-        con = duckdb.connect()
-        for t in TABLES:
-            con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        con = duck_con(sf_dir)
         best = None
         for _ in range(passes):
             t0 = time.perf_counter()

@@ -96,8 +96,6 @@ def incremental_update(
     Equality with ``full_refresh`` over the union of inputs is pinned in
     tests/test_medallion.py::test_incremental_update_matches_full_rebuild.
     """
-    import calendar
-
     silver_path = os.path.join(lake_dir, "warehouse", "silver_gpu_timeseries")
     gold_path = os.path.join(lake_dir, "warehouse", "gold_cluster_util_daily")
 
@@ -106,27 +104,30 @@ def incremental_update(
     silver_new = M.MODELS["silver_gpu_timeseries"].build(new_machine_metrics)
     T.append(silver_new, silver_path, stat_cols=STAT_COLS["silver_gpu_timeseries"])
 
-    # Touched days: driver-sized by construction (one row per distinct day).
-    days = [
-        r.dt
-        for r in silver_new.select(
-            F.date_trunc("day", F.timestamp_seconds("ts")).alias("dt")
-        )
-        .distinct()
-        .collect()
-    ]
-    if not days:
+    # Touched days as EPOCH SECONDS, truncated JVM-side where the session tz
+    # is pinned UTC. (Collecting TimestampType yields naive datetimes in the
+    # Python driver's LOCAL tz — converting those back with timegm would
+    # shift the window on any non-UTC driver and silently drop edge-of-day
+    # samples from the recompute.) Driver-sized: one long per distinct day.
+    day_s = F.unix_timestamp(F.date_trunc("day", F.timestamp_seconds("ts")))
+    days_epoch = sorted(
+        r.d for r in silver_new.select(day_s.alias("d")).distinct().collect()
+    )
+    if not days_epoch:
         return {}
-    lo_s = calendar.timegm(min(days).timetuple())
-    hi_s = calendar.timegm(max(days).timetuple()) + 86400
-    log.info("incremental_update: %d day(s) affected", len(days))
+    lo_s, hi_s = days_epoch[0], days_epoch[-1] + 86400
+    log.info("incremental_update: %d day(s) affected", len(days_epoch))
 
     # Stats-pruned slice of silver (+ exact day membership on top: the
     # between probe is a file-skipping superset, not the predicate).
     sl = T.read(spark, silver_path, between=("ts", lo_s, hi_s)).filter(
-        F.date_trunc("day", F.timestamp_seconds("ts")).isin(days)
+        day_s.isin(days_epoch)
     )
-    gold_rows = M.MODELS["gold_cluster_util_daily"].build(sl).filter(F.col("dt").isin(days))
+    gold_rows = (
+        M.MODELS["gold_cluster_util_daily"]
+        .build(sl)
+        .filter(F.unix_timestamp("dt").isin(days_epoch))
+    )
     T.merge_upsert(
         spark, gold_rows, gold_path, key_cols=["dt"], stat_cols=STAT_COLS["gold_cluster_util_daily"]
     )

@@ -301,10 +301,11 @@ def clean_corpus(
     1. **exact** — byte-identical texts collapse to the first id (hash
        groupBy; only (hash, id) pairs shuffle);
     2. **candidates** — MinHash over shingles, LSH band equi-join (the
-       O(n²) pair space never materializes);
-    3. **verify** — exact shingle-Jaccard ≥ ``jaccard_threshold`` on the
-       candidate pairs only (``max_df`` stop-list caps posting-list
-       fan-out on boilerplate shingles);
+       O(n²) pair space never materializes; recall is the banding
+       collision probability — raise k/bands for stricter recall);
+    3. **verify** — exact shingle-Jaccard ≥ ``jaccard_threshold`` computed
+       PER CANDIDATE PAIR (shingle sets joined onto the pair list; cost is
+       O(|candidates|), never a corpus-wide pair generation);
     4. **cluster** — transitive closure of verified pairs (min-label
        propagation), component id = canonical survivor;
     5. **keep** — drop every non-canonical member.
@@ -314,10 +315,15 @@ def clean_corpus(
     cluster members dropped) — the observability row a production run logs.
 
     Scale shape: every stage is a hash shuffle of ids/hashes/signatures
-    (never text except the single exact-dedup pass over (hash(text), id));
+    (the only stages touching text are the one exact-dedup hash pass and
+    the per-candidate shingle-set join, both O(corpus) / O(candidates));
     clustering touches only documents that appear in a verified pair —
-    at web scale that is a small fraction of the corpus.
+    at web scale that is a small fraction of the corpus. Intermediate
+    frames are localCheckpoint-pinned so the report counts don't re-run
+    the upstream joins. ``max_df`` is accepted for signature parity with
+    ``shingle_jaccard_pairs`` but unused here (no posting-list stage).
     """
+    del max_df  # no inverted-index stage: verification is per-candidate
     n_in = docs.count()
 
     # 1. exact: first id per identical text wins
@@ -325,22 +331,34 @@ def clean_corpus(
         F.col(id_col), F.col(text_col), F.md5(F.col(text_col)).alias("__h")
     )
     keep_exact = hashed.groupBy("__h").agg(F.min(id_col).alias(id_col))
-    exact_docs = hashed.join(keep_exact, ["__h", id_col]).drop("__h")
+    exact_docs = hashed.join(keep_exact, ["__h", id_col]).drop("__h").localCheckpoint()
     n_exact = exact_docs.count()
 
-    # 2-3. near-dup candidates (LSH) verified by exact jaccard
+    # 2. near-dup candidates via LSH banding only
     sigs = minhash_signatures(exact_docs, text_col=text_col, id_col=id_col, k=k)
-    cand = minhash_lsh_pairs(sigs, id_col=id_col, k=k, bands=bands)
+    cand = minhash_lsh_pairs(sigs, id_col=id_col, k=k, bands=bands).localCheckpoint()
     n_cand = cand.count()
-    exact_pairs = shingle_jaccard_pairs(
-        exact_docs, text_col=text_col, id_col=id_col,
-        threshold=jaccard_threshold, max_df=max_df,
+
+    # 3. exact Jaccard on the CANDIDATE pairs: join each side's distinct
+    # shingle-hash set onto the pair, intersect/union row-locally.
+    shset = exact_docs.select(
+        F.col(id_col),
+        F.array_distinct(
+            F.transform(shingles(tokens(F.col(text_col)), 3), md5_int)
+        ).alias("__sh"),
     )
-    verified = cand.select(
-        F.col("id_a").alias("ca"), F.col("id_b").alias("cb")
-    ).join(
-        exact_pairs.select(F.col("id_a").alias("ca"), F.col("id_b").alias("cb")),
-        ["ca", "cb"],
+    a = shset.select(F.col(id_col).alias("ca"), F.col("__sh").alias("__sha"))
+    b = shset.select(F.col(id_col).alias("cb"), F.col("__sh").alias("__shb"))
+    jacc = F.size(F.array_intersect("__sha", "__shb")) / F.size(
+        F.array_union("__sha", "__shb")
+    )
+    verified = (
+        cand.select(F.col("id_a").alias("ca"), F.col("id_b").alias("cb"))
+        .join(a, "ca")
+        .join(b, "cb")
+        .filter(jacc >= jaccard_threshold)
+        .select("ca", "cb")
+        .localCheckpoint()
     )
     n_ver = verified.count()
 

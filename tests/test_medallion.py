@@ -14,11 +14,13 @@ from gpu_telemetry_lakehouse_spark.flow import full_refresh
 DAY = 86400.0
 
 
-def _machine_metric_rows(days: int, start_day: int = 0) -> list[dict]:
+def _machine_metric_rows(
+    days: int, start_day: int = 0, ks: range = range(4)
+) -> list[dict]:
     rows = []
     for day in range(start_day, days):
         for m in ("m1", "m2"):
-            for k in range(4):
+            for k in ks:
                 ts = day * DAY + k * 3600.0
                 rows.append(
                     {
@@ -39,7 +41,7 @@ def _machine_metric_rows(days: int, start_day: int = 0) -> list[dict]:
     return rows
 
 
-def write_sources(d, metric_days: int = 3) -> str:
+def write_sources(d, metric_days: int = 3, metric_rows: list[dict] | None = None) -> str:
     pd.DataFrame(
         {
             "job_name": [f"job_{i}" for i in range(6)],
@@ -52,9 +54,9 @@ def write_sources(d, metric_days: int = 3) -> str:
         }
     ).to_csv(d / "pai_job_table.csv", index=False)
 
-    pd.DataFrame(_machine_metric_rows(metric_days)).to_csv(
-        d / "pai_machine_metric.csv", index=False
-    )
+    pd.DataFrame(
+        metric_rows if metric_rows is not None else _machine_metric_rows(metric_days)
+    ).to_csv(d / "pai_machine_metric.csv", index=False)
 
     pd.DataFrame(
         {
@@ -253,9 +255,19 @@ def test_incremental_update_matches_full_rebuild(spark, tmp_path_factory):
     from gpu_telemetry_lakehouse_spark.flow import incremental_update
     from gpu_telemetry_lakehouse_spark.schemas import MACHINE_METRICS
 
-    inc_src = write_sources(tmp_path_factory.mktemp("inc_sources"), metric_days=2)
+    # Late batch covers BOTH incremental shapes: extra samples for an
+    # ALREADY-BUILT day (day 1, new hours k=4,5 -> the gold MERGE must
+    # combine pre-existing silver files with the appended ones) and a brand
+    # new day (day 2 -> pure insert).
+    base_rows = _machine_metric_rows(2)
+    late_rows = _machine_metric_rows(2, start_day=1, ks=range(4, 6)) + _machine_metric_rows(
+        3, start_day=2
+    )
+    inc_src = write_sources(tmp_path_factory.mktemp("inc_sources"), metric_rows=base_rows)
     inc_lake = str(tmp_path_factory.mktemp("inc_lake"))
-    full_src = write_sources(tmp_path_factory.mktemp("full_sources"), metric_days=3)
+    full_src = write_sources(
+        tmp_path_factory.mktemp("full_sources"), metric_rows=base_rows + late_rows
+    )
     full_lake = str(tmp_path_factory.mktemp("full_lake"))
 
     full_refresh(spark, inc_src, inc_lake)
@@ -265,7 +277,7 @@ def test_incremental_update_matches_full_rebuild(spark, tmp_path_factory):
     files_before = {a["file"] for a in T.snapshot_files(silver_path)}
 
     late = spark.createDataFrame(
-        pd.DataFrame(_machine_metric_rows(3, start_day=2)), schema=MACHINE_METRICS
+        pd.DataFrame(late_rows), schema=MACHINE_METRICS
     )
     inc = incremental_update(spark, inc_lake, late)
 

@@ -290,10 +290,14 @@ def test_ivf_large_k_switch_end_to_end(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter("vec_id < 5")
     cents = S.kmeans_centroids(emb, n_clusters=8, sample_rows=128)
-    # pad duplicated centroids past the switch threshold: duplicates can
-    # never win argmax over their first occurrence, so results still come
-    # from the 8 real buckets while the >100-centroid code path executes
-    padded = cents + [c for c in cents for _ in range(13)]
+    # pad with strictly SCALED copies past the switch threshold: each copy
+    # has a distinct dot product (s * d), so probe ranking is non-degenerate
+    # and real multi-bucket probing executes through the >100-centroid path
+    # (plain duplicates would tie with the winner and probe an empty bucket)
+    padded = cents + [
+        [x * (1.0 + 0.01 * (i + 1)) for x in c]
+        for i, c in enumerate(c2 for c2 in cents for _ in range(13))
+    ]
     assert len(padded) > S.LITERAL_ASSIGN_MAX_K
     out = S.ivf_topk(
         spark, emb, queries, k=5, n_probe=2, centroids=padded

@@ -568,35 +568,40 @@ def test_stream_maintained_gold_table_equals_batch(spark, tmp_path):
         )
 
     def apply_batch(bdf, epoch_id):
-        import os as _os
-
-        upd = partial(bdf)
-        if _os.path.isdir(_os.path.join(tbl, T.LOG_DIR)):
-            base = T.read(bdf.sparkSession, tbl)
-            upd = (
-                upd.alias("u")
-                .join(base.alias("b"), "hr", "full_outer")
-                .select(
-                    "hr",
-                    (
-                        F.coalesce(F.col("u.n_samples"), F.lit(0))
-                        + F.coalesce(F.col("b.n_samples"), F.lit(0))
-                    ).alias("n_samples"),
-                    (
-                        F.coalesce(F.col("u.sum_gpu_tenths"), F.lit(0))
-                        + F.coalesce(F.col("b.sum_gpu_tenths"), F.lit(0))
-                    ).alias("sum_gpu_tenths"),
-                )
+        # EVERY epoch goes through the batch_id-guarded MERGE — the table
+        # was created empty before the stream started, so there is no
+        # unguarded create path whose replay (restart between create and
+        # checkpoint commit) would double-count epoch 0's partials.
+        base = T.read(bdf.sparkSession, tbl)
+        upd = (
+            partial(bdf)
+            .alias("u")
+            .join(base.alias("b"), "hr", "full_outer")
+            .select(
+                "hr",
+                (
+                    F.coalesce(F.col("u.n_samples"), F.lit(0))
+                    + F.coalesce(F.col("b.n_samples"), F.lit(0))
+                ).alias("n_samples"),
+                (
+                    F.coalesce(F.col("u.sum_gpu_tenths"), F.lit(0))
+                    + F.coalesce(F.col("b.sum_gpu_tenths"), F.lit(0))
+                ).alias("sum_gpu_tenths"),
             )
-            T.merge_upsert(
-                bdf.sparkSession, upd, tbl, key_cols=["hr"], batch_id=int(epoch_id)
-            )
-        else:
-            T.create_table(upd, tbl)
+        )
+        T.merge_upsert(
+            bdf.sparkSession, upd, tbl, key_cols=["hr"], batch_id=int(epoch_id)
+        )
 
     stream = (
         spark.readStream.format("telemetry_replay").options(**opts).load()
     )
+    # Version 0: the empty table (schema only) — idempotency holds from the
+    # very first epoch.
+    empty = partial(
+        spark.read.format("telemetry_replay").options(**opts).load()
+    ).limit(0)
+    T.create_table(empty, tbl)
     q = (
         stream.writeStream.foreachBatch(apply_batch)
         .option("checkpointLocation", ck)
@@ -614,3 +619,9 @@ def test_stream_maintained_gold_table_equals_batch(spark, tmp_path):
     assert [tuple(r) for r in got] == [tuple(r) for r in want] and got
     ops = [h["operation"] for h in T.history(tbl)]
     assert ops[0] == "create" and set(ops[1:]) <= {"merge"}
+    # Replayed epoch is a no-op: re-apply an already-committed batch id with
+    # the FULL feed as its (wrong, worst-case) payload — the ledger rejects
+    # it and the table is unchanged.
+    replay_id = max(T.committed_batch_ids(tbl))
+    apply_batch(spark.read.format("telemetry_replay").options(**opts).load(), replay_id)
+    assert sorted(T.read(spark, tbl).collect()) == got
