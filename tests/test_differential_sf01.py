@@ -32,6 +32,8 @@ HEAVY_SLICE = [
     "gold_user_gpu_usage_daily",
     "gold_hot_throttled_gpus",
     "bitmap_distinct_users",
+    "knn_ivf_fixed",
+    "text_repetition_gopher",
 ]
 
 pytestmark = pytest.mark.skipif(
