@@ -141,6 +141,7 @@ _SECOND_TIER: list[str] = [
     "dedup_simhash",
     "cross_source_contamination",
     "text_repetition_gopher",
+    "dedup_clean_corpus_report",
     "knn_cosine_vectorized",
     "knn_ivf",
     "knn_ivf_fixed",

@@ -346,3 +346,79 @@ def cross_source_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("n_shared") / F.least("na", "nb"), 6).alias("overlap_coef"),
         )
     )
+
+
+# --- the FULL cleaning pipeline under one oracle ----------------------------
+# clean_corpus (operators/dedup.py) chains exact -> LSH candidates ->
+# exact-Jaccard verify -> transitive-closure cluster -> canonical keep and
+# returns a stage-count report. Every stage is md5-derived, so the WHOLE
+# composite — including the banding collision set and the recursive
+# closure — replays in DuckDB SQL assembled from the per-stage oracle
+# fragments above: the end-to-end pipeline gets a hash-exact differential,
+# not just its parts.
+_CLEAN_THRESH = 0.5
+_SIGS_OVER_ED = _SIGS_CTE.strip()[len("WITH ") :].replace("FROM documents", "FROM ed")
+
+
+@query(
+    "dedup_clean_corpus_report",
+    oracle=f"""
+    WITH RECURSIVE
+    keep AS (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+    ed AS (
+        SELECT d.doc_id, d.text FROM documents d JOIN keep k USING (doc_id)
+    ),
+    {_SIGS_OVER_ED},
+    bands AS (
+{_BANDS_SQL}
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bands a
+        JOIN bands b ON a.band = b.band AND a.k0 = b.k0 AND a.k1 = b.k1
+                    AND a.doc_id < b.doc_id
+    ),
+    shl AS (
+        SELECT doc_id,
+               list_distinct(list_transform(s, x -> {_md5int('x')})) AS sl
+        FROM sh
+    ),
+    ver AS (
+        SELECT c.id_a, c.id_b
+        FROM cand c
+        JOIN shl sa ON sa.doc_id = c.id_a
+        JOIN shl sb ON sb.doc_id = c.id_b
+        WHERE len(list_intersect(sa.sl, sb.sl))
+              / (len(sa.sl) + len(sb.sl) - len(list_intersect(sa.sl, sb.sl)))
+              >= {_CLEAN_THRESH}
+    ),
+    edges AS (
+        SELECT id_a AS a, id_b AS b FROM ver
+        UNION ALL
+        SELECT id_b, id_a FROM ver
+    ),
+    reach(node, lbl) AS (
+        SELECT a, a FROM (SELECT DISTINCT a FROM edges) t
+        UNION
+        SELECT e.b, r.lbl FROM reach r JOIN edges e ON e.a = r.node
+    ),
+    cc AS (SELECT node, MIN(lbl) AS lbl FROM reach GROUP BY node),
+    drops AS (SELECT COUNT(*) AS nd FROM cc WHERE node <> lbl)
+    SELECT CAST((SELECT COUNT(*) FROM documents) AS BIGINT) AS n_docs_in,
+           CAST((SELECT COUNT(*) FROM documents)
+                - (SELECT COUNT(*) FROM ed) AS BIGINT) AS n_exact_dups,
+           CAST((SELECT COUNT(*) FROM cand) AS BIGINT) AS n_lsh_candidates,
+           CAST((SELECT COUNT(*) FROM ver) AS BIGINT) AS n_verified_pairs,
+           CAST((SELECT nd FROM drops) AS BIGINT) AS n_neardup_dropped,
+           CAST((SELECT COUNT(*) FROM ed)
+                - (SELECT nd FROM drops) AS BIGINT) AS n_docs_out
+    """,
+)
+def dedup_clean_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread_input(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", "text"
+    )
+    _, report = DD.clean_corpus(
+        docs, k=K, bands=BANDS, jaccard_threshold=_CLEAN_THRESH
+    )
+    return report
