@@ -386,3 +386,101 @@ def clean_corpus(
         "n_verified_pairs long, n_neardup_dropped long, n_docs_out long",
     )
     return clean, report
+
+
+def segment_boilerplate_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seg_len: int = 4,
+    max_df: int = 2,
+) -> DataFrame:
+    """Repeated-segment (boilerplate) removal stats, CCNet/RefinedWeb-style
+    paragraph dedup adapted to fixed token windows: chunk each document into
+    ``seg_len``-token segments, hash each segment, count the corpus-wide
+    document frequency per segment hash, and mark segments appearing in more
+    than ``max_df`` documents as boilerplate. Returns the per-document
+    retention report (segments/tokens total vs kept) that drives the actual
+    strip pass.
+
+    Scale shape: the df index shuffles (8-byte hash, doc_id) pairs — never
+    segment text; the boilerplate set (df > max_df) is the quadratically
+    repeated slice of the corpus and therefore orders of magnitude smaller
+    than the segment universe, so the flag-back join broadcasts under AQE.
+    Per-doc rollup is one hash aggregation on doc_id. Three exchanges total
+    at any scale; all narrow in payload.
+    """
+    tk = tokens(F.col(text_col))
+    n_seg = F.ceil(F.size(tk) / F.lit(float(seg_len))).cast("int")
+    seg_structs = F.transform(
+        F.sequence(F.lit(0), n_seg - 1),
+        lambda i: F.struct(
+            md5_int(F.array_join(F.slice(tk, i * seg_len + 1, seg_len), " ")).alias("h"),
+            F.size(F.slice(tk, i * seg_len + 1, seg_len)).alias("c"),
+        ),
+    )
+    segs = df.select(F.col(id_col), F.explode(seg_structs).alias("g")).select(
+        id_col, F.col("g.h").alias("h"), F.col("g.c").alias("c")
+    )
+    boiler = (
+        segs.select(id_col, "h")
+        .distinct()
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > max_df)
+        .select("h", F.lit(True).alias("is_boiler"))
+    )
+    flagged = segs.join(boiler, "h", "left")
+    return (
+        flagged.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_segs"),
+            F.sum(F.when(F.col("is_boiler"), 1).otherwise(0)).alias("n_dropped"),
+            F.sum("c").alias("toks_total"),
+            F.sum(F.when(F.col("is_boiler"), 0).otherwise(F.col("c"))).alias(
+                "toks_kept"
+            ),
+        )
+        .withColumn(
+            "keep_ratio", F.round(F.col("toks_kept") / F.col("toks_total"), 6)
+        )
+    )
+
+
+def ngram_decontam(
+    train: DataFrame,
+    bench: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+    min_hits: int = 3,
+) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing at least
+    ``min_hits`` distinct word ``n``-grams with ANY benchmark document (the
+    n-gram-collision test used to scrub eval sets out of pretraining data).
+
+    Asymmetric by design — the benchmark side collapses to ONE distinct set
+    of 8-byte n-gram hashes regardless of how many benchmark docs share a
+    gram, so its size is bounded by the eval corpus (tiny next to 100 TB of
+    training text) and the membership probe is a broadcast-able equi-join on
+    longs. The training side tokenizes+hashes once, keeps per-doc distinct
+    grams (a row-local array_distinct, no shuffle), and aggregates hit
+    counts per doc in a single exchange.
+    """
+    def grams(d: DataFrame) -> DataFrame:
+        arr = F.array_distinct(F.transform(shingles(tokens(F.col(text_col)), n), md5_int))
+        return d.select(F.col(id_col), F.explode(arr).alias("g"))
+
+    bench_set = grams(bench).select("g").distinct().withColumn("hit", F.lit(True))
+    tg = grams(train)
+    return (
+        tg.join(bench_set, "g", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.when(F.col("hit"), 1).otherwise(0)).alias("n_hits"),
+        )
+        .withColumn(
+            "contaminated", (F.col("n_hits") >= min_hits).cast("int")
+        )
+    )

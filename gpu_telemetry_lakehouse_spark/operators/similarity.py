@@ -403,3 +403,59 @@ def cosine_topk_vectorized(
         .filter(F.col("rn") <= k)
         .select("query_id", "neighbor_id", "cos_sim", "rn")
     )
+
+
+def semdedup(
+    df: DataFrame,
+    centroids: list[list[float]],
+    tau: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup of an
+    embedding corpus — cluster with a coarse quantizer, then WITHIN each
+    cluster drop every vector that has a lower-id neighbor with cosine >=
+    ``tau`` (the deterministic keep-lowest-id variant of "keep one point per
+    semantic duplicate group"). Pairwise similarity is only ever computed
+    inside a cluster, so the quadratic blow-up is bounded at (corpus /
+    n_clusters)^2 per cluster instead of corpus^2 — the property that makes
+    semantic dedup feasible at 100 TB, where all-pairs never materializes.
+
+    Assignment is the same row-local literal-centroid projection the IVF
+    index uses (zero shuffles); the pair join shuffles each cluster once on
+    its cid. Returns (id, cluster, keep) for every input vector.
+    """
+    v = with_norm(df, vec_col=vec_col)
+    assigned = v.withColumn("cluster", _assign_expr(centroids)).select(
+        id_col, "cluster", "v", "nrm"
+    )
+    a = assigned.select(
+        F.col("cluster"),
+        F.col(id_col).alias("__ia"),
+        F.col("v").alias("__va"),
+        F.col("nrm").alias("__na"),
+    )
+    b = assigned.select(
+        F.col("cluster").alias("__cb"),
+        F.col(id_col).alias("__ib"),
+        F.col("v").alias("__vb"),
+        F.col("nrm").alias("__nb"),
+    )
+    dropped = (
+        a.join(b, (F.col("cluster") == F.col("__cb")) & (F.col("__ia") < F.col("__ib")))
+        .withColumn(
+            "__cos", F.round(dot_raw("__va", "__vb") / (F.col("__na") * F.col("__nb")), 6)
+        )
+        .filter(F.col("__cos") >= tau)
+        .select(F.col("__ib").alias(id_col))
+        .distinct()
+        .withColumn("__drop", F.lit(True))
+    )
+    return (
+        assigned.join(dropped, id_col, "left")
+        .select(
+            id_col,
+            "cluster",
+            F.when(F.col("__drop"), 0).otherwise(1).alias("keep"),
+        )
+    )

@@ -59,14 +59,12 @@ DRIVER_WINDOW: list[str] = [
     # reference future-work gold marts (README.md:546-553)
     "gold_job_efficiency_daily",
     "gold_user_gpu_usage_daily",
-    # joins: equi/broadcast, semi/anti/outer/theta, interval/range/as-of, set ops
+    # joins: equi/broadcast + one per category (anti/outer/range variants sit
+    # at the top of the second tier — same §2.2 categories, deeper coverage)
     "join_broadcast_dims",
     "join_semi",
-    "join_anti",
-    "join_outer_histogram",
     "theta_join_balance_rank",
     "interval_join_shipments",
-    "range_join_busy_windows",
     "asof_last_error",
     "set_ops_customers",
     # windows
@@ -83,9 +81,13 @@ DRIVER_WINDOW: list[str] = [
     "dedup_minhash_pairs",
     "dedup_shingle_jaccard_capped",
     "dedup_clusters",
-    # similarity search
+    # repeated-segment boilerplate removal + benchmark decontamination
+    "dedup_boilerplate_segments",
+    "benchmark_decontam",
+    # similarity search + semantic dedup
     "knn_cosine_brute",
     "embedding_neardup_pairs",
+    "semdedup_prune",
     # JSON / VARIANT / arrays
     "variant_props_stats",
     "array_norms_vectors",
@@ -119,6 +121,10 @@ DRIVER_WINDOW: list[str] = [
 # Next in line if the driver sweeps deeper: previously-green queries whose
 # category is already represented above (consolidated near-duplicates).
 _SECOND_TIER: list[str] = [
+    "join_anti",
+    "join_outer_histogram",
+    "range_join_busy_windows",
+    "quota_sample_by_group",
     "gold_hot_throttled_gpus",
     "job_runtime_distribution",
     "gold_error_spikes_daily",

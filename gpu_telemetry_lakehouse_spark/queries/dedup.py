@@ -422,3 +422,109 @@ def dedup_clean_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, k=K, bands=BANDS, jaccard_threshold=_CLEAN_THRESH
     )
     return report
+
+
+# --- repeated-segment boilerplate removal (CCNet/RefinedWeb line-dedup) ------
+# Corpus-level repeated-chunk stripping: the "this document was crawled by"
+# boilerplate that exact- and near-dup passes both miss because it is a
+# FRAGMENT shared across otherwise-distinct pages. Fixed 4-token windows
+# stand in for lines (the driver corpus has no newlines); a segment in >
+# MAX_SEG_DF documents is boilerplate and its tokens are dropped from the
+# doc's retention count. Three narrow exchanges at any scale (df index on
+# 8-byte hashes, flag-back join, per-doc rollup) — see operators/dedup.py.
+SEG_LEN = 4
+MAX_SEG_DF = 2
+
+
+@query(
+    "dedup_boilerplate_segments",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {TK} AS tk FROM documents),
+    s AS (
+        SELECT doc_id, g.h AS h, g.c AS c FROM t,
+        LATERAL unnest(list_transform(
+            generate_series(0, CAST(ceil(len(tk) / {SEG_LEN}.0) AS BIGINT) - 1),
+            i -> struct_pack(
+                h := {_md5int(f"array_to_string(list_slice(tk, i*{SEG_LEN}+1, i*{SEG_LEN}+{SEG_LEN}), ' ')")},
+                c := len(list_slice(tk, i*{SEG_LEN}+1, i*{SEG_LEN}+{SEG_LEN}))
+            ))) u(g)
+    ),
+    boiler AS (
+        SELECT h FROM (SELECT h, COUNT(DISTINCT doc_id) AS df FROM s GROUP BY h)
+        WHERE df > {MAX_SEG_DF}
+    )
+    SELECT s.doc_id,
+           COUNT(*) AS n_segs,
+           CAST(SUM(CASE WHEN b.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+           CAST(SUM(s.c) AS BIGINT) AS toks_total,
+           CAST(SUM(CASE WHEN b.h IS NULL THEN s.c ELSE 0 END) AS BIGINT) AS toks_kept,
+           ROUND(CAST(SUM(CASE WHEN b.h IS NULL THEN s.c ELSE 0 END) AS DOUBLE)
+                 / CAST(SUM(s.c) AS DOUBLE), 6) AS keep_ratio
+    FROM s LEFT JOIN boiler b USING (h)
+    GROUP BY s.doc_id
+    """,
+)
+def dedup_boilerplate_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread_input(load_table(spark, sf_dir, "documents"))
+    out = DD.segment_boilerplate_stats(
+        docs.select("doc_id", "text"), seg_len=SEG_LEN, max_df=MAX_SEG_DF
+    )
+    return out.select(
+        "doc_id",
+        "n_segs",
+        F.col("n_dropped").cast("long").alias("n_dropped"),
+        F.col("toks_total").cast("long").alias("toks_total"),
+        F.col("toks_kept").cast("long").alias("toks_kept"),
+        F.round(F.col("toks_kept").cast("double") / F.col("toks_total").cast("double"), 6).alias("keep_ratio"),
+    )
+
+
+# --- benchmark decontamination (train-vs-eval n-gram collision scrub) --------
+# The eval-set side collapses to one distinct set of 5-gram hashes (bounded
+# by the benchmark corpus, tiny next to the training side), so the membership
+# probe is a broadcastable long-key join; training docs sharing >= DECON_HITS
+# distinct grams with ANY benchmark doc get flagged. The benchmark cohort is
+# the deterministic md5 gate over doc_id (same hash-gate idiom as
+# queries/sampling.py, so membership is stable across engines and reruns).
+DECON_N = 5
+DECON_HITS = 3
+_BENCH_GATE = "substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '1a'"
+SHINGLES5 = (
+    f"CASE WHEN len(tk) >= {DECON_N} THEN "
+    f"list_transform(generate_series(1, len(tk) - {DECON_N - 1}), "
+    "i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3] || ' ' || tk[i+4]) "
+    "ELSE [] END"
+)
+
+
+@query(
+    "benchmark_decontam",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {TK} AS tk FROM documents),
+    g AS (
+        SELECT doc_id, unnest(list_distinct(list_transform({SHINGLES5}, s -> {_md5int('s')}))) AS g
+        FROM t
+    ),
+    bg AS (SELECT DISTINCT g FROM g WHERE {_BENCH_GATE}),
+    tr AS (SELECT doc_id, g.g AS g FROM g WHERE NOT ({_BENCH_GATE}))
+    SELECT tr.doc_id,
+           COUNT(*) AS n_grams,
+           CAST(SUM(CASE WHEN bg.g IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+           CAST(CASE WHEN SUM(CASE WHEN bg.g IS NOT NULL THEN 1 ELSE 0 END) >= {DECON_HITS}
+                THEN 1 ELSE 0 END AS INT) AS contaminated
+    FROM tr LEFT JOIN bg USING (g)
+    GROUP BY tr.doc_id
+    """,
+)
+def benchmark_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread_input(load_table(spark, sf_dir, "documents")).select("doc_id", "text")
+    gate = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2) < "1a"
+    bench = docs.filter(gate)
+    train = docs.filter(~gate)
+    out = DD.ngram_decontam(train, bench, n=DECON_N, min_hits=DECON_HITS)
+    return out.select(
+        "doc_id",
+        "n_grams",
+        F.col("n_hits").cast("long").alias("n_hits"),
+        "contaminated",
+    )

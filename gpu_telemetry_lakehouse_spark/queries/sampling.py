@@ -147,3 +147,42 @@ def train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("split", "event_type")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+# --- quota (balanced) sampling per group -------------------------------------
+# Corpus rebalancing for training mixes: cap every (lang, source) cell at
+# QUOTA docs, chosen by deterministic md5 rank so the SAME docs are picked on
+# any engine, partitioning, or rerun (and membership is stable as new data
+# arrives — existing picks only change if a new doc hashes below the cut).
+# One hash-partitioned window pass; Spark 4 plans rank<=k as WindowGroupLimit,
+# which keeps a running top-k per group on the map side instead of sorting
+# whole partitions — the skewed-cell-safe form of per-group capping at scale.
+QUOTA = 5
+
+
+@query(
+    "quota_sample_by_group",
+    oracle=f"""
+    WITH ranked AS (
+        SELECT doc_id, lang, source,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY lang, source
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+               ) AS INT) AS rk
+        FROM documents
+    )
+    SELECT doc_id, lang, source, rk FROM ranked WHERE rk <= {QUOTA}
+    """,
+)
+def quota_sample_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = W.partitionBy("lang", "source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return (
+        docs.select("doc_id", "lang", "source")
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= QUOTA)
+    )

@@ -319,3 +319,48 @@ def embedding_quantize_error(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --- SemDeDup: semantic dedup via cluster-then-prune -------------------------
+# (Abbas et al. 2023) Pairwise cosine is computed ONLY within coarse
+# clusters, so the all-pairs matrix never materializes — the same
+# content-addressed ±1 centroids as knn_ivf_fixed are inlined verbatim into
+# the DuckDB SQL, giving the cluster->pair->prune mechanism a hash-exact
+# differential check. Keep rule: drop any vector with a lower-id in-cluster
+# neighbor at cosine >= SEMDEDUP_TAU (deterministic keep-lowest-id).
+SEMDEDUP_TAU = 0.4
+
+
+@query(
+    "semdedup_prune",
+    oracle=f"""
+    WITH v AS (
+        SELECT vec_id, cast(embedding AS DOUBLE[]) AS qv FROM embeddings
+    ),
+    n AS (SELECT vec_id, qv, sqrt(list_dot_product(qv, qv)) AS nrm FROM v),
+    scored_cents AS (
+        SELECT vec_id, qv, nrm, cid, list_dot_product(qv, c) AS d
+        FROM n, {_cents_values_sql()}
+    ),
+    assign AS (
+        SELECT vec_id, qv, nrm, cid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d DESC, cid) AS crn
+        FROM scored_cents
+    ),
+    b AS (SELECT vec_id, qv, nrm, cid FROM assign WHERE crn = 1),
+    dropped AS (
+        SELECT DISTINCT y.vec_id
+        FROM b x JOIN b y ON x.cid = y.cid AND x.vec_id < y.vec_id
+        WHERE ROUND(list_dot_product(x.qv, y.qv) / (x.nrm * y.nrm), 6)
+              >= {SEMDEDUP_TAU}
+    )
+    SELECT b.vec_id, CAST(b.cid AS INT) AS cluster,
+           CAST(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS INT) AS keep
+    FROM b LEFT JOIN dropped d ON d.vec_id = b.vec_id
+    """,
+)
+def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spread_input(load_table(spark, sf_dir, "embeddings"))
+    return SIM.semdedup(
+        emb, centroids=[list(c) for c in _IVF_CENTS], tau=SEMDEDUP_TAU
+    )

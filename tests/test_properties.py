@@ -339,3 +339,68 @@ def test_clean_corpus_pipeline_invariants(spark, sf_dir):
     r2 = report2.collect()[0]
     assert r2.n_exact_dups == 0 and r2.n_neardup_dropped == 0
     assert r2.n_docs_out == r.n_docs_out
+
+
+def test_segment_boilerplate_invariants(spark, sf_dir):
+    """Dropping boilerplate segments never invents tokens: kept <= total,
+    counts balance, and an infinite df cap keeps everything."""
+    from gpu_telemetry_lakehouse_spark.catalog import load_table
+    from gpu_telemetry_lakehouse_spark.operators.dedup import (
+        segment_boilerplate_stats,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    out = segment_boilerplate_stats(docs, seg_len=4, max_df=2)
+    bad = out.filter(
+        (F.col("toks_kept") > F.col("toks_total"))
+        | (F.col("n_dropped") > F.col("n_segs"))
+        | (F.col("keep_ratio") < 0)
+        | (F.col("keep_ratio") > 1)
+    )
+    assert bad.count() == 0
+    assert out.count() == docs.count()
+    # a df cap nothing exceeds -> zero drops everywhere
+    lax = segment_boilerplate_stats(docs, seg_len=4, max_df=10**9)
+    assert lax.filter(F.col("n_dropped") > 0).count() == 0
+
+
+def test_ngram_decontam_flags_planted_contamination(spark):
+    """A train doc that copies a benchmark passage verbatim must be flagged;
+    disjoint docs must not."""
+    from gpu_telemetry_lakehouse_spark.operators.dedup import ngram_decontam
+
+    bench = spark.createDataFrame(
+        [(0, "alpha beta gamma delta epsilon zeta eta theta iota kappa")],
+        "doc_id long, text string",
+    )
+    train = spark.createDataFrame(
+        [
+            (1, "x alpha beta gamma delta epsilon zeta eta theta y"),  # copied span
+            (2, "one two three four five six seven eight nine ten"),  # disjoint
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in ngram_decontam(train, bench, n=5, min_hits=3).collect()}
+    assert rows[1].contaminated == 1 and rows[1].n_hits >= 3
+    assert rows[2].contaminated == 0 and rows[2].n_hits == 0
+
+
+def test_semdedup_keeps_one_per_duplicate_group(spark, sf_dir):
+    """Every dropped vector has a kept lower-id in-cluster neighbor above
+    tau, and at least one member of every cluster survives."""
+    from gpu_telemetry_lakehouse_spark.catalog import load_table
+    from gpu_telemetry_lakehouse_spark.operators.similarity import (
+        hyperplane_signs,
+        semdedup,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = semdedup(emb, centroids=hyperplane_signs(8, dim=64), tau=0.4)
+    assert out.count() == emb.count()
+    per_cluster = out.groupBy("cluster").agg(
+        F.sum("keep").alias("kept"), F.count(F.lit(1)).alias("n")
+    )
+    assert per_cluster.filter("n > 0 AND kept = 0").count() == 0
+    # lowest id in any cluster can never be dropped (no lower-id neighbor)
+    first = out.groupBy("cluster").agg(F.min("vec_id").alias("vec_id"))
+    assert out.join(first, ["cluster", "vec_id"]).filter("keep = 0").count() == 0
