@@ -66,6 +66,9 @@ HEADLINE = [
     "anomaly_daily",            # gold -> IsolationForest scoring
     "gold_job_efficiency_daily",   # jobs x metrics interval join + day explode
     "gold_user_gpu_usage_daily",   # per-user day rollup of the jobs dim
+    "dedup_boilerplate_segments",  # corpus segment-df boilerplate strip
+    "benchmark_decontam",          # train-vs-benchmark 5-gram scrub
+    "semdedup_prune",              # cluster-then-prune semantic dedup
 ]
 
 
@@ -100,7 +103,8 @@ def main() -> None:
         "dedup_shingle_jaccard": 7, "knn_ivf": 5, "anomaly_daily": 4,
         "dedup_simhash": 3, "sole_fault_suppliers": 3, "dedup_minhash_pairs": 2,
         "embedding_neardup_pairs": 2, "nation_market_share": 2,
-        "gold_job_efficiency_daily": 2,
+        "gold_job_efficiency_daily": 2, "dedup_boilerplate_segments": 2,
+        "benchmark_decontam": 2, "semdedup_prune": 2,
     }
     order = sorted(HEADLINE, key=lambda n: -heavy.get(n, 1))
 

@@ -34,6 +34,9 @@ HEAVY_SLICE = [
     "bitmap_distinct_users",
     "knn_ivf_fixed",
     "text_repetition_gopher",
+    "dedup_boilerplate_segments",
+    "benchmark_decontam",
+    "semdedup_prune",
 ]
 
 pytestmark = pytest.mark.skipif(
