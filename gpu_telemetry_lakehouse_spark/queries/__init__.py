@@ -125,6 +125,7 @@ _SECOND_TIER: list[str] = [
     "join_outer_histogram",
     "range_join_busy_windows",
     "quota_sample_by_group",
+    "alpha_mix_resample",
     "gold_hot_throttled_gpus",
     "job_runtime_distribution",
     "gold_error_spikes_daily",

@@ -186,3 +186,88 @@ def quota_sample_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= QUOTA)
     )
+
+
+# --- temperature (alpha) source rebalancing ----------------------------------
+# LLM corpus mixing: sample source s with weight n_s^alpha (alpha=0.5 here)
+# instead of proportionally, up-weighting small sources — the mix-rebalance
+# step of multi-corpus training-set construction. All arithmetic that crosses
+# engines is exact: sqrt is IEEE-correctly-rounded (unlike pow), the weight
+# is staged to a scaled BIGINT, quotas use integer division, and membership
+# is the md5-ranked prefix per source, so the SAME docs are chosen on both
+# engines — pinned by sum_kept_ids, not just counts.
+MIX_TOTAL = 200
+
+
+@query(
+    "alpha_mix_resample",
+    oracle=f"""
+    WITH ps AS (SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source),
+    w AS (
+        SELECT source, n_docs,
+               CAST(ROUND(sqrt(CAST(n_docs AS DOUBLE)) * 1000000) AS BIGINT) AS w
+        FROM ps
+    ),
+    tot AS (SELECT SUM(w) AS sum_w FROM w),
+    q AS (
+        SELECT source, n_docs,
+               CAST(({MIX_TOTAL} * w) // sum_w AS BIGINT) AS quota
+        FROM w, tot
+    ),
+    r AS (
+        SELECT doc_id, source,
+               ROW_NUMBER() OVER (
+                   PARTITION BY source
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+               ) AS rk
+        FROM documents
+    ),
+    k AS (
+        SELECT r.source, COUNT(*) AS n_kept, SUM(r.doc_id) AS sum_ids
+        FROM r JOIN q USING (source) WHERE rk <= quota GROUP BY r.source
+    )
+    SELECT q.source, q.n_docs, q.quota,
+           CAST(COALESCE(k.n_kept, 0) AS BIGINT) AS n_kept,
+           CAST(COALESCE(k.sum_ids, 0) AS BIGINT) AS sum_kept_ids
+    FROM q LEFT JOIN k USING (source)
+    """,
+)
+def alpha_mix_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    per_src = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    w = per_src.withColumn(
+        "w", F.round(F.sqrt(F.col("n_docs").cast("double")) * 1000000, 0).cast("long")
+    )
+    tot = w.agg(F.sum("w").alias("sum_w"))
+    quotas = w.crossJoin(F.broadcast(tot)).withColumn(
+        "quota", F.expr(f"CAST(({MIX_TOTAL} * w) DIV sum_w AS BIGINT)")
+    )
+    ranked = docs.withColumn(
+        "rk",
+        F.row_number().over(
+            W.partitionBy("source").orderBy(
+                F.md5(F.col("doc_id").cast("string")), "doc_id"
+            )
+        ),
+    )
+    kept = (
+        ranked.join(F.broadcast(quotas.select("source", "quota")), "source")
+        .filter(F.col("rk") <= F.col("quota"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum("doc_id").alias("sum_ids"),
+        )
+    )
+    return (
+        quotas.join(kept, "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            "quota",
+            F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
+            F.coalesce(F.col("sum_ids"), F.lit(0)).cast("long").alias("sum_kept_ids"),
+        )
+    )
