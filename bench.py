@@ -100,11 +100,16 @@ def main() -> None:
     # costs at sf0.1; makespan scheduling (LPT) needs only a rough cost order
     # to kill the straggler tail.
     heavy = {
-        "dedup_shingle_jaccard": 7, "knn_ivf": 5, "anomaly_daily": 4,
-        "dedup_simhash": 3, "sole_fault_suppliers": 3, "dedup_minhash_pairs": 2,
-        "embedding_neardup_pairs": 2, "nation_market_share": 2,
-        "gold_job_efficiency_daily": 2, "dedup_boilerplate_segments": 2,
-        "benchmark_decontam": 2, "semdedup_prune": 2,
+        # re-measured serial costs at sf0.1 (26-query suite, 2026-08-14)
+        "dedup_shingle_jaccard": 8, "sole_fault_suppliers": 8,
+        "gold_job_efficiency_daily": 7, "tpch_q5_local_volume": 5,
+        "nation_market_share": 4, "knn_ivf": 4, "semdedup_prune": 4,
+        "tpch_q1": 4, "interval_join_shipments": 4, "dedup_minhash_pairs": 3,
+        "tpch_q3_shipping": 3, "dedup_boilerplate_segments": 3,
+        "benchmark_decontam": 3, "dedup_simhash": 2,
+        "window_topk_per_group": 2, "large_volume_orders": 2,
+        "window_rolling_metrics": 2, "embedding_neardup_pairs": 2,
+        "anomaly_daily": 2, "gold_user_gpu_usage_daily": 2,
     }
     order = sorted(HEADLINE, key=lambda n: -heavy.get(n, 1))
 
