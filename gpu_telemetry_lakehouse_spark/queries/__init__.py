@@ -126,6 +126,7 @@ _SECOND_TIER: list[str] = [
     "range_join_busy_windows",
     "quota_sample_by_group",
     "alpha_mix_resample",
+    "corpus_prep_report",
     "gold_hot_throttled_gpus",
     "job_runtime_distribution",
     "gold_error_spikes_daily",

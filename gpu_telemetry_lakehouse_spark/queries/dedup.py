@@ -528,3 +528,152 @@ def benchmark_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_hits").cast("long").alias("n_hits"),
         "contaminated",
     )
+
+
+# --- end-to-end corpus preparation under ONE oracle --------------------------
+# The training-data prep flow a corpus owner actually runs, chaining the new
+# operators in realistic order: strip boilerplate-heavy docs -> hold out the
+# eval cohort -> decontaminate train against it -> quality-filter -> quota
+# sample. Each stage's survivor count AND membership (sum of surviving ids)
+# replays in one DuckDB WITH-chain assembled from the per-stage fragments,
+# so the hard signal covers the COMPOSITE, not just the parts. At 100 TB
+# each stage materializes through the table format (checkpoint-per-stage);
+# here the declarative chain re-derives upstream stages per report branch —
+# bounded at 6 branches, and the whole report is one job.
+_PREP_KR = 0.85   # min per-doc token retention after boilerplate strip
+_PREP_Q = 0.5     # min composite quality score
+_PREP_QUOTA = 5   # per-(lang, source) cap
+_STOPS5 = "['" + "','".join(TXO.STOPWORDS) + "']"
+_G5 = f"unnest(list_distinct(list_transform({{sh}}, s -> {_md5int('s')}))) AS g"
+
+
+@query(
+    "corpus_prep_report",
+    oracle=f"""
+    WITH base AS (SELECT doc_id, text, lang, source FROM documents),
+    t AS (SELECT doc_id, {TK} AS tk FROM base),
+    seg AS (
+        SELECT doc_id, g.h AS h, g.c AS c FROM t,
+        LATERAL unnest(list_transform(
+            generate_series(0, CAST(ceil(len(tk) / {SEG_LEN}.0) AS BIGINT) - 1),
+            i -> struct_pack(
+                h := {_md5int(f"array_to_string(list_slice(tk, i*{SEG_LEN}+1, i*{SEG_LEN}+{SEG_LEN}), ' ')")},
+                c := len(list_slice(tk, i*{SEG_LEN}+1, i*{SEG_LEN}+{SEG_LEN}))
+            ))) u(g)
+    ),
+    boiler AS (
+        SELECT h FROM (SELECT h, COUNT(DISTINCT doc_id) AS df FROM seg GROUP BY h)
+        WHERE df > {MAX_SEG_DF}
+    ),
+    kr AS (
+        SELECT seg.doc_id,
+               ROUND(CAST(SUM(CASE WHEN b.h IS NULL THEN seg.c ELSE 0 END) AS DOUBLE)
+                     / CAST(SUM(seg.c) AS DOUBLE), 6) AS keep_ratio
+        FROM seg LEFT JOIN boiler b USING (h) GROUP BY seg.doc_id
+    ),
+    s1 AS (SELECT base.* FROM base JOIN kr USING (doc_id) WHERE keep_ratio >= {_PREP_KR}),
+    s2 AS (SELECT * FROM s1 WHERE NOT ({_BENCH_GATE})),
+    benchd AS (SELECT * FROM s1 WHERE {_BENCH_GATE}),
+    g2 AS (
+        SELECT doc_id, {_G5.format(sh=SHINGLES5)}
+        FROM (SELECT doc_id, {TK} AS tk FROM s2)
+    ),
+    bg AS (
+        SELECT DISTINCT g FROM (
+            SELECT {_G5.format(sh=SHINGLES5)}
+            FROM (SELECT doc_id, {TK} AS tk FROM benchd)
+        )
+    ),
+    hits AS (
+        SELECT g2.doc_id,
+               SUM(CASE WHEN bg.g IS NOT NULL THEN 1 ELSE 0 END) AS n_hits
+        FROM g2 LEFT JOIN bg USING (g) GROUP BY g2.doc_id
+    ),
+    s3 AS (
+        SELECT s2.* FROM s2 LEFT JOIN hits USING (doc_id)
+        WHERE COALESCE(n_hits, 0) < {DECON_HITS}
+    ),
+    m AS (
+        SELECT doc_id, CAST(len(tk) AS DOUBLE) AS n,
+               CAST(len(list_distinct(tk)) AS DOUBLE) AS uniq,
+               CAST(len(list_filter(tk, x -> list_contains({_STOPS5}, x))) AS DOUBLE) AS stop
+        FROM (SELECT doc_id, {TK} AS tk FROM s3)
+    ),
+    qs AS (
+        SELECT doc_id,
+               ROUND(0.4 * least(1.0, n / 100.0) + 0.4 * (uniq / n)
+                   + 0.2 * (CASE WHEN stop / n >= 0.02 AND stop / n <= 0.3
+                            THEN 1.0 ELSE 0.0 END), 6) AS q
+        FROM m
+    ),
+    s4 AS (SELECT s3.* FROM s3 JOIN qs USING (doc_id) WHERE q >= {_PREP_Q}),
+    r AS (
+        SELECT doc_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY lang, source
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+               ) AS rk
+        FROM s4
+    ),
+    s5 AS (SELECT doc_id FROM r WHERE rk <= {_PREP_QUOTA})
+    SELECT 0 AS stage_idx, 'input' AS stage, COUNT(*) AS n_docs,
+           CAST(COALESCE(SUM(doc_id), 0) AS BIGINT) AS sum_ids FROM base
+    UNION ALL SELECT 1, 'boilerplate', COUNT(*), CAST(COALESCE(SUM(doc_id), 0) AS BIGINT) FROM s1
+    UNION ALL SELECT 2, 'holdout_removed', COUNT(*), CAST(COALESCE(SUM(doc_id), 0) AS BIGINT) FROM s2
+    UNION ALL SELECT 3, 'decontaminated', COUNT(*), CAST(COALESCE(SUM(doc_id), 0) AS BIGINT) FROM s3
+    UNION ALL SELECT 4, 'quality', COUNT(*), CAST(COALESCE(SUM(doc_id), 0) AS BIGINT) FROM s4
+    UNION ALL SELECT 5, 'quota_sampled', COUNT(*), CAST(COALESCE(SUM(doc_id), 0) AS BIGINT) FROM s5
+    """,
+)
+def corpus_prep_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = spread_input(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", "text", "lang", "source"
+    )
+    # stage 1: drop boilerplate-heavy docs (df-indexed over the FULL input)
+    kr = DD.segment_boilerplate_stats(docs, seg_len=SEG_LEN, max_df=MAX_SEG_DF)
+    s1 = docs.join(kr.select("doc_id", "keep_ratio"), "doc_id").filter(
+        F.col("keep_ratio") >= _PREP_KR
+    ).drop("keep_ratio")
+    # stage 2: hold out the eval cohort (deterministic md5 gate)
+    gate = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2) < "1a"
+    benchd, s2 = s1.filter(gate), s1.filter(~gate)
+    # stage 3: decontaminate train against the held-out cohort
+    dec = DD.ngram_decontam(s2, benchd, n=DECON_N, min_hits=DECON_HITS)
+    s3 = s2.join(dec.select("doc_id", "contaminated"), "doc_id", "left").filter(
+        F.coalesce(F.col("contaminated"), F.lit(0)) == 0
+    ).drop("contaminated")
+    # stage 4: composite quality filter
+    s4 = TXO.with_quality_score(s3).filter(
+        F.col("quality_score") >= _PREP_Q
+    ).drop("quality_score")
+    # stage 5: quota sample per (lang, source)
+    w = W.partitionBy("lang", "source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    s5 = s4.withColumn("rk", F.row_number().over(w)).filter(
+        F.col("rk") <= _PREP_QUOTA
+    )
+
+    def stage(df: DataFrame, idx: int, name: str) -> DataFrame:
+        return df.agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.coalesce(F.sum("doc_id"), F.lit(0)).cast("long").alias("sum_ids"),
+        ).select(
+            F.lit(idx).alias("stage_idx"), F.lit(name).alias("stage"),
+            "n_docs", "sum_ids",
+        )
+
+    stages = [
+        stage(docs, 0, "input"),
+        stage(s1, 1, "boilerplate"),
+        stage(s2, 2, "holdout_removed"),
+        stage(s3, 3, "decontaminated"),
+        stage(s4, 4, "quality"),
+        stage(s5, 5, "quota_sampled"),
+    ]
+    out = stages[0]
+    for s in stages[1:]:
+        out = out.unionByName(s)
+    return out

@@ -37,6 +37,7 @@ HEAVY_SLICE = [
     "dedup_boilerplate_segments",
     "benchmark_decontam",
     "semdedup_prune",
+    "corpus_prep_report",
 ]
 
 pytestmark = pytest.mark.skipif(
