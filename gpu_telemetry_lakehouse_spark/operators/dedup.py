@@ -407,8 +407,9 @@ def segment_boilerplate_stats(
     segment text; the boilerplate set (df > max_df) is the quadratically
     repeated slice of the corpus and therefore orders of magnitude smaller
     than the segment universe, so the flag-back join broadcasts under AQE.
-    Per-doc rollup is one hash aggregation on doc_id. Three exchanges total
-    at any scale; all narrow in payload.
+    Per-doc rollup is one hash aggregation on doc_id. Every exchange carries
+    only (hash, id, count) triples — payload width is constant no matter how
+    large the documents are.
     """
     tk = tokens(F.col(text_col))
     n_seg = F.ceil(F.size(tk) / F.lit(float(seg_len))).cast("int")
