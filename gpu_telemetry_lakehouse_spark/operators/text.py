@@ -103,3 +103,86 @@ def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn("fingerprint", md5_int(norm)).withColumn(
         "fp_hex", F.substring(F.md5(norm), 1, 16)
     )
+
+
+def edit_distance_join(
+    df: DataFrame, col: str, k: int = 2, q: int = 3
+) -> DataFrame:
+    """Edit-distance similarity self-join WITHOUT the O(n²) pair space:
+    q-gram count filtering (the Gravano et al., VLDB 2001 family). Candidate
+    pairs come from an inverted q-gram index join; a pair survives only if
+    its gram-match count m = Σ_g cnt_a(g)·cnt_b(g) reaches the sound lower
+    bound max(|G_a|,|G_b|) − k·q (one edit destroys at most q grams — m
+    overcounts the multiset intersection, so the filter admits false
+    positives, never false negatives) and the lengths differ by ≤ k. Only
+    survivors pay the levenshtein verification.
+
+    Strings whose gram count is ≤ k·q (shorter than q·(k+1)+q−1 chars) make
+    the bound vacuous AND may share zero grams at distance k, so they get an
+    exact all-pairs fallback — bounded by the (tiny) short-string set only;
+    short×long pairs keep a positive bound via the longer side and stay in
+    the index path.
+
+    The DuckDB oracle for this operator is the NAIVE quadratic join, so the
+    differential check proves the pruning is lossless, not just plausible.
+    Returns distinct (name_a, name_b, ed) with name_a < name_b, 1 ≤ ed ≤ k.
+    """
+    names = (
+        df.select(F.col(col).alias("name"))
+        .distinct()
+        .withColumn("len", F.length("name"))
+        .withColumn("gcnt", F.greatest(F.col("len") - q + 1, F.lit(0)))
+    )
+    grams = names.filter(F.col("gcnt") > 0).select(
+        "name",
+        "len",
+        "gcnt",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.col("gcnt")),
+                lambda i: F.col("name").substr(i, F.lit(q)),
+            )
+        ).alias("g"),
+    )
+    a = grams.select(
+        F.col("name").alias("name_a"), F.col("len").alias("la"),
+        F.col("gcnt").alias("ca"), "g",
+    )
+    b = grams.select(
+        F.col("name").alias("name_b"), F.col("len").alias("lb"),
+        F.col("gcnt").alias("cb"), F.col("g").alias("gb"),
+    )
+    cand = (
+        a.join(b, (F.col("g") == F.col("gb")) & (F.col("name_a") < F.col("name_b")))
+        .groupBy("name_a", "name_b", "la", "lb", "ca", "cb")
+        .agg(F.count(F.lit(1)).alias("m"))
+        .filter(
+            (F.abs(F.col("la") - F.col("lb")) <= k)
+            & (F.col("m") >= F.greatest("ca", "cb") - k * q)
+        )
+        .select("name_a", "name_b")
+    )
+    # Exact fallback: both strings too short for a sound gram bound. The
+    # length predicate |la−lb| ≤ k becomes an EQUI join on a length band
+    # (each left string fans out to its k±band of lengths, the right joins
+    # on its own length) so even the fallback never plans a nested loop —
+    # a pair with lb−la = δ ∈ [−k, k] matches exactly one band value.
+    short = names.filter(F.col("gcnt") <= k * q)
+    sa = short.select(
+        F.col("name").alias("name_a"),
+        F.explode(
+            F.sequence(F.col("len") - k, F.col("len") + k)
+        ).alias("band"),
+    )
+    sb = short.select(F.col("name").alias("name_b"), F.col("len").alias("lb"))
+    short_pairs = sa.join(
+        sb,
+        (F.col("band") == F.col("lb")) & (F.col("name_a") < F.col("name_b")),
+    ).select("name_a", "name_b")
+    return (
+        cand.unionByName(short_pairs)
+        .distinct()
+        .withColumn("ed", F.levenshtein("name_a", "name_b"))
+        .filter(F.col("ed") <= k)
+        .select("name_a", "name_b", F.col("ed").cast("int").alias("ed"))
+    )

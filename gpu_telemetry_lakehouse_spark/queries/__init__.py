@@ -127,6 +127,7 @@ _SECOND_TIER: list[str] = [
     "quota_sample_by_group",
     "alpha_mix_resample",
     "corpus_prep_report",
+    "editdist_join_partnames",
     "gold_hot_throttled_gpus",
     "job_runtime_distribution",
     "gold_error_spikes_daily",

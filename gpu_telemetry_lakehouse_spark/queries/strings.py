@@ -193,3 +193,29 @@ def try_safety_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("try_divide(1.0, value)").isNull().cast("long")
         ).alias("n_unsafe_div"),
     )
+
+
+# --- edit-distance similarity JOIN (q-gram count-filter pruned) --------------
+# The oracle is deliberately the NAIVE all-pairs levenshtein join: the
+# engine-side inverted-index + count-filter + verify pipeline must produce
+# the IDENTICAL pair set, so the hash-match certifies the pruning bound is
+# lossless (false-positive-only), not approximately right.
+EDJOIN_K = 2
+
+
+@query(
+    "editdist_join_partnames",
+    oracle=f"""
+    WITH n AS (SELECT DISTINCT p_name AS name FROM part)
+    SELECT a.name AS name_a, b.name AS name_b,
+           CAST(levenshtein(a.name, b.name) AS INT) AS ed
+    FROM n a JOIN n b ON a.name < b.name
+    WHERE abs(length(a.name) - length(b.name)) <= {EDJOIN_K}
+      AND levenshtein(a.name, b.name) <= {EDJOIN_K}
+    """,
+)
+def editdist_join_partnames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import edit_distance_join
+
+    part = load_table(spark, sf_dir, "part")
+    return edit_distance_join(part, "p_name", k=EDJOIN_K, q=3)

@@ -38,6 +38,7 @@ HEAVY_SLICE = [
     "benchmark_decontam",
     "semdedup_prune",
     "corpus_prep_report",
+    "editdist_join_partnames",
 ]
 
 pytestmark = pytest.mark.skipif(

@@ -404,3 +404,37 @@ def test_semdedup_keeps_one_per_duplicate_group(spark, sf_dir):
     # lowest id in any cluster can never be dropped (no lower-id neighbor)
     first = out.groupBy("cluster").agg(F.min("vec_id").alias("vec_id"))
     assert out.join(first, ["cluster", "vec_id"]).filter("keep = 0").count() == 0
+
+
+def test_edit_distance_join_matches_naive_with_short_strings(spark):
+    """The pruned q-gram join must equal the naive quadratic join even when
+    the short-string fallback path carries pairs the gram bound can't."""
+    from gpu_telemetry_lakehouse_spark.operators.text import edit_distance_join
+
+    vals = [
+        "ab", "ac", "abc", "abcd",            # short: gram bound vacuous
+        "blue bolt", "blue belt", "blue bolts",
+        "red widget", "red wadget", "green widget",
+        "completely different string",
+    ]
+    df = spark.createDataFrame([(v,) for v in vals], "s string")
+    got = {
+        (r.name_a, r.name_b, r.ed)
+        for r in edit_distance_join(df, "s", k=2, q=3).collect()
+    }
+    import itertools
+
+    def lev(a, b):
+        d = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, d[0] = d[0], i
+            for j, cb in enumerate(b, 1):
+                prev, d[j] = d[j], min(d[j] + 1, d[j - 1] + 1, prev + (ca != cb))
+        return d[len(b)]
+
+    want = {
+        (a, b, lev(a, b))
+        for a, b in itertools.combinations(sorted(vals), 2)
+        if lev(a, b) <= 2
+    }
+    assert got == want
