@@ -459,3 +459,27 @@ def semdedup(
             F.when(F.col("__drop"), 0).otherwise(1).alias("keep"),
         )
     )
+
+
+def topk_merge(prev_topk: DataFrame, delta_topk: DataFrame, k: int = 5) -> DataFrame:
+    """Incremental top-k maintenance (the EDBT 2020 incremental-top-k
+    family): when the corpus only GROWS, the standing top-k answer for a
+    fixed query set is refreshed by scoring ONLY the delta — new vectors can
+    displace old neighbors but never resurrect displaced ones — and merging
+    the per-query candidate lists. Cost is proportional to the change, not
+    the corpus: pair with the table format's change feed
+    (``tablog.read_incremental``) so a 100 TB ANN result stays current at
+    per-batch delta price instead of a nightly full re-scan.
+
+    Both inputs are (query_id, neighbor_id, cos_sim[, rn]) shapes as
+    produced by ``cosine_topk``; the merge re-ranks the union with the same
+    (cos_sim desc, neighbor_id) tie-break and keeps k per query.
+    """
+    cols = ["query_id", "neighbor_id", "cos_sim"]
+    both = prev_topk.select(*cols).unionByName(delta_topk.select(*cols))
+    w = W.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), "neighbor_id")
+    return (
+        both.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rn")
+    )

@@ -438,3 +438,36 @@ def test_edit_distance_join_matches_naive_with_short_strings(spark):
         if lev(a, b) <= 2
     }
     assert got == want
+
+
+def test_incremental_topk_equals_full_recompute(spark, tmp_path, sf_dir):
+    """Standing ANN answer maintained from the table format's change feed
+    (score delta only, merge) must equal a full recompute over the grown
+    corpus — the continuous-aggregate contract for similarity search."""
+    from gpu_telemetry_lakehouse_spark import tablog
+    from gpu_telemetry_lakehouse_spark.catalog import load_table
+    from gpu_telemetry_lakehouse_spark.operators.similarity import (
+        cosine_topk,
+        topk_merge,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.filter("vec_id >= 10 AND vec_id < 300")
+    later = emb.filter("vec_id >= 300")
+    queries = emb.filter("vec_id < 10")
+
+    path = str(tmp_path / "vecs")
+    tablog.create_table(base, path)
+    v1 = tablog.current_version(path)
+    standing = cosine_topk(tablog.read(spark, path), queries, k=5)
+
+    tablog.append(later, path)
+    delta, v2 = tablog.read_incremental(spark, path, v1)
+    assert v2 > v1 and delta is not None
+    # delta-only scoring: the expensive pass touches ONLY the new rows
+    maintained = topk_merge(standing, cosine_topk(delta, queries, k=5), k=5)
+
+    full = cosine_topk(tablog.read(spark, path), queries, k=5)
+    assert sorted(map(tuple, maintained.collect())) == sorted(
+        map(tuple, full.collect())
+    )
