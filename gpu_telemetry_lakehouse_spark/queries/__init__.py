@@ -128,6 +128,7 @@ _SECOND_TIER: list[str] = [
     "alpha_mix_resample",
     "corpus_prep_report",
     "editdist_join_partnames",
+    "funnel_view_click_purchase",
     "gold_hot_throttled_gpus",
     "job_runtime_distribution",
     "gold_error_spikes_daily",

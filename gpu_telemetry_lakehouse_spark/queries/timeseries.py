@@ -124,3 +124,78 @@ def unpivot_flag_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
         variableColumnName="measure",
         valueColumnName="amount",
     ).withColumn("amount", F.col("amount").cast("double"))
+
+
+# --- sequential-pattern funnel (view -> click -> purchase) -------------------
+# The event-sequence analytics class (MATCH_RECOGNIZE-lite): per user, the
+# earliest qualifying event of each stage STRICTLY AFTER the previous stage's
+# anchor. Three conditional-min aggregations, each keyed on user_id — the
+# exchanges are co-partitioned so AQE/Catalyst reuses the layout, and every
+# join input is a per-user 1-row aggregate (broadcast- or merge-friendly),
+# never the raw event stream twice. Users who never reach stage 1 are out of
+# the funnel by definition.
+@query(
+    "funnel_view_click_purchase",
+    oracle="""
+    WITH v AS (
+        SELECT user_id, MIN(ts) AS t1 FROM events
+        WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+        SELECT e.user_id, MIN(e.ts) AS t2
+        FROM events e JOIN v ON v.user_id = e.user_id
+        WHERE e.event_type = 'click' AND e.ts > v.t1
+        GROUP BY e.user_id
+    ),
+    p AS (
+        SELECT e.user_id, MIN(e.ts) AS t3
+        FROM events e JOIN c ON c.user_id = e.user_id
+        WHERE e.event_type = 'purchase' AND e.ts > c.t2
+        GROUP BY e.user_id
+    )
+    SELECT v.user_id,
+           CAST(v.t1 AS TIMESTAMP) AS t1,
+           CAST(c.t2 AS TIMESTAMP) AS t2,
+           CAST(p.t3 AS TIMESTAMP) AS t3,
+           CAST(1 + CAST(c.user_id IS NOT NULL AS INT)
+                  + CAST(p.user_id IS NOT NULL AS INT) AS INT) AS stage
+    FROM v LEFT JOIN c ON c.user_id = v.user_id
+    LEFT JOIN p ON p.user_id = v.user_id
+    """,
+)
+def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    return (
+        v.join(c, "user_id", "left")
+        .join(p, "user_id", "left")
+        .select(
+            "user_id",
+            "t1",
+            "t2",
+            "t3",
+            (
+                F.lit(1)
+                + F.col("t2").isNotNull().cast("int")
+                + F.col("t3").isNotNull().cast("int")
+            ).cast("int").alias("stage"),
+        )
+    )
