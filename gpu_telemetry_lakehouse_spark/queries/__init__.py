@@ -129,6 +129,7 @@ _SECOND_TIER: list[str] = [
     "corpus_prep_report",
     "editdist_join_partnames",
     "funnel_view_click_purchase",
+    "cohort_weekly_retention",
     "gold_hot_throttled_gpus",
     "job_runtime_distribution",
     "gold_error_spikes_daily",

@@ -199,3 +199,55 @@ def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("int").alias("stage"),
         )
     )
+
+
+# --- cohort retention (weekly) -----------------------------------------------
+# Users cohorted by the week of their first 'signup'; each later week of ANY
+# activity marks the cohort retained at that offset. Two aggregations: the
+# per-user cohort anchor (user_id-keyed), then the (cohort, offset) distinct
+# rollup — the distinct is over (cohort_week, offset, user_id) triples, which
+# partial-aggregates map-side before the exchange.
+@query(
+    "cohort_weekly_retention",
+    oracle="""
+    WITH s AS (
+        SELECT user_id, CAST(date_trunc('week', MIN(ts)) AS TIMESTAMP) AS cohort_week
+        FROM events WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    act AS (
+        SELECT DISTINCT s.cohort_week,
+               CAST(date_diff('day', CAST(s.cohort_week AS DATE),
+                              CAST(date_trunc('week', e.ts) AS DATE)) / 7 AS INT)
+                   AS week_offset,
+               e.user_id
+        FROM events e JOIN s ON s.user_id = e.user_id
+        WHERE date_trunc('week', e.ts) >= s.cohort_week
+    )
+    SELECT cohort_week, week_offset,
+           COUNT(*) AS n_active
+    FROM act GROUP BY cohort_week, week_offset
+    """,
+)
+def cohort_weekly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+    cohort = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.date_trunc("week", F.min("ts")).alias("cohort_week"))
+    )
+    act = (
+        ev.join(cohort, "user_id")
+        .withColumn("act_week", F.date_trunc("week", "ts"))
+        .filter(F.col("act_week") >= F.col("cohort_week"))
+        .select(
+            "cohort_week",
+            (
+                F.datediff(F.col("act_week"), F.col("cohort_week")) / 7
+            ).cast("int").alias("week_offset"),
+            "user_id",
+        )
+        .distinct()
+    )
+    return act.groupBy("cohort_week", "week_offset").agg(
+        F.count(F.lit(1)).alias("n_active")
+    )
