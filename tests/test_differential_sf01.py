@@ -39,6 +39,8 @@ HEAVY_SLICE = [
     "semdedup_prune",
     "corpus_prep_report",
     "editdist_join_partnames",
+    "funnel_view_click_purchase",
+    "cohort_weekly_retention",
 ]
 
 pytestmark = pytest.mark.skipif(
