@@ -130,6 +130,7 @@ _SECOND_TIER: list[str] = [
     "editdist_join_partnames",
     "funnel_view_click_purchase",
     "cohort_weekly_retention",
+    "winsorized_value_stats",
     "gold_hot_throttled_gpus",
     "job_runtime_distribution",
     "gold_error_spikes_daily",

@@ -302,3 +302,56 @@ def regression_price_vs_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.regr_avgx(y, x), 6).alias("avg_x"),
         F.round(F.regr_avgy(y, x), 4).alias("avg_y"),
     )
+
+
+# --- winsorized (robust) aggregation -----------------------------------------
+# Outlier-robust per-group means: clip values into the [p05, p95] band before
+# averaging — the robust-statistics pass a metrics pipeline runs when sensor
+# glitches poison plain AVG. Two stages: the per-group band is an exact
+# interpolated percentile (one aggregation, tiny output that AQE broadcasts
+# back), then the clipped mean is an ordinary map-side-partial aggregation
+# over the fact stream. Bounds are rounded to 6dp on BOTH engines before
+# clipping so every value-vs-bound comparison is bit-identical.
+@query(
+    "winsorized_value_stats",
+    oracle="""
+    WITH b AS (
+        SELECT event_type,
+               ROUND(quantile_cont(value, 0.05), 6) AS lo,
+               ROUND(quantile_cont(value, 0.95), 6) AS hi
+        FROM events WHERE value IS NOT NULL GROUP BY event_type
+    )
+    SELECT e.event_type, b.lo, b.hi,
+           COUNT(*) AS n,
+           (SUM(CAST(ROUND(e.value * 1000000) AS BIGINT)) / 1000000.0)
+               / COUNT(*) AS raw_mean,
+           (SUM(CAST(ROUND(least(greatest(e.value, b.lo), b.hi) * 1000000)
+                     AS BIGINT)) / 1000000.0) / COUNT(*) AS winsorized_mean
+    FROM events e JOIN b USING (event_type)
+    WHERE e.value IS NOT NULL
+    GROUP BY e.event_type, b.lo, b.hi
+    """,
+)
+def winsorized_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions import exact_avg
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("event_type", "value")
+        .filter(F.col("value").isNotNull())
+    )
+    bounds = ev.groupBy("event_type").agg(
+        F.round(F.percentile("value", F.lit(0.05)), 6).alias("lo"),
+        F.round(F.percentile("value", F.lit(0.95)), 6).alias("hi"),
+    )
+    clipped = F.least(F.greatest(F.col("value"), F.col("lo")), F.col("hi"))
+    return (
+        ev.join(F.broadcast(bounds), "event_type")
+        .groupBy("event_type", "lo", "hi")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            exact_avg("value").alias("raw_mean"),
+            exact_avg(clipped).alias("winsorized_mean"),
+        )
+        .select("event_type", "lo", "hi", "n", "raw_mean", "winsorized_mean")
+    )
