@@ -131,6 +131,8 @@ _SECOND_TIER: list[str] = [
     "funnel_view_click_purchase",
     "cohort_weekly_retention",
     "winsorized_value_stats",
+    "event_transition_matrix",
+    "profile_orders_columns",
     "gold_hot_throttled_gpus",
     "job_runtime_distribution",
     "gold_error_spikes_daily",

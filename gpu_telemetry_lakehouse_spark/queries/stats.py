@@ -355,3 +355,42 @@ def winsorized_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("event_type", "lo", "hi", "n", "raw_mean", "winsorized_mean")
     )
+
+
+# --- whole-table column profiling (data-quality summary) ---------------------
+# The deequ/dbt-docs-style profile: one pass over the table computes per
+# column its null count and exact distinct cardinality, emitted as one row
+# per column via stack(). Multiple COUNT(DISTINCT) in one aggregation plans
+# as Spark's Expand (one duplicated stream per distinct column) — the
+# standard exact-profile cost; swap in approx_count_distinct per column for
+# the 100 TB profile-on-every-load tier.
+_PROFILE_COLS = [
+    "o_orderkey", "o_custkey", "o_orderstatus",
+    "o_totalprice", "o_orderdate", "o_orderpriority",
+]
+
+
+@query(
+    "profile_orders_columns",
+    oracle="\nUNION ALL\n".join(
+        f"""SELECT '{c}' AS col_name, COUNT(*) AS n_rows,
+            CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+            CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct
+            FROM orders"""
+        for c in _PROFILE_COLS
+    ),
+)
+def profile_orders_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in _PROFILE_COLS:
+        aggs.append(F.sum(F.col(c).isNull().cast("long")).alias(f"nn_{c}"))
+        aggs.append(F.countDistinct(c).alias(f"nd_{c}"))
+    row = o.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', n_rows, nn_{c}, nd_{c}" for c in _PROFILE_COLS
+    )
+    return row.selectExpr(
+        f"stack({len(_PROFILE_COLS)}, {stack_args})"
+        " AS (col_name, n_rows, n_null, n_distinct)"
+    )

@@ -251,3 +251,56 @@ def cohort_weekly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     return act.groupBy("cohort_week", "week_offset").agg(
         F.count(F.lit(1)).alias("n_active")
     )
+
+
+# --- event-type transition matrix (Markov chain estimation) ------------------
+# Per-user event streams ordered by (ts, event_id) — the id tie-break makes
+# the sequence deterministic on both engines — lag() pairs each event with
+# its predecessor type; one grouped count per (from, to) cell plus the
+# row-normalized transition probability. The lag is a single user_id-hash
+# partitioned window pass; the cell rollup output is |types|² rows.
+@query(
+    "event_transition_matrix",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type,
+               LAG(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS prev_type
+        FROM events
+    ),
+    cells AS (
+        SELECT prev_type AS from_type, event_type AS to_type, COUNT(*) AS n
+        FROM seq WHERE prev_type IS NOT NULL
+        GROUP BY prev_type, event_type
+    ),
+    totals AS (SELECT from_type, SUM(n) AS tot FROM cells GROUP BY from_type)
+    SELECT c.from_type, c.to_type, c.n,
+           ROUND(CAST(c.n AS DOUBLE) / CAST(t.tot AS DOUBLE), 6) AS p
+    FROM cells c JOIN totals t USING (from_type)
+    """,
+)
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    cells = (
+        ev.withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy(
+            F.col("prev_type").alias("from_type"),
+            F.col("event_type").alias("to_type"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    wt = W.partitionBy("from_type")
+    return (
+        cells.withColumn("tot", F.sum("n").over(wt))
+        .select(
+            "from_type",
+            "to_type",
+            "n",
+            F.round(F.col("n").cast("double") / F.col("tot").cast("double"), 6).alias("p"),
+        )
+    )
