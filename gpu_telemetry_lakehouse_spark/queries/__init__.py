@@ -133,6 +133,7 @@ _SECOND_TIER: list[str] = [
     "winsorized_value_stats",
     "event_transition_matrix",
     "profile_orders_columns",
+    "twap_user_daily",
     "gold_hot_throttled_gpus",
     "job_runtime_distribution",
     "gold_error_spikes_daily",

@@ -304,3 +304,65 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("n").cast("double") / F.col("tot").cast("double"), 6).alias("p"),
         )
     )
+
+
+# --- time-weighted average (TWAP) over irregular samples ---------------------
+# The hypertable aggregate plain AVG gets wrong on irregular telemetry: each
+# sample holds until the next one (last-observation-carried-forward weight),
+# the day's last sample holds until midnight. Weights are integer seconds
+# (lead() over the per-user day partition), and the weighted sum stays in
+# exact integer arithmetic — round(value*1e4)::BIGINT × weight — so the
+# result is bit-identical across engines and partitionings. One window pass
+# + one rollup, both on the same (user_id, dt) hash layout.
+@query(
+    "twap_user_daily",
+    oracle="""
+    WITH s AS (
+        SELECT user_id, value,
+               CAST(date_trunc('day', ts) AS TIMESTAMP) AS dt,
+               CAST(floor(epoch(ts)) AS BIGINT) AS es,
+               CAST(floor(epoch(COALESCE(
+                   LEAD(ts) OVER (
+                       PARTITION BY user_id, date_trunc('day', ts)
+                       ORDER BY ts, event_id
+                   ),
+                   date_trunc('day', ts) + INTERVAL 1 DAY))) AS BIGINT) AS ee
+        FROM events WHERE value IS NOT NULL
+    )
+    SELECT user_id, dt,
+           COUNT(*) AS n_samples,
+           CAST(SUM(ee - es) AS BIGINT) AS covered_s,
+           ROUND((SUM(CAST(ROUND(value * 10000) AS BIGINT) * (ee - es))
+                  / 10000.0) / SUM(ee - es), 6) AS twap
+    FROM s GROUP BY user_id, dt
+    """,
+)
+def twap_user_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", "ts", "event_id", "value")
+        .filter(F.col("value").isNotNull())
+        .withColumn("dt", F.date_trunc("day", "ts"))
+    )
+    w = W.partitionBy("user_id", "dt").orderBy("ts", "event_id")
+    s = ev.select(
+        "user_id",
+        "dt",
+        "value",
+        F.unix_timestamp("ts").alias("es"),
+        F.unix_timestamp(
+            F.coalesce(
+                F.lead("ts").over(w), F.col("dt") + F.expr("INTERVAL 1 DAY")
+            )
+        ).alias("ee"),
+    )
+    wsec = F.col("ee") - F.col("es")
+    return s.groupBy("user_id", "dt").agg(
+        F.count(F.lit(1)).alias("n_samples"),
+        F.sum(wsec).alias("covered_s"),
+        F.round(
+            (F.sum(F.round(F.col("value") * 10000, 0).cast("long") * wsec) / 10000.0)
+            / F.sum(wsec),
+            6,
+        ).alias("twap"),
+    )
