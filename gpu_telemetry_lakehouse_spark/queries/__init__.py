@@ -134,6 +134,8 @@ _SECOND_TIER: list[str] = [
     "event_transition_matrix",
     "profile_orders_columns",
     "twap_user_daily",
+    "group_by_all_orders",
+    "null_safe_join_status",
     "gold_hot_throttled_gpus",
     "job_runtime_distribution",
     "gold_error_spikes_daily",

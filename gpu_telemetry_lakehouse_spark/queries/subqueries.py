@@ -548,3 +548,53 @@ def sql_scripting_adaptive_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         END
         """
     )
+
+
+# --- GROUP BY ALL / ORDER BY ALL (Spark 4 SQL sugar) -------------------------
+# The analyst-ergonomics form: grouping keys inferred from the non-aggregate
+# select list, ordering over the whole output. The IDENTICAL SQL string runs
+# on both engines (the exact-sum staging is portable arithmetic), so the
+# check covers the sugar's semantics, not a hand-translated equivalent.
+_GBA_SQL = """
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+           (SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) / CAST(100 AS DOUBLE)) AS sum_price
+    FROM orders
+    GROUP BY ALL
+    ORDER BY ALL
+"""
+
+
+@query("group_by_all_orders", oracle=_GBA_SQL)
+def group_by_all_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir, ["orders"])
+    return spark.sql(_GBA_SQL)
+
+
+# --- null-safe equality join (<=> / IS NOT DISTINCT FROM) --------------------
+# NULL join keys silently vanish from a plain equi join; the null-safe
+# operator keeps them as their own match bucket — still a hash join (the
+# null-safe comparison is an equi key to Spark), never a nested loop. The
+# NULL bucket here is manufactured with NULLIF so the semantics difference
+# is visible in the counts.
+@query(
+    "null_safe_join_status",
+    oracle="""
+    WITH l AS (
+        SELECT o_orderkey, NULLIF(o_orderstatus, 'O') AS k FROM orders
+    ),
+    d AS (SELECT DISTINCT NULLIF(o_orderstatus, 'O') AS k FROM orders)
+    SELECT d.k, COUNT(l.o_orderkey) AS n
+    FROM l JOIN d ON l.k IS NOT DISTINCT FROM d.k
+    GROUP BY d.k
+    """,
+)
+def null_safe_join_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    k = F.nullif(F.col("o_orderstatus"), F.lit("O"))
+    left = o.select("o_orderkey", k.alias("k"))
+    dim = o.select(k.alias("dk")).distinct()
+    return (
+        left.join(dim, left["k"].eqNullSafe(dim["dk"]))
+        .groupBy(F.col("dk").alias("k"))
+        .agg(F.count("o_orderkey").alias("n"))
+    )
