@@ -483,3 +483,60 @@ def topk_merge(prev_topk: DataFrame, delta_topk: DataFrame, k: int = 5) -> DataF
         .filter(F.col("rn") <= k)
         .select("query_id", "neighbor_id", "cos_sim", "rn")
     )
+
+
+def kmeans_fit_full(
+    vectors: DataFrame,
+    n_clusters: int = 8,
+    n_iter: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int = 64,
+) -> list[list[float]]:
+    """Fully distributed Lloyd iterations over the ENTIRE corpus — the exact
+    complement of ``kmeans_centroids``' sampled driver fit. Per iteration:
+    nearest-centroid assignment as the row-local literal projection (zero
+    shuffles), then the spherical update (mean of unit vectors per cluster)
+    as ONE map-side-partial aggregation whose output is k × dim numbers —
+    the only thing the driver ever holds. n_iter full passes, each a single
+    narrow exchange: the 100 TB-shaped form when quantizer quality must come
+    from all the data rather than a sample.
+
+    Determinism: per-dimension sums stage through scaled longs
+    (round(u_i · 1e7) as BIGINT — exact, commutative), so the fitted
+    centroids are bit-identical under any partitioning or scheduling, which
+    a plain fp AVG cannot promise. Init = the n_clusters lowest-md5 ids
+    (deterministic, layout-independent); empty clusters keep their centroid.
+    """
+    m = 10**7
+    unit = with_norm(vectors, vec_col).select(
+        F.col(id_col).alias("__id"),
+        F.transform("v", lambda x: x / F.col("nrm")).alias("u"),
+    )
+    seed_rows = (
+        unit.orderBy(F.md5(F.col("__id").cast("string")), "__id")
+        .limit(n_clusters)
+        .collect()
+    )
+    cents = [list(map(float, r.u)) for r in seed_rows]
+    for _ in range(n_iter):
+        assigned = unit.withColumn(
+            "cluster",
+            (
+                F.array_position(
+                    _centroid_dots(F.col("u"), cents),
+                    F.array_max(_centroid_dots(F.col("u"), cents)),
+                )
+                - 1
+            ).cast("int"),
+        )
+        aggs = [F.count(F.lit(1)).alias("n")] + [
+            F.sum(F.round(F.col("u")[i] * m, 0).cast("long")).alias(f"s{i}")
+            for i in range(dim)
+        ]
+        stats = {r["cluster"]: r for r in assigned.groupBy("cluster").agg(*aggs).collect()}
+        for c in range(n_clusters):
+            r = stats.get(c)
+            if r and r["n"]:
+                cents[c] = [r[f"s{i}"] / m / r["n"] for i in range(dim)]
+    return cents

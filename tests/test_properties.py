@@ -471,3 +471,36 @@ def test_incremental_topk_equals_full_recompute(spark, tmp_path, sf_dir):
     assert sorted(map(tuple, maintained.collect())) == sorted(
         map(tuple, full.collect())
     )
+
+
+def test_kmeans_full_fit_partition_invariant_and_matches_reference(spark, sf_dir):
+    """The distributed full-corpus Lloyd fit must be bit-identical under
+    repartitioning (exact scaled-long updates) and match a driver-side
+    numpy replay of the same math."""
+    import numpy as np
+
+    from gpu_telemetry_lakehouse_spark.catalog import load_table
+    from gpu_telemetry_lakehouse_spark.operators.similarity import kmeans_fit_full
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    c1 = kmeans_fit_full(emb, n_clusters=4, n_iter=2)
+    c2 = kmeans_fit_full(emb.repartition(17, "label"), n_clusters=4, n_iter=2)
+    assert c1 == c2  # bit-identical, not just close
+
+    # numpy replay: same init (4 lowest-md5 ids), same assignment/update math
+    import hashlib
+
+    rows = emb.select("vec_id", "embedding").collect()
+    U = {r.vec_id: np.array(r.embedding, dtype=np.float64) for r in rows}
+    U = {k: v / np.sqrt(v @ v) for k, v in U.items()}
+    seeds = sorted(U, key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i))[:4]
+    cents = np.stack([U[s] for s in seeds])
+    ids = sorted(U)
+    M = np.stack([U[i] for i in ids])
+    for _ in range(2):
+        assign = (M @ cents.T).argmax(axis=1)
+        for c in range(4):
+            mem = M[assign == c]
+            if len(mem):
+                cents[c] = np.round(mem * 1e7).sum(axis=0) / 1e7 / len(mem)
+    assert np.allclose(np.array(c1), cents, atol=1e-9)
