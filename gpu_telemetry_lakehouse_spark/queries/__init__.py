@@ -136,6 +136,7 @@ _SECOND_TIER: list[str] = [
     "twap_user_daily",
     "group_by_all_orders",
     "null_safe_join_status",
+    "triangle_count_cousers",
     "gold_hot_throttled_gpus",
     "job_runtime_distribution",
     "gold_error_spikes_daily",

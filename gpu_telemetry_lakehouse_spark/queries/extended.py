@@ -240,3 +240,77 @@ def dedup_groups_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("group_size") > 1)
     )
+
+
+# --- triangle counting on a derived co-activity graph ------------------------
+# Graph analytics beyond connected components: users who co-occur in >= 4
+# (hour, event_type) activity buckets form an edge; triangles come from the
+# classic ordered-edge enumeration (u < v < w, each triangle found exactly
+# once) — two equi joins on node keys, never an all-pairs pass. Per-bucket
+# pair generation is bounded by bucket occupancy (the df-cap idea again);
+# at web scale the standard skew upgrade is degree-orientation (point each
+# edge at the higher-degree endpoint), which caps join fan-out at max
+# out-degree ~ sqrt(edges) while still enumerating each triangle once.
+# Output = per-user triangle participation counts.
+_COACT_W = 4
+
+
+@query(
+    "triangle_count_cousers",
+    oracle=f"""
+    WITH b AS (
+        SELECT DISTINCT user_id, date_trunc('hour', ts) AS h, event_type AS et
+        FROM events
+    ),
+    e AS (
+        SELECT a.user_id AS u, c.user_id AS v
+        FROM b a JOIN b c ON a.h = c.h AND a.et = c.et AND a.user_id < c.user_id
+        GROUP BY a.user_id, c.user_id HAVING COUNT(*) >= {_COACT_W}
+    ),
+    tri AS (
+        SELECT e1.u AS a, e1.v AS bb, e2.v AS c
+        FROM e e1
+        JOIN e e2 ON e2.u = e1.v
+        JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+    ),
+    nodes AS (
+        SELECT a AS user_id FROM tri
+        UNION ALL SELECT bb FROM tri
+        UNION ALL SELECT c FROM tri
+    )
+    SELECT user_id, COUNT(*) AS n_triangles FROM nodes GROUP BY user_id
+    """,
+)
+def triangle_count_cousers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    b = ev.select(
+        "user_id",
+        F.date_trunc("hour", "ts").alias("h"),
+        F.col("event_type").alias("et"),
+    ).distinct()
+    a_side = b.select(F.col("user_id").alias("u"), "h", "et")
+    c_side = b.select(F.col("user_id").alias("v"), F.col("h").alias("h2"), F.col("et").alias("et2"))
+    e = (
+        a_side.join(
+            c_side,
+            (F.col("h") == F.col("h2"))
+            & (F.col("et") == F.col("et2"))
+            & (F.col("u") < F.col("v")),
+        )
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("w"))
+        .filter(F.col("w") >= _COACT_W)
+        .select("u", "v")
+    )
+    e1 = e.select(F.col("u").alias("a"), F.col("v").alias("b1"))
+    e2 = e.select(F.col("u").alias("b2"), F.col("v").alias("c1"))
+    e3 = e.select(F.col("u").alias("a3"), F.col("v").alias("c3"))
+    tri = (
+        e1.join(e2, F.col("b1") == F.col("b2"))
+        .join(e3, (F.col("a") == F.col("a3")) & (F.col("c1") == F.col("c3")))
+        .select("a", "b1", "c1")
+    )
+    nodes = tri.select(
+        F.explode(F.array("a", "b1", "c1")).alias("user_id")
+    )
+    return nodes.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_triangles"))

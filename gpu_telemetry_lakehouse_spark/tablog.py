@@ -43,6 +43,7 @@ import shutil
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 LOG_DIR = "_txn_log"
 CHECKPOINT_EVERY = 10
@@ -473,3 +474,20 @@ def vacuum(path: str, keep_versions: int = 1) -> list[str]:
             os.remove(os.path.join(path, f))
             deleted.append(f)
     return deleted
+
+
+def diff_versions(
+    spark: SparkSession, path: str, v_from: int, v_to: int
+) -> DataFrame:
+    """Row-level diff between two snapshots (the audit/debug companion to
+    time travel): multiset-exact added vs removed rows via exceptAll in both
+    directions. Cost note: this is the generic any-table form (two snapshot
+    scans + one anti-style shuffle each); for append-only windows
+    ``read_incremental`` answers 'what changed' from the log tail alone
+    without touching old files — use this one when overwrites/merges make
+    the log insufficient."""
+    a = read(spark, path, version=v_from)
+    b = read(spark, path, version=v_to)
+    added = b.exceptAll(a).withColumn("change_type", F.lit("added"))
+    removed = a.exceptAll(b).withColumn("change_type", F.lit("removed"))
+    return added.unionByName(removed)

@@ -336,3 +336,24 @@ def test_temporal_stats_prune_with_datetime_bounds(spark, sf_dir, tbl):
 
     n_read2, _ = T.pruned_file_count(tbl, "ts", pd.Timestamp(lo), pd.Timestamp(mid))
     assert n_read2 <= n_total
+
+
+def test_diff_versions_reports_exact_row_changes(spark, tmp_path):
+    """diff_versions must report multiset-exact added/removed rows between
+    any two snapshots, including through a merge that rewrites rows."""
+    import gpu_telemetry_lakehouse_spark.tablog as tl
+
+    path = str(tmp_path / "t")
+    base = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "id long, v string"
+    )
+    tl.create_table(base, path)
+    v0 = tl.current_version(path)
+    upd = spark.createDataFrame([(2, "B"), (4, "d")], "id long, v string")
+    tl.merge_upsert(spark, upd, path, key_cols=["id"])
+    v1 = tl.current_version(path)
+
+    d = {(r.id, r.v, r.change_type) for r in tl.diff_versions(spark, path, v0, v1).collect()}
+    assert d == {(2, "B", "added"), (4, "d", "added"), (2, "b", "removed")}
+    # identity diff is empty
+    assert tl.diff_versions(spark, path, v1, v1).count() == 0
