@@ -504,3 +504,47 @@ def test_kmeans_full_fit_partition_invariant_and_matches_reference(spark, sf_dir
             if len(mem):
                 cents[c] = np.round(mem * 1e7).sum(axis=0) / 1e7 / len(mem)
     assert np.allclose(np.array(c1), cents, atol=1e-9)
+
+
+def test_boilerplate_all_identical_docs_degenerate(spark):
+    """A corpus of identical docs is ALL boilerplate (every segment df = n):
+    keep_ratio must be 0 for every doc, not an error or a divide-by-zero."""
+    from gpu_telemetry_lakehouse_spark.operators.dedup import (
+        segment_boilerplate_stats,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "alpha beta gamma delta epsilon zeta eta theta") for i in range(10)],
+        "doc_id long, text string",
+    )
+    out = segment_boilerplate_stats(docs, seg_len=4, max_df=2).collect()
+    assert len(out) == 10
+    assert all(r.keep_ratio == 0.0 and r.toks_kept == 0 for r in out)
+
+
+def test_edit_distance_join_degenerate_inputs(spark):
+    """Duplicated strings collapse to one distinct name (no self-pairs);
+    an all-unique far-apart corpus yields no pairs."""
+    from gpu_telemetry_lakehouse_spark.operators.text import edit_distance_join
+
+    dup = spark.createDataFrame(
+        [("same long string here",)] * 50, "s string"
+    )
+    assert edit_distance_join(dup, "s", k=2).count() == 0
+    far = spark.createDataFrame(
+        [("aaaaaaaaaaaaaaa",), ("bbbbbbbbbbbbbbb",), ("ccccccccccccccc",)],
+        "s string",
+    )
+    assert edit_distance_join(far, "s", k=2).count() == 0
+
+
+def test_ngram_decontam_empty_benchmark(spark):
+    """An empty benchmark set contaminates nothing."""
+    from gpu_telemetry_lakehouse_spark.operators.dedup import ngram_decontam
+
+    train = spark.createDataFrame(
+        [(1, "one two three four five six seven")], "doc_id long, text string"
+    )
+    bench = train.filter("doc_id < 0")
+    rows = ngram_decontam(train, bench, n=5, min_hits=1).collect()
+    assert len(rows) == 1 and rows[0].n_hits == 0 and rows[0].contaminated == 0
