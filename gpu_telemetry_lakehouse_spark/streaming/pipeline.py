@@ -484,3 +484,47 @@ def errors_with_optional_click(
     ).select(
         F.col("e_user").alias("user_id"), "error_id", "error_ts", "click_id", "click_ts"
     )
+
+
+def user_transitions_stream(stream: DataFrame) -> DataFrame:
+    """Streaming twin of the batch ``event_transition_matrix``: per user,
+    remember the LAST seen event across micro-batches (state = three scalars)
+    and emit one row per consecutive-event transition in append mode.
+
+    Within a batch rows are walked in (ts, event_id) order; the stored tail
+    event stitches batch N to batch N+1, so as long as the source replays in
+    event-time order across batches (Kafka per-key ordering; the file replay
+    fixture's mtime spacing) the emitted transition multiset is IDENTICAL to
+    the batch lag() derivation — pinned in tests/test_streaming.py. The
+    downstream (from, to) cell rollup composes as a normal aggregation on
+    the emitted stream or lands in the lake for batch rollup.
+    """
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def fn(key, pdfs, state):
+        parts = [p for p in pdfs if len(p)]
+        out: list[tuple] = []
+        if parts:
+            batch = pd.concat(parts, ignore_index=True)
+            batch = batch.assign(__us=batch["ts"].astype("int64") // 1_000)
+            batch = batch.sort_values(["__us", "event_id"], kind="mergesort")
+            types = batch["event_type"].tolist()
+            us = batch["__us"].tolist()
+            ids = batch["event_id"].tolist()
+            if state.exists:
+                prev_us, prev_id, prev_et = state.get
+                out.append((key[0], prev_et, types[0]))
+            for i in range(1, len(types)):
+                out.append((key[0], types[i - 1], types[i]))
+            state.update((us[-1], ids[-1], types[-1]))
+        yield pd.DataFrame(out, columns=["user_id", "from_type", "to_type"])
+
+    return stream.groupBy("user_id").applyInPandasWithState(
+        fn,
+        outputStructType="user_id long, from_type string, to_type string",
+        stateStructType="ts_us long, event_id long, et string",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -625,3 +625,41 @@ def test_stream_maintained_gold_table_equals_batch(spark, tmp_path):
     replay_id = max(T.committed_batch_ids(tbl))
     apply_batch(spark.read.format("telemetry_replay").options(**opts).load(), replay_id)
     assert sorted(T.read(spark, tbl).collect()) == got
+
+
+def test_stateful_transitions_equal_batch(spark, sf_dir, replay_dir):
+    """The stateful cross-batch transition emitter must reproduce the batch
+    lag() transition multiset exactly (order-preserving state stitching)."""
+    from collections import Counter
+
+    from gpu_telemetry_lakehouse_spark.queries.timeseries import (
+        event_transition_matrix,
+    )
+    from gpu_telemetry_lakehouse_spark.streaming.pipeline import (
+        read_event_stream,
+        user_transitions_stream,
+    )
+
+    stream = read_event_stream(spark, replay_dir, max_files_per_trigger=2)
+    emitted: Counter = Counter()
+
+    def collect_batch(batch_df, epoch_id):
+        for r in batch_df.collect():
+            emitted[(r.from_type, r.to_type)] += 1
+
+    q = (
+        user_transitions_stream(stream)
+        .writeStream.outputMode("append")
+        .foreachBatch(collect_batch)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    want = {
+        (r.from_type, r.to_type): r.n
+        for r in event_transition_matrix(spark, sf_dir).collect()
+    }
+    assert dict(emitted) == want
