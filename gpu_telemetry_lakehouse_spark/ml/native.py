@@ -1,0 +1,30 @@
+"""Native Spark ML (pyspark.ml) feature path — the cluster-scale twin of the
+sklearn-free scaler in isolation_forest.py.
+
+The reference standardizes features with sklearn's StandardScaler
+(reference ml/train_cluster_anomaly_model.py:39-40, population std ddof=0);
+``pyspark.ml.feature.StandardScaler`` computes the SAMPLE std (ddof=1) —
+a real cross-library semantic difference this module documents and its test
+pins, so a user switching to the native pipeline knows exactly what moves.
+Use this path when the feature matrix is too large to collect: fit and
+transform are distributed, and the fitted PipelineModel persists with
+Spark ML's own save/load.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def fit_scaled_features(df: DataFrame, cols: list[str], out_col: str = "scaled"):
+    """VectorAssembler -> StandardScaler(withMean, withStd) as one
+    pyspark.ml Pipeline; returns (fitted PipelineModel, transformed df)."""
+    from pyspark.ml import Pipeline
+    from pyspark.ml.feature import StandardScaler, VectorAssembler
+
+    va = VectorAssembler(inputCols=cols, outputCol="__features")
+    sc = StandardScaler(
+        inputCol="__features", outputCol=out_col, withMean=True, withStd=True
+    )
+    model = Pipeline(stages=[va, sc]).fit(df)
+    return model, model.transform(df).drop("__features")

@@ -110,3 +110,43 @@ def test_pandas_on_spark_verification_summary(spark, sf_dir):
     assert 0 < num_anomalies < total_days  # contamination flags a strict subset
     frac = num_anomalies / total_days
     assert 0.01 <= frac <= 0.2  # ~5% contamination with small-n tie slack
+
+
+def test_native_ml_scaler_matches_numpy_sample_std(spark, sf_dir, tmp_path):
+    """pyspark.ml StandardScaler (distributed fit) must equal the numpy
+    (x - mean) / std(ddof=1) computation — and differ from the reference's
+    sklearn ddof=0 scaler by exactly the sqrt(n/(n-1)) factor. Fitted
+    pipeline round-trips through Spark ML persistence."""
+    import numpy as np
+
+    from gpu_telemetry_lakehouse_spark.ml.native import fit_scaled_features
+    from gpu_telemetry_lakehouse_spark.queries import QUERIES
+
+    gold = QUERIES["gold_daily_util"](spark, sf_dir)
+    cols = ["avg_value", "p95_value", "med_value"]
+    model, out = fit_scaled_features(gold, cols)
+
+    pdf = gold.select("dt", *cols).toPandas().sort_values("dt")
+    X = pdf[cols].to_numpy(dtype=np.float64)
+    want = (X - X.mean(axis=0)) / X.std(axis=0, ddof=1)
+
+    got = {
+        r.dt: list(r.scaled)
+        for r in out.select("dt", "scaled").collect()
+    }
+    G = np.array([got[d] for d in pdf["dt"]])
+    assert np.allclose(G, want, atol=1e-9)
+    # explicit ddof difference vs the reference's sklearn scaler: the native
+    # output is exactly sqrt((n-1)/n) times the ddof=0 scaling
+    n = len(X)
+    sk = (X - X.mean(axis=0)) / X.std(axis=0, ddof=0)
+    assert not np.allclose(G, sk, atol=1e-9)
+    assert np.allclose(G, sk * np.sqrt((n - 1) / n), atol=1e-9)
+
+    path = str(tmp_path / "pipe")
+    model.save(path)
+    from pyspark.ml import PipelineModel
+
+    re = PipelineModel.load(path)
+    G2 = {r.dt: list(r.scaled) for r in re.transform(gold).select("dt", "scaled").collect()}
+    assert G2 == got
