@@ -548,3 +548,46 @@ def test_ngram_decontam_empty_benchmark(spark):
     bench = train.filter("doc_id < 0")
     rows = ngram_decontam(train, bench, n=5, min_hits=1).collect()
     assert len(rows) == 1 and rows[0].n_hits == 0 and rows[0].contaminated == 0
+
+
+def test_native_minhash_lsh_finds_exact_neardup_pairs(spark, sf_dir):
+    """pyspark.ml.feature.MinHashLSH (seeded => deterministic) must recover
+    every exact shingle-Jaccard near-dup pair (J >= 0.5) found by the
+    oracle-checked custom operator — the native-API cross-check of the
+    custom LSH path."""
+    from pyspark.ml.feature import CountVectorizer, MinHashLSH
+    from pyspark.sql import functions as F
+
+    from gpu_telemetry_lakehouse_spark.catalog import load_table
+    from gpu_telemetry_lakehouse_spark.functions import tokens
+    from gpu_telemetry_lakehouse_spark.operators.dedup import (
+        shingle_jaccard_pairs,
+    )
+    from gpu_telemetry_lakehouse_spark.operators.text import shingles
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    want = {
+        (r.id_a, r.id_b)
+        for r in shingle_jaccard_pairs(docs, threshold=0.5).collect()
+    }
+    assert want  # the fixture corpus has planted near-dups
+
+    sh = docs.select(
+        "doc_id", F.array_distinct(shingles(tokens(F.col("text")), 3)).alias("sh")
+    ).filter(F.size("sh") > 0)
+    cv = CountVectorizer(inputCol="sh", outputCol="features", binary=True).fit(sh)
+    feat = cv.transform(sh)
+    lsh = MinHashLSH(
+        inputCol="features", outputCol="hashes", numHashTables=8, seed=42
+    ).fit(feat)
+    got = {
+        (min(r.datasetA.doc_id, r.datasetB.doc_id),
+         max(r.datasetA.doc_id, r.datasetB.doc_id))
+        for r in lsh.approxSimilarityJoin(feat, feat, 0.5, distCol="d")
+        .filter("datasetA.doc_id < datasetB.doc_id")
+        .collect()
+    }
+    # Jaccard distance <= 0.5  <=>  Jaccard similarity >= 0.5; the native
+    # join post-verifies exact distance on candidates, so with enough hash
+    # tables it must contain every true pair.
+    assert want <= got
