@@ -145,7 +145,14 @@ def _stage_files(df: DataFrame, path: str, stat_cols: list[str]) -> list[dict]:
             continue
         name = f"part-{uuid.uuid4().hex}.parquet"
         os.rename(os.path.join(staging, f), os.path.join(path, name))
-        adds.append({"file": name, "stats": _file_stats(os.path.join(path, name), stat_cols)})
+        full = os.path.join(path, name)
+        adds.append(
+            {
+                "file": name,
+                "bytes": os.path.getsize(full),
+                "stats": _file_stats(full, stat_cols),
+            }
+        )
     shutil.rmtree(staging)
     return adds
 
@@ -491,3 +498,25 @@ def diff_versions(
     added = b.exceptAll(a).withColumn("change_type", F.lit("added"))
     removed = a.exceptAll(b).withColumn("change_type", F.lit("removed"))
     return added.unionByName(removed)
+
+
+def table_stats(path: str, version: int | None = None) -> dict:
+    """Operational audit of a snapshot from LOG METADATA ONLY (no data
+    scan): live file count, total bytes, small-file count (the compaction
+    trigger), and per-file stat-column coverage. The numbers a maintenance
+    job reads before deciding to compact/Z-order/vacuum."""
+    files = snapshot_files(path, version)
+    # 'bytes' rides in the add-action; fall back to the filesystem for
+    # entries committed before the field existed
+    sizes = [
+        f.get("bytes") or os.path.getsize(os.path.join(path, f["file"]))
+        for f in files
+    ]
+    return {
+        "version": version if version is not None else current_version(path),
+        "n_files": len(files),
+        "total_bytes": sum(sizes),
+        "avg_bytes": (sum(sizes) // len(files)) if files else 0,
+        "small_files": sum(1 for s in sizes if s < 8 * 1024 * 1024),
+        "files_with_stats": sum(1 for f in files if f.get("stats")),
+    }

@@ -357,3 +357,22 @@ def test_diff_versions_reports_exact_row_changes(spark, tmp_path):
     assert d == {(2, "B", "added"), (4, "d", "added"), (2, "b", "removed")}
     # identity diff is empty
     assert tl.diff_versions(spark, path, v1, v1).count() == 0
+
+
+def test_table_stats_reads_log_only(spark, tmp_path):
+    """table_stats must report live-file counts/bytes from the log without
+    scanning data, and track compaction."""
+    import gpu_telemetry_lakehouse_spark.tablog as tl
+
+    path = str(tmp_path / "t")
+    df = spark.range(1000).selectExpr("id", "id % 7 AS k")
+    tl.create_table(df.repartition(6), path, stat_cols=["id"])
+    s0 = tl.table_stats(path)
+    assert s0["n_files"] == 6 and s0["total_bytes"] > 0
+    assert s0["files_with_stats"] == 6 and s0["small_files"] == 6
+
+    tl.compact(spark, path, stat_cols=["id"])
+    s1 = tl.table_stats(path)
+    assert s1["n_files"] < s0["n_files"]
+    # old snapshot still reports the pre-compaction layout (time travel)
+    assert tl.table_stats(path, version=s0["version"])["n_files"] == 6
