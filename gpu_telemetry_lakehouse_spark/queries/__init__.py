@@ -137,6 +137,7 @@ _SECOND_TIER: list[str] = [
     "group_by_all_orders",
     "null_safe_join_status",
     "triangle_count_cousers",
+    "decontam_span_report",
     "gold_hot_throttled_gpus",
     "job_runtime_distribution",
     "gold_error_spikes_daily",

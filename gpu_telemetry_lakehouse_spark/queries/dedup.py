@@ -677,3 +677,125 @@ def corpus_prep_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     for s in stages[1:]:
         out = out.unionByName(s)
     return out
+
+
+# --- surgical (span-level) decontamination -----------------------------------
+# benchmark_decontam DROPS whole contaminated docs; real pipelines often
+# STRIP just the overlapping spans and keep the rest. Per train doc: every
+# 5-gram position whose hash is in the benchmark set covers tokens
+# [s, s+4]; the union length of those intervals (classic merge via the
+# running-max-end window) is the strippable token count. One window pass
+# over flagged positions only — the coverage math never touches clean text.
+@query(
+    "decontam_span_report",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, {TK} AS tk FROM documents WHERE NOT ({_BENCH_GATE})
+    ),
+    d AS (SELECT doc_id, len(tk) AS n_tokens, tk FROM t),
+    g AS (
+        SELECT doc_id, u.s AS s, u.g AS g FROM d,
+        LATERAL unnest(
+            CASE WHEN len(tk) >= {DECON_N} THEN
+                list_transform(generate_series(1, len(tk) - {DECON_N - 1}),
+                    i -> struct_pack(
+                        g := {_md5int(f"array_to_string(list_slice(tk, i, i + {DECON_N - 1}), ' ')")},
+                        s := i))
+            ELSE [] END) u2(u)
+    ),
+    bt AS (SELECT doc_id, {TK} AS tk FROM documents WHERE {_BENCH_GATE}),
+    bg AS (
+        SELECT DISTINCT unnest(list_distinct(list_transform({SHINGLES5}, s -> {_md5int('s')}))) AS g
+        FROM bt
+    ),
+    flagged AS (
+        SELECT g.doc_id, g.s AS s, g.s + {DECON_N - 1} AS e
+        FROM g JOIN bg ON bg.g = g.g
+    ),
+    cov AS (
+        SELECT doc_id, s, e,
+               MAX(e) OVER (PARTITION BY doc_id ORDER BY s
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS mx
+        FROM flagged
+    ),
+    per AS (
+        SELECT doc_id, COUNT(*) AS n_flagged,
+               SUM(GREATEST(0, e - GREATEST(COALESCE(mx, 0), s - 1))) AS covered
+        FROM cov GROUP BY doc_id
+    )
+    SELECT d.doc_id, CAST(d.n_tokens AS BIGINT) AS n_tokens,
+           CAST(COALESCE(per.n_flagged, 0) AS BIGINT) AS n_flagged,
+           CAST(COALESCE(per.covered, 0) AS BIGINT) AS covered_tokens,
+           ROUND(CAST(COALESCE(per.covered, 0) AS DOUBLE)
+                 / CAST(d.n_tokens AS DOUBLE), 6) AS strip_ratio
+    FROM d LEFT JOIN per USING (doc_id)
+    """,
+)
+def decontam_span_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = spread_input(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", "text"
+    )
+    gate = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2) < "1a"
+    bench, train = docs.filter(gate), docs.filter(~gate)
+
+    tk = tokens(F.col("text"))
+    n_gr = F.greatest(F.size(tk) - (DECON_N - 1), F.lit(0))
+    pos_grams = F.when(
+        n_gr >= 1,
+        F.transform(
+            F.sequence(F.lit(1), n_gr),
+            lambda i: F.struct(
+                md5_int(F.array_join(F.slice(tk, i, DECON_N), " ")).alias("g"),
+                i.alias("s"),
+            ),
+        ),
+    ).otherwise(F.array())
+    d = train.select("doc_id", F.size(tk).alias("n_tokens"), pos_grams.alias("pg"))
+    g = d.select("doc_id", F.explode("pg").alias("u")).select(
+        "doc_id", F.col("u.g").alias("g"), F.col("u.s").alias("s")
+    )
+    barr = F.array_distinct(F.transform(TXO.shingles(tk, DECON_N), md5_int))
+    bg = (
+        bench.select(F.explode(barr).alias("g")).distinct()
+        .withColumn("hit", F.lit(True))
+    )
+    flagged = (
+        g.join(bg, "g")
+        .select("doc_id", "s", (F.col("s") + (DECON_N - 1)).alias("e"))
+    )
+    w = (
+        W.partitionBy("doc_id")
+        .orderBy("s")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    per = (
+        flagged.withColumn("mx", F.max("e").over(w))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_flagged"),
+            F.sum(
+                F.greatest(
+                    F.lit(0),
+                    F.col("e")
+                    - F.greatest(F.coalesce(F.col("mx"), F.lit(0)), F.col("s") - 1),
+                )
+            ).alias("covered"),
+        )
+    )
+    return (
+        d.select("doc_id", "n_tokens")
+        .join(per, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.coalesce("n_flagged", F.lit(0)).cast("long").alias("n_flagged"),
+            F.coalesce("covered", F.lit(0)).cast("long").alias("covered_tokens"),
+            F.round(
+                F.coalesce("covered", F.lit(0)).cast("double")
+                / F.col("n_tokens").cast("double"),
+                6,
+            ).alias("strip_ratio"),
+        )
+    )

@@ -520,3 +520,27 @@ def table_stats(path: str, version: int | None = None) -> dict:
         "small_files": sum(1 for s in sizes if s < 8 * 1024 * 1024),
         "files_with_stats": sum(1 for f in files if f.get("stats")),
     }
+
+
+def maybe_compact(
+    spark: SparkSession,
+    path: str,
+    stat_cols: list[str] | None = None,
+    small_bytes: int = 8 * 1024 * 1024,
+    min_small: int = 4,
+) -> int | None:
+    """Policy-driven auto-compaction: rewrite the table only when at least
+    ``min_small`` live files are under ``small_bytes`` (the read-amplification
+    signal from ``table_stats`` — all from log metadata, no data scan).
+    Returns the new version, or None when the layout is already healthy.
+    The maintenance loop a scheduler runs after every streaming day."""
+    files = snapshot_files(path)
+    small = sum(
+        1
+        for f in files
+        if (f.get("bytes") or os.path.getsize(os.path.join(path, f["file"])))
+        < small_bytes
+    )
+    if small < min_small:
+        return None
+    return compact(spark, path, stat_cols)

@@ -376,3 +376,20 @@ def test_table_stats_reads_log_only(spark, tmp_path):
     assert s1["n_files"] < s0["n_files"]
     # old snapshot still reports the pre-compaction layout (time travel)
     assert tl.table_stats(path, version=s0["version"])["n_files"] == 6
+
+
+def test_maybe_compact_policy(spark, tmp_path):
+    """Auto-compaction fires only past the small-file threshold, and the
+    rewritten table is value-identical."""
+    import gpu_telemetry_lakehouse_spark.tablog as tl
+
+    path = str(tmp_path / "t")
+    df = spark.range(2000).selectExpr("id", "id % 5 AS k")
+    tl.create_table(df.repartition(2), path)
+    assert tl.maybe_compact(spark, path, min_small=4) is None  # healthy
+
+    tl.append(df.repartition(6), path)
+    v = tl.maybe_compact(spark, path, min_small=4)
+    assert v is not None
+    assert tl.table_stats(path)["n_files"] < 8
+    assert tl.read(spark, path).count() == 4000
