@@ -138,6 +138,8 @@ _SECOND_TIER: list[str] = [
     "null_safe_join_status",
     "triangle_count_cousers",
     "decontam_span_report",
+    "key_skew_report",
+    "doc_length_deciles",
     "gold_hot_throttled_gpus",
     "job_runtime_distribution",
     "gold_error_spikes_daily",

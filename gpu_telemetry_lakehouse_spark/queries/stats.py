@@ -394,3 +394,53 @@ def profile_orders_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"stack({len(_PROFILE_COLS)}, {stack_args})"
         " AS (col_name, n_rows, n_null, n_distinct)"
     )
+
+
+# --- key-skew diagnosis ------------------------------------------------------
+# The pre-join health check at scale: how concentrated is a join/groupBy key?
+# One aggregation builds per-key counts; ranking the top keys and their share
+# of total rows tells you whether AQE skew-split/salting is needed BEFORE the
+# shuffle runs. Exact integer arithmetic throughout (shares as n/total in
+# double, both engines dividing the same BIGINTs).
+@query(
+    "key_skew_report",
+    oracle="""
+    WITH k AS (SELECT user_id, COUNT(*) AS n FROM events GROUP BY user_id),
+    tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total, COUNT(*) AS n_keys FROM k),
+    r AS (
+        SELECT user_id, n,
+               ROW_NUMBER() OVER (ORDER BY n DESC, user_id) AS rk
+        FROM k
+    )
+    SELECT t.total, CAST(t.n_keys AS BIGINT) AS n_keys,
+           CAST((SELECT MAX(n) FROM k) AS BIGINT) AS max_key_rows,
+           ROUND(CAST((SELECT MAX(n) FROM k) AS DOUBLE)
+                 / CAST(t.total AS DOUBLE), 6) AS max_key_share,
+           CAST((SELECT SUM(n) FROM r WHERE rk <= 10) AS BIGINT) AS top10_rows,
+           ROUND(CAST((SELECT SUM(n) FROM r WHERE rk <= 10) AS DOUBLE)
+                 / CAST(t.total AS DOUBLE), 6) AS top10_share
+    FROM tot t
+    """,
+)
+def key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events").select("user_id")
+    k = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    r = k.withColumn(
+        "rk", F.row_number().over(W.orderBy(F.col("n").desc(), "user_id"))
+    )
+    return r.agg(
+        F.sum("n").alias("total"),
+        F.count(F.lit(1)).alias("n_keys"),
+        F.max("n").alias("max_key_rows"),
+        F.round(F.max("n").cast("double") / F.sum("n").cast("double"), 6).alias(
+            "max_key_share"
+        ),
+        F.sum(F.when(F.col("rk") <= 10, F.col("n")).otherwise(0)).alias("top10_rows"),
+        F.round(
+            F.sum(F.when(F.col("rk") <= 10, F.col("n")).otherwise(0)).cast("double")
+            / F.sum("n").cast("double"),
+            6,
+        ).alias("top10_share"),
+    )

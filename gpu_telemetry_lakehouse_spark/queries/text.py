@@ -441,3 +441,43 @@ def text_repetition_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
         top_frac.alias("top_word_frac"),
         ((top_frac < 0.2) & (dup_frac < 0.95)).cast("int").alias("keep"),
     )
+
+
+# --- document-length deciles (packing planner input) -------------------------
+# Sequence packing efficiency depends on the length distribution; the decile
+# profile (ntile over token counts, deterministic (n, doc_id) tie-break) is
+# the planner's input for choosing pack budgets. One window pass + rollup.
+@query(
+    "doc_length_deciles",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, len({TK}) AS n_tokens FROM documents
+    ),
+    d AS (
+        SELECT doc_id, n_tokens,
+               CAST(NTILE(10) OVER (ORDER BY n_tokens, doc_id) AS INT) AS decile
+        FROM t
+    )
+    SELECT decile, COUNT(*) AS n_docs,
+           CAST(MIN(n_tokens) AS BIGINT) AS min_tokens,
+           CAST(MAX(n_tokens) AS BIGINT) AS max_tokens,
+           CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens
+    FROM d GROUP BY decile
+    """,
+)
+def doc_length_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id", F.size(TX.tokens(F.col("text"))).alias("n_tokens")
+    )
+    d = t.withColumn(
+        "decile", F.ntile(10).over(W.orderBy("n_tokens", "doc_id"))
+    )
+    return d.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("n_tokens").cast("long").alias("min_tokens"),
+        F.max("n_tokens").cast("long").alias("max_tokens"),
+        F.sum("n_tokens").alias("sum_tokens"),
+    )
