@@ -140,6 +140,8 @@ _SECOND_TIER: list[str] = [
     "decontam_span_report",
     "key_skew_report",
     "doc_length_deciles",
+    "event_gap_detection",
+    "pareto_customer_revenue",
     "gold_hot_throttled_gpus",
     "job_runtime_distribution",
     "gold_error_spikes_daily",

@@ -444,3 +444,77 @@ def key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("top10_share"),
     )
+
+
+# --- Pareto / ABC analysis ---------------------------------------------------
+# "The top k% of customers drive what share of revenue?" — rank customers by
+# exact revenue, take the running share at the 1/5/20% head counts. Revenue
+# stays in scaled-long arithmetic end to end (ranking, cumulating and the
+# final shares all divide the same BIGINTs), so ordering ties and fp drift
+# cannot flip ranks between engines.
+@query(
+    "pareto_customer_revenue",
+    oracle="""
+    WITH r AS (
+        SELECT o_custkey,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev_c
+        FROM orders GROUP BY o_custkey
+    ),
+    ranked AS (
+        SELECT o_custkey, rev_c,
+               ROW_NUMBER() OVER (ORDER BY rev_c DESC, o_custkey) AS rk,
+               CAST(SUM(rev_c) OVER (ORDER BY rev_c DESC, o_custkey
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_c,
+               (SELECT COUNT(*) FROM r) AS n,
+               (SELECT CAST(SUM(rev_c) AS BIGINT) FROM r) AS tot_c
+        FROM r
+    )
+    SELECT pct,
+           CAST(MAX(CASE WHEN rk <= CAST(ceil(n * pct / 100.0) AS BIGINT)
+                    THEN cum_c ELSE 0 END) AS BIGINT) / 100.0 AS head_revenue,
+           ROUND(CAST(MAX(CASE WHEN rk <= CAST(ceil(n * pct / 100.0) AS BIGINT)
+                         THEN cum_c ELSE 0 END) AS DOUBLE)
+                 / CAST(MAX(tot_c) AS DOUBLE), 6) AS head_share
+    FROM ranked, (VALUES (1), (5), (20)) p(pct)
+    GROUP BY pct
+    """,
+)
+def pareto_customer_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    o = load_table(spark, sf_dir, "orders")
+    r = o.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long")).alias("rev_c")
+    )
+    wr = W.orderBy(F.col("rev_c").desc(), "o_custkey")
+    ranked = (
+        r.withColumn("rk", F.row_number().over(wr))
+        .withColumn(
+            "cum_c", F.sum("rev_c").over(wr.rowsBetween(W.unboundedPreceding, 0))
+        )
+        .crossJoin(
+            F.broadcast(
+                r.agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.sum("rev_c").alias("tot_c"),
+                )
+            )
+        )
+    )
+    pcts = ranked.sparkSession.createDataFrame([(1,), (5,), (20,)], "pct int")
+    head = F.max(
+        F.when(
+            F.col("rk") <= F.ceil(F.col("n") * F.col("pct") / 100.0).cast("long"),
+            F.col("cum_c"),
+        ).otherwise(0)
+    )
+    return (
+        ranked.crossJoin(F.broadcast(pcts))
+        .groupBy("pct")
+        .agg(
+            (head / 100.0).alias("head_revenue"),
+            F.round(head.cast("double") / F.max("tot_c").cast("double"), 6).alias(
+                "head_share"
+            ),
+        )
+    )

@@ -366,3 +366,42 @@ def twap_user_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("twap"),
     )
+
+
+# --- telemetry gap detection -------------------------------------------------
+# Monitoring primitive: silences longer than GAP_S seconds inside a user's
+# event stream (lag over the (ts, event_id)-ordered sequence). One window
+# pass; emits only the gap rows.
+GAP_S = 6 * 3600
+
+
+@query(
+    "event_gap_detection",
+    oracle=f"""
+    WITH s AS (
+        SELECT user_id, ts, event_id,
+               LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        FROM events
+    )
+    SELECT user_id,
+           CAST(prev_ts AS TIMESTAMP) AS gap_start,
+           CAST(ts AS TIMESTAMP) AS gap_end,
+           CAST(floor(epoch(ts)) - floor(epoch(prev_ts)) AS BIGINT) AS gap_s
+    FROM s
+    WHERE prev_ts IS NOT NULL
+      AND floor(epoch(ts)) - floor(epoch(prev_ts)) > {GAP_S}
+    """,
+)
+def event_gap_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_id")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    s = ev.withColumn("prev_ts", F.lag("ts").over(w)).filter(
+        F.col("prev_ts").isNotNull()
+    )
+    gap = F.unix_timestamp("ts") - F.unix_timestamp("prev_ts")
+    return s.filter(gap > GAP_S).select(
+        "user_id",
+        F.col("prev_ts").alias("gap_start"),
+        F.col("ts").alias("gap_end"),
+        gap.alias("gap_s"),
+    )
