@@ -142,6 +142,7 @@ _SECOND_TIER: list[str] = [
     "doc_length_deciles",
     "event_gap_detection",
     "pareto_customer_revenue",
+    "longest_event_streak",
     "gold_hot_throttled_gpus",
     "job_runtime_distribution",
     "gold_error_spikes_daily",

@@ -405,3 +405,60 @@ def event_gap_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ts").alias("gap_end"),
         gap.alias("gap_s"),
     )
+
+
+# --- gaps-and-islands: longest same-type streak per user ---------------------
+# The rk-difference trick: two row_numbers over the (ts, event_id)-ordered
+# stream — one global per user, one per (user, type) — differ by a constant
+# within each consecutive same-type island, so grouping on the difference
+# materializes islands without any self-join or iteration. Two window passes
+# over the SAME (user_id) hash layout + one rollup.
+@query(
+    "longest_event_streak",
+    oracle="""
+    WITH s AS (
+        SELECT user_id, event_type,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rk_all,
+               ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                  ORDER BY ts, event_id) AS rk_type
+        FROM events
+    ),
+    islands AS (
+        SELECT user_id, event_type, COUNT(*) AS streak
+        FROM s GROUP BY user_id, event_type, rk_all - rk_type
+    )
+    SELECT user_id,
+           CAST(MAX(streak) AS BIGINT) AS longest_streak,
+           MIN(CASE WHEN streak = ms THEN event_type END) AS streak_type
+    FROM (
+        SELECT user_id, event_type, streak,
+               MAX(streak) OVER (PARTITION BY user_id) AS ms
+        FROM islands
+    )
+    GROUP BY user_id
+    """,
+)
+def longest_event_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_id", "event_type")
+    w_all = W.partitionBy("user_id").orderBy("ts", "event_id")
+    w_type = W.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    s = ev.select(
+        "user_id",
+        "event_type",
+        (F.row_number().over(w_all) - F.row_number().over(w_type)).alias("grp"),
+    )
+    islands = s.groupBy("user_id", "event_type", "grp").agg(
+        F.count(F.lit(1)).alias("streak")
+    )
+    wm = W.partitionBy("user_id")
+    return (
+        islands.withColumn("ms", F.max("streak").over(wm))
+        .groupBy("user_id")
+        .agg(
+            F.max("streak").alias("longest_streak"),
+            F.min(
+                F.when(F.col("streak") == F.col("ms"), F.col("event_type"))
+            ).alias("streak_type"),
+        )
+    )
