@@ -544,3 +544,71 @@ def maybe_compact(
     if small < min_small:
         return None
     return compact(spark, path, stat_cols)
+
+
+def scd2_history(
+    spark: SparkSession, path: str, key_cols: list[str]
+) -> DataFrame:
+    """Reconstruct a Slowly-Changing-Dimension Type 2 history from the
+    table's own version log: one row per (key, attribute-state) EPISODE with
+    ``[valid_from_version, valid_to_version)`` bounds (NULL = still current).
+
+    The CDC→warehouse pattern without a separate CDC feed — the transaction
+    log IS the change history. Mechanics: every snapshot is read tagged with
+    its dense version index, attribute state is fingerprinted row-locally
+    (md5 over the non-key columns), and episode boundaries fall where the
+    fingerprint changes OR the key skips a version (delete + re-insert must
+    not merge into one episode). Boundary detection is the gaps-and-islands
+    lag/cumsum form over a (key)-hash window — no self-joins, no iteration;
+    cost is one scan per version (bounded by retention), all unioned into a
+    single job.
+    """
+    versions = _list_versions(path)
+    assert versions, f"no versions at {path}"
+    frames = []
+    for idx, v in enumerate(versions):
+        frames.append(read(spark, path, version=v).withColumn("__vidx", F.lit(idx)))
+    all_rows = frames[0]
+    for fr in frames[1:]:
+        all_rows = all_rows.unionByName(fr)
+
+    attr_cols = [c for c in all_rows.columns if c not in set(key_cols) | {"__vidx"}]
+    fp = F.md5(F.concat_ws("\x1f", *[F.col(c).cast("string") for c in sorted(attr_cols)]))
+    from pyspark.sql import Window as W
+
+    wk = W.partitionBy(*key_cols).orderBy("__vidx")
+    tagged = (
+        all_rows.withColumn("__fp", fp)
+        .withColumn("__pfp", F.lag("__fp").over(wk))
+        .withColumn("__pv", F.lag("__vidx").over(wk))
+        .withColumn(
+            "__chg",
+            (
+                F.col("__pfp").isNull()
+                | (F.col("__pfp") != F.col("__fp"))
+                | (F.col("__pv") != F.col("__vidx") - 1)
+            ).cast("int"),
+        )
+        .withColumn("__ep", F.sum("__chg").over(wk))
+    )
+    last_idx = len(versions) - 1
+    episodes = tagged.groupBy(*key_cols, "__ep").agg(
+        *[F.first(c).alias(c) for c in attr_cols],
+        F.min("__vidx").alias("__from"),
+        F.max("__vidx").alias("__to"),
+    )
+    ver_arr = F.array(*[F.lit(v) for v in versions])
+    return (
+        episodes.withColumn(
+            "valid_from_version", F.element_at(ver_arr, F.col("__from") + 1)
+        )
+        .withColumn(
+            "valid_to_version",
+            F.when(
+                F.col("__to") < last_idx,
+                F.element_at(ver_arr, F.col("__to") + 2),
+            ),
+        )
+        .withColumn("is_current", (F.col("__to") == last_idx).cast("int"))
+        .drop("__ep", "__from", "__to")
+    )

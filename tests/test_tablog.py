@@ -393,3 +393,40 @@ def test_maybe_compact_policy(spark, tmp_path):
     assert v is not None
     assert tl.table_stats(path)["n_files"] < 8
     assert tl.read(spark, path).count() == 4000
+
+
+def test_scd2_history_from_versions(spark, tmp_path):
+    """SCD2 reconstruction: attribute changes open new episodes with correct
+    validity bounds; delete + re-insert of an identical state must NOT merge
+    into one episode; unchanged keys stay a single current episode."""
+    import gpu_telemetry_lakehouse_spark.tablog as tl
+
+    path = str(tmp_path / "dim")
+    v0 = spark.createDataFrame(
+        [(1, "gold"), (2, "silver"), (3, "bronze")], "id long, tier string"
+    )
+    tl.create_table(v0, path)
+    # v1: id 2 changes tier; id 3 deleted (overwrite computes vs current tip)
+    tl.overwrite(
+        spark.createDataFrame([(1, "gold"), (2, "gold")], "id long, tier string"),
+        path,
+    )
+    # v2: id 3 reappears with its ORIGINAL attrs; id 1 unchanged
+    tl.overwrite(
+        spark.createDataFrame(
+            [(1, "gold"), (2, "gold"), (3, "bronze")], "id long, tier string"
+        ),
+        path,
+    )
+
+    h = {
+        (r.id, r.tier, r.valid_from_version, r.valid_to_version, r.is_current)
+        for r in tl.scd2_history(spark, path, ["id"]).collect()
+    }
+    assert h == {
+        (1, "gold", 0, None, 1),          # one unbroken episode
+        (2, "silver", 0, 1, 0),           # closed when the tier changed
+        (2, "gold", 1, None, 1),
+        (3, "bronze", 0, 1, 0),           # closed by the delete
+        (3, "bronze", 2, None, 1),        # re-insert = NEW episode
+    }
