@@ -143,6 +143,7 @@ _SECOND_TIER: list[str] = [
     "event_gap_detection",
     "pareto_customer_revenue",
     "longest_event_streak",
+    "content_checksum_orders",
     "gold_hot_throttled_gpus",
     "job_runtime_distribution",
     "gold_error_spikes_daily",

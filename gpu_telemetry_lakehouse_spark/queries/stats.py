@@ -518,3 +518,44 @@ def pareto_customer_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --- order-insensitive content checksum --------------------------------------
+# Replication/migration reconciliation: did two systems end up with the SAME
+# table? XOR of per-row 60-bit md5 hashes (commutative AND overflow-free at
+# any row count, so partitioning and row order cannot matter) + row count,
+# over a canonical per-row serialization. One map-side-partial aggregation;
+# comparing two 16-byte results replaces comparing two 100 TB tables. (XOR
+# cancels identical duplicate PAIRS — n_rows catches pure duplication, and a
+# multiset-exact variant sums hashes mod a prime when that matters.)
+@query(
+    "content_checksum_orders",
+    oracle="""
+    SELECT COUNT(*) AS n_rows,
+           CAST(BIT_XOR(CAST(('0x' || substring(md5(
+               CAST(o_orderkey AS VARCHAR) || chr(31) ||
+               CAST(o_custkey AS VARCHAR) || chr(31) ||
+               o_orderstatus || chr(31) ||
+               CAST(o_totalprice AS VARCHAR) || chr(31) ||
+               strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') || chr(31) ||
+               o_orderpriority), 1, 15)) AS BIGINT)) AS BIGINT) AS checksum
+    FROM orders
+    """,
+)
+def content_checksum_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions import md5_int
+
+    o = load_table(spark, sf_dir, "orders")
+    row_ser = F.concat_ws(
+        "\x1f",
+        F.col("o_orderkey").cast("string"),
+        F.col("o_custkey").cast("string"),
+        F.col("o_orderstatus"),
+        F.col("o_totalprice").cast("string"),
+        F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss"),
+        F.col("o_orderpriority"),
+    )
+    return o.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.bit_xor(md5_int(row_ser)).alias("checksum"),
+    )
