@@ -144,6 +144,7 @@ _SECOND_TIER: list[str] = [
     "pareto_customer_revenue",
     "longest_event_streak",
     "content_checksum_orders",
+    "rolling_wau_dau",
     "gold_hot_throttled_gpus",
     "job_runtime_distribution",
     "gold_error_spikes_daily",

@@ -462,3 +462,67 @@ def longest_event_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("streak_type"),
         )
     )
+
+
+# --- rolling distinct users (DAU / trailing-7-day WAU) -----------------------
+# Rolling DISTINCT cannot ride a plain window frame (distinct is not
+# decomposable); the scalable exact form first collapses the stream to
+# (day, user) pairs — orders of magnitude smaller than events — then counts
+# each user once per trailing window via a bounded range join on the day
+# spine. Stickiness = DAU/WAU falls out of the same pass. The pair table is
+# the only data-sized stage; everything after is days × users-per-week.
+@query(
+    "rolling_wau_dau",
+    oracle="""
+    WITH du AS (
+        SELECT DISTINCT CAST(date_trunc('day', ts) AS TIMESTAMP) AS d, user_id
+        FROM events
+    ),
+    days AS (SELECT DISTINCT d FROM du),
+    wau AS (
+        SELECT days.d, COUNT(DISTINCT du.user_id) AS wau
+        FROM days JOIN du
+          ON du.d <= days.d AND du.d > days.d - INTERVAL 7 DAY
+        GROUP BY days.d
+    ),
+    dau AS (SELECT d, COUNT(*) AS dau FROM du GROUP BY d)
+    SELECT dau.d, CAST(dau.dau AS BIGINT) AS dau, CAST(wau.wau AS BIGINT) AS wau,
+           ROUND(CAST(dau.dau AS DOUBLE) / CAST(wau.wau AS DOUBLE), 6) AS stickiness
+    FROM dau JOIN wau ON wau.d = dau.d
+    """,
+)
+def rolling_wau_dau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    du = ev.select(
+        F.date_trunc("day", "ts").alias("d"), "user_id"
+    ).distinct()
+    days = du.select("d").distinct()
+    # Equi form of the trailing window: each (day, user) pair serves the 7
+    # windows it falls in (a narrow 7x explode of the small pair table), so
+    # the spine join is a plain hash semi-join — no nested loop even without
+    # relying on the spine being broadcast-small.
+    contrib = du.select(
+        F.explode(
+            F.sequence(
+                F.col("d"), F.col("d") + F.expr("INTERVAL 6 DAY"), F.expr("INTERVAL 1 DAY")
+            )
+        ).alias("d"),
+        "user_id",
+    )
+    wau = (
+        contrib.join(days, "d", "left_semi")
+        .groupBy("d")
+        .agg(F.countDistinct("user_id").alias("wau"))
+    )
+    dau = du.groupBy("d").agg(F.count(F.lit(1)).alias("dau"))
+    return (
+        dau.join(wau, "d")
+        .select(
+            "d",
+            "dau",
+            "wau",
+            F.round(F.col("dau").cast("double") / F.col("wau").cast("double"), 6).alias(
+                "stickiness"
+            ),
+        )
+    )
