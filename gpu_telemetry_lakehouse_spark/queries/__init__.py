@@ -145,6 +145,8 @@ _SECOND_TIER: list[str] = [
     "longest_event_streak",
     "content_checksum_orders",
     "rolling_wau_dau",
+    "time_hierarchy_rollup",
+    "source_lang_drift",
     "gold_hot_throttled_gpus",
     "job_runtime_distribution",
     "gold_error_spikes_daily",

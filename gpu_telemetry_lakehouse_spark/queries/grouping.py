@@ -235,3 +235,49 @@ def heavy_hitter_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     return heavy_hitters(ev, "user_id", k=HH_K)
+
+
+# --- time-hierarchy rollup (week > day > hour in one pass) -------------------
+# The OLAP time pyramid: one ROLLUP pass emits hourly cells, daily and
+# weekly subtotals and the grand total together (grouping_id distinguishes
+# levels), instead of three separate aggregations re-scanning the stream.
+@query(
+    "time_hierarchy_rollup",
+    oracle="""
+    SELECT CAST(date_trunc('week', ts) AS TIMESTAMP) AS wk,
+           CAST(date_trunc('day', ts) AS TIMESTAMP) AS dy,
+           CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hr,
+           CAST(GROUPING(date_trunc('week', ts)) * 4
+              + GROUPING(date_trunc('day', ts)) * 2
+              + GROUPING(date_trunc('hour', ts)) AS BIGINT) AS lvl,
+           COUNT(*) AS n,
+           (SUM(CAST(ROUND(value * 1000000) AS BIGINT)) / 1000000.0) AS sum_value
+    FROM events WHERE value IS NOT NULL
+    GROUP BY ROLLUP (date_trunc('week', ts), date_trunc('day', ts),
+                     date_trunc('hour', ts))
+    """,
+)
+def time_hierarchy_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions import exact_sum
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            F.date_trunc("week", "ts").alias("wk"),
+            F.date_trunc("day", "ts").alias("dy"),
+            F.date_trunc("hour", "ts").alias("hr"),
+            "value",
+        )
+    )
+    return (
+        ev.rollup("wk", "dy", "hr")
+        .agg(
+            (
+                F.grouping("wk") * 4 + F.grouping("dy") * 2 + F.grouping("hr")
+            ).cast("long").alias("lvl"),
+            F.count(F.lit(1)).alias("n"),
+            exact_sum("value", scale=6).alias("sum_value"),
+        )
+        .select("wk", "dy", "hr", "lvl", "n", "sum_value")
+    )

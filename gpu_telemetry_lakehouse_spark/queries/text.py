@@ -481,3 +481,60 @@ def doc_length_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("n_tokens").cast("long").alias("max_tokens"),
         F.sum("n_tokens").alias("sum_tokens"),
     )
+
+
+# --- per-source language-distribution drift ----------------------------------
+# Domain-shift / data-quality detector: how far does each source's language
+# mix deviate from the corpus-wide mix? L1 (total variation x2) distance per
+# source. All probability terms divide the same BIGINT counts, and the
+# per-language |Δp| addends stage through scaled longs before summing, so
+# the distance is bit-identical regardless of partitioning or which language
+# sums first.
+@query(
+    "source_lang_drift",
+    oracle="""
+    WITH c AS (SELECT source, lang, COUNT(*) AS n FROM documents GROUP BY source, lang),
+    st AS (SELECT source, CAST(SUM(n) AS BIGINT) AS s_tot FROM c GROUP BY source),
+    lt AS (SELECT lang, CAST(SUM(n) AS BIGINT) AS l_tot FROM c GROUP BY lang),
+    tot AS (SELECT CAST(SUM(n) AS BIGINT) AS g_tot FROM c),
+    cells AS (
+        SELECT st.source, lt.lang,
+               CAST(COALESCE(c.n, 0) AS BIGINT) AS n,
+               st.s_tot, lt.l_tot, tot.g_tot
+        FROM st CROSS JOIN lt CROSS JOIN tot
+        LEFT JOIN c ON c.source = st.source AND c.lang = lt.lang
+    )
+    SELECT source, CAST(MAX(s_tot) AS BIGINT) AS n_docs,
+           (SUM(CAST(ROUND(abs(CAST(n AS DOUBLE) / CAST(s_tot AS DOUBLE)
+                               - CAST(l_tot AS DOUBLE) / CAST(g_tot AS DOUBLE))
+                           * 1000000) AS BIGINT)) / 1000000.0) AS l1_drift
+    FROM cells GROUP BY source
+    """,
+)
+def source_lang_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    c = docs.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("n"))
+    st = c.groupBy("source").agg(F.sum("n").alias("s_tot"))
+    lt = c.groupBy("lang").agg(F.sum("n").alias("l_tot"))
+    tot = c.agg(F.sum("n").alias("g_tot"))
+    cells = (
+        st.crossJoin(F.broadcast(lt))
+        .crossJoin(F.broadcast(tot))
+        .join(c, ["source", "lang"], "left")
+        .select(
+            "source",
+            "lang",
+            F.coalesce("n", F.lit(0)).alias("n"),
+            "s_tot",
+            "l_tot",
+            "g_tot",
+        )
+    )
+    dp = F.abs(
+        F.col("n").cast("double") / F.col("s_tot").cast("double")
+        - F.col("l_tot").cast("double") / F.col("g_tot").cast("double")
+    )
+    return cells.groupBy("source").agg(
+        F.max("s_tot").alias("n_docs"),
+        (F.sum(F.round(dp * 1000000, 0).cast("long")) / 1000000.0).alias("l1_drift"),
+    )
