@@ -147,6 +147,7 @@ _SECOND_TIER: list[str] = [
     "rolling_wau_dau",
     "time_hierarchy_rollup",
     "source_lang_drift",
+    "funnel_conversion_stats",
     "gold_hot_throttled_gpus",
     "job_runtime_distribution",
     "gold_error_spikes_daily",

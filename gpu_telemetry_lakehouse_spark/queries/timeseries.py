@@ -526,3 +526,60 @@ def rolling_wau_dau(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --- funnel conversion-time statistics ---------------------------------------
+# The business readout on top of the funnel: how many viewers convert, and
+# how fast. Time-to-convert quantiles are exact interpolated percentiles
+# over integer seconds (Spark percentile == DuckDB quantile_cont); the mean
+# divides the same BIGINT sum/count on both engines.
+@query(
+    "funnel_conversion_stats",
+    oracle="""
+    WITH v AS (
+        SELECT user_id, MIN(ts) AS t1 FROM events
+        WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+        SELECT e.user_id, MIN(e.ts) AS t2
+        FROM events e JOIN v ON v.user_id = e.user_id
+        WHERE e.event_type = 'click' AND e.ts > v.t1 GROUP BY e.user_id
+    ),
+    p AS (
+        SELECT e.user_id, MIN(e.ts) AS t3
+        FROM events e JOIN c ON c.user_id = e.user_id
+        WHERE e.event_type = 'purchase' AND e.ts > c.t2 GROUP BY e.user_id
+    ),
+    d AS (
+        SELECT v.user_id,
+               CAST(floor(epoch(p.t3)) - floor(epoch(v.t1)) AS BIGINT) AS conv_s
+        FROM v JOIN p ON p.user_id = v.user_id
+    )
+    SELECT CAST((SELECT COUNT(*) FROM v) AS BIGINT) AS n_viewers,
+           COUNT(*) AS n_converted,
+           ROUND(CAST(COUNT(*) AS DOUBLE)
+                 / CAST((SELECT COUNT(*) FROM v) AS DOUBLE), 6) AS conversion_rate,
+           ROUND(quantile_cont(conv_s, 0.5), 6) AS median_conv_s,
+           ROUND(quantile_cont(conv_s, 0.9), 6) AS p90_conv_s,
+           ROUND(CAST(SUM(conv_s) AS DOUBLE) / COUNT(*), 6) AS avg_conv_s
+    FROM d
+    """,
+)
+def funnel_conversion_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    funnel = funnel_view_click_purchase(spark, sf_dir)
+    n_viewers = funnel.count()
+    d = funnel.filter(F.col("t3").isNotNull()).select(
+        (F.unix_timestamp("t3") - F.unix_timestamp("t1")).alias("conv_s")
+    )
+    return d.agg(
+        F.lit(n_viewers).cast("long").alias("n_viewers"),
+        F.count(F.lit(1)).alias("n_converted"),
+        F.round(
+            F.count(F.lit(1)).cast("double") / F.lit(float(n_viewers)), 6
+        ).alias("conversion_rate"),
+        F.round(F.percentile("conv_s", F.lit(0.5)), 6).alias("median_conv_s"),
+        F.round(F.percentile("conv_s", F.lit(0.9)), 6).alias("p90_conv_s"),
+        F.round(F.sum("conv_s").cast("double") / F.count(F.lit(1)), 6).alias(
+            "avg_conv_s"
+        ),
+    )
