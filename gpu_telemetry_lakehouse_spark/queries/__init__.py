@@ -148,6 +148,7 @@ _SECOND_TIER: list[str] = [
     "time_hierarchy_rollup",
     "source_lang_drift",
     "funnel_conversion_stats",
+    "mad_value_by_type",
     "gold_hot_throttled_gpus",
     "job_runtime_distribution",
     "gold_error_spikes_daily",

@@ -559,3 +559,45 @@ def content_checksum_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_rows"),
         F.bit_xor(md5_int(row_ser)).alias("checksum"),
     )
+
+
+# --- median absolute deviation (robust dispersion) ---------------------------
+# MAD = median(|x - median(x)|): the robust sigma for anomaly thresholds
+# where stddev is poisoned by the outliers being hunted. Two exact
+# interpolated-percentile passes (group medians are a tiny aggregate joined
+# back broadcast); |x - med| operands are bit-identical on both engines, so
+# the second median is too.
+@query(
+    "mad_value_by_type",
+    oracle="""
+    WITH m AS (
+        SELECT event_type, ROUND(quantile_cont(value, 0.5), 6) AS med
+        FROM events WHERE value IS NOT NULL GROUP BY event_type
+    )
+    SELECT e.event_type, m.med,
+           COUNT(*) AS n,
+           ROUND(quantile_cont(abs(e.value - m.med), 0.5), 6) AS mad
+    FROM events e JOIN m USING (event_type)
+    WHERE e.value IS NOT NULL
+    GROUP BY e.event_type, m.med
+    """,
+)
+def mad_value_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("event_type", "value")
+        .filter(F.col("value").isNotNull())
+    )
+    m = ev.groupBy("event_type").agg(
+        F.round(F.percentile("value", F.lit(0.5)), 6).alias("med")
+    )
+    return (
+        ev.join(F.broadcast(m), "event_type")
+        .groupBy("event_type", "med")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(
+                F.percentile(F.abs(F.col("value") - F.col("med")), F.lit(0.5)), 6
+            ).alias("mad"),
+        )
+    )
