@@ -149,6 +149,7 @@ _SECOND_TIER: list[str] = [
     "source_lang_drift",
     "funnel_conversion_stats",
     "mad_value_by_type",
+    "cusum_change_point",
     "gold_hot_throttled_gpus",
     "job_runtime_distribution",
     "gold_error_spikes_daily",

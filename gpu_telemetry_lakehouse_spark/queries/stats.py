@@ -601,3 +601,93 @@ def mad_value_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mad"),
         )
     )
+
+
+# --- CUSUM change-point detection --------------------------------------------
+# Where did a metric's level shift? Classic CUSUM: cumulative deviation of
+# the daily mean from the series mean peaks at the change point. Everything
+# that crosses engines is exact: daily sums stage through scaled longs, the
+# deviation terms are differences of products of those BIGINTs (integer
+# arithmetic until one final double division), and the argmax day resolves
+# ties deterministically (earliest day). One day-rollup + one bounded
+# window over days-per-type rows. Overflow bound: |s·gn| ≈ value·1e6·rows²
+# per type must stay under 2^63 (fine through ~1e6 rows/type at these value
+# magnitudes); at larger volumes drop the stage scale to 1e3 — CUSUM needs
+# location, not 6-figure precision.
+@query(
+    "cusum_change_point",
+    oracle="""
+    WITH d AS (
+        SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS dt,
+               CAST(SUM(CAST(ROUND(value * 1000000) AS BIGINT)) AS BIGINT) AS s,
+               COUNT(*) AS n
+        FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+    ),
+    g AS (
+        SELECT event_type, CAST(SUM(s) AS BIGINT) AS gs, CAST(SUM(n) AS BIGINT) AS gn
+        FROM d GROUP BY event_type
+    ),
+    c AS (
+        SELECT d.event_type, d.dt,
+               CAST(SUM(d.s * g.gn - d.n * g.gs) OVER (
+                   PARTITION BY d.event_type ORDER BY d.dt
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS HUGEINT) AS cusum_scaled,
+               g.gn
+        FROM d JOIN g USING (event_type)
+    ),
+    r AS (
+        SELECT event_type, dt,
+               abs(cusum_scaled) AS mag, gn,
+               ROW_NUMBER() OVER (
+                   PARTITION BY event_type ORDER BY abs(cusum_scaled) DESC, dt
+               ) AS rk
+        FROM c
+    )
+    SELECT event_type, dt AS change_point_day,
+           ROUND(CAST(mag AS DOUBLE) / CAST(gn AS DOUBLE) / 1000000.0, 6)
+               AS peak_cusum
+    FROM r WHERE rk = 1
+    """,
+)
+def cusum_change_point(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select("event_type", F.date_trunc("day", "ts").alias("dt"), "value")
+    )
+    d = ev.groupBy("event_type", "dt").agg(
+        F.sum(F.round(F.col("value") * 1000000, 0).cast("long")).alias("s"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    g = d.groupBy("event_type").agg(
+        F.sum("s").alias("gs"), F.sum("n").alias("gn")
+    )
+    wc = (
+        W.partitionBy("event_type")
+        .orderBy("dt")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    c = d.join(F.broadcast(g), "event_type").withColumn(
+        "cusum_scaled",
+        F.sum(F.col("s") * F.col("gn") - F.col("n") * F.col("gs")).over(wc),
+    )
+    wr = W.partitionBy("event_type").orderBy(
+        F.abs(F.col("cusum_scaled")).desc(), "dt"
+    )
+    return (
+        c.withColumn("rk", F.row_number().over(wr))
+        .filter(F.col("rk") == 1)
+        .select(
+            "event_type",
+            F.col("dt").alias("change_point_day"),
+            F.round(
+                F.abs(F.col("cusum_scaled")).cast("double")
+                / F.col("gn").cast("double")
+                / 1000000.0,
+                6,
+            ).alias("peak_cusum"),
+        )
+    )
