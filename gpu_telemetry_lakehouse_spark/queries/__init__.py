@@ -150,6 +150,7 @@ _SECOND_TIER: list[str] = [
     "funnel_conversion_stats",
     "mad_value_by_type",
     "cusum_change_point",
+    "rfm_segments",
     "gold_hot_throttled_gpus",
     "job_runtime_distribution",
     "gold_error_spikes_daily",

@@ -691,3 +691,55 @@ def cusum_change_point(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("peak_cusum"),
         )
     )
+
+
+# --- RFM segmentation --------------------------------------------------------
+# Recency / Frequency / Monetary terciles per customer (the classic
+# behavioral segmentation): three ntile(3) windows with fully deterministic
+# (metric, custkey) orderings, monetary in exact scaled cents, rolled up to
+# segment cells. The per-customer base is one aggregation; the three
+# windows share the single-partition ordering only over the customer-level
+# rollup (bounded), not the raw orders.
+@query(
+    "rfm_segments",
+    oracle="""
+    WITH base AS (
+        SELECT o_custkey,
+               MAX(o_orderdate) AS last_order,
+               COUNT(*) AS freq,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS mon_c
+        FROM orders GROUP BY o_custkey
+    ),
+    t AS (
+        SELECT o_custkey, freq, mon_c,
+               CAST(NTILE(3) OVER (ORDER BY last_order, o_custkey) AS INT) AS r,
+               CAST(NTILE(3) OVER (ORDER BY freq, o_custkey) AS INT) AS f,
+               CAST(NTILE(3) OVER (ORDER BY mon_c, o_custkey) AS INT) AS m
+        FROM base
+    )
+    SELECT r, f, m,
+           COUNT(*) AS n_customers,
+           (CAST(SUM(mon_c) AS BIGINT) / 100.0) AS segment_revenue
+    FROM t GROUP BY r, f, m
+    """,
+)
+def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    o = load_table(spark, sf_dir, "orders")
+    base = o.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count(F.lit(1)).alias("freq"),
+        F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long")).alias("mon_c"),
+    )
+    t = (
+        base.withColumn(
+            "r", F.ntile(3).over(W.orderBy("last_order", "o_custkey"))
+        )
+        .withColumn("f", F.ntile(3).over(W.orderBy("freq", "o_custkey")))
+        .withColumn("m", F.ntile(3).over(W.orderBy("mon_c", "o_custkey")))
+    )
+    return t.groupBy("r", "f", "m").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        (F.sum("mon_c") / 100.0).alias("segment_revenue"),
+    )
