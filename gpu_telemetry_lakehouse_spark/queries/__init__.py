@@ -151,6 +151,7 @@ _SECOND_TIER: list[str] = [
     "mad_value_by_type",
     "cusum_change_point",
     "rfm_segments",
+    "ab_experiment_readout",
     "gold_hot_throttled_gpus",
     "job_runtime_distribution",
     "gold_error_spikes_daily",

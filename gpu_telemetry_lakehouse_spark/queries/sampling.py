@@ -271,3 +271,50 @@ def alpha_mix_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("sum_ids"), F.lit(0)).cast("long").alias("sum_kept_ids"),
         )
     )
+
+
+# --- A/B experiment readout --------------------------------------------------
+# Deterministic hash-gate arm assignment (the stable-cohort property the
+# module docstring argues for) + per-arm outcome rates: users, converters
+# (any purchase), conversion rate. The per-arm readout every experimentation
+# platform materializes; identical md5 parity on both engines means the
+# same users land in the same arm forever.
+@query(
+    "ab_experiment_readout",
+    oracle="""
+    WITH u AS (
+        SELECT user_id,
+               CASE WHEN CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 15))
+                         AS BIGINT) % 2 = 0 THEN 'control' ELSE 'treatment' END AS arm,
+               MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS converted
+        FROM events GROUP BY user_id
+    )
+    SELECT arm,
+           COUNT(*) AS n_users,
+           CAST(SUM(converted) AS BIGINT) AS n_converted,
+           ROUND(CAST(SUM(converted) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+               AS conversion_rate
+    FROM u GROUP BY arm
+    """,
+)
+def ab_experiment_readout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions import md5_int
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type")
+    u = ev.groupBy("user_id").agg(
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("converted")
+    ).withColumn(
+        "arm",
+        F.when(
+            md5_int(F.col("user_id").cast("string")) % 2 == 0, "control"
+        ).otherwise("treatment"),
+    )
+    return u.groupBy("arm").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("converted").cast("long").alias("n_converted"),
+        F.round(
+            F.sum("converted").cast("double") / F.count(F.lit(1)).cast("double"), 6
+        ).alias("conversion_rate"),
+    )
