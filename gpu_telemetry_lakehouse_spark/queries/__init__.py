@@ -152,6 +152,7 @@ _SECOND_TIER: list[str] = [
     "cusum_change_point",
     "rfm_segments",
     "ab_experiment_readout",
+    "pseudonymized_join_integrity",
     "gold_hot_throttled_gpus",
     "job_runtime_distribution",
     "gold_error_spikes_daily",

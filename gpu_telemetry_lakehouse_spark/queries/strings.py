@@ -219,3 +219,63 @@ def editdist_join_partnames(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     part = load_table(spark, sf_dir, "part")
     return edit_distance_join(part, "p_name", k=EDJOIN_K, q=3)
+
+
+# --- deterministic pseudonymization (privacy / governance) -------------------
+# PII-safe analytics: replace the natural key with an md5 surrogate BEFORE
+# data leaves the trust boundary. Because the tokenization is a pure
+# function of the key, referential integrity survives — joins on the
+# surrogate produce exactly the joins the raw key would — which this query
+# proves by aggregating a customer×events join keyed ONLY on surrogates.
+# Row-local tokenization (no lookup table to secure or replicate), identical
+# md5 on both engines.
+@query(
+    "pseudonymized_join_integrity",
+    oracle="""
+    WITH e AS (
+        SELECT substring(md5(CAST(user_id AS VARCHAR)), 1, 16) AS user_token,
+               value
+        FROM events
+    ),
+    c AS (
+        SELECT substring(md5(CAST(c_custkey AS VARCHAR)), 1, 16) AS user_token,
+               c_mktsegment
+        FROM customer
+    )
+    SELECT c.c_mktsegment,
+           COUNT(*) AS n_events,
+           COUNT(DISTINCT e.user_token) AS n_tokens,
+           (SUM(CAST(ROUND(e.value * 1000000) AS BIGINT)) / 1000000.0) AS sum_value
+    FROM e JOIN c USING (user_token)
+    WHERE e.value IS NOT NULL
+    GROUP BY c.c_mktsegment
+    """,
+)
+def pseudonymized_join_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            F.substring(F.md5(F.col("user_id").cast("string")), 1, 16).alias(
+                "user_token"
+            ),
+            "value",
+        )
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.substring(F.md5(F.col("c_custkey").cast("string")), 1, 16).alias(
+            "user_token"
+        ),
+        "c_mktsegment",
+    )
+    return (
+        ev.join(F.broadcast(cust), "user_token")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_token").alias("n_tokens"),
+            (
+                F.sum(F.round(F.col("value") * 1000000, 0).cast("long")) / 1000000.0
+            ).alias("sum_value"),
+        )
+    )
