@@ -153,6 +153,7 @@ _SECOND_TIER: list[str] = [
     "rfm_segments",
     "ab_experiment_readout",
     "pseudonymized_join_integrity",
+    "event_cooccurrence_lift",
     "gold_hot_throttled_gpus",
     "job_runtime_distribution",
     "gold_error_spikes_daily",

@@ -743,3 +743,65 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_customers"),
         (F.sum("mon_c") / 100.0).alias("segment_revenue"),
     )
+
+
+# --- co-occurrence lift (association rules) ----------------------------------
+# Market-basket analytics over user baskets of event types: for every type
+# pair, support and lift = P(a,b) / (P(a)·P(b)). The basket collapse is one
+# distinct aggregation; pair generation is a self-join over the (user, type)
+# pairs (bounded by types-per-user, never users²); lift stays exact —
+# (n_ab·n_users) and (n_a·n_b) are BIGINT products, divided once in double.
+@query(
+    "event_cooccurrence_lift",
+    oracle="""
+    WITH b AS (SELECT DISTINCT user_id, event_type FROM events),
+    n AS (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users FROM b),
+    s AS (SELECT event_type, COUNT(*) AS n_t FROM b GROUP BY event_type),
+    p AS (
+        SELECT x.event_type AS type_a, y.event_type AS type_b, COUNT(*) AS n_ab
+        FROM b x JOIN b y
+          ON x.user_id = y.user_id AND x.event_type < y.event_type
+        GROUP BY x.event_type, y.event_type
+    )
+    SELECT p.type_a, p.type_b,
+           CAST(p.n_ab AS BIGINT) AS n_both,
+           ROUND(CAST(p.n_ab AS DOUBLE) / CAST(n.n_users AS DOUBLE), 6) AS support,
+           ROUND(CAST(p.n_ab * n.n_users AS DOUBLE)
+                 / CAST(sa.n_t * sb.n_t AS DOUBLE), 6) AS lift
+    FROM p
+    JOIN s sa ON sa.event_type = p.type_a
+    JOIN s sb ON sb.event_type = p.type_b
+    CROSS JOIN n
+    """,
+)
+def event_cooccurrence_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type")
+    b = ev.distinct()
+    n_users = b.select("user_id").distinct().count()
+    s = b.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_t"))
+    x = b.select(F.col("user_id"), F.col("event_type").alias("type_a"))
+    y = b.select(F.col("user_id").alias("uid2"), F.col("event_type").alias("type_b"))
+    p = (
+        x.join(y, (F.col("user_id") == F.col("uid2")) & (F.col("type_a") < F.col("type_b")))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+    )
+    sa = s.select(F.col("event_type").alias("type_a"), F.col("n_t").alias("na"))
+    sb = s.select(F.col("event_type").alias("type_b"), F.col("n_t").alias("nb"))
+    return (
+        p.join(F.broadcast(sa), "type_a")
+        .join(F.broadcast(sb), "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            F.col("n_ab").alias("n_both"),
+            F.round(F.col("n_ab").cast("double") / F.lit(float(n_users)), 6).alias(
+                "support"
+            ),
+            F.round(
+                (F.col("n_ab") * F.lit(n_users)).cast("double")
+                / (F.col("na") * F.col("nb")).cast("double"),
+                6,
+            ).alias("lift"),
+        )
+    )
