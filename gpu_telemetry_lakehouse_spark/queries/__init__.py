@@ -154,6 +154,7 @@ _SECOND_TIER: list[str] = [
     "ab_experiment_readout",
     "pseudonymized_join_integrity",
     "event_cooccurrence_lift",
+    "top_event_paths",
     "gold_hot_throttled_gpus",
     "job_runtime_distribution",
     "gold_error_spikes_daily",

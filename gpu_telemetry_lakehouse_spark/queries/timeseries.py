@@ -583,3 +583,46 @@ def funnel_conversion_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "avg_conv_s"
         ),
     )
+
+
+# --- clickstream path mining (top 3-step paths) ------------------------------
+# The "what do users do next" readout: every consecutive 3-event path per
+# user ((ts, event_id)-ordered lag pairs), counted corpus-wide, top 20 by
+# frequency with deterministic ties. One window pass over the user-hash
+# layout; the path rollup is |types|³ cells at most.
+@query(
+    "top_event_paths",
+    oracle="""
+    WITH s AS (
+        SELECT user_id, event_type,
+               LAG(event_type, 1) OVER w AS p1,
+               LAG(event_type, 2) OVER w AS p2
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    paths AS (
+        SELECT p2 || ' > ' || p1 || ' > ' || event_type AS path, COUNT(*) AS n
+        FROM s WHERE p2 IS NOT NULL
+        GROUP BY 1
+    )
+    SELECT path, n FROM paths ORDER BY n DESC, path LIMIT 20
+    """,
+)
+def top_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    s = (
+        ev.withColumn("p1", F.lag("event_type", 1).over(w))
+        .withColumn("p2", F.lag("event_type", 2).over(w))
+        .filter(F.col("p2").isNotNull())
+    )
+    return (
+        s.groupBy(
+            F.concat_ws(" > ", "p2", "p1", "event_type").alias("path")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "path")
+        .limit(20)
+    )
