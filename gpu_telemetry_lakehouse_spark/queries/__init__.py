@@ -155,6 +155,7 @@ _SECOND_TIER: list[str] = [
     "pseudonymized_join_integrity",
     "event_cooccurrence_lift",
     "top_event_paths",
+    "weekday_seasonality",
     "gold_hot_throttled_gpus",
     "job_runtime_distribution",
     "gold_error_spikes_daily",

@@ -626,3 +626,65 @@ def top_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), "path")
         .limit(20)
     )
+
+
+# --- weekday seasonality profile ---------------------------------------------
+# Seasonal baseline + deviation: each (type, day) cell vs its ISO-weekday
+# baseline mean — the day-of-week decomposition a capacity planner reads
+# before calling a dip an anomaly. All means divide the same exact
+# scaled-long sums; the weekday baseline joins back broadcast.
+@query(
+    "weekday_seasonality",
+    oracle="""
+    WITH d AS (
+        SELECT event_type,
+               CAST(date_trunc('day', ts) AS TIMESTAMP) AS dt,
+               CAST(EXTRACT(isodow FROM ts) AS BIGINT) AS dow,
+               CAST(SUM(CAST(ROUND(value * 1000000) AS BIGINT)) AS BIGINT) AS s,
+               COUNT(*) AS n
+        FROM events WHERE value IS NOT NULL GROUP BY 1, 2, 3
+    ),
+    base AS (
+        SELECT event_type, dow,
+               CAST(SUM(s) AS BIGINT) AS bs, CAST(SUM(n) AS BIGINT) AS bn
+        FROM d GROUP BY event_type, dow
+    )
+    SELECT d.event_type, d.dt, d.dow,
+           ROUND(CAST(d.s AS DOUBLE) / 1000000.0 / d.n, 6) AS day_mean,
+           ROUND(CAST(base.bs AS DOUBLE) / 1000000.0 / base.bn, 6) AS weekday_baseline,
+           ROUND(CAST(d.s AS DOUBLE) / 1000000.0 / d.n
+                 - CAST(base.bs AS DOUBLE) / 1000000.0 / base.bn, 6) AS deviation
+    FROM d JOIN base USING (event_type, dow)
+    """,
+)
+def weekday_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            "event_type",
+            F.date_trunc("day", "ts").alias("dt"),
+            (F.weekday("ts") + 1).cast("long").alias("dow"),
+            "value",
+        )
+    )
+    d = ev.groupBy("event_type", "dt", "dow").agg(
+        F.sum(F.round(F.col("value") * 1000000, 0).cast("long")).alias("s"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    base = d.groupBy("event_type", "dow").agg(
+        F.sum("s").alias("bs"), F.sum("n").alias("bn")
+    )
+    day_mean = F.col("s").cast("double") / 1000000.0 / F.col("n")
+    base_mean = F.col("bs").cast("double") / 1000000.0 / F.col("bn")
+    return (
+        d.join(F.broadcast(base), ["event_type", "dow"])
+        .select(
+            "event_type",
+            "dt",
+            "dow",
+            F.round(day_mean, 6).alias("day_mean"),
+            F.round(base_mean, 6).alias("weekday_baseline"),
+            F.round(day_mean - base_mean, 6).alias("deviation"),
+        )
+    )
