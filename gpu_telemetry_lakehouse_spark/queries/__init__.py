@@ -156,6 +156,7 @@ _SECOND_TIER: list[str] = [
     "event_cooccurrence_lift",
     "top_event_paths",
     "weekday_seasonality",
+    "daily_new_vs_returning",
     "gold_hot_throttled_gpus",
     "job_runtime_distribution",
     "gold_error_spikes_daily",

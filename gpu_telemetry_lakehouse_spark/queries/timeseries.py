@@ -688,3 +688,40 @@ def weekday_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(day_mean - base_mean, 6).alias("deviation"),
         )
     )
+
+
+# --- growth accounting: new vs returning users per day -----------------------
+# The daily growth ledger: actives split into first-ever-seen (new) and
+# returning. The (day, user) pair collapse is the only data-sized stage;
+# each user's first day is one more aggregation joined back on user_id.
+@query(
+    "daily_new_vs_returning",
+    oracle="""
+    WITH du AS (
+        SELECT DISTINCT CAST(date_trunc('day', ts) AS TIMESTAMP) AS d, user_id
+        FROM events
+    ),
+    first_day AS (SELECT user_id, MIN(d) AS fd FROM du GROUP BY user_id)
+    SELECT du.d,
+           COUNT(*) AS n_active,
+           CAST(SUM(CASE WHEN du.d = f.fd THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+           CAST(SUM(CASE WHEN du.d > f.fd THEN 1 ELSE 0 END) AS BIGINT) AS n_returning
+    FROM du JOIN first_day f ON f.user_id = du.user_id
+    GROUP BY du.d
+    """,
+)
+def daily_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    du = ev.select(F.date_trunc("day", "ts").alias("d"), "user_id").distinct()
+    first_day = du.groupBy("user_id").agg(F.min("d").alias("fd"))
+    return (
+        du.join(first_day, "user_id")
+        .groupBy("d")
+        .agg(
+            F.count(F.lit(1)).alias("n_active"),
+            F.sum(F.when(F.col("d") == F.col("fd"), 1).otherwise(0)).alias("n_new"),
+            F.sum(F.when(F.col("d") > F.col("fd"), 1).otherwise(0)).alias(
+                "n_returning"
+            ),
+        )
+    )
