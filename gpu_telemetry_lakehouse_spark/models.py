@@ -15,6 +15,8 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .functions import exact_avg
+
 
 @dataclass
 class Model:
@@ -124,9 +126,14 @@ def gold_cluster_util_daily(silver_gpu_timeseries: DataFrame) -> DataFrame:
         .withColumn("dt", F.date_trunc("day", F.timestamp_seconds(F.col("ts"))))
         .groupBy("dt")
         .agg(
-            F.avg("gpu_util_pct").alias("avg_gpu_util"),
+            # exact_avg, not F.avg: partial fp aggregation order varies with
+            # partitioning, so a plain double AVG is not run-to-run
+            # deterministic on a cluster. The scaled-long exact mean makes the
+            # warehouse table bit-stable (and DuckDB-oracle-matchable) at any
+            # partition count — determinism is part of the table contract.
+            exact_avg("gpu_util_pct").alias("avg_gpu_util"),
             F.percentile("gpu_util_pct", F.lit(0.95)).alias("p95_gpu_util"),
-            F.avg("cpu_util_pct").alias("avg_cpu_util"),
+            exact_avg("cpu_util_pct").alias("avg_cpu_util"),
         )
         .orderBy("dt")
     )
