@@ -1,0 +1,245 @@
+"""Pure-numpy media codecs: PPM / BMP images, WAV audio.
+
+Real decode kernels for the multimodal pipeline (operators/multimodal.py)
+with zero third-party dependencies — the formats are simple enough that a
+correct parser is ~30 lines each, so nothing here needs Pillow/ffmpeg:
+
+- PPM  (P6 binary / P3 ascii, maxval <= 255) -> uint8 (H, W, 3)
+- BMP  (BITMAPINFOHEADER, 24-bpp uncompressed BI_RGB, bottom-up or
+  top-down) -> uint8 (H, W, 3)
+- WAV  (RIFF/WAVE, PCM 8-bit unsigned or 16-bit signed) -> (rate,
+  int16 (n_samples, n_channels))
+
+Encoders exist for all three so tests generate deterministic media without
+fixtures on disk. ``real_decode`` sniffs magic bytes and emits the
+(width, height, 16-dim float32 feature) contract ``extract_features``
+expects; corrupt/unknown payloads raise ValueError, which the mapInPandas
+stage converts to decode_ok=false (a corrupt file must never kill a 100 TB
+job).
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# --------------------------------------------------------------------------
+# PPM (netpbm): http://netpbm.sourceforge.net/doc/ppm.html
+# --------------------------------------------------------------------------
+
+
+def encode_ppm(arr: np.ndarray) -> bytes:
+    """uint8 (H, W, 3) -> binary P6 PPM."""
+    a = np.ascontiguousarray(arr, dtype=np.uint8)
+    h, w, c = a.shape
+    if c != 3:
+        raise ValueError("PPM needs 3 channels")
+    return b"P6\n%d %d\n255\n" % (w, h) + a.tobytes()
+
+
+def _ppm_header_tokens(buf: bytes, n: int, start: int) -> tuple[list[int], int]:
+    """Read n whitespace-separated numeric tokens, skipping '#' comments."""
+    toks: list[int] = []
+    i = start
+    while len(toks) < n:
+        while i < len(buf) and buf[i : i + 1].isspace():
+            i += 1
+        if i < len(buf) and buf[i : i + 1] == b"#":
+            while i < len(buf) and buf[i : i + 1] != b"\n":
+                i += 1
+            continue
+        j = i
+        while j < len(buf) and not buf[j : j + 1].isspace():
+            j += 1
+        if j == i:
+            raise ValueError("truncated PPM header")
+        toks.append(int(buf[i:j]))
+        i = j
+    return toks, i
+
+
+def decode_ppm(buf: bytes) -> np.ndarray:
+    magic = buf[:2]
+    if magic not in (b"P6", b"P3"):
+        raise ValueError("not a PPM payload")
+    (w, h, maxval), i = _ppm_header_tokens(buf, 3, 2)
+    if maxval > 255 or w <= 0 or h <= 0:
+        raise ValueError("unsupported PPM (maxval > 255 or empty)")
+    if magic == b"P6":
+        i += 1  # single whitespace byte after maxval
+        px = np.frombuffer(buf, dtype=np.uint8, count=w * h * 3, offset=i)
+    else:  # P3 ascii
+        vals = buf[i:].split()
+        if len(vals) < w * h * 3:
+            raise ValueError("truncated P3 pixel data")
+        px = np.array(vals[: w * h * 3], dtype=np.uint8)
+    return px.reshape(h, w, 3)
+
+
+# --------------------------------------------------------------------------
+# BMP: 14-byte file header + 40-byte BITMAPINFOHEADER, 24-bpp BI_RGB
+# --------------------------------------------------------------------------
+
+
+def encode_bmp(arr: np.ndarray) -> bytes:
+    """uint8 (H, W, 3) RGB -> 24-bpp bottom-up BMP."""
+    a = np.ascontiguousarray(arr, dtype=np.uint8)
+    h, w, c = a.shape
+    if c != 3:
+        raise ValueError("BMP needs 3 channels")
+    row_len = (w * 3 + 3) & ~3  # rows pad to 4 bytes
+    img = np.zeros((h, row_len), dtype=np.uint8)
+    img[:, : w * 3] = a[::-1, :, ::-1].reshape(h, w * 3)  # bottom-up, BGR
+    data = img.tobytes()
+    header = struct.pack("<2sIHHI", b"BM", 54 + len(data), 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(data), 2835, 2835, 0, 0)
+    return header + info + data
+
+
+def decode_bmp(buf: bytes) -> np.ndarray:
+    if buf[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    offset = struct.unpack_from("<I", buf, 10)[0]
+    hdr_size, w, h = struct.unpack_from("<Iii", buf, 14)
+    planes, bpp, compression = struct.unpack_from("<HHI", buf, 26)
+    if hdr_size < 40 or bpp != 24 or compression != 0:
+        raise ValueError("unsupported BMP (only 24-bpp BI_RGB)")
+    bottom_up, h = h > 0, abs(h)
+    row_len = (w * 3 + 3) & ~3
+    need = offset + row_len * h
+    if w <= 0 or h <= 0 or len(buf) < need:
+        raise ValueError("truncated BMP pixel data")
+    rows = np.frombuffer(buf, dtype=np.uint8, count=row_len * h, offset=offset)
+    img = rows.reshape(h, row_len)[:, : w * 3].reshape(h, w, 3)[:, :, ::-1]  # BGR->RGB
+    return img[::-1] if bottom_up else img
+
+
+# --------------------------------------------------------------------------
+# WAV: RIFF container, PCM integer samples
+# --------------------------------------------------------------------------
+
+
+def encode_wav(samples: np.ndarray, rate: int = 16000) -> bytes:
+    """int16 (n,) or (n, channels) -> PCM16 WAV."""
+    a = np.atleast_2d(np.asarray(samples, dtype=np.int16).T).T  # (n, ch)
+    n, ch = a.shape
+    data = np.ascontiguousarray(a).tobytes()
+    fmt = struct.pack("<HHIIHH", 1, ch, rate, rate * ch * 2, ch * 2, 16)
+    body = b"WAVEfmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_wav(buf: bytes) -> tuple[int, np.ndarray]:
+    """WAV bytes -> (sample_rate, int16 (n_samples, n_channels))."""
+    if buf[:4] != b"RIFF" or buf[8:12] != b"WAVE":
+        raise ValueError("not a WAV payload")
+    i, fmt, data = 12, None, None
+    while i + 8 <= len(buf):
+        cid, sz = buf[i : i + 4], struct.unpack_from("<I", buf, i + 4)[0]
+        chunk = buf[i + 8 : i + 8 + sz]
+        if cid == b"fmt ":
+            fmt = struct.unpack_from("<HHIIHH", chunk, 0)
+        elif cid == b"data":
+            data = chunk
+        i += 8 + sz + (sz & 1)  # chunks pad to even length
+    if fmt is None or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    audio_fmt, ch, rate, _, _, bits = fmt
+    if audio_fmt != 1 or ch < 1:
+        raise ValueError("unsupported WAV (PCM only)")
+    if bits == 16:
+        a = np.frombuffer(data, dtype="<i2", count=len(data) // 2)
+    elif bits == 8:  # unsigned 8-bit -> center to int16 range
+        a = (np.frombuffer(data, dtype=np.uint8).astype(np.int16) - 128) * 256
+    else:
+        raise ValueError("unsupported WAV bit depth")
+    n = len(a) // ch
+    return rate, a[: n * ch].reshape(n, ch)
+
+
+# --------------------------------------------------------------------------
+# Dispatch + feature kernels (the multimodal pipeline's decode contract)
+# --------------------------------------------------------------------------
+
+
+def sniff(buf: bytes) -> str | None:
+    if buf[:2] in (b"P6", b"P3"):
+        return "ppm"
+    if buf[:2] == b"BM":
+        return "bmp"
+    if buf[:4] == b"RIFF" and buf[8:12] == b"WAVE":
+        return "wav"
+    return None
+
+
+def decode_image(buf: bytes) -> np.ndarray:
+    kind = sniff(buf)
+    if kind == "ppm":
+        return decode_ppm(buf)
+    if kind == "bmp":
+        return decode_bmp(buf)
+    raise ValueError("not a supported image payload")
+
+
+def image_features(img: np.ndarray) -> np.ndarray:
+    """16-dim float32: RGB means/stds, luma mean/std, 8-bin luma histogram."""
+    f = img.astype(np.float32) / 255.0
+    luma = 0.299 * f[..., 0] + 0.587 * f[..., 1] + 0.114 * f[..., 2]
+    hist = np.histogram(luma, bins=8, range=(0.0, 1.0))[0] / luma.size
+    return np.concatenate(
+        [f.mean(axis=(0, 1)), f.std(axis=(0, 1)),
+         [luma.mean(), luma.std()], hist]
+    ).astype(np.float32)
+
+
+def audio_features(rate: int, samples: np.ndarray) -> np.ndarray:
+    """16-dim float32: amplitude stats, zero-crossing rate, format fields,
+    8-segment RMS envelope."""
+    mono = (samples.astype(np.float32) / 32768.0).mean(axis=1)
+    zc = float(np.mean(np.abs(np.diff(np.signbit(mono).astype(np.int8))))) if len(mono) > 1 else 0.0
+    segs = np.array_split(mono, 8)
+    env = [float(np.sqrt(np.mean(s * s))) if len(s) else 0.0 for s in segs]
+    return np.array(
+        [mono.mean(), mono.std(), float(np.sqrt(np.mean(mono * mono))),
+         zc, float(np.abs(mono).max(initial=0.0)),
+         rate / 48000.0, samples.shape[1], len(mono) / rate, *env],
+        dtype=np.float32,
+    )
+
+
+def real_decode(payload: bytes) -> tuple[int, int, np.ndarray]:
+    """Magic-sniffing decode kernel: (width, height, 16-dim feature).
+
+    Images: (pixel width, pixel height, image_features). Audio:
+    (n_samples, n_channels, audio_features). Raises ValueError on
+    unknown/corrupt payloads — callers map that to decode_ok=false.
+    """
+    kind = sniff(payload)
+    try:
+        if kind in ("ppm", "bmp"):
+            img = decode_image(payload)
+            return img.shape[1], img.shape[0], image_features(img)
+        if kind == "wav":
+            rate, samples = decode_wav(payload)
+            return samples.shape[0], samples.shape[1], audio_features(rate, samples)
+    except (struct.error, IndexError) as e:  # truncated headers/chunks
+        raise ValueError(f"corrupt {kind} payload: {e}") from e
+    raise ValueError("unrecognized media payload")
+
+
+def luma_grid(buf: bytes, out_w: int, out_h: int) -> np.ndarray:
+    """Decode an image payload and box-resample its luma plane to a flat
+    row-major (out_h * out_w) float32 grid — the real `resize` kernel."""
+    img = decode_image(buf).astype(np.float32) / 255.0
+    luma = 0.299 * img[..., 0] + 0.587 * img[..., 1] + 0.114 * img[..., 2]
+    h, w = luma.shape
+    # Box resample via bincount over target-cell labels: each source pixel
+    # contributes to exactly one output cell; cells average their pixels.
+    yi = np.minimum((np.arange(h) * out_h) // max(h, 1), out_h - 1)
+    xi = np.minimum((np.arange(w) * out_w) // max(w, 1), out_w - 1)
+    labels = (yi[:, None] * out_w + xi[None, :]).ravel()
+    sums = np.bincount(labels, weights=luma.ravel(), minlength=out_h * out_w)
+    counts = np.bincount(labels, minlength=out_h * out_w)
+    return (sums / np.maximum(counts, 1)).astype(np.float32)

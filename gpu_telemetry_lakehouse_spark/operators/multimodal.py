@@ -2,17 +2,19 @@
 
 Images/audio/video ride as ``binary`` columns with a metadata struct;
 decode / feature-extract / resize / frame-sample run as Arrow-batched
-``mapInPandas`` stages. The decode kernels themselves are STUBBED (no
-image/audio libraries in this environment): ``decode=fake`` produces a
-deterministic md5-derived stand-in so the Spark-side plumbing — schema,
-batching, partitioning, UDF signatures — is real and testable end to end;
-``decode=real`` raises NotImplementedError at the exact point a library
-(Pillow/ffmpeg) would be called.
+``mapInPandas`` stages. The default ``decode="real"`` kernel is the pure-
+numpy PPM/BMP/WAV codec suite in ``media_codecs`` (no Pillow/ffmpeg
+needed); corrupt or unrecognized payloads surface as ``decode_ok=false``
+rows rather than task failures — a corrupt file must never kill a 100 TB
+job. ``decode="fake"`` keeps a deterministic md5-derived stand-in for
+plumbing tests over non-media payloads, and any callable can be injected
+(cloudpickle ships it to executors) to swap in a library-backed kernel.
 """
 
 from __future__ import annotations
 
 import hashlib
+import struct
 from collections.abc import Iterator
 
 import numpy as np
@@ -110,27 +112,26 @@ def _resolve_decoder(decode):
 
         extract_features(media, decode=pil_decode)
 
-    — or a string: ``"fake"`` (deterministic md5 stand-in, the default in
-    this library-less environment) / ``"real"`` (raises here, naming the
-    injection point, until a callable is supplied)."""
+    — or a string: ``"real"`` (the default: pure-numpy PPM/BMP/WAV codecs,
+    ``media_codecs.real_decode``) / ``"fake"`` (deterministic md5 stand-in
+    for plumbing tests over non-media payloads)."""
     if callable(decode):
         return decode
     if decode == "fake":
         return _fake_decode
     if decode == "real":
-        raise NotImplementedError(
-            "real decode requires an image/audio library (Pillow/ffmpeg) not "
-            "available in this environment; pass decode=<callable "
-            "payload -> (width, height, feature)> to inject one"
-        )
+        from .media_codecs import real_decode
+
+        return real_decode
     raise ValueError(decode)
 
 
-def extract_features(media: DataFrame, decode="fake") -> DataFrame:
+def extract_features(media: DataFrame, decode="real") -> DataFrame:
     """Decode + featurize via mapInPandas (Arrow batches; executors never
     materialize more than one batch of payloads at a time — the pattern that
     holds at 100 TB with spark.sql.execution.arrow.maxRecordsPerBatch).
-    ``decode`` injects the kernel — see ``_resolve_decoder``."""
+    ``decode`` injects the kernel — see ``_resolve_decoder``. Rows whose
+    payload is NULL or fails to decode come back with decode_ok=false."""
     decoder = _resolve_decoder(decode)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -142,7 +143,11 @@ def extract_features(media: DataFrame, decode="fake") -> DataFrame:
                 if payload is None:
                     rows.append((mid, mtype, None, None, None, False))
                     continue
-                w, h, feat = decoder(bytes(payload))
+                try:
+                    w, h, feat = decoder(bytes(payload))
+                except (ValueError, struct.error, IndexError):
+                    rows.append((mid, mtype, None, None, None, False))
+                    continue
                 rows.append((mid, mtype, w, h, np.asarray(feat).tolist(), True))
             yield pd.DataFrame(
                 rows,
@@ -165,36 +170,49 @@ RESIZED_SCHEMA = (
 )
 
 
-def resize(media: DataFrame, out_width: int = 8, out_height: int = 8, decode="fake") -> DataFrame:
+def resize(media: DataFrame, out_width: int = 8, out_height: int = 8, decode="real") -> DataFrame:
     """Decode + resize via mapInPandas: emits a fixed out_width×out_height
     row-major pixel grid per image — the normalize-before-embed step of a
     multimodal training pipeline.
 
-    The resample kernel is the stub: with ``decode="fake"`` the grid is a
-    deterministic function of (content hash, pixel index), so tests pin the
-    exact batch shape, schema, and null handling; a CALLABLE ``decode``
-    injects a real kernel (see ``_resolve_decoder``), whose feature vector
-    is tiled to the output grid. The Spark-side contract — Arrow batch in,
-    fixed-width float array out, one row per input row, nulls pass through
-    with decode_ok=false — is identical either way.
+    With the default ``decode="real"`` the grid is a true box-resample of
+    the decoded image's luma plane (``media_codecs.luma_grid``); with
+    ``decode="fake"`` or an injected callable, the kernel's feature vector
+    is tiled deterministically across the grid so plumbing tests can run on
+    non-media payloads. The Spark-side contract — Arrow batch in,
+    fixed-width float array out, one row per input row, NULL/corrupt rows
+    pass through with decode_ok=false — is identical either way.
     """
-    decoder = _resolve_decoder(decode)
+    real = decode == "real"
+    decoder = None if real else _resolve_decoder(decode)
     n_px = out_width * out_height
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .media_codecs import decode_image, luma_grid
+
         for pdf in batches:
             rows = []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 if payload is None:
                     rows.append((mid, None, None, out_width, out_height, None, False))
                     continue
-                w, h, feat = decoder(bytes(payload))
-                feat = np.asarray(feat, dtype=np.float32)
-                # Deterministic "resample": tile the 16-dim content feature
-                # across the output grid, modulated by pixel index.
-                px = np.resize(feat, n_px) * (
-                    1.0 + np.arange(n_px, dtype=np.float32) / n_px
-                )
+                try:
+                    if real:
+                        b = bytes(payload)
+                        img = decode_image(b)
+                        h, w = img.shape[0], img.shape[1]
+                        px = luma_grid(b, out_width, out_height)
+                    else:
+                        w, h, feat = decoder(bytes(payload))
+                        feat = np.asarray(feat, dtype=np.float32)
+                        # Deterministic "resample": tile the 16-dim content
+                        # feature across the grid, modulated by pixel index.
+                        px = np.resize(feat, n_px) * (
+                            1.0 + np.arange(n_px, dtype=np.float32) / n_px
+                        )
+                except (ValueError, struct.error, IndexError):
+                    rows.append((mid, None, None, out_width, out_height, None, False))
+                    continue
                 rows.append((mid, w, h, out_width, out_height, px.tolist(), True))
             yield pd.DataFrame(
                 rows,

@@ -112,8 +112,9 @@ DRIVER_WINDOW: list[str] = [
     # top of the second tier — same category, driver-strict pytest green)
     "text_lang_id",
     "doc_fingerprint",
-    # multimodal plumbing
-    "multimodal_bytes",
+    # multimodal: real PPM decode through the numpy codec kernel (the
+    # byte-plumbing twin multimodal_bytes sits in the second tier)
+    "multimodal_real_decode",
     # time-series gap fill
     "gapfill_hourly_locf",
     # recursive CTE (Q1 chaining + Spark 4)
@@ -129,6 +130,7 @@ DRIVER_WINDOW: list[str] = [
 # category is already represented above (consolidated near-duplicates).
 _SECOND_TIER: list[str] = [
     # demoted from the round-2 window (their categories stay green above)
+    "multimodal_bytes",
     "text_quality_score",
     "text_token_count",
     "user_sets_salted",

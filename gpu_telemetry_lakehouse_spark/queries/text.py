@@ -165,6 +165,55 @@ def multimodal_resize_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- multimodal REAL decode: PPM payloads through the numpy codec kernel -----
+# Valid 4x4 P6 PPM binaries are synthesized JVM-side from document text
+# (header + exactly 48 ASCII payload bytes), then decoded by the default
+# decode="real" kernel (operators/media_codecs.py — pure-numpy PPM/BMP/WAV
+# parsers) inside mapInPandas. Every payload is well-formed by construction,
+# so the oracle can assert the decode contract relationally: all rows decode,
+# width*height is exact. Pixel-level feature math is pinned bit-exact in
+# tests/test_multimodal.py (encode->decode roundtrips vs numpy).
+@query(
+    "multimodal_real_decode",
+    oracle="""
+    SELECT source,
+           COUNT(*) AS n_media,
+           COUNT(*) AS n_decoded,
+           CAST(16 * COUNT(*) AS BIGINT) AS total_pixels
+    FROM documents
+    GROUP BY source
+    """,
+)
+def multimodal_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import multimodal as MM
+
+    docs = load_table(spark, sf_dir, "documents")
+    ascii48 = F.rpad(
+        F.regexp_replace(F.substring("text", 1, 80), r"[^\x20-\x7e]", ""), 48, "x"
+    )
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("media_type"),
+        F.encode(F.concat(F.lit("P6\n4 4\n255\n"), ascii48), "utf-8").alias("payload"),
+        F.struct(
+            F.col("source").alias("source"), F.lit(60).cast("long").alias("byte_len")
+        ).alias("meta"),
+    )
+    feats = MM.extract_features(media, decode="real")
+    # corpus-sized join back to the source dim: NOT broadcast (documents is
+    # the 100 TB side); equi-join on media_id shuffles both sides on the key
+    src = docs.select(F.col("doc_id").alias("media_id"), "source")
+    return (
+        feats.join(src, "media_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_media"),
+            F.sum(F.col("decode_ok").cast("int")).cast("long").alias("n_decoded"),
+            F.sum(F.col("width") * F.col("height")).cast("long").alias("total_pixels"),
+        )
+    )
+
+
 # --- TF-IDF: top-k characteristic terms per document -------------------------
 # The canonical corpus-statistics operator: term frequency within the doc ×
 # inverse document frequency across the corpus, top-3 terms per doc with a

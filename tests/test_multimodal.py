@@ -36,9 +36,94 @@ def test_extract_features_fake_decode(media):
     assert again[r.media_id] == r.feature
 
 
-def test_extract_features_real_decode_is_stubbed(media):
-    with pytest.raises(NotImplementedError, match="decode=<callable"):
-        extract_features(media, decode="real").collect()
+def _media_df(spark, payloads: dict[int, bytes], media_type="image"):
+    from gpu_telemetry_lakehouse_spark.operators.multimodal import MEDIA_SCHEMA
+
+    rows = [
+        (mid, media_type, p, {"source": f"gen://{mid}", "byte_len": len(p)})
+        for mid, p in payloads.items()
+    ]
+    return spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
+
+
+def test_codec_roundtrips():
+    import numpy as np
+
+    from gpu_telemetry_lakehouse_spark.operators import media_codecs as C
+
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, size=(13, 9, 3), dtype=np.uint8)
+    assert (C.decode_ppm(C.encode_ppm(img)) == img).all()
+    assert (C.decode_bmp(C.encode_bmp(img)) == img).all()  # incl. row padding
+    # P3 ascii variant
+    body = " ".join(str(v) for v in img.ravel())
+    p3 = f"P3\n# comment\n9 13\n255\n{body}\n".encode()
+    assert (C.decode_ppm(p3) == img).all()
+
+    samples = (rng.integers(-32768, 32767, size=(220, 2))).astype(np.int16)
+    rate, back = C.decode_wav(C.encode_wav(samples, rate=8000))
+    assert rate == 8000 and (back == samples).all()
+
+    for junk in (b"", b"not media at all", b"BMxx", b"RIFFxxxxJUNK"):
+        with pytest.raises(ValueError):
+            C.real_decode(junk)
+
+
+def test_extract_features_real_decode_end_to_end(spark):
+    import numpy as np
+
+    from gpu_telemetry_lakehouse_spark.operators import media_codecs as C
+
+    rng = np.random.default_rng(42)
+    img = rng.integers(0, 256, size=(24, 32, 3), dtype=np.uint8)
+    wav = C.encode_wav((rng.integers(-2000, 2000, size=300)).astype(np.int16), rate=16000)
+    payloads = {
+        1: C.encode_ppm(img),
+        2: C.encode_bmp(img),
+        3: wav,
+        4: b"corrupt payload",
+    }
+    media = _media_df(spark, payloads)
+    rows = {r.media_id: r for r in extract_features(media, decode="real").collect()}
+
+    assert rows[1].decode_ok and (rows[1].width, rows[1].height) == (32, 24)
+    assert rows[2].decode_ok and (rows[2].width, rows[2].height) == (32, 24)
+    # PPM and BMP of the SAME image produce identical features
+    assert rows[1].feature == rows[2].feature
+    expected = C.image_features(img)
+    assert np.allclose(rows[1].feature, expected)
+    # histogram bins sum to 1
+    assert abs(sum(rows[1].feature[8:16]) - 1.0) < 1e-5
+
+    assert rows[3].decode_ok and (rows[3].width, rows[3].height) == (300, 1)
+    assert np.allclose(rows[3].feature, C.audio_features(16000, C.decode_wav(wav)[1]))
+
+    # corrupt payload -> decode_ok false, never a task failure
+    assert not rows[4].decode_ok and rows[4].feature is None
+
+
+def test_resize_real_decode_box_resample(spark):
+    import numpy as np
+
+    from gpu_telemetry_lakehouse_spark.operators import media_codecs as C
+
+    # 16x16 image, left half black, right half white -> 4x4 luma grid has
+    # two black columns then two white columns
+    img = np.zeros((16, 16, 3), dtype=np.uint8)
+    img[:, 8:, :] = 255
+    media = _media_df(spark, {1: C.encode_ppm(img), 2: b"junk"})
+    rows = {r.media_id: r for r in resize(media, 4, 4, decode="real").collect()}
+    grid = np.array(rows[1].pixels).reshape(4, 4)
+    assert rows[1].decode_ok and (rows[1].width, rows[1].height) == (16, 16)
+    assert np.allclose(grid[:, :2], 0.0) and np.allclose(grid[:, 2:], 1.0)
+    assert not rows[2].decode_ok and rows[2].pixels is None
+
+
+def test_text_payloads_fail_closed_under_real_decode(media):
+    """documents_as_media payloads are text bytes, not media — the default
+    real decoder must mark every row decode_ok=false without failing."""
+    out = extract_features(media.limit(20), decode="real").collect()
+    assert out and all(not r.decode_ok for r in out)
 
 
 def test_resize_fixed_grid(media):
@@ -49,13 +134,8 @@ def test_resize_fixed_grid(media):
     assert r.decode_ok and len(r.pixels) == 64
     assert (r.out_width, r.out_height) == (8, 8)
     # deterministic across runs
-    again = {x.media_id: x.pixels for x in resize(media, 8, 8).collect()}
+    again = {x.media_id: x.pixels for x in resize(media, 8, 8, decode="fake").collect()}
     assert again[r.media_id] == r.pixels
-
-
-def test_resize_real_decode_is_stubbed(media):
-    with pytest.raises(NotImplementedError, match="decode=<callable"):
-        resize(media, decode="real").collect()
 
 
 def test_resize_null_payload_passthrough(spark, media):
