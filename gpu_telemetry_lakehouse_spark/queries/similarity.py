@@ -353,13 +353,20 @@ SEMDEDUP_TAU = 0.4
         FROM b x JOIN b y ON x.cid = y.cid AND x.vec_id < y.vec_id
         WHERE ROUND(list_dot_product(x.qv, y.qv) / (x.nrm * y.nrm), 6)
               >= {SEMDEDUP_TAU}
-    )
+    ),
+    sizes AS (SELECT cid, COUNT(*) AS cnt FROM b GROUP BY cid)
     SELECT b.vec_id, CAST(b.cid AS INT) AS cluster,
-           CAST(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS INT) AS keep
+           CAST(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS INT) AS keep,
+           CAST(CASE WHEN s.cnt > 100000 THEN 1 ELSE 0 END AS INT) AS capped
     FROM b LEFT JOIN dropped d ON d.vec_id = b.vec_id
+    JOIN sizes s ON s.cid = b.cid
     """,
 )
 def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # default max_cluster_rows (100k) replayed literally in the oracle's
+    # capped column; at driver scale no cluster caps, so the oracle's
+    # uncapped pair join is exact — the capped path's own differential
+    # check is test_semdedup_capped_* in tests/test_properties.py.
     emb = spread_input(load_table(spark, sf_dir, "embeddings"))
     return SIM.semdedup(
         emb, centroids=[list(c) for c in _IVF_CENTS], tau=SEMDEDUP_TAU

@@ -533,12 +533,12 @@ def pareto_customer_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT COUNT(*) AS n_rows,
            CAST(BIT_XOR(CAST(('0x' || substring(md5(
-               CAST(o_orderkey AS VARCHAR) || chr(31) ||
-               CAST(o_custkey AS VARCHAR) || chr(31) ||
-               o_orderstatus || chr(31) ||
-               CAST(o_totalprice AS VARCHAR) || chr(31) ||
-               strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') || chr(31) ||
-               o_orderpriority), 1, 15)) AS BIGINT)) AS BIGINT) AS checksum
+               COALESCE(CAST(o_orderkey AS VARCHAR), chr(0) || 'N') || chr(31) ||
+               COALESCE(CAST(o_custkey AS VARCHAR), chr(0) || 'N') || chr(31) ||
+               COALESCE(o_orderstatus, chr(0) || 'N') || chr(31) ||
+               COALESCE(CAST(o_totalprice AS VARCHAR), chr(0) || 'N') || chr(31) ||
+               COALESCE(strftime(o_orderdate, '%Y-%m-%d %H:%M:%S'), chr(0) || 'N') || chr(31) ||
+               COALESCE(o_orderpriority, chr(0) || 'N')), 1, 15)) AS BIGINT)) AS BIGINT) AS checksum
     FROM orders
     """,
 )
@@ -546,14 +546,20 @@ def content_checksum_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions import md5_int
 
     o = load_table(spark, sf_dir, "orders")
+    # Every column coalesces to an out-of-band NULL sentinel (chr(0)+'N' —
+    # a NUL byte can't appear in these columns) so the serialization is
+    # injective over NULLs: concat_ws's silent NULL-skip would otherwise
+    # make (NULL,'x') and ('x',NULL) collide, and the oracle's || would
+    # NULL out the whole row (ADVICE r2).
+    nul = "\x00N"
     row_ser = F.concat_ws(
         "\x1f",
-        F.col("o_orderkey").cast("string"),
-        F.col("o_custkey").cast("string"),
-        F.col("o_orderstatus"),
-        F.col("o_totalprice").cast("string"),
-        F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss"),
-        F.col("o_orderpriority"),
+        F.coalesce(F.col("o_orderkey").cast("string"), F.lit(nul)),
+        F.coalesce(F.col("o_custkey").cast("string"), F.lit(nul)),
+        F.coalesce(F.col("o_orderstatus"), F.lit(nul)),
+        F.coalesce(F.col("o_totalprice").cast("string"), F.lit(nul)),
+        F.coalesce(F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss"), F.lit(nul)),
+        F.coalesce(F.col("o_orderpriority"), F.lit(nul)),
     )
     return o.agg(
         F.count(F.lit(1)).alias("n_rows"),
@@ -777,7 +783,10 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
 def event_cooccurrence_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select("user_id", "event_type")
     b = ev.distinct()
-    n_users = b.select("user_id").distinct().count()
+    # n_users folds into the plan as a broadcast 1-row aggregate (the
+    # tpch_heavy idiom) — NOT an eager .count(), which would run a separate
+    # job per invocation and latch a driver-side scalar (VERDICT r2 nit #1).
+    n = b.agg(F.count_distinct("user_id").alias("n_users"))
     s = b.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_t"))
     x = b.select(F.col("user_id"), F.col("event_type").alias("type_a"))
     y = b.select(F.col("user_id").alias("uid2"), F.col("event_type").alias("type_b"))
@@ -791,15 +800,16 @@ def event_cooccurrence_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         p.join(F.broadcast(sa), "type_a")
         .join(F.broadcast(sb), "type_b")
+        .join(F.broadcast(n))
         .select(
             "type_a",
             "type_b",
             F.col("n_ab").alias("n_both"),
-            F.round(F.col("n_ab").cast("double") / F.lit(float(n_users)), 6).alias(
-                "support"
-            ),
             F.round(
-                (F.col("n_ab") * F.lit(n_users)).cast("double")
+                F.col("n_ab").cast("double") / F.col("n_users").cast("double"), 6
+            ).alias("support"),
+            F.round(
+                (F.col("n_ab") * F.col("n_users")).cast("double")
                 / (F.col("na") * F.col("nb")).cast("double"),
                 6,
             ).alias("lift"),

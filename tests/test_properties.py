@@ -406,6 +406,51 @@ def test_semdedup_keeps_one_per_duplicate_group(spark, sf_dir):
     assert out.join(first, ["cluster", "vec_id"]).filter("keep = 0").count() == 0
 
 
+def test_semdedup_capped_pathological_single_cluster(spark):
+    """A corpus whose rows all land in one hot cluster must not regress to
+    the quadratic all-pairs join: above max_cluster_rows the cluster is
+    sub-bucketed by sign-LSH, rows report capped=1, and — because exact
+    duplicates always share an LSH code — the keep-set still equals the
+    uncapped run on a duplicates-only corpus (cross-group cosine of distinct
+    ±1/√32 patterns can't reach tau=0.99 without being identical)."""
+    import hashlib
+
+    from gpu_telemetry_lakehouse_spark.operators.similarity import (
+        hyperplane_signs,
+        semdedup,
+    )
+
+    dim, groups, copies = 32, 100, 4
+    vecs = []
+    for g in range(groups):
+        h = hashlib.md5(f"grp:{g}".encode()).digest() * 2  # 32 bytes
+        pat = [1.0 if b & 1 else -1.0 for b in h[:dim]]
+        for j in range(copies):
+            vecs.append((g * copies + j, pat))
+    emb = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    cents = hyperplane_signs(2, dim)
+
+    capped = semdedup(emb, cents, tau=0.99, max_cluster_rows=50)
+    rows = capped.collect()
+    assert len(rows) == groups * copies
+    sizes: dict = {}
+    for r in rows:
+        sizes[r.cluster] = sizes.get(r.cluster, 0) + 1
+    for r in rows:
+        assert r.capped == (1 if sizes[r.cluster] > 50 else 0)
+    assert any(r.capped for r in rows)  # the pathological cluster DID cap
+
+    # exact-duplicate groups collapse to their lowest id even when capped
+    kept = sorted(r.vec_id for r in rows if r.keep)
+    assert kept == [g * copies for g in range(groups)]
+
+    # and the capped result equals the uncapped ground truth here
+    uncapped = semdedup(emb, cents, tau=0.99, max_cluster_rows=1 << 40)
+    a = sorted((r.vec_id, r.cluster, r.keep) for r in rows)
+    b = sorted((r.vec_id, r.cluster, r.keep) for r in uncapped.collect())
+    assert a == b
+
+
 def test_edit_distance_join_matches_naive_with_short_strings(spark):
     """The pruned q-gram join must equal the naive quadratic join even when
     the short-string fallback path carries pairs the gram bound can't."""

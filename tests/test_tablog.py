@@ -430,3 +430,93 @@ def test_scd2_history_from_versions(spark, tmp_path):
         (3, "bronze", 0, 1, 0),           # closed by the delete
         (3, "bronze", 2, None, 1),        # re-insert = NEW episode
     }
+
+
+def test_scd2_null_attribute_changes_open_episodes(spark, tmp_path):
+    """NULL-aware fingerprinting (ADVICE r2): swapping which attribute is
+    NULL is a real state change and must open a new episode; a separator
+    byte embedded in a value must not collide with the column boundary."""
+    import gpu_telemetry_lakehouse_spark.tablog as tl
+
+    path = str(tmp_path / "dim")
+    tl.create_table(
+        spark.createDataFrame(
+            [(1, None, "x"), (2, "p\x1fq", None)], "id long, a string, b string"
+        ),
+        path,
+    )
+    # id 1: (NULL,'x') -> ('x',NULL); id 2: ('p\x1fq',NULL) -> ('p','q')
+    tl.overwrite(
+        spark.createDataFrame(
+            [(1, "x", None), (2, "p", "q")], "id long, a string, b string"
+        ),
+        path,
+    )
+    h = tl.scd2_history(spark, path, ["id"])
+    per_key = {r.id: r.n for r in h.groupBy("id").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert per_key == {1: 2, 2: 2}  # concat_ws fingerprints collapsed these to 1
+    current = {(r.id, r.a, r.b) for r in h.filter("is_current = 1").collect()}
+    assert current == {(1, "x", None), (2, "p", "q")}
+
+
+def test_merge_upsert_with_retry_rebases_on_moved_tip(spark, sf_dir, tbl, monkeypatch):
+    """The loser of a merge/tip race re-reads and reapplies: final state
+    equals sequential (append, then merge) application."""
+    o = _orders(spark, sf_dir)
+    T.create_table(o.limit(10), tbl)
+    base_keys = [r.o_orderkey for r in T.read(spark, tbl).select("o_orderkey").collect()]
+    upd = o.filter(F.col("o_orderkey") == base_keys[0]).withColumn(
+        "o_orderstatus", F.lit("Z")
+    )
+    racing = o.filter(~F.col("o_orderkey").isin(base_keys)).limit(5)
+
+    real_cv = T.current_version
+    state = {"fired": False}
+
+    def racy_cv(path):
+        # first snapshot read returns a tip that immediately goes stale:
+        # the racing append commits between our read and our commit
+        if not state["fired"]:
+            state["fired"] = True
+            v = real_cv(path)
+            T.append(racing, tbl)
+            return v
+        return real_cv(path)
+
+    monkeypatch.setattr(T, "current_version", racy_cv)
+    v = T.merge_upsert_with_retry(spark, upd, tbl, key_cols=["o_orderkey"])
+    assert isinstance(v, int)
+
+    got = T.read(spark, tbl)
+    assert got.count() == 15  # 10 base (1 replaced in place) + 5 raced-in rows
+    assert got.filter(F.col("o_orderstatus") == "Z").count() == 1
+    # the interleaved writer's rows survived the rebase
+    raced_keys = {r.o_orderkey for r in racing.collect()}
+    assert {r.o_orderkey for r in got.collect()} >= raced_keys
+
+
+def test_table_stats_tolerates_vacuumed_historical_files(spark, tmp_path):
+    """Auditing a historical version whose files were vacuumed (and whose
+    pre-'bytes' log entries force the filesystem fallback) degrades to
+    size 0 instead of FileNotFoundError (ADVICE r2)."""
+    import gpu_telemetry_lakehouse_spark.tablog as tl
+
+    path = str(tmp_path / "t")
+    df = spark.range(500).selectExpr("id", "id % 3 AS k")
+    tl.create_table(df.repartition(2), path)
+    tl.overwrite(df.repartition(1), path)
+
+    # simulate a legacy log entry written before the 'bytes' field existed
+    entry_path = tl._entry_path(path, 0)
+    with open(entry_path) as f:
+        e = json.load(f)
+    for a in e.get("add", []):
+        a.pop("bytes", None)
+    with open(entry_path, "w") as f:
+        json.dump(e, f, default=str)
+
+    deleted = tl.vacuum(path, keep_versions=1)
+    assert deleted  # version-0 files are gone
+
+    s = tl.table_stats(path, version=0)  # must not raise
+    assert s["n_files"] == 2 and s["total_bytes"] == 0
