@@ -39,6 +39,7 @@ for _mod in (
     "sampling",
     "timeseries",
     "stats",
+    "pipeline_ops",
 ):
     __import__(f"{__name__}.{_mod}")
 

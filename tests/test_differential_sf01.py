@@ -41,6 +41,8 @@ HEAVY_SLICE = [
     "editdist_join_partnames",
     "funnel_view_click_purchase",
     "cohort_weekly_retention",
+    "medallion_end_to_end",
+    "multimodal_real_decode",
 ]
 
 pytestmark = pytest.mark.skipif(
