@@ -487,3 +487,133 @@ def important_parts_value_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("l_partkey", "part_value")
         .orderBy(F.col("part_value").desc(), "l_partkey")
     )
+
+
+# --- q17: small-quantity-order revenue (correlated AVG, decorrelated) --------
+# The classic correlated scalar subquery (l_quantity < 0.2 * per-part avg)
+# decorrelated into a per-part aggregate joined back broadcast: one pass to
+# build the (part -> threshold) table, one streaming pass over lineitem.
+# The threshold uses the deterministic scaled-long mean so the < comparison
+# is engine-identical even for rows landing exactly on the boundary.
+@query(
+    "small_qty_order_revenue",
+    oracle="""
+    WITH t AS (
+        SELECT l_partkey,
+               0.2 * ((SUM(CAST(ROUND(l_quantity * 1000000) AS BIGINT)) / 1000000.0)
+                      / COUNT(l_quantity)) AS qty_thresh
+        FROM lineitem GROUP BY l_partkey
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_lines,
+           ROUND((SUM(CAST(ROUND(l.l_extendedprice * 10000) AS BIGINT)) / 10000.0) / 7.0, 6) AS avg_yearly
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN t ON t.l_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#11' AND l.l_quantity < t.qty_thresh
+    """,
+)
+def small_qty_order_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions import exact_avg
+
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    t = li.groupBy(F.col("l_partkey").alias("t_partkey")).agg(
+        (0.2 * exact_avg("l_quantity")).alias("qty_thresh")
+    )
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .filter(F.col("p_brand") == "Brand#11")
+        .join(t, F.col("l_partkey") == F.col("t_partkey"))
+        .filter(F.col("l_quantity") < F.col("qty_thresh"))
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.round(exact_sum("l_extendedprice") / 7.0, 6).alias("avg_yearly"),
+        )
+    )
+
+
+# --- q19: disjunctive multi-attribute predicate revenue ----------------------
+# Three OR-branches over joined part+lineitem attributes (brand x size x
+# quantity bands) — the predicate-pushdown/DNF stress shape. Catalyst pushes
+# the common l_quantity bounds below the join and evaluates the residual OR
+# post-join; the dim side broadcasts.
+@query(
+    "brand_band_revenue",
+    oracle=f"""
+    SELECT {dsum("l.l_extendedprice * (1 - l.l_discount)", "revenue")},
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 1 AND 11)
+       OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 25
+           AND l.l_quantity BETWEEN 10 AND 20)
+       OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 35
+           AND l.l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def brand_band_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    q = F.col("l_quantity")
+    b = F.col("p_brand")
+    s = F.col("p_size")
+    pred = (
+        ((b == "Brand#12") & s.between(1, 15) & q.between(1, 11))
+        | ((b == "Brand#23") & s.between(1, 25) & q.between(10, 20))
+        | ((b == "Brand#34") & s.between(1, 35) & q.between(20, 30))
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .filter(pred)
+        .agg(
+            exact_sum(rev).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+# --- q22: dormant rich customers by country band -----------------------------
+# Scalar-subquery average (broadcast 1-row aggregate folded into the plan,
+# never an eager driver count) + NOT EXISTS as a left-anti join, grouped by
+# an adapted country band (c_nationkey % 5 stands in for the phone prefix).
+@query(
+    "dormant_customer_balances",
+    oracle="""
+    WITH avg_bal AS (
+        SELECT (SUM(CAST(ROUND(c_acctbal * 1000000) AS BIGINT)) / 1000000.0)
+               / COUNT(c_acctbal) AS ab
+        FROM customer WHERE c_acctbal > 0.0
+    )
+    SELECT CAST(c.c_nationkey % 5 AS INT) AS country_band,
+           CAST(COUNT(*) AS BIGINT) AS n_custs,
+           (SUM(CAST(ROUND(c.c_acctbal * 10000) AS BIGINT)) / 10000.0) AS total_bal
+    FROM customer c CROSS JOIN avg_bal
+    WHERE c.c_acctbal > avg_bal.ab
+      AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                      AND o.o_orderdate >= TIMESTAMP '2000-01-01')
+    GROUP BY 1
+    """,
+)
+def dormant_customer_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions import exact_avg
+
+    c = load_table(spark, sf_dir, "customer")
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp"))
+        .select("o_custkey")
+    )
+    avg_bal = c.filter(F.col("c_acctbal") > 0.0).agg(
+        exact_avg("c_acctbal").alias("ab")
+    )
+    return (
+        c.join(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("ab"))
+        .join(o, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy((F.col("c_nationkey") % 5).cast("int").alias("country_band"))
+        .agg(
+            F.count(F.lit(1)).alias("n_custs"),
+            exact_sum("c_acctbal").alias("total_bal"),
+        )
+    )
