@@ -128,7 +128,9 @@ def incremental_update(
         .build(sl)
         .filter(F.unix_timestamp("dt").isin(days_epoch))
     )
-    T.merge_upsert(
+    # stat-pruned MERGE: only gold files whose dt range can contain the
+    # touched days are rewritten — O(affected days), not O(history)
+    T.merge_upsert_pruned(
         spark, gold_rows, gold_path, key_cols=["dt"], stat_cols=STAT_COLS["gold_cluster_util_daily"]
     )
 

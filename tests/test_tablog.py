@@ -520,3 +520,54 @@ def test_table_stats_tolerates_vacuumed_historical_files(spark, tmp_path):
 
     s = tl.table_stats(path, version=0)  # must not raise
     assert s["n_files"] == 2 and s["total_bytes"] == 0
+
+
+def test_merge_upsert_pruned_rewrites_only_overlapping_files(spark, sf_dir, tmp_path):
+    """Stat-pruned MERGE must (a) produce exactly the same table as the
+    full-rewrite merge and (b) remove only the files whose key range the
+    updates can touch."""
+    o = _orders(spark, sf_dir)
+    base = o.repartitionByRange(8, "o_orderkey")
+    t_pruned, t_full = str(tmp_path / "p"), str(tmp_path / "f")
+    for t in (t_pruned, t_full):
+        T.create_table(base, t, stat_cols=["o_orderkey"])
+    n_files = len(T.snapshot_files(t_pruned))
+    assert n_files >= 8
+
+    keys = [r.o_orderkey for r in o.orderBy("o_orderkey").limit(3).collect()]
+    max_key = o.agg(F.max("o_orderkey")).first()[0]
+    upd = (
+        o.filter(F.col("o_orderkey").isin(keys))
+        .withColumn("o_orderstatus", F.lit("U"))
+        .unionByName(
+            o.filter(F.col("o_orderkey") == keys[0]).withColumn(
+                "o_orderkey", F.lit(max_key + 1)
+            )
+        )
+    )
+    # keys span [min, min+2] + one brand-new key above max: only the lowest
+    # and highest range files can overlap... the pruned merge must notice.
+    T.merge_upsert_pruned(spark, upd, t_pruned, key_cols=["o_orderkey"],
+                          stat_cols=["o_orderkey"])
+    T.merge_upsert(spark, upd, t_full, key_cols=["o_orderkey"],
+                   stat_cols=["o_orderkey"])
+
+    a = sorted(map(tuple, T.read(spark, t_pruned).collect()))
+    b = sorted(map(tuple, T.read(spark, t_full).collect()))
+    assert a == b
+    last = T.history(t_pruned)[-1]
+    assert last["operation"] == "merge_pruned"
+    assert 0 < last["n_removed"] < n_files  # untouched files survived
+
+    # updated + inserted rows visible; replaced keys not duplicated
+    got = T.read(spark, t_pruned)
+    assert got.filter(F.col("o_orderstatus") == "U").count() == 3
+    assert got.filter(F.col("o_orderkey") == max_key + 1).count() == 1
+    assert got.count() == o.count() + 1
+
+    # empty update set is a true no-op (no new version)
+    v_before = T.current_version(t_pruned)
+    assert T.merge_upsert_pruned(
+        spark, upd.filter(F.lit(False)), t_pruned, key_cols=["o_orderkey"]
+    ) is None
+    assert T.current_version(t_pruned) == v_before
