@@ -1,0 +1,573 @@
+"""Search / graph / recommendation analytics: BM25 relevance, PPJoin-style
+set-similarity self-join, co-purchase cosine recommendations, autocorrelation,
+and fixed-iteration PageRank.
+
+These are the retrieval-and-graph layer a training-data pipeline runs next to
+dedup: BM25 to mine corpus slices for a topic, set-similarity self-join as the
+exact-verification near-dup tier, item-item cosine for interaction graphs,
+ACF as the time-series diagnostics primitive, PageRank as the canonical
+iterative-graph op (quality weighting a la Common Crawl host ranks).
+
+Reference parity: the reference is a single-node pandas warehouse
+(pipelines/ingest_bronze.py, dbt models) with no retrieval layer — these are
+§2.2 extension-surface operators. All oracles are exact ANSI-SQL replays.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..functions import exact_sum, tokens
+from .registry import query
+
+# DuckDB tokenizer fragment (identical to functions.tokens)
+TK = r"regexp_split_to_array(trim(text), '\s+')"
+
+# --- BM25 ---------------------------------------------------------------
+# Okapi BM25 with the standard k1=1.2, b=0.75 and the Lucene-style
+# +1-smoothed idf (never negative). Scale shape: the terms filter is pushed
+# into the scan (isin on the exploded token stream), tf is one shuffle on
+# (doc, term), df and avgdl are tiny aggregates broadcast back, and the
+# final top-k is TakeOrderedAndProject — no global sort materialization.
+# At 100 TB the df table is vocab-sized (broadcastable after a min-df cut)
+# and the per-doc score sum is map-side-combinable.
+_BM25_TERMS = ["hash", "join", "scan"]
+_K1 = 1.2
+_B = 0.75
+
+
+@query(
+    "bm25_search",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, unnest({TK}) AS token FROM documents
+    ),
+    dl AS (
+        SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY 1
+    ),
+    stats AS (
+        SELECT COUNT(*) AS n_docs,
+               SUM(dl) AS total_len
+        FROM dl
+    ),
+    tf AS (
+        SELECT doc_id, token, COUNT(*) AS tf FROM tok
+        WHERE token IN ('hash', 'join', 'scan')
+        GROUP BY 1, 2
+    ),
+    df AS (
+        SELECT token, COUNT(DISTINCT doc_id) AS df FROM tok
+        WHERE token IN ('hash', 'join', 'scan')
+        GROUP BY 1
+    ),
+    scored AS (
+        SELECT tf.doc_id,
+               ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df.df AS DOUBLE) + 0.5)
+                        / (CAST(df.df AS DOUBLE) + 0.5))
+               * (CAST(tf.tf AS DOUBLE) * ({_K1} + 1.0))
+               / (CAST(tf.tf AS DOUBLE)
+                  + {_K1} * (1.0 - {_B} + {_B} * CAST(dl.dl AS DOUBLE)
+                             / (CAST(total_len AS DOUBLE) / CAST(n_docs AS DOUBLE))))
+                   AS term_score
+        FROM tf
+        JOIN df USING (token)
+        JOIN dl USING (doc_id)
+        CROSS JOIN stats
+    ),
+    summed AS (
+        SELECT doc_id,
+               CAST(SUM(CAST(round(term_score * 1000000.0, 0) AS BIGINT)) AS DOUBLE)
+                   / 1000000.0 AS bm25
+        FROM scored GROUP BY 1
+    ),
+    ranked AS (
+        SELECT doc_id, bm25,
+               ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id ASC) AS rk
+        FROM summed
+    )
+    SELECT doc_id, bm25, rk FROM ranked WHERE rk <= 10
+    """,
+)
+def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("token"))
+    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    # corpus stats: ONE row — rides into every executor as a broadcast
+    stats = dl.groupBy().agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("total_len")
+    )
+    qtok = tok.filter(F.col("token").isin(_BM25_TERMS))
+    tf = qtok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = qtok.groupBy("token").agg(
+        F.countDistinct("doc_id").alias("df")
+    )
+    avgdl = F.col("total_len").cast("double") / F.col("n_docs").cast("double")
+    idf = F.log(
+        1.0
+        + (F.col("n_docs").cast("double") - F.col("df").cast("double") + 0.5)
+        / (F.col("df").cast("double") + 0.5)
+    )
+    term_score = (
+        idf
+        * (F.col("tf").cast("double") * (_K1 + 1.0))
+        / (
+            F.col("tf").cast("double")
+            + _K1 * (1.0 - _B + _B * F.col("dl").cast("double") / avgdl)
+        )
+    )
+    scored = (
+        tf.join(F.broadcast(dfreq), "token")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", term_score.alias("term_score"))
+    )
+    summed = scored.groupBy("doc_id").agg(
+        exact_sum("term_score", scale=6).alias("bm25")
+    )
+    from pyspark.sql import Window as W
+
+    w = W.orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
+    return (
+        summed.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 10)
+        .select("doc_id", "bm25", "rk")
+    )
+
+
+# --- PPJoin-style prefix-filtered set-similarity self-join ----------------
+# Exact Jaccard self-join at threshold t WITHOUT the all-pairs cross product:
+# each doc's distinct-token set is ordered by ascending global document
+# frequency (rarest first); only the first |s| - ceil(t*|s|) + 1 tokens (the
+# "prefix") generate candidates, because two sets with Jaccard >= t MUST
+# share at least one prefix token under a common global order (Chaudhuri et
+# al., SSJoin/PPJoin). Candidates then verify the exact Jaccard. The oracle
+# is the naive pairwise join — the point of the test is optimized == naive.
+#
+# Scale shape: prefix tokens are the RAREST tokens, so candidate fan-out per
+# posting list is bounded by rare-token df (Zipf makes this tiny on real
+# corpora); one shuffle to build postings, one equi-join on prefix token,
+# one verify join on the (distinct) pair. Output is aggregated per doc to
+# keep result sizes bounded on soup-like corpora.
+_PPJ_T = 0.72
+
+
+@query(
+    "setsim_join_prefix",
+    oracle=f"""
+    WITH tok AS (
+        SELECT DISTINCT doc_id, unnest({TK}) AS token FROM documents
+    ),
+    sz AS (
+        SELECT doc_id, COUNT(*) AS sz FROM tok GROUP BY 1
+    ),
+    shared AS (
+        SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS inter
+        FROM tok a JOIN tok b ON a.token = b.token AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    jac AS (
+        SELECT da, db,
+               CAST(inter AS DOUBLE)
+                 / CAST(sa.sz + sb.sz - inter AS DOUBLE) AS j
+        FROM shared
+        JOIN sz sa ON sa.doc_id = da
+        JOIN sz sb ON sb.doc_id = db
+    ),
+    pairs AS (SELECT da, db, j FROM jac WHERE j >= {_PPJ_T}),
+    sides AS (
+        SELECT da AS doc_id, j FROM pairs
+        UNION ALL SELECT db, j FROM pairs
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_neighbors,
+           round(MAX(j), 6) AS max_jaccard
+    FROM sides GROUP BY 1
+    """,
+)
+def setsim_join_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("token")
+    ).distinct()
+    # global token order: ascending df, token as tie-break (must be total)
+    dford = tok.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    ranked = tok.join(F.broadcast(dford), "token").select(
+        "doc_id", "token", "df"
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("doc_id").orderBy(F.col("df").asc(), F.col("token").asc())
+    sized = ranked.withColumn("pos", F.row_number().over(w)).withColumn(
+        "sz", F.count(F.lit(1)).over(W.partitionBy("doc_id"))
+    )
+    # prefix length = sz - ceil(t*sz) + 1
+    prefix = sized.filter(
+        F.col("pos") <= F.col("sz") - F.ceil(F.lit(_PPJ_T) * F.col("sz")) + 1
+    ).select("doc_id", "token")
+    # candidates: pairs sharing >= 1 prefix token (each side prefix-filtered;
+    # correct because BOTH sets' prefixes must contain a shared token when
+    # j >= t under a common global order)
+    cand = (
+        prefix.alias("a")
+        .join(
+            prefix.alias("b"),
+            (F.col("a.token") == F.col("b.token"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db")
+        )
+        .distinct()
+    )
+    # verify: exact intersection via the posting lists (equi-join on both
+    # the pair key and the token — never a per-pair array materialization)
+    ta = tok.select(F.col("doc_id").alias("da"), "token")
+    tb = tok.select(F.col("doc_id").alias("db"), F.col("token").alias("tok_b"))
+    withA = cand.join(ta, "da")
+    inter = (
+        withA.join(
+            tb,
+            (withA["db"] == tb["db"]) & (F.col("token") == F.col("tok_b")),
+        )
+        .select(withA["da"], withA["db"])
+        .groupBy("da", "db")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sz = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    jac = (
+        inter.join(sz.select(F.col("doc_id").alias("da"), F.col("sz").alias("sa")), "da")
+        .join(sz.select(F.col("doc_id").alias("db"), F.col("sz").alias("sb")), "db")
+        .select(
+            "da",
+            "db",
+            (
+                F.col("inter").cast("double")
+                / (F.col("sa") + F.col("sb") - F.col("inter")).cast("double")
+            ).alias("j"),
+        )
+        .filter(F.col("j") >= _PPJ_T)
+    )
+    sides = jac.select(F.col("da").alias("doc_id"), "j").unionAll(
+        jac.select(F.col("db").alias("doc_id"), "j")
+    )
+    return sides.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_neighbors"),
+        F.round(F.max("j"), 6).alias("max_jaccard"),
+    )
+
+
+# --- co-purchase cosine (item-item collaborative filtering) ---------------
+# Item-item similarity from co-occurrence within a basket: parts bought in
+# the same order form pairs; sim(a,b) = c_ab / sqrt(c_a * c_b). Pair
+# generation is basket-local (self-join on o_orderkey) so fan-out is bounded
+# by basket size squared — at web scale the standard guard is a per-basket
+# item cap, not an all-pairs item join. The marginals table is item-sized and
+# broadcast back. Top-20 pairs with a total (sim desc, pair asc) tie-break.
+@query(
+    "copurchase_cosine",
+    oracle="""
+    WITH bi AS (
+        SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+    ),
+    pair AS (
+        SELECT a.pk AS pa, b.pk AS pb, COUNT(*) AS c_ab
+        FROM bi a JOIN bi b ON a.ok = b.ok AND a.pk < b.pk
+        GROUP BY 1, 2
+    ),
+    marg AS (
+        SELECT pk, COUNT(*) AS c FROM bi GROUP BY 1
+    ),
+    sim AS (
+        SELECT pa, pb,
+               round(CAST(c_ab AS DOUBLE)
+                     / sqrt(CAST(ma.c AS DOUBLE) * CAST(mb.c AS DOUBLE)), 6)
+                   AS cosine,
+               c_ab
+        FROM pair
+        JOIN marg ma ON ma.pk = pa
+        JOIN marg mb ON mb.pk = pb
+    ),
+    ranked AS (
+        SELECT pa, pb, cosine, c_ab,
+               ROW_NUMBER() OVER (ORDER BY cosine DESC, pa ASC, pb ASC) AS rk
+        FROM sim
+    )
+    SELECT pa, pb, cosine, c_ab, rk FROM ranked WHERE rk <= 20
+    """,
+)
+def copurchase_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    bi = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
+    ).distinct()
+    a = bi.select("ok", F.col("pk").alias("pa"))
+    b = bi.select(F.col("ok").alias("ok2"), F.col("pk").alias("pb"))
+    pair = (
+        a.join(b, (F.col("ok") == F.col("ok2")) & (F.col("pa") < F.col("pb")))
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+    )
+    marg = bi.groupBy("pk").agg(F.count(F.lit(1)).alias("c"))
+    sim = (
+        pair.join(
+            F.broadcast(marg.select(F.col("pk").alias("pa"), F.col("c").alias("ca"))),
+            "pa",
+        )
+        .join(
+            F.broadcast(marg.select(F.col("pk").alias("pb"), F.col("c").alias("cb"))),
+            "pb",
+        )
+        .select(
+            "pa",
+            "pb",
+            F.round(
+                F.col("c_ab").cast("double")
+                / F.sqrt(F.col("ca").cast("double") * F.col("cb").cast("double")),
+                6,
+            ).alias("cosine"),
+            "c_ab",
+        )
+    )
+    from pyspark.sql import Window as W
+
+    w = W.orderBy(F.col("cosine").desc(), F.col("pa").asc(), F.col("pb").asc())
+    return (
+        sim.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 20)
+        .select("pa", "pb", "cosine", "c_ab", "rk")
+    )
+
+
+# --- autocorrelation function (ACF) at lags 1..3 ---------------------------
+# Time-series diagnostics over the daily mean event value: Pearson r between
+# the series and its lag-k shift, computed from exact scaled-long sums so
+# partial-aggregation order cannot perturb the result (registry tactics).
+# The daily series is tiny by construction (one row per day) — the heavy
+# part is the daily rollup, which is one map-side-combinable aggregation
+# over the raw 100 TB event stream; everything after operates on ~365 rows
+# per year.
+@query(
+    "acf_daily_value",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(date_trunc('day', ts) AS DATE) AS dt,
+               round(CAST(SUM(CAST(round(value * 1000000.0, 0) AS BIGINT)) AS DOUBLE)
+                     / 1000000.0 / COUNT(value), 6) AS x
+        FROM events GROUP BY 1
+    ),
+    lagged AS (
+        SELECT l.n AS lag, d.x AS x,
+               LAG(d.x, l.n) OVER (PARTITION BY l.n ORDER BY d.dt) AS y
+        FROM daily d CROSS JOIN (VALUES (1), (2), (3)) AS l(n)
+    ),
+    pairs AS (SELECT lag, x, y FROM lagged WHERE y IS NOT NULL),
+    sums AS (
+        SELECT lag,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(round(x * 1000000.0, 0) AS BIGINT)) AS DOUBLE) / 1000000.0 AS sx,
+               CAST(SUM(CAST(round(y * 1000000.0, 0) AS BIGINT)) AS DOUBLE) / 1000000.0 AS sy,
+               CAST(SUM(CAST(round(x * y * 1000000.0, 0) AS BIGINT)) AS DOUBLE) / 1000000.0 AS sxy,
+               CAST(SUM(CAST(round(x * x * 1000000.0, 0) AS BIGINT)) AS DOUBLE) / 1000000.0 AS sxx,
+               CAST(SUM(CAST(round(y * y * 1000000.0, 0) AS BIGINT)) AS DOUBLE) / 1000000.0 AS syy
+        FROM pairs GROUP BY 1
+    )
+    SELECT lag, n,
+           round((n * sxy - sx * sy)
+                 / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS acf
+    FROM sums ORDER BY lag
+    """,
+)
+def acf_daily_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.date_trunc("day", "ts").cast("date").alias("dt")
+    ).agg(
+        F.round(
+            exact_sum("value", scale=6) / F.count("value"), 6
+        ).alias("x")
+    )
+    # lag() needs a foldable offset — unroll the 3 lags as a union of
+    # fixed-offset window passes over the (tiny) daily series
+    w_dt = W.orderBy("dt")
+    shifted = None
+    for k in (1, 2, 3):
+        part = daily.select(
+            F.lit(k).alias("lag"), "x", F.lag("x", k).over(w_dt).alias("y")
+        )
+        shifted = part if shifted is None else shifted.unionAll(part)
+    pairs = shifted.filter(F.col("y").isNotNull())
+    sums = pairs.groupBy("lag").agg(
+        F.count(F.lit(1)).alias("n"),
+        exact_sum("x", 6).alias("sx"),
+        exact_sum("y", 6).alias("sy"),
+        exact_sum(F.col("x") * F.col("y"), 6).alias("sxy"),
+        exact_sum(F.col("x") * F.col("x"), 6).alias("sxx"),
+        exact_sum(F.col("y") * F.col("y"), 6).alias("syy"),
+    )
+    n = F.col("n").cast("double")
+    return sums.select(
+        "lag",
+        "n",
+        F.round(
+            (n * F.col("sxy") - F.col("sx") * F.col("sy"))
+            / F.sqrt(
+                (n * F.col("sxx") - F.col("sx") * F.col("sx"))
+                * (n * F.col("syy") - F.col("sy") * F.col("sy"))
+            ),
+            6,
+        ).alias("acf"),
+    ).orderBy("lag")
+
+
+# --- PageRank (fixed 3 iterations) over the co-user graph ------------------
+# The canonical iterative graph op, expressed as three unrolled
+# aggregate+join rounds so BOTH engines replay the identical computation
+# (DuckDB oracle = the same three CTE rounds). The rank state lives as an
+# EXACT scaled BIGINT (×1e12): every fractional step passes through
+# round(x, 0) — the one rounding form that is cross-engine bit-stable,
+# because both engines round the identical IEEE double with no prior
+# power-of-ten multiply (round(x, 9) diverges on near-ties: Spark rescales
+# the exact binary decimal, DuckDB multiplies by 1e9 in floating point
+# first — observed 1-ulp splits at sf0.1). Long sums are exact and
+# commutative, so partial-aggregation order cannot drift the trajectory.
+#
+# Scale shape per iteration: ONE shuffle (contributions grouped by dst);
+# degree and N are computed once; ranks table is node-sized. At 100 TB the
+# production upgrade is checkpointing the rank table per iteration to
+# truncate lineage (tablog checkpoint/localCheckpoint) — 3 unrolled rounds
+# keep the plan depth trivially safe here.
+_PR_D = 0.85
+_PR_W = 4  # same co-activity edge threshold as triangle_count_cousers
+
+
+def _edges_sql() -> str:
+    return f"""
+        SELECT a.user_id AS u, c.user_id AS v
+        FROM (SELECT DISTINCT user_id, date_trunc('hour', ts) AS h,
+                     event_type AS et FROM events) a
+        JOIN (SELECT DISTINCT user_id, date_trunc('hour', ts) AS h,
+                     event_type AS et FROM events) c
+          ON a.h = c.h AND a.et = c.et AND a.user_id < c.user_id
+        GROUP BY 1, 2 HAVING COUNT(*) >= {_PR_W}
+    """
+
+
+def _pr_iter_sql(prev: str, out: str) -> str:
+    # rank state rl is the scaled-long rank (×1e12); every round() here is
+    # scale-0 over an identical double on both engines (see block comment)
+    return f"""
+    {out} AS (
+        SELECT n.user_id,
+               CAST(round((1.0 - {_PR_D}) * 1000000000000.0 / nn.n, 0) AS BIGINT)
+               + CAST(round({_PR_D} * CAST(COALESCE(c.contrib_l, 0) AS DOUBLE), 0)
+                      AS BIGINT) AS rl
+        FROM nodes n
+        CROSS JOIN ncount nn
+        LEFT JOIN (
+            SELECT s.v AS user_id,
+                   SUM(CAST(round(CAST(p.rl AS DOUBLE) / d.deg, 0) AS BIGINT))
+                       AS contrib_l
+            FROM sym s
+            JOIN {prev} p ON p.user_id = s.u
+            JOIN deg d ON d.user_id = s.u
+            GROUP BY 1
+        ) c ON c.user_id = n.user_id
+    )"""
+
+
+@query(
+    "pagerank_cousers",
+    oracle=f"""
+    WITH e AS ({_edges_sql()}),
+    sym AS (
+        SELECT u, v FROM e UNION ALL SELECT v, u FROM e
+    ),
+    nodes AS (SELECT DISTINCT u AS user_id FROM sym),
+    ncount AS (SELECT COUNT(*) AS n FROM nodes),
+    deg AS (SELECT u AS user_id, COUNT(*) AS deg FROM sym GROUP BY 1),
+    r0 AS (
+        SELECT n.user_id,
+               CAST(round(1000000000000.0 / nn.n, 0) AS BIGINT) AS rl
+        FROM nodes n CROSS JOIN ncount nn
+    ),
+    {_pr_iter_sql("r0", "r1")},
+    {_pr_iter_sql("r1", "r2")},
+    {_pr_iter_sql("r2", "r3")}
+    SELECT user_id, CAST(rl AS DOUBLE) / 1000000000000.0 AS pagerank FROM r3
+    """,
+)
+def pagerank_cousers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    b = ev.select(
+        "user_id",
+        F.date_trunc("hour", "ts").alias("h"),
+        F.col("event_type").alias("et"),
+    ).distinct()
+    a_side = b.select(F.col("user_id").alias("u"), "h", "et")
+    c_side = b.select(
+        F.col("user_id").alias("v"), F.col("h").alias("h2"), F.col("et").alias("et2")
+    )
+    e = (
+        a_side.join(
+            c_side,
+            (F.col("h") == F.col("h2"))
+            & (F.col("et") == F.col("et2"))
+            & (F.col("u") < F.col("v")),
+        )
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("w"))
+        .filter(F.col("w") >= _PR_W)
+        .select("u", "v")
+    )
+    sym = e.unionAll(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    # materialize the edge list ONCE: each of the 3 iterations joins against
+    # sym/deg, and without truncation the co-activity self-join would re-run
+    # per iteration (measured 105 exchanges in the un-truncated plan).
+    # localCheckpoint = the dedup_clusters iterative-lineage pattern; on a
+    # real cluster this is a reliable-checkpoint/cache of the edge RDD.
+    sym = sym.localCheckpoint(eager=False)
+    nodes = sym.select(F.col("u").alias("user_id")).distinct()
+    ncount = nodes.groupBy().agg(F.count(F.lit(1)).alias("n"))
+    deg = sym.groupBy(F.col("u").alias("user_id")).agg(
+        F.count(F.lit(1)).alias("deg")
+    )
+    _S = 1_000_000_000_000.0  # rank scale: rl = rank × 1e12, exact in BIGINT
+    ranks = nodes.crossJoin(F.broadcast(ncount)).select(
+        "user_id",
+        F.round(F.lit(_S) / F.col("n"), 0).cast("long").alias("rl"),
+    )
+    for _ in range(3):
+        contrib = (
+            sym.join(
+                ranks.select(F.col("user_id").alias("u"), "rl"), "u"
+            )
+            .join(F.broadcast(deg.select(F.col("user_id").alias("u"), "deg")), "u")
+            .groupBy(F.col("v").alias("user_id"))
+            .agg(
+                F.sum(
+                    F.round(F.col("rl").cast("double") / F.col("deg"), 0).cast("long")
+                ).alias("contrib_l")
+            )
+        )
+        ranks = (
+            nodes.crossJoin(F.broadcast(ncount))
+            .join(contrib, "user_id", "left")
+            .select(
+                "user_id",
+                (
+                    F.round(F.lit((1.0 - _PR_D) * _S) / F.col("n"), 0).cast("long")
+                    + F.round(
+                        _PR_D
+                        * F.coalesce(F.col("contrib_l"), F.lit(0)).cast("double"),
+                        0,
+                    ).cast("long")
+                ).alias("rl"),
+            )
+        )
+    return ranks.select(
+        "user_id", (F.col("rl").cast("double") / _S).alias("pagerank")
+    )

@@ -666,12 +666,17 @@ def maybe_compact(
     Returns the new version, or None when the layout is already healthy.
     The maintenance loop a scheduler runs after every streaming day."""
     files = snapshot_files(path)
-    small = sum(
-        1
-        for f in files
-        if (f.get("bytes") or os.path.getsize(os.path.join(path, f["file"])))
-        < small_bytes
-    )
+
+    # Same guarded fallback as table_stats: a file can vanish between the
+    # snapshot read and the stat (concurrent vacuum) — treat it as size 0
+    # rather than aborting the maintenance pass.
+    def _sz(f: dict) -> int:
+        if f.get("bytes"):
+            return f["bytes"]
+        full = os.path.join(path, f["file"])
+        return os.path.getsize(full) if os.path.exists(full) else 0
+
+    small = sum(1 for f in files if _sz(f) < small_bytes)
     if small < min_small:
         return None
     return compact(spark, path, stat_cols)

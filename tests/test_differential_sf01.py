@@ -43,6 +43,13 @@ HEAVY_SLICE = [
     "cohort_weekly_retention",
     "medallion_end_to_end",
     "multimodal_real_decode",
+    "pagerank_cousers",
+    "copurchase_cosine",
+    # setsim_join_prefix deliberately NOT here: the synthetic docs corpus is
+    # a ~30-token vocabulary soup, the worst case for prefix filtering
+    # (every pair is a candidate) — ~160 s at sf0.1, dominated by the naive
+    # O(n^2) DuckDB oracle. Its optimized==naive equivalence is pinned at
+    # sf0.01 by the main differential suite.
 ]
 
 pytestmark = pytest.mark.skipif(
