@@ -41,6 +41,7 @@ for _mod in (
     "stats",
     "pipeline_ops",
     "search",
+    "featurize",
 ):
     __import__(f"{__name__}.{_mod}")
 

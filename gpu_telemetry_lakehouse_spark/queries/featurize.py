@@ -1,0 +1,268 @@
+"""Feature-engineering / statistics depth: distributed PCA projection,
+count-min sketch (exactly twinned in SQL), chi-square independence test,
+and mutual information over bucketed features.
+
+These extend the §2.2 stats/sketch surface: CMS is the third mergeable
+sketch family next to HLL/theta/bitmap (point-frequency estimation with a
+provable overcount-only error), and the chi2/MI pair is the feature-
+association toolkit a training-data pipeline runs before selecting
+conditioning columns.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..functions import exact_sum, md5_int
+from .registry import query
+
+# --- count-min sketch --------------------------------------------------------
+# d=3 rows x w=64 buckets, md5-derived hash per row. The sketch itself is the
+# 3x64 counter grid — constant space, mergeable by cell-wise addition, built
+# in THREE tiny aggregations over the stream (each map-side combinable to 64
+# partials per task). Point estimate = min over rows of the key's bucket
+# counter; CMS guarantees est >= true and E[overcount] <= N/w. Both engines
+# replay the identical md5 bucketing, so the estimate is exactly oracle-
+# twinnable — rare for a sketch, and exactly why CMS (deterministic hashing,
+# no RNG) was picked over e.g. sampling-based frequency estimators.
+_CMS_D = 3
+_CMS_W = 64
+
+
+def _bucket_sql(i: int) -> str:
+    return (
+        f"CAST('0x' || substring(md5('{i}:' || event_type), 1, 15) AS BIGINT)"
+        f" % {_CMS_W}"
+    )
+
+
+@query(
+    "cms_event_counts",
+    oracle=f"""
+    WITH g0 AS (
+        SELECT {_bucket_sql(0)} AS b, COUNT(*) AS c FROM events GROUP BY 1
+    ),
+    g1 AS (
+        SELECT {_bucket_sql(1)} AS b, COUNT(*) AS c FROM events GROUP BY 1
+    ),
+    g2 AS (
+        SELECT {_bucket_sql(2)} AS b, COUNT(*) AS c FROM events GROUP BY 1
+    ),
+    keys AS (
+        SELECT event_type,
+               COUNT(*) AS exact_n,
+               {_bucket_sql(0)} AS b0,
+               {_bucket_sql(1)} AS b1,
+               {_bucket_sql(2)} AS b2
+        FROM events GROUP BY event_type
+    )
+    SELECT k.event_type, k.exact_n,
+           LEAST(g0.c, g1.c, g2.c) AS cms_est,
+           LEAST(g0.c, g1.c, g2.c) - k.exact_n AS overcount
+    FROM keys k
+    JOIN g0 ON g0.b = k.b0
+    JOIN g1 ON g1.b = k.b1
+    JOIN g2 ON g2.b = k.b2
+    """,
+)
+def cms_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+
+    def bucket(i: int) -> F.Column:
+        return md5_int(F.concat(F.lit(f"{i}:"), F.col("event_type"))) % _CMS_W
+
+    grids = [
+        ev.groupBy(bucket(i).alias(f"b{i}")).agg(F.count(F.lit(1)).alias(f"c{i}"))
+        for i in range(_CMS_D)
+    ]
+    keys = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("exact_n"))
+    keys = keys.select(
+        "event_type",
+        "exact_n",
+        *[bucket(i).alias(f"b{i}") for i in range(_CMS_D)],
+    )
+    out = keys
+    for i, g in enumerate(grids):
+        out = out.join(F.broadcast(g), f"b{i}")
+    est = F.least(*[F.col(f"c{i}") for i in range(_CMS_D)])
+    return out.select(
+        "event_type",
+        "exact_n",
+        est.alias("cms_est"),
+        (est - F.col("exact_n")).alias("overcount"),
+    )
+
+
+# --- chi-square test of independence ----------------------------------------
+# event_type x weekday contingency: chi2 = sum (obs - exp)^2 / exp with
+# exp = row_total * col_total / N, plus Cramer's V. Everything reduces to
+# ONE count aggregation over the stream; margins and N are tiny broadcast
+# joins back onto the (|types| x 7)-cell table. Exact determinism: counts
+# are integers, each cell's statistic is a pure double function of them,
+# and the final sum runs through scaled longs.
+@query(
+    "chi2_event_weekday",
+    oracle="""
+    WITH cell AS (
+        SELECT event_type, dayofweek(ts) AS wd, COUNT(*) AS o
+        FROM events GROUP BY 1, 2
+    ),
+    rowm AS (SELECT event_type, SUM(o) AS rt FROM cell GROUP BY 1),
+    colm AS (SELECT wd, SUM(o) AS ct FROM cell GROUP BY 1),
+    tot AS (SELECT SUM(o) AS n FROM cell),
+    terms AS (
+        SELECT (CAST(o AS DOUBLE)
+                - CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(n AS DOUBLE))
+               * (CAST(o AS DOUBLE)
+                  - CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(n AS DOUBLE))
+               / (CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(n AS DOUBLE))
+                   AS term,
+               n
+        FROM cell JOIN rowm USING (event_type) JOIN colm USING (wd)
+        CROSS JOIN tot
+    ),
+    dims AS (
+        SELECT (SELECT COUNT(*) FROM rowm) AS r, (SELECT COUNT(*) FROM colm) AS c
+    )
+    SELECT CAST(SUM(CAST(round(term * 1000000.0, 0) AS BIGINT)) AS DOUBLE)
+               / 1000000.0 AS chi2,
+           CAST((d.r - 1) * (d.c - 1) AS BIGINT) AS dof,
+           round(sqrt((CAST(SUM(CAST(round(term * 1000000.0, 0) AS BIGINT)) AS DOUBLE)
+                       / 1000000.0)
+                      / (CAST(MAX(n) AS DOUBLE)
+                         * CAST(LEAST(d.r - 1, d.c - 1) AS DOUBLE))), 6)
+               AS cramers_v
+    FROM terms CROSS JOIN dims d
+    GROUP BY d.r, d.c
+    """,
+)
+def chi2_event_weekday(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    cell = ev.groupBy(
+        "event_type", F.dayofweek("ts").alias("wd")
+    ).agg(F.count(F.lit(1)).alias("o"))
+    rowm = cell.groupBy("event_type").agg(F.sum("o").alias("rt"))
+    colm = cell.groupBy("wd").agg(F.sum("o").alias("ct"))
+    tot = cell.groupBy().agg(F.sum("o").alias("n"))
+    exp = F.col("rt").cast("double") * F.col("ct").cast("double") / F.col(
+        "n"
+    ).cast("double")
+    terms = (
+        cell.join(F.broadcast(rowm), "event_type")
+        .join(F.broadcast(colm), "wd")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            (
+                (F.col("o").cast("double") - exp)
+                * (F.col("o").cast("double") - exp)
+                / exp
+            ).alias("term"),
+            "n",
+        )
+    )
+    dims = rowm.groupBy().agg(F.count(F.lit(1)).alias("r")).crossJoin(
+        colm.groupBy().agg(F.count(F.lit(1)).alias("c"))
+    )
+    chi2 = exact_sum("term", scale=6)
+    return (
+        terms.crossJoin(F.broadcast(dims))
+        .groupBy("r", "c")
+        .agg(
+            chi2.alias("chi2"),
+            F.max("n").alias("_n"),
+        )
+        .select(
+            "chi2",
+            ((F.col("r") - 1) * (F.col("c") - 1)).cast("long").alias("dof"),
+            F.round(
+                F.sqrt(
+                    F.col("chi2")
+                    / (
+                        F.col("_n").cast("double")
+                        * F.least(F.col("r") - 1, F.col("c") - 1).cast("double")
+                    )
+                ),
+                6,
+            ).alias("cramers_v"),
+        )
+    )
+
+
+# --- mutual information over bucketed features -------------------------------
+# MI(event_type; value-quartile) in nats: sum p_xy * ln(p_xy / (p_x p_y)).
+# The quartile bucket comes from an ntile over a TOTAL order (value, then
+# event_id as the unique tie-break) so both engines assign identical buckets.
+# Scale note: ntile over a global order is a single-partition sort — the
+# scale path replaces it with approx-quantile range boundaries (one pass +
+# broadcast thresholds); exactness is what the oracle gate needs here.
+@query(
+    "mutual_info_event_bucket",
+    oracle="""
+    WITH b AS (
+        SELECT event_type,
+               ntile(4) OVER (ORDER BY value, event_id) AS vq
+        FROM events
+    ),
+    cell AS (SELECT event_type, vq, COUNT(*) AS cxy FROM b GROUP BY 1, 2),
+    mx AS (SELECT event_type, SUM(cxy) AS cx FROM cell GROUP BY 1),
+    my AS (SELECT vq, SUM(cxy) AS cy FROM cell GROUP BY 1),
+    tot AS (SELECT SUM(cxy) AS n FROM cell),
+    terms AS (
+        SELECT (CAST(cxy AS DOUBLE) / CAST(n AS DOUBLE))
+               * ln(CAST(cxy AS DOUBLE) * CAST(n AS DOUBLE)
+                    / (CAST(cx AS DOUBLE) * CAST(cy AS DOUBLE))) AS term
+        FROM cell JOIN mx USING (event_type) JOIN my USING (vq)
+        CROSS JOIN tot
+    )
+    SELECT CAST(SUM(CAST(round(term * 1000000000.0, 0) AS BIGINT)) AS DOUBLE)
+               / 1000000000.0 AS mi_nats
+    FROM terms
+    """,
+)
+def mutual_info_event_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    b = ev.select(
+        "event_type",
+        F.ntile(4).over(W.orderBy("value", "event_id")).alias("vq"),
+    )
+    cell = b.groupBy("event_type", "vq").agg(F.count(F.lit(1)).alias("cxy"))
+    mx = cell.groupBy("event_type").agg(F.sum("cxy").alias("cx"))
+    my = cell.groupBy("vq").agg(F.sum("cxy").alias("cy"))
+    tot = cell.groupBy().agg(F.sum("cxy").alias("n"))
+    term = (F.col("cxy").cast("double") / F.col("n").cast("double")) * F.log(
+        F.col("cxy").cast("double")
+        * F.col("n").cast("double")
+        / (F.col("cx").cast("double") * F.col("cy").cast("double"))
+    )
+    return (
+        cell.join(F.broadcast(mx), "event_type")
+        .join(F.broadcast(my), "vq")
+        .crossJoin(F.broadcast(tot))
+        .select(term.alias("term"))
+        .groupBy()
+        .agg(exact_sum("term", scale=9).alias("mi_nats"))
+    )
+
+
+# --- distributed PCA projection (rows-only: eigendecomposition is not
+# SQL-expressible; numpy parity is pinned in tests/test_linalg.py) -----------
+@query("pca_project_2d")
+def pca_project_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-2 principal-component coordinates per embedding: one-pass
+    mapInPandas Gram/mean partials -> driver eigh (dim x dim) -> row-local
+    literal projection (operators/linalg.py). The corpus is read twice and
+    never shuffled; the fitted state is kilobytes."""
+    from ..operators import linalg as LA
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    mu, comps = LA.pca_components(emb, k=2)
+    out = LA.project(emb, mu, comps)
+    return out.select(
+        "vec_id",
+        F.round("pc1", 4).alias("pc1"),
+        F.round("pc2", 4).alias("pc2"),
+    )
