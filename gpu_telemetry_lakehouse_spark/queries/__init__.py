@@ -42,6 +42,9 @@ for _mod in (
     "pipeline_ops",
     "search",
     "featurize",
+    "quality",
+    "lm",
+    "curation",
 ):
     __import__(f"{__name__}.{_mod}")
 
