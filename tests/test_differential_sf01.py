@@ -45,6 +45,8 @@ HEAVY_SLICE = [
     "multimodal_real_decode",
     "pagerank_cousers",
     "copurchase_cosine",
+    "bigram_perplexity_docs",
+    "psi_source_drift",
     # setsim_join_prefix deliberately NOT here: the synthetic docs corpus is
     # a ~30-token vocabulary soup, the worst case for prefix filtering
     # (every pair is a candidate) — ~160 s at sf0.1, dominated by the naive
