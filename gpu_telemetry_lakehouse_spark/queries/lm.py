@@ -178,3 +178,137 @@ def zipf_fit_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
             "intercept"
         ),
     )
+
+
+# --- distributed BPE merge learning ------------------------------------------
+# The first N merges of byte-pair-encoding vocabulary learning (Sennrich et
+# al. 2016), the tokenizer-training primitive of every modern LLM pipeline.
+# Per iteration: (1) count adjacent symbol pairs over the DISTINCT-WORD table
+# weighted by word frequency — after the first aggregation nothing is ever
+# corpus-sized again; (2) take the argmax pair (count desc, pair asc — a
+# 1-row TakeOrdered over the pair-vocab frame); (3) apply the merge to every
+# word as a row-local left-to-right fold (Spark ``aggregate``, DuckDB
+# ``list_reduce`` — both seed with the first symbol and walk once, exactly
+# the classic greedy merge walk: a symbol produced by a merge is never the
+# left operand of another merge in the same pass, because merged != left).
+# The argmax row rides a broadcast crossJoin into the next iteration — the
+# whole N-iteration fit is ONE declarative plan, no driver-side collect.
+# Scale path note: because b1..bN each appear in two consumers (next
+# iteration + final union), Spark re-executes their lineage — including the
+# initial corpus scan — once per branch. Fine here (the scan is one cheap
+# aggregation), but a production fit over 100 TB would first MATERIALIZE the
+# word-frequency table (one corpus pass, vocab-sized output, e.g. via
+# tablog.create_table) and iterate over that; the per-iteration plan shape
+# below is unchanged.
+_BPE_ITERS = 4
+
+# fold step, per engine (same semantics; Spark spells the suffix test
+# ``endswith``, DuckDB ``ends_with``)
+_BPE_FOLD_DUCK = (
+    "CASE WHEN x = b AND (acc = a OR ends_with(acc, ' ' || a))"
+    " THEN acc || b ELSE acc || ' ' || x END"
+)
+_BPE_FOLD_SPARK = (
+    "CASE WHEN x = b AND (acc = a OR endswith(acc, concat(' ', a)))"
+    " THEN concat(acc, b) ELSE concat(acc, ' ', x) END"
+)
+
+
+def _bpe_oracle() -> str:
+    parts = [
+        """
+    WITH words AS (
+        SELECT token AS w, COUNT(*) AS c
+        FROM (SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS token
+              FROM documents)
+        GROUP BY 1
+    ),
+    it0 AS (
+        SELECT trim(regexp_replace(w, '(.)', '\\1 ', 'g')) AS seq, c FROM words
+    )"""
+    ]
+    for i in range(1, _BPE_ITERS + 1):
+        parts.append(f""",
+    p{i} AS (
+        SELECT pr, CAST(SUM(c) AS BIGINT) AS cnt FROM (
+            SELECT unnest(list_transform(range(2, len(s) + 1),
+                                         j -> s[j - 1] || ' ' || s[j])) AS pr, c
+            FROM (SELECT string_split(seq, ' ') AS s, c FROM it{i - 1})
+        ) GROUP BY 1
+    ),
+    b{i} AS (
+        SELECT split_part(pr, ' ', 1) AS a, split_part(pr, ' ', 2) AS b,
+               pr, cnt
+        FROM p{i} ORDER BY cnt DESC, pr LIMIT 1
+    )""")
+        if i < _BPE_ITERS:
+            parts.append(f""",
+    it{i} AS (
+        SELECT list_reduce(string_split(seq, ' '),
+                           (acc, x) -> {_BPE_FOLD_DUCK}) AS seq, c
+        FROM it{i - 1} CROSS JOIN b{i}
+    )""")
+    finals = [
+        f"SELECT {i} AS merge_rank, pr AS pair, cnt FROM b{i}"
+        for i in range(1, _BPE_ITERS + 1)
+    ]
+    return "".join(parts) + "\n    " + "\n    UNION ALL ".join(finals)
+
+
+@query("bpe_learn_merges", oracle=_bpe_oracle())
+def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    words = (
+        docs.select(F.explode(tokens(F.col("text"))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    cur = words.select(
+        F.trim(F.regexp_replace("w", "(.)", "$1 ")).alias("seq"), "c"
+    )
+    bests = []
+    for _ in range(_BPE_ITERS):
+        s = F.split(F.col("seq"), " ")
+        pairs = (
+            cur.select(
+                F.explode(
+                    F.expr(
+                        # sequence(1, 0) is DESCENDING in Spark — single-
+                        # symbol words need the explicit empty branch
+                        "CASE WHEN size(split(seq, ' ')) < 2 THEN array()"
+                        " ELSE transform(sequence(1, size(split(seq, ' ')) - 1),"
+                        " j -> concat(split(seq, ' ')[j - 1], ' ',"
+                        " split(seq, ' ')[j])) END"
+                    )
+                ).alias("pr"),
+                "c",
+            )
+            .groupBy("pr")
+            .agg(F.sum("c").alias("cnt"))
+        )
+        best = (
+            pairs.orderBy(F.col("cnt").desc(), F.col("pr"))
+            .limit(1)
+            .select(
+                F.split("pr", " ").getItem(0).alias("a"),
+                F.split("pr", " ").getItem(1).alias("b"),
+                "pr",
+                "cnt",
+            )
+        )
+        bests.append(best)
+        cur = cur.crossJoin(F.broadcast(best)).select(
+            F.expr(
+                "aggregate(slice(split(seq, ' '), 2,"
+                " size(split(seq, ' ')) - 1), split(seq, ' ')[0],"
+                f" (acc, x) -> {_BPE_FOLD_SPARK})"
+            ).alias("seq"),
+            "c",
+        )
+    out = None
+    for i, b in enumerate(bests, start=1):
+        row = b.select(
+            F.lit(i).alias("merge_rank"), F.col("pr").alias("pair"), "cnt"
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
