@@ -83,9 +83,9 @@ DRIVER_WINDOW: list[str] = [
     "interval_join_shipments",
     "asof_last_error",
     "set_ops_customers",
-    # windows
+    # windows (rank/ntile family demoted to second tier — momentum keeps the
+    # category green — in favor of the round-3 quality/LM/curation families)
     "window_daily_momentum",
-    "window_rank_family",
     # grouping: rollup/cube/pivot
     "rollup_region_nation",
     "cube_order_status",
@@ -94,7 +94,6 @@ DRIVER_WINDOW: list[str] = [
     "dedup_first_per_key",
     "heavy_hitter_users",
     "dedup_minhash_pairs",
-    "dedup_shingle_jaccard_capped",
     # similarity search + semantic dedup
     "knn_cosine_brute",
     "semdedup_prune",
@@ -117,7 +116,12 @@ DRIVER_WINDOW: list[str] = [
     # text analysis (lang-id + fingerprint; quality/token twins sit at the
     # top of the second tier — same category, driver-strict pytest green)
     "text_lang_id",
-    "doc_fingerprint",
+    # data-quality / drift observability (round 3)
+    "psi_source_drift",
+    # tokenizer training (round 3)
+    "bpe_learn_merges",
+    # curation: contrastive hard-negative mining (round 3)
+    "knn_hard_negatives",
     # multimodal: real PPM decode through the numpy codec kernel (the
     # byte-plumbing twin multimodal_bytes sits in the second tier)
     "multimodal_real_decode",
@@ -138,6 +142,22 @@ DRIVER_WINDOW: list[str] = [
 # Next in line if the driver sweeps deeper: previously-green queries whose
 # category is already represented above (consolidated near-duplicates).
 _SECOND_TIER: list[str] = [
+    # demoted from the round-3 window (their categories stay green above)
+    "window_rank_family",
+    "dedup_shingle_jaccard_capped",
+    "doc_fingerprint",
+    # round-3 additions whose family is represented above
+    "k_anonymity_customers",
+    "referential_orphan_summary",
+    "freshness_lag_report",
+    "accepted_values_violations",
+    "bigram_perplexity_docs",
+    "zipf_fit_tokens",
+    "dp_noisy_counts_segments",
+    "mixture_sampling_plan",
+    "cms_event_counts",
+    "chi2_event_weekday",
+    "mutual_info_event_bucket",
     # demoted from the round-2 window (their categories stay green above)
     "tpch_q6_revenue",
     "tpch_q10_returns",
