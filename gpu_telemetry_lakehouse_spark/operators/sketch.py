@@ -61,3 +61,101 @@ def heavy_hitters(df: DataFrame, key_col: str, k: int) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .filter(F.col("n") > total / k)
     )
+
+
+# --- t-digest (mergeable quantile sketch) ------------------------------------
+# Dunning & Ertl's merging t-digest with the k1 scale function: centroid
+# sizes are bounded by 4*n*q*(1-q)/delta, so the tails stay near-exact while
+# the middle compresses. Cluster protocol mirrors linalg.gram_stats: each
+# partition builds a digest over its Arrow batches (numpy, no per-row
+# Python), ships ONLY its centroid list (O(delta) doubles), and the driver
+# merges partition digests by re-compressing the pooled list. What crosses
+# the cluster boundary is constant-size per partition regardless of corpus
+# size, and digests from different days/tables merge the same way — the
+# property that makes pre-aggregated quantile rollups possible at 100 TB
+# (unlike exact percentile, which shuffles every value).
+#
+# Determinism: pooled centroids are sorted by (mean, weight) before the
+# driver compress, so the result is independent of partition arrival order.
+
+
+def _compress(means, weights, delta: int):
+    """One merging pass: sort by mean, sweep left-to-right, greedily absorb
+    neighbors while the merged centroid's weight stays under the k1 size
+    bound 4*n*q*(1-q)/delta at its prospective mid-quantile."""
+    import numpy as np
+
+    order = np.lexsort((weights, means))
+    means, weights = means[order], weights[order]
+    n = float(weights.sum())
+    out_m: list[float] = []
+    out_w: list[float] = []
+    cum = 0.0  # weight strictly left of the open centroid
+    cm, cw = means[0], weights[0]
+    for m, w in zip(means[1:], weights[1:]):
+        q = (cum + (cw + w) / 2.0) / n
+        if cw + w <= max(1.0, 4.0 * n * q * (1.0 - q) / delta):
+            cm = (cm * cw + m * w) / (cw + w)
+            cw += w
+        else:
+            out_m.append(cm)
+            out_w.append(cw)
+            cum += cw
+            cm, cw = m, w
+    out_m.append(cm)
+    out_w.append(cw)
+    return np.array(out_m), np.array(out_w)
+
+
+def tdigest_fit(df: DataFrame, col: str, delta: int = 100):
+    """One pass over ``df[col]`` -> merged (means, weights) centroid arrays.
+
+    Per-partition partials ride back as one row per partition; the driver
+    re-compress is O(delta * n_partitions * log) — corpus-size independent.
+    """
+    import numpy as np
+
+    def _partials(it):
+        m = np.empty(0)
+        w = np.empty(0)
+        for pdf in it:
+            x = pdf[col].to_numpy(dtype="float64")
+            x = x[~pd.isna(x)]
+            if not len(x):
+                continue
+            m = np.concatenate([m, x])
+            w = np.concatenate([w, np.ones(len(x))])
+            if len(m) > 8 * delta:
+                m, w = _compress(m, w, delta)
+        if len(m):
+            m, w = _compress(m, w, delta)
+            yield pd.DataFrame({"m": [m.tolist()], "w": [w.tolist()]})
+
+    rows = (
+        df.select(col)
+        .mapInPandas(_partials, schema="m array<double>, w array<double>")
+        .collect()
+    )
+    if not rows:
+        import numpy as np
+
+        return np.empty(0), np.empty(0)
+    m = np.concatenate([np.array(r["m"]) for r in rows])
+    w = np.concatenate([np.array(r["w"]) for r in rows])
+    return _compress(m, w, delta)
+
+
+def tdigest_quantile(means, weights, q: float) -> float:
+    """Interpolated quantile from the centroid list (midpoint rule)."""
+    import numpy as np
+
+    n = weights.sum()
+    target = q * n
+    cum = np.cumsum(weights) - weights / 2.0
+    if target <= cum[0]:
+        return float(means[0])
+    if target >= cum[-1]:
+        return float(means[-1])
+    i = int(np.searchsorted(cum, target)) - 1
+    frac = (target - cum[i]) / (cum[i + 1] - cum[i])
+    return float(means[i] + frac * (means[i + 1] - means[i]))

@@ -571,3 +571,170 @@ def pagerank_cousers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranks.select(
         "user_id", (F.col("rl").cast("double") / _S).alias("pagerank")
     )
+
+
+# --- reciprocal-rank fusion of lexical + vector retrieval --------------------
+# Hybrid search, the production default for RAG corpora: fuse the BM25
+# ranking (lexical) with an embedding-cosine ranking (semantic) by
+# RRF(d) = sum_i 1/(k + rank_i(d)), k=60 (Cormack & Clarke 2009). A doc
+# missing from one ranking contributes nothing for it (full outer join +
+# coalesce). Both input rankings reuse this module's BM25 shape and the
+# similarity layer's broadcast-query cosine shape; the fusion itself runs on
+# the two ranking frames (result-sized, not corpus-sized). RRF scores are
+# pure functions of integer ranks — bit-identical across engines.
+_RRF_K = 60
+_RRF_QVEC = 0  # query = embedding of vec_id 0; doc ids align with vec ids
+
+
+@query(
+    "rrf_hybrid_search",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, unnest({TK}) AS token FROM documents
+    ),
+    dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY 1),
+    stats AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS total_len FROM dl),
+    tf AS (
+        SELECT doc_id, token, COUNT(*) AS tf FROM tok
+        WHERE token IN ('hash', 'join', 'scan')
+        GROUP BY 1, 2
+    ),
+    df AS (
+        SELECT token, COUNT(DISTINCT doc_id) AS df FROM tok
+        WHERE token IN ('hash', 'join', 'scan')
+        GROUP BY 1
+    ),
+    scored AS (
+        SELECT tf.doc_id,
+               ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df.df AS DOUBLE) + 0.5)
+                        / (CAST(df.df AS DOUBLE) + 0.5))
+               * (CAST(tf.tf AS DOUBLE) * ({_K1} + 1.0))
+               / (CAST(tf.tf AS DOUBLE)
+                  + {_K1} * (1.0 - {_B} + {_B} * CAST(dl.dl AS DOUBLE)
+                             / (CAST(total_len AS DOUBLE) / CAST(n_docs AS DOUBLE))))
+                   AS term_score
+        FROM tf JOIN df USING (token) JOIN dl USING (doc_id) CROSS JOIN stats
+    ),
+    lex AS (
+        SELECT doc_id,
+               ROW_NUMBER() OVER (
+                   ORDER BY CAST(SUM(CAST(round(term_score * 1000000.0, 0)
+                                          AS BIGINT)) AS DOUBLE) DESC,
+                            doc_id ASC) AS rk_lex
+        FROM scored GROUP BY doc_id
+    ),
+    q AS (
+        SELECT cast(embedding AS DOUBLE[]) AS qv FROM embeddings
+        WHERE vec_id = {_RRF_QVEC}
+    ),
+    sem AS (
+        SELECT e.vec_id AS doc_id,
+               ROW_NUMBER() OVER (ORDER BY
+                   ROUND(list_dot_product(cast(e.embedding AS DOUBLE[]), q.qv)
+                   / (sqrt(list_dot_product(cast(e.embedding AS DOUBLE[]),
+                                            cast(e.embedding AS DOUBLE[])))
+                      * sqrt(list_dot_product(q.qv, q.qv))), 6) DESC,
+                   e.vec_id ASC) AS rk_sem
+        FROM embeddings e CROSS JOIN q
+        WHERE e.vec_id <> {_RRF_QVEC}
+    ),
+    fused AS (
+        SELECT COALESCE(lex.doc_id, sem.doc_id) AS doc_id,
+               ROUND(COALESCE(1.0 / ({_RRF_K} + rk_lex), 0.0)
+                     + COALESCE(1.0 / ({_RRF_K} + rk_sem), 0.0), 6) AS rrf,
+               lex.rk_lex, sem.rk_sem
+        FROM lex FULL OUTER JOIN sem ON lex.doc_id = sem.doc_id
+    )
+    SELECT doc_id, rrf, rk_lex, rk_sem,
+           CAST(ROW_NUMBER() OVER (ORDER BY rrf DESC, doc_id ASC) AS INT) AS rk
+    FROM fused
+    QUALIFY rk <= 10
+    """,
+)
+def rrf_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from ..functions import dot_raw
+    from ..operators.similarity import with_norm
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("token"))
+    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.groupBy().agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("total_len")
+    )
+    qtok = tok.filter(F.col("token").isin(_BM25_TERMS))
+    tf = qtok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = qtok.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    avgdl = F.col("total_len").cast("double") / F.col("n_docs").cast("double")
+    idf = F.log(
+        1.0
+        + (F.col("n_docs").cast("double") - F.col("df").cast("double") + 0.5)
+        / (F.col("df").cast("double") + 0.5)
+    )
+    term_score = (
+        idf
+        * (F.col("tf").cast("double") * (_K1 + 1.0))
+        / (
+            F.col("tf").cast("double")
+            + _K1 * (1.0 - _B + _B * F.col("dl").cast("double") / avgdl)
+        )
+    )
+    scored = (
+        tf.join(F.broadcast(dfreq), "token")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", term_score.alias("term_score"))
+    )
+    lex = (
+        scored.groupBy("doc_id")
+        .agg(exact_sum("term_score", scale=6).alias("bm25"))
+        .select(
+            "doc_id",
+            F.row_number()
+            .over(W.orderBy(F.col("bm25").desc(), F.col("doc_id").asc()))
+            .alias("rk_lex"),
+        )
+    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = with_norm(
+        emb.filter(F.col("vec_id") == _RRF_QVEC), "embedding", "q_vec", "q_nrm"
+    ).select("q_vec", "q_nrm")
+    v = with_norm(
+        emb.filter(F.col("vec_id") != _RRF_QVEC), "embedding", "n_vec", "n_nrm"
+    )
+    sem = (
+        v.crossJoin(F.broadcast(q))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            F.round(
+                dot_raw("n_vec", "q_vec") / (F.col("n_nrm") * F.col("q_nrm")), 6
+            ).alias("cos"),
+        )
+        .select(
+            "doc_id",
+            F.row_number()
+            .over(W.orderBy(F.col("cos").desc(), F.col("doc_id").asc()))
+            .alias("rk_sem"),
+        )
+    )
+    fused = (
+        lex.join(sem, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            F.round(
+                F.coalesce(1.0 / (_RRF_K + F.col("rk_lex")), F.lit(0.0))
+                + F.coalesce(1.0 / (_RRF_K + F.col("rk_sem")), F.lit(0.0)),
+                6,
+            ).alias("rrf"),
+            "rk_lex",
+            "rk_sem",
+        )
+    )
+    return (
+        fused.withColumn(
+            "rk",
+            F.row_number().over(W.orderBy(F.col("rrf").desc(), F.col("doc_id").asc())),
+        )
+        .filter(F.col("rk") <= 10)
+    )

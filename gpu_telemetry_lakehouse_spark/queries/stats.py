@@ -815,3 +815,22 @@ def event_cooccurrence_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lift"),
         )
     )
+
+
+# --- t-digest quantile sketch (rows-only: the sketch is not SQL-expressible;
+# rank-error and merge-determinism invariants are pinned in
+# tests/test_sketch_tdigest.py) ----------------------------------------------
+@query("tdigest_value_quantiles")
+def tdigest_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable t-digest over events.value (operators/sketch.py): one corpus
+    pass builds per-partition digests; the driver merges O(partitions x
+    delta) centroids and evaluates the quantile grid. The scale counterpart
+    of the exact-percentile path in gold_daily_util — exact shuffles every
+    value, the digest ships constant-size partials."""
+    from ..operators import sketch as SK
+
+    ev = load_table(spark, sf_dir, "events")
+    m, w = SK.tdigest_fit(ev, "value", delta=100)
+    qs = [0.01, 0.25, 0.5, 0.75, 0.95, 0.99]
+    rows = [(q, round(SK.tdigest_quantile(m, w, q), 6)) for q in qs]
+    return spark.createDataFrame(rows, "q double, value_est double")

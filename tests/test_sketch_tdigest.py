@@ -1,0 +1,59 @@
+"""t-digest invariants: rank-error bound vs exact order statistics, merge
+determinism under repartitioning, and centroid-count bound."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from gpu_telemetry_lakehouse_spark.catalog import load_table
+from gpu_telemetry_lakehouse_spark.operators import sketch as SK
+
+
+@pytest.fixture(scope="module")
+def fitted(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    m, w = SK.tdigest_fit(ev, "value", delta=100)
+    vals = np.sort(
+        np.array(
+            [r[0] for r in ev.select("value").filter(F.col("value").isNotNull()).collect()]
+        )
+    )
+    return m, w, vals
+
+
+def test_total_weight_and_centroid_bound(fitted):
+    m, w, vals = fitted
+    assert w.sum() == pytest.approx(len(vals))
+    # k1 scale: centroid count stays O(delta) — the greedy single-sweep
+    # variant lands above the theoretical 2*delta but still constant-size
+    assert len(m) <= 4 * 100
+    assert np.all(np.diff(m) >= 0)
+
+
+def test_rank_error_within_digest_bound(fitted):
+    m, w, vals = fitted
+    n = len(vals)
+    for q in (0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99):
+        est = SK.tdigest_quantile(m, w, q)
+        # rank of the estimate in the exact sorted data
+        rank_lo = np.searchsorted(vals, est, side="left") / n
+        rank_hi = np.searchsorted(vals, est, side="right") / n
+        err = min(abs(rank_lo - q), abs(rank_hi - q))
+        # t-digest rank error concentrates at ~O(q(1-q)/delta); 0.02 is a
+        # generous absolute ceiling for delta=100
+        assert err <= 0.02, (q, est, rank_lo, rank_hi)
+
+
+def test_merge_deterministic_under_repartition(spark, sf_dir, fitted):
+    m, w, _ = fitted
+    ev = load_table(spark, sf_dir, "events")
+    m2, w2 = SK.tdigest_fit(ev.repartition(7, "event_id"), "value", delta=100)
+    # different partitioning => different partials, but quantile estimates
+    # must agree to digest accuracy (and the fit itself must be stable
+    # run-to-run for a FIXED layout: re-fit and compare exactly)
+    m3, w3 = SK.tdigest_fit(ev, "value", delta=100)
+    assert np.array_equal(m, m3) and np.array_equal(w, w3)
+    for q in (0.25, 0.5, 0.9):
+        a = SK.tdigest_quantile(m, w, q)
+        b = SK.tdigest_quantile(m2, w2, q)
+        assert abs(a - b) <= 0.05 * (1 + abs(a)), (q, a, b)
