@@ -738,3 +738,92 @@ def rrf_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("rk") <= 10)
     )
+
+
+# --- k-core peeling trace over the co-user graph -----------------------------
+# Three unrolled rounds of k-core peeling (remove nodes with degree < k,
+# restrict edges to survivors, repeat) over the same co-activity graph as
+# pagerank_cousers / triangle_count_cousers. The per-round (nodes, edges)
+# trace is the community-density diagnostic; full convergence at 100 TB is
+# the same loop driven to fixpoint with per-round localCheckpoint lineage
+# truncation. Scale shape per round: one degree aggregation (node-sized) +
+# one semi-join of the edge list against survivors.
+_KCORE_K = 3
+
+
+@query(
+    "kcore_peel_trace",
+    oracle=f"""
+    WITH e AS ({_edges_sql()}),
+    sym0 AS (SELECT u, v FROM e UNION ALL SELECT v, u FROM e),
+    keep1 AS (SELECT u FROM sym0 GROUP BY u HAVING COUNT(*) >= {_KCORE_K}),
+    sym1 AS (
+        SELECT s.u, s.v FROM sym0 s
+        JOIN keep1 a ON a.u = s.u JOIN keep1 b ON b.u = s.v
+    ),
+    keep2 AS (SELECT u FROM sym1 GROUP BY u HAVING COUNT(*) >= {_KCORE_K}),
+    sym2 AS (
+        SELECT s.u, s.v FROM sym1 s
+        JOIN keep2 a ON a.u = s.u JOIN keep2 b ON b.u = s.v
+    ),
+    keep3 AS (SELECT u FROM sym2 GROUP BY u HAVING COUNT(*) >= {_KCORE_K}),
+    sym3 AS (
+        SELECT s.u, s.v FROM sym2 s
+        JOIN keep3 a ON a.u = s.u JOIN keep3 b ON b.u = s.v
+    )
+    SELECT 1 AS round, COUNT(DISTINCT u) AS nodes_remaining,
+           CAST(COUNT(*) / 2 AS BIGINT) AS edges_remaining FROM sym1
+    UNION ALL
+    SELECT 2, COUNT(DISTINCT u), CAST(COUNT(*) / 2 AS BIGINT) FROM sym2
+    UNION ALL
+    SELECT 3, COUNT(DISTINCT u), CAST(COUNT(*) / 2 AS BIGINT) FROM sym3
+    """,
+)
+def kcore_peel_trace(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    b = ev.select(
+        "user_id",
+        F.date_trunc("hour", "ts").alias("h"),
+        F.col("event_type").alias("et"),
+    ).distinct()
+    a_side = b.select(F.col("user_id").alias("u"), "h", "et")
+    c_side = b.select(
+        F.col("user_id").alias("v"), F.col("h").alias("h2"), F.col("et").alias("et2")
+    )
+    e = (
+        a_side.join(
+            c_side,
+            (F.col("h") == F.col("h2"))
+            & (F.col("et") == F.col("et2"))
+            & (F.col("u") < F.col("v")),
+        )
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("w"))
+        .filter(F.col("w") >= _PR_W)
+        .select("u", "v")
+    )
+    sym = e.unionAll(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    # materialize once — each peel round re-reads the current edge list
+    # twice (degree + restriction) and the next round builds on it
+    sym = sym.localCheckpoint(eager=False)
+    out = None
+    for r in range(1, 4):
+        keep = (
+            sym.groupBy("u")
+            .agg(F.count(F.lit(1)).alias("d"))
+            .filter(F.col("d") >= _KCORE_K)
+            .select("u")
+        )
+        sym = (
+            sym.join(keep, "u", "left_semi")
+            .join(keep.select(F.col("u").alias("v")), "v", "left_semi")
+            .select("u", "v")
+            .localCheckpoint(eager=False)
+        )
+        row = sym.agg(
+            F.lit(r).alias("round"),
+            F.count_distinct("u").alias("nodes_remaining"),
+            (F.count(F.lit(1)) / 2).cast("long").alias("edges_remaining"),
+        ).select("round", "nodes_remaining", "edges_remaining")
+        out = row if out is None else out.unionByName(row)
+    return out

@@ -214,3 +214,69 @@ def window_median_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percentile("value", 0.9).over(w), 6).alias("type_p90"),
         F.round(F.col("value") - med, 6).alias("delta_vs_median"),
     )
+
+
+# --- MATCH_RECOGNIZE-style sequence pattern matching -------------------------
+# Encode each user's time-ordered event stream as a one-char-per-event string
+# and run regex pattern counts over it — the portable reduction of SQL
+# MATCH_RECOGNIZE (Spark has no native one). Patterns: direct view->click
+# adjacency, any-gap view->...->purchase conversion, and error bursts (3+
+# consecutive errors). Scale shape: ONE groupBy over (user) with an ordered
+# string agg (each user's sequence is bounded by their own event count);
+# regex evaluation is row-local over the per-user string. Both engines build
+# the identical string (order by ts, event_id — a total order) and both
+# count NON-overlapping regex matches left-to-right, so counts agree.
+@query(
+    "pattern_match_user_journeys",
+    oracle="""
+    WITH coded AS (
+        SELECT user_id, ts, event_id,
+               CASE event_type WHEN 'view' THEN 'V' WHEN 'click' THEN 'C'
+                    WHEN 'purchase' THEN 'P' WHEN 'signup' THEN 'S'
+                    ELSE 'E' END AS ch
+        FROM events
+    ),
+    seqs AS (
+        SELECT user_id,
+               string_agg(ch, '' ORDER BY ts, event_id) AS seq
+        FROM coded GROUP BY user_id
+    )
+    SELECT user_id,
+           length(seq) AS n_events,
+           CAST(len(regexp_extract_all(seq, 'VC')) AS INT) AS view_then_click,
+           CAST(len(regexp_extract_all(seq, 'V[^P]*P')) AS INT) AS conversions,
+           CAST(len(regexp_extract_all(seq, 'EEE+')) AS INT) AS error_bursts
+    FROM seqs
+    """,
+)
+def pattern_match_user_journeys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    coded = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(F.col("event_type") == "view", "V")
+        .when(F.col("event_type") == "click", "C")
+        .when(F.col("event_type") == "purchase", "P")
+        .when(F.col("event_type") == "signup", "S")
+        .otherwise("E")
+        .alias("ch"),
+    )
+    # deterministic ordered concat: sort (ts, event_id, ch) structs inside
+    # the aggregation buffer, then project the code chars
+    seqs = coded.groupBy("user_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("ts", "event_id", "ch"))),
+                lambda s: s["ch"],
+            ),
+            "",
+        ).alias("seq")
+    )
+    return seqs.select(
+        "user_id",
+        F.length("seq").alias("n_events"),
+        F.regexp_count("seq", F.lit("VC")).cast("int").alias("view_then_click"),
+        F.regexp_count("seq", F.lit("V[^P]*P")).cast("int").alias("conversions"),
+        F.regexp_count("seq", F.lit("EEE+")).cast("int").alias("error_bursts"),
+    )
