@@ -69,6 +69,8 @@ HEADLINE = [
     "dedup_boilerplate_segments",  # corpus segment-df boilerplate strip
     "benchmark_decontam",          # train-vs-benchmark 5-gram scrub
     "semdedup_prune",              # cluster-then-prune semantic dedup
+    "bigram_perplexity_docs",      # corpus bigram LM + per-doc perplexity
+    "kcore_peel_trace",            # iterative graph peeling (3 rounds)
 ]
 
 

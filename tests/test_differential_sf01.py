@@ -47,6 +47,7 @@ HEAVY_SLICE = [
     "copurchase_cosine",
     "bigram_perplexity_docs",
     "psi_source_drift",
+    "kcore_peel_trace",
     # setsim_join_prefix deliberately NOT here: the synthetic docs corpus is
     # a ~30-token vocabulary soup, the worst case for prefix filtering
     # (every pair is a candidate) — ~160 s at sf0.1, dominated by the naive
