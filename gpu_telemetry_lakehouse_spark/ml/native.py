@@ -28,3 +28,36 @@ def fit_scaled_features(df: DataFrame, cols: list[str], out_col: str = "scaled")
     )
     model = Pipeline(stages=[va, sc]).fit(df)
     return model, model.transform(df).drop("__features")
+
+
+def fit_embedding_classifier(
+    train: DataFrame, vec_col: str = "embedding", label_col: str = "label"
+):
+    """Distributed multinomial logistic regression over an embedding column:
+    array<float> -> ml.linalg vector via array_to_vector (no Python-row
+    conversion), then LogisticRegression on the JVM. The cluster-scale
+    supervised twin of the anomaly path — fit/predict never collect the
+    corpus; the model is coefficients-sized (k x dim).
+    """
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.functions import array_to_vector
+    from pyspark.sql import functions as F
+
+    prepped = train.select(
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"),
+        F.col(label_col).cast("double").alias("label"),
+    )
+    lr = LogisticRegression(maxIter=50, regParam=0.01, tol=1e-6)
+    return lr.fit(prepped)
+
+
+def score_embedding_classifier(model, df: DataFrame, vec_col: str = "embedding"):
+    """Append ``prediction`` to ``df`` via the fitted model (row-local JVM
+    transform; model broadcast by value)."""
+    from pyspark.ml.functions import array_to_vector
+    from pyspark.sql import functions as F
+
+    prepped = df.withColumn(
+        "features", array_to_vector(F.col(vec_col).cast("array<double>"))
+    )
+    return model.transform(prepped).drop("features", "rawPrediction", "probability")

@@ -150,3 +150,21 @@ def test_native_ml_scaler_matches_numpy_sample_std(spark, sf_dir, tmp_path):
     re = PipelineModel.load(path)
     G2 = {r.dt: list(r.scaled) for r in re.transform(gold).select("dt", "scaled").collect()}
     assert G2 == got
+
+
+def test_logreg_embedding_eval_invariants(spark, sf_dir):
+    """The distributed logreg eval report: complete class coverage on both
+    splits, counts consistent, and the train fit must beat the 10-class
+    random baseline by 3x (the synthetic labels memorize in-sample; the
+    test rows document the generalization gap rather than asserting it)."""
+    from gpu_telemetry_lakehouse_spark.queries import QUERIES
+
+    pdf = QUERIES["logreg_embedding_eval"](spark, sf_dir).toPandas()
+    assert set(pdf["split"]) == {"train", "test"}
+    tr = pdf[pdf.split == "train"]
+    te = pdf[pdf.split == "test"]
+    assert len(tr) == 10 and len(te) == 10
+    assert (pdf.n_correct <= pdf.n).all() and (pdf.n > 0).all()
+    assert tr.n.sum() + te.n.sum() == 500
+    train_acc = tr.n_correct.sum() / tr.n.sum()
+    assert train_acc > 0.3, train_acc
