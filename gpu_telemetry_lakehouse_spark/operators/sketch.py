@@ -159,3 +159,17 @@ def tdigest_quantile(means, weights, q: float) -> float:
     i = int(np.searchsorted(cum, target)) - 1
     frac = (target - cum[i]) / (cum[i + 1] - cum[i])
     return float(means[i] + frac * (means[i + 1] - means[i]))
+
+
+def tdigest_merge(digests, delta: int = 100):
+    """Merge multiple (means, weights) digests into one by re-compressing the
+    pooled centroid list — associative and commutative up to digest accuracy,
+    which is what makes per-day/per-stream-epoch digests foldable into
+    rollups without re-scanning raw data."""
+    import numpy as np
+
+    ms = [m for m, _ in digests if len(m)]
+    ws = [w for _, w in digests if len(w)]
+    if not ms:
+        return np.empty(0), np.empty(0)
+    return _compress(np.concatenate(ms), np.concatenate(ws), delta)

@@ -57,3 +57,44 @@ def test_merge_deterministic_under_repartition(spark, sf_dir, fitted):
         a = SK.tdigest_quantile(m, w, q)
         b = SK.tdigest_quantile(m2, w2, q)
         assert abs(a - b) <= 0.05 * (1 + abs(a)), (q, a, b)
+
+
+def test_streaming_digest_matches_batch(spark, sf_dir, tmp_path, fitted):
+    """Incremental sketch maintenance: a file-source stream of the events
+    table, folded one micro-batch at a time into a running digest via
+    foreachBatch, must estimate the same quantiles as the one-shot batch
+    fit (within digest accuracy). This is the pre-aggregated-quantile
+    pattern at 100 TB: per-epoch work is one partial digest, history is
+    never re-scanned."""
+    import shutil
+
+    from gpu_telemetry_lakehouse_spark.catalog import load_table
+
+    m_b, w_b, _ = fitted
+    src = str(tmp_path / "src")
+    ev = load_table(spark, sf_dir, "events")
+    # lay the table out as several files so the stream sees multiple batches
+    ev.repartition(4).write.parquet(src)
+    state: list = []
+
+    def fold(bdf, epoch_id):
+        state.append(SK.tdigest_fit(bdf, "value", delta=100))
+
+    q = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.foreachBatch(fold)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert len(state) >= 2  # genuinely incremental
+    m_s, w_s = SK.tdigest_merge(state, delta=100)
+    assert w_s.sum() == pytest.approx(w_b.sum())
+    for qq in (0.1, 0.5, 0.9):
+        a = SK.tdigest_quantile(m_b, w_b, qq)
+        b = SK.tdigest_quantile(m_s, w_s, qq)
+        assert abs(a - b) <= 0.05 * (1 + abs(a)), (qq, a, b)
+    shutil.rmtree(src, ignore_errors=True)
