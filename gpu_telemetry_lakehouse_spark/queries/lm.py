@@ -80,8 +80,12 @@ def bigram_perplexity_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.explode(
             F.expr(
-                "transform(sequence(1, size(t) - 1),"
-                " i -> concat(t[i - 1], ' ', t[i]))"
+                # sequence(1, 0) is DESCENDING in Spark — a single-token doc
+                # needs the explicit empty branch (DuckDB's range(2, 2) is
+                # empty already)
+                "CASE WHEN size(t) < 2 THEN array()"
+                " ELSE transform(sequence(1, size(t) - 1),"
+                " i -> concat(t[i - 1], ' ', t[i])) END"
             )
         ).alias("bigram"),
     )
