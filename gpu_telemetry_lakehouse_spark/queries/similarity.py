@@ -371,3 +371,42 @@ def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.semdedup(
         emb, centroids=[list(c) for c in _IVF_CENTS], tau=SEMDEDUP_TAU
     )
+
+
+# --- product-quantization ANN (rows-only: learned codebooks are a fitted
+# index artifact; recall/compression invariants in tests/test_pq.py) ----------
+_PQ_MEMO: dict = {}
+
+
+def _pq_books_for(spark: SparkSession, sf_dir: str):
+    from ..operators import pq as PQ
+
+    key = (id(spark.sparkContext), sf_dir)
+    if key not in _PQ_MEMO:
+        emb = spread_input(load_table(spark, sf_dir, "embeddings"))
+        _PQ_MEMO[key] = PQ.pq_fit(emb, m=8, k=16)
+    return _PQ_MEMO[key]
+
+
+@query("knn_pq_adc", oracle=None)
+def knn_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ-compressed ANN (operators/pq.py): 8x4-bit codes per vector (32x
+    compression vs float32), asymmetric-distance scan over the code table,
+    exact re-rank of the top-50 candidates. Three anchor queries unioned;
+    recall vs brute force pinned in tests/test_pq.py."""
+    import numpy as np
+
+    from ..operators import pq as PQ
+
+    emb = spread_input(load_table(spark, sf_dir, "embeddings"))
+    books = _pq_books_for(spark, sf_dir)
+    codes = PQ.pq_encode(emb, books)
+    qrows = {
+        r["vec_id"]: np.array(r["embedding"], dtype=float)
+        for r in emb.filter(F.col("vec_id") < 3).collect()
+    }
+    out = None
+    for qid in sorted(qrows):
+        top = PQ.pq_adc_topk(codes, emb, books, qrows[qid], qid, k=5, rerank=50)
+        out = top if out is None else out.unionByName(top)
+    return out
