@@ -316,3 +316,123 @@ def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+# --- BPE tokenizer APPLICATION (the encode side of bpe_learn_merges) ---------
+# Apply all N learned merges to the corpus vocabulary and report the token-
+# count compression they buy: frequency-weighted symbol count before
+# (characters) vs after — the metric a tokenizer-training loop watches to
+# decide how many merges to learn. Same declarative chain as the learner,
+# extended one application step (the N-th merge is applied too), ending in
+# two scalar aggregates over the vocab-sized table.
+def _bpe_apply_oracle() -> str:
+    parts = [
+        """
+    WITH words AS (
+        SELECT token AS w, COUNT(*) AS c
+        FROM (SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS token
+              FROM documents)
+        GROUP BY 1
+    ),
+    it0 AS (
+        SELECT trim(regexp_replace(w, '(.)', '\\1 ', 'g')) AS seq, c FROM words
+    )"""
+    ]
+    for i in range(1, _BPE_ITERS + 1):
+        parts.append(f""",
+    p{i} AS (
+        SELECT pr, CAST(SUM(c) AS BIGINT) AS cnt FROM (
+            SELECT unnest(list_transform(range(2, len(s) + 1),
+                                         j -> s[j - 1] || ' ' || s[j])) AS pr, c
+            FROM (SELECT string_split(seq, ' ') AS s, c FROM it{i - 1})
+        ) GROUP BY 1
+    ),
+    b{i} AS (
+        SELECT split_part(pr, ' ', 1) AS a, split_part(pr, ' ', 2) AS b
+        FROM p{i} ORDER BY cnt DESC, pr LIMIT 1
+    ),
+    it{i} AS (
+        SELECT list_reduce(string_split(seq, ' '),
+                           (acc, x) -> {_BPE_FOLD_DUCK}) AS seq, c
+        FROM it{i - 1} CROSS JOIN b{i}
+    )""")
+    parts.append(f"""
+    SELECT before.v AS symbols_before,
+           after.v AS symbols_after,
+           {_BPE_ITERS} AS n_merges,
+           ROUND(CAST(after.v AS DOUBLE) / CAST(before.v AS DOUBLE), 6)
+               AS compression
+    FROM (SELECT CAST(SUM(c * len(string_split(seq, ' '))) AS BIGINT) AS v
+          FROM it0) before
+    CROSS JOIN (SELECT CAST(SUM(c * len(string_split(seq, ' '))) AS BIGINT) AS v
+                FROM it{_BPE_ITERS}) after
+    """)
+    return "".join(parts)
+
+
+@query("bpe_apply_stats", oracle=_bpe_apply_oracle())
+def bpe_apply_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    words = (
+        docs.select(F.explode(tokens(F.col("text"))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    it0 = words.select(
+        F.trim(F.regexp_replace("w", "(.)", "$1 ")).alias("seq"), "c"
+    )
+    cur = it0
+    for _ in range(_BPE_ITERS):
+        pairs = (
+            cur.select(
+                F.explode(
+                    F.expr(
+                        "CASE WHEN size(split(seq, ' ')) < 2 THEN array()"
+                        " ELSE transform(sequence(1, size(split(seq, ' ')) - 1),"
+                        " j -> concat(split(seq, ' ')[j - 1], ' ',"
+                        " split(seq, ' ')[j])) END"
+                    )
+                ).alias("pr"),
+                "c",
+            )
+            .groupBy("pr")
+            .agg(F.sum("c").alias("cnt"))
+        )
+        best = (
+            pairs.orderBy(F.col("cnt").desc(), F.col("pr"))
+            .limit(1)
+            .select(
+                F.split("pr", " ").getItem(0).alias("a"),
+                F.split("pr", " ").getItem(1).alias("b"),
+            )
+        )
+        cur = cur.crossJoin(F.broadcast(best)).select(
+            F.expr(
+                "aggregate(slice(split(seq, ' '), 2,"
+                " size(split(seq, ' ')) - 1), split(seq, ' ')[0],"
+                f" (acc, x) -> {_BPE_FOLD_SPARK})"
+            ).alias("seq"),
+            "c",
+        )
+
+    def weighted_symbols(df: DataFrame) -> DataFrame:
+        return df.agg(
+            F.sum(F.col("c") * F.size(F.split("seq", " "))).cast("long").alias("v")
+        )
+
+    before = weighted_symbols(it0)
+    after = weighted_symbols(cur)
+    return (
+        before.select(F.col("v").alias("symbols_before"))
+        .crossJoin(F.broadcast(after.select(F.col("v").alias("symbols_after"))))
+        .select(
+            "symbols_before",
+            "symbols_after",
+            F.lit(_BPE_ITERS).alias("n_merges"),
+            F.round(
+                F.col("symbols_after").cast("double")
+                / F.col("symbols_before").cast("double"),
+                6,
+            ).alias("compression"),
+        )
+    )
