@@ -834,3 +834,108 @@ def tdigest_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     qs = [0.01, 0.25, 0.5, 0.75, 0.95, 0.99]
     rows = [(q, round(SK.tdigest_quantile(m, w, q), 6)) for q in qs]
     return spark.createDataFrame(rows, "q double, value_est double")
+
+
+# --- shipping-latency distribution per priority ------------------------------
+# Order-to-ship latency (l_shipdate - o_orderdate) profiled per order
+# priority: exact integer-day latencies, quartiles via exact interpolated
+# percentiles, late-rate beyond a 60-day SLA. One join (lineitem streams,
+# orders dim on the join key) + one bounded-group aggregation.
+@query(
+    "ship_latency_by_priority",
+    oracle="""
+    WITH lat AS (
+        SELECT o.o_orderpriority,
+               CAST(date_diff('day', o.o_orderdate, l.l_shipdate) AS BIGINT)
+                   AS days
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    )
+    SELECT o_orderpriority,
+           COUNT(*) AS n_lines,
+           MIN(days) AS min_days,
+           ROUND(quantile_cont(days, 0.25), 6) AS p25_days,
+           ROUND(quantile_cont(days, 0.50), 6) AS median_days,
+           ROUND(quantile_cont(days, 0.75), 6) AS p75_days,
+           MAX(days) AS max_days,
+           CAST(SUM(CASE WHEN days > 60 THEN 1 ELSE 0 END) AS BIGINT)
+               AS late_lines
+    FROM lat GROUP BY 1
+    """,
+)
+def ship_latency_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    lat = li.join(o, li["l_orderkey"] == o["o_orderkey"]).select(
+        "o_orderpriority",
+        F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+        .cast("long")
+        .alias("days"),
+    )
+    return lat.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.min("days").alias("min_days"),
+        F.round(F.expr("percentile(days, 0.25)"), 6).alias("p25_days"),
+        F.round(F.expr("percentile(days, 0.50)"), 6).alias("median_days"),
+        F.round(F.expr("percentile(days, 0.75)"), 6).alias("p75_days"),
+        F.max("days").alias("max_days"),
+        F.sum(F.when(F.col("days") > 60, 1).otherwise(0)).alias("late_lines"),
+    )
+
+
+# --- market-concentration index (HHI) ----------------------------------------
+# Herfindahl-Hirschman index of supplier revenue concentration per nation:
+# HHI = sum over suppliers of (revenue share)^2, scaled by 1e4 as in
+# antitrust practice. Revenue stays in exact cents until the single final
+# division; the share squares are pure doubles of identical BIGINTs. The
+# supplier rollup bounds everything downstream.
+@query(
+    "hhi_supplier_concentration",
+    oracle="""
+    WITH rev AS (
+        SELECT s.s_nationkey, l.l_suppkey,
+               SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 100.0, 0)
+                        AS BIGINT)) AS cents
+        FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        GROUP BY 1, 2
+    ),
+    tot AS (SELECT s_nationkey, SUM(cents) AS t FROM rev GROUP BY 1)
+    SELECT r.s_nationkey AS nationkey,
+           COUNT(*) AS n_suppliers,
+           ROUND(SUM(CAST(ROUND(10000.0
+                     * (CAST(r.cents AS DOUBLE) / CAST(t.t AS DOUBLE))
+                     * (CAST(r.cents AS DOUBLE) / CAST(t.t AS DOUBLE))
+                     * 1000000.0, 0) AS BIGINT)) / 1000000.0, 4) AS hhi
+    FROM rev r JOIN tot t ON t.s_nationkey = r.s_nationkey
+    GROUP BY 1
+    """,
+)
+def hhi_supplier_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions import exact_sum
+
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    rev = (
+        li.join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .groupBy("s_nationkey", "l_suppkey")
+        .agg(
+            F.sum(
+                F.round(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100.0, 0
+                ).cast("long")
+            ).alias("cents")
+        )
+    )
+    tot = rev.groupBy("s_nationkey").agg(F.sum("cents").alias("t"))
+    share = F.col("cents").cast("double") / F.col("t").cast("double")
+    return (
+        rev.join(F.broadcast(tot), "s_nationkey")
+        .groupBy(F.col("s_nationkey").alias("nationkey"))
+        .agg(
+            F.count(F.lit(1)).alias("n_suppliers"),
+            # exact scaled-long sum: a plain double SUM would depend on
+            # partial-aggregation order across partitions
+            F.round(exact_sum(10000.0 * share * share, scale=6), 4).alias("hhi"),
+        )
+    )

@@ -571,3 +571,28 @@ def test_merge_upsert_pruned_rewrites_only_overlapping_files(spark, sf_dir, tmp_
         spark, upd.filter(F.lit(False)), t_pruned, key_cols=["o_orderkey"]
     ) is None
     assert T.current_version(t_pruned) == v_before
+
+
+def test_schema_evolution_add_column(spark, sf_dir, tmp_path):
+    """Schema evolution through the log: files written before a column
+    existed read back as NULL for it, and the snapshot schema is the union
+    (mergeSchema footer merge in tablog.read). The add-column commit is just
+    a normal append whose entry records the widened schema."""
+    from pyspark.sql import functions as F
+
+    from gpu_telemetry_lakehouse_spark import tablog as T
+
+    path = str(tmp_path / "evolving")
+    v0 = spark.range(3).select(F.col("id"), F.lit("a").alias("name"))
+    T.create_table(v0, path)
+    v1 = spark.range(3, 5).select(
+        F.col("id"), F.lit("b").alias("name"), F.lit(1.5).alias("score")
+    )
+    T.append(v1, path)
+    got = T.read(spark, path)
+    assert set(got.columns) == {"id", "name", "score"}
+    rows = {r["id"]: (r["name"], r["score"]) for r in got.collect()}
+    assert rows[0] == ("a", None) and rows[4] == ("b", 1.5)
+    # old snapshot still reads with the old schema
+    old = T.read(spark, path, version=0)
+    assert set(old.columns) == {"id", "name"}
