@@ -587,3 +587,169 @@ def source_lang_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("s_tot").alias("n_docs"),
         (F.sum(F.round(dp * 1000000, 0).cast("long")) / 1000000.0).alias("l1_drift"),
     )
+
+
+# --- n-gram novelty scoring (memorization diagnostic) ------------------------
+# Per document: the fraction of its distinct 5-grams that occur NOWHERE else
+# in the corpus (df == 1) — high novelty = unique content, low novelty =
+# boilerplate/duplication. The same posting-list shape as decontamination:
+# grams collapse to 8-byte hashes, one df aggregation (gram-vocab-sized),
+# flags join back to the per-doc distinct-gram stream.
+@query(
+    "ngram_novelty_docs",
+    oracle=f"""
+    WITH g AS (
+        SELECT DISTINCT doc_id,
+               CAST('0x' || substring(md5(
+                   list_aggregate(list_slice({TK}, i, i + 4), 'string_agg', ' ')
+               ), 1, 15) AS BIGINT) AS gh
+        FROM documents, LATERAL (
+            SELECT unnest(range(1, greatest(len({TK}) - 3, 1))) AS i
+        )
+    ),
+    df AS (SELECT gh, COUNT(*) AS d FROM g GROUP BY 1)
+    SELECT g.doc_id,
+           COUNT(*) AS n_grams,
+           CAST(SUM(CASE WHEN df.d = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS novel_grams,
+           ROUND(CAST(SUM(CASE WHEN df.d = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*), 6) AS novelty
+    FROM g JOIN df USING (gh)
+    GROUP BY 1
+    """,
+)
+def ngram_novelty_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions import md5_int, tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    toked = docs.select("doc_id", tokens(F.col("text")).alias("t"))
+    # row-local 5-gram construction over the hoisted token array, distinct
+    # per doc, hashed to 8 bytes before anything shuffles
+    grams = (
+        toked.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, greatest(size(t) - 4, 1)),"
+                    " i -> array_join(slice(t, i, 5), ' '))"
+                )
+            ).alias("gram"),
+        )
+        .select("doc_id", md5_int(F.col("gram")).alias("gh"))
+        .distinct()
+    )
+    df_tab = grams.groupBy("gh").agg(F.count(F.lit(1)).alias("d"))
+    return (
+        grams.join(df_tab, "gh")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.when(F.col("d") == 1, 1).otherwise(0)).alias("novel_grams"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "novel_grams",
+            F.round(F.col("novel_grams") / F.col("n_grams"), 6).alias("novelty"),
+        )
+    )
+
+
+# --- per-source dataset card -------------------------------------------------
+# The one-table summary a dataset release ships per source: volume (docs,
+# tokens, mean length), language purity (share of the majority language),
+# and exact-duplicate rate (docs whose full text hash appears more than once
+# within the source). Each signal is one bounded aggregation; the duplicate
+# rate reuses the exact-hash groupBy shape of dedup_exact_summary.
+@query(
+    "dataset_card_by_source",
+    oracle="""
+    WITH base AS (
+        SELECT source, doc_id, lang, n_chars,
+               len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
+               CAST('0x' || substring(md5(text), 1, 15) AS BIGINT) AS th
+        FROM documents
+    ),
+    dup AS (
+        SELECT source, th, COUNT(*) AS c FROM base GROUP BY 1, 2
+    ),
+    dup_rate AS (
+        SELECT source,
+               CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS dup_docs
+        FROM dup GROUP BY 1
+    ),
+    lang_mix AS (
+        SELECT source, lang, COUNT(*) AS lc FROM base GROUP BY 1, 2
+    ),
+    major AS (
+        SELECT source, lang AS top_lang, lc AS top_lc FROM (
+            SELECT source, lang, lc,
+                   ROW_NUMBER() OVER (PARTITION BY source
+                                      ORDER BY lc DESC, lang DESC) AS rn
+            FROM lang_mix
+        ) WHERE rn = 1
+    )
+    SELECT b.source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS tokens,
+           ROUND(AVG(CAST(n_chars AS DOUBLE)), 6) AS mean_chars,
+           m.top_lang,
+           ROUND(CAST(m.top_lc AS DOUBLE) / COUNT(*), 6) AS lang_purity,
+           d.dup_docs,
+           ROUND(CAST(d.dup_docs AS DOUBLE) / COUNT(*), 6) AS dup_rate
+    FROM base b
+    JOIN major m ON m.source = b.source
+    JOIN dup_rate d ON d.source = b.source
+    GROUP BY b.source, m.top_lang, m.top_lc, d.dup_docs
+    """,
+)
+def dataset_card_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions import md5_int, tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "source",
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.size(tokens(F.col("text"))).alias("n_tokens"),
+        md5_int(F.col("text")).alias("th"),
+    )
+    dup = base.groupBy("source", "th").agg(F.count(F.lit(1)).alias("c"))
+    dup_rate = dup.groupBy("source").agg(
+        F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(0)).alias("dup_docs")
+    )
+    lang_mix = base.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("lc"))
+    # majority language with a deterministic (count, lang) tie-break on both
+    # engines (struct max == ORDER BY lc DESC, lang DESC ... rn=1)
+    major = lang_mix.groupBy("source").agg(
+        F.max(F.struct(F.col("lc"), F.col("lang"))).alias("m")
+    ).select(
+        "source",
+        F.col("m.lang").alias("top_lang"),
+        F.col("m.lc").alias("top_lc"),
+    )
+    return (
+        base.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("tokens"),
+            F.round(F.avg(F.col("n_chars").cast("double")), 6).alias("mean_chars"),
+        )
+        .join(F.broadcast(major), "source")
+        .join(F.broadcast(dup_rate), "source")
+        .select(
+            "source",
+            "n_docs",
+            "tokens",
+            "mean_chars",
+            "top_lang",
+            F.round(F.col("top_lc").cast("double") / F.col("n_docs"), 6).alias(
+                "lang_purity"
+            ),
+            "dup_docs",
+            F.round(F.col("dup_docs").cast("double") / F.col("n_docs"), 6).alias(
+                "dup_rate"
+            ),
+        )
+    )
