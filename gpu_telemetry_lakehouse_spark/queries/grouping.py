@@ -281,3 +281,40 @@ def time_hierarchy_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("wk", "dy", "hr", "lvl", "n", "sum_value")
     )
+
+
+# --- aggregate rollup reuse (materialized-view pattern) ----------------------
+# Answer a MONTHLY question from DAILY partials instead of raw events — the
+# pre-aggregation reuse that makes 100 TB dashboards cheap: the daily layer
+# is orders of magnitude smaller than the stream, and additive measures
+# (count, exact scaled sum) fold losslessly. The oracle computes the monthly
+# answer DIRECTLY from raw events, so the hash-match proves the two-level
+# rollup exact, not approximately consistent.
+@query(
+    "rollup_reuse_monthly",
+    oracle="""
+    SELECT date_trunc('month', ts) AS mon,
+           event_type,
+           COUNT(*) AS n_events,
+           (SUM(CAST(ROUND(value * 10000.0, 0) AS BIGINT)) / 10000.0)
+               AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def rollup_reuse_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.date_trunc("day", "ts").alias("day"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        # keep the partial as the exact scaled long — additive, so the
+        # monthly fold below stays exact (divide back only at the end)
+        F.sum(F.round(F.col("value") * 10000.0, 0).cast("long")).alias("sv_l"),
+    )
+    return daily.groupBy(
+        F.date_trunc("month", "day").alias("mon"), "event_type"
+    ).agg(
+        F.sum("n_events").alias("n_events"),
+        (F.sum("sv_l") / F.lit(10000.0)).alias("sum_value"),
+    )

@@ -278,3 +278,66 @@ def test_sql_broadcast_hint_honored(spark, sf_dir):
     df = QUERIES["hinted_join_revenue"](spark, sf_dir)
     p = P.explain_formatted(df)
     assert p.count("BroadcastHashJoin") >= 2 and "SortMergeJoin" not in p, p[:1200]
+
+
+def test_partition_pruning_static_and_dynamic(spark, sf_dir, tmp_path):
+    """Partition pruning through joins, both flavors Spark offers:
+
+    1. dim filtered ON the join key -> Catalyst infers a STATIC partition
+       filter on the fact scan (constraint propagation, better than DPP —
+       no runtime subquery at all);
+    2. dim filtered on a NON-key column -> partition values are only known
+       at runtime, so a dynamicpruning subquery must be injected on the
+       fact scan (Spark DPP).
+
+    At 100 TB these decide whether a date/priority-partitioned fact table
+    scans every partition or only the dim-selected ones."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from gpu_telemetry_lakehouse_spark.catalog import load_table
+    from gpu_telemetry_lakehouse_spark.operators.scale import write_partitioned
+
+    fact = os.path.join(str(tmp_path), "orders_part")
+    o = load_table(spark, sf_dir, "orders").withColumn(
+        "prio", F.col("o_orderpriority")
+    )
+    write_partitioned(o, fact, ["prio"])
+    f = spark.read.parquet(fact)
+
+    # 1. static inference: literal key filter crosses the join onto the scan
+    dim_key = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_orderpriority").alias("prio"))
+        .distinct()
+    )
+    j1 = f.join(dim_key, "prio").groupBy("prio").count()
+    p1 = j1._jdf.queryExecution().executedPlan().toString()
+    assert any(
+        "PartitionFilters" in line and "1-URGENT" in line
+        for line in p1.splitlines()
+    ), p1[:1500]
+
+    # 2. runtime DPP: non-key predicate -> dynamicpruning subquery
+    dim_rt = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 400000)
+        .select(F.col("o_orderpriority").alias("prio"))
+        .distinct()
+    )
+    j2 = f.join(dim_rt, "prio").groupBy("prio").count()
+    p2 = j2._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in p2.lower(), p2[:1500]
+
+    # and both answer correctly
+    want1 = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .count()
+    )
+    assert {r["prio"]: r["count"] for r in j1.collect()} == {"1-URGENT": want1}
+    assert j2.groupBy().sum("count").first()[0] == f.join(
+        dim_rt, "prio"
+    ).count()
