@@ -725,3 +725,146 @@ def daily_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --- additive trend + weekday-seasonality forecast ---------------------------
+# 7-day-ahead daily event-count forecast per type: OLS linear trend over the
+# observed day index plus an additive ISO-weekday offset (mean residual per
+# weekday) — the classic decomposition baseline a capacity planner runs
+# before reaching for real models. Everything reduces to the (type × day)
+# daily table after one aggregation; trend moments and weekday offsets are
+# exact scaled-long sums, and the forecast rows are generated from a
+# row-local sequence (no data scan for the future spine).
+@query(
+    "forecast_daily_events",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, date_trunc('day', ts) AS d, COUNT(*) AS y
+        FROM events GROUP BY 1, 2
+    ),
+    idx AS (
+        SELECT event_type, d, y,
+               CAST(date_diff('day', MIN(d) OVER (PARTITION BY event_type), d)
+                    AS DOUBLE) AS x,
+               MAX(d) OVER (PARTITION BY event_type) AS last_d
+        FROM daily
+    ),
+    fit AS (
+        SELECT event_type, MAX(last_d) AS last_d, COUNT(*) AS n,
+               SUM(CAST(ROUND(x * 1000000.0, 0) AS BIGINT)) / 1000000.0 AS sx,
+               SUM(CAST(ROUND(CAST(y AS DOUBLE) * 1000000.0, 0) AS BIGINT))
+                   / 1000000.0 AS sy,
+               SUM(CAST(ROUND(x * x * 1000000.0, 0) AS BIGINT)) / 1000000.0 AS sxx,
+               SUM(CAST(ROUND(x * CAST(y AS DOUBLE) * 1000000.0, 0) AS BIGINT))
+                   / 1000000.0 AS sxy,
+               MAX(x) AS max_x
+        FROM idx GROUP BY 1
+    ),
+    coef AS (
+        SELECT event_type, last_d, max_x,
+               (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope,
+               (sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n
+                   AS intercept
+        FROM fit
+    ),
+    seas AS (
+        SELECT i.event_type, isodow(i.d) AS wd,
+               SUM(CAST(ROUND((CAST(i.y AS DOUBLE)
+                    - (c.intercept + c.slope * i.x)) * 1000000.0, 0) AS BIGINT))
+                   / 1000000.0 / COUNT(*) AS offset
+        FROM idx i JOIN coef c USING (event_type)
+        GROUP BY 1, 2
+    ),
+    future AS (
+        SELECT c.event_type, c.last_d, c.max_x, c.slope, c.intercept,
+               unnest(range(1, 8)) AS h
+        FROM coef c
+    )
+    SELECT f.event_type,
+           f.last_d + to_days(CAST(f.h AS INT)) AS forecast_day,
+           ROUND(f.intercept + f.slope * (f.max_x + f.h)
+                 + COALESCE(s.offset, 0.0), 4) AS forecast
+    FROM future f
+    LEFT JOIN seas s
+      ON s.event_type = f.event_type
+     AND s.wd = isodow(f.last_d + to_days(CAST(f.h AS INT)))
+    """,
+)
+def forecast_daily_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from ..functions import exact_sum
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("d")
+    ).agg(F.count(F.lit(1)).alias("y"))
+    w = W.partitionBy("event_type")
+    idx = daily.select(
+        "event_type",
+        "d",
+        "y",
+        F.datediff(F.col("d"), F.min("d").over(w)).cast("double").alias("x"),
+        F.max("d").over(w).alias("last_d"),
+    )
+    fit = idx.groupBy("event_type").agg(
+        F.max("last_d").alias("last_d"),
+        F.count(F.lit(1)).alias("n"),
+        exact_sum("x", scale=6).alias("sx"),
+        exact_sum(F.col("y").cast("double"), scale=6).alias("sy"),
+        exact_sum(F.col("x") * F.col("x"), scale=6).alias("sxx"),
+        exact_sum(F.col("x") * F.col("y").cast("double"), scale=6).alias("sxy"),
+        F.max("x").alias("max_x"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    coef = fit.select(
+        "event_type",
+        "last_d",
+        "max_x",
+        slope.alias("slope"),
+        ((F.col("sy") - slope * F.col("sx")) / F.col("n")).alias("intercept"),
+    )
+    resid = (
+        F.col("y").cast("double")
+        - (F.col("intercept") + F.col("slope") * F.col("x"))
+    )
+    seas = (
+        idx.join(F.broadcast(coef), "event_type")
+        .groupBy("event_type", F.expr("extract(dayofweek_iso FROM d)").alias("wd"))
+        .agg((exact_sum(resid, scale=6) / F.count(F.lit(1))).alias("offset"))
+    )
+    future = coef.select(
+        "event_type",
+        "last_d",
+        "max_x",
+        "slope",
+        "intercept",
+        F.explode(F.sequence(F.lit(1), F.lit(7))).alias("h"),
+    ).withColumn("forecast_day", F.expr("last_d + make_interval(0,0,0,h)"))
+    fut = future.alias("fut")
+    se = seas.select(
+        F.col("event_type").alias("s_event_type"), "wd", "offset"
+    ).alias("se")
+    return (
+        fut.join(
+            F.broadcast(se),
+            (F.col("fut.event_type") == F.col("se.s_event_type"))
+            & (
+                F.col("se.wd")
+                == F.expr("extract(dayofweek_iso FROM forecast_day)")
+            ),
+            "left",
+        )
+        .select(
+            F.col("fut.event_type").alias("event_type"),
+            "forecast_day",
+            F.round(
+                F.col("intercept")
+                + F.col("slope") * (F.col("max_x") + F.col("h"))
+                + F.coalesce(F.col("offset"), F.lit(0.0)),
+                4,
+            ).alias("forecast"),
+        )
+    )
