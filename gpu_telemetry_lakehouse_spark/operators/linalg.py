@@ -32,14 +32,19 @@ def gram_stats(df: DataFrame, vec_col: str = "embedding") -> tuple[int, np.ndarr
     ordered by partition id (mapInPandas preserves partition order in the
     collect), so the result is run-to-run deterministic for a fixed layout.
     """
-    dim = len(df.select(vec_col).first()[0])
-
     def _partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # dim is discovered from the first batch — no separate driver job
+        # (a .first() probe would launch one extra Spark job per fit call)
         n = 0
-        s = np.zeros(dim, dtype=np.float64)
-        g = np.zeros((dim, dim), dtype=np.float64)
+        s = g = None
         for pdf in batches:
+            if not len(pdf):
+                continue
             X = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            if s is None:
+                d = X.shape[1]
+                s = np.zeros(d, dtype=np.float64)
+                g = np.zeros((d, d), dtype=np.float64)
             n += X.shape[0]
             s += X.sum(axis=0)
             g += X.T @ X
@@ -53,13 +58,12 @@ def gram_stats(df: DataFrame, vec_col: str = "embedding") -> tuple[int, np.ndarr
         .mapInPandas(_partials, schema="n long, s array<double>, g array<double>")
         .collect()
     )
+    if not rows:
+        raise ValueError(f"gram_stats: no rows with a {vec_col!r} vector")
+    dim = len(rows[0]["s"])
     n = sum(r["n"] for r in rows)
-    s = np.sum([np.array(r["s"]) for r in rows], axis=0) if rows else np.zeros(dim)
-    g = (
-        np.sum([np.array(r["g"]).reshape(dim, dim) for r in rows], axis=0)
-        if rows
-        else np.zeros((dim, dim))
-    )
+    s = np.sum([np.array(r["s"]) for r in rows], axis=0)
+    g = np.sum([np.array(r["g"]).reshape(dim, dim) for r in rows], axis=0)
     return n, s, g
 
 
@@ -72,6 +76,8 @@ def pca_components(
     making each component's largest-|coordinate| entry positive, so the
     decomposition is deterministic under eigenvector sign ambiguity."""
     n, s, g = gram_stats(df, vec_col)
+    if n < 2:
+        raise ValueError("pca_components needs at least 2 rows")
     mu = s / n
     cov = (g - n * np.outer(mu, mu)) / (n - 1)
     vals, vecs = np.linalg.eigh(cov)  # ascending eigenvalues

@@ -149,6 +149,10 @@ def decode_wav(buf: bytes) -> tuple[int, np.ndarray]:
     audio_fmt, ch, rate, _, _, bits = fmt
     if audio_fmt != 1 or ch < 1:
         raise ValueError("unsupported WAV (PCM only)")
+    if rate <= 0:
+        # a zero rate would later divide-by-zero in audio_features — reject
+        # here so corrupt files map to decode_ok=false, never a dead task
+        raise ValueError("corrupt WAV: non-positive sample rate")
     if bits == 16:
         a = np.frombuffer(data, dtype="<i2", count=len(data) // 2)
     elif bits == 8:  # unsigned 8-bit -> center to int16 range
@@ -229,17 +233,41 @@ def real_decode(payload: bytes) -> tuple[int, int, np.ndarray]:
     raise ValueError("unrecognized media payload")
 
 
-def luma_grid(buf: bytes, out_w: int, out_h: int) -> np.ndarray:
-    """Decode an image payload and box-resample its luma plane to a flat
-    row-major (out_h * out_w) float32 grid — the real `resize` kernel."""
-    img = decode_image(buf).astype(np.float32) / 255.0
+def luma_grid(img_or_buf, out_w: int, out_h: int) -> np.ndarray:
+    """Box-resample an image's luma plane to a flat row-major
+    (out_h * out_w) float32 grid — the real `resize` kernel.
+
+    Accepts either raw payload bytes or an ALREADY-DECODED (h, w, 3) array
+    so callers that need dimensions + grid decode once, not twice. Every
+    output cell averages a non-empty source window (hi > lo per axis via
+    the +1 floor), so UPSCALING gathers nearest pixels instead of leaving
+    zero holes (the old scatter-by-source-pixel form emitted 0.0 for any
+    cell no source pixel mapped to — a mostly-black grid for a small white
+    image). Windows come from one integral image: O(h*w) regardless of
+    grid size.
+    """
+    img = (
+        img_or_buf
+        if isinstance(img_or_buf, np.ndarray)
+        else decode_image(img_or_buf)
+    ).astype(np.float32) / 255.0
     luma = 0.299 * img[..., 0] + 0.587 * img[..., 1] + 0.114 * img[..., 2]
     h, w = luma.shape
-    # Box resample via bincount over target-cell labels: each source pixel
-    # contributes to exactly one output cell; cells average their pixels.
-    yi = np.minimum((np.arange(h) * out_h) // max(h, 1), out_h - 1)
-    xi = np.minimum((np.arange(w) * out_w) // max(w, 1), out_w - 1)
-    labels = (yi[:, None] * out_w + xi[None, :]).ravel()
-    sums = np.bincount(labels, weights=luma.ravel(), minlength=out_h * out_w)
-    counts = np.bincount(labels, minlength=out_h * out_w)
-    return (sums / np.maximum(counts, 1)).astype(np.float32)
+
+    def bounds(src: int, out: int):
+        lo = (np.arange(out) * src) // out
+        hi = np.maximum((np.arange(1, out + 1) * src) // out, lo + 1)
+        return lo.astype(int), np.minimum(hi, src).astype(int)
+
+    ylo, yhi = bounds(h, out_h)
+    xlo, xhi = bounds(w, out_w)
+    integral = np.zeros((h + 1, w + 1), dtype=np.float64)
+    integral[1:, 1:] = luma.cumsum(axis=0).cumsum(axis=1)
+    cell = (
+        integral[yhi][:, xhi]
+        - integral[ylo][:, xhi]
+        - integral[yhi][:, xlo]
+        + integral[ylo][:, xlo]
+    )
+    counts = (yhi - ylo)[:, None] * (xhi - xlo)[None, :]
+    return (cell / counts).astype(np.float32).ravel()

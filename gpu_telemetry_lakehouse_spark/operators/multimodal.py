@@ -198,10 +198,10 @@ def resize(media: DataFrame, out_width: int = 8, out_height: int = 8, decode="re
                     continue
                 try:
                     if real:
-                        b = bytes(payload)
-                        img = decode_image(b)
+                        img = decode_image(bytes(payload))
                         h, w = img.shape[0], img.shape[1]
-                        px = luma_grid(b, out_width, out_height)
+                        # pass the decoded array: one parse per payload
+                        px = luma_grid(img, out_width, out_height)
                     else:
                         w, h, feat = decoder(bytes(payload))
                         feat = np.asarray(feat, dtype=np.float32)

@@ -53,6 +53,13 @@ def pq_fit(
         thresh = int((2**60) * (sample_rows / n))
         sampled = sampled.filter(md5_int(F.col(id_col).cast("string")) < thresh)
     rows = sampled.orderBy(id_col).collect()
+    if len(rows) < k:
+        # linspace over fewer than k sample rows would seed DUPLICATE
+        # centroids (degenerate codebooks with no warning); an empty table
+        # would index into nothing at all
+        raise ValueError(
+            f"pq_fit needs >= k={k} sample vectors, got {len(rows)}"
+        )
     X = np.array([r[1] for r in rows], dtype=np.float64)
     dim = X.shape[1]
     assert dim % m == 0, f"dim {dim} not divisible by m={m}"

@@ -38,6 +38,45 @@ _K1 = 1.2
 _B = 0.75
 
 
+def _bm25_summed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc Okapi BM25 score over _BM25_TERMS as an exact scaled-long sum
+    — the shared scoring core of bm25_search and rrf_hybrid_search (oracle
+    twins carry the same CTE chain). Returns (doc_id, bm25)."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("token"))
+    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    # corpus stats: ONE row — rides into every executor as a broadcast
+    stats = dl.groupBy().agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("total_len")
+    )
+    qtok = tok.filter(F.col("token").isin(_BM25_TERMS))
+    tf = qtok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = qtok.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    avgdl = F.col("total_len").cast("double") / F.col("n_docs").cast("double")
+    idf = F.log(
+        1.0
+        + (F.col("n_docs").cast("double") - F.col("df").cast("double") + 0.5)
+        / (F.col("df").cast("double") + 0.5)
+    )
+    term_score = (
+        idf
+        * (F.col("tf").cast("double") * (_K1 + 1.0))
+        / (
+            F.col("tf").cast("double")
+            + _K1 * (1.0 - _B + _B * F.col("dl").cast("double") / avgdl)
+        )
+    )
+    scored = (
+        tf.join(F.broadcast(dfreq), "token")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", term_score.alias("term_score"))
+    )
+    return scored.groupBy("doc_id").agg(
+        exact_sum("term_score", scale=6).alias("bm25")
+    )
+
+
 @query(
     "bm25_search",
     oracle=f"""
@@ -91,43 +130,9 @@ _B = 0.75
     """,
 )
 def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    tok = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("token"))
-    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
-    # corpus stats: ONE row — rides into every executor as a broadcast
-    stats = dl.groupBy().agg(
-        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("total_len")
-    )
-    qtok = tok.filter(F.col("token").isin(_BM25_TERMS))
-    tf = qtok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
-    dfreq = qtok.groupBy("token").agg(
-        F.countDistinct("doc_id").alias("df")
-    )
-    avgdl = F.col("total_len").cast("double") / F.col("n_docs").cast("double")
-    idf = F.log(
-        1.0
-        + (F.col("n_docs").cast("double") - F.col("df").cast("double") + 0.5)
-        / (F.col("df").cast("double") + 0.5)
-    )
-    term_score = (
-        idf
-        * (F.col("tf").cast("double") * (_K1 + 1.0))
-        / (
-            F.col("tf").cast("double")
-            + _K1 * (1.0 - _B + _B * F.col("dl").cast("double") / avgdl)
-        )
-    )
-    scored = (
-        tf.join(F.broadcast(dfreq), "token")
-        .join(dl, "doc_id")
-        .crossJoin(F.broadcast(stats))
-        .select("doc_id", term_score.alias("term_score"))
-    )
-    summed = scored.groupBy("doc_id").agg(
-        exact_sum("term_score", scale=6).alias("bm25")
-    )
     from pyspark.sql import Window as W
 
+    summed = _bm25_summed(spark, sf_dir)
     w = W.orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
     return (
         summed.withColumn("rk", F.row_number().over(w))
@@ -456,6 +461,38 @@ def _edges_sql() -> str:
     """
 
 
+def _couser_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric co-activity edge list (u, v) shared by the graph queries
+    (pagerank_cousers, kcore_peel_trace): users co-active in >= _PR_W
+    (hour, event_type) buckets. localCheckpoint'ed — every iterative
+    consumer re-reads it at least twice and the co-activity self-join must
+    not re-run per round (the oracle twin is _edges_sql)."""
+    ev = load_table(spark, sf_dir, "events")
+    b = ev.select(
+        "user_id",
+        F.date_trunc("hour", "ts").alias("h"),
+        F.col("event_type").alias("et"),
+    ).distinct()
+    a_side = b.select(F.col("user_id").alias("u"), "h", "et")
+    c_side = b.select(
+        F.col("user_id").alias("v"), F.col("h").alias("h2"), F.col("et").alias("et2")
+    )
+    e = (
+        a_side.join(
+            c_side,
+            (F.col("h") == F.col("h2"))
+            & (F.col("et") == F.col("et2"))
+            & (F.col("u") < F.col("v")),
+        )
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("w"))
+        .filter(F.col("w") >= _PR_W)
+        .select("u", "v")
+    )
+    sym = e.unionAll(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    return sym.localCheckpoint(eager=False)
+
+
 def _pr_iter_sql(prev: str, out: str) -> str:
     # rank state rl is the scaled-long rank (×1e12); every round() here is
     # scale-0 over an identical double on both engines (see block comment)
@@ -501,35 +538,7 @@ def _pr_iter_sql(prev: str, out: str) -> str:
     """,
 )
 def pagerank_cousers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
-    b = ev.select(
-        "user_id",
-        F.date_trunc("hour", "ts").alias("h"),
-        F.col("event_type").alias("et"),
-    ).distinct()
-    a_side = b.select(F.col("user_id").alias("u"), "h", "et")
-    c_side = b.select(
-        F.col("user_id").alias("v"), F.col("h").alias("h2"), F.col("et").alias("et2")
-    )
-    e = (
-        a_side.join(
-            c_side,
-            (F.col("h") == F.col("h2"))
-            & (F.col("et") == F.col("et2"))
-            & (F.col("u") < F.col("v")),
-        )
-        .groupBy("u", "v")
-        .agg(F.count(F.lit(1)).alias("w"))
-        .filter(F.col("w") >= _PR_W)
-        .select("u", "v")
-    )
-    sym = e.unionAll(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
-    # materialize the edge list ONCE: each of the 3 iterations joins against
-    # sym/deg, and without truncation the co-activity self-join would re-run
-    # per iteration (measured 105 exchanges in the un-truncated plan).
-    # localCheckpoint = the dedup_clusters iterative-lineage pattern; on a
-    # real cluster this is a reliable-checkpoint/cache of the edge RDD.
-    sym = sym.localCheckpoint(eager=False)
+    sym = _couser_edges(spark, sf_dir)
     nodes = sym.select(F.col("u").alias("user_id")).distinct()
     ncount = nodes.groupBy().agg(F.count(F.lit(1)).alias("n"))
     deg = sym.groupBy(F.col("u").alias("user_id")).agg(
@@ -657,44 +666,11 @@ def rrf_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions import dot_raw
     from ..operators.similarity import with_norm
 
-    docs = load_table(spark, sf_dir, "documents")
-    tok = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("token"))
-    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
-    stats = dl.groupBy().agg(
-        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("total_len")
-    )
-    qtok = tok.filter(F.col("token").isin(_BM25_TERMS))
-    tf = qtok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
-    dfreq = qtok.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
-    avgdl = F.col("total_len").cast("double") / F.col("n_docs").cast("double")
-    idf = F.log(
-        1.0
-        + (F.col("n_docs").cast("double") - F.col("df").cast("double") + 0.5)
-        / (F.col("df").cast("double") + 0.5)
-    )
-    term_score = (
-        idf
-        * (F.col("tf").cast("double") * (_K1 + 1.0))
-        / (
-            F.col("tf").cast("double")
-            + _K1 * (1.0 - _B + _B * F.col("dl").cast("double") / avgdl)
-        )
-    )
-    scored = (
-        tf.join(F.broadcast(dfreq), "token")
-        .join(dl, "doc_id")
-        .crossJoin(F.broadcast(stats))
-        .select("doc_id", term_score.alias("term_score"))
-    )
-    lex = (
-        scored.groupBy("doc_id")
-        .agg(exact_sum("term_score", scale=6).alias("bm25"))
-        .select(
-            "doc_id",
-            F.row_number()
-            .over(W.orderBy(F.col("bm25").desc(), F.col("doc_id").asc()))
-            .alias("rk_lex"),
-        )
+    lex = _bm25_summed(spark, sf_dir).select(
+        "doc_id",
+        F.row_number()
+        .over(W.orderBy(F.col("bm25").desc(), F.col("doc_id").asc()))
+        .alias("rk_lex"),
     )
     emb = load_table(spark, sf_dir, "embeddings")
     q = with_norm(
@@ -780,32 +756,7 @@ _KCORE_K = 3
     """,
 )
 def kcore_peel_trace(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
-    b = ev.select(
-        "user_id",
-        F.date_trunc("hour", "ts").alias("h"),
-        F.col("event_type").alias("et"),
-    ).distinct()
-    a_side = b.select(F.col("user_id").alias("u"), "h", "et")
-    c_side = b.select(
-        F.col("user_id").alias("v"), F.col("h").alias("h2"), F.col("et").alias("et2")
-    )
-    e = (
-        a_side.join(
-            c_side,
-            (F.col("h") == F.col("h2"))
-            & (F.col("et") == F.col("et2"))
-            & (F.col("u") < F.col("v")),
-        )
-        .groupBy("u", "v")
-        .agg(F.count(F.lit(1)).alias("w"))
-        .filter(F.col("w") >= _PR_W)
-        .select("u", "v")
-    )
-    sym = e.unionAll(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
-    # materialize once — each peel round re-reads the current edge list
-    # twice (degree + restriction) and the next round builds on it
-    sym = sym.localCheckpoint(eager=False)
+    sym = _couser_edges(spark, sf_dir)
     out = None
     for r in range(1, 4):
         keep = (

@@ -127,6 +127,18 @@ def _file_stats(full_path: str, stat_cols: list[str]) -> dict[str, list]:
     return stats
 
 
+def _file_size(path: str, f: dict) -> int:
+    """Live size of an add-entry: the logged 'bytes' field when present,
+    else a guarded filesystem stat — a HISTORICAL version's files may have
+    been vacuumed since (auditing must degrade to size 0, not
+    FileNotFoundError; ADVICE r2), and a file can vanish between a snapshot
+    read and the stat under a concurrent vacuum."""
+    if f.get("bytes"):
+        return f["bytes"]
+    full = os.path.join(path, f["file"])
+    return os.path.getsize(full) if os.path.exists(full) else 0
+
+
 def _stage_files(df: DataFrame, path: str, stat_cols: list[str]) -> list[dict]:
     """Write df's partitions as uniquely-named parquet files in the table dir
     (invisible until a log entry lists them); return add-actions with stats."""
@@ -434,15 +446,29 @@ def merge_upsert_pruned(
     key = key_cols[0]
     rv = current_version(path)
     files = snapshot_files(path, rv)
-    lo, hi, n_keys = updates.agg(
-        F.min(key), F.max(key), F.count_distinct(key)
+    lo, hi, n_keys, n_rows = updates.agg(
+        F.min(key), F.max(key), F.count_distinct(key), F.count(F.lit(1))
     ).first()
-    if lo is None:  # empty update set: MERGE is a no-op, commit nothing
+    if n_rows == 0:  # empty update set: MERGE is a no-op, commit nothing
         return None
+    if lo is None:
+        # every update key is NULL: NULL never equals any stored key, so no
+        # file can match — the whole batch is inserts (merge_upsert would
+        # append them all; min(key) being NULL must not silently no-op)
+        adds = _stage_files(updates, path, stat_cols or [])
+        actions = {"operation": "merge_pruned", "add": adds, "remove": [],
+                   "schema": updates.schema.json()}
+        if batch_id is not None:
+            actions["batch_id"] = batch_id
+        return _commit(path, actions, read_version=rv)
 
     if n_keys <= max_probe_keys:
+        # NULL keys can't match stored rows — probe only the non-null keys
+        # (sorted() would TypeError on a None among comparables otherwise)
         probe = sorted(
-            _canon_stat(r[0]) for r in updates.select(key).distinct().collect()
+            _canon_stat(r[0])
+            for r in updates.select(key).distinct().collect()
+            if r[0] is not None
         )
 
         def hits(stat: list) -> bool:
@@ -632,17 +658,7 @@ def table_stats(path: str, version: int | None = None) -> dict:
     job reads before deciding to compact/Z-order/vacuum."""
     files = snapshot_files(path, version)
 
-    # 'bytes' rides in the add-action; fall back to the filesystem for
-    # entries committed before the field existed — guarded, because a
-    # HISTORICAL version's files may have been vacuumed since (auditing
-    # must degrade to size-0, not FileNotFoundError; ADVICE r2).
-    def _size(f: dict) -> int:
-        if f.get("bytes"):
-            return f["bytes"]
-        full = os.path.join(path, f["file"])
-        return os.path.getsize(full) if os.path.exists(full) else 0
-
-    sizes = [_size(f) for f in files]
+    sizes = [_file_size(path, f) for f in files]
     return {
         "version": version if version is not None else current_version(path),
         "n_files": len(files),
@@ -666,17 +682,7 @@ def maybe_compact(
     Returns the new version, or None when the layout is already healthy.
     The maintenance loop a scheduler runs after every streaming day."""
     files = snapshot_files(path)
-
-    # Same guarded fallback as table_stats: a file can vanish between the
-    # snapshot read and the stat (concurrent vacuum) — treat it as size 0
-    # rather than aborting the maintenance pass.
-    def _sz(f: dict) -> int:
-        if f.get("bytes"):
-            return f["bytes"]
-        full = os.path.join(path, f["file"])
-        return os.path.getsize(full) if os.path.exists(full) else 0
-
-    small = sum(1 for f in files if _sz(f) < small_bytes)
+    small = sum(1 for f in files if _file_size(path, f) < small_bytes)
     if small < min_small:
         return None
     return compact(spark, path, stat_cols)

@@ -596,3 +596,36 @@ def test_schema_evolution_add_column(spark, sf_dir, tmp_path):
     # old snapshot still reads with the old schema
     old = T.read(spark, path, version=0)
     assert set(old.columns) == {"id", "name"}
+
+
+def test_pruned_merge_null_keys_match_unpruned(spark, sf_dir, tmp_path):
+    """NULL update keys must behave identically in the pruned and unpruned
+    MERGE: NULL never matches a stored key, so NULL-keyed rows are pure
+    inserts — never a TypeError in the probe sort, never a silent no-op."""
+    from pyspark.sql import functions as F
+
+    from gpu_telemetry_lakehouse_spark import tablog as T
+
+    base = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k int, v string"
+    )
+    p1, p2 = str(tmp_path / "pruned"), str(tmp_path / "plain")
+    T.create_table(base, p1, stat_cols=["k"])
+    T.create_table(base, p2, stat_cols=["k"])
+
+    # mixed NULL + real keys, few enough for the probe path
+    upd = spark.createDataFrame(
+        [(None, "x"), (2, "B")], "k int, v string"
+    )
+    T.merge_upsert_pruned(spark, upd, p1, ["k"], stat_cols=["k"])
+    T.merge_upsert(spark, upd, p2, ["k"], stat_cols=["k"])
+    got = sorted(T.read(spark, p1).collect(), key=lambda r: (r[0] is None, r[0] or 0, r[1]))
+    want = sorted(T.read(spark, p2).collect(), key=lambda r: (r[0] is None, r[0] or 0, r[1]))
+    assert got == want
+
+    # ALL-NULL keys: must append as inserts, not return None silently
+    upd2 = spark.createDataFrame([(None, "y")], "k int, v string")
+    v = T.merge_upsert_pruned(spark, upd2, p1, ["k"], stat_cols=["k"])
+    assert v is not None
+    vals = {r["v"] for r in T.read(spark, p1).collect()}
+    assert "y" in vals
