@@ -868,3 +868,69 @@ def forecast_daily_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("forecast"),
         )
     )
+
+
+# --- marketing-style last-touch attribution ----------------------------------
+# Attribute each purchase to the user's most recent PRECEDING non-purchase
+# event within a 7-day lookback — the last-touch model every growth team
+# starts from. One window pass over the user-partitioned, (ts, event_id)-
+# ordered stream: carry the latest non-purchase (ts, type) forward with a
+# last_value(ignore nulls) frame, emit attributions at purchase rows, then
+# roll up by attributed channel. The ordering key is total (event_id ties),
+# so both engines replay the identical carry.
+@query(
+    "attribution_last_touch",
+    oracle="""
+    WITH ordered AS (
+        SELECT user_id, ts, event_id, event_type,
+               LAST_VALUE(CASE WHEN event_type <> 'purchase'
+                               THEN event_type END IGNORE NULLS)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS prev_type,
+               LAST_VALUE(CASE WHEN event_type <> 'purchase'
+                               THEN ts END IGNORE NULLS)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS prev_ts
+        FROM events
+    ),
+    attributed AS (
+        SELECT CASE WHEN prev_ts IS NOT NULL
+                     AND ts - prev_ts <= INTERVAL 7 DAY
+                    THEN prev_type ELSE 'unattributed' END AS channel
+        FROM ordered WHERE event_type = 'purchase'
+    )
+    SELECT channel, COUNT(*) AS purchases FROM attributed GROUP BY 1
+    """,
+)
+def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    np_type = F.when(F.col("event_type") != "purchase", F.col("event_type"))
+    np_ts = F.when(F.col("event_type") != "purchase", F.col("ts"))
+    ordered = ev.select(
+        "user_id",
+        "ts",
+        "event_type",
+        F.last(np_type, ignorenulls=True).over(w).alias("prev_type"),
+        F.last(np_ts, ignorenulls=True).over(w).alias("prev_ts"),
+    )
+    attributed = ordered.filter(F.col("event_type") == "purchase").select(
+        F.when(
+            F.col("prev_ts").isNotNull()
+            & (F.col("ts") <= F.col("prev_ts") + F.expr("INTERVAL 7 DAY")),
+            F.col("prev_type"),
+        )
+        .otherwise("unattributed")
+        .alias("channel")
+    )
+    return attributed.groupBy("channel").agg(
+        F.count(F.lit(1)).alias("purchases")
+    )
