@@ -173,3 +173,41 @@ def tdigest_merge(digests, delta: int = 100):
     if not ms:
         return np.empty(0), np.empty(0)
     return _compress(np.concatenate(ms), np.concatenate(ws), delta)
+
+
+def tdigest_group_quantiles(
+    df: DataFrame,
+    group_cols: list[str],
+    col: str,
+    qs: list[float],
+    delta: int = 100,
+) -> DataFrame:
+    """Per-group quantile estimates via one t-digest per group
+    (``applyInPandas``): the sketch tier of exact grouped ``percentile``.
+
+    Exact percentile shuffles EVERY value to its group and sorts; this
+    shuffles values once (the same groupBy exchange) but each group then
+    reduces to an O(delta) digest in its task — and unlike exact sort-based
+    percentile the digests could be further pre-aggregated per partition
+    and merged (``tdigest_merge``) for re-aggregatable rollup tables. Rank
+    error vs exact is pinned in tests/test_sketch_tdigest.py.
+    """
+    import numpy as np
+
+    out_fields = ", ".join(f"q{str(q).replace('.', '_')} double" for q in qs)
+    gcols_schema = ", ".join(
+        f"{c} {df.schema[c].dataType.simpleString()}" for c in group_cols
+    )
+
+    def per_group(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        x = pdf[col].to_numpy(dtype="float64")
+        x = x[~pd.isna(x)]
+        m, w = _compress(x, np.ones(len(x)), delta)
+        row = list(key) + [
+            float(tdigest_quantile(m, w, q)) if len(x) else None for q in qs
+        ]
+        return pd.DataFrame([row])
+
+    return df.select(*group_cols, col).groupBy(*group_cols).applyInPandas(
+        per_group, schema=f"{gcols_schema}, {out_fields}"
+    )

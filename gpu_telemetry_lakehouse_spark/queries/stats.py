@@ -939,3 +939,18 @@ def hhi_supplier_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(exact_sum(10000.0 * share * share, scale=6), 4).alias("hhi"),
         )
     )
+
+
+# --- grouped t-digest quantiles (rows-only: sketch path of the flagship's
+# exact percentile; accuracy pinned in tests/test_sketch_tdigest.py) ---------
+@query("tdigest_daily_value_p95")
+def tdigest_daily_value_p95(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day p50/p95 of events.value via one t-digest per day
+    (operators/sketch.py::tdigest_group_quantiles) — what gold_daily_util's
+    exact percentile becomes at the 100 TB tier, where per-group digests
+    are also mergeable into weekly/monthly rollups without re-scanning."""
+    from ..operators import sketch as SK
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.select(F.date_trunc("day", "ts").alias("day"), "value")
+    return SK.tdigest_group_quantiles(daily, ["day"], "value", [0.5, 0.95])

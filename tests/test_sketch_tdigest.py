@@ -98,3 +98,38 @@ def test_streaming_digest_matches_batch(spark, sf_dir, tmp_path, fitted):
         b = SK.tdigest_quantile(m_s, w_s, qq)
         assert abs(a - b) <= 0.05 * (1 + abs(a)), (qq, a, b)
     shutil.rmtree(src, ignore_errors=True)
+
+
+def test_grouped_digest_tracks_exact_percentiles(spark, sf_dir):
+    """Per-day digest p50/p95 must sit within digest RANK accuracy of the
+    exact distribution, every day — t-digest bounds rank error, not value
+    error (a heavy-tailed value axis can stretch small rank errors into
+    large value gaps, so asserting value closeness would be wrong)."""
+    from pyspark.sql import functions as F
+
+    from gpu_telemetry_lakehouse_spark.catalog import load_table
+    from gpu_telemetry_lakehouse_spark.operators.sketch import (
+        tdigest_group_quantiles,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.select(F.date_trunc("day", "ts").alias("day"), "value")
+    est = {
+        r["day"]: (r["q0_5"], r["q0_95"])
+        for r in tdigest_group_quantiles(daily, ["day"], "value", [0.5, 0.95]).collect()
+    }
+    import numpy as np
+
+    vals = {}
+    for r in daily.collect():
+        vals.setdefault(r["day"], []).append(r["value"])
+    assert set(est) == set(vals)
+    for day, (e50, e95) in est.items():
+        v = np.sort(np.array(vals[day], dtype=float))
+        for q, e in ((0.5, e50), (0.95, e95)):
+            lo = np.searchsorted(v, e, side="left") / len(v)
+            hi = np.searchsorted(v, e, side="right") / len(v)
+            # q inside the estimate's [lo, hi] rank interval (tie runs /
+            # interpolation between neighbors) is a perfect estimate
+            err = 0.0 if lo <= q <= hi else min(abs(lo - q), abs(hi - q))
+            assert err <= 0.02, (day, q, e, lo, hi)
