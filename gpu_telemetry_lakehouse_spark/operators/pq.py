@@ -182,3 +182,113 @@ def pq_adc_topk(
         .withColumn("rn", F.row_number().over(w2))
         .filter(F.col("rn") <= k)
     )
+
+
+# --------------------------------------------------------------------------
+# IVF-PQ: coarse inverted-file routing composed with PQ codes — the full
+# FAISS IVFADC recipe. The coarse quantizer (operators/similarity.py
+# centroids) prunes the scan to n_probe clusters; within them the ADC table
+# scores 8-byte codes; the exact re-rank restores top-k quality. At 100 TB
+# the codes table is also naturally PARTITIONED BY cluster, so the probe
+# filter becomes partition pruning — the scan literally skips files.
+# --------------------------------------------------------------------------
+
+
+def ivfpq_encode(
+    vectors: DataFrame,
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """One row-local pass -> (id, cluster, codes): coarse argmax-cosine
+    cluster (literal centroids) + PQ codes (literal codebooks)."""
+    from .similarity import _assign_expr, with_norm
+
+    m = len(codebooks)
+    sub = len(codebooks[0][0])
+    v = with_norm(vectors, vec_col, "v", "nrm")
+    codes = F.array(
+        *[_sub_code_expr(F.col(vec_col), codebooks[j], j, sub) for j in range(m)]
+    )
+    return v.select(
+        F.col(id_col),
+        _assign_expr(centroids).alias("cluster"),
+        codes.alias("codes"),
+    )
+
+
+def ivfpq_topk(
+    encoded: DataFrame,
+    vectors: DataFrame,
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    query,
+    query_id,
+    n_probe: int = 2,
+    k: int = 10,
+    rerank: int = 50,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Probe the ``n_probe`` nearest coarse clusters, ADC-score only their
+    codes, exact re-rank the survivors. Probe selection is a driver-side
+    numpy argmax over the (tiny) centroid matrix."""
+    import numpy as np
+
+    from pyspark.sql import Window as W
+
+    q = np.asarray(query, dtype=np.float64)
+    C = np.array(centroids, dtype=np.float64)
+    sims = (C @ q) / (np.linalg.norm(C, axis=1) * np.linalg.norm(q) + 1e-12)
+    probes = [int(i) for i in np.argsort(-sims, kind="stable")[:n_probe]]
+
+    m = len(codebooks)
+    sub = len(codebooks[0][0])
+    table = [
+        [
+            float(((q[j * sub : (j + 1) * sub] - np.array(c)) ** 2).sum())
+            for c in codebooks[j]
+        ]
+        for j in range(m)
+    ]
+    lit_table = F.array(*[F.array(*[F.lit(x) for x in row]) for row in table])
+    adc = F.aggregate(
+        F.zip_with(
+            lit_table,
+            F.col("codes"),
+            lambda row, code: F.element_at(row, code + 1),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    w = W.orderBy(F.col("adc_dist").asc(), F.col(id_col).asc())
+    cands = (
+        encoded.filter(
+            F.col("cluster").isin(probes) & (F.col(id_col) != query_id)
+        )
+        .select(id_col, adc.alias("adc_dist"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= rerank)
+        .select(id_col, "adc_dist")
+    )
+    qlit = F.array(*[F.lit(float(x)) for x in q])
+    exact = F.aggregate(
+        F.zip_with(
+            F.col(vec_col).cast("array<double>"), qlit, lambda a, b: (a - b) * (a - b)
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    w2 = W.orderBy(F.col("exact_dist").asc(), F.col("neighbor_id").asc())
+    return (
+        vectors.join(F.broadcast(cands), id_col)
+        .select(
+            F.lit(int(query_id)).alias("query_id"),
+            F.col(id_col).alias("neighbor_id"),
+            F.round(exact, 6).alias("exact_dist"),
+            F.round("adc_dist", 6).alias("adc_dist"),
+        )
+        .withColumn("rn", F.row_number().over(w2))
+        .filter(F.col("rn") <= k)
+    )

@@ -410,3 +410,30 @@ def knn_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
         top = PQ.pq_adc_topk(codes, emb, books, qrows[qid], qid, k=5, rerank=50)
         out = top if out is None else out.unionByName(top)
     return out
+
+
+@query("knn_ivfpq", oracle=None)
+def knn_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed IVF-PQ ANN (operators/pq.py): coarse 8-cluster routing with
+    n_probe=4 + 8x4-bit ADC within the probed clusters + exact re-rank.
+    Probe pruning means only ~half the code table is scanned per query;
+    recall and pruning invariants in tests/test_pq.py."""
+    import numpy as np
+
+    from ..operators import pq as PQ
+
+    emb = spread_input(load_table(spark, sf_dir, "embeddings"))
+    books = _pq_books_for(spark, sf_dir)
+    cents = _centroids_for(spark, sf_dir, 8)
+    enc = PQ.ivfpq_encode(emb, cents, books)
+    qrows = {
+        r["vec_id"]: np.array(r["embedding"], dtype=float)
+        for r in emb.filter(F.col("vec_id") < 3).collect()
+    }
+    out = None
+    for qid in sorted(qrows):
+        top = PQ.ivfpq_topk(
+            enc, emb, cents, books, qrows[qid], qid, n_probe=4, k=5, rerank=50
+        )
+        out = top if out is None else out.unionByName(top)
+    return out

@@ -54,3 +54,37 @@ def test_adc_rerank_recall_vs_brute(fitted):
                 float(dist[ids == r["neighbor_id"]][0]), abs=1e-4
             )
     assert sum(recalls) / len(recalls) >= 0.6, recalls
+
+
+def test_ivfpq_prunes_and_recalls(spark, sf_dir, fitted):
+    """IVF-PQ: the probe filter must scan strictly fewer codes than the full
+    table, and recall@10 with n_probe=4/8 + re-rank must stay usable."""
+    from gpu_telemetry_lakehouse_spark.operators.similarity import (
+        kmeans_centroids,
+    )
+
+    emb, books = fitted
+    cents = kmeans_centroids(emb, n_clusters=8)
+    enc = PQ.ivfpq_encode(emb, cents, books)
+    total = enc.count()
+    rows = emb.collect()
+    X = np.array([r["embedding"] for r in rows], dtype=float)
+    ids = np.array([r["vec_id"] for r in rows])
+    recalls = []
+    for qid in (0, 1, 2):
+        q = X[ids == qid][0]
+        res = PQ.ivfpq_topk(enc, emb, cents, books, q, qid, n_probe=4, k=10,
+                            rerank=50).collect()
+        got = {r["neighbor_id"] for r in res}
+        dist = ((X - q) ** 2).sum(1)
+        order = np.argsort(dist, kind="stable")
+        truth = [int(ids[i]) for i in order if ids[i] != qid][:10]
+        recalls.append(len(got & set(truth)) / 10)
+    # pruning: 4 of 8 clusters probed -> strictly less than the full table
+    C = np.array(cents)
+    q = X[ids == 0][0]
+    sims = (C @ q) / (np.linalg.norm(C, axis=1) * np.linalg.norm(q) + 1e-12)
+    probes = list(np.argsort(-sims, kind="stable")[:4])
+    scanned = enc.filter(F.col("cluster").isin([int(p) for p in probes])).count()
+    assert scanned < total
+    assert sum(recalls) / len(recalls) >= 0.4, recalls
