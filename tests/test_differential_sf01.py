@@ -48,6 +48,11 @@ HEAVY_SLICE = [
     "bigram_perplexity_docs",
     "psi_source_drift",
     "kcore_peel_trace",
+    "bpe_learn_merges",
+    "bpe_apply_stats",
+    "ngram_novelty_docs",
+    "forecast_daily_events",
+    "ship_latency_by_priority",
     # setsim_join_prefix deliberately NOT here: the synthetic docs corpus is
     # a ~30-token vocabulary soup, the worst case for prefix filtering
     # (every pair is a candidate) — ~160 s at sf0.1, dominated by the naive
