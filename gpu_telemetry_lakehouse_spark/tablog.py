@@ -619,6 +619,33 @@ def read_incremental(
     return df, tip
 
 
+def restore(path: str, to_version: int) -> int:
+    """RESTORE the table to a previous snapshot as a NEW commit (the Delta
+    RESTORE semantic): the target version's file set becomes the live set,
+    current-only files are removed, and history is preserved — time travel
+    still reaches every intermediate version, and the restore itself is one
+    atomic, conflict-checked log entry (no data is copied or rewritten;
+    only membership changes). Requires the restored files to still exist,
+    i.e. not vacuumed away."""
+    rv = current_version(path)
+    want = {a["file"]: a for a in snapshot_files(path, to_version)}
+    have = {a["file"] for a in snapshot_files(path, rv)}
+    missing = [f for f in want if not os.path.exists(os.path.join(path, f))]
+    if missing:
+        raise FileNotFoundError(
+            f"restore to v{to_version}: {len(missing)} files vacuumed away "
+            f"(first: {missing[0]})"
+        )
+    adds = [a for f, a in want.items() if f not in have]
+    removes = [f for f in have if f not in want]
+    schema = _read_entry(path, to_version).get("schema")
+    actions = {"operation": "restore", "restored_version": to_version,
+               "add": adds, "remove": removes}
+    if schema:
+        actions["schema"] = schema
+    return _commit(path, actions, read_version=rv)
+
+
 def vacuum(path: str, keep_versions: int = 1) -> list[str]:
     """Delete data files unreferenced by the ``keep_versions`` most recent
     snapshots (bounds time travel; frees compacted-away files). Returns the

@@ -629,3 +629,29 @@ def test_pruned_merge_null_keys_match_unpruned(spark, sf_dir, tmp_path):
     assert v is not None
     vals = {r["v"] for r in T.read(spark, p1).collect()}
     assert "y" in vals
+
+
+def test_restore_previous_version(spark, sf_dir, tmp_path):
+    """RESTORE: a new commit whose live set equals the target snapshot —
+    content round-trips exactly, history (incl. the bad version) remains
+    time-travelable, and a restore against vacuumed files refuses."""
+    from gpu_telemetry_lakehouse_spark import tablog as T
+
+    p = str(tmp_path / "t")
+    v0_df = spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string")
+    T.create_table(v0_df, p)
+    T.overwrite(spark.createDataFrame([(9, "z")], "k int, v string"), p)
+    rv = T.restore(p, 0)
+    got = sorted((r[0], r[1]) for r in T.read(spark, p).collect())
+    assert got == [(1, "a"), (2, "b")]
+    # the bad version is still reachable
+    bad = [(r[0], r[1]) for r in T.read(spark, p, version=1).collect()]
+    assert bad == [(9, "z")]
+    assert rv == 2 and T.current_version(p) == 2
+    # restore refuses when the target's files were vacuumed
+    T.overwrite(spark.createDataFrame([(7, "q")], "k int, v string"), p)
+    T.vacuum(p, keep_versions=1)
+    import pytest as _pytest
+
+    with _pytest.raises(FileNotFoundError):
+        T.restore(p, 1)
