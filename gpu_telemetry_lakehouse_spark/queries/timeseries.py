@@ -934,3 +934,83 @@ def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return attributed.groupBy("channel").agg(
         F.count(F.lit(1)).alias("purchases")
     )
+
+
+# --- rolling cross-correlation of two event series ---------------------------
+# 7-day trailing Pearson correlation between the daily click and purchase
+# counts — the co-movement diagnostic behind "do conversions track traffic
+# this week?". Counts are exact BIGINTs, so every frame moment (sums,
+# squares, cross products) is exact integer arithmetic; the correlation is
+# one double expression over identical ints on both engines. The window
+# orders only the day-spine-sized pivot (bounded), not the event stream.
+@query(
+    "rolling_corr_click_purchase",
+    oracle="""
+    WITH daily AS (
+        SELECT date_trunc('day', ts) AS d,
+               CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS x,
+               CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS y
+        FROM events GROUP BY 1
+    ),
+    m AS (
+        SELECT d, x, y,
+               COUNT(*)  OVER w AS n,
+               SUM(x)    OVER w AS sx,
+               SUM(y)    OVER w AS sy,
+               SUM(x*x)  OVER w AS sxx,
+               SUM(y*y)  OVER w AS syy,
+               SUM(x*y)  OVER w AS sxy
+        FROM daily
+        WINDOW w AS (ORDER BY d ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+    )
+    SELECT d, x AS clicks, y AS purchases, CAST(n AS BIGINT) AS n_days,
+           CASE WHEN n >= 3
+                 AND (n*sxx - sx*sx) > 0 AND (n*syy - sy*sy) > 0
+                THEN ROUND((CAST(n*sxy - sx*sy AS DOUBLE))
+                     / (sqrt(CAST(n*sxx - sx*sx AS DOUBLE))
+                        * sqrt(CAST(n*syy - sy*sy AS DOUBLE))), 6)
+           END AS corr7
+    FROM m
+    """,
+)
+def rolling_corr_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.date_trunc("day", "ts").alias("d")).agg(
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+        .cast("long")
+        .alias("x"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("long")
+        .alias("y"),
+    )
+    w = W.orderBy("d").rowsBetween(-6, 0)
+    m = daily.select(
+        "d",
+        "x",
+        "y",
+        F.count(F.lit(1)).over(w).alias("n"),
+        F.sum("x").over(w).alias("sx"),
+        F.sum("y").over(w).alias("sy"),
+        F.sum(F.col("x") * F.col("x")).over(w).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).over(w).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).over(w).alias("sxy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    vx = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+    vy = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+    return m.select(
+        "d",
+        F.col("x").alias("clicks"),
+        F.col("y").alias("purchases"),
+        F.col("n").cast("long").alias("n_days"),
+        F.when(
+            (F.col("n") >= 3) & (vx > 0) & (vy > 0),
+            F.round(
+                num / (F.sqrt(vx.cast("double")) * F.sqrt(vy.cast("double"))), 6
+            ),
+        ).alias("corr7"),
+    )
