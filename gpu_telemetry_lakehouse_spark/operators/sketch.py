@@ -158,7 +158,10 @@ def tdigest_quantile(means, weights, q: float) -> float:
         return float(means[-1])
     i = int(np.searchsorted(cum, target)) - 1
     frac = (target - cum[i]) / (cum[i + 1] - cum[i])
-    return float(means[i] + frac * (means[i + 1] - means[i]))
+    # convex-combination form, NOT a + f*(b-a): the latter cancels
+    # catastrophically at f==1 when |a| >> |b| (a subnormal b comes back as
+    # exactly 0.0 — a wrong ORDER STATISTIC, found by hypothesis)
+    return float((1.0 - frac) * means[i] + frac * means[i + 1])
 
 
 def tdigest_merge(digests, delta: int = 100):
