@@ -954,3 +954,220 @@ def tdigest_daily_value_p95(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     daily = ev.select(F.date_trunc("day", "ts").alias("day"), "value")
     return SK.tdigest_group_quantiles(daily, ["day"], "value", [0.5, 0.95])
+
+
+# --- revenue bridge: price vs volume decomposition ---------------------------
+# FP&A waterfall between two years per brand: ΔRevenue = volume effect
+# (Δqty × old avg price) + price effect (new qty × Δavg price). Identity
+# holds exactly because both effects derive from the same exact-cents sums
+# and integer quantities; the final doubles divide identical BIGINTs. One
+# join+rollup pass per year over lineitem, brand-bounded thereafter.
+@query(
+    "revenue_bridge_price_volume",
+    oracle="""
+    WITH y AS (
+        SELECT p.p_brand,
+               year(l.l_shipdate) AS yr,
+               CAST(SUM(CAST(ROUND(l.l_extendedprice * 100.0, 0) AS BIGINT))
+                    AS BIGINT) AS rev_cents,
+               CAST(SUM(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS qty
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        WHERE year(l.l_shipdate) IN (1996, 1997)
+        GROUP BY 1, 2
+    ),
+    piv AS (
+        SELECT p_brand,
+               MAX(CASE WHEN yr = 1996 THEN rev_cents END) AS r0,
+               MAX(CASE WHEN yr = 1996 THEN qty END) AS q0,
+               MAX(CASE WHEN yr = 1997 THEN rev_cents END) AS r1,
+               MAX(CASE WHEN yr = 1997 THEN qty END) AS q1
+        FROM y GROUP BY 1
+    )
+    SELECT p_brand,
+           ROUND(CAST(r1 - r0 AS DOUBLE) / 100.0, 2) AS delta_revenue,
+           ROUND(CAST(q1 - q0 AS DOUBLE)
+                 * (CAST(r0 AS DOUBLE) / CAST(q0 AS DOUBLE)) / 100.0, 2)
+               AS volume_effect,
+           ROUND(CAST(q1 AS DOUBLE)
+                 * (CAST(r1 AS DOUBLE) / CAST(q1 AS DOUBLE)
+                    - CAST(r0 AS DOUBLE) / CAST(q0 AS DOUBLE)) / 100.0, 2)
+               AS price_effect
+    FROM piv
+    WHERE r0 IS NOT NULL AND r1 IS NOT NULL AND q0 > 0 AND q1 > 0
+    """,
+)
+def revenue_bridge_price_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    y = (
+        li.filter(F.year("l_shipdate").isin(1996, 1997))
+        .join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .groupBy("p_brand", F.year("l_shipdate").alias("yr"))
+        .agg(
+            F.sum(F.round(F.col("l_extendedprice") * 100.0, 0).cast("long"))
+            .cast("long")
+            .alias("rev_cents"),
+            F.sum(F.col("l_quantity").cast("long")).cast("long").alias("qty"),
+        )
+    )
+    piv = y.groupBy("p_brand").agg(
+        F.max(F.when(F.col("yr") == 1996, F.col("rev_cents"))).alias("r0"),
+        F.max(F.when(F.col("yr") == 1996, F.col("qty"))).alias("q0"),
+        F.max(F.when(F.col("yr") == 1997, F.col("rev_cents"))).alias("r1"),
+        F.max(F.when(F.col("yr") == 1997, F.col("qty"))).alias("q1"),
+    )
+    p0 = F.col("r0").cast("double") / F.col("q0").cast("double")
+    p1 = F.col("r1").cast("double") / F.col("q1").cast("double")
+    return piv.filter(
+        F.col("r0").isNotNull()
+        & F.col("r1").isNotNull()
+        & (F.col("q0") > 0)
+        & (F.col("q1") > 0)
+    ).select(
+        "p_brand",
+        F.round((F.col("r1") - F.col("r0")).cast("double") / 100.0, 2).alias(
+            "delta_revenue"
+        ),
+        F.round(
+            (F.col("q1") - F.col("q0")).cast("double") * p0 / 100.0, 2
+        ).alias("volume_effect"),
+        F.round(F.col("q1").cast("double") * (p1 - p0) / 100.0, 2).alias(
+            "price_effect"
+        ),
+    )
+
+
+# --- Gini coefficient of user activity ---------------------------------------
+# Inequality of event volume across users: G = (2*Σ i*x_i)/(n*Σ x_i)
+# - (n+1)/n over ascending-sorted per-user counts (rank ties broken by
+# user_id). The rank-weighted sum runs in exact integer arithmetic over the
+# user-bounded rollup; the window orders users, never events.
+@query(
+    "gini_user_activity",
+    oracle="""
+    WITH per_user AS (
+        SELECT user_id, COUNT(*) AS x FROM events GROUP BY 1
+    ),
+    ranked AS (
+        SELECT x, ROW_NUMBER() OVER (ORDER BY x, user_id) AS i FROM per_user
+    )
+    SELECT COUNT(*) AS n_users,
+           CAST(SUM(x) AS BIGINT) AS total_events,
+           ROUND(2.0 * CAST(SUM(i * x) AS DOUBLE)
+                 / (COUNT(*) * CAST(SUM(x) AS DOUBLE))
+                 - CAST(COUNT(*) + 1 AS DOUBLE) / COUNT(*), 6) AS gini
+    FROM ranked
+    """,
+)
+def gini_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("x"))
+    ranked = per_user.select(
+        "x", F.row_number().over(W.orderBy("x", "user_id")).alias("i")
+    )
+    return ranked.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("x").cast("long").alias("total_events"),
+        F.round(
+            2.0
+            * F.sum(F.col("i") * F.col("x")).cast("double")
+            / (F.count(F.lit(1)) * F.sum("x").cast("double"))
+            - (F.count(F.lit(1)) + 1).cast("double") / F.count(F.lit(1)),
+            6,
+        ).alias("gini"),
+    )
+
+
+# --- burstiness (Fano factor) per event type ---------------------------------
+# Variance-to-mean ratio of per-hour arrival counts: ~1 = Poisson-like,
+# >1 = bursty. Moments are exact integer sums over the (type × hour)
+# rollup; the ratio is one double expression of identical BIGINTs.
+@query(
+    "fano_burstiness_types",
+    oracle="""
+    WITH hourly AS (
+        SELECT event_type, date_trunc('hour', ts) AS h, COUNT(*) AS c
+        FROM events GROUP BY 1, 2
+    )
+    SELECT event_type,
+           COUNT(*) AS n_hours,
+           ROUND(CAST(SUM(c) AS DOUBLE) / COUNT(*), 6) AS mean_rate,
+           ROUND((CAST(SUM(c * c) AS DOUBLE)
+                  - CAST(SUM(c) AS DOUBLE) * CAST(SUM(c) AS DOUBLE) / COUNT(*))
+                 / (COUNT(*) - 1)
+                 / (CAST(SUM(c) AS DOUBLE) / COUNT(*)), 6) AS fano
+    FROM hourly GROUP BY 1
+    """,
+)
+def fano_burstiness_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("h")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    n = F.count(F.lit(1))
+    sc = F.sum("c").cast("double")
+    scc = F.sum(F.col("c") * F.col("c")).cast("double")
+    mean = sc / n
+    var = (scc - sc * sc / n) / (n - 1)
+    return hourly.groupBy("event_type").agg(
+        n.alias("n_hours"),
+        F.round(mean, 6).alias("mean_rate"),
+        F.round(var / mean, 6).alias("fano"),
+    )
+
+
+# --- Benford first-digit conformance -----------------------------------------
+# Fraud/data-quality screen: the leading-digit distribution of order totals
+# vs Benford's law, with the chi-square distance. The digit extraction is a
+# pure string op both engines replay identically; expected shares are
+# log10 literals.
+@query(
+    "benford_totalprice",
+    oracle="""
+    WITH digits AS (
+        SELECT CAST(substring(CAST(CAST(FLOOR(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1)
+                    AS INT) AS d
+        FROM orders WHERE o_totalprice >= 1
+    ),
+    counts AS (SELECT d, COUNT(*) AS n FROM digits GROUP BY 1),
+    tot AS (SELECT SUM(n) AS t FROM counts)
+    SELECT c.d AS digit,
+           CAST(c.n AS BIGINT) AS n,
+           ROUND(CAST(c.n AS DOUBLE) / CAST(t.t AS DOUBLE), 6) AS share,
+           ROUND(log10(1.0 + 1.0 / c.d), 6) AS benford_share,
+           ROUND(CAST(t.t AS DOUBLE)
+                 * (CAST(c.n AS DOUBLE) / CAST(t.t AS DOUBLE)
+                    - log10(1.0 + 1.0 / c.d))
+                 * (CAST(c.n AS DOUBLE) / CAST(t.t AS DOUBLE)
+                    - log10(1.0 + 1.0 / c.d))
+                 / log10(1.0 + 1.0 / c.d), 6) AS chi2_term
+    FROM counts c CROSS JOIN tot t
+    """,
+)
+def benford_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") >= 1)
+    digits = o.select(
+        # floor explicitly: Spark's double->long cast truncates while
+        # DuckDB's rounds — floor() agrees bit-for-bit on both
+        F.substring(
+            F.floor(F.col("o_totalprice")).cast("long").cast("string"), 1, 1
+        )
+        .cast("int")
+        .alias("d")
+    )
+    counts = digits.groupBy("d").agg(F.count(F.lit(1)).alias("n"))
+    tot = counts.groupBy().agg(F.sum("n").alias("t"))
+    share = F.col("n").cast("double") / F.col("t").cast("double")
+    bshare = F.log10(1.0 + 1.0 / F.col("d"))
+    return counts.crossJoin(F.broadcast(tot)).select(
+        F.col("d").alias("digit"),
+        F.col("n").cast("long").alias("n"),
+        F.round(share, 6).alias("share"),
+        F.round(bshare, 6).alias("benford_share"),
+        F.round(
+            F.col("t").cast("double") * (share - bshare) * (share - bshare) / bshare,
+            6,
+        ).alias("chi2_term"),
+    )
