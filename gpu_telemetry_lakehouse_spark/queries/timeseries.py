@@ -1014,3 +1014,166 @@ def rolling_corr_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("corr7"),
     )
+
+
+# --- Kaplan-Meier survival over order fulfillment ----------------------------
+# Product-limit estimator of "time until an order fully ships", with open
+# ('O') orders right-censored at the corpus horizon: at each distinct event
+# time t, S(t) *= (1 - d_t / n_t) where n_t = subjects still at risk. The
+# cumulative product is exp(Σ ln(·)) over a window ordered by t — the
+# (bounded) distinct-duration table, never raw rows. Every factor divides
+# identical BIGINTs, and ln/exp are pure double functions of them; the sum
+# stages through scaled longs so partial order cannot drift S(t).
+@query(
+    "kaplan_meier_fulfillment",
+    oracle="""
+    WITH horizon AS (SELECT MAX(l_shipdate) AS hz FROM lineitem),
+    subj AS (
+        SELECT o.o_orderkey,
+               CASE WHEN o.o_orderstatus = 'O'
+                    THEN date_diff('day', o.o_orderdate, hz.hz)
+                    ELSE date_diff('day', o.o_orderdate, MAX(l.l_shipdate))
+               END AS t,
+               CASE WHEN o.o_orderstatus = 'O' THEN 0 ELSE 1 END AS observed
+        FROM orders o
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        CROSS JOIN horizon hz
+        GROUP BY o.o_orderkey, o.o_orderdate, o.o_orderstatus, hz.hz
+    ),
+    tot AS (SELECT COUNT(*) AS n0 FROM subj),
+    at_t AS (
+        SELECT t,
+               CAST(SUM(observed) AS BIGINT) AS d,
+               COUNT(*) AS leaving
+        FROM subj GROUP BY t
+    ),
+    risk AS (
+        SELECT t, d,
+               n0 - COALESCE(SUM(leaving) OVER (ORDER BY t
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS n_at_risk
+        FROM at_t CROSS JOIN tot
+    )
+    SELECT t AS days, d AS events, CAST(n_at_risk AS BIGINT) AS n_at_risk,
+           ROUND(exp(SUM(CAST(ROUND(ln(1.0 - CAST(d AS DOUBLE)
+                                          / CAST(n_at_risk AS DOUBLE))
+                                    * 1000000000.0, 0) AS BIGINT))
+                     OVER (ORDER BY t) / 1000000000.0), 6) AS survival
+    FROM risk
+    WHERE d > 0 AND n_at_risk > d
+    """,
+)
+def kaplan_meier_fulfillment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    horizon = li.groupBy().agg(F.max("l_shipdate").alias("hz"))
+    subj = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .crossJoin(F.broadcast(horizon))
+        .groupBy("o_orderkey", "o_orderdate", "o_orderstatus", "hz")
+        .agg(F.max("l_shipdate").alias("last_ship"))
+        .select(
+            F.when(
+                F.col("o_orderstatus") == "O",
+                F.datediff("hz", "o_orderdate"),
+            )
+            .otherwise(F.datediff("last_ship", "o_orderdate"))
+            .alias("t"),
+            F.when(F.col("o_orderstatus") == "O", 0).otherwise(1).alias(
+                "observed"
+            ),
+        )
+    )
+    tot = subj.groupBy().agg(F.count(F.lit(1)).alias("n0"))
+    at_t = subj.groupBy("t").agg(
+        F.sum("observed").cast("long").alias("d"),
+        F.count(F.lit(1)).alias("leaving"),
+    )
+    wprev = W.orderBy("t").rowsBetween(W.unboundedPreceding, -1)
+    risk = at_t.crossJoin(F.broadcast(tot)).select(
+        "t",
+        "d",
+        (
+            F.col("n0")
+            - F.coalesce(F.sum("leaving").over(wprev), F.lit(0))
+        ).alias("n_at_risk"),
+    )
+    wcum = W.orderBy("t")
+    lnterm = F.log(
+        1.0 - F.col("d").cast("double") / F.col("n_at_risk").cast("double")
+    )
+    surv = F.exp(
+        F.sum(F.round(lnterm * 1_000_000_000.0, 0).cast("long")).over(wcum)
+        / 1e9
+    )
+    return risk.select(
+        F.col("t").alias("days"),
+        F.col("d").alias("events"),
+        F.col("n_at_risk").cast("long").alias("n_at_risk"),
+        F.round(surv, 6).alias("survival"),
+    ).filter((F.col("events") > 0) & (F.col("n_at_risk") > F.col("events")))
+
+
+# --- sweep-line peak concurrency ---------------------------------------------
+# How many orders are simultaneously "in flight" (orderdate -> last ship)
+# per day, via the classic sweep: +1 at start, -1 after end, running sum
+# over the (bounded) day-level delta table. The peak and its day answer the
+# capacity question without ever joining intervals pairwise — O(n) deltas,
+# one bounded-window pass, vs the O(n²) interval self-join it replaces.
+@query(
+    "peak_concurrent_orders",
+    oracle="""
+    WITH spans AS (
+        SELECT o.o_orderkey,
+               CAST(o.o_orderdate AS DATE) AS s,
+               CAST(MAX(l.l_shipdate) AS DATE) AS e
+        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        GROUP BY 1, 2
+    ),
+    deltas AS (
+        SELECT s AS d, 1 AS delta FROM spans
+        UNION ALL
+        SELECT e + INTERVAL 1 DAY, -1 FROM spans
+    ),
+    daily AS (
+        SELECT d, CAST(SUM(delta) AS BIGINT) AS delta FROM deltas GROUP BY 1
+    ),
+    running AS (
+        SELECT d, SUM(delta) OVER (ORDER BY d) AS open_orders FROM daily
+    )
+    SELECT CAST(d AS TIMESTAMP) AS day,
+           CAST(open_orders AS BIGINT) AS open_orders,
+           CAST(RANK() OVER (ORDER BY open_orders DESC, d) AS INT) AS peak_rank
+    FROM running
+    QUALIFY peak_rank <= 10
+    """,
+)
+def peak_concurrent_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    spans = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .groupBy("o_orderkey", F.to_date("o_orderdate").alias("s"))
+        .agg(F.max(F.to_date("l_shipdate")).alias("e"))
+    )
+    deltas = spans.select(F.col("s").alias("d"), F.lit(1).alias("delta")).unionAll(
+        spans.select(F.date_add(F.col("e"), 1).alias("d"), F.lit(-1).alias("delta"))
+    )
+    daily = deltas.groupBy("d").agg(F.sum("delta").cast("long").alias("delta"))
+    running = daily.select(
+        "d", F.sum("delta").over(W.orderBy("d")).alias("open_orders")
+    )
+    w = W.orderBy(F.col("open_orders").desc(), F.col("d"))
+    return (
+        running.withColumn("peak_rank", F.rank().over(w).cast("int"))
+        .filter(F.col("peak_rank") <= 10)
+        .select(
+            F.col("d").cast("timestamp").alias("day"),
+            F.col("open_orders").cast("long").alias("open_orders"),
+            "peak_rank",
+        )
+    )
