@@ -45,6 +45,7 @@ for _mod in (
     "quality",
     "lm",
     "curation",
+    "cdc",
 ):
     __import__(f"{__name__}.{_mod}")
 

@@ -318,3 +318,62 @@ def ab_experiment_readout(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("converted").cast("double") / F.count(F.lit(1)).cast("double"), 6
         ).alias("conversion_rate"),
     )
+
+
+# --- weighted sampling without replacement (Efraimidis-Spirakis) -------------
+# Importance-weighted subset selection: pick K users with probability
+# proportional to activity weight, WITHOUT replacement, in one distributed
+# pass. The E-S scheme assigns each item the key u^(1/w) (u uniform) and
+# keeps the K largest — equivalently the K largest ln(u)/w, which avoids
+# pow's cross-platform rounding wobble. u is the md5-derived 60-bit uniform,
+# so the draw is deterministic, partitioning-independent, and replayable on
+# any engine: the one property random() cannot give a 100 TB pipeline. The
+# top-K is a TakeOrdered (per-partition partial top-K, no global sort).
+WEIGHTED_K = 40
+
+
+@query(
+    "weighted_sample_users",
+    oracle=f"""
+    WITH w AS (
+        SELECT user_id, COUNT(*) AS n_events,
+               ln((CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)
+                        AS BIGINT) + 1) / 1152921504606846976.0)
+                   / COUNT(*) AS es_key
+        FROM events GROUP BY user_id
+    ), ranked AS (
+        SELECT user_id, n_events, es_key,
+               CAST(ROW_NUMBER() OVER (ORDER BY es_key DESC, user_id)
+                    AS INT) AS rk
+        FROM w
+    )
+    SELECT user_id, n_events, ROUND(es_key, 6) AS es_key_r, rk
+    FROM ranked WHERE rk <= {WEIGHTED_K}
+    """,
+)
+def weighted_sample_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E-S weighted K-sample of users, weight = event count. ln(u)/w for
+    u in (0,1] is <= 0 and monotone in u^(1/w); larger w pulls the key
+    toward 0, raising selection probability. The per-user aggregate is
+    |users|-sized; rank<=K plans as WindowGroupLimit (running top-K, no
+    full sort). ln() on bit-identical inputs agrees across libm
+    implementations at these magnitudes; the rounded key is published so
+    a mismatch would surface in the value hash, not silently."""
+    from pyspark.sql import Window as W
+
+    from ..functions import md5_int
+
+    ev = load_table(spark, sf_dir, "events").select("user_id")
+    u01 = (md5_int(F.col("user_id").cast("string")) + 1) / F.lit(
+        1152921504606846976.0
+    )
+    w = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_events"))
+    w = w.withColumn("es_key", F.log(u01) / F.col("n_events"))
+    rk = F.row_number().over(
+        W.orderBy(F.col("es_key").desc(), "user_id")
+    ).cast("int")
+    return (
+        w.withColumn("rk", rk)
+        .filter(F.col("rk") <= WEIGHTED_K)
+        .select("user_id", "n_events", F.round("es_key", 6).alias("es_key_r"), "rk")
+    )
