@@ -283,3 +283,49 @@ def ewma_daily_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.round(num / den, 6).alias("ewma_v"))
         .select("dt", F.round("avg_v", 6).alias("avg_v"), "ewma_v")
     )
+
+
+# --- training-shard manifest -------------------------------------------------
+# The declarative twin of operators/shard.py::export_shards: per-shard row
+# count + order-independent XOR checksum under the SAME engine-portable
+# md5-mod assignment the writer uses. Proves the shard hash is reproducible
+# outside Spark — a consumer on any engine can recompute the manifest.
+N_SHARDS = 8
+
+
+@query(
+    "shard_manifest_summary",
+    oracle=f"""
+    WITH h AS (
+        SELECT CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+                   AS hv,
+               doc_id, n_chars
+        FROM documents
+    )
+    SELECT CAST(hv % {N_SHARDS} AS INT) AS shard,
+           COUNT(*) AS n_docs,
+           bit_xor(hv) AS xor_checksum,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM h GROUP BY 1 ORDER BY shard
+    """,
+)
+def shard_manifest_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions import md5_int
+    from ..operators.shard import shard_of
+
+    docs = load_table(spark, sf_dir, "documents")
+    hv = md5_int(F.col("doc_id").cast("string"))
+    return (
+        docs.select(
+            shard_of("doc_id", N_SHARDS).alias("shard"),
+            hv.alias("hv"),
+            "n_chars",
+        )
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.bit_xor("hv").alias("xor_checksum"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+        .orderBy("shard")
+    )

@@ -302,3 +302,41 @@ def test_schema_evolution_mergeschema(spark, sf_dir, tmp_path):
     n = ev.count()
     assert df.count() == n + 10
     assert df.filter(F.col("value").isNull()).count() >= n
+
+
+def test_export_shards_deterministic_verified(spark, sf_dir, tmp_path):
+    from gpu_telemetry_lakehouse_spark.functions import md5_int
+    from gpu_telemetry_lakehouse_spark.operators import shard as SH
+
+    docs = load_table(spark, sf_dir, "documents")
+    out1 = str(tmp_path / "shards1")
+    out2 = str(tmp_path / "shards2")
+    m1 = SH.export_shards(docs, out1, n_shards=8, key="doc_id")
+    m2 = SH.export_shards(docs, out2, n_shards=8, key="doc_id")
+    # deterministic: identical manifests across reruns
+    assert m1 == m2
+    assert m1["total_rows"] == docs.count()
+    assert set(m1["shards"]) == set(range(8))
+    # coverage: union of shards is exactly the input (no loss, no dup)
+    back = spark.read.parquet(out1)
+    assert back.count() == docs.count()
+    assert back.select("doc_id").exceptAll(docs.select("doc_id")).count() == 0
+    # assignment law: every row's directory matches the portable hash
+    mism = back.filter(
+        F.col("_shard") != F.pmod(md5_int(F.col("doc_id").cast("string")), F.lit(8))
+    )
+    assert mism.count() == 0
+    # in-shard sort order is the declared key order
+    one = back.filter(F.col("_shard") == 0).select("doc_id").toPandas()["doc_id"]
+    assert list(one) == sorted(one)
+    # consumer-side integrity gate passes; a tampered manifest fails
+    assert SH.verify_shards(spark, out1)
+    m = SH.read_manifest(out1)
+    m["shards"][0]["rows"] += 1
+    import json as _json
+    import os as _os
+
+    with open(_os.path.join(out1, SH.MANIFEST_NAME), "w") as f:
+        _json.dump({**m, "shards": {str(k): v for k, v in m["shards"].items()}}, f)
+    with pytest.raises(ValueError, match="shard verification failed"):
+        SH.verify_shards(spark, out1)

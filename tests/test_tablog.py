@@ -655,3 +655,66 @@ def test_restore_previous_version(spark, sf_dir, tmp_path):
 
     with _pytest.raises(FileNotFoundError):
         T.restore(p, 1)
+
+
+def test_changes_between_keyed_cdf(spark, sf_dir, tbl):
+    o = _orders(spark, sf_dir)
+    T.create_table(o.limit(20), tbl, stat_cols=["o_orderkey"])  # v0
+    keys = sorted(r.o_orderkey for r in T.read(spark, tbl).select("o_orderkey").collect())
+    upd = (
+        o.filter(F.col("o_orderkey").isin(keys[:2]))
+        .withColumn("o_orderstatus", F.lit("X"))
+        .unionByName(o.filter(~F.col("o_orderkey").isin(keys)).limit(3))
+    )
+    T.merge_upsert(spark, upd, tbl, key_cols=["o_orderkey"])  # v1: 2 upd + 3 ins
+    # v2: drop one untouched key entirely (overwrite without it)
+    survivor = T.read(spark, tbl).filter(F.col("o_orderkey") != keys[5])
+    T.overwrite(survivor, tbl)
+
+    cdf = T.changes_between(spark, tbl, 0, 2, key_cols=["o_orderkey"]).cache()
+    by_type = {
+        r["_change_type"]: r["n"]
+        for r in cdf.groupBy("_change_type").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert by_type == {
+        "insert": 3,
+        "delete": 1,
+        "update_preimage": 2,
+        "update_postimage": 2,
+    }
+    # the update pair carries the actual images
+    pre = cdf.filter(F.col("_change_type") == "update_preimage")
+    post = cdf.filter(F.col("_change_type") == "update_postimage")
+    assert pre.filter(F.col("o_orderstatus") == "X").count() == 0
+    assert post.filter(F.col("o_orderstatus") == "X").count() == 2
+    assert {r.o_orderkey for r in pre.collect()} == set(keys[:2])
+    # deleted key is the dropped one
+    assert [r.o_orderkey for r in cdf.filter(F.col("_change_type") == "delete").collect()] == [keys[5]]
+    # applying the CDF to the v0 snapshot reproduces v2 exactly
+    base = T.read(spark, tbl, version=0)
+    applied = (
+        base.join(
+            cdf.filter(F.col("_change_type").isin("delete", "update_preimage"))
+            .select("o_orderkey"),
+            ["o_orderkey"],
+            "left_anti",
+        )
+        .unionByName(
+            cdf.filter(F.col("_change_type").isin("insert", "update_postimage"))
+            .drop("_change_type")
+        )
+    )
+    assert applied.exceptAll(T.read(spark, tbl, version=2)).count() == 0
+    assert T.read(spark, tbl, version=2).exceptAll(applied).count() == 0
+    cdf.unpersist()
+
+
+def test_changes_between_null_attribute_states_differ(spark, tbl):
+    df1 = spark.createDataFrame([(1, None, "x"), (2, "a", "b")], "k int, a string, b string")
+    df2 = spark.createDataFrame([(1, "x", None), (2, "a", "b")], "k int, a string, b string")
+    T.create_table(df1, tbl)
+    T.overwrite(df2, tbl)
+    cdf = T.changes_between(spark, tbl, 0, 1, key_cols=["k"])
+    # (NULL,'x') -> ('x',NULL) IS a change (concat_ws fingerprints collide here)
+    assert cdf.filter(F.col("k") == 1).count() == 2
+    assert cdf.filter(F.col("k") == 2).count() == 0
