@@ -799,3 +799,120 @@ def decontam_span_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("strip_ratio"),
         )
     )
+
+
+# --- exact-substring duplicate spans (ExactSubstr, Lee et al. 2022 shape) ----
+# Corpus-internal verbatim duplication at CHARACTER granularity: every
+# position whose L-char gram occurs >= 2 times anywhere in the corpus lies
+# inside a duplicated substring of length >= L, and conversely — so the
+# interval union of duplicated gram positions is exactly the char mass a
+# suffix-array ExactSubstr pass would flag. Distributed form: docs explode
+# to (8-byte gram-hash, pos) postings — the text itself never crosses a
+# shuffle — one group-by finds repeated hashes, one join-back flags
+# positions, one windowed coverage pass unions the intervals.
+SUBSTR_L = 40
+
+
+@query(
+    "exact_substring_dup_spans",
+    oracle=f"""
+    WITH grams AS (
+        SELECT d.doc_id, CAST(u.i AS INT) AS pos,
+               {_md5int(f"substr(d.text, CAST(u.i AS INT), {SUBSTR_L})")} AS gh
+        FROM documents d
+        CROSS JOIN UNNEST(range(1, length(d.text) - {SUBSTR_L} + 2)) AS u(i)
+        WHERE length(d.text) >= {SUBSTR_L}
+    ),
+    dup AS (SELECT gh FROM grams GROUP BY gh HAVING COUNT(*) > 1),
+    hits AS (
+        SELECT g.doc_id, g.pos, g.pos + {SUBSTR_L} AS e
+        FROM grams g JOIN dup USING (gh)
+    ),
+    cov AS (
+        SELECT doc_id, pos, e,
+               MAX(e) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS mx
+        FROM hits
+    ),
+    per AS (
+        SELECT doc_id,
+               CAST(SUM(CASE WHEN mx IS NULL OR pos > mx THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_dup_spans,
+               CAST(SUM(GREATEST(0, e - GREATEST(COALESCE(mx, 0), pos)))
+                    AS BIGINT) AS dup_chars
+        FROM cov GROUP BY doc_id
+    )
+    SELECT d.doc_id, CAST(d.n_chars AS BIGINT) AS n_chars,
+           COALESCE(per.n_dup_spans, 0) AS n_dup_spans,
+           COALESCE(per.dup_chars, 0) AS dup_chars,
+           ROUND(CAST(COALESCE(per.dup_chars, 0) AS DOUBLE)
+                 / CAST(d.n_chars AS DOUBLE), 6) AS dup_frac
+    FROM documents d LEFT JOIN per USING (doc_id)
+    """,
+)
+def exact_substring_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc verbatim-duplication report: count and char mass of maximal
+    duplicated spans (gram length SUBSTR_L, stride 1), the diagnostic that
+    drives span-level (not whole-doc) dedup of a pretraining corpus.
+
+    Scale: postings are (hash, pos) pairs — 12 bytes/char position, no text
+    after the projection; the repeated-hash set is df-bounded like the
+    shingle posting lists (dedup_shingle_jaccard docstring); coverage is one
+    window pass over FLAGGED positions only. Same shape at 100 TB with the
+    gram stride widened (stride s multiplies both cost and resolution by
+    1/s; stride 1 here because the oracle must be exact)."""
+    from pyspark.sql import Window as W
+
+    docs = spread_input(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", "text", "n_chars"
+    )
+    n = F.length("text") - (SUBSTR_L - 1)
+    pos_grams = F.when(
+        n >= 1,
+        F.transform(
+            F.sequence(F.lit(1), n),
+            lambda i: F.struct(
+                md5_int(F.substr(F.col("text"), i, F.lit(SUBSTR_L))).alias("gh"),
+                i.cast("int").alias("pos"),
+            ),
+        ),
+    ).otherwise(F.array())
+    grams = docs.select("doc_id", F.explode(pos_grams).alias("u")).select(
+        "doc_id", F.col("u.gh").alias("gh"), F.col("u.pos").alias("pos")
+    )
+    dup = grams.groupBy("gh").count().filter(F.col("count") > 1).select("gh")
+    hits = grams.join(dup, "gh").select(
+        "doc_id", "pos", (F.col("pos") + SUBSTR_L).alias("e")
+    )
+    w = W.partitionBy("doc_id").orderBy("pos").rowsBetween(W.unboundedPreceding, -1)
+    per = (
+        hits.withColumn("mx", F.max("e").over(w))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.when(F.col("mx").isNull() | (F.col("pos") > F.col("mx")), 1)
+                .otherwise(0)
+            ).cast("long").alias("n_dup_spans"),
+            F.sum(
+                F.greatest(
+                    F.lit(0),
+                    F.col("e") - F.greatest(F.coalesce("mx", F.lit(0)), F.col("pos")),
+                )
+            ).cast("long").alias("dup_chars"),
+        )
+    )
+    return (
+        docs.select("doc_id", F.col("n_chars").cast("long").alias("n_chars"))
+        .join(per, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_chars",
+            F.coalesce("n_dup_spans", F.lit(0)).cast("long").alias("n_dup_spans"),
+            F.coalesce("dup_chars", F.lit(0)).cast("long").alias("dup_chars"),
+            F.round(
+                F.coalesce("dup_chars", F.lit(0)).cast("double")
+                / F.col("n_chars").cast("double"),
+                6,
+            ).alias("dup_frac"),
+        )
+    )
