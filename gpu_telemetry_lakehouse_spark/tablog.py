@@ -127,6 +127,53 @@ def _file_stats(full_path: str, stat_cols: list[str]) -> dict[str, list]:
     return stats
 
 
+_BLOOM_M = 8192  # bits per column bloom (1 KiB hex in the log entry)
+_BLOOM_K = 5
+
+
+def _bloom_positions(value, m: int, k: int) -> list[int]:
+    """k bit positions from the md5 of the CANONICALIZED value string — the
+    same normalization the min/max stats use, so a probe bound and a stored
+    value always hash identically."""
+    import hashlib
+
+    h = hashlib.md5(str(_canon_stat(value)).encode()).hexdigest()
+    return [int(h[i * 6 : (i + 1) * 6], 16) % m for i in range(k)]
+
+
+def _file_bloom(full_path: str, bloom_cols: list[str]) -> dict[str, dict]:
+    """Per-file Bloom filter per column, built from one columnar read of the
+    just-written file (page-cache warm at write time). Complements the
+    footer [min,max]: min/max prunes RANGE probes on clustered layouts, a
+    bloom prunes EQUALITY probes on high-cardinality columns even when the
+    layout is unsorted and every file's range overlaps. Saturated filters
+    (distinct count ~ m) are still stored — a full bloom answers 'maybe' for
+    everything, so skipping degrades to a no-op, never to a wrong answer."""
+    import pyarrow.parquet as pq
+
+    blooms: dict[str, dict] = {}
+    table = pq.read_table(full_path, columns=[c for c in bloom_cols])
+    for col in bloom_cols:
+        if col not in table.column_names:
+            continue
+        bits = bytearray(_BLOOM_M // 8)
+        for v in table.column(col).to_pylist():
+            if v is None:
+                continue
+            for p in _bloom_positions(v, _BLOOM_M, _BLOOM_K):
+                bits[p // 8] |= 1 << (p % 8)
+        blooms[col] = {"m": _BLOOM_M, "k": _BLOOM_K, "bits": bits.hex()}
+    return blooms
+
+
+def _bloom_might_contain(bloom: dict, value) -> bool:
+    bits = bytes.fromhex(bloom["bits"])
+    for p in _bloom_positions(value, bloom["m"], bloom["k"]):
+        if not bits[p // 8] & (1 << (p % 8)):
+            return False
+    return True
+
+
 def _file_size(path: str, f: dict) -> int:
     """Live size of an add-entry: the logged 'bytes' field when present,
     else a guarded filesystem stat — a HISTORICAL version's files may have
@@ -139,7 +186,12 @@ def _file_size(path: str, f: dict) -> int:
     return os.path.getsize(full) if os.path.exists(full) else 0
 
 
-def _stage_files(df: DataFrame, path: str, stat_cols: list[str]) -> list[dict]:
+def _stage_files(
+    df: DataFrame,
+    path: str,
+    stat_cols: list[str],
+    bloom_cols: list[str] | None = None,
+) -> list[dict]:
     """Write df's partitions as uniquely-named parquet files in the table dir
     (invisible until a log entry lists them); return add-actions with stats."""
     staging = os.path.join(path, f"_staging-{uuid.uuid4().hex}")
@@ -158,13 +210,14 @@ def _stage_files(df: DataFrame, path: str, stat_cols: list[str]) -> list[dict]:
         name = f"part-{uuid.uuid4().hex}.parquet"
         os.rename(os.path.join(staging, f), os.path.join(path, name))
         full = os.path.join(path, name)
-        adds.append(
-            {
-                "file": name,
-                "bytes": os.path.getsize(full),
-                "stats": _file_stats(full, stat_cols),
-            }
-        )
+        add = {
+            "file": name,
+            "bytes": os.path.getsize(full),
+            "stats": _file_stats(full, stat_cols),
+        }
+        if bloom_cols:
+            add["bloom"] = _file_bloom(full, bloom_cols)
+        adds.append(add)
     shutil.rmtree(staging)
     return adds
 
@@ -253,17 +306,26 @@ def snapshot_files(path: str, version: int | None = None) -> list[dict]:
 
 
 def create_table(
-    df: DataFrame, path: str, stat_cols: list[str] | None = None
+    df: DataFrame,
+    path: str,
+    stat_cols: list[str] | None = None,
+    bloom_cols: list[str] | None = None,
 ) -> int:
-    """Version 0: initial data + schema."""
-    adds = _stage_files(df, path, stat_cols or [])
+    """Version 0: initial data + schema. ``bloom_cols`` additionally records
+    a per-file Bloom filter for equality-probe skipping (see read(eq=...))."""
+    adds = _stage_files(df, path, stat_cols or [], bloom_cols)
     return _commit(
         path, {"operation": "create", "add": adds, "schema": df.schema.json()}
     )
 
 
-def append(df: DataFrame, path: str, stat_cols: list[str] | None = None) -> int:
-    adds = _stage_files(df, path, stat_cols or [])
+def append(
+    df: DataFrame,
+    path: str,
+    stat_cols: list[str] | None = None,
+    bloom_cols: list[str] | None = None,
+) -> int:
+    adds = _stage_files(df, path, stat_cols or [], bloom_cols)
     return _commit(path, {"operation": "append", "add": adds, "schema": df.schema.json()})
 
 
@@ -298,12 +360,18 @@ def read(
     path: str,
     version: int | None = None,
     between: tuple[str, object, object] | None = None,
+    eq: tuple[str, object] | None = None,
 ) -> DataFrame:
     """Read a snapshot. ``between=(col, lo, hi)`` additionally prunes files
     whose footer [min,max] cannot overlap — log-level data skipping; the
     remaining files still get row-group pruning + predicate pushdown from
     Spark itself (the filter is re-applied, so pruning is an optimization,
-    never a correctness dependency)."""
+    never a correctness dependency). ``eq=(col, value)`` is the POINT-LOOKUP
+    form: files whose logged Bloom filter answers 'definitely absent' are
+    skipped — this prunes high-cardinality equality probes on UNSORTED
+    layouts where every file's [min,max] overlaps and range skipping is
+    useless. min/max (when logged) and the re-applied filter still back it
+    up, so a missing or saturated bloom only costs performance."""
     files = snapshot_files(path, version)
     if between is not None:
         col, lo, hi = between
@@ -312,6 +380,20 @@ def read(
             for a in files
             if a.get("stats", {}).get(col) is None
             or _overlaps(a["stats"][col], lo, hi)
+        ]
+    if eq is not None:
+        col, val = eq
+        files = [
+            a
+            for a in files
+            if (
+                a.get("stats", {}).get(col) is None
+                or _overlaps(a["stats"][col], val, val)
+            )
+            and (
+                a.get("bloom", {}).get(col) is None
+                or _bloom_might_contain(a["bloom"][col], val)
+            )
         ]
     if not files:
         schema = None
@@ -328,9 +410,10 @@ def read(
     )
     if between is not None:
         col, lo, hi = between
-        from pyspark.sql import functions as F
-
         df = df.filter(F.col(col).between(lo, hi))
+    if eq is not None:
+        col, val = eq
+        df = df.filter(F.col(col) == F.lit(val))
     return df
 
 
@@ -341,6 +424,27 @@ def pruned_file_count(path: str, col: str, lo, hi, version: int | None = None) -
     kept = [
         a for a in files
         if a.get("stats", {}).get(col) is None or _overlaps(a["stats"][col], lo, hi)
+    ]
+    return len(kept), len(files)
+
+
+def pruned_file_count_eq(
+    path: str, col: str, value, version: int | None = None
+) -> tuple[int, int]:
+    """(files read for an equality probe with stat+bloom skipping, total
+    files) — the point-lookup twin of pruned_file_count."""
+    files = snapshot_files(path, version)
+    kept = [
+        a
+        for a in files
+        if (
+            a.get("stats", {}).get(col) is None
+            or _overlaps(a["stats"][col], value, value)
+        )
+        and (
+            a.get("bloom", {}).get(col) is None
+            or _bloom_might_contain(a["bloom"][col], value)
+        )
     ]
     return len(kept), len(files)
 

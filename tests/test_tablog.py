@@ -718,3 +718,43 @@ def test_changes_between_null_attribute_states_differ(spark, tbl):
     # (NULL,'x') -> ('x',NULL) IS a change (concat_ws fingerprints collide here)
     assert cdf.filter(F.col("k") == 1).count() == 2
     assert cdf.filter(F.col("k") == 2).count() == 0
+
+
+def test_bloom_skipping_equality_probe(spark, sf_dir, tbl):
+    o = _orders(spark, sf_dir).select("o_orderkey", "o_orderstatus", "o_totalprice")
+    # 4 hash-split appends: every file's o_orderkey [min,max] spans nearly the
+    # whole domain, so range stats CANNOT prune an equality probe — the bloom
+    # is the only skipping signal (the unsorted-layout point-lookup case).
+    parts = [o.filter(F.pmod(F.col("o_orderkey"), F.lit(4)) == i).coalesce(1) for i in range(4)]
+    T.create_table(parts[0], tbl, stat_cols=["o_orderkey"], bloom_cols=["o_orderkey"])
+    for p in parts[1:]:
+        T.append(p, tbl, stat_cols=["o_orderkey"], bloom_cols=["o_orderkey"])
+
+    # mid-domain keys: at the domain edges the mod-split files' [min,max] DO
+    # differ slightly and range stats would prune on their own
+    mn, mx = o.agg(F.min("o_orderkey"), F.max("o_orderkey")).first()
+    mid = (mn + mx) // 2
+    keys = [
+        r.o_orderkey
+        for r in o.filter(F.col("o_orderkey").between(mid, mid + 100)).limit(40).collect()
+    ]
+    assert len(keys) >= 10
+    total_kept = 0
+    for k in keys[:10]:
+        kept, total = T.pruned_file_count_eq(tbl, "o_orderkey", k)
+        assert total == 4
+        assert kept >= 1  # no false negative: the holding file always survives
+        total_kept += kept
+        got = T.read(spark, tbl, eq=("o_orderkey", k))
+        want = o.filter(F.col("o_orderkey") == k)
+        assert got.count() == want.count() > 0
+        assert got.exceptAll(want).count() == 0
+    # bloom must actually skip: with m=8192 bits and ~3.7k keys/file the FP
+    # rate is well under 50%, so across 10 probes we read far fewer than all
+    # 40 file-visits (range stats alone would keep all 4 every time)
+    assert total_kept < 25, total_kept
+    # stats-only pruning keeps everything (ranges overlap) — bloom is additive
+    kept_range, _ = T.pruned_file_count(tbl, "o_orderkey", keys[0], keys[0])
+    assert kept_range == 4
+    # absent key: every file may be bloom-skipped; result must be empty
+    assert T.read(spark, tbl, eq=("o_orderkey", -12345)).count() == 0
