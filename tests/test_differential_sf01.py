@@ -53,6 +53,9 @@ HEAVY_SLICE = [
     "ngram_novelty_docs",
     "forecast_daily_events",
     "ship_latency_by_priority",
+    "nation_market_share",
+    "dedup_shingle_jaccard",
+    "exact_substring_dup_spans",
     # setsim_join_prefix deliberately NOT here: the synthetic docs corpus is
     # a ~30-token vocabulary soup, the worst case for prefix filtering
     # (every pair is a candidate) — ~160 s at sf0.1, dominated by the naive
