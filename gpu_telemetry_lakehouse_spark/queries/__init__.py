@@ -46,6 +46,7 @@ for _mod in (
     "lm",
     "curation",
     "cdc",
+    "inference",
 ):
     __import__(f"{__name__}.{_mod}")
 

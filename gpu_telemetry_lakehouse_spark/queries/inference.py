@@ -1,0 +1,273 @@
+"""Statistical-inference operators: resampling CIs, robust trends, and
+variance-reduced experiment readouts.
+
+At 100 TB you cannot bootstrap by materializing resampled copies of the
+data; the scale-correct technique is the POISSON BOOTSTRAP (each row
+contributes an independent Poisson(1) multiplicity per replicate, so all B
+replicates stream through one pass). Here the Poisson draws come from
+md5-derived uniforms through an inverse-CDF CASE ladder — deterministic,
+engine-portable, oracle-checkable — instead of RNG state.
+
+All cross-engine arithmetic uses the scaled-long exact forms from
+``functions.exact_sum`` (see queries/registry.py docstring).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..functions import exact_avg, exact_sum, md5_int
+from .registry import query
+
+# Poisson(1) inverse-CDF thresholds (cumulative P(X<=k), k=0..6; the tail
+# above 6 has mass 8e-5 and rounds to multiplicity 7).
+_POIS_CDF = [
+    0.3678794412,
+    0.7357588823,
+    0.9196986029,
+    0.9810118431,
+    0.9963401532,
+    0.9994058152,
+    0.9999167589,
+]
+_B = 100  # bootstrap replicates
+_U_DEN = 1152921504606846976.0  # 2^60, md5_int range
+
+
+def _pois_case_sql(u: str) -> str:
+    branches = " ".join(
+        f"WHEN {u} < {t} THEN {k}" for k, t in enumerate(_POIS_CDF)
+    )
+    return f"CASE {branches} ELSE 7 END"
+
+
+def _pois_case(u):
+    expr = F.when(u < _POIS_CDF[0], 0)
+    for k, t in enumerate(_POIS_CDF[1:], start=1):
+        expr = expr.when(u < t, k)
+    return expr.otherwise(7)
+
+
+@query(
+    "bootstrap_ci_event_value",
+    oracle=f"""
+    WITH reps AS (
+        SELECT e.event_type, CAST(u.b AS INT) AS b,
+               ((CAST('0x' || substr(md5(CAST(e.event_id AS VARCHAR) || '_' ||
+                      CAST(u.b AS VARCHAR)), 1, 15) AS BIGINT)) / {_U_DEN}) AS u01,
+               e.value
+        FROM events e CROSS JOIN UNNEST(range(1, {_B + 1})) AS u(b)
+        WHERE e.value IS NOT NULL
+    ),
+    wm AS (
+        SELECT event_type, b,
+               (SUM(CAST(ROUND(({_pois_case_sql("u01")}) * value * 10000) AS BIGINT)) / 10000.0)
+               / NULLIF(SUM({_pois_case_sql("u01")}), 0) AS rep_mean
+        FROM reps GROUP BY event_type, b
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_reps,
+           ROUND(quantile_cont(rep_mean, 0.025), 6) AS ci_lo,
+           ROUND(quantile_cont(rep_mean, 0.5), 6) AS ci_mid,
+           ROUND(quantile_cont(rep_mean, 0.975), 6) AS ci_hi
+    FROM wm GROUP BY event_type ORDER BY event_type
+    """,
+)
+def bootstrap_ci_event_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson-bootstrap 95% CI for the mean event value per type: one pass,
+    {_B} replicates riding along as weighted partial aggregates — the
+    resample-at-scale technique (no data copies; the explode is a row-local
+    flatMap and the replicate dimension folds straight into the group-by).
+    The multiplicity is the inverse Poisson(1) CDF of a deterministic
+    md5-uniform keyed by (row, replicate), so both engines draw the SAME
+    bootstrap — the CI is hash-checkable, not just statistically similar."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    u01 = (
+        md5_int(
+            F.concat(
+                F.col("event_id").cast("string"), F.lit("_"), F.col("b").cast("string")
+            )
+        )
+        / F.lit(_U_DEN)
+    )
+    reps = ev.select(
+        "event_id",
+        "event_type",
+        "value",
+        F.explode(F.sequence(F.lit(1), F.lit(_B))).alias("b"),
+    ).select(
+        "event_type",
+        "b",
+        "value",
+        _pois_case(u01).alias("w"),
+    )
+    m = F.lit(10**4)
+    wm = reps.groupBy("event_type", F.col("b").cast("int").alias("b")).agg(
+        (
+            (F.sum(F.round(F.col("w") * F.col("value") * m, 0).cast("long")) / m.cast("double"))
+            / F.nullif(F.sum("w"), F.lit(0))
+        ).alias("rep_mean")
+    )
+    return (
+        wm.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_reps"),
+            F.round(F.expr("percentile(rep_mean, 0.025)"), 6).alias("ci_lo"),
+            F.round(F.expr("percentile(rep_mean, 0.5)"), 6).alias("ci_mid"),
+            F.round(F.expr("percentile(rep_mean, 0.975)"), 6).alias("ci_hi"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "theilsen_daily_trend",
+    oracle="""
+    WITH d AS (
+        SELECT date_trunc('day', ts) AS dt,
+               (SUM(CAST(ROUND(value * 1000000) AS BIGINT)) / 1000000.0)
+               / COUNT(value) AS avg_v
+        FROM events WHERE value IS NOT NULL GROUP BY 1
+    ),
+    x AS (
+        SELECT dt, avg_v,
+               date_diff('day', (SELECT MIN(dt) FROM d), dt) AS xi
+        FROM d
+    ),
+    slopes AS (
+        SELECT (b.avg_v - a.avg_v) / CAST(b.xi - a.xi AS DOUBLE) AS slope
+        FROM x a JOIN x b ON b.xi > a.xi
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           ROUND(quantile_cont(slope, 0.5), 6) AS theil_sen_slope,
+           ROUND(quantile_cont(slope, 0.25), 6) AS slope_q1,
+           ROUND(quantile_cont(slope, 0.75), 6) AS slope_q3
+    FROM slopes
+    """,
+)
+def theilsen_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend of the daily mean value: median of all
+    pairwise slopes — outlier-resistant where OLS (forecast_daily_events)
+    is not. The pairwise self-join runs over the DAILY aggregate
+    (|days|^2/2 pairs — time-bounded, not data-bounded: 10 years is ~6.6M
+    pairs regardless of corpus size), so the only full-data pass is the
+    day rollup."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    d = ev.groupBy(F.date_trunc("day", "ts").alias("dt")).agg(
+        exact_avg("value").alias("avg_v")
+    )
+    mn = d.agg(F.min("dt").alias("min_dt"))
+    x = d.join(F.broadcast(mn)).select(
+        F.datediff("dt", "min_dt").alias("xi"), "avg_v"
+    )
+    a = x.select(F.col("xi").alias("xa"), F.col("avg_v").alias("ya"))
+    b = x.select(F.col("xi").alias("xb"), F.col("avg_v").alias("yb"))
+    slopes = a.join(F.broadcast(b), F.col("xb") > F.col("xa")).select(
+        ((F.col("yb") - F.col("ya")) / (F.col("xb") - F.col("xa")).cast("double")).alias(
+            "slope"
+        )
+    )
+    return slopes.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.round(F.expr("percentile(slope, 0.5)"), 6).alias("theil_sen_slope"),
+        F.round(F.expr("percentile(slope, 0.25)"), 6).alias("slope_q1"),
+        F.round(F.expr("percentile(slope, 0.75)"), 6).alias("slope_q3"),
+    )
+
+
+@query(
+    "cuped_experiment_readout",
+    oracle=f"""
+    WITH assign AS (
+        SELECT user_id,
+               CASE WHEN (CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)
+                          AS BIGINT)) % 2 = 0 THEN 'control' ELSE 'treatment' END AS arm
+        FROM (SELECT DISTINCT user_id FROM events)
+    ),
+    per_user AS (
+        SELECT e.user_id,
+               (SUM(CAST(ROUND(CASE WHEN e.ts >= TIMESTAMP '2024-01-16' THEN e.value
+                                    ELSE 0 END * 10000) AS BIGINT)) / 10000.0) AS y,
+               (SUM(CAST(ROUND(CASE WHEN e.ts < TIMESTAMP '2024-01-16' THEN e.value
+                                    ELSE 0 END * 10000) AS BIGINT)) / 10000.0) AS x
+        FROM events e WHERE e.value IS NOT NULL
+        GROUP BY e.user_id
+    ),
+    moments AS (
+        SELECT (SUM(CAST(ROUND(x * 10000) AS BIGINT)) / 10000.0) / COUNT(*) AS mx,
+               (SUM(CAST(ROUND(y * 10000) AS BIGINT)) / 10000.0) / COUNT(*) AS my,
+               (SUM(CAST(ROUND(x * y * 100) AS BIGINT)) / 100.0) / COUNT(*) AS mxy,
+               (SUM(CAST(ROUND(x * x * 100) AS BIGINT)) / 100.0) / COUNT(*) AS mxx
+        FROM per_user
+    ),
+    theta AS (
+        SELECT (mxy - mx * my) / NULLIF(mxx - mx * mx, 0) AS th, mx FROM moments
+    )
+    SELECT a.arm,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           ROUND((SUM(CAST(ROUND(p.y * 10000) AS BIGINT)) / 10000.0)
+                 / COUNT(*), 6) AS raw_mean,
+           ROUND((SUM(CAST(ROUND((p.y - t.th * (p.x - t.mx)) * 10000) AS BIGINT)) / 10000.0)
+                 / COUNT(*), 6) AS cuped_mean
+    FROM per_user p
+    JOIN assign a USING (user_id)
+    CROSS JOIN theta t
+    GROUP BY a.arm ORDER BY a.arm
+    """,
+)
+def cuped_experiment_readout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance-reduced A/B readout: per-user outcome y (experiment
+    period) adjusted by the pre-period covariate x via
+    y' = y - theta*(x - mean(x)), theta = cov(x,y)/var(x) — the standard
+    trick that cuts experiment runtimes by the covariate's R^2. theta's
+    moments are ONE ungrouped aggregate broadcast back into the plan (no
+    driver round-trip); every moment is a scaled-long exact sum so both
+    engines agree bitwise."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    cut = F.lit("2024-01-16").cast("timestamp")
+    per_user = ev.groupBy("user_id").agg(
+        exact_sum(F.when(F.col("ts") >= cut, F.col("value")).otherwise(0.0)).alias("y"),
+        exact_sum(F.when(F.col("ts") < cut, F.col("value")).otherwise(0.0)).alias("x"),
+    )
+    moments = per_user.agg(
+        exact_avg("x", scale=4).alias("mx"),
+        exact_avg("y", scale=4).alias("my"),
+        (exact_sum(F.col("x") * F.col("y"), scale=2) / F.count(F.lit(1))).alias("mxy"),
+        (exact_sum(F.col("x") * F.col("x"), scale=2) / F.count(F.lit(1))).alias("mxx"),
+    )
+    theta = moments.select(
+        (
+            (F.col("mxy") - F.col("mx") * F.col("my"))
+            / F.nullif(F.col("mxx") - F.col("mx") * F.col("mx"), F.lit(0))
+        ).alias("th"),
+        "mx",
+    )
+    arm = F.when(
+        md5_int(F.col("user_id").cast("string")) % 2 == 0, "control"
+    ).otherwise("treatment")
+    m = F.lit(10**4)
+    return (
+        per_user.withColumn("arm", arm)
+        .join(F.broadcast(theta))
+        .groupBy("arm")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.round(exact_avg("y", scale=4), 6).alias("raw_mean"),
+            F.round(
+                (
+                    F.sum(
+                        F.round(
+                            (F.col("y") - F.col("th") * (F.col("x") - F.col("mx"))) * m,
+                            0,
+                        ).cast("long")
+                    )
+                    / m.cast("double")
+                )
+                / F.count(F.lit(1)),
+                6,
+            ).alias("cuped_mean"),
+        )
+        .orderBy("arm")
+    )
