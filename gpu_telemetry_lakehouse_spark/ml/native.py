@@ -61,3 +61,37 @@ def score_embedding_classifier(model, df: DataFrame, vec_col: str = "embedding")
         "features", array_to_vector(F.col(vec_col).cast("array<double>"))
     )
     return model.transform(prepped).drop("features", "rawPrediction", "probability")
+
+
+def fit_implicit_als(
+    interactions: DataFrame,
+    user_col: str = "user",
+    item_col: str = "item",
+    rating_col: str = "rating",
+    rank: int = 8,
+    reg: float = 0.1,
+    alpha: float = 10.0,
+    iters: int = 5,
+    seed: int = 42,
+):
+    """Implicit-feedback ALS (Hu/Koren/Volinsky 2008) via Spark ML — the
+    fully distributed recommender: factor matrices live blocked across the
+    cluster, each sweep is a join-shaped least-squares solve, and nothing
+    corpus-sized ever reaches the driver. coldStartStrategy='drop' keeps
+    evaluation NaN-free."""
+    from pyspark.ml.recommendation import ALS
+
+    als = ALS(
+        rank=rank,
+        maxIter=iters,
+        regParam=reg,
+        alpha=alpha,
+        implicitPrefs=True,
+        seed=seed,
+        userCol=user_col,
+        itemCol=item_col,
+        ratingCol=rating_col,
+        coldStartStrategy="drop",
+        nonnegative=True,
+    )
+    return als.fit(interactions)

@@ -68,3 +68,43 @@ def logreg_embedding_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return report(train, "train").unionByName(report(test, "test"))
+
+
+# --- implicit-feedback ALS recommender (rows-only: alternating least
+# squares is iterative and not SQL-expressible; ranking-quality and
+# determinism invariants pinned in tests/test_ml.py) -------------------------
+@query("als_recommend_parts")
+def als_recommend_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 part recommendations per customer from implicit purchase
+    feedback (lineitem counts per customer x part), trained with
+    distributed implicit ALS (ml/native.py::fit_implicit_als). The
+    interaction matrix is built relationally (orders join lineitem, one
+    shuffle); recommendForAllUsers is the blocked cross-factor top-k —
+    factors never collect. Output: (customer, rank position, part, score)."""
+    from ..ml.native import fit_implicit_als
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    inter = (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(
+            F.col("o_custkey").cast("int").alias("user"),
+            F.col("l_partkey").cast("int").alias("item"),
+        )
+        .agg(F.count(F.lit(1)).cast("float").alias("rating"))
+    )
+    model = fit_implicit_als(inter)
+    recs = model.recommendForAllUsers(5)
+    return (
+        recs.select(
+            F.col("user").alias("custkey"),
+            F.posexplode("recommendations").alias("pos", "rec"),
+        )
+        .select(
+            "custkey",
+            (F.col("pos") + 1).alias("rec_rank"),
+            F.col("rec.item").alias("partkey"),
+            F.round(F.col("rec.rating").cast("double"), 4).alias("score"),
+        )
+        .orderBy("custkey", "rec_rank")
+    )

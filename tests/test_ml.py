@@ -168,3 +168,71 @@ def test_logreg_embedding_eval_invariants(spark, sf_dir):
     assert tr.n.sum() + te.n.sum() == 500
     train_acc = tr.n_correct.sum() / tr.n.sum()
     assert train_acc > 0.3, train_acc
+
+
+def test_als_recommender_invariants(spark, sf_dir):
+    """Implicit ALS: shape, monotone scores, deterministic refit, and a
+    ranking-quality lift over random. The synthetic baskets are nearly
+    uniform-random (each customer touches ~40 of 2000 parts with counts
+    1-2), so absolute hit-rate is low; the invariant is the LIFT: the
+    customer's most-purchased part lands in their top-5 recs at several
+    times the 5/2000 random rate (observed ~6x at sf0.01)."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from gpu_telemetry_lakehouse_spark.catalog import load_table
+
+    recs = QUERIES["als_recommend_parts"](spark, sf_dir).cache()
+    n_cust = recs.select("custkey").distinct().count()
+    # exactly 5 recs per customer, ranks 1..5, scores non-increasing
+    per = recs.groupBy("custkey").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("rec_rank").alias("lo"),
+        F.max("rec_rank").alias("hi"),
+    )
+    assert per.filter("n != 5 or lo != 1 or hi != 5").count() == 0
+    w = W.partitionBy("custkey").orderBy("rec_rank")
+    mono = recs.withColumn("prev", F.lag("score").over(w)).filter(
+        F.col("prev").isNotNull() & (F.col("prev") < F.col("score"))
+    )
+    assert mono.count() == 0
+    # ranking lift vs random for the most-purchased part per customer
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    inter = (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(
+            F.col("o_custkey").cast("int").alias("custkey"),
+            F.col("l_partkey").cast("int").alias("partkey"),
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    top = (
+        inter.withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("custkey").orderBy(F.col("cnt").desc(), "partkey")
+            ),
+        )
+        .filter("rn = 1")
+        .select("custkey", F.col("partkey").alias("top_part"))
+    )
+    n_parts = li.select("l_partkey").distinct().count()
+    hits = (
+        recs.join(top, "custkey")
+        .filter(F.col("partkey") == F.col("top_part"))
+        .select("custkey")
+        .distinct()
+        .count()
+    )
+    random_rate = 5.0 / n_parts
+    assert hits / n_cust > 2 * random_rate, (hits, n_cust, random_rate)
+    # deterministic refit: same seed + same input -> identical rec lists
+    r2 = QUERIES["als_recommend_parts"](spark, sf_dir)
+    assert (
+        recs.select("custkey", "rec_rank", "partkey")
+        .exceptAll(r2.select("custkey", "rec_rank", "partkey"))
+        .count()
+        == 0
+    )
+    recs.unpersist()
