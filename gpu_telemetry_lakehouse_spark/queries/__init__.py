@@ -81,19 +81,21 @@ DRIVER_WINDOW: list[str] = [
     "join_broadcast_dims",
     "join_semi",
     "join_anti",
-    "theta_join_balance_rank",
+    # training-shard export manifest (engine-portable hash sharding)
+    "shard_manifest_summary",
     "interval_join_shipments",
     "asof_last_error",
     "set_ops_customers",
     # windows (rank/ntile family demoted to second tier — momentum keeps the
     # category green — in favor of the round-3 quality/LM/curation families)
     "window_daily_momentum",
-    # grouping: rollup/cube/pivot
+    # grouping (cube/pivot twins at the top of the second tier)
     "rollup_region_nation",
-    "cube_order_status",
-    "pivot_status_by_nation",
-    # dedup / distinct / sketches
-    "dedup_first_per_key",
+    # change-data-capture derivation + Pareto frontier (round-3 families)
+    "cdc_snapshot_diff",
+    "skyline_orders",
+    # dedup / distinct / sketches (ExactSubstr spans + LSH + heavy hitters)
+    "exact_substring_dup_spans",
     "heavy_hitter_users",
     "dedup_minhash_pairs",
     # similarity search + semantic dedup
@@ -113,8 +115,8 @@ DRIVER_WINDOW: list[str] = [
     "udtf_sentences",
     # sampling
     "hash_sample_orders",
-    # stats profiling
-    "stats_profile_lineitem",
+    # statistical inference (Poisson-bootstrap CI; profiling twin in tier 2)
+    "bootstrap_ci_event_value",
     # text analysis (lang-id + fingerprint; quality/token twins sit at the
     # top of the second tier — same category, driver-strict pytest green)
     "text_lang_id",
@@ -144,6 +146,19 @@ DRIVER_WINDOW: list[str] = [
 # Next in line if the driver sweeps deeper: previously-green queries whose
 # category is already represented above (consolidated near-duplicates).
 _SECOND_TIER: list[str] = [
+    # demoted from the round-3 window late in the round (grouping stays
+    # green via rollup_region_nation; dedup via minhash/heavy-hitter;
+    # joins via broadcast/semi/anti/interval/asof; stats via the new
+    # inference family + profile_orders_columns)
+    "cube_order_status",
+    "pivot_status_by_nation",
+    "dedup_first_per_key",
+    "stats_profile_lineitem",
+    "theta_join_balance_rank",
+    "weighted_sample_users",
+    "theilsen_daily_trend",
+    "cuped_experiment_readout",
+    "als_recommend_parts",
     # demoted from the round-3 window (their categories stay green above)
     "window_rank_family",
     "dedup_shingle_jaccard_capped",
