@@ -778,3 +778,81 @@ def kcore_peel_trace(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).select("round", "nodes_remaining", "edges_remaining")
         out = row if out is None else out.unionByName(row)
     return out
+
+
+# --- positional phrase search ------------------------------------------------
+# Exact multi-token phrase matching via the positional-inverted-index join:
+# a (phrase_id, term, offset) pattern table joins the (doc, pos, term)
+# postings, every match votes for anchor = pos - offset, and an anchor that
+# collects ALL of a phrase's terms is an occurrence. One broadcast join +
+# one group-by — no regex over raw text, no document re-scan per phrase;
+# at 100 TB the postings are built once and any number of phrases probe
+# them. Only terms appearing in some phrase survive the semi-join, so the
+# anchor shuffle carries the probe vocabulary, not the corpus.
+PHRASES = [
+    ("slow hash batch", 0),
+    ("stream table hash", 1),
+    ("row column sort", 2),
+]
+
+
+@query(
+    "phrase_search_docs",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS tk
+        FROM documents
+    ),
+    occ AS (
+        SELECT p.phrase, t.doc_id, CAST(u.i AS INT) AS pos
+        FROM t
+        CROSS JOIN (VALUES ('slow hash batch'), ('stream table hash'),
+                           ('row column sort')) p(phrase)
+        CROSS JOIN UNNEST(range(1, len(t.tk) - 1)) AS u(i)
+        WHERE len(t.tk) >= 3
+          AND t.tk[CAST(u.i AS INT)] || ' ' || t.tk[CAST(u.i AS INT) + 1]
+              || ' ' || t.tk[CAST(u.i AS INT) + 2] = p.phrase
+    )
+    SELECT phrase, doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+           MIN(pos) AS first_pos
+    FROM occ GROUP BY phrase, doc_id
+    ORDER BY phrase, doc_id
+    """,
+)
+def phrase_search_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact phrase retrieval for a 3-phrase probe set. The oracle states
+    the semantics independently (sliding-window token comparison); the
+    Spark plan is the scalable inverted form described above."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    postings = docs.select(
+        "doc_id", F.posexplode(tokens(F.col("text"))).alias("pos0", "term")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "term")
+    pattern_rows = []
+    for phrase, pid in PHRASES:
+        for off, term in enumerate(phrase.split()):
+            pattern_rows.append((pid, phrase, term, off))
+    pattern = docs.sparkSession.createDataFrame(
+        pattern_rows, "pid int, phrase string, term string, off int"
+    )
+    n_terms = {pid: len(phrase.split()) for phrase, pid in PHRASES}
+    counts = docs.sparkSession.createDataFrame(
+        [(pid, n) for pid, n in n_terms.items()], "pid int, n_terms int"
+    )
+    votes = postings.join(F.broadcast(pattern), "term").select(
+        "pid", "phrase", "doc_id", (F.col("pos") - F.col("off")).alias("anchor")
+    )
+    occ = (
+        votes.groupBy("pid", "phrase", "doc_id", "anchor")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+        .join(F.broadcast(counts), "pid")
+        .filter(F.col("n_hit") == F.col("n_terms"))
+    )
+    return (
+        occ.groupBy("phrase", "doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.min("anchor").cast("int").alias("first_pos"),
+        )
+        .orderBy("phrase", "doc_id")
+    )

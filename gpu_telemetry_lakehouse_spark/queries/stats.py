@@ -1171,3 +1171,72 @@ def benford_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("chi2_term"),
     )
+
+
+# --- discrete-quantile + deterministic-mode center statistics ----------------
+# Rounds out the center-statistic family beyond the interpolated percentile
+# (A2): percentile_disc returns an ACTUAL data value (what "a real observed
+# latency at p50" dashboards need), and mode is pinned deterministic via an
+# explicit (count DESC, value ASC) tiebreak — engines disagree on bare
+# mode() ties, so the tie rule is part of the operator contract here.
+@query(
+    "robust_center_stats",
+    oracle="""
+    WITH b AS (
+        SELECT event_type, value,
+               CAST(floor(value / 25.0) AS INT) AS bucket
+        FROM events WHERE value IS NOT NULL
+    ),
+    m AS (
+        SELECT event_type, bucket, COUNT(*) AS c,
+               ROW_NUMBER() OVER (PARTITION BY event_type
+                                  ORDER BY COUNT(*) DESC, bucket) AS rk
+        FROM b GROUP BY event_type, bucket
+    )
+    SELECT b.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(quantile_cont(b.value, 0.5), 6) AS median_cont,
+           ROUND(quantile_disc(b.value, 0.5), 6) AS median_disc,
+           MAX(CASE WHEN m.rk = 1 THEN m.bucket END) AS mode_bucket,
+           CAST(MAX(CASE WHEN m.rk = 1 THEN m.c END) AS BIGINT) AS mode_count
+    FROM b JOIN m ON m.event_type = b.event_type AND m.bucket = b.bucket
+    GROUP BY b.event_type ORDER BY b.event_type
+    """,
+)
+def robust_center_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percentile_cont vs percentile_disc vs deterministic bucket-mode per
+    event type. Spark `percentile` interpolates (== DuckDB quantile_cont);
+    the discrete form is the ordered-set `percentile_disc(0.5) WITHIN GROUP`
+    (== quantile_disc) — both exact order statistics in the same shuffle.
+    Mode uses the windowed-argmax form so ties break identically on any
+    engine."""
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    b = ev.select(
+        "event_type",
+        "value",
+        F.floor(F.col("value") / 25.0).cast("int").alias("bucket"),
+    )
+    m = (
+        b.groupBy("event_type", "bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                W.partitionBy("event_type").orderBy(F.col("c").desc(), "bucket")
+            ),
+        )
+    )
+    return (
+        b.join(m, ["event_type", "bucket"])
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.expr("percentile(value, 0.5)"), 6).alias("median_cont"),
+            F.round(F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY value)"), 6).alias("median_disc"),
+            F.max(F.when(F.col("rk") == 1, F.col("bucket"))).alias("mode_bucket"),
+            F.max(F.when(F.col("rk") == 1, F.col("c"))).cast("long").alias("mode_count"),
+        )
+        .orderBy("event_type")
+    )
