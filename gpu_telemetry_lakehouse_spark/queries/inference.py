@@ -271,3 +271,154 @@ def cuped_experiment_readout(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("arm")
     )
+
+
+@query(
+    "higher_moment_stats",
+    oracle="""
+    WITH m AS (
+        SELECT event_type,
+               COUNT(*) AS n,
+               (SUM(CAST(ROUND(value * 1000000) AS BIGINT)) / 1000000.0)
+                   / COUNT(*) AS mean_v
+        FROM events WHERE value IS NOT NULL GROUP BY event_type
+    ),
+    c AS (
+        SELECT e.event_type, m.n, m.mean_v,
+               (SUM(CAST(ROUND((e.value - m.mean_v) * (e.value - m.mean_v) * 100) AS BIGINT)) / 100.0) / m.n AS m2,
+               (SUM(CAST(ROUND((e.value - m.mean_v) * (e.value - m.mean_v) * (e.value - m.mean_v) * 0.01) AS BIGINT)) * 100.0) / m.n AS m3,
+               (SUM(CAST(ROUND((e.value - m.mean_v) * (e.value - m.mean_v) * (e.value - m.mean_v) * (e.value - m.mean_v) * 0.0001) AS BIGINT)) * 10000.0) / m.n AS m4
+        FROM events e JOIN m USING (event_type)
+        WHERE e.value IS NOT NULL
+        GROUP BY e.event_type, m.n, m.mean_v
+    )
+    SELECT event_type, CAST(n AS BIGINT) AS n,
+           ROUND(mean_v, 6) AS mean_v,
+           ROUND(sqrt(m2), 6) AS stddev_pop,
+           ROUND(m3 / (m2 * sqrt(m2)), 6) AS skewness,
+           ROUND(m4 / (m2 * m2) - 3.0, 6) AS excess_kurtosis
+    FROM c ORDER BY event_type
+    """,
+)
+def higher_moment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population stddev, skewness, excess kurtosis per event type from
+    EXACT central moments: the group mean is computed first (scaled-long
+    sum), broadcast back, and each centered power is rounded to a scaled
+    long before summation — so the two engines' floating-point addition
+    order cannot diverge the third/fourth moments, which are notoriously
+    cancellation-sensitive. Two passes (mean, then centered moments) by
+    design: the one-pass raw-moment formula m4 - 4*m3*m + ... loses ~8
+    digits to cancellation at these magnitudes and would not hash-match.
+    Spark's built-in skewness()/kurtosis() remain the single-pass
+    approximate tier; this is the deterministic exact tier."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    m = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"), exact_avg("value").alias("mean_v")
+    )
+    d = F.col("value") - F.col("mean_v")
+    c = (
+        ev.join(F.broadcast(m), "event_type")
+        .groupBy("event_type", "n", "mean_v")
+        .agg(
+            (F.sum(F.round(d * d * 100, 0).cast("long")) / F.lit(100.0) / F.col("n")).alias("m2"),
+            (F.sum(F.round(d * d * d * 0.01, 0).cast("long")) * F.lit(100.0) / F.col("n")).alias("m3"),
+            (F.sum(F.round(d * d * d * d * 0.0001, 0).cast("long")) * F.lit(10000.0) / F.col("n")).alias("m4"),
+        )
+    )
+    return c.select(
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        F.round("mean_v", 6).alias("mean_v"),
+        F.round(F.sqrt("m2"), 6).alias("stddev_pop"),
+        F.round(F.col("m3") / (F.col("m2") * F.sqrt("m2")), 6).alias("skewness"),
+        F.round(F.col("m4") / (F.col("m2") * F.col("m2")) - 3.0, 6).alias("excess_kurtosis"),
+    ).orderBy("event_type")
+
+
+@query(
+    "correlation_matrix_lineitem",
+    oracle="""
+    WITH p AS (
+        SELECT u.ca AS col_a, u.cb AS col_b,
+               CASE u.ca WHEN 'l_quantity' THEN l_quantity
+                         WHEN 'l_extendedprice' THEN l_extendedprice
+                         ELSE l_discount END AS va,
+               CASE u.cb WHEN 'l_extendedprice' THEN l_extendedprice
+                         WHEN 'l_discount' THEN l_discount
+                         ELSE l_tax END AS vb
+        FROM lineitem
+        CROSS JOIN (VALUES ('l_quantity','l_extendedprice'),
+                           ('l_quantity','l_discount'),
+                           ('l_quantity','l_tax'),
+                           ('l_extendedprice','l_discount'),
+                           ('l_extendedprice','l_tax'),
+                           ('l_discount','l_tax')) u(ca, cb)
+    ),
+    m AS (
+        SELECT col_a, col_b, COUNT(*) AS n,
+               (SUM(CAST(ROUND(va * 1000000) AS BIGINT)) / 1000000.0) / COUNT(*) AS ma,
+               (SUM(CAST(ROUND(vb * 1000000) AS BIGINT)) / 1000000.0) / COUNT(*) AS mb
+        FROM p GROUP BY col_a, col_b
+    )
+    SELECT p.col_a, p.col_b,
+           ROUND(
+             ((SUM(CAST(ROUND((p.va - m.ma) * (p.vb - m.mb) * 10000) AS BIGINT)) / 10000.0) / m.n)
+             / NULLIF(sqrt(
+                 ((SUM(CAST(ROUND((p.va - m.ma) * (p.va - m.ma) * 10000) AS BIGINT)) / 10000.0) / m.n)
+               * ((SUM(CAST(ROUND((p.vb - m.mb) * (p.vb - m.mb) * 10000) AS BIGINT)) / 10000.0) / m.n)
+             ), 0), 6) AS pearson_r
+    FROM p JOIN m USING (col_a, col_b)
+    GROUP BY p.col_a, p.col_b, m.n
+    ORDER BY p.col_a, p.col_b
+    """,
+)
+def correlation_matrix_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlations across four lineitem measures in ONE
+    unpivoted plan: the pair dimension is a 6-row broadcast pattern table,
+    so the fact table streams through once per... no — once TOTAL: the
+    cross join replicates rows 6x inside the stage (row-local flatMap, no
+    extra scan), and all pairs aggregate in the same shuffle. Centered
+    products are scaled-long exact, same rationale as higher_moment_stats.
+    The built-in one-pass corr() is the approximate tier."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax"
+    )
+    pairs = [
+        ("l_quantity", "l_extendedprice"),
+        ("l_quantity", "l_discount"),
+        ("l_quantity", "l_tax"),
+        ("l_extendedprice", "l_discount"),
+        ("l_extendedprice", "l_tax"),
+        ("l_discount", "l_tax"),
+    ]
+    arms = F.array(
+        *[
+            F.struct(
+                F.lit(a).alias("col_a"),
+                F.lit(b).alias("col_b"),
+                F.col(a).alias("va"),
+                F.col(b).alias("vb"),
+            )
+            for a, b in pairs
+        ]
+    )
+    p = li.select(F.explode(arms).alias("u")).select("u.*")
+    m = p.groupBy("col_a", "col_b").agg(
+        F.count(F.lit(1)).alias("n"),
+        exact_avg("va").alias("ma"),
+        exact_avg("vb").alias("mb"),
+    )
+    da, db = F.col("va") - F.col("ma"), F.col("vb") - F.col("mb")
+    sc = F.lit(10**4)
+    ex = lambda e: F.sum(F.round(e * sc, 0).cast("long")) / sc.cast("double") / F.col("n")  # noqa: E731
+    return (
+        p.join(F.broadcast(m), ["col_a", "col_b"])
+        .groupBy("col_a", "col_b", "n")
+        .agg(
+            F.round(
+                ex(da * db) / F.nullif(F.sqrt(ex(da * da) * ex(db * db)), F.lit(0.0)), 6
+            ).alias("pearson_r")
+        )
+        .drop("n")
+        .orderBy("col_a", "col_b")
+    )
