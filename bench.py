@@ -71,6 +71,9 @@ HEADLINE = [
     "semdedup_prune",              # cluster-then-prune semantic dedup
     "bigram_perplexity_docs",      # corpus bigram LM + per-doc perplexity
     "kcore_peel_trace",            # iterative graph peeling (3 rounds)
+    "bootstrap_ci_event_value",    # 100-replicate Poisson bootstrap in one pass
+    "exact_substring_dup_spans",   # char-gram postings + interval union
+    "phrase_search_docs",          # positional inverted-index phrase match
 ]
 
 

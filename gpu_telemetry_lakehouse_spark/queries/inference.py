@@ -17,36 +17,32 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..catalog import load_table
+from ..catalog import load_table, spread_input
 from ..functions import exact_avg, exact_sum, md5_int
 from .registry import query
 
-# Poisson(1) inverse-CDF thresholds (cumulative P(X<=k), k=0..6; the tail
-# above 6 has mass 8e-5 and rounds to multiplicity 7).
-_POIS_CDF = [
-    0.3678794412,
-    0.7357588823,
-    0.9196986029,
-    0.9810118431,
-    0.9963401532,
-    0.9994058152,
-    0.9999167589,
-]
+# Poisson(1) inverse-CDF thresholds quantized to 6 hex digits: the uniform
+# is the md5's FIRST 6 HEX CHARS compared lexicographically, so the hot path
+# is one md5 + one string compare per (row, replicate) — no hex->bigint
+# conversion (conv() is BigInteger-backed and dominated the 10M-row stage at
+# 5x the cost) and no division. Quantization shifts each threshold by
+# < 6e-8 probability mass (immaterial statistically); both engines use the
+# SAME quantized ladder so the draw stays bit-identical.
+_POIS_HEX = ["5e2d58", "bc5ab1", "eb715e", "fb2397", "ff1025", "ffd90f", "fffa8b"]
 _B = 100  # bootstrap replicates
-_U_DEN = 1152921504606846976.0  # 2^60, md5_int range
 
 
-def _pois_case_sql(u: str) -> str:
+def _pois_case_sql(h: str) -> str:
     branches = " ".join(
-        f"WHEN {u} < {t} THEN {k}" for k, t in enumerate(_POIS_CDF)
+        f"WHEN {h} < '{t}' THEN {k}" for k, t in enumerate(_POIS_HEX)
     )
     return f"CASE {branches} ELSE 7 END"
 
 
-def _pois_case(u):
-    expr = F.when(u < _POIS_CDF[0], 0)
-    for k, t in enumerate(_POIS_CDF[1:], start=1):
-        expr = expr.when(u < t, k)
+def _pois_case(h):
+    expr = F.when(h < _POIS_HEX[0], 0)
+    for k, t in enumerate(_POIS_HEX[1:], start=1):
+        expr = expr.when(h < t, k)
     return expr.otherwise(7)
 
 
@@ -55,16 +51,16 @@ def _pois_case(u):
     oracle=f"""
     WITH reps AS (
         SELECT e.event_type, CAST(u.b AS INT) AS b,
-               ((CAST('0x' || substr(md5(CAST(e.event_id AS VARCHAR) || '_' ||
-                      CAST(u.b AS VARCHAR)), 1, 15) AS BIGINT)) / {_U_DEN}) AS u01,
+               substr(md5(CAST(e.event_id AS VARCHAR) || '_' ||
+                      CAST(u.b AS VARCHAR)), 1, 6) AS h6,
                e.value
         FROM events e CROSS JOIN UNNEST(range(1, {_B + 1})) AS u(b)
         WHERE e.value IS NOT NULL
     ),
     wm AS (
         SELECT event_type, b,
-               (SUM(CAST(ROUND(({_pois_case_sql("u01")}) * value * 10000) AS BIGINT)) / 10000.0)
-               / NULLIF(SUM({_pois_case_sql("u01")}), 0) AS rep_mean
+               (SUM(CAST(ROUND(({_pois_case_sql("h6")}) * value * 10000) AS BIGINT)) / 10000.0)
+               / NULLIF(SUM({_pois_case_sql("h6")}), 0) AS rep_mean
         FROM reps GROUP BY event_type, b
     )
     SELECT event_type,
@@ -83,14 +79,17 @@ def bootstrap_ci_event_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     The multiplicity is the inverse Poisson(1) CDF of a deterministic
     md5-uniform keyed by (row, replicate), so both engines draw the SAME
     bootstrap — the CI is hash-checkable, not just statistically similar."""
-    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
-    u01 = (
-        md5_int(
+    ev = spread_input(
+        load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    )
+    h6 = F.substring(
+        F.md5(
             F.concat(
                 F.col("event_id").cast("string"), F.lit("_"), F.col("b").cast("string")
             )
-        )
-        / F.lit(_U_DEN)
+        ),
+        1,
+        6,
     )
     reps = ev.select(
         "event_id",
@@ -101,7 +100,7 @@ def bootstrap_ci_event_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         "b",
         "value",
-        _pois_case(u01).alias("w"),
+        _pois_case(h6).alias("w"),
     )
     m = F.lit(10**4)
     wm = reps.groupBy("event_type", F.col("b").cast("int").alias("b")).agg(

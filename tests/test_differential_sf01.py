@@ -56,6 +56,10 @@ HEAVY_SLICE = [
     "nation_market_share",
     "dedup_shingle_jaccard",
     "exact_substring_dup_spans",
+    "bootstrap_ci_event_value",
+    "phrase_search_docs",
+    "higher_moment_stats",
+    "correlation_matrix_lineitem",
     # setsim_join_prefix deliberately NOT here: the synthetic docs corpus is
     # a ~30-token vocabulary soup, the worst case for prefix filtering
     # (every pair is a candidate) — ~160 s at sf0.1, dominated by the naive
