@@ -146,46 +146,14 @@ def skyline_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
          (ts-distinct pre-agg keeps the window deterministic under ties).
     At 100 TB only step 1 touches the full table (one map-side-combinable
     shuffle); candidates are a per-day handful."""
+    from ..operators.frontier import skyline_2d
+
     o = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderdate", "o_totalprice"
     )
-    day = F.date_trunc("day", F.col("o_orderdate"))
-    daily = (
-        o.groupBy(day.alias("d"))
-        .agg(F.max("o_totalprice").alias("day_max"))
-    )
-    w_later = Window.orderBy(F.col("d").desc()).rowsBetween(
-        Window.unboundedPreceding, -1
-    )
-    thresh = daily.select(
-        "d", F.max("day_max").over(w_later).alias("m_later")
-    )
-    cand = o.join(
-        F.broadcast(thresh), day == F.col("d"), "left"
-    ).filter(F.col("m_later").isNull() | (F.col("o_totalprice") > F.col("m_later")))
-    # within-day: ts-level max (distinct ts -> deterministic window), then
-    # max over strictly later ts in the same day
-    ts_max = cand.groupBy("d", F.col("o_orderdate").alias("ts")).agg(
-        F.max("o_totalprice").alias("ts_max")
-    )
-    w_day = Window.partitionBy("d").orderBy(F.col("ts").desc()).rowsBetween(
-        Window.unboundedPreceding, -1
-    )
-    ts_thresh = ts_max.select(
-        "d", "ts", "ts_max", F.max("ts_max").over(w_day).alias("m_later_ts")
-    )
-    return (
-        cand.join(
-            ts_thresh.withColumnRenamed("d", "td"),
-            (F.col("d") == F.col("td")) & (F.col("o_orderdate") == F.col("ts")),
-        )
-        .filter(
-            (F.col("o_totalprice") == F.col("ts_max"))
-            & (
-                F.col("m_later_ts").isNull()
-                | (F.col("o_totalprice") > F.col("m_later_ts"))
-            )
-        )
-        .select("o_orderkey", "o_orderdate", "o_totalprice")
-        .orderBy(F.col("o_orderdate").desc(), "o_totalprice", "o_orderkey")
-    )
+    return skyline_2d(
+        o,
+        "o_orderdate",
+        "o_totalprice",
+        bucket=F.date_trunc("day", F.col("o_orderdate")),
+    ).orderBy(F.col("o_orderdate").desc(), "o_totalprice", "o_orderkey")

@@ -428,6 +428,51 @@ def pruned_file_count(path: str, col: str, lo, hi, version: int | None = None) -
     return len(kept), len(files)
 
 
+def apply_changes(
+    spark: SparkSession,
+    changes: DataFrame,
+    path: str,
+    key_cols: list[str],
+    stat_cols: list[str] | None = None,
+    batch_id: int | None = None,
+) -> int | None:
+    """Apply a keyed change feed (the ``changes_between`` output shape:
+    ``_change_type`` in insert/delete/update_preimage/update_postimage) to a
+    table as ONE atomic commit — the consumer half of the CDC loop, the
+    APPLY CHANGES INTO semantic. Deletes and update keys are removed, then
+    inserts and update postimages land; preimages are ignored (they exist
+    for reversal/audit). ``batch_id`` gives exactly-once replay like
+    merge_upsert. Cost: one snapshot rewrite (same contract as merge_upsert;
+    the stat-pruned refinement applies identically)."""
+    if batch_id is not None and batch_id in committed_batch_ids(path):
+        return None
+    rv = current_version(path)
+    current = snapshot_files(path, rv)
+    base = read(spark, path, version=rv)
+    gone = (
+        changes.filter(
+            F.col("_change_type").isin("delete", "update_preimage", "update_postimage")
+        )
+        .select(*key_cols)
+        .distinct()
+    )
+    incoming = changes.filter(
+        F.col("_change_type").isin("insert", "update_postimage")
+    ).drop("_change_type")
+    merged = base.join(gone, key_cols, "left_anti").unionByName(
+        incoming, allowMissingColumns=True
+    )
+    actions = {
+        "operation": "apply_changes",
+        "add": _stage_files(merged, path, stat_cols or []),
+        "remove": [a["file"] for a in current],
+        "schema": merged.schema.json(),
+    }
+    if batch_id is not None:
+        actions["batch_id"] = batch_id
+    return _commit(path, actions, read_version=rv)
+
+
 def pruned_file_count_eq(
     path: str, col: str, value, version: int | None = None
 ) -> tuple[int, int]:

@@ -636,3 +636,37 @@ def test_native_minhash_lsh_finds_exact_neardup_pairs(spark, sf_dir):
     # join post-verifies exact distance on candidates, so with enough hash
     # tables it must contain every true pair.
     assert want <= got
+
+
+# --- skyline operator vs brute-force domination ------------------------------
+xy_rows = st.lists(
+    st.tuples(st.integers(0, 8), st.integers(-4, 4)), min_size=0, max_size=40
+)
+
+
+@given(rows=xy_rows)
+@SET
+def test_skyline_2d_equals_bruteforce(spark, rows):
+    """skyline_2d (bucketed distributive plan) == O(n^2) domination scan on
+    arbitrary small int inputs — duplicates, total ties, single-bucket and
+    cross-bucket boundaries all land here. Equal points must BOTH survive
+    (neither strictly dominates)."""
+    from gpu_telemetry_lakehouse_spark.operators.frontier import skyline_2d
+
+    schema = T.StructType(
+        [T.StructField("x", T.IntegerType()), T.StructField("y", T.IntegerType())]
+    )
+    df = spark.createDataFrame([(x, y) for x, y in rows], schema)
+    # bucket coarser than x (x // 3) to exercise the cross-bucket pruning
+    got = sorted(
+        (r.x, r.y)
+        for r in skyline_2d(
+            df, "x", "y", bucket=(F.col("x") / 3).cast("int")
+        ).collect()
+    )
+
+    def dominated(p, q):  # q dominates p
+        return q[0] >= p[0] and q[1] >= p[1] and (q[0] > p[0] or q[1] > p[1])
+
+    want = sorted(p for p in rows if not any(dominated(p, q) for q in rows))
+    assert got == want

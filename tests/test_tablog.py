@@ -758,3 +758,30 @@ def test_bloom_skipping_equality_probe(spark, sf_dir, tbl):
     assert kept_range == 4
     # absent key: every file may be bloom-skipped; result must be empty
     assert T.read(spark, tbl, eq=("o_orderkey", -12345)).count() == 0
+
+
+def test_apply_changes_replicates_table(spark, sf_dir, tbl, tmp_path):
+    """CDC loop closure: changes_between(primary) applied via apply_changes
+    to a stale replica reproduces the primary exactly — the
+    produce->transport->apply roundtrip a downstream mirror runs."""
+    primary = str(tmp_path / "primary")
+    o = _orders(spark, sf_dir)
+    T.create_table(o.limit(20), primary)                    # v0
+    T.create_table(T.read(spark, primary), tbl)             # replica of v0
+    keys = sorted(r.o_orderkey for r in T.read(spark, primary).select("o_orderkey").collect())
+    upd = (
+        o.filter(F.col("o_orderkey").isin(keys[:3]))
+        .withColumn("o_orderstatus", F.lit("Z"))
+        .unionByName(o.filter(~F.col("o_orderkey").isin(keys)).limit(2))
+    )
+    T.merge_upsert(spark, upd, primary, key_cols=["o_orderkey"])   # v1
+    survivor = T.read(spark, primary).filter(F.col("o_orderkey") != keys[7])
+    T.overwrite(survivor, primary)                                  # v2
+
+    feed = T.changes_between(spark, primary, 0, 2, key_cols=["o_orderkey"])
+    T.apply_changes(spark, feed, tbl, key_cols=["o_orderkey"], batch_id=11)
+    a, b = T.read(spark, tbl), T.read(spark, primary)
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+    # replayed epoch is a no-op
+    assert T.apply_changes(spark, feed, tbl, key_cols=["o_orderkey"], batch_id=11) is None
+    assert [h["operation"] for h in T.history(tbl)][-1] == "apply_changes"
