@@ -152,10 +152,16 @@ def _file_bloom(full_path: str, bloom_cols: list[str]) -> dict[str, dict]:
     import pyarrow.parquet as pq
 
     blooms: dict[str, dict] = {}
-    table = pq.read_table(full_path, columns=[c for c in bloom_cols])
-    for col in bloom_cols:
-        if col not in table.column_names:
-            continue
+    # intersect with the file's actual schema BEFORE reading — a schema-
+    # evolved table may have files predating a bloom column, and read_table
+    # raises on absent columns rather than skipping them
+    present = [
+        c for c in bloom_cols if c in pq.ParquetFile(full_path).schema_arrow.names
+    ]
+    if not present:
+        return blooms
+    table = pq.read_table(full_path, columns=present)
+    for col in present:
         bits = bytearray(_BLOOM_M // 8)
         for v in table.column(col).to_pylist():
             if v is None:
@@ -843,6 +849,9 @@ def changes_between(
     Versus ``diff_versions`` (multiset added/removed, no identity): this one
     pairs rows by key, so an UPDATE is distinguishable from an unrelated
     delete+insert — what cache invalidation and reverse-ETL consumers need.
+    Across a schema change every surviving key reports as an update (the
+    fingerprint covers each snapshot's own column set) — the conservative
+    reading: a consumer re-materializes rows whose shape changed.
     Attribute comparison uses the NULL-safe to_json struct fingerprint (same
     as scd2_history; concat_ws would collide NULL layouts). Cost: two
     snapshot scans + key-partitioned joins; every join shuffles on the same

@@ -785,3 +785,22 @@ def test_apply_changes_replicates_table(spark, sf_dir, tbl, tmp_path):
     # replayed epoch is a no-op
     assert T.apply_changes(spark, feed, tbl, key_cols=["o_orderkey"], batch_id=11) is None
     assert [h["operation"] for h in T.history(tbl)][-1] == "apply_changes"
+
+
+def test_bloom_cols_tolerate_schema_evolution(spark, sf_dir, tbl):
+    o = _orders(spark, sf_dir)
+    # v0 lacks the future bloom column entirely
+    T.create_table(o.select("o_orderkey").limit(5), tbl)
+    # v1 appends with bloom on a column v0's files never had
+    T.append(
+        o.select("o_orderkey", "o_orderstatus").limit(5),
+        tbl,
+        bloom_cols=["o_orderstatus"],
+    )
+    # and appending with a bloom col absent from THIS batch is a no-op too
+    T.append(o.select("o_orderkey").limit(3), tbl, bloom_cols=["o_orderstatus"])
+    got = T.read(spark, tbl, eq=("o_orderstatus", "F"))
+    want = (
+        o.limit(5).filter(F.col("o_orderstatus") == "F").count()
+    )
+    assert got.count() == want
