@@ -353,3 +353,53 @@ def compact_partitions(
         .localCheckpoint()
     )
     overwrite_dynamic_partitions(compacted, path, partition_cols)
+
+
+def dense_ids(df: DataFrame, order_cols: list[str], id_col: str = "row_id") -> DataFrame:
+    """Deterministic dense surrogate keys 0..n-1 in ``order_cols`` order,
+    WITHOUT a single-partition global window (the naive
+    ``row_number() OVER (ORDER BY ...)`` funnels the whole table through one
+    task) and without ``monotonically_increasing_id`` (sparse, partitioning-
+    dependent, not stable across reruns).
+
+    The scalable decomposition: range-partition on the order columns (the
+    same exchange a global sort needs — n-way, not 1-way), count rows per
+    partition (a |partitions|-sized driver aggregate), broadcast the prefix
+    offsets back, and add the partition-local row_number. Two jobs (count
+    pass + id pass) over the range-partitioned frame; each window runs
+    within its own partition."""
+    from pyspark.sql import Window as W
+
+    sc = df.sparkSession.sparkContext
+    n_parts = max(2, min(sc.defaultParallelism, 64))
+    # localCheckpoint pins ONE materialization of the range partitioning:
+    # RangePartitioner samples bounds non-deterministically per execution,
+    # so without it the count pass and the id pass can disagree on which
+    # partition a row lands in — silently corrupting the offsets.
+    ranged = (
+        df.repartitionByRange(n_parts, *order_cols)
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint()
+    )
+    counts = {
+        r["__pid"]: r["n"]
+        for r in ranged.groupBy("__pid").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    offsets, acc = {}, 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    off = F.element_at(
+        F.map_from_arrays(
+            F.array(*[F.lit(p) for p in sorted(offsets)]),
+            F.array(*[F.lit(offsets[p]) for p in sorted(offsets)]),
+        ),
+        F.col("__pid"),
+    )
+    w = W.partitionBy("__pid").orderBy(*order_cols)
+    return (
+        ranged.withColumn(
+            id_col, (F.row_number().over(w) - 1 + off).cast("long")
+        )
+        .drop("__pid")
+    )

@@ -314,3 +314,24 @@ def triangle_count_cousers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(F.array("a", "b1", "c1")).alias("user_id")
     )
     return nodes.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_triangles"))
+
+
+# --- scalable dense surrogate keys ------------------------------------------
+@query(
+    "surrogate_keys_orders",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(ROW_NUMBER() OVER (ORDER BY o_orderkey) - 1 AS BIGINT) AS row_id
+    FROM orders
+    """,
+)
+def surrogate_keys_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense deterministic 0..n-1 ids in key order via the range-partition +
+    offset-broadcast decomposition (operators/scale.py::dense_ids) — the
+    oracle states the single-window semantics a distributed engine must NOT
+    execute literally (one-task global sort); equality proves the
+    decomposition exact."""
+    from ..operators.scale import dense_ids
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey")
+    return dense_ids(o, ["o_orderkey"]).select("o_orderkey", "row_id")

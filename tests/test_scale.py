@@ -340,3 +340,24 @@ def test_export_shards_deterministic_verified(spark, sf_dir, tmp_path):
         _json.dump({**m, "shards": {str(k): v for k, v in m["shards"].items()}}, f)
     with pytest.raises(ValueError, match="shard verification failed"):
         SH.verify_shards(spark, out1)
+
+
+def test_dense_ids_matches_global_row_number(spark, sf_dir):
+    from gpu_telemetry_lakehouse_spark.operators.scale import dense_ids
+    from pyspark.sql import Window as W
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    got = dense_ids(o, ["o_orderkey"]).select("o_orderkey", "row_id")
+    want = o.select(
+        "o_orderkey",
+        (F.row_number().over(W.orderBy("o_orderkey")) - 1).cast("long").alias("row_id"),
+    )
+    assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
+    # dense + deterministic: rerun equals first run
+    again = dense_ids(o, ["o_orderkey"]).select("o_orderkey", "row_id")
+    assert got.exceptAll(again).count() == 0
+    # window runs per range-partition (__pid in the spec), never globally
+    from gpu_telemetry_lakehouse_spark import plans as P
+
+    p = P.explain_formatted(dense_ids(o, ["o_orderkey"]))
+    assert "windowspecdefinition(__pid" in p and "SinglePartition" not in p
