@@ -29,6 +29,11 @@ def skyline_2d(
     correct always, cheapest when x has few distinct values; pass e.g.
     ``F.date_trunc("day", x)`` for timestamp axes so the threshold frame
     stays |buckets|-sized)."""
+    # NULL coordinates are excluded up front: domination is undefined for
+    # NULL, and the bucketed joins below would silently drop NULL-x rows
+    # while a NOT EXISTS oracle keeps them — define the semantics instead
+    # of inheriting a divergence.
+    df = df.filter(F.col(x_col).isNotNull() & F.col(y_col).isNotNull())
     b = bucket if bucket is not None else F.col(x_col)
     per_bucket = df.groupBy(b.alias("_skb")).agg(F.max(y_col).alias("_bmax"))
     w_later = Window.orderBy(F.col("_skb").desc()).rowsBetween(

@@ -71,7 +71,7 @@ def _state_sql(t: str) -> str:
            s2.state_value AS new_value
     FROM s1 FULL OUTER JOIN s2 ON s1.user_id = s2.user_id
     WHERE s1.user_id IS NULL OR s2.user_id IS NULL
-       OR s1.state_value <> s2.state_value
+       OR s1.state_value IS DISTINCT FROM s2.state_value
     ORDER BY change_type, user_id
     """,
 )
@@ -97,10 +97,14 @@ def cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         joined.withColumn("change_type", change)
+        # IS DISTINCT FROM, not <>: a NULL-valued state transitioning to a
+        # real value (or back) IS a change — plain inequality returns NULL
+        # there and would silently drop the row (the concat_ws-class NULL
+        # trap ADVICE r2 flagged elsewhere)
         .filter(
             F.col("user_id").isNull()
             | F.col("u2").isNull()
-            | (F.col("old_value") != F.col("new_value"))
+            | ~F.col("old_value").eqNullSafe(F.col("new_value"))
         )
         .select(
             "change_type",
@@ -117,7 +121,8 @@ def cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT o.o_orderkey, o.o_orderdate, o.o_totalprice
     FROM orders o
-    WHERE NOT EXISTS (
+    WHERE o.o_orderdate IS NOT NULL AND o.o_totalprice IS NOT NULL
+      AND NOT EXISTS (
         SELECT 1 FROM orders d
         WHERE d.o_totalprice >= o.o_totalprice
           AND d.o_orderdate >= o.o_orderdate
