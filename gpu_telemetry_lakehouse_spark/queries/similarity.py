@@ -437,3 +437,134 @@ def knn_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = top if out is None else out.unionByName(top)
     return out
+
+
+# --- retrieval-quality evaluation (NDCG@10 / reciprocal rank) ----------------
+# The IR-evaluation half of a similarity stack: score the ANN ranking
+# against label-match relevance. DCG folds in rank order with scaled-long
+# staging (log2 of small ints is bit-identical everywhere); IDCG is the
+# closed-form ideal prefix over the query's true relevant count, computed
+# as a bounded fold — so the metric itself is oracle-checkable, not just
+# "statistically close".
+EVAL_QUERIES = 20
+EVAL_K = 10
+
+
+@query(
+    "knn_eval_ndcg",
+    oracle=f"""
+    WITH q AS (
+        SELECT vec_id AS query_id, cast(embedding AS DOUBLE[]) AS qv, label AS qlabel
+        FROM embeddings WHERE vec_id < {EVAL_QUERIES}
+    ),
+    scored AS (
+        SELECT q.query_id, q.qlabel, e.vec_id AS neighbor_id, e.label,
+               ROUND({{COS}}, 6) AS cos_sim
+        FROM embeddings e, q
+        WHERE e.vec_id <> q.query_id
+    ),
+    ranked AS (
+        SELECT query_id, qlabel, label,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id
+               ) AS INT) AS rn
+        FROM scored
+    ),
+    top AS (
+        SELECT query_id,
+               CASE WHEN label = qlabel THEN 1 ELSE 0 END AS rel, rn
+        FROM ranked WHERE rn <= {EVAL_K}
+    ),
+    dcg AS (
+        SELECT query_id,
+               SUM(CAST(ROUND(rel / log2(CAST(rn AS DOUBLE) + 1.0) * 1000000000) AS BIGINT))
+                   / 1000000000.0 AS dcg,
+               MIN(CASE WHEN rel = 1 THEN rn END) AS first_rel
+        FROM top GROUP BY query_id
+    ),
+    rc AS (
+        SELECT a.vec_id AS query_id, COUNT(*) AS r
+        FROM embeddings a JOIN embeddings b
+          ON b.label = a.label AND b.vec_id <> a.vec_id
+        WHERE a.vec_id < {EVAL_QUERIES}
+        GROUP BY a.vec_id
+    ),
+    idcg AS (
+        SELECT rc.query_id,
+               SUM(CAST(ROUND(1.0 / log2(CAST(u.i AS DOUBLE) + 1.0) * 1000000000) AS BIGINT))
+                   / 1000000000.0 AS idcg
+        FROM rc CROSS JOIN UNNEST(range(1, LEAST(rc.r, {EVAL_K}) + 1)) AS u(i)
+        GROUP BY rc.query_id
+    )
+    SELECT d.query_id,
+           ROUND(d.dcg, 6) AS dcg,
+           ROUND(COALESCE(d.dcg / NULLIF(i.idcg, 0), 0.0), 6) AS ndcg,
+           ROUND(COALESCE(1.0 / d.first_rel, 0.0), 6) AS rr
+    FROM dcg d LEFT JOIN idcg i USING (query_id)
+    ORDER BY d.query_id
+    """.replace("{COS}", _COS),
+)
+def knn_eval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spread_input(load_table(spark, sf_dir, "embeddings"))
+    queries = emb.filter(F.col("vec_id") < EVAL_QUERIES)
+    ranked = SIM.cosine_topk(emb, queries, k=EVAL_K)
+    labels = emb.select(F.col("vec_id").alias("neighbor_id"), "label")
+    qlabels = emb.select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("qlabel")
+    )
+    top = (
+        ranked.join(F.broadcast(labels), "neighbor_id")
+        .join(F.broadcast(qlabels), "query_id")
+        .select(
+            "query_id",
+            F.when(F.col("label") == F.col("qlabel"), 1).otherwise(0).alias("rel"),
+            "rn",
+        )
+    )
+    m = F.lit(10**9)
+    dcg = top.groupBy("query_id").agg(
+        (
+            F.sum(
+                F.round(
+                    F.col("rel") / F.log2(F.col("rn").cast("double") + 1.0) * m, 0
+                ).cast("long")
+            )
+            / m.cast("double")
+        ).alias("dcg"),
+        F.min(F.when(F.col("rel") == 1, F.col("rn"))).alias("first_rel"),
+    )
+    rc = (
+        queries.select(F.col("vec_id").alias("query_id"), F.col("label").alias("qlabel"))
+        .join(
+            emb.select("vec_id", "label"),
+            (F.col("label") == F.col("qlabel")) & (F.col("vec_id") != F.col("query_id")),
+        )
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("r"))
+    )
+    idcg = rc.select(
+        "query_id",
+        (
+            F.aggregate(
+                F.sequence(F.lit(1), F.least(F.col("r"), F.lit(EVAL_K))),
+                F.lit(0).cast("long"),
+                lambda acc, i: acc
+                + F.round(1.0 / F.log2(i.cast("double") + 1.0) * m, 0).cast("long"),
+            )
+            / m.cast("double")
+        ).alias("idcg"),
+    )
+    return (
+        dcg.join(F.broadcast(idcg), "query_id", "left")
+        .select(
+            "query_id",
+            F.round("dcg", 6).alias("dcg"),
+            F.round(
+                F.coalesce(F.col("dcg") / F.nullif("idcg", F.lit(0.0)), F.lit(0.0)), 6
+            ).alias("ndcg"),
+            F.round(
+                F.coalesce(1.0 / F.col("first_rel"), F.lit(0.0)), 6
+            ).alias("rr"),
+        )
+        .orderBy("query_id")
+    )
