@@ -753,3 +753,65 @@ def dataset_card_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --- multimodal REAL audio decode: WAV payloads through the numpy codec ------
+# The audio half of the media pipeline, end to end under the driver gate:
+# PCM16 WAV binaries are SYNTHESIZED executor-side (mapInPandas; RIFF
+# headers carry little-endian binary lengths, so bytes are built with the
+# numpy encoder, never string functions), then decoded by the same
+# decode="real" kernel, which sniffs RIFF and routes to the WAV parser.
+# Sample count is a pure function of doc_id (100 + doc_id % 50), so the
+# oracle asserts the decode contract exactly: every payload decodes, total
+# samples and channel counts are closed-form.
+@query(
+    "multimodal_audio_decode",
+    oracle="""
+    SELECT source,
+           COUNT(*) AS n_media,
+           COUNT(*) AS n_decoded,
+           CAST(SUM(100 + doc_id % 50) AS BIGINT) AS total_samples,
+           CAST(COUNT(*) AS BIGINT) AS total_channels
+    FROM documents
+    GROUP BY source
+    """,
+)
+def multimodal_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+
+    from ..operators import multimodal as MM
+    from ..operators.media_codecs import encode_wav
+
+    docs = load_table(spark, sf_dir, "documents")
+
+    def synth(batches):
+        for pdf in batches:
+            rows = []
+            for did, src in zip(pdf["doc_id"], pdf["source"]):
+                n = 100 + int(did) % 50
+                t = np.arange(n, dtype=np.float32)
+                wave = (np.sin(2 * np.pi * t / 32.0) * 0.5).astype(np.float32)
+                payload = encode_wav(wave.reshape(-1, 1), rate=16000)
+                rows.append((int(did), "audio", payload, (str(src), len(payload))))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "media_type", "payload", "meta"]
+            )
+
+    media = docs.select("doc_id", "source").mapInPandas(
+        synth,
+        schema="media_id long, media_type string, payload binary, "
+        "meta struct<source:string, byte_len:bigint>",
+    )
+    feats = MM.extract_features(media, decode="real")
+    src = docs.select(F.col("doc_id").alias("media_id"), "source")
+    return (
+        feats.join(src, "media_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_media"),
+            F.sum(F.col("decode_ok").cast("int")).cast("long").alias("n_decoded"),
+            F.sum("width").cast("long").alias("total_samples"),
+            F.sum("height").cast("long").alias("total_channels"),
+        )
+    )
