@@ -1240,3 +1240,73 @@ def robust_center_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --- business-day (weekday) shipping latency ---------------------------------
+# Calendar-day latency (ship_latency_by_priority) over-penalizes weekend
+# spans; FP&A SLAs count WEEKDAYS. Closed form, no calendar explode: with
+# W(d) = number of weekdays in [anchor, d] for a Monday anchor
+# (1990-01-01), W(d) = 5*(k DIV 7) + LEAST(k % 7 + 1, 5) where
+# k = days(anchor -> d); business days in (order, ship] = W(ship) -
+# W(order). Pure integer arithmetic — bit-identical on any engine, O(1)
+# per row where a generate_series-per-row approach is O(span).
+_BD_ANCHOR = "1990-01-01"
+
+
+def _bd_sql(col: str) -> str:
+    k = f"date_diff('day', DATE '{_BD_ANCHOR}', {col})"
+    return f"(5 * ({k} // 7) + LEAST(({k} % 7) + 1, 5))"
+
+
+@query(
+    "business_day_latency",
+    oracle=f"""
+    WITH ship AS (
+        SELECT l_orderkey, MIN(l_shipdate) AS first_ship
+        FROM lineitem GROUP BY l_orderkey
+    )
+    SELECT o.o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           ROUND(AVG({_bd_sql("s.first_ship")} - {_bd_sql("o.o_orderdate")}), 6)
+               AS avg_bdays,
+           CAST(quantile_disc({_bd_sql("s.first_ship")} - {_bd_sql("o.o_orderdate")}, 0.5)
+               AS BIGINT) AS median_bdays,
+           CAST(MAX({_bd_sql("s.first_ship")} - {_bd_sql("o.o_orderdate")}) AS BIGINT)
+               AS max_bdays
+    FROM orders o JOIN ship s ON s.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderpriority ORDER BY o.o_orderpriority
+    """,
+)
+def business_day_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekday-only order->first-ship latency per priority. AVG of integers
+    is exact on both engines (bigint sum / count); the median uses the
+    discrete quantile so the statistic is an actual observed latency."""
+    def bd(col):
+        k = F.datediff(col, F.lit(_BD_ANCHOR).cast("date"))
+        return 5 * (k - F.pmod(k, 7)) / 7 + F.least(F.pmod(k, 7) + 1, F.lit(5))
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderpriority", "o_orderdate")
+    ship = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.min("l_shipdate").alias("first_ship"))
+    )
+    lat = (
+        o.join(ship, F.col("o_orderkey") == F.col("l_orderkey"))
+        .select(
+            "o_orderpriority",
+            (bd(F.col("first_ship")) - bd(F.col("o_orderdate"))).cast("long").alias("bdays"),
+        )
+    )
+    return (
+        lat.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("bdays") / F.count(F.lit(1)), 6).alias("avg_bdays"),
+            F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY bdays)")
+            .cast("long")
+            .alias("median_bdays"),
+            F.max("bdays").alias("max_bdays"),
+        )
+        .orderBy("o_orderpriority")
+    )
