@@ -1177,3 +1177,74 @@ def peak_concurrent_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             "peak_rank",
         )
     )
+
+
+# --- clamped running balance (Lindley recursion via reflection identity) -----
+# balance_i = max(0, balance_{i-1} + delta_i) looks like it needs a
+# sequential scan (and most engines ship it as an imperative UDF), but the
+# Lindley solution W_n = S_n - min(0, min_{k<=n} S_k) turns it into TWO
+# ordinary windows (running sum + running min) — fully parallel per key.
+# The oracle executes the LITERAL sequential recursion (recursive CTE), so
+# the hash match proves the closed form, not just reimplements it. Deltas
+# are scaled to integer cents: both formulations then do exact integer
+# arithmetic and must agree bit-for-bit, which float accumulation order
+# would not.
+@query(
+    "clamped_balance_users",
+    oracle="""
+    WITH RECURSIVE seq AS (
+        SELECT user_id, event_id,
+               CAST(ROUND(CASE WHEN event_type IN ('purchase','signup')
+                    THEN value ELSE -value END * 100) AS BIGINT) AS delta,
+               ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        FROM events WHERE value IS NOT NULL
+    ),
+    bal AS (
+        SELECT user_id, rn, GREATEST(delta, 0) AS b FROM seq WHERE rn = 1
+        UNION ALL
+        SELECT s.user_id, s.rn, GREATEST(b.b + s.delta, 0)
+        FROM seq s JOIN bal b ON b.user_id = s.user_id AND s.rn = b.rn + 1
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(MAX(CASE WHEN rn = mx THEN b END) AS BIGINT) AS final_cents,
+           CAST(MAX(b) AS BIGINT) AS peak_cents
+    FROM (SELECT *, MAX(rn) OVER (PARTITION BY user_id) AS mx FROM bal)
+    GROUP BY user_id ORDER BY user_id
+    """,
+)
+def clamped_balance_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    delta = F.round(
+        F.when(
+            F.col("event_type").isin("purchase", "signup"), F.col("value")
+        ).otherwise(-F.col("value"))
+        * 100,
+        0,
+    ).cast("long")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    rows = ev.select("user_id", "ts", "event_id", delta.alias("delta")).select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.sum("delta").over(w).alias("s"),
+    )
+    b = F.col("s") - F.least(
+        F.lit(0).cast("long"), F.min("s").over(w)
+    )
+    per_row = rows.select("user_id", "ts", "event_id", b.alias("b"))
+    wo = W.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    return (
+        per_row.withColumn("rk", F.row_number().over(wo))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.max(F.when(F.col("rk") == 1, F.col("b"))).alias("final_cents"),
+            F.max("b").alias("peak_cents"),
+        )
+        .orderBy("user_id")
+    )
