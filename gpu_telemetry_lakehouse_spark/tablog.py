@@ -434,6 +434,75 @@ def pruned_file_count(path: str, col: str, lo, hi, version: int | None = None) -
     return len(kept), len(files)
 
 
+def delete_where(
+    spark: SparkSession,
+    path: str,
+    predicate,
+    stat_cols: list[str] | None = None,
+) -> int:
+    """DELETE FROM table WHERE predicate, committed atomically (the DML that
+    retention/TTL and GDPR-erasure jobs run). ``predicate`` is a Column or a
+    SQL string. Full-snapshot rewrite like merge_upsert — correct at any
+    scale, proportional cost; the footer-stats file-pruning refinement
+    (merge_upsert_pruned) applies identically when the predicate is a
+    range/key test."""
+    pred = F.expr(predicate) if isinstance(predicate, str) else predicate
+    rv = current_version(path)
+    current = snapshot_files(path, rv)
+    keep = read(spark, path, version=rv).filter(~pred)
+    return _commit(
+        path,
+        {
+            "operation": "delete",
+            "add": _stage_files(keep, path, stat_cols or []),
+            "remove": [a["file"] for a in current],
+            "schema": keep.schema.json(),
+        },
+        read_version=rv,
+    )
+
+
+def optimize_zorder(
+    spark: SparkSession,
+    path: str,
+    cols: list[str],
+    n_files: int = 8,
+    stat_cols: list[str] | None = None,
+) -> int:
+    """OPTIMIZE ... ZORDER BY analog: rewrite the current snapshot clustered
+    on the Morton code of ``cols`` so each file covers a compact region of
+    EVERY listed column — after which the footer-stats skipping (and the
+    eq/bloom path) prunes multi-column probes that an unsorted or singly-
+    sorted layout cannot. Normalization ranges come from one tiny min/max
+    aggregate over the table (exactness irrelevant — only monotonicity);
+    stats default to the z-order columns. One atomic commit; old snapshots
+    stay time-travelable until vacuum."""
+    from .operators.layout import cluster_zorder
+
+    rv = current_version(path)
+    current = snapshot_files(path, rv)
+    df = read(spark, path, version=rv)
+    bounds = df.agg(
+        *[F.min(c).alias(f"lo_{i}") for i, c in enumerate(cols)],
+        *[F.max(c).alias(f"hi_{i}") for i, c in enumerate(cols)],
+    ).first()
+    ranges = [
+        (float(bounds[f"lo_{i}"]), float(bounds[f"hi_{i}"]))
+        for i in range(len(cols))
+    ]
+    clustered = cluster_zorder(df, cols, ranges, n_files)
+    return _commit(
+        path,
+        {
+            "operation": "optimize",
+            "add": _stage_files(clustered, path, stat_cols or cols),
+            "remove": [a["file"] for a in current],
+            "schema": df.schema.json(),
+        },
+        read_version=rv,
+    )
+
+
 def apply_changes(
     spark: SparkSession,
     changes: DataFrame,

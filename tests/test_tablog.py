@@ -804,3 +804,34 @@ def test_bloom_cols_tolerate_schema_evolution(spark, sf_dir, tbl):
         o.limit(5).filter(F.col("o_orderstatus") == "F").count()
     )
     assert got.count() == want
+
+
+def test_delete_where_atomic(spark, sf_dir, tbl):
+    o = _orders(spark, sf_dir)
+    T.create_table(o.limit(50), tbl)
+    n_f = T.read(spark, tbl).filter("o_orderstatus = 'F'").count()
+    assert n_f > 0
+    T.delete_where(spark, tbl, "o_orderstatus = 'F'")
+    assert T.read(spark, tbl).filter("o_orderstatus = 'F'").count() == 0
+    assert T.read(spark, tbl).count() == 50 - n_f
+    # pre-delete snapshot intact, operation logged
+    assert T.read(spark, tbl, version=0).count() == 50
+    assert [h["operation"] for h in T.history(tbl)] == ["create", "delete"]
+
+
+def test_optimize_zorder_improves_two_column_pruning(spark, sf_dir, tbl):
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "value").filter(
+        F.col("value").isNotNull()
+    )
+    # hash-scattered 8-file layout: every file spans both full domains
+    T.create_table(ev.repartition(8), tbl, stat_cols=["user_id", "value"])
+    u_kept, total = T.pruned_file_count(tbl, "user_id", 5, 15)
+    assert total == 8 and u_kept == 8  # unsorted: range stats prune nothing
+    T.optimize_zorder(spark, tbl, ["user_id", "value"], n_files=8)
+    u2, t2 = T.pruned_file_count(tbl, "user_id", 5, 15)
+    v2, _ = T.pruned_file_count(tbl, "value", 10.0, 30.0)
+    assert t2 == 8 and u2 < 8 and v2 < 8, (u2, v2)  # BOTH columns now prune
+    # contents unchanged; history shows optimize; old snapshot readable
+    a, b = T.read(spark, tbl), T.read(spark, tbl, version=0)
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+    assert [h["operation"] for h in T.history(tbl)][-1] == "optimize"
