@@ -835,3 +835,27 @@ def test_optimize_zorder_improves_two_column_pruning(spark, sf_dir, tbl):
     a, b = T.read(spark, tbl), T.read(spark, tbl, version=0)
     assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
     assert [h["operation"] for h in T.history(tbl)][-1] == "optimize"
+
+
+def test_gdpr_erasure_workflow(spark, sf_dir, tbl):
+    """Right-to-be-forgotten mechanics: delete_where removes the subject
+    from the LIVE snapshot, but time travel still reaches the bytes — real
+    erasure requires vacuuming history. The workflow proves both halves."""
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    T.create_table(ev.repartition(4), tbl)
+    subject = 7
+    assert T.read(spark, tbl).filter(F.col("user_id") == subject).count() > 0
+    T.delete_where(spark, tbl, F.col("user_id") == subject)
+    assert T.read(spark, tbl).filter(F.col("user_id") == subject).count() == 0
+    # history still leaks the subject (the compliance gap vacuum closes)
+    assert T.read(spark, tbl, version=0).filter(F.col("user_id") == subject).count() > 0
+    deleted = T.vacuum(tbl, keep_versions=1)
+    assert deleted  # v0's files physically removed
+    # live snapshot unaffected; the pre-erasure snapshot is no longer readable
+    assert T.read(spark, tbl).filter(F.col("user_id") == subject).count() == 0
+    try:
+        n = T.read(spark, tbl, version=0).count()
+        raised = False
+    except Exception:
+        raised = True
+    assert raised or n == 0
