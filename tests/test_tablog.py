@@ -859,3 +859,41 @@ def test_gdpr_erasure_workflow(spark, sf_dir, tbl):
     except Exception:
         raised = True
     assert raised or n == 0
+
+
+def test_incremental_join_view_maintenance(spark, sf_dir, tmp_path):
+    """Materialized JOIN view maintained by the delta rule
+    J' = J u (dA >< B_new) u (A_old >< dB) — each refresh touches only the
+    deltas and the other side's snapshot, never re-running the full join.
+    Proven equal to the from-scratch join after every batch."""
+    o_path, l_path, j_path = (str(tmp_path / p) for p in ("o", "l", "j"))
+    o = _orders(spark, sf_dir).select("o_orderkey", "o_orderpriority")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    )
+
+    def full_join(odf, ldf):
+        return ldf.join(odf, F.col("l_orderkey") == F.col("o_orderkey")).select(
+            "o_orderkey", "l_linenumber", "o_orderpriority", "l_quantity"
+        )
+
+    # initial thirds
+    T.create_table(o.filter("o_orderkey % 3 = 0"), o_path)
+    T.create_table(li.filter("l_orderkey % 3 = 0"), l_path)
+    seen_o = T.current_version(o_path)
+    seen_l = T.current_version(l_path)
+    T.create_table(full_join(T.read(spark, o_path), T.read(spark, l_path)), j_path)
+
+    for m in (1, 2):
+        a_old = T.read(spark, o_path)  # pre-append snapshots
+        T.append(o.filter(f"o_orderkey % 3 = {m}"), o_path)
+        T.append(li.filter(f"l_orderkey % 3 = {m}"), l_path)
+        d_o, seen_o = T.read_incremental(spark, o_path, seen_o)
+        d_l, seen_l = T.read_incremental(spark, l_path, seen_l)
+        b_new = T.read(spark, l_path)
+        delta = full_join(d_o, b_new).unionByName(full_join(a_old, d_l))
+        T.append(delta, j_path)
+        got = T.read(spark, j_path)
+        want = full_join(T.read(spark, o_path), T.read(spark, l_path))
+        assert got.exceptAll(want).count() == 0
+        assert want.exceptAll(got).count() == 0
