@@ -421,3 +421,100 @@ def correlation_matrix_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("n")
         .orderBy("col_a", "col_b")
     )
+
+
+@query(
+    "weighted_median_price",
+    oracle="""
+    WITH w AS (
+        SELECT o_orderpriority, o_totalprice AS v, CAST(1 AS BIGINT) * o_orderkey % 7 + 1 AS wt
+        FROM orders
+    ),
+    c AS (
+        SELECT o_orderpriority, v, wt,
+               SUM(wt) OVER (PARTITION BY o_orderpriority ORDER BY v, wt
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+               SUM(wt) OVER (PARTITION BY o_orderpriority) AS tw
+        FROM w
+    )
+    SELECT o_orderpriority,
+           MIN(v) FILTER (WHERE 2 * cw >= tw) AS weighted_median,
+           CAST(MAX(tw) AS BIGINT) AS total_weight
+    FROM c GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted median (lower type-1 estimate): first value whose cumulative
+    weight reaches half the total — survey-weighted analytics where plain
+    percentile ignores row importance. One window pass over each group;
+    weights here are a deterministic key-derived stand-in. The (v, wt)
+    window order makes the cumulative sum deterministic under value ties."""
+    from pyspark.sql import Window as W
+
+    o = load_table(spark, sf_dir, "orders")
+    w = o.select(
+        "o_orderpriority",
+        F.col("o_totalprice").alias("v"),
+        (F.col("o_orderkey") % 7 + 1).cast("long").alias("wt"),
+    )
+    cum = W.partitionBy("o_orderpriority").orderBy("v", "wt").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    tot = W.partitionBy("o_orderpriority")
+    c = w.select(
+        "o_orderpriority",
+        "v",
+        F.sum("wt").over(cum).alias("cw"),
+        F.sum("wt").over(tot).alias("tw"),
+    )
+    return (
+        c.groupBy("o_orderpriority")
+        .agg(
+            F.min(F.when(2 * F.col("cw") >= F.col("tw"), F.col("v"))).alias(
+                "weighted_median"
+            ),
+            F.max("tw").alias("total_weight"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@query(
+    "embedding_dim_profile",
+    oracle="""
+    WITH d AS (
+        SELECT CAST(u.i AS INT) - 1 AS dim,
+               CAST(embedding[CAST(u.i AS INT)] AS DOUBLE) AS x
+        FROM embeddings
+        CROSS JOIN UNNEST(range(1, len(embedding) + 1)) AS u(i)
+    )
+    SELECT dim,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(quantile_cont(x, 0.05), 6) AS p05,
+           ROUND(quantile_cont(x, 0.5), 6) AS p50,
+           ROUND(quantile_cont(x, 0.95), 6) AS p95,
+           CAST(SUM(CASE WHEN abs(x) < 1e-6 THEN 1 ELSE 0 END) AS BIGINT) AS n_near_zero
+    FROM d GROUP BY dim ORDER BY dim
+    """,
+)
+def embedding_dim_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension distribution profile of the embedding column — the
+    embedding-health diagnostic (dead dimensions, scale outliers, collapsed
+    variance) run before trusting vectors for retrieval/clustering.
+    posexplode is a row-local flatMap; the per-dimension aggregate is one
+    shuffle keyed by dim (bounded by dimensionality, skew-free)."""
+    emb = spread_input(load_table(spark, sf_dir, "embeddings"))
+    d = emb.select(
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("dim", "x")
+    )
+    return (
+        d.groupBy("dim")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.expr("percentile(x, 0.05)"), 6).alias("p05"),
+            F.round(F.expr("percentile(x, 0.5)"), 6).alias("p50"),
+            F.round(F.expr("percentile(x, 0.95)"), 6).alias("p95"),
+            F.sum(F.when(F.abs("x") < 1e-6, 1).otherwise(0)).cast("long").alias("n_near_zero"),
+        )
+        .orderBy("dim")
+    )
