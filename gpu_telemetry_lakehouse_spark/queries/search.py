@@ -856,3 +856,79 @@ def phrase_search_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("phrase", "doc_id")
     )
+
+
+# --- association rules (market-basket lift) ----------------------------------
+# The classic frequent-itemset rule miner at the pair level: support from
+# one self-join of the order->part incidence list (candidate pairs bounded
+# by per-basket size, never |parts|^2), confidence/lift from broadcast
+# item-support joins. copurchase_cosine ranks by angular similarity; this
+# is the probabilistic-rule view (A -> B with conf and lift) a
+# merchandising pipeline consumes.
+RULE_MIN_SUPPORT = 5
+
+
+@query(
+    "basket_rules_parts",
+    oracle=f"""
+    WITH baskets AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    n AS (SELECT COUNT(DISTINCT l_orderkey) AS n_baskets FROM baskets),
+    item AS (
+        SELECT l_partkey, COUNT(*) AS supp FROM baskets GROUP BY l_partkey
+    ),
+    pair AS (
+        SELECT a.l_partkey AS ante, b.l_partkey AS cons, COUNT(*) AS pair_supp
+        FROM baskets a JOIN baskets b
+          ON b.l_orderkey = a.l_orderkey AND b.l_partkey <> a.l_partkey
+        GROUP BY a.l_partkey, b.l_partkey
+        HAVING COUNT(*) >= {RULE_MIN_SUPPORT}
+    )
+    SELECT p.ante, p.cons, CAST(p.pair_supp AS BIGINT) AS pair_supp,
+           ROUND(CAST(p.pair_supp AS DOUBLE) / ia.supp, 6) AS confidence,
+           ROUND((CAST(p.pair_supp AS DOUBLE) / ia.supp)
+                 / (CAST(ic.supp AS DOUBLE) / n.n_baskets), 6) AS lift
+    FROM pair p
+    JOIN item ia ON ia.l_partkey = p.ante
+    JOIN item ic ON ic.l_partkey = p.cons
+    CROSS JOIN n
+    ORDER BY lift DESC, p.ante, p.cons
+    LIMIT 20
+    """,
+)
+def basket_rules_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    baskets = li.distinct()
+    n = baskets.agg(F.countDistinct("l_orderkey").alias("n_baskets"))
+    item = baskets.groupBy(F.col("l_partkey").alias("item")).agg(
+        F.count(F.lit(1)).alias("supp")
+    )
+    a = baskets.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("ante"))
+    b = baskets.select(
+        F.col("l_orderkey").alias("ok2"), F.col("l_partkey").alias("cons")
+    )
+    pair = (
+        a.join(b, (F.col("ok") == F.col("ok2")) & (F.col("ante") != F.col("cons")))
+        .groupBy("ante", "cons")
+        .agg(F.count(F.lit(1)).alias("pair_supp"))
+        .filter(F.col("pair_supp") >= RULE_MIN_SUPPORT)
+    )
+    ia = item.select(F.col("item").alias("ante"), F.col("supp").alias("supp_a"))
+    ic = item.select(F.col("item").alias("cons"), F.col("supp").alias("supp_c"))
+    conf = F.col("pair_supp").cast("double") / F.col("supp_a")
+    lift = conf / (F.col("supp_c").cast("double") / F.col("n_baskets"))
+    return (
+        pair.join(F.broadcast(ia), "ante")
+        .join(F.broadcast(ic), "cons")
+        .join(F.broadcast(n))
+        .select(
+            "ante",
+            "cons",
+            F.col("pair_supp").cast("long").alias("pair_supp"),
+            F.round(conf, 6).alias("confidence"),
+            F.round(lift, 6).alias("lift"),
+        )
+        .orderBy(F.col("lift").desc(), "ante", "cons")
+        .limit(20)
+    )

@@ -434,6 +434,80 @@ def pruned_file_count(path: str, col: str, lo, hi, version: int | None = None) -
     return len(kept), len(files)
 
 
+class ConstraintViolation(ValueError):
+    """A write violated a table CHECK constraint."""
+
+
+def set_constraints(path: str, checks: dict[str, str]) -> None:
+    """Attach named CHECK constraints (SQL boolean expressions over the
+    table's columns) to the table. Enforced by ``validate_constraints`` —
+    call it in write paths (create/append/merge wrappers) before commit, the
+    Delta `ALTER TABLE ADD CONSTRAINT CHECK` semantic."""
+    os.makedirs(_log_dir(path), exist_ok=True)
+    with open(os.path.join(_log_dir(path), "_constraints.json"), "w") as f:
+        json.dump(checks, f, indent=1, sort_keys=True)
+
+
+def get_constraints(path: str) -> dict[str, str]:
+    p = os.path.join(_log_dir(path), "_constraints.json")
+    if not os.path.exists(p):
+        return {}
+    with open(p) as f:
+        return json.load(f)
+
+
+def validate_constraints(df: DataFrame, path: str) -> None:
+    """Raise ConstraintViolation if any registered CHECK fails on ``df``.
+    One pass computes every constraint's violation count together (a single
+    aggregate over the batch — not one scan per constraint)."""
+    checks = get_constraints(path)
+    if not checks:
+        return
+    # SQL-standard CHECK: a row violates only when the expression is
+    # definitively FALSE (NULL passes, as in Delta/ANSI).
+    aggs = [
+        F.sum(F.when(F.expr(expr) == False, 1).otherwise(0)).alias(name)  # noqa: E712
+        for name, expr in checks.items()
+    ]
+    row = df.agg(*aggs).first()
+    bad = {name: row[name] for name in checks if (row[name] or 0) > 0}
+    if bad:
+        raise ConstraintViolation(f"CHECK constraint(s) violated: {bad}")
+
+
+def append_checked(
+    df: DataFrame, path: str, stat_cols: list[str] | None = None
+) -> int:
+    """append() with CHECK enforcement — violating batches are rejected
+    whole (no partial data lands; the constraint scan happens before any
+    file is staged)."""
+    validate_constraints(df, path)
+    return append(df, path, stat_cols)
+
+
+def savepoint(paths: list[str], out_file: str) -> dict[str, int]:
+    """Record a CONSISTENT multi-table snapshot: the current version of each
+    table, written atomically to ``out_file``. Single-table readers get
+    snapshot isolation from the log already; a report that joins N tables
+    needs all N pinned at once — the cross-table consistency single-table
+    formats (Delta/Iceberg) leave to the engine above."""
+    versions = {p: current_version(p) for p in paths}
+    tmp = out_file + f".tmp-{uuid.uuid4().hex}"
+    with open(tmp, "w") as f:
+        json.dump(versions, f, indent=1, sort_keys=True)
+    os.replace(tmp, out_file)
+    return versions
+
+
+def read_savepoint(spark: SparkSession, out_file: str) -> dict[str, DataFrame]:
+    """Read every table AT ITS SAVEPOINTED VERSION — writers that advanced
+    any table since are invisible, so a multi-table join over the returned
+    frames is transactionally consistent."""
+    with open(out_file) as f:
+        versions = json.load(f)
+    return {p: read(spark, p, version=v) for p, v in versions.items()}
+
+
 def delete_where(
     spark: SparkSession,
     path: str,

@@ -897,3 +897,54 @@ def test_incremental_join_view_maintenance(spark, sf_dir, tmp_path):
         want = full_join(T.read(spark, o_path), T.read(spark, l_path))
         assert got.exceptAll(want).count() == 0
         assert want.exceptAll(got).count() == 0
+
+
+def test_check_constraints_reject_bad_batches(spark, sf_dir, tbl):
+    o = _orders(spark, sf_dir).select("o_orderkey", "o_totalprice", "o_orderstatus")
+    T.create_table(o.limit(10), tbl)
+    T.set_constraints(
+        tbl,
+        {
+            "positive_price": "o_totalprice > 0",
+            "known_status": "o_orderstatus IN ('O','F','P')",
+        },
+    )
+    # clean batch passes
+    v = T.append_checked(o.limit(5), tbl)
+    assert v == 1
+    # violating batch rejected WHOLE, no partial commit
+    bad = o.limit(3).withColumn("o_totalprice", F.lit(-1.0))
+    with pytest.raises(T.ConstraintViolation, match="positive_price"):
+        T.append_checked(bad, tbl)
+    assert T.current_version(tbl) == 1
+    # NULL passes (ANSI CHECK semantics)
+    nullish = o.limit(2).withColumn("o_totalprice", F.lit(None).cast("double"))
+    assert T.append_checked(nullish, tbl) == 2
+
+
+def test_savepoint_consistent_multi_table_read(spark, sf_dir, tbl, tmp_path):
+    o_path, l_path = str(tmp_path / "o"), str(tmp_path / "l")
+    sp = str(tmp_path / "savepoint.json")
+    o = _orders(spark, sf_dir).select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    T.create_table(o.limit(100), o_path)
+    T.create_table(li.limit(300), l_path)
+    versions = T.savepoint([o_path, l_path], sp)
+    joined_at_sp = (
+        T.read(spark, o_path).join(
+            T.read(spark, l_path), F.col("o_orderkey") == F.col("l_orderkey")
+        ).count()
+    )
+    # concurrent writers advance BOTH tables after the savepoint
+    T.append(o.limit(500), o_path)
+    T.overwrite(li.limit(10), l_path)
+    frames = T.read_savepoint(spark, sp)
+    got = (
+        frames[o_path].join(
+            frames[l_path], F.col("o_orderkey") == F.col("l_orderkey")
+        ).count()
+    )
+    assert got == joined_at_sp  # post-savepoint writes invisible
+    assert versions == {o_path: 0, l_path: 0}
+    # live reads see the new state (savepoint did not freeze the tables)
+    assert T.read(spark, l_path).count() == 10
