@@ -670,3 +670,36 @@ def test_skyline_2d_equals_bruteforce(spark, rows):
 
     want = sorted(p for p in rows if not any(dominated(p, q) for q in rows))
     assert got == want
+
+
+@given(rows=st.lists(st.integers(-3, 3), min_size=0, max_size=50))
+@SET
+def test_dense_ids_permutation_and_monotone(spark, rows):
+    """dense_ids on arbitrary (duplicate-heavy) keys: ids are exactly
+    0..n-1, and id order respects key order (ties may interleave freely)."""
+    from gpu_telemetry_lakehouse_spark.operators.scale import dense_ids
+
+    df = spark.createDataFrame([(k,) for k in rows], "k int")
+    got = dense_ids(df, ["k"]).collect()
+    ids = sorted(r.row_id for r in got)
+    assert ids == list(range(len(rows)))
+    by_id = [r.k for r in sorted(got, key=lambda r: r.row_id)]
+    assert by_id == sorted(rows)
+
+
+@given(deltas=st.lists(st.integers(-100, 100), min_size=1, max_size=40))
+@SET
+def test_lindley_reflection_identity(deltas):
+    """The closed form used by clamped_balance_users (S_n - min(0, min S_k))
+    equals the literal sequential recursion for ANY integer delta sequence
+    — including all-negative, all-positive, and oscillating paths."""
+    b, seq = 0, []
+    for d in deltas:
+        b = max(0, b + d)
+        seq.append(b)
+    s, run_min, closed = 0, 0, []
+    for d in deltas:
+        s += d
+        run_min = min(run_min, s)
+        closed.append(s - min(0, run_min))
+    assert closed == seq
