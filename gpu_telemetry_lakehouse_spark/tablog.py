@@ -311,6 +311,72 @@ def snapshot_files(path: str, version: int | None = None) -> list[dict]:
     return list(live.values())
 
 
+def snapshot_dv(path: str, version: int | None = None) -> str | None:
+    """The deletion-vector sidecar in force at ``version`` (None when no
+    logical deletes are pending). Walks raw log entries backward — the
+    newest entry carrying an explicit ``dv`` key wins; entries without the
+    key inherit (appends don't disturb DVs, rewrites clear them)."""
+    versions = _list_versions(path)
+    if not versions:
+        return None
+    if version is None:
+        version = versions[-1]
+    for v in reversed([x for x in versions if x <= version]):
+        e = _read_entry(path, v)
+        if "dv" in e:
+            return e["dv"]
+    return None
+
+
+def delete_where_dv(spark: SparkSession, path: str, predicate) -> int:
+    """DELETE by DELETION VECTOR: mark matching rows deleted WITHOUT
+    rewriting any data file (the Iceberg v2 position-delete / Delta DV
+    semantic). Matching (file, row_index) positions — via the parquet
+    scanner's ``_metadata`` columns — land in a sidecar parquet the readers
+    anti-join; the commit is metadata + one DV-sized write, so a 10-row
+    GDPR delete on a 100 TB table costs seconds, not a table rewrite.
+    Any rewriting operation (compact / optimize / merge / overwrite)
+    materializes pending deletes and clears the DV. The read-side anti-join
+    prices each scan by |DV| — run compact when the DV grows large."""
+    pred = F.expr(predicate) if isinstance(predicate, str) else predicate
+    rv = current_version(path)
+    files = snapshot_files(path, rv)
+    assert files, "delete_where_dv on an empty table"
+    base = spark.read.option("mergeSchema", "true").parquet(
+        *[os.path.join(path, a["file"]) for a in files]
+    )
+    fname = F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1)
+    new_dv = base.filter(pred).select(
+        fname.alias("file"), F.col("_metadata.row_index").alias("pos")
+    )
+    prev = snapshot_dv(path, rv)
+    if prev:
+        new_dv = new_dv.unionByName(
+            spark.read.parquet(os.path.join(path, prev))
+        ).distinct()
+    name = f"dv-{uuid.uuid4().hex}"
+    new_dv.coalesce(1).write.parquet(os.path.join(path, name))
+    n = spark.read.parquet(os.path.join(path, name)).count()
+    return _commit(
+        path,
+        {"operation": "delete_dv", "dv": name, "dv_rows": n},
+        read_version=rv,
+    )
+
+
+def _apply_dv(spark: SparkSession, df: DataFrame, path: str, dv: str) -> DataFrame:
+    fname = F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1)
+    tagged = df.select(
+        "*", fname.alias("__dvf"), F.col("_metadata.row_index").alias("__dvp")
+    )
+    dvdf = spark.read.parquet(os.path.join(path, dv)).select(
+        F.col("file").alias("__dvf"), F.col("pos").alias("__dvp")
+    )
+    return tagged.join(F.broadcast(dvdf), ["__dvf", "__dvp"], "left_anti").drop(
+        "__dvf", "__dvp"
+    )
+
+
 def create_table(
     df: DataFrame,
     path: str,
@@ -341,7 +407,7 @@ def overwrite(df: DataFrame, path: str, stat_cols: list[str] | None = None) -> i
     adds = _stage_files(df, path, stat_cols or [])
     return _commit(
         path,
-        {"operation": "overwrite", "add": adds, "remove": removes, "schema": df.schema.json()},
+        {"operation": "overwrite", "add": adds, "remove": removes, "schema": df.schema.json(), "dv": None},
         read_version=rv,
     )
 
@@ -356,7 +422,7 @@ def compact(spark: SparkSession, path: str, stat_cols: list[str] | None = None) 
     adds = _stage_files(df.coalesce(max(1, len(current) // 8)), path, stat_cols or [])
     return _commit(
         path,
-        {"operation": "compact", "add": adds, "remove": [a["file"] for a in current]},
+        {"operation": "compact", "add": adds, "remove": [a["file"] for a in current], "dv": None},
         read_version=rv,
     )
 
@@ -414,6 +480,9 @@ def read(
     df = spark.read.option("mergeSchema", "true").parquet(
         *[os.path.join(path, a["file"]) for a in files]
     )
+    dv = snapshot_dv(path, version)
+    if dv:
+        df = _apply_dv(spark, df, path, dv)
     if between is not None:
         col, lo, hi = between
         df = df.filter(F.col(col).between(lo, hi))
@@ -531,6 +600,7 @@ def delete_where(
             "add": _stage_files(keep, path, stat_cols or []),
             "remove": [a["file"] for a in current],
             "schema": keep.schema.json(),
+            "dv": None,
         },
         read_version=rv,
     )
@@ -572,6 +642,7 @@ def optimize_zorder(
             "add": _stage_files(clustered, path, stat_cols or cols),
             "remove": [a["file"] for a in current],
             "schema": df.schema.json(),
+            "dv": None,
         },
         read_version=rv,
     )
@@ -616,6 +687,7 @@ def apply_changes(
         "add": _stage_files(merged, path, stat_cols or []),
         "remove": [a["file"] for a in current],
         "schema": merged.schema.json(),
+        "dv": None,
     }
     if batch_id is not None:
         actions["batch_id"] = batch_id
@@ -694,6 +766,7 @@ def merge_upsert(
         "add": adds,
         "remove": [a["file"] for a in current],
         "schema": merged.schema.json(),
+        "dv": None,
     }
     if batch_id is not None:
         actions["batch_id"] = batch_id
@@ -741,6 +814,12 @@ def merge_upsert_pruned(
 
     if batch_id is not None and batch_id in committed_batch_ids(path):
         return None
+    if snapshot_dv(path) is not None:
+        # a pending deletion vector references CURRENT file names; a pruned
+        # rewrite re-stages touched files from their RAW bytes, which would
+        # resurrect DV-deleted rows under new names the DV does not cover.
+        # The full merge reads through read() (DV applied) and clears it.
+        return merge_upsert(spark, updates, path, key_cols, stat_cols, batch_id)
     key = key_cols[0]
     rv = current_version(path)
     files = snapshot_files(path, rv)
@@ -938,7 +1017,8 @@ def restore(path: str, to_version: int) -> int:
     removes = [f for f in have if f not in want]
     schema = _read_entry(path, to_version).get("schema")
     actions = {"operation": "restore", "restored_version": to_version,
-               "add": adds, "remove": removes}
+               "add": adds, "remove": removes,
+               "dv": snapshot_dv(path, to_version)}
     if schema:
         actions["schema"] = schema
     return _commit(path, actions, read_version=rv)
@@ -951,10 +1031,14 @@ def vacuum(path: str, keep_versions: int = 1) -> list[str]:
     versions = _list_versions(path)
     keep = versions[-keep_versions:] if versions else []
     referenced = {a["file"] for v in keep for a in snapshot_files(path, v)}
+    ref_dvs = {snapshot_dv(path, v) for v in keep} - {None}
     deleted = []
     for f in os.listdir(path):
         if f.endswith(".parquet") and f.startswith("part-") and f not in referenced:
             os.remove(os.path.join(path, f))
+            deleted.append(f)
+        elif f.startswith("dv-") and f not in ref_dvs:
+            shutil.rmtree(os.path.join(path, f), ignore_errors=True)
             deleted.append(f)
     return deleted
 

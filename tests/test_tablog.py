@@ -948,3 +948,53 @@ def test_savepoint_consistent_multi_table_read(spark, sf_dir, tbl, tmp_path):
     assert versions == {o_path: 0, l_path: 0}
     # live reads see the new state (savepoint did not freeze the tables)
     assert T.read(spark, l_path).count() == 10
+
+
+def test_deletion_vector_logical_delete(spark, sf_dir, tbl):
+    o = _orders(spark, sf_dir).select("o_orderkey", "o_orderstatus", "o_totalprice")
+    T.create_table(o.limit(40).repartition(4), tbl)
+    files_before = {f["file"] for f in T.snapshot_files(tbl)}
+    n_f = T.read(spark, tbl).filter("o_orderstatus = 'F'").count()
+    assert n_f > 0
+    T.delete_where_dv(spark, tbl, "o_orderstatus = 'F'")
+    # logical delete: rows gone from reads...
+    assert T.read(spark, tbl).filter("o_orderstatus = 'F'").count() == 0
+    assert T.read(spark, tbl).count() == 40 - n_f
+    # ...but NOT A SINGLE data file was rewritten or removed
+    assert {f["file"] for f in T.snapshot_files(tbl)} == files_before
+    # time travel to v0 sees the rows (DV walk stops at the version)
+    assert T.read(spark, tbl, version=0).filter("o_orderstatus = 'F'").count() == n_f
+    # second DV unions with the first
+    T.delete_where_dv(spark, tbl, "o_totalprice > 100000")
+    got = T.read(spark, tbl)
+    assert got.filter("o_orderstatus = 'F' or o_totalprice > 100000").count() == 0
+    # appends after the DV are visible (new files not covered by the DV)
+    extra = o.filter("o_orderstatus = 'O'").limit(3)
+    T.append(extra, tbl)
+    assert T.read(spark, tbl).count() == got.count() + 3
+    # compaction MATERIALIZES the deletes and clears the DV
+    T.compact(spark, tbl)
+    assert T.snapshot_dv(tbl) is None
+    assert T.read(spark, tbl).filter("o_orderstatus = 'F'").count() == 0
+    # data equal pre/post compaction
+    assert T.read(spark, tbl).count() == got.count() + 3
+    ops = [h["operation"] for h in T.history(tbl)]
+    assert ops == ["create", "delete_dv", "delete_dv", "append", "compact"]
+
+
+def test_deletion_vector_merge_and_vacuum(spark, sf_dir, tbl):
+    o = _orders(spark, sf_dir).select("o_orderkey", "o_orderstatus")
+    T.create_table(o.limit(20), tbl, stat_cols=["o_orderkey"])
+    keys = sorted(r.o_orderkey for r in T.read(spark, tbl).select("o_orderkey").collect())
+    T.delete_where_dv(spark, tbl, F.col("o_orderkey") == keys[0])
+    # pruned merge must not resurrect DV-deleted rows (falls back to full)
+    upd = o.filter(F.col("o_orderkey") == keys[1]).withColumn("o_orderstatus", F.lit("X"))
+    T.merge_upsert_pruned(spark, upd, tbl, key_cols=["o_orderkey"])
+    live = T.read(spark, tbl)
+    assert live.filter(F.col("o_orderkey") == keys[0]).count() == 0
+    assert live.filter("o_orderstatus = 'X'").count() == 1
+    assert T.snapshot_dv(tbl) is None  # merge cleared it
+    # vacuum reclaims the now-unreferenced DV sidecar
+    deleted = T.vacuum(tbl, keep_versions=1)
+    assert any(d.startswith("dv-") for d in deleted)
+    assert live.count() == T.read(spark, tbl).count()
