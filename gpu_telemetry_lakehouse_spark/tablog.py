@@ -29,6 +29,17 @@ turns "a directory of parquet" into a TABLE with ACID semantics:
   list is written to ``_txn_log/_checkpoint-<version>.json`` so readers replay
   O(CHECKPOINT_EVERY) tail entries, not the whole history — the log never
   becomes the bottleneck on long-lived tables.
+- **DML + CDC.** ``merge_upsert`` (plain / footer-stat-pruned / retry-with-
+  rebase), ``delete_where`` (rewrite) and ``delete_where_dv`` (deletion
+  vector: logical delete, zero file churn), ``apply_changes`` (consume a
+  keyed change feed), ``changes_between`` (produce one: Delta-CDF-style
+  insert/delete/update images), ``scd2_history``, ``restore``.
+- **Data skipping, three tiers.** Footer [min,max] range stats, per-file
+  Bloom filters for equality probes on unsorted layouts (``read(eq=...)``),
+  and ``optimize_zorder`` Morton re-clustering so multi-column probes prune.
+- **Governance.** CHECK constraints (ANSI NULL-pass, whole-batch reject),
+  multi-table ``savepoint``/``read_savepoint`` for transactionally
+  consistent cross-table reads, GDPR erasure via delete + vacuum.
 
 Single-JVM local testing exercises the full protocol; the commit path's only
 primitive is atomic create-if-absent, which every production store provides.
@@ -692,6 +703,29 @@ def apply_changes(
     if batch_id is not None:
         actions["batch_id"] = batch_id
     return _commit(path, actions, read_version=rv)
+
+
+def export_manifest(path: str, out_file: str, version: int | None = None) -> int:
+    """Export a snapshot as a plain newline-separated list of absolute data
+    file paths — the symlink-manifest interop pattern (Hive/Trino
+    SymlinkTextInputFormat, Delta's manifest generation): ANY parquet reader
+    can consume the exact snapshot without understanding the log. Refuses
+    when a deletion vector is pending (plain readers cannot apply it —
+    compact first to materialize). Returns the number of files listed."""
+    if snapshot_dv(path, version) is not None:
+        raise ValueError(
+            "snapshot has a pending deletion vector; compact() to materialize "
+            "before exporting a plain-reader manifest"
+        )
+    files = sorted(
+        os.path.abspath(os.path.join(path, a["file"]))
+        for a in snapshot_files(path, version)
+    )
+    tmp = out_file + f".tmp-{uuid.uuid4().hex}"
+    with open(tmp, "w") as f:
+        f.write("\n".join(files) + ("\n" if files else ""))
+    os.replace(tmp, out_file)
+    return len(files)
 
 
 def pruned_file_count_eq(

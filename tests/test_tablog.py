@@ -998,3 +998,28 @@ def test_deletion_vector_merge_and_vacuum(spark, sf_dir, tbl):
     deleted = T.vacuum(tbl, keep_versions=1)
     assert any(d.startswith("dv-") for d in deleted)
     assert live.count() == T.read(spark, tbl).count()
+
+
+def test_export_manifest_cross_engine(spark, sf_dir, tbl, tmp_path):
+    """The exported manifest is consumable by a FOREIGN engine: DuckDB reads
+    exactly the snapshot through plain parquet paths, no log knowledge."""
+    import duckdb
+
+    o = _orders(spark, sf_dir).select("o_orderkey", "o_totalprice")
+    T.create_table(o.limit(30).repartition(3), tbl)
+    T.append(o.limit(50).repartition(2), tbl)
+    mf = str(tmp_path / "manifest.txt")
+    n_files = T.export_manifest(tbl, mf)
+    assert n_files == 5
+    paths = [ln for ln in open(mf).read().splitlines() if ln]
+    got = duckdb.connect().execute(
+        "SELECT COUNT(*), SUM(o_orderkey) FROM read_parquet(?)", [paths]
+    ).fetchone()
+    want = T.read(spark, tbl).agg(
+        F.count(F.lit(1)), F.sum("o_orderkey")
+    ).first()
+    assert (got[0], got[1]) == (want[0], want[1])
+    # pending DV blocks plain-reader export
+    T.delete_where_dv(spark, tbl, "o_totalprice > 0")
+    with pytest.raises(ValueError, match="deletion vector"):
+        T.export_manifest(tbl, mf)
