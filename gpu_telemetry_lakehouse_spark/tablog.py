@@ -282,7 +282,17 @@ def _commit(
             files = snapshot_files(path, version)
             cp = os.path.join(_log_dir(path), f"_checkpoint-{version:020d}.json")
             with open(cp + ".tmp", "w") as f:
-                json.dump({"version": version, "files": files}, f, default=str)
+                json.dump(
+                    {
+                        "version": version,
+                        "files": files,
+                        # fold DV state so snapshot_dv's backward walk stops
+                        # at the checkpoint instead of replaying to v0
+                        "dv": snapshot_dv(path, version),
+                    },
+                    f,
+                    default=str,
+                )
             os.replace(cp + ".tmp", cp)  # atomic publish
         return version
     raise RuntimeError(f"commit contention exceeded {max_retries} retries at {path}")
@@ -332,10 +342,23 @@ def snapshot_dv(path: str, version: int | None = None) -> str | None:
         return None
     if version is None:
         version = versions[-1]
+    d = _log_dir(path)
+    cp_versions = sorted(
+        int(f[len("_checkpoint-"):-5])
+        for f in os.listdir(d)
+        if f.startswith("_checkpoint-") and f.endswith(".json")
+    )
+    usable = [v for v in cp_versions if v <= version]
+    floor = usable[-1] if usable else None
     for v in reversed([x for x in versions if x <= version]):
+        if floor is not None and v < floor:
+            break
         e = _read_entry(path, v)
         if "dv" in e:
             return e["dv"]
+    if floor is not None:
+        with open(os.path.join(d, f"_checkpoint-{floor:020d}.json")) as f:
+            return json.load(f).get("dv")
     return None
 
 
