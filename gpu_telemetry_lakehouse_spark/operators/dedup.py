@@ -287,6 +287,86 @@ def connected_components(
     return labels
 
 
+def connected_components_star(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 30,
+) -> DataFrame:
+    """Connected components by alternating LARGE-STAR / SMALL-STAR rounds
+    (Kiveris et al., "Connected Components in MapReduce and Beyond") — the
+    deep-graph complement to ``connected_components``: min-label
+    propagation needs O(component diameter) rounds (fine for shallow
+    near-dup clusters, ruinous for chains), star contraction converges in
+    O(log n) rounds on ANY topology because both operations repeatedly
+    re-hang nodes under the component minimum.
+
+    large-star: per node u, hang every LARGER neighbor under
+    m = min(N(u) + {u}). small-star: hang u and every smaller-or-equal
+    neighbor under m. Each round is two grouped aggregations + flatMaps on
+    the edge list (no joins); lineage is truncated per round and
+    convergence is an edge-set equality probe. Returns (node, component)
+    with component = min node id, same contract as connected_components."""
+    raw = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    # node universe from the RAW edges: a self-loop-only node has no
+    # non-loop edge but is still a (singleton) component
+    e = raw.filter(F.col("u") != F.col("v"))
+
+    def _sym(df: DataFrame) -> DataFrame:
+        return df.union(df.select(F.col("v").alias("u"), F.col("u").alias("v")))
+
+    def large_star(df: DataFrame) -> DataFrame:
+        g = _sym(df).groupBy("u").agg(F.collect_set("v").alias("nbrs"))
+        m = F.array_min(F.array_union(F.col("nbrs"), F.array(F.col("u"))))
+        return (
+            g.select("u", m.alias("m"), F.explode("nbrs").alias("v"))
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .distinct()
+        )
+
+    def small_star(df: DataFrame) -> DataFrame:
+        # orient edges high->low so each u groups its smaller neighbors
+        o = df.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        ).filter(F.col("u") != F.col("v"))
+        g = o.groupBy("u").agg(F.collect_set("v").alias("nbrs"))
+        m = F.array_min(F.col("nbrs"))
+        return (
+            g.select("u", m.alias("m"), F.explode("nbrs").alias("v"))
+            .select(
+                F.explode(
+                    F.array(
+                        F.struct(F.col("v").alias("a"), F.col("m").alias("b")),
+                        F.struct(F.col("u").alias("a"), F.col("m").alias("b")),
+                    )
+                ).alias("p")
+            )
+            .select(F.col("p.a").alias("u"), F.col("p.b").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+
+    cur = e.localCheckpoint()
+    for _ in range(max_iter):
+        nxt = small_star(large_star(cur)).localCheckpoint()
+        same = (
+            nxt.exceptAll(cur).limit(1).count() == 0
+            and cur.exceptAll(nxt).limit(1).count() == 0
+        )
+        cur = nxt
+        if same:
+            break
+    nodes = _sym(raw).select(F.col("u").alias("node")).distinct()
+    labels = cur.select(F.col("u").alias("node"), F.col("v").alias("lbl"))
+    return (
+        nodes.join(labels, "node", "left")
+        .select("node", F.coalesce("lbl", F.col("node")).alias("lbl"))
+        .groupBy("node")
+        .agg(F.min("lbl").alias("lbl"))
+    )
+
+
 def clean_corpus(
     docs: DataFrame,
     text_col: str = "text",

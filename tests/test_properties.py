@@ -703,3 +703,20 @@ def test_lindley_reflection_identity(deltas):
         run_min = min(run_min, s)
         closed.append(s - min(0, run_min))
     assert closed == seq
+
+
+@given(edges=st.lists(st.tuples(st.integers(0, 12), st.integers(0, 12)), min_size=1, max_size=40))
+@SET
+def test_connected_components_star_equals_union_find(spark, edges):
+    """Large-star/small-star contraction == union-find on arbitrary graphs —
+    including chains (the deep-diameter case min-label propagation is slow
+    on), self-loops, duplicate edges, and multi-component forests."""
+    from gpu_telemetry_lakehouse_spark.operators.dedup import (
+        connected_components_star,
+    )
+
+    df = spark.createDataFrame(edges, EDGE_SCHEMA)
+    got = {r.node: r.lbl for r in connected_components_star(df).collect()}
+    want = _union_find(edges)
+    # self-loop-only nodes appear in the edge list and must self-label
+    assert got == want
