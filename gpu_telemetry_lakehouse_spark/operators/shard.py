@@ -108,3 +108,19 @@ def verify_shards(spark: SparkSession, path: str) -> bool:
         bad = {s for s in set(got) | set(m["shards"]) if got.get(s) != m["shards"].get(s)}
         raise ValueError(f"shard verification failed for shards {sorted(bad)}")
     return True
+
+
+def epoch_shuffle(df: DataFrame, key: str, epoch: int, id_col: str = "position") -> DataFrame:
+    """Deterministic global training-order shuffle for one epoch: every row
+    gets a dense position 0..n-1 under a seeded pseudo-random permutation
+    (order by md5(key || epoch)). Reruns reproduce the epoch exactly;
+    different epochs decorrelate orders — the property RNG-based shuffles
+    lose on retry/speculation and that epoch-seeded dataloaders need.
+    Scale: the permutation sort is the dense_ids range-partition (n-way, no
+    single-task sort)."""
+    from .scale import dense_ids
+
+    tagged = df.withColumn(
+        "__shuf", F.md5(F.concat(F.col(key).cast("string"), F.lit(f"#e{epoch}")))
+    )
+    return dense_ids(tagged, ["__shuf"], id_col=id_col).drop("__shuf")

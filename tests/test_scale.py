@@ -361,3 +361,23 @@ def test_dense_ids_matches_global_row_number(spark, sf_dir):
 
     p = P.explain_formatted(dense_ids(o, ["o_orderkey"]))
     assert "windowspecdefinition(__pid" in p and "SinglePartition" not in p
+
+
+def test_epoch_shuffle_deterministic_permutations(spark, sf_dir):
+    from gpu_telemetry_lakehouse_spark.operators.shard import epoch_shuffle
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    e1 = epoch_shuffle(docs, "doc_id", epoch=1)
+    e1b = epoch_shuffle(docs, "doc_id", epoch=1)
+    e2 = epoch_shuffle(docs, "doc_id", epoch=2)
+    n = docs.count()
+    # dense positions, full coverage
+    assert sorted(r.position for r in e1.collect()) == list(range(n))
+    # same epoch -> identical permutation (retry/speculation-safe)
+    assert e1.exceptAll(e1b).count() == 0
+    # different epoch -> different permutation of the same rows
+    both = e1.withColumnRenamed("position", "p1").join(
+        e2.withColumnRenamed("position", "p2"), "doc_id"
+    )
+    assert both.count() == n
+    assert both.filter(F.col("p1") != F.col("p2")).count() > n // 2
