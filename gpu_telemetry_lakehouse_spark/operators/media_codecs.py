@@ -160,6 +160,10 @@ def decode_wav(buf: bytes) -> tuple[int, np.ndarray]:
     else:
         raise ValueError("unsupported WAV bit depth")
     n = len(a) // ch
+    if n == 0:
+        # an empty data chunk would make audio_features emit NaN means with
+        # decode_ok=true — reject like the zero-rate case
+        raise ValueError("corrupt WAV: empty data chunk")
     return rate, a[: n * ch].reshape(n, ch)
 
 

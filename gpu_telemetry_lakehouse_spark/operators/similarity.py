@@ -556,11 +556,12 @@ def kmeans_fit_full(
     target = max(1000, 50 * n_clusters)
     seed_pool = unit
     if n > target:
+        from ..functions import md5_int
+
         thresh = int(target / n * (1 << 60))
-        frac = F.conv(
-            F.substring(F.md5(F.col("__id").cast("string")), 1, 15), 16, 10
-        ).cast("long")
-        seed_pool = unit.filter(frac < F.lit(thresh))
+        seed_pool = unit.filter(
+            md5_int(F.col("__id").cast("string")) < F.lit(thresh)
+        )
     seed_rows = (
         seed_pool.orderBy(F.md5(F.col("__id").cast("string")), "__id")
         .limit(n_clusters)

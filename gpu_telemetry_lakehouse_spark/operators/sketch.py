@@ -205,10 +205,10 @@ def tdigest_group_quantiles(
     def per_group(key, pdf: pd.DataFrame) -> pd.DataFrame:
         x = pdf[col].to_numpy(dtype="float64")
         x = x[~pd.isna(x)]
+        if not len(x):  # all-NULL group: _compress indexes means[0]
+            return pd.DataFrame([list(key) + [None] * len(qs)])
         m, w = _compress(x, np.ones(len(x)), delta)
-        row = list(key) + [
-            float(tdigest_quantile(m, w, q)) if len(x) else None for q in qs
-        ]
+        row = list(key) + [float(tdigest_quantile(m, w, q)) for q in qs]
         return pd.DataFrame([row])
 
     return df.select(*group_cols, col).groupBy(*group_cols).applyInPandas(

@@ -846,7 +846,7 @@ SUBSTR_L = 40
            COALESCE(per.n_dup_spans, 0) AS n_dup_spans,
            COALESCE(per.dup_chars, 0) AS dup_chars,
            ROUND(CAST(COALESCE(per.dup_chars, 0) AS DOUBLE)
-                 / CAST(d.n_chars AS DOUBLE), 6) AS dup_frac
+                 / CAST(NULLIF(d.n_chars, 0) AS DOUBLE), 6) AS dup_frac
     FROM documents d LEFT JOIN per USING (doc_id)
     """,
 )
@@ -909,9 +909,11 @@ def exact_substring_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_chars",
             F.coalesce("n_dup_spans", F.lit(0)).cast("long").alias("n_dup_spans"),
             F.coalesce("dup_chars", F.lit(0)).cast("long").alias("dup_chars"),
+            # NULLIF guard: an empty doc would divide by zero — ANSI Spark
+            # raises while DuckDB yields NaN; NULL on both engines instead
             F.round(
                 F.coalesce("dup_chars", F.lit(0)).cast("double")
-                / F.col("n_chars").cast("double"),
+                / F.nullif(F.col("n_chars"), F.lit(0)).cast("double"),
                 6,
             ).alias("dup_frac"),
         )

@@ -203,7 +203,7 @@ def chi2_event_weekday(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH b AS (
         SELECT event_type,
                ntile(4) OVER (ORDER BY value, event_id) AS vq
-        FROM events
+        FROM events WHERE value IS NOT NULL
     ),
     cell AS (SELECT event_type, vq, COUNT(*) AS cxy FROM b GROUP BY 1, 2),
     mx AS (SELECT event_type, SUM(cxy) AS cx FROM cell GROUP BY 1),
@@ -224,7 +224,10 @@ def chi2_event_weekday(spark: SparkSession, sf_dir: str) -> DataFrame:
 def mutual_info_event_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
-    ev = load_table(spark, sf_dir, "events")
+    # NULL values must not enter the ntile order: Spark sorts NULLS FIRST,
+    # DuckDB NULLS LAST, so any NULL would shift every bucket differently
+    # per engine (same defensive filter as the sibling inference queries)
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
     b = ev.select(
         "event_type",
         F.ntile(4).over(W.orderBy("value", "event_id")).alias("vq"),

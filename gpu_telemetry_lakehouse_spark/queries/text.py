@@ -604,8 +604,9 @@ def source_lang_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
                    list_aggregate(list_slice({TK}, i, i + 4), 'string_agg', ' ')
                ), 1, 15) AS BIGINT) AS gh
         FROM documents, LATERAL (
-            SELECT unnest(range(1, greatest(len({TK}) - 3, 1))) AS i
+            SELECT unnest(range(1, len({TK}) - 3)) AS i
         )
+        WHERE len({TK}) >= 5
     ),
     df AS (SELECT gh, COUNT(*) AS d FROM g GROUP BY 1)
     SELECT g.doc_id,
@@ -624,13 +625,16 @@ def ngram_novelty_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     toked = docs.select("doc_id", tokens(F.col("text")).alias("t"))
     # row-local 5-gram construction over the hoisted token array, distinct
-    # per doc, hashed to 8 bytes before anything shuffles
+    # per doc, hashed to 8 bytes before anything shuffles; docs under 5
+    # tokens have no 5-gram (a floor of 1 would emit an undersized gram
+    # here and nothing in the oracle's end-exclusive range — divergence)
     grams = (
-        toked.select(
+        toked.filter(F.expr("size(t) >= 5"))
+        .select(
             "doc_id",
             F.explode(
                 F.expr(
-                    "transform(sequence(1, greatest(size(t) - 4, 1)),"
+                    "transform(sequence(1, size(t) - 4),"
                     " i -> array_join(slice(t, i, 5), ' '))"
                 )
             ).alias("gram"),

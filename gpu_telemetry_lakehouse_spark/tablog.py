@@ -145,10 +145,18 @@ _BLOOM_K = 5
 def _bloom_positions(value, m: int, k: int) -> list[int]:
     """k bit positions from the md5 of the CANONICALIZED value string — the
     same normalization the min/max stats use, so a probe bound and a stored
-    value always hash identically."""
+    value always hash identically. Numerics additionally canonicalize
+    through float so an int probe against a double column (1 vs 1.0)
+    hashes the same — str() would split them and turn a numerically-equal
+    probe into a false 'definitely absent' (a wrong answer, not a missed
+    prune). Collapsing >2^53 ints onto floats only merges hash inputs,
+    which for a Bloom filter is a false positive: safe."""
     import hashlib
 
-    h = hashlib.md5(str(_canon_stat(value)).encode()).hexdigest()
+    v = _canon_stat(value)
+    if isinstance(v, (int, float)) and not isinstance(v, bool):
+        v = float(v)
+    h = hashlib.md5(str(v).encode()).hexdigest()
     return [int(h[i * 6 : (i + 1) * 6], 16) % m for i in range(k)]
 
 
@@ -262,7 +270,11 @@ def _commit(
     os.makedirs(_log_dir(path), exist_ok=True)
     for _ in range(max_retries):
         versions = _list_versions(path)
-        if "remove" in actions:
+        # A commit depends on its read snapshot when it removes files OR
+        # carries a deletion vector: a DV built against v5 names v5's files
+        # and unions v5's prior DV — publishing it over a moved tip silently
+        # resurrects concurrent deletes or references rewritten files.
+        if "remove" in actions or actions.get("dv") is not None:
             tip = versions[-1] if versions else None
             if tip != read_version:
                 raise ConcurrentModificationError(
@@ -1065,6 +1077,12 @@ def restore(path: str, to_version: int) -> int:
     want = {a["file"]: a for a in snapshot_files(path, to_version)}
     have = {a["file"] for a in snapshot_files(path, rv)}
     missing = [f for f in want if not os.path.exists(os.path.join(path, f))]
+    # the target's deletion-vector sidecar is part of the restored state —
+    # re-activating a vacuumed DV would make every subsequent read() fail
+    # (or, unchecked, silently drop the deletes)
+    dv = snapshot_dv(path, to_version)
+    if dv is not None and not os.path.exists(os.path.join(path, dv)):
+        missing.append(dv)
     if missing:
         raise FileNotFoundError(
             f"restore to v{to_version}: {len(missing)} files vacuumed away "
@@ -1074,8 +1092,7 @@ def restore(path: str, to_version: int) -> int:
     removes = [f for f in have if f not in want]
     schema = _read_entry(path, to_version).get("schema")
     actions = {"operation": "restore", "restored_version": to_version,
-               "add": adds, "remove": removes,
-               "dv": snapshot_dv(path, to_version)}
+               "add": adds, "remove": removes, "dv": dv}
     if schema:
         actions["schema"] = schema
     return _commit(path, actions, read_version=rv)

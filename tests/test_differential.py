@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import os
+
 import pytest
 
 from gpu_telemetry_lakehouse_spark.queries import ORACLE, QUERIES
@@ -26,3 +28,64 @@ def test_entry_smoke(spark):
     df = e.entry(spark)
     assert df.count() > 0
     assert {f.name for f in df.schema.fields} >= {"dt", "avg_value", "p95_value"}
+
+
+@pytest.fixture(scope="module")
+def edge_dir(tmp_path_factory):
+    """sf0.001 with adversarial edge rows injected: documents shorter than
+    one 5-gram (0..5 tokens) and events with NULL value — the cases review
+    r3 found latent on the clean generated testdata."""
+    import shutil
+
+    import duckdb
+
+    src = "/root/testdata/sf0.001"
+    d = tmp_path_factory.mktemp("edge_sf")
+    for f in os.listdir(src):
+        shutil.copy(os.path.join(src, f), d / f)
+    con = duckdb.connect()
+    con.sql(
+        f"""
+        COPY (
+          SELECT * FROM '{src}/documents.parquet'
+          UNION ALL BY NAME
+          SELECT * FROM (VALUES
+            (9000001, 'one two three', 'en', 'web', 13),
+            (9000002, 'alpha beta gamma delta', 'en', 'web', 22),
+            (9000003, 'a b c d e', 'en', 'books', 9),
+            (9000004, '', 'en', 'books', 0)
+          ) t(doc_id, text, lang, source, n_chars)
+        ) TO '{d}/documents.parquet' (FORMAT PARQUET)
+        """
+    )
+    con.sql(
+        f"""
+        COPY (
+          SELECT * FROM '{src}/events.parquet'
+          UNION ALL BY NAME
+          SELECT event_id + 9000000 AS event_id, ts, user_id, event_type,
+                 CAST(NULL AS DOUBLE) AS value, props
+          FROM '{src}/events.parquet' LIMIT 25
+        ) TO '{d}/events.parquet' (FORMAT PARQUET)
+        """
+    )
+    con.close()
+    return str(d)
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "ngram_novelty_docs",
+        "mutual_info_event_bucket",
+        "text_token_count",
+        "doc_fingerprint",
+        "text_quality_score",
+        "bigram_perplexity_docs",
+        "exact_substring_dup_spans",
+        "chunk_documents_overlap",
+    ],
+)
+def test_edge_corpus_matches_oracle(spark, edge_dir, name):
+    compare(spark, name, edge_dir)
+

@@ -205,3 +205,16 @@ def test_custom_decode_callable_injected_end_to_end(media):
 
     resized = resize(media, out_width=2, out_height=2, decode=my_decode).collect()
     assert all(len(r.pixels) == 4 and r.decode_ok for r in resized)
+
+
+def test_wav_empty_data_chunk_rejected():
+    """A structurally-valid WAV with zero samples must raise (decode_ok=false
+    downstream), not yield NaN features with decode_ok=true (review r3)."""
+    import numpy as np
+    import pytest
+
+    from gpu_telemetry_lakehouse_spark.operators import media_codecs as C
+
+    empty = C.encode_wav(np.zeros((0,), dtype=np.int16), rate=8000)
+    with pytest.raises(ValueError, match="empty data"):
+        C.decode_wav(empty)

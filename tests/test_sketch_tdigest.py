@@ -133,3 +133,22 @@ def test_grouped_digest_tracks_exact_percentiles(spark, sf_dir):
             # interpolation between neighbors) is a perfect estimate
             err = 0.0 if lo <= q <= hi else min(abs(lo - q), abs(hi - q))
             assert err <= 0.02, (day, q, e, lo, hi)
+
+
+def test_grouped_digest_all_null_group(spark):
+    """A group whose value column is entirely NULL yields NULL quantiles
+    instead of crashing the applyInPandas task (review r3: _compress used
+    to index means[0] on the empty array)."""
+    from gpu_telemetry_lakehouse_spark.operators.sketch import (
+        tdigest_group_quantiles,
+    )
+
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 3.0), ("b", None), ("b", None)],
+        "g string, v double",
+    )
+    out = {
+        r.g: r for r in tdigest_group_quantiles(df, ["g"], "v", [0.5]).collect()
+    }
+    assert out["b"].q0_5 is None
+    assert out["a"].q0_5 == pytest.approx(2.0, abs=1.0)

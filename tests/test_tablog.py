@@ -1023,3 +1023,56 @@ def test_export_manifest_cross_engine(spark, sf_dir, tbl, tmp_path):
     T.delete_where_dv(spark, tbl, "o_totalprice > 0")
     with pytest.raises(ValueError, match="deletion vector"):
         T.export_manifest(tbl, mf)
+
+
+def test_delete_dv_commit_is_conflict_checked(spark, sf_dir, tbl):
+    """A deletion-vector commit depends on its read snapshot exactly like a
+    remove-bearing commit: the DV names that snapshot's files and unions its
+    prior DV. Publishing one against a moved tip must raise, not silently
+    resurrect the interleaved writer's deletes (review r3)."""
+    o = _orders(spark, sf_dir).select("o_orderkey", "o_orderstatus")
+    T.create_table(o.limit(40), tbl)
+    rv = T.current_version(tbl)
+    T.delete_where_dv(spark, tbl, "o_orderstatus = 'F'")  # tip moves past rv
+    with pytest.raises(T.ConcurrentModificationError):
+        T._commit(
+            tbl,
+            {"operation": "delete_dv", "dv": "dv-stale", "dv_rows": 0},
+            read_version=rv,
+        )
+    # interleaved end-to-end: both writers computed against the same tip
+    n_after_first = T.read(spark, tbl).count()
+    rv2 = T.current_version(tbl)
+    T.delete_where_dv(spark, tbl, "o_orderstatus = 'O'")
+    second = T.read(spark, tbl).count()
+    assert second < n_after_first  # loser raced out, winner's deletes live
+
+
+def test_restore_rejects_vacuumed_dv(spark, sf_dir, tbl):
+    """RESTORE to a version whose deletion-vector sidecar was vacuumed must
+    fail the existence check (not commit a state whose reads would die)."""
+    o = _orders(spark, sf_dir).select("o_orderkey", "o_totalprice")
+    T.create_table(o.limit(50), tbl)
+    T.delete_where_dv(spark, tbl, "o_totalprice > 100000")  # v1: pending DV
+    dv_version = T.current_version(tbl)
+    T.restore(tbl, 0)  # v2: same data files as v0/v1, no DV
+    T.vacuum(tbl, keep_versions=1)  # data files still referenced; DV is not
+    with pytest.raises(FileNotFoundError, match="dv-"):
+        T.restore(tbl, dv_version)
+    # table is still intact at the tip (full v0 contents)
+    assert T.read(spark, tbl).count() == 50
+
+
+def test_bloom_probe_int_vs_double_column(spark, sf_dir, tbl):
+    """An int equality probe against a DOUBLE bloom column must not hash
+    differently from the stored 1.0-style values: that would prune every
+    file and return a WRONG (empty) answer, not just a missed prune."""
+    o = _orders(spark, sf_dir).select(
+        "o_orderkey", F.col("o_totalprice").cast("double").alias("price_d")
+    )
+    keyed = o.withColumn("price_d", F.floor("price_d").cast("double"))
+    T.create_table(keyed.limit(200).coalesce(1), tbl, bloom_cols=["price_d"])
+    some = int(T.read(spark, tbl).select("price_d").first()[0])
+    got = T.read(spark, tbl, eq=("price_d", some))  # int probe, double column
+    want = T.read(spark, tbl).filter(F.col("price_d") == some)
+    assert got.count() == want.count() > 0
