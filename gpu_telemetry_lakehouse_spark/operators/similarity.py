@@ -443,8 +443,16 @@ def semdedup(
     sub = F.when(
         F.col("__cn") > max_cluster_rows, lsh_code(F.col("v"), planes)
     ).otherwise(F.lit(0).cast("long"))
-    assigned = v.withColumn("cluster", _assign_expr(centroids)).select(
-        id_col, "cluster", "v", "nrm"
+    # lazy checkpoint: the assigned frame feeds FOUR consumers (sizes, both
+    # pair-join branches, the final keep join) and the k x dim literal
+    # centroid projection is the expensive part — without truncation Spark
+    # re-scans the corpus and re-projects per consumer (measured 6 scans,
+    # 0 reused exchanges). One materialization (MEMORY_AND_DISK, spills at
+    # cluster scale) makes every branch read the computed assignment.
+    assigned = (
+        v.withColumn("cluster", _assign_expr(centroids))
+        .select(id_col, "cluster", "v", "nrm")
+        .localCheckpoint(eager=False)
     )
     sizes = assigned.groupBy("cluster").agg(F.count(F.lit(1)).alias("__cn"))
     assigned = (
