@@ -171,6 +171,8 @@ _SECOND_TIER: list[str] = [
     "bigram_perplexity_docs",
     "zipf_fit_tokens",
     "dp_noisy_counts_segments",
+    "dsir_importance_weights",
+    "source_token_kl",
     "mixture_sampling_plan",
     "cms_event_counts",
     "chi2_event_weekday",

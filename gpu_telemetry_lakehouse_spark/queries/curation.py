@@ -200,3 +200,179 @@ def knn_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= _HN_K)
         .select("query_id", "negative_id", "neg_label", "cos_sim", "rn")
     )
+
+
+# --- DSIR importance weights -------------------------------------------------
+# Data Selection with Importance Resampling (Xie et al. 2023,
+# arXiv:2302.03169): score every raw document by how much its hashed-unigram
+# profile looks like a TARGET distribution (here the English slice as the
+# quality proxy) vs the RAW corpus distribution. log w(doc) =
+# sum_tokens ln(p_tgt(bucket)/p_raw(bucket)) with Laplace-smoothed bucket
+# probabilities over _DSIR_B md5 buckets; the top _DSIR_K docs by weight are
+# flagged selected (resampling then draws by weight — the deterministic
+# rank-top-k variant keeps the oracle exact).
+#
+# Scale: the corpus is scanned once into (doc, bucket) token rows; both
+# distributions are _DSIR_B-row aggregates that broadcast back; the per-doc
+# weight is one map-side-combinable aggregation of rounded log-ratios
+# (scaled-long sum, engine-order-proof). Nothing quadratic, no vocabulary
+# shuffle — the hash bucketing is what makes DSIR run at corpus scale.
+_DSIR_B = 256
+_DSIR_K = 100
+_DSIR_TK = r"regexp_split_to_array(trim(text), '\s+')"
+
+
+@query(
+    "dsir_importance_weights",
+    oracle=f"""
+    WITH b AS (
+        SELECT doc_id, lang,
+               CAST('0x' || substring(md5(t), 1, 15) AS BIGINT) % {_DSIR_B} AS bkt
+        FROM (SELECT doc_id, lang, unnest({_DSIR_TK}) AS t FROM documents)
+    ),
+    raw AS (SELECT bkt, COUNT(*) AS cr FROM b GROUP BY 1),
+    tgt AS (SELECT bkt, COUNT(*) AS ct FROM b WHERE lang = 'en' GROUP BY 1),
+    tot AS (
+        SELECT (SELECT COUNT(*) FROM b) AS r,
+               (SELECT COUNT(*) FROM b WHERE lang = 'en') AS t
+    ),
+    lr AS (
+        SELECT raw.bkt,
+               ROUND(ln(((COALESCE(ct, 0) + 0.5) / (t + {_DSIR_B} * 0.5))
+                        / ((cr + 0.5) / (r + {_DSIR_B} * 0.5))), 9) AS lr
+        FROM raw LEFT JOIN tgt USING (bkt) CROSS JOIN tot
+    ),
+    w AS (
+        SELECT doc_id, COUNT(*) AS n_tokens,
+               CAST(SUM(CAST(ROUND(lr * 1e9, 0) AS BIGINT)) AS DOUBLE) / 1e9
+                   AS sw
+        FROM b JOIN lr USING (bkt) GROUP BY 1
+    )
+    SELECT doc_id, n_tokens, ROUND(sw, 6) AS log_w,
+           CASE WHEN rank() OVER (ORDER BY ROUND(sw, 6) DESC, doc_id)
+                     <= {_DSIR_K} THEN 1 ELSE 0 END AS selected
+    FROM w
+    """,
+)
+def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = spread_input(load_table(spark, sf_dir, "documents"))
+    b = docs.select(
+        "doc_id", "lang", F.explode(tokens(F.col("text"))).alias("t")
+    ).select("doc_id", "lang", (md5_int(F.col("t")) % _DSIR_B).alias("bkt"))
+    raw = b.groupBy("bkt").agg(F.count(F.lit(1)).alias("cr"))
+    tgt = (
+        b.filter(F.col("lang") == "en")
+        .groupBy("bkt")
+        .agg(F.count(F.lit(1)).alias("ct"))
+    )
+    tot = b.groupBy().agg(
+        F.count(F.lit(1)).alias("r"),
+        F.count(F.when(F.col("lang") == "en", 1)).alias("t"),
+    )
+    half_b = _DSIR_B * 0.5
+    lr = (
+        raw.join(tgt, "bkt", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "bkt",
+            F.round(
+                F.log(
+                    ((F.coalesce("ct", F.lit(0)) + 0.5) / (F.col("t") + half_b))
+                    / ((F.col("cr") + 0.5) / (F.col("r") + half_b))
+                ),
+                9,
+            ).alias("lr"),
+        )
+    )
+    w = (
+        b.join(F.broadcast(lr), "bkt")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            (
+                F.sum(F.round(F.col("lr") * 1e9, 0).cast("long")).cast("double")
+                / 1e9
+            ).alias("sw"),
+        )
+    )
+    rk = W.orderBy(F.round(F.col("sw"), 6).desc(), "doc_id")
+    return w.select(
+        "doc_id",
+        "n_tokens",
+        F.round("sw", 6).alias("log_w"),
+        F.when(F.rank().over(rk) <= _DSIR_K, 1).otherwise(0).alias("selected"),
+    )
+
+
+# --- per-source token-distribution KL drift ----------------------------------
+# KL(P_source || P_corpus) over the same hashed-unigram buckets: the
+# distribution-level companion to dsir_importance_weights (which scores
+# docs) and psi_source_drift (which buckets LENGTHS, not content). A source
+# whose token distribution diverges from the corpus mix shows up with a
+# large kl_nats — the per-source contamination/drift dashboard number.
+# Buckets are the corpus-observed set (with ~65k tokens into 256 buckets
+# every bucket is observed; smoothing keeps zero-count sources finite).
+@query(
+    "source_token_kl",
+    oracle=f"""
+    WITH b AS (
+        SELECT source,
+               CAST('0x' || substring(md5(t), 1, 15) AS BIGINT) % {_DSIR_B} AS bkt
+        FROM (SELECT source, unnest({_DSIR_TK}) AS t FROM documents)
+    ),
+    cb AS (SELECT bkt, COUNT(*) AS c FROM b GROUP BY 1),
+    cs AS (SELECT source, bkt, COUNT(*) AS csb FROM b GROUP BY 1, 2),
+    ns AS (SELECT source, COUNT(*) AS n_tokens FROM b GROUP BY 1),
+    tot AS (SELECT COUNT(*) AS n FROM b),
+    grid AS (SELECT ns.source, ns.n_tokens, cb.bkt, cb.c FROM ns CROSS JOIN cb),
+    term AS (
+        SELECT g.source, g.n_tokens,
+               ((COALESCE(cs.csb, 0) + 0.5) / (g.n_tokens + {_DSIR_B} * 0.5))
+                   AS p,
+               ((g.c + 0.5) / (tot.n + {_DSIR_B} * 0.5)) AS q
+        FROM grid g
+        LEFT JOIN cs ON cs.source = g.source AND cs.bkt = g.bkt
+        CROSS JOIN tot
+    )
+    SELECT source, n_tokens,
+           CAST(SUM(CAST(ROUND(p * ln(p / q) * 1e12, 0) AS BIGINT)) AS DOUBLE)
+               / 1e12 AS kl_nats
+    FROM term GROUP BY 1, 2 ORDER BY 1
+    """,
+)
+def source_token_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread_input(load_table(spark, sf_dir, "documents"))
+    b = docs.select(
+        "source", F.explode(tokens(F.col("text"))).alias("t")
+    ).select("source", (md5_int(F.col("t")) % _DSIR_B).alias("bkt"))
+    cb = b.groupBy("bkt").agg(F.count(F.lit(1)).alias("c"))
+    cs = b.groupBy("source", "bkt").agg(F.count(F.lit(1)).alias("csb"))
+    ns = b.groupBy("source").agg(F.count(F.lit(1)).alias("n_tokens"))
+    tot = b.groupBy().agg(F.count(F.lit(1)).alias("n"))
+    half_b = _DSIR_B * 0.5
+    grid = ns.crossJoin(F.broadcast(cb))
+    term = (
+        grid.join(F.broadcast(cs), ["source", "bkt"], "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_tokens",
+            ((F.coalesce("csb", F.lit(0)) + 0.5) / (F.col("n_tokens") + half_b)).alias("p"),
+            ((F.col("c") + 0.5) / (F.col("n") + half_b)).alias("q"),
+        )
+    )
+    return (
+        term.groupBy("source", "n_tokens")
+        .agg(
+            (
+                F.sum(
+                    F.round(F.col("p") * F.log(F.col("p") / F.col("q")) * 1e12, 0)
+                    .cast("long")
+                ).cast("double")
+                / 1e12
+            ).alias("kl_nats")
+        )
+        .select("source", "n_tokens", "kl_nats")
+    )

@@ -84,6 +84,8 @@ def edge_dir(tmp_path_factory):
         "bigram_perplexity_docs",
         "exact_substring_dup_spans",
         "chunk_documents_overlap",
+        "dsir_importance_weights",
+        "source_token_kl",
     ],
 )
 def test_edge_corpus_matches_oracle(spark, edge_dir, name):
