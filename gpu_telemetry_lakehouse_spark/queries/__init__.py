@@ -103,10 +103,10 @@ DRIVER_WINDOW: list[str] = [
     "semdedup_prune",
     # string parsing of the reference's compound spec columns
     "string_parse_parts",
-    # JSON / VARIANT / arrays
+    # JSON / VARIANT / arrays (array_norms_vectors demoted to tier 2 — the
+    # category stays green with two slots — in favor of DSIR below)
     "variant_props_stats",
     "json_extract_props",
-    "array_norms_vectors",
     # sessionization + streaming batch twin
     "session_windows_users",
     "events_hourly_window",
@@ -124,8 +124,9 @@ DRIVER_WINDOW: list[str] = [
     "psi_source_drift",
     # tokenizer training (round 3)
     "bpe_learn_merges",
-    # curation: contrastive hard-negative mining (round 3)
+    # curation: contrastive hard-negative mining + DSIR selection (round 3)
     "knn_hard_negatives",
+    "dsir_importance_weights",
     # multimodal: real PPM decode through the numpy codec kernel (the
     # byte-plumbing twin multimodal_bytes sits in the second tier)
     "multimodal_real_decode",
@@ -146,6 +147,7 @@ DRIVER_WINDOW: list[str] = [
 # Next in line if the driver sweeps deeper: previously-green queries whose
 # category is already represented above (consolidated near-duplicates).
 _SECOND_TIER: list[str] = [
+    "array_norms_vectors",
     # demoted from the round-3 window late in the round (grouping stays
     # green via rollup_region_nation; dedup via minhash/heavy-hitter;
     # joins via broadcast/semi/anti/interval/asof; stats via the new
