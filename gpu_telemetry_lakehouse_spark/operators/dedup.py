@@ -82,11 +82,9 @@ def minhash_signatures(
     return base.groupBy(id_col).agg(*aggs)
 
 
-def minhash_lsh_pairs(sigs: DataFrame, id_col: str = "doc_id", k: int = 8, bands: int = 4) -> DataFrame:
-    """LSH banding: equi-join on each band's raw signature components (the
-    band key is the tuple of h-values itself — no re-hashing needed), then
-    estimate Jaccard as the fraction of agreeing components.
-    Returns (id_a, id_b, est_jaccard) with id_a < id_b."""
+def _banded(sigs: DataFrame, id_col: str, k: int, bands: int) -> DataFrame:
+    """Explode a signature frame into one row per (doc, band) keyed by the
+    band's raw h-components (no re-hashing needed)."""
     rows = k // bands
     band_cols = []
     for b in range(bands):
@@ -94,9 +92,18 @@ def minhash_lsh_pairs(sigs: DataFrame, id_col: str = "doc_id", k: int = 8, bands
             F.col(f"h{b * rows + j}").alias(f"k{j}") for j in range(rows)
         ]
         band_cols.append(F.struct(F.lit(b).alias("band"), *parts))
-    buckets = sigs.select(
+    return sigs.select(
         F.col(id_col), *[F.col(f"h{i}") for i in range(k)], F.explode(F.array(*band_cols)).alias("bk")
     ).select(id_col, *[f"h{i}" for i in range(k)], "bk.band", *[f"bk.k{j}" for j in range(rows)])
+
+
+def minhash_lsh_pairs(sigs: DataFrame, id_col: str = "doc_id", k: int = 8, bands: int = 4) -> DataFrame:
+    """LSH banding: equi-join on each band's raw signature components (the
+    band key is the tuple of h-values itself — no re-hashing needed), then
+    estimate Jaccard as the fraction of agreeing components.
+    Returns (id_a, id_b, est_jaccard) with id_a < id_b."""
+    rows = k // bands
+    buckets = _banded(sigs, id_col, k, bands)
 
     a, b = buckets.alias("a"), buckets.alias("b")
     key_eq = (F.col("a.band") == F.col("b.band")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
@@ -118,6 +125,101 @@ def minhash_lsh_pairs(sigs: DataFrame, id_col: str = "doc_id", k: int = 8, bands
     )
     return cand.select(
         "id_a", "id_b", F.round(agree / F.lit(float(k)), 6).alias("est_jaccard")
+    )
+
+
+def minhash_lsh_pairs_incremental(
+    all_sigs: DataFrame,
+    new_sigs: DataFrame,
+    id_col: str = "doc_id",
+    k: int = 8,
+    bands: int = 4,
+) -> DataFrame:
+    """Delta-priced LSH candidate generation: pairs that involve at least
+    one NEW document, against the FULL signature corpus.
+
+    The band join probes the whole corpus with only the delta — cost is
+    O(|delta| x bucket-collision fan-out), not O(|corpus|^2): the arriving
+    batch is the stream side, the standing signature table the build side
+    (at 100 TB: bucket-partitioned once, re-probed per batch). Because
+    every unordered pair {a, b} involves exactly one LATER-arriving member,
+    the per-batch incremental pair sets PARTITION the full-recompute pair
+    set — the union over batches equals ``minhash_lsh_pairs`` on the whole
+    corpus exactly (pinned in tests/test_kernel_properties.py). Same
+    (id_a, id_b, est_jaccard) contract, id_a < id_b.
+    """
+    rows = k // bands
+    a = _banded(all_sigs, id_col, k, bands).alias("a")
+    b = _banded(new_sigs, id_col, k, bands).alias("b")
+    key_eq = (F.col("a.band") == F.col("b.band")) & (
+        F.col(f"a.{id_col}") != F.col(f"b.{id_col}")
+    )
+    for j in range(rows):
+        key_eq = key_eq & (F.col(f"a.k{j}") == F.col(f"b.k{j}"))
+    cand = (
+        a.join(b, key_eq)
+        .select(
+            F.least(F.col(f"a.{id_col}"), F.col(f"b.{id_col}")).alias("id_a"),
+            F.greatest(F.col(f"a.{id_col}"), F.col(f"b.{id_col}")).alias("id_b"),
+            *[
+                F.when(
+                    F.col(f"a.{id_col}") < F.col(f"b.{id_col}"), F.col(f"a.h{i}")
+                ).otherwise(F.col(f"b.h{i}")).alias(f"ah{i}")
+                for i in range(k)
+            ],
+            *[
+                F.when(
+                    F.col(f"a.{id_col}") < F.col(f"b.{id_col}"), F.col(f"b.h{i}")
+                ).otherwise(F.col(f"a.h{i}")).alias(f"bh{i}")
+                for i in range(k)
+            ],
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    agree = functools.reduce(
+        _op.add,
+        [F.when(F.col(f"ah{i}") == F.col(f"bh{i}"), 1).otherwise(0) for i in range(k)],
+    )
+    return cand.select(
+        "id_a", "id_b", F.round(agree / F.lit(float(k)), 6).alias("est_jaccard")
+    )
+
+
+def minhash_maintain(
+    spark,
+    sig_table: str,
+    new_docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    bands: int = 4,
+) -> DataFrame:
+    """Standing-dedup maintenance over a tablog signature table: sign the
+    arriving batch, emit the incremental candidate pairs it creates against
+    everything already signed, then append the new signatures atomically.
+
+    This is how near-dup detection stays online at ingest time — each batch
+    pays only its own delta join instead of a corpus-wide recompute; the
+    signature table (k longs per doc) is the only standing state. Returns
+    the batch's (id_a, id_b, est_jaccard) pairs (already-computed frames:
+    the append happens before return so a crash between emit and append
+    cannot under-report on replay — re-signing an already-appended batch is
+    the idempotent failure mode, duplicate signatures dedupe on id).
+    """
+    from .. import tablog as T
+
+    new_sigs = minhash_signatures(new_docs, text_col=text_col, id_col=id_col, k=k)
+    if T.current_version(sig_table) is None:
+        T.create_table(new_sigs, sig_table)
+        prior = None
+    else:
+        prior = T.read(spark, sig_table)
+        T.append(new_sigs, sig_table)
+    all_sigs = T.read(spark, sig_table).dropDuplicates([id_col])
+    if prior is None:
+        return minhash_lsh_pairs(all_sigs, id_col=id_col, k=k, bands=bands)
+    return minhash_lsh_pairs_incremental(
+        all_sigs, new_sigs, id_col=id_col, k=k, bands=bands
     )
 
 

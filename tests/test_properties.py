@@ -720,3 +720,36 @@ def test_connected_components_star_equals_union_find(spark, edges):
     want = _union_find(edges)
     # self-loop-only nodes appear in the edge list and must self-label
     assert got == want
+
+
+def test_incremental_minhash_partitions_full_pairs(spark, sf_dir, tmp_path):
+    """Batched minhash_maintain over a tablog signature table: the per-batch
+    incremental candidate sets are disjoint and their union equals the full
+    minhash_lsh_pairs recompute on the whole corpus — delta-priced dedup
+    maintenance loses nothing and double-reports nothing."""
+    from gpu_telemetry_lakehouse_spark.catalog import load_table
+    from gpu_telemetry_lakehouse_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        minhash_maintain,
+        minhash_signatures,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    tbl = str(tmp_path / "sigs")
+    batches = [docs.filter(F.pmod(F.col("doc_id"), F.lit(3)) == i) for i in range(3)]
+    got = []
+    for b in batches:
+        rows = minhash_maintain(spark, tbl, b).collect()
+        got.append({(r.id_a, r.id_b): r.est_jaccard for r in rows})
+    # disjoint across batches
+    for i in range(3):
+        for j in range(i + 1, 3):
+            assert not (set(got[i]) & set(got[j])), (i, j)
+    merged = {}
+    for g in got:
+        merged.update(g)
+    full = {
+        (r.id_a, r.id_b): r.est_jaccard
+        for r in minhash_lsh_pairs(minhash_signatures(docs)).collect()
+    }
+    assert merged == full
