@@ -663,3 +663,55 @@ def test_stateful_transitions_equal_batch(spark, sf_dir, replay_dir):
         for r in event_transition_matrix(spark, sf_dir).collect()
     }
     assert dict(emitted) == want
+
+
+def test_streaming_neardup_maintenance_equals_batch(spark, sf_dir, tmp_path):
+    """Online near-dup detection: documents arrive as a file stream; each
+    micro-batch signs itself, band-joins only its delta against the standing
+    tablog signature table (minhash_maintain), and emits candidate pairs.
+    The union of per-epoch pair sets must equal the one-shot
+    minhash_lsh_pairs recompute over the whole corpus — the streaming path
+    loses nothing versus batch dedup."""
+    from gpu_telemetry_lakehouse_spark.catalog import load_table
+    from gpu_telemetry_lakehouse_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        minhash_maintain,
+        minhash_signatures,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    feed = str(tmp_path / "feed")
+    for i in range(3):  # three arrival chunks -> three+ micro-batches
+        docs.filter(F.pmod(F.col("doc_id"), F.lit(3)) == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(feed)
+
+    sig_tbl = str(tmp_path / "sigs")
+    got: dict = {}
+
+    def on_batch(bdf, epoch_id):
+        if bdf.isEmpty():
+            return
+        for r in minhash_maintain(bdf.sparkSession, sig_tbl, bdf).collect():
+            got[(r.id_a, r.id_b)] = r.est_jaccard
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed)
+    )
+    q = (
+        stream.writeStream.foreachBatch(on_batch)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    full = {
+        (r.id_a, r.id_b): r.est_jaccard
+        for r in minhash_lsh_pairs(minhash_signatures(docs)).collect()
+    }
+    assert got == full and got
