@@ -60,6 +60,8 @@ HEAVY_SLICE = [
     "phrase_search_docs",
     "higher_moment_stats",
     "correlation_matrix_lineitem",
+    "dsir_importance_weights",
+    "source_token_kl",
     # setsim_join_prefix deliberately NOT here: the synthetic docs corpus is
     # a ~30-token vocabulary soup, the worst case for prefix filtering
     # (every pair is a candidate) — ~160 s at sf0.1, dominated by the naive
