@@ -193,6 +193,7 @@ def minhash_maintain(
     id_col: str = "doc_id",
     k: int = 8,
     bands: int = 4,
+    batch_id: int | None = None,
 ) -> DataFrame:
     """Standing-dedup maintenance over a tablog signature table: sign the
     arriving batch, emit the incremental candidate pairs it creates against
@@ -203,8 +204,10 @@ def minhash_maintain(
     signature table (k longs per doc) is the only standing state. Returns
     the batch's (id_a, id_b, est_jaccard) pairs (already-computed frames:
     the append happens before return so a crash between emit and append
-    cannot under-report on replay — re-signing an already-appended batch is
-    the idempotent failure mode, duplicate signatures dedupe on id).
+    cannot under-report on replay. Pass the foreachBatch epoch as
+    ``batch_id`` for exactly-once appends: a replayed epoch skips the
+    ledger-committed append and re-emits the SAME pair set — the delta join
+    against a table already containing the batch yields identical pairs).
     """
     from .. import tablog as T
 
@@ -214,7 +217,7 @@ def minhash_maintain(
         prior = None
     else:
         prior = T.read(spark, sig_table)
-        T.append(new_sigs, sig_table)
+        T.append(new_sigs, sig_table, batch_id=batch_id)
     all_sigs = T.read(spark, sig_table).dropDuplicates([id_col])
     if prior is None:
         return minhash_lsh_pairs(all_sigs, id_col=id_col, k=k, bands=bands)

@@ -442,9 +442,18 @@ def append(
     path: str,
     stat_cols: list[str] | None = None,
     bloom_cols: list[str] | None = None,
+    batch_id: int | None = None,
 ) -> int:
+    """``batch_id`` gives exactly-once replay like merge_upsert's ledger: an
+    already-committed id returns the tip without staging anything (the
+    foreachBatch restart window between append and checkpoint commit)."""
+    if batch_id is not None and batch_id in committed_batch_ids(path):
+        return current_version(path)
     adds = _stage_files(df, path, stat_cols or [], bloom_cols)
-    return _commit(path, {"operation": "append", "add": adds, "schema": df.schema.json()})
+    actions = {"operation": "append", "add": adds, "schema": df.schema.json()}
+    if batch_id is not None:
+        actions["batch_id"] = batch_id
+    return _commit(path, actions)
 
 
 def overwrite(df: DataFrame, path: str, stat_cols: list[str] | None = None) -> int:

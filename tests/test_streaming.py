@@ -692,7 +692,10 @@ def test_streaming_neardup_maintenance_equals_batch(spark, sf_dir, tmp_path):
     def on_batch(bdf, epoch_id):
         if bdf.isEmpty():
             return
-        for r in minhash_maintain(bdf.sparkSession, sig_tbl, bdf).collect():
+        pairs = minhash_maintain(
+            bdf.sparkSession, sig_tbl, bdf, batch_id=int(epoch_id)
+        )
+        for r in pairs.collect():
             got[(r.id_a, r.id_b)] = r.est_jaccard
 
     stream = (
@@ -715,3 +718,18 @@ def test_streaming_neardup_maintenance_equals_batch(spark, sf_dir, tmp_path):
         for r in minhash_lsh_pairs(minhash_signatures(docs)).collect()
     }
     assert got == full and got
+
+    # replayed epoch: ledger skips the double-append, pair output unchanged
+    from gpu_telemetry_lakehouse_spark import tablog as T
+
+    n_versions = len(T.history(sig_tbl))
+    replay_id = max(T.committed_batch_ids(sig_tbl))
+    chunk = docs.filter(F.pmod(F.col("doc_id"), F.lit(3)) == 2)
+    again = {
+        (r.id_a, r.id_b): r.est_jaccard
+        for r in minhash_maintain(
+            spark, sig_tbl, chunk, batch_id=replay_id
+        ).collect()
+    }
+    assert len(T.history(sig_tbl)) == n_versions  # no new commit
+    assert set(again) <= set(full)
