@@ -132,8 +132,8 @@ def cms_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(sqrt((CAST(SUM(CAST(round(term * 1000000.0, 0) AS BIGINT)) AS DOUBLE)
                        / 1000000.0)
                       / (CAST(MAX(n) AS DOUBLE)
-                         * CAST(LEAST(d.r - 1, d.c - 1) AS DOUBLE))), 6)
-               AS cramers_v
+                         * CAST(NULLIF(LEAST(d.r - 1, d.c - 1), 0) AS DOUBLE))),
+                 6) AS cramers_v
     FROM terms CROSS JOIN dims d
     GROUP BY d.r, d.c
     """,
@@ -176,12 +176,16 @@ def chi2_event_weekday(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "chi2",
             ((F.col("r") - 1) * (F.col("c") - 1)).cast("long").alias("dof"),
+            # NULLIF: a 1xC or Rx1 table has zero Cramer's-V degrees of
+            # freedom — NULL on both engines instead of an ANSI crash
             F.round(
                 F.sqrt(
                     F.col("chi2")
                     / (
                         F.col("_n").cast("double")
-                        * F.least(F.col("r") - 1, F.col("c") - 1).cast("double")
+                        * F.nullif(
+                            F.least(F.col("r") - 1, F.col("c") - 1), F.lit(0)
+                        ).cast("double")
                     )
                 ),
                 6,

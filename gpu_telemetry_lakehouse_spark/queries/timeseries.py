@@ -762,9 +762,9 @@ def daily_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     coef AS (
         SELECT event_type, last_d, max_x,
-               (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope,
-               (sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n
-                   AS intercept
+               (n * sxy - sx * sy) / NULLIF(n * sxx - sx * sx, 0) AS slope,
+               (sy - ((n * sxy - sx * sy) / NULLIF(n * sxx - sx * sx, 0)) * sx)
+                   / n AS intercept
         FROM fit
     ),
     seas AS (
@@ -816,8 +816,11 @@ def forecast_daily_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         exact_sum(F.col("x") * F.col("y").cast("double"), scale=6).alias("sxy"),
         F.max("x").alias("max_x"),
     )
-    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
-        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    # NULLIF: a type whose observations all share one x (single active day)
+    # has zero OLS variance — ANSI Spark would raise DIVIDE_BY_ZERO where
+    # DuckDB diverges; NULL slope/forecast on both engines instead
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / F.nullif(
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"), F.lit(0.0)
     )
     coef = fit.select(
         "event_type",

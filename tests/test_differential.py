@@ -63,9 +63,11 @@ def edge_dir(tmp_path_factory):
         COPY (
           SELECT * FROM '{src}/events.parquet'
           UNION ALL BY NAME
-          SELECT event_id + 9000000 AS event_id, ts, user_id, event_type,
-                 CAST(NULL AS DOUBLE) AS value, props
-          FROM '{src}/events.parquet' LIMIT 25
+          SELECT * FROM (
+            SELECT event_id + 9000000 AS event_id, ts, user_id, event_type,
+                   CAST(NULL AS DOUBLE) AS value, props
+            FROM '{src}/events.parquet' LIMIT 25
+          ) x
         ) TO '{d}/events.parquet' (FORMAT PARQUET)
         """
     )
@@ -86,8 +88,42 @@ def edge_dir(tmp_path_factory):
         "chunk_documents_overlap",
         "dsir_importance_weights",
         "source_token_kl",
+        "chi2_event_weekday",
+        "forecast_daily_events",
     ],
 )
 def test_edge_corpus_matches_oracle(spark, edge_dir, name):
     compare(spark, name, edge_dir)
+
+
+@pytest.fixture(scope="module")
+def degenerate_dir(tmp_path_factory):
+    """Pathological slice: events collapses to 25 rows in ONE weekday/day
+    with NULL values — the 1xC contingency table and zero-variance OLS fit
+    that crashed chi2/forecast under ANSI division (review r3)."""
+    import shutil
+
+    import duckdb
+
+    src = "/root/testdata/sf0.001"
+    d = tmp_path_factory.mktemp("degen_sf")
+    for f in os.listdir(src):
+        shutil.copy(os.path.join(src, f), d / f)
+    con = duckdb.connect()
+    con.sql(
+        f"""
+        COPY (
+          SELECT event_id, min(ts) OVER () AS ts, user_id, event_type,
+                 CAST(NULL AS DOUBLE) AS value, props
+          FROM '{src}/events.parquet' LIMIT 25
+        ) TO '{d}/events.parquet' (FORMAT PARQUET)
+        """
+    )
+    con.close()
+    return str(d)
+
+
+@pytest.mark.parametrize("name", ["chi2_event_weekday", "forecast_daily_events"])
+def test_degenerate_slice_yields_null_not_crash(spark, degenerate_dir, name):
+    compare(spark, name, degenerate_dir)
 
