@@ -49,25 +49,37 @@ def string_parse_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "json_extract_props",
     oracle="""
+    WITH x AS (
+        SELECT event_type,
+               TRY_CAST(NULLIF(regexp_extract(props, '"k": ([0-9]+)', 1), '')
+                        AS BIGINT) AS k
+        FROM events
+    )
     SELECT event_type,
            COUNT(*) AS n,
-           CAST(SUM(CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT)) AS DOUBLE)
-             / COUNT(props) AS avg_k,
-           MIN(CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT)) AS min_k,
-           MAX(CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT)) AS max_k
-    FROM events
+           CAST(SUM(k) AS DOUBLE) / NULLIF(COUNT(k), 0) AS avg_k,
+           MIN(k) AS min_k,
+           MAX(k) AS max_k
+    FROM x
     GROUP BY event_type
     """,
 )
 def json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
+    # get_json_object NULLs malformed/NULL props; the oracle's regexp path
+    # TRY_CASTs the (possibly empty) match — both engines NULL the same
+    # rows, and avg divides by NULLIF(count) so an all-malformed group
+    # yields NULL instead of an ANSI divide-by-zero
     k = F.get_json_object("props", "$.k").cast("long")
     return (
         ev.withColumn("k", k)
         .groupBy("event_type")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            (F.sum("k").cast("double") / F.count("k")).alias("avg_k"),
+            (
+                F.sum("k").cast("double")
+                / F.nullif(F.count("k"), F.lit(0))
+            ).alias("avg_k"),
             F.min("k").alias("min_k"),
             F.max("k").alias("max_k"),
         )
@@ -110,18 +122,26 @@ def string_similarity_adjacent(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "variant_props_stats",
     oracle="""
+    WITH x AS (
+        SELECT event_type,
+               CASE WHEN props IS NOT NULL AND json_valid(props)
+                    THEN CAST(json_extract(props, '$.k') AS BIGINT) END AS k
+        FROM events
+    )
     SELECT event_type,
            COUNT(*) AS n,
-           CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
-           COUNT(DISTINCT CAST(json_extract(props, '$.k') AS BIGINT) % 10)
-               AS n_k_buckets
-    FROM events
+           CAST(SUM(k) AS BIGINT) AS sum_k,
+           COUNT(DISTINCT k % 10) AS n_k_buckets
+    FROM x
     GROUP BY event_type
     """,
 )
 def variant_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
-    k = F.expr("variant_get(parse_json(props), '$.k', 'bigint')")
+    # try_parse_json: malformed/empty props become a NULL variant (and a
+    # NULL k) instead of failing the whole job — mirrored by the oracle's
+    # json_valid guard
+    k = F.expr("variant_get(try_parse_json(props), '$.k', 'bigint')")
     return (
         ev.withColumn("k", k)
         .groupBy("event_type")
@@ -173,8 +193,9 @@ def listagg_nations_per_region(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_type,
            COUNT(*) AS n,
-           COUNT(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT))
-               AS n_numeric_k,
+           COUNT(TRY_CAST(CASE WHEN props IS NOT NULL AND json_valid(props)
+                               THEN json_extract_string(props, '$.k') END
+                          AS BIGINT)) AS n_numeric_k,
            CAST(SUM(CASE WHEN value IS NULL OR value = 0 THEN 1 ELSE 0 END)
                AS BIGINT) AS n_unsafe_div
     FROM events

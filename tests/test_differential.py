@@ -127,3 +127,45 @@ def degenerate_dir(tmp_path_factory):
 def test_degenerate_slice_yields_null_not_crash(spark, degenerate_dir, name):
     compare(spark, name, degenerate_dir)
 
+
+
+@pytest.fixture(scope="module")
+def malformed_props_dir(tmp_path_factory):
+    """events with NULL / truncated ('{oops') / empty-string props: the
+    VARIANT/JSON family must degrade malformed payloads to NULL on BOTH
+    engines (TRY semantics), never fail the job (review r3)."""
+    import shutil
+
+    import duckdb
+
+    src = "/root/testdata/sf0.001"
+    d = tmp_path_factory.mktemp("props_sf")
+    for f in os.listdir(src):
+        shutil.copy(os.path.join(src, f), d / f)
+    con = duckdb.connect()
+    con.sql(
+        f"""
+        COPY (
+          SELECT * FROM '{src}/events.parquet'
+          UNION ALL BY NAME
+          SELECT * FROM (
+            SELECT event_id + 9000000 AS event_id, ts, user_id, event_type,
+                   value,
+                   CASE WHEN event_id % 3 = 0 THEN NULL
+                        WHEN event_id % 3 = 1 THEN '{{oops'
+                        ELSE '' END AS props
+            FROM '{src}/events.parquet' LIMIT 30
+          ) x
+        ) TO '{d}/events.parquet' (FORMAT PARQUET)
+        """
+    )
+    con.close()
+    return str(d)
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["json_extract_props", "variant_props_stats", "try_safety_functions"],
+)
+def test_malformed_props_degrade_to_null(spark, malformed_props_dir, name):
+    compare(spark, name, malformed_props_dir)
