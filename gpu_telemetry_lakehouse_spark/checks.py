@@ -37,6 +37,25 @@ def expect_accepted_values(
         raise CheckError(f"{model}.{col}: value outside accepted set {values}")
 
 
+def expect_finite(df: DataFrame, col: str, model: str = "") -> None:
+    """No NaN / +-Infinity in a metric column (NULL is allowed — that is
+    expect_not_null's job). This is the precondition the engine's exact
+    scaled-long aggregation idiom (functions.exact_sum) declares: a single
+    non-finite value would CAST_OVERFLOW an ANSI job mid-flight, on Spark
+    and DuckDB alike, so non-finite sensor glitches are rejected or
+    quarantined AT THE MEDALLION BOUNDARY like malformed CSV rows
+    (ingest.ingest_csv_quarantine), not discovered by a dying gold build.
+    One limit(1) scan."""
+    c = F.col(col)
+    bad = (
+        df.filter(c.isNotNull() & (F.isnan(c) | (F.abs(c) == float("inf"))))
+        .limit(1)
+        .count()
+    )
+    if bad:
+        raise CheckError(f"{model}.{col}: non-finite values (NaN/Inf) present")
+
+
 def expect_relationship(
     child: DataFrame, col: str, parent: DataFrame, parent_col: str, model: str = ""
 ) -> None:
@@ -65,8 +84,22 @@ REFERENCE_CHECKS = [
 ]
 
 
+# Engine-added contract beyond the reference's 7: metric columns feeding
+# exact scaled-long gold aggregations must be finite (see expect_finite).
+ENGINE_CHECKS = [
+    ("silver_gpu_timeseries", "gpu_util_pct", "finite"),
+    ("silver_gpu_timeseries", "cpu_util_pct", "finite"),
+]
+
+_KIND = {
+    "unique": expect_unique,
+    "not_null": expect_not_null,
+    "finite": expect_finite,
+}
+
+
 def run_reference_checks(built: dict[str, DataFrame]) -> None:
-    for model, col, kind in REFERENCE_CHECKS:
+    for model, col, kind in REFERENCE_CHECKS + ENGINE_CHECKS:
         if model not in built:
             continue
-        (expect_unique if kind == "unique" else expect_not_null)(built[model], col, model)
+        _KIND[kind](built[model], col, model)

@@ -26,7 +26,14 @@ def exact_sum(col: ColumnOrName, scale: int = 4) -> Column:
     decimal-staged sum is ~4x slower in whole-stage codegen). Overflow bound:
     |x| * 10^scale * rows must stay under 2^63 (~9.2e18) — e.g. values to 1e5
     at scale 4 allow ~9e9 rows per group; beyond that, stage through
-    ``decimal(38,scale)`` instead."""
+    ``decimal(38,scale)`` instead.
+
+    PRECONDITION: inputs are finite (NULL is fine). A NaN/Infinity raises
+    CAST_OVERFLOW under ANSI — identically in the DuckDB oracle's
+    CAST(ROUND(..) AS BIGINT) — by design: non-finite sensor glitches are a
+    data-contract violation caught at the medallion boundary
+    (checks.expect_finite / ingest quarantine), not silently absorbed into
+    an aggregate where IEEE semantics would poison the whole group."""
     m = 10**scale
     return F.sum(F.round(_c(col) * m, 0).cast("long")) / F.lit(float(m))
 

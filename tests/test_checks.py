@@ -51,3 +51,16 @@ def test_relationships(spark, frames):
     orphan = spark.createDataFrame([("j9", "u9", "Running")], jobs.schema)
     with pytest.raises(CheckError):
         expect_relationship(jobs.union(orphan), "user_id", users, "user_id")
+
+
+def test_expect_finite(spark):
+    from gpu_telemetry_lakehouse_spark.checks import CheckError, expect_finite
+
+    clean = spark.createDataFrame(
+        [(1.0,), (None,), (-2.5,)], "v double"
+    )
+    expect_finite(clean, "v", "m")  # NULL allowed, finite values allowed
+    for poison in (float("nan"), float("inf"), float("-inf")):
+        dirty = clean.union(spark.createDataFrame([(poison,)], "v double"))
+        with pytest.raises(CheckError, match="non-finite"):
+            expect_finite(dirty, "v", "m")
