@@ -74,6 +74,8 @@ HEADLINE = [
     "bootstrap_ci_event_value",    # 100-replicate Poisson bootstrap in one pass
     "exact_substring_dup_spans",   # char-gram postings + interval union
     "phrase_search_docs",          # positional inverted-index phrase match
+    "dsir_importance_weights",     # DSIR hashed-unigram selection scoring
+    "source_token_kl",             # per-source token-distribution KL drift
 ]
 
 
@@ -105,13 +107,19 @@ def main() -> None:
     # costs at sf0.1; makespan scheduling (LPT) needs only a rough cost order
     # to kill the straggler tail.
     heavy = {
-        # re-measured serial costs at sf0.1 (26-query suite, 2026-08-14)
+        # re-measured serial costs at sf0.1 (26-query suite, 2026-08-14;
+        # round-3 additions folded in from the 31-query serial pass)
+        "semdedup_prune": 9, "benchmark_decontam": 6,
+        "kcore_peel_trace": 5, "exact_substring_dup_spans": 4,
+        "bigram_perplexity_docs": 4, "dsir_importance_weights": 3,
+        "source_token_kl": 3, "bootstrap_ci_event_value": 3,
+        "phrase_search_docs": 2,
         "dedup_shingle_jaccard": 8, "sole_fault_suppliers": 8,
         "gold_job_efficiency_daily": 7, "tpch_q5_local_volume": 5,
-        "nation_market_share": 4, "knn_ivf": 4, "semdedup_prune": 4,
+        "nation_market_share": 4, "knn_ivf": 4,
         "tpch_q1": 4, "interval_join_shipments": 4, "dedup_minhash_pairs": 3,
         "tpch_q3_shipping": 3, "dedup_boilerplate_segments": 3,
-        "benchmark_decontam": 3, "dedup_simhash": 2,
+        "dedup_simhash": 2,
         "window_topk_per_group": 2, "large_volume_orders": 2,
         "window_rolling_metrics": 2, "embedding_neardup_pairs": 2,
         "anomaly_daily": 2, "gold_user_gpu_usage_daily": 2,
