@@ -122,12 +122,15 @@ def window_daily_momentum(spark: SparkSession, sf_dir: str) -> DataFrame:
            RANK() OVER w AS rk,
            DENSE_RANK() OVER w AS drk,
            NTILE(4) OVER w AS quartile,
-           ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
-           ROUND(CUME_DIST() OVER w, 6) AS cume,
+           ROUND((RANK() OVER w - 1) * 1000000.0
+                 / NULLIF(COUNT(*) OVER p - 1, 0)) / 1000000.0 AS pct_rank,
+           ROUND(RANK() OVER w * 1000000.0
+                 / COUNT(*) OVER p) / 1000000.0 AS cume,
            FIRST_VALUE(o_orderkey) OVER w AS top_key
     FROM orders
     WINDOW w AS (PARTITION BY o_orderpriority
-                 ORDER BY o_totalprice DESC, o_orderkey)
+                 ORDER BY o_totalprice DESC, o_orderkey),
+           p AS (PARTITION BY o_orderpriority)
     """,
 )
 def window_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -135,15 +138,36 @@ def window_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = W.partitionBy("o_orderpriority").orderBy(
         F.col("o_totalprice").desc(), F.col("o_orderkey")
     )
+    p = W.partitionBy("o_orderpriority")
     return o.select(
         "o_orderkey",
         "o_orderpriority",
         F.rank().over(w).alias("rk"),
         F.dense_rank().over(w).alias("drk"),
         F.ntile(4).over(w).alias("quartile"),
-        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
-        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        # percent_rank/cume_dist staged through exact integer scaling: the
+        # window's order is TOTAL (orderkey tie-break), so both reduce to
+        # integer ratios; native round(percent_rank(), 6) hits decimal
+        # midpoints (41/640 = .0640625) where Spark's shortest-repr HALF_UP
+        # and DuckDB's exact-expansion rounding disagree in the 6th decimal
+        F.round(
+            (F.rank().over(w) - 1)
+            * 1e6
+            / F.nullif(F.count(F.lit(1)).over(p) - 1, F.lit(0))
+        ).alias("__pr6"),
+        F.round(
+            F.rank().over(w) * 1e6 / F.count(F.lit(1)).over(p)
+        ).alias("__cd6"),
         F.first("o_orderkey").over(w).alias("top_key"),
+    ).select(
+        "o_orderkey",
+        "o_orderpriority",
+        "rk",
+        "drk",
+        "quartile",
+        (F.col("__pr6") / 1e6).alias("pct_rank"),
+        (F.col("__cd6") / 1e6).alias("cume"),
+        "top_key",
     )
 
 

@@ -169,3 +169,42 @@ def malformed_props_dir(tmp_path_factory):
 )
 def test_malformed_props_degrade_to_null(spark, malformed_props_dir, name):
     compare(spark, name, malformed_props_dir)
+
+
+@pytest.fixture(scope="module")
+def tie_doubled_dir(tmp_path_factory):
+    """orders/lineitem doubled under shifted keys: every value appears
+    (at least) twice, so any ranking/limit without a complete tie-break —
+    or midpoint-sensitive rounding of rank ratios — diverges between
+    engines (review r3: percent_rank at 41/640 = .0640625 split Spark's
+    shortest-repr HALF_UP from DuckDB's exact-expansion rounding)."""
+    import shutil
+
+    import duckdb
+
+    src = "/root/testdata/sf0.001"
+    d = tmp_path_factory.mktemp("ties_sf")
+    for f in os.listdir(src):
+        shutil.copy(os.path.join(src, f), d / f)
+    con = duckdb.connect()
+    for t, key in (("orders", "o_orderkey"), ("lineitem", "l_orderkey")):
+        con.sql(
+            f"""
+            COPY (
+              SELECT * FROM '{src}/{t}.parquet'
+              UNION ALL BY NAME
+              SELECT * REPLACE ({key} + 1000000000 AS {key})
+              FROM '{src}/{t}.parquet'
+            ) TO '{d}/{t}.parquet' (FORMAT PARQUET)
+            """
+        )
+    con.close()
+    return str(d)
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["window_rank_family", "topk_orders", "window_topk_per_group", "theta_join_balance_rank"],
+)
+def test_tie_doubled_corpus_matches_oracle(spark, tie_doubled_dir, name):
+    compare(spark, name, tie_doubled_dir)
