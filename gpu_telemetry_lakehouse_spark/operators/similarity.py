@@ -21,10 +21,20 @@ def with_norm(
 ) -> DataFrame:
     """Per-row projection of (cast-to-double vector, L2 norm). Pair joins then
     compute cosine as dot(v_a, v_b) / (nrm_a * nrm_b) — one array fold per
-    pair instead of three, with the cast paid once per row, not per pair."""
+    pair instead of three, with the cast paid once per row, not per pair.
+
+    NULL and zero-norm vectors are DROPPED: a zero vector has no direction,
+    so every cosine against it is undefined — left in, it divides the whole
+    job by zero under ANSI (9 of 13 embedding queries died on a
+    zero-vector corpus sweep). Dead/padding embeddings are excluded from
+    similarity search the way NULL metrics are excluded from aggregates;
+    on a clean corpus the filter is a no-op (and the oracle gate unaffected)."""
     v = F.col(vec_col).cast("array<double>")
-    return df.withColumn(out_vec, v).withColumn(
-        out_norm, F.sqrt(dot_raw(out_vec, out_vec))
+    return (
+        df.filter(F.col(vec_col).isNotNull())
+        .withColumn(out_vec, v)
+        .withColumn(out_norm, F.sqrt(dot_raw(out_vec, out_vec)))
+        .filter(F.col(out_norm) > 0)
     )
 
 
@@ -361,9 +371,13 @@ def cosine_topk_vectorized(
     import numpy as np
     import pandas as pd
 
+    # same degenerate-vector contract as with_norm: NULL / zero-norm rows
+    # have no direction and are excluded rather than dividing by zero
+    queries_pdf = queries_pdf[queries_pdf[vec_col].notna()]
     qids = queries_pdf[id_col].to_numpy()
     Q = np.stack(queries_pdf[vec_col].to_numpy()).astype(np.float64)  # (q, d)
     qn = np.sqrt((Q * Q).sum(axis=1))  # (q,)
+    qids, Q, qn = qids[qn > 0], Q[qn > 0], qn[qn > 0]
 
     out_schema = T.StructType(
         [
@@ -375,9 +389,15 @@ def cosine_topk_vectorized(
 
     def score(it):
         for pdf in it:
+            pdf = pdf[pdf[vec_col].notna()]
+            if not len(pdf):
+                continue
             ids = pdf[id_col].to_numpy()
             B = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)  # (n, d)
             bn = np.sqrt((B * B).sum(axis=1))
+            ids, B, bn = ids[bn > 0], B[bn > 0], bn[bn > 0]
+            if not len(ids):
+                continue
             cos = np.round((B @ Q.T) / (bn[:, None] * qn[None, :]), 6)
             frames = []
             for j in range(len(qids)):

@@ -208,3 +208,56 @@ def tie_doubled_dir(tmp_path_factory):
 )
 def test_tie_doubled_corpus_matches_oracle(spark, tie_doubled_dir, name):
     compare(spark, name, tie_doubled_dir)
+
+
+@pytest.fixture(scope="module")
+def degenerate_embeddings_dir(tmp_path_factory):
+    """embeddings with NULL and all-zero vectors: cosine against them is
+    undefined — the similarity family must exclude them (with_norm
+    contract), never die on an ANSI divide-by-zero (review r3: 9 of 13
+    embedding queries crashed before the guard)."""
+    import shutil
+
+    import duckdb
+
+    src = "/root/testdata/sf0.001"
+    d = tmp_path_factory.mktemp("zvec_sf")
+    for f in os.listdir(src):
+        shutil.copy(os.path.join(src, f), d / f)
+    con = duckdb.connect()
+    con.sql(
+        f"""
+        COPY (
+          SELECT * FROM '{src}/embeddings.parquet'
+          UNION ALL BY NAME
+          SELECT * FROM (
+            SELECT vec_id + 9000000 AS vec_id, label,
+                   CASE WHEN vec_id % 2 = 0
+                        THEN list_transform(embedding, x -> 0.0::FLOAT)
+                        ELSE NULL END AS embedding
+            FROM '{src}/embeddings.parquet' LIMIT 6
+          ) x
+        ) TO '{d}/embeddings.parquet' (FORMAT PARQUET)
+        """
+    )
+    con.close()
+    return str(d)
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["knn_cosine_brute", "semdedup_prune", "embedding_neardup_pairs",
+     "knn_cosine_vectorized", "knn_hard_negatives"],
+)
+def test_degenerate_embeddings_do_not_crash(spark, degenerate_embeddings_dir, name):
+    from gpu_telemetry_lakehouse_spark.queries import QUERIES
+
+    out = QUERIES[name](spark, degenerate_embeddings_dir)
+    rows = out.collect()
+    assert rows  # produces real results from the healthy vectors
+    # no degenerate id ever appears as a neighbor/member
+    bad_ids = {9000000 + i for i in range(10)}
+    for r in rows:
+        for f in ("neighbor_id", "negative_id", "id_a", "id_b", "vec_id"):
+            if f in r.asDict() and r[f] is not None:
+                assert r[f] not in bad_ids, (name, f, r[f])
