@@ -47,6 +47,7 @@ for _mod in (
     "curation",
     "cdc",
     "inference",
+    "web",
 ):
     __import__(f"{__name__}.{_mod}")
 
@@ -148,6 +149,15 @@ DRIVER_WINDOW: list[str] = [
 # category is already represented above (consolidated near-duplicates).
 _SECOND_TIER: list[str] = [
     "array_norms_vectors",
+    # web-crawl curation (URL canonicalization/dedup, blocklist) — late
+    # round-3 family; the LLM-pipeline categories above stay green
+    "url_canonical_dedup",
+    "domain_blocklist_filter",
+    # sequential smoothers proven by literal-recursion oracles
+    "ewma_recursive_daily",
+    "holt_linear_daily",
+    # row-local char-entropy quality signal
+    "char_entropy_docs",
     # demoted from the round-3 window late in the round (grouping stays
     # green via rollup_region_nation; dedup via minhash/heavy-hitter;
     # joins via broadcast/semi/anti/interval/asof; stats via the new

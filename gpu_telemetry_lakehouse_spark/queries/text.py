@@ -819,3 +819,69 @@ def multimodal_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("height").cast("long").alias("total_channels"),
         )
     )
+
+
+# --- character-level Shannon entropy -----------------------------------------
+# Gibberish / encoding-junk detector: natural prose sits in a narrow
+# char-entropy band, base64 blobs and key-mash score high, repeated-char
+# spam scores near zero. Fully ROW-LOCAL (no explode shuffle): per doc,
+# distinct chars (bounded alphabet) x one filtered count each — O(|alpha|*n)
+# inside whole-stage codegen, zero exchanges before the final sort. The
+# ln-term staging follows the source_token_kl idiom: round each c*ln(c)
+# term to a 1e-12-scaled BIGINT so the sum is partition-order-proof and
+# engine-exact. H = ln(n) - (sum c*ln(c))/n in nats.
+@query(
+    "char_entropy_docs",
+    oracle="""
+    WITH c AS (
+        SELECT doc_id, regexp_extract_all(lower(text), '.') AS ch FROM documents
+    ),
+    t AS (
+        SELECT doc_id, len(ch) AS n,
+               list_aggregate(
+                   list_transform(
+                       list_transform(list_distinct(ch),
+                           u -> len(list_filter(ch, x -> x = u))),
+                       k -> CAST(ROUND(k * ln(k) * 1e12, 0) AS BIGINT)),
+                   'sum') AS s
+        FROM c
+    )
+    SELECT doc_id, CAST(n AS BIGINT) AS n_chars_counted,
+           CASE WHEN n = 0 THEN NULL
+                ELSE ROUND(ln(CAST(n AS DOUBLE))
+                           - (CAST(s AS DOUBLE) / 1e12) / n, 6) END
+               AS entropy_nats
+    FROM t ORDER BY doc_id
+    """,
+)
+def char_entropy_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    ch = F.regexp_extract_all(F.lower(F.col("text")), F.lit("."), F.lit(0))
+    d = docs.select("doc_id", ch.alias("ch")).select(
+        "doc_id",
+        F.size("ch").alias("n"),
+        F.aggregate(
+            F.transform(
+                F.array_distinct("ch"),
+                lambda u: F.size(F.filter(F.col("ch"), lambda x: x == u)),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, k: acc
+            + F.round(k.cast("double") * F.log(k.cast("double")) * 1e12, 0).cast(
+                "long"
+            ),
+        ).alias("s"),
+    )
+    return d.select(
+        "doc_id",
+        F.col("n").cast("long").alias("n_chars_counted"),
+        F.when(F.col("n") == 0, F.lit(None).cast("double"))
+        .otherwise(
+            F.round(
+                F.log(F.col("n").cast("double"))
+                - (F.col("s").cast("double") / 1e12) / F.col("n"),
+                6,
+            )
+        )
+        .alias("entropy_nats"),
+    ).orderBy("doc_id")

@@ -1251,3 +1251,164 @@ def clamped_balance_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+# --- exponential smoothing (exact recursion) ---------------------------------
+# The classic monitoring smoother: ewma_d = a*x_d + (1-a)*ewma_{d-1}. The
+# recursion looks inherently sequential, but the state space is the DAILY
+# rollup (bounded days x event types), so the parallel form is: rollup the
+# raw events (the only big-data pass, map-side combinable), then fold the
+# tiny per-type day series row-locally. alpha = 0.5 keeps every multiply an
+# EXACT binary scaling, so both engines perform the same multiply-exact /
+# add-once-rounded sequence and the smoothed series is bit-identical: the
+# Spark side folds the sorted prefix with F.aggregate; the oracle executes
+# the LITERAL recursion (WITH RECURSIVE), so the hash match proves the
+# windowed-fold rewrite equals the sequential definition. Complements
+# pipeline_ops.ewma_daily_value (the 8-day-truncated dyadic-weight window):
+# this one carries the FULL infinite-memory state per event type.
+@query(
+    "ewma_recursive_daily",
+    oracle="""
+    WITH RECURSIVE seq AS (
+        SELECT event_type, date_trunc('day', ts) AS d,
+               (SUM(CAST(ROUND(value * 1000000, 0) AS BIGINT)) / 1e6)
+                   / COUNT(value) AS x,
+               ROW_NUMBER() OVER (PARTITION BY event_type
+                                  ORDER BY date_trunc('day', ts)) AS rn
+        FROM events WHERE value IS NOT NULL
+        GROUP BY 1, 2
+    ),
+    sm AS (
+        SELECT event_type, rn, d, x, x AS ewma FROM seq WHERE rn = 1
+        UNION ALL
+        SELECT s.event_type, s.rn, s.d, s.x, 0.5 * s.x + 0.5 * p.ewma
+        FROM seq s JOIN sm p ON p.event_type = s.event_type AND s.rn = p.rn + 1
+    )
+    SELECT event_type, d, ROUND(x, 6) AS daily_mean, ROUND(ewma, 6) AS ewma
+    FROM sm ORDER BY event_type, d
+    """,
+)
+def ewma_recursive_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("d")
+    ).agg(
+        (
+            F.sum(F.round(F.col("value") * 1e6, 0).cast("long"))
+            / F.lit(1e6)
+            / F.count("value")
+        ).alias("x")
+    )
+    # whole-partition sorted series (sort_array makes collect order moot),
+    # per-row prefix fold: acc==NULL seeds with the first observation
+    w_full = W.partitionBy("event_type").rowsBetween(
+        W.unboundedPreceding, W.unboundedFollowing
+    )
+    w_ord = W.partitionBy("event_type").orderBy("d")
+    xs = F.transform(
+        F.sort_array(F.collect_list(F.struct("d", "x")).over(w_full)),
+        lambda s: s["x"],
+    )
+    rn = F.row_number().over(w_ord)
+    ewma = F.aggregate(
+        F.slice(xs, F.lit(1), rn),
+        F.lit(None).cast("double"),
+        lambda acc, v: F.when(acc.isNull(), v).otherwise(0.5 * v + 0.5 * acc),
+    )
+    return (
+        daily.select(
+            "event_type",
+            "d",
+            F.round("x", 6).alias("daily_mean"),
+            F.round(ewma, 6).alias("ewma"),
+        )
+        .orderBy("event_type", "d")
+    )
+
+
+# --- Holt linear-trend smoothing ---------------------------------------------
+# Double exponential smoothing (level + trend), alpha = beta = 0.5:
+#   l_n = 0.5*x_n + 0.5*(l_{n-1} + b_{n-1});  b_n = 0.5*(l_n - l_{n-1}) + 0.5*b_{n-1}
+# seeded l_1 = x_1, b_1 = 0. Same parallel shape as ewma_daily_value (big
+# rollup, then a row-local fold over the bounded day series — here a struct
+# accumulator carrying (level, trend)); the oracle again runs the literal
+# two-state recursion, proving the fold. Emits the fitted end state and the
+# one-step-ahead forecast per event type.
+@query(
+    "holt_linear_daily",
+    oracle="""
+    WITH RECURSIVE seq AS (
+        SELECT event_type, date_trunc('day', ts) AS d,
+               (SUM(CAST(ROUND(value * 1000000, 0) AS BIGINT)) / 1e6)
+                   / COUNT(value) AS x,
+               ROW_NUMBER() OVER (PARTITION BY event_type
+                                  ORDER BY date_trunc('day', ts)) AS rn
+        FROM events WHERE value IS NOT NULL
+        GROUP BY 1, 2
+    ),
+    st AS (
+        -- CAST: DuckDB pins recursive-CTE column types from the ANCHOR
+        -- branch; a bare 0.0 is DECIMAL(2,1) and would round the trend
+        -- state to one decimal on every iteration
+        SELECT event_type, rn, d, x AS l, CAST(0 AS DOUBLE) AS b
+        FROM seq WHERE rn = 1
+        UNION ALL
+        SELECT s.event_type, s.rn, s.d,
+               0.5 * s.x + 0.5 * (p.l + p.b),
+               0.5 * ((0.5 * s.x + 0.5 * (p.l + p.b)) - p.l) + 0.5 * p.b
+        FROM seq s JOIN st p ON p.event_type = s.event_type AND s.rn = p.rn + 1
+    ),
+    fin AS (
+        SELECT event_type, rn, d, l, b,
+               MAX(rn) OVER (PARTITION BY event_type) AS mx
+        FROM st
+    )
+    SELECT event_type, CAST(mx AS BIGINT) AS n_days, d AS last_day,
+           ROUND(l, 6) AS level, ROUND(b, 6) AS trend,
+           ROUND(l + b, 6) AS forecast_next
+    FROM fin WHERE rn = mx ORDER BY event_type
+    """,
+)
+def holt_linear_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("d")
+    ).agg(
+        (
+            F.sum(F.round(F.col("value") * 1e6, 0).cast("long"))
+            / F.lit(1e6)
+            / F.count("value")
+        ).alias("x")
+    )
+    per_type = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.max("d").alias("last_day"),
+        F.sort_array(F.collect_list(F.struct("d", "x"))).alias("xs"),
+    )
+    init = F.struct(
+        F.lit(None).cast("double").alias("l"), F.lit(None).cast("double").alias("b")
+    )
+
+    def step(acc, s):
+        v = s["x"]
+        l_new = 0.5 * v + 0.5 * (acc["l"] + acc["b"])
+        b_new = 0.5 * (l_new - acc["l"]) + 0.5 * acc["b"]
+        return F.when(
+            acc["l"].isNull(),
+            F.struct(v.alias("l"), F.lit(0.0).alias("b")),
+        ).otherwise(F.struct(l_new.alias("l"), b_new.alias("b")))
+
+    fit = F.aggregate(F.col("xs"), init, step)
+    return (
+        per_type.select(
+            "event_type",
+            "n_days",
+            "last_day",
+            F.round(fit["l"], 6).alias("level"),
+            F.round(fit["b"], 6).alias("trend"),
+            F.round(fit["l"] + fit["b"], 6).alias("forecast_next"),
+        )
+        .orderBy("event_type")
+    )
