@@ -158,6 +158,10 @@ _SECOND_TIER: list[str] = [
     "holt_linear_daily",
     # row-local char-entropy quality signal
     "char_entropy_docs",
+    # graph communities, dedup-quality eval, multi-touch attribution
+    "label_prop_communities",
+    "dedup_minhash_pr_eval",
+    "attribution_position_based",
     # demoted from the round-3 window late in the round (grouping stays
     # green via rollup_region_nation; dedup via minhash/heavy-hitter;
     # joins via broadcast/semi/anti/interval/asof; stats via the new

@@ -918,3 +918,141 @@ def exact_substring_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("dup_frac"),
         )
     )
+
+
+# --- MinHash-LSH quality evaluation (precision/recall vs exact Jaccard) ------
+# The dedup pipeline's eval harness: at each threshold t, how well do the
+# LSH candidates (est_jaccard from K=8 signature agreement) recover the
+# TRUE near-dup pairs (exact shingle-Jaccard >= t)? Both sides reuse this
+# module's existing machinery — truth via posting-list intersection (never
+# all-pairs), predictions via banded LSH — full-outer joined on the pair
+# key, then one tiny threshold-grid aggregation. A pred pair absent from
+# the truth base has true J < 0.1 < t, so COALESCE(truth, 0) classifies it
+# FP correctly. Counts are exact BIGINTs; precision/recall divide them once
+# in double. This is the number that justifies the K/bands choice before a
+# 100 TB run — recall too low => more bands, precision too low => verify
+# stage required.
+@query(
+    "dedup_minhash_pr_eval",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {TK} AS tk FROM documents),
+    sh AS (SELECT doc_id, {SHINGLES} AS s FROM toks),
+    d AS (SELECT DISTINCT doc_id,
+                 unnest(list_transform(s, x -> {_md5int('x')})) AS s
+          FROM sh),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM d GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+        FROM d a JOIN d b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    truth AS (
+        SELECT id_a, id_b,
+               ROUND(n_inter / (sa.n + sb.n - n_inter), 6) AS tj
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE ROUND(n_inter / (sa.n + sb.n - n_inter), 6) >= 0.1
+    ),
+    ex AS (
+        SELECT doc_id,
+               unnest(CASE WHEN len(s) > 0 THEN s ELSE [NULL] END) AS sg
+        FROM sh
+    ),
+    base AS (SELECT doc_id, {_md5int('sg')} % {_P} AS x FROM ex),
+    sigs AS (
+        SELECT doc_id,
+           {_SIG_COLS}
+        FROM base GROUP BY doc_id
+    ),
+    bands AS (
+{_BANDS_SQL}
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+               {', '.join(f'a.h{i}' for i in range(K))},
+               {', '.join(f'b.h{i} AS bh{i}' for i in range(K))}
+        FROM bands a
+        JOIN bands b ON a.band = b.band AND a.k0 = b.k0 AND a.k1 = b.k1
+                    AND a.doc_id < b.doc_id
+    ),
+    pred AS (
+        SELECT id_a, id_b,
+               ROUND(({_AGREE_SQL}) / {float(K)}, 6) AS ej
+        FROM cand
+    ),
+    pairs AS (
+        SELECT COALESCE(t.tj, 0.0) AS tj, COALESCE(p.ej, 0.0) AS ej
+        FROM truth t FULL OUTER JOIN pred p
+          ON t.id_a = p.id_a AND t.id_b = p.id_b
+    ),
+    grid AS (SELECT unnest([0.2e0, 0.4e0, 0.6e0]) AS t)
+    SELECT g.t AS threshold,
+           CAST(SUM(CASE WHEN tj >= g.t THEN 1 ELSE 0 END) AS BIGINT) AS n_truth,
+           CAST(SUM(CASE WHEN ej >= g.t THEN 1 ELSE 0 END) AS BIGINT) AS n_pred,
+           CAST(SUM(CASE WHEN tj >= g.t AND ej >= g.t THEN 1 ELSE 0 END)
+                AS BIGINT) AS tp,
+           CAST(SUM(CASE WHEN ej >= g.t AND tj < g.t THEN 1 ELSE 0 END)
+                AS BIGINT) AS fp,
+           CAST(SUM(CASE WHEN tj >= g.t AND ej < g.t THEN 1 ELSE 0 END)
+                AS BIGINT) AS fn,
+           ROUND(CAST(SUM(CASE WHEN tj >= g.t AND ej >= g.t THEN 1 ELSE 0 END)
+                      AS DOUBLE)
+                 / NULLIF(SUM(CASE WHEN ej >= g.t THEN 1 ELSE 0 END), 0), 6)
+               AS precision,
+           ROUND(CAST(SUM(CASE WHEN tj >= g.t AND ej >= g.t THEN 1 ELSE 0 END)
+                      AS DOUBLE)
+                 / NULLIF(SUM(CASE WHEN tj >= g.t THEN 1 ELSE 0 END), 0), 6)
+               AS recall
+    FROM pairs CROSS JOIN grid g
+    GROUP BY g.t ORDER BY g.t
+    """,
+)
+def dedup_minhash_pr_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread_input(load_table(spark, sf_dir, "documents"))
+    truth = DD.shingle_jaccard_pairs(docs, threshold=0.1).select(
+        "id_a", "id_b", F.col("jaccard").alias("tj")
+    )
+    sigs = DD.minhash_signatures(docs, k=K)
+    pred = DD.minhash_lsh_pairs(sigs, k=K, bands=BANDS).select(
+        F.col("id_a").alias("p_a"), F.col("id_b").alias("p_b"),
+        F.col("est_jaccard").alias("ej"),
+    )
+    pairs = truth.join(
+        pred,
+        (truth["id_a"] == pred["p_a"]) & (truth["id_b"] == pred["p_b"]),
+        "full_outer",
+    ).select(
+        F.coalesce("tj", F.lit(0.0)).alias("tj"),
+        F.coalesce("ej", F.lit(0.0)).alias("ej"),
+    )
+    grid = docs.sparkSession.createDataFrame(
+        [(0.2,), (0.4,), (0.6,)], "t double"
+    )
+    j = pairs.crossJoin(F.broadcast(grid))
+    tp = F.sum(F.when((F.col("tj") >= F.col("t")) & (F.col("ej") >= F.col("t")), 1).otherwise(0))
+    np_ = F.sum(F.when(F.col("ej") >= F.col("t"), 1).otherwise(0))
+    nt = F.sum(F.when(F.col("tj") >= F.col("t"), 1).otherwise(0))
+    return (
+        j.groupBy(F.col("t").alias("threshold"))
+        .agg(
+            nt.cast("long").alias("n_truth"),
+            np_.cast("long").alias("n_pred"),
+            tp.cast("long").alias("tp"),
+            F.sum(
+                F.when((F.col("ej") >= F.col("t")) & (F.col("tj") < F.col("t")), 1)
+                .otherwise(0)
+            ).cast("long").alias("fp"),
+            F.sum(
+                F.when((F.col("tj") >= F.col("t")) & (F.col("ej") < F.col("t")), 1)
+                .otherwise(0)
+            ).cast("long").alias("fn"),
+            F.round(
+                tp.cast("double") / F.nullif(np_, F.lit(0)), 6
+            ).alias("precision"),
+            F.round(
+                tp.cast("double") / F.nullif(nt, F.lit(0)), 6
+            ).alias("recall"),
+        )
+        .orderBy("threshold")
+    )

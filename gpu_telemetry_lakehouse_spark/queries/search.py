@@ -932,3 +932,80 @@ def basket_rules_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("lift").desc(), "ante", "cons")
         .limit(20)
     )
+
+
+# --- label-propagation communities over the co-user graph --------------------
+# Synchronous LPA (Raghavan et al. 2007), 3 unrolled rounds for a fixed,
+# replayable trajectory (async LPA is schedule-dependent; the oracle must
+# replay the identical computation). Update rule: each node takes the most
+# frequent label among its neighbors, ties to the SMALLEST label — both
+# encoded in ONE integer argmax: packed = c*PACK + (PACK-1-label), so
+# MAX(packed) orders by count then by -label, and the label is recovered as
+# PACK-1-(packed % PACK). All state is exact BIGINT — no float anywhere, so
+# partial-aggregation order is irrelevant. Overflow bound: degree and label
+# must stay < PACK (1e9); beyond that widen PACK (headroom to ~9.2e9 counts).
+#
+# Scale shape per round: one edge-sized join + one (node, label)-count
+# aggregation + one node-sized argmax — the same exchange budget as a
+# PageRank round. Edges are localCheckpoint'ed once and shared.
+_LP_PACK = 1_000_000_000
+
+
+def _lp_round_sql(prev: str, out: str) -> str:
+    return f"""
+    {out} AS (
+        SELECT u AS user_id,
+               CAST({_LP_PACK} - 1 - (MAX(c * {_LP_PACK}
+                    + ({_LP_PACK} - 1 - label)) % {_LP_PACK}) AS BIGINT) AS label
+        FROM (
+            SELECT s.u, p.label, COUNT(*) AS c
+            FROM sym s JOIN {prev} p ON p.user_id = s.v
+            GROUP BY 1, 2
+        )
+        GROUP BY u
+    )"""
+
+
+@query(
+    "label_prop_communities",
+    oracle=f"""
+    WITH e AS ({_edges_sql()}),
+    sym AS (SELECT u, v FROM e UNION ALL SELECT v, u FROM e),
+    nodes AS (SELECT DISTINCT u AS user_id FROM sym),
+    l0 AS (SELECT user_id, CAST(user_id AS BIGINT) AS label FROM nodes),
+    {_lp_round_sql("l0", "l1")},
+    {_lp_round_sql("l1", "l2")},
+    {_lp_round_sql("l2", "l3")}
+    SELECT label AS community,
+           CAST(COUNT(*) AS BIGINT) AS n_members,
+           CAST(SUM(user_id) AS BIGINT) AS sum_members
+    FROM l3 GROUP BY 1 ORDER BY 1
+    """,
+)
+def label_prop_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sym = _couser_edges(spark, sf_dir)
+    nodes = sym.select(F.col("u").alias("user_id")).distinct()
+    labels = nodes.select("user_id", F.col("user_id").cast("long").alias("label"))
+    pack = F.lit(_LP_PACK)
+    for _ in range(3):
+        nb = sym.join(
+            labels.select(F.col("user_id").alias("v"), "label"), "v"
+        )
+        cnt = nb.groupBy("u", "label").agg(F.count(F.lit(1)).alias("c"))
+        packed = F.col("c") * pack + (pack - 1 - F.col("label"))
+        labels = (
+            cnt.groupBy(F.col("u").alias("user_id"))
+            .agg(F.max(packed).alias("m"))
+            .select(
+                "user_id",
+                (pack - 1 - (F.col("m") % pack)).cast("long").alias("label"),
+            )
+        )
+    return (
+        labels.groupBy(F.col("label").alias("community"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_members"),
+            F.sum("user_id").cast("long").alias("sum_members"),
+        )
+        .orderBy("community")
+    )

@@ -1412,3 +1412,102 @@ def holt_linear_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --- position-based (U-shaped) multi-touch attribution -----------------------
+# The 40/20/40 rule: each purchase splits its credit over the non-purchase
+# touches in its 7-day lookback — 40% first touch, 40% last, the middle 20%
+# spread evenly; 1 touch takes all, 2 touches split evenly, no touches fall
+# to 'unattributed' (so total credit == total purchases, the conservation
+# property last-touch lacks). Shape: per-user bounded range join (purchase x
+# trailing-week touches) + one purchase-keyed window for (rank, k) + one
+# channel rollup. Every weight literal is a DOUBLE on both engines (a bare
+# 0.2 is DECIMAL in DuckDB and its division semantics diverge); the credit
+# sum stages through round(w*1e9) scaled longs, so partial-agg order is
+# irrelevant.
+@query(
+    "attribution_position_based",
+    oracle="""
+    WITH p AS (
+        SELECT user_id, ts AS ts_p, event_id AS eid_p
+        FROM events WHERE event_type = 'purchase'
+    ),
+    t AS (
+        SELECT user_id, ts AS ts_t, event_id AS eid_t, event_type AS channel
+        FROM events WHERE event_type <> 'purchase'
+    ),
+    j AS (
+        SELECT p.eid_p, t.ts_t, t.eid_t, t.channel
+        FROM p LEFT JOIN t
+          ON t.user_id = p.user_id
+         AND t.ts_t < p.ts_p
+         AND t.ts_t >= p.ts_p - INTERVAL 7 DAY
+    ),
+    r AS (
+        SELECT *,
+               ROW_NUMBER() OVER (PARTITION BY eid_p ORDER BY ts_t, eid_t) AS rn,
+               COUNT(ts_t) OVER (PARTITION BY eid_p) AS k
+        FROM j
+    ),
+    w AS (
+        SELECT COALESCE(channel, 'unattributed') AS channel, ts_t,
+               CASE WHEN k <= 1 THEN 1.0e0
+                    WHEN k = 2 THEN 0.5e0
+                    WHEN rn = 1 OR rn = k THEN 0.4e0
+                    ELSE 0.2e0 / (k - 2) END AS wt
+        FROM r
+    )
+    SELECT channel,
+           CAST(COUNT(ts_t) AS BIGINT) AS n_touches,
+           SUM(CAST(ROUND(wt * 1e9, 0) AS BIGINT)) / 1e9 AS credit
+    FROM w GROUP BY channel ORDER BY channel
+    """,
+)
+def attribution_position_based(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("ts_p"), F.col("event_id").alias("eid_p")
+    )
+    t = ev.filter(F.col("event_type") != "purchase").select(
+        F.col("user_id").alias("u_t"),
+        F.col("ts").alias("ts_t"),
+        F.col("event_id").alias("eid_t"),
+        F.col("event_type").alias("channel"),
+    )
+    j = p.join(
+        t,
+        (F.col("u_t") == F.col("user_id"))
+        & (F.col("ts_t") < F.col("ts_p"))
+        & (F.col("ts_t") >= F.col("ts_p") - F.expr("INTERVAL 7 DAY")),
+        "left",
+    ).select("eid_p", "ts_t", "eid_t", "channel")
+    wp = W.partitionBy("eid_p")
+    r = j.select(
+        "channel",
+        "ts_t",
+        F.row_number().over(wp.orderBy("ts_t", "eid_t")).alias("rn"),
+        F.count("ts_t").over(wp).alias("k"),
+    )
+    wt = (
+        F.when(F.col("k") <= 1, F.lit(1.0))
+        .when(F.col("k") == 2, F.lit(0.5))
+        .when((F.col("rn") == 1) | (F.col("rn") == F.col("k")), F.lit(0.4))
+        .otherwise(F.lit(0.2) / (F.col("k") - 2))
+    )
+    w = r.select(
+        F.coalesce("channel", F.lit("unattributed")).alias("channel"),
+        "ts_t",
+        wt.alias("wt"),
+    )
+    return (
+        w.groupBy("channel")
+        .agg(
+            F.count("ts_t").cast("long").alias("n_touches"),
+            (F.sum(F.round(F.col("wt") * 1e9, 0).cast("long")) / F.lit(1e9)).alias(
+                "credit"
+            ),
+        )
+        .orderBy("channel")
+    )
