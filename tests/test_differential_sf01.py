@@ -62,6 +62,10 @@ HEAVY_SLICE = [
     "correlation_matrix_lineitem",
     "dsir_importance_weights",
     "source_token_kl",
+    # round-3 late additions >1s serial at sf0.1
+    "char_entropy_docs",
+    "label_prop_communities",
+    "dedup_minhash_pr_eval",
     # setsim_join_prefix deliberately NOT here: the synthetic docs corpus is
     # a ~30-token vocabulary soup, the worst case for prefix filtering
     # (every pair is a candidate) — ~160 s at sf0.1, dominated by the naive
