@@ -518,3 +518,95 @@ def embedding_dim_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("dim")
     )
+
+
+# --- exact ROC AUC (Mann-Whitney rank form) ----------------------------------
+# Model-evaluation primitive: the AUC of o_totalprice as a classifier score
+# for "order contains a returned lineitem". Computed EXACTLY via the
+# Mann-Whitney U identity with midrank tie handling — but formulated over
+# the DISTINCT-SCORE histogram, not per-row ranks: group rows by score into
+# (pos, neg) counts, cumulative negatives below each score via one window,
+# then 2*U = sum(pos_s * (2*neg_below_s + neg_s)). All integer arithmetic,
+# so the result is bit-identical across engines and partition orders.
+#
+# Scale: the per-score histogram collapses 100 TB of rows to |distinct
+# scores| groups before any windowing; the cumulative window over that
+# (unpartitioned) table is the one scale caveat — beyond ~10^8 distinct
+# scores, swap it for the range-partition + broadcast-offset two-phase
+# cumsum used by operators/scale.py::dense_ids. The label anti/semi side is
+# an aggregated distinct-orderkey set, equi-joined (never nested-loop).
+@query(
+    "roc_auc_price_returns",
+    oracle="""
+    WITH ret AS (
+        SELECT DISTINCT l_orderkey FROM lineitem WHERE l_returnflag = 'R'
+    ),
+    lab AS (
+        SELECT o.o_totalprice AS score,
+               CASE WHEN r.l_orderkey IS NOT NULL THEN 1 ELSE 0 END AS y
+        FROM orders o LEFT JOIN ret r ON r.l_orderkey = o.o_orderkey
+    ),
+    g AS (
+        SELECT score,
+               CAST(SUM(y) AS BIGINT) AS pos,
+               CAST(COUNT(*) - SUM(y) AS BIGINT) AS neg
+        FROM lab GROUP BY score
+    ),
+    c AS (
+        SELECT pos, neg,
+               CAST(COALESCE(SUM(neg) OVER (
+                   ORDER BY score
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) AS BIGINT) AS neg_below
+        FROM g
+    ),
+    s AS (
+        SELECT CAST(SUM(pos) AS BIGINT) AS n_pos,
+               CAST(SUM(neg) AS BIGINT) AS n_neg,
+               CAST(SUM(pos * (2 * neg_below + neg)) AS BIGINT) AS num2
+        FROM c
+    )
+    SELECT n_pos, n_neg,
+           ROUND(CAST(num2 AS DOUBLE) / CAST(2 * n_pos * n_neg AS DOUBLE), 6)
+               AS auc
+    FROM s
+    """,
+)
+def roc_auc_price_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    ret = li.filter(F.col("l_returnflag") == "R").select("l_orderkey").distinct()
+    lab = orders.join(
+        ret, orders["o_orderkey"] == ret["l_orderkey"], "left"
+    ).select(
+        F.col("o_totalprice").alias("score"),
+        F.when(F.col("l_orderkey").isNotNull(), 1).otherwise(0).alias("y"),
+    )
+    g = lab.groupBy("score").agg(
+        F.sum("y").cast("long").alias("pos"),
+        (F.count(F.lit(1)) - F.sum("y")).cast("long").alias("neg"),
+    )
+    w = W.orderBy("score").rowsBetween(W.unboundedPreceding, -1)
+    c = g.select(
+        "pos",
+        "neg",
+        F.coalesce(F.sum("neg").over(w), F.lit(0)).cast("long").alias("neg_below"),
+    )
+    s = c.groupBy().agg(
+        F.sum("pos").cast("long").alias("n_pos"),
+        F.sum("neg").cast("long").alias("n_neg"),
+        F.sum(F.col("pos") * (2 * F.col("neg_below") + F.col("neg")))
+        .cast("long")
+        .alias("num2"),
+    )
+    return s.select(
+        "n_pos",
+        "n_neg",
+        F.round(
+            F.col("num2").cast("double")
+            / (2 * F.col("n_pos") * F.col("n_neg")).cast("double"),
+            6,
+        ).alias("auc"),
+    )

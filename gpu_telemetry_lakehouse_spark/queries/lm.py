@@ -436,3 +436,129 @@ def bpe_apply_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("compression"),
         )
     )
+
+
+# --- multinomial Naive Bayes language classifier -----------------------------
+# The classic fully-distributed text classifier: training IS aggregation
+# (per-(class, token) counts + class priors), scoring IS one equi-join and a
+# sum — no iterative optimization, no driver-side state. Add-1 smoothing
+# makes unseen (token, class) pairs contribute ln(0+1) = 0, so the scoring
+# join only needs EXISTING count rows (an inner join against the vocab-sized
+# count table, missing pairs coalesce to zero) — the property that keeps the
+# plan at two shuffles regardless of vocabulary size.
+#
+# Split: even doc_ids train, odd doc_ids score (deterministic, engine-
+# portable). Per-term log-likelihoods round to 1e-6-scaled longs before
+# summation (the repo's exact-sum discipline), so class scores are exact
+# integers and the argmax is partition-order-proof on both engines.
+#
+# Scale: the (class, token) count table is vocab x classes (aggregated, not
+# corpus-sized); the class stats frame is |classes| rows (broadcast); the
+# scoring join hash-partitions on token; the argmax window partitions by
+# doc_id over |classes| rows per doc. No global sorts, no driver collects.
+@query(
+    "naive_bayes_lang_confusion",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, lang, {_TOK} AS tk FROM documents),
+    tr_tok AS (SELECT lang, unnest(tk) AS token FROM d WHERE doc_id % 2 = 0),
+    tc AS (SELECT lang, token, COUNT(*) AS c FROM tr_tok GROUP BY 1, 2),
+    cls_tok AS (SELECT lang, CAST(SUM(c) AS BIGINT) AS tok_c FROM tc GROUP BY 1),
+    docs_c AS (
+        SELECT lang, COUNT(*) AS dc FROM d WHERE doc_id % 2 = 0 GROUP BY 1
+    ),
+    tot AS (SELECT CAST(SUM(dc) AS BIGINT) AS td FROM docs_c),
+    voc AS (SELECT COUNT(DISTINCT token) AS v FROM tc),
+    cls AS (
+        SELECT dc.lang,
+               CAST(ROUND(ln(CAST(dc.dc AS DOUBLE) / CAST(tot.td AS DOUBLE))
+                          * 1000000) AS BIGINT) AS prior_s,
+               CAST(ROUND(ln(CAST(ct.tok_c + voc.v AS DOUBLE))
+                          * 1000000) AS BIGINT) AS denom_s
+        FROM docs_c dc JOIN cls_tok ct USING (lang) CROSS JOIN tot CROSS JOIN voc
+    ),
+    te_tok AS (SELECT doc_id, unnest(tk) AS token FROM d WHERE doc_id % 2 = 1),
+    nd AS (SELECT doc_id, COUNT(*) AS n_tok FROM te_tok GROUP BY 1),
+    hit AS (
+        SELECT t.doc_id, c.lang,
+               CAST(SUM(CAST(ROUND(ln(CAST(c.c + 1 AS DOUBLE)) * 1000000)
+                             AS BIGINT)) AS BIGINT) AS hit_s
+        FROM te_tok t JOIN tc c USING (token) GROUP BY 1, 2
+    ),
+    sc AS (
+        SELECT nd.doc_id, cls.lang,
+               cls.prior_s + COALESCE(h.hit_s, 0) - nd.n_tok * cls.denom_s
+                   AS score_s
+        FROM nd CROSS JOIN cls
+        LEFT JOIN hit h ON h.doc_id = nd.doc_id AND h.lang = cls.lang
+    ),
+    pred AS (
+        SELECT doc_id, lang AS pred_lang,
+               ROW_NUMBER() OVER (
+                   PARTITION BY doc_id ORDER BY score_s DESC, lang ASC
+               ) AS rn
+        FROM sc
+    )
+    SELECT d.lang, p.pred_lang, COUNT(*) AS n_docs
+    FROM pred p JOIN d ON d.doc_id = p.doc_id
+    WHERE p.rn = 1
+    GROUP BY 1, 2
+    """,
+)
+def naive_bayes_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    train = docs.filter(F.col("doc_id") % 2 == 0)
+    test = docs.filter(F.col("doc_id") % 2 == 1)
+
+    tr_tok = train.select("lang", F.explode(tokens(F.col("text"))).alias("token"))
+    tc = tr_tok.groupBy("lang", "token").agg(F.count(F.lit(1)).alias("c"))
+    cls_tok = tc.groupBy("lang").agg(F.sum("c").cast("long").alias("tok_c"))
+    docs_c = train.groupBy("lang").agg(F.count(F.lit(1)).alias("dc"))
+    tot = docs_c.groupBy().agg(F.sum("dc").cast("long").alias("td"))
+    voc = tc.groupBy().agg(F.countDistinct("token").alias("v"))
+
+    s6 = lambda col: F.round(col * 1_000_000, 0).cast("long")  # noqa: E731
+    cls = (
+        docs_c.join(cls_tok, "lang")
+        .crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(voc))
+        .select(
+            "lang",
+            s6(F.log(F.col("dc").cast("double") / F.col("td").cast("double")))
+            .alias("prior_s"),
+            s6(F.log((F.col("tok_c") + F.col("v")).cast("double"))).alias("denom_s"),
+        )
+    )
+
+    te_tok = test.select("doc_id", F.explode(tokens(F.col("text"))).alias("token"))
+    nd = te_tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_tok"))
+    hit = (
+        te_tok.join(tc, "token")
+        .groupBy("doc_id", "lang")
+        .agg(F.sum(s6(F.log((F.col("c") + 1).cast("double")))).cast("long").alias("hit_s"))
+    )
+    sc = (
+        nd.crossJoin(F.broadcast(cls))
+        .join(hit, ["doc_id", "lang"], "left")
+        .select(
+            "doc_id",
+            "lang",
+            (
+                F.col("prior_s")
+                + F.coalesce(F.col("hit_s"), F.lit(0))
+                - F.col("n_tok") * F.col("denom_s")
+            ).alias("score_s"),
+        )
+    )
+    w = W.partitionBy("doc_id").orderBy(F.col("score_s").desc(), F.col("lang").asc())
+    pred = (
+        sc.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", F.col("lang").alias("pred_lang"))
+    )
+    return (
+        pred.join(test.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang", "pred_lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )

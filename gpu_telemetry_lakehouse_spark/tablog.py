@@ -580,21 +580,23 @@ def get_constraints(path: str) -> dict[str, str]:
         return json.load(f)
 
 
-def validate_constraints(df: DataFrame, path: str) -> None:
-    """Raise ConstraintViolation if any registered CHECK fails on ``df``.
-    One pass computes every constraint's violation count together (a single
-    aggregate over the batch — not one scan per constraint)."""
-    checks = get_constraints(path)
+def _violation_counts(df: DataFrame, checks: dict[str, str]) -> dict[str, int]:
+    """Per-constraint violation counts in ONE aggregate pass (not one scan
+    per constraint). SQL-standard CHECK: a row violates only when the
+    expression is definitively FALSE (NULL passes, as in Delta/ANSI)."""
     if not checks:
-        return
-    # SQL-standard CHECK: a row violates only when the expression is
-    # definitively FALSE (NULL passes, as in Delta/ANSI).
+        return {}
     aggs = [
         F.sum(F.when(F.expr(expr) == False, 1).otherwise(0)).alias(name)  # noqa: E712
         for name, expr in checks.items()
     ]
     row = df.agg(*aggs).first()
-    bad = {name: row[name] for name in checks if (row[name] or 0) > 0}
+    return {name: row[name] for name in checks if (row[name] or 0) > 0}
+
+
+def validate_constraints(df: DataFrame, path: str) -> None:
+    """Raise ConstraintViolation if any registered CHECK fails on ``df``."""
+    bad = _violation_counts(df, get_constraints(path))
     if bad:
         raise ConstraintViolation(f"CHECK constraint(s) violated: {bad}")
 
@@ -1110,11 +1112,19 @@ def restore(path: str, to_version: int) -> int:
 def vacuum(path: str, keep_versions: int = 1) -> list[str]:
     """Delete data files unreferenced by the ``keep_versions`` most recent
     snapshots (bounds time travel; frees compacted-away files). Returns the
-    deleted names."""
+    deleted names. Open WAP branches pin their snapshots (base files + branch
+    writes) — a branch forked before a compact must survive the vacuum that
+    frees the compacted-away base files."""
     versions = _list_versions(path)
     keep = versions[-keep_versions:] if versions else []
     referenced = {a["file"] for v in keep for a in snapshot_files(path, v)}
     ref_dvs = {snapshot_dv(path, v) for v in keep} - {None}
+    for b in list_branches(path):
+        bfiles, bbase = _branch_snapshot(path, b)
+        referenced |= {a["file"] for a in bfiles}
+        bdv = snapshot_dv(path, bbase)
+        if bdv:
+            ref_dvs.add(bdv)
     deleted = []
     for f in os.listdir(path):
         if f.endswith(".parquet") and f.startswith("part-") and f not in referenced:
@@ -1319,3 +1329,221 @@ def scd2_history(
         .withColumn("is_current", (F.col("__to") == last_idx).cast("int"))
         .drop("__ep", "__from", "__to")
     )
+
+
+# --- WAP branches (write-audit-publish) --------------------------------------
+#
+# The Iceberg/Nessie branch workflow scaled to its essentials: an ETL job
+# writes to an isolated BRANCH of the table (data files land in the table
+# directory but are referenced only by a branch-local log), quality AUDITS
+# run against the branch snapshot, and only a passing branch is PUBLISHED —
+# one atomic squash commit on the main log. Readers of main never observe
+# unaudited data, a failing audit costs zero main-history churn, and the
+# publish is all-or-nothing even when the branch accumulated many writes.
+
+
+def _branch_dir(path: str, name: str) -> str:
+    return os.path.join(_log_dir(path), f"_branch-{name}")
+
+
+def _branch_meta(path: str, name: str) -> dict:
+    with open(os.path.join(_branch_dir(path, name), "_base.json")) as f:
+        return json.load(f)
+
+
+def _branch_versions(path: str, name: str) -> list[int]:
+    d = _branch_dir(path, name)
+    if not os.path.isdir(d):
+        return []
+    return sorted(
+        int(f[:-5]) for f in os.listdir(d) if f.endswith(".json") and not f.startswith("_")
+    )
+
+
+def _branch_entries(path: str, name: str) -> list[dict]:
+    d = _branch_dir(path, name)
+    out = []
+    for v in _branch_versions(path, name):
+        with open(os.path.join(d, f"{v:020d}.json")) as f:
+            out.append(json.load(f))
+    return out
+
+
+def branch_create(path: str, name: str) -> int:
+    """Fork a branch at the current main tip. Returns the base version the
+    branch reads from; branch writes never touch the main log."""
+    base = current_version(path)
+    assert base is not None, f"branch_create on a table with no commits: {path}"
+    d = _branch_dir(path, name)
+    os.makedirs(d, exist_ok=False)
+    with open(os.path.join(d, "_base.json"), "w") as f:
+        json.dump({"base_version": base, "name": name}, f)
+    return base
+
+
+def list_branches(path: str) -> list[str]:
+    d = _log_dir(path)
+    if not os.path.isdir(d):
+        return []
+    return sorted(
+        f[len("_branch-"):] for f in os.listdir(d) if f.startswith("_branch-")
+    )
+
+
+def _branch_commit(path: str, name: str, actions: dict) -> int:
+    d = _branch_dir(path, name)
+    for _ in range(20):
+        versions = _branch_versions(path, name)
+        v = (versions[-1] + 1) if versions else 0
+        try:
+            fd = os.open(
+                os.path.join(d, f"{v:020d}.json"),
+                os.O_CREAT | os.O_EXCL | os.O_WRONLY,
+            )
+        except FileExistsError:
+            continue
+        with os.fdopen(fd, "w") as f:
+            json.dump(dict(actions, version=v), f, default=str)
+        return v
+    raise RuntimeError(f"branch commit contention at {d}")
+
+
+def _branch_snapshot(path: str, name: str) -> tuple[list[dict], int]:
+    """(live file list, base main version) for a branch: the base snapshot
+    folded with the branch's own add/remove entries."""
+    base = _branch_meta(path, name)["base_version"]
+    live = {a["file"]: a for a in snapshot_files(path, base)}
+    for e in _branch_entries(path, name):
+        for rm in e.get("remove", []):
+            live.pop(rm, None)
+        for add in e.get("add", []):
+            live[add["file"]] = add
+    return list(live.values()), base
+
+
+def branch_append(
+    df: DataFrame, path: str, name: str, stat_cols: list[str] | None = None
+) -> int:
+    """Append to the branch only — main readers are unaffected until
+    publish. Data files are staged into the table directory (collision-proof
+    unique names), so publish later is a pure log operation, no data copy."""
+    adds = _stage_files(df, path, stat_cols or [])
+    return _branch_commit(
+        path, name, {"operation": "append", "add": adds, "schema": df.schema.json()}
+    )
+
+
+def branch_overwrite(
+    df: DataFrame, path: str, name: str, stat_cols: list[str] | None = None
+) -> int:
+    """Replace the branch's snapshot (base files + earlier branch writes).
+    The publish of an overwriting branch is conflict-checked against the
+    base version — see publish_branch."""
+    current, _ = _branch_snapshot(path, name)
+    adds = _stage_files(df, path, stat_cols or [])
+    return _branch_commit(
+        path,
+        name,
+        {
+            "operation": "overwrite",
+            "add": adds,
+            "remove": [a["file"] for a in current],
+            "schema": df.schema.json(),
+        },
+    )
+
+
+def read_branch(spark: SparkSession, path: str, name: str) -> DataFrame:
+    """The branch's current snapshot: base version data (with the base
+    deletion vector still honored) plus branch writes."""
+    files, base = _branch_snapshot(path, name)
+    assert files, f"empty branch snapshot: {name} at {path}"
+    df = spark.read.option("mergeSchema", "true").parquet(
+        *[os.path.join(path, a["file"]) for a in files]
+    )
+    dv = snapshot_dv(path, base)
+    if dv:
+        df = _apply_dv(spark, df, path, dv)
+    return df
+
+
+def audit_branch(spark: SparkSession, path: str, name: str) -> dict[str, int]:
+    """Run the table's CHECK constraints against the FULL branch snapshot
+    (one aggregate pass). Returns per-constraint violation counts — empty
+    means the branch is publishable. The WAP 'audit' step: it runs where
+    the data is still invisible to main readers."""
+    return _violation_counts(read_branch(spark, path, name), get_constraints(path))
+
+
+def publish_branch(
+    spark: SparkSession, path: str, name: str, audit: bool = True
+) -> int:
+    """Atomically merge the branch into main as ONE squash commit (the 'P'
+    of write-audit-publish). Semantics:
+
+    - ``audit=True`` re-runs ``audit_branch`` first; any violation raises
+      ConstraintViolation and main is untouched (the branch stays intact
+      for fix-up and retry).
+    - An APPEND-ONLY branch fast-forwards onto a moved main tip: its adds
+      are independent of interleaved main commits (same rule as append's
+      transparent retry).
+    - A branch that REMOVED base files (overwrite) must publish against an
+      unmoved tip; if main advanced since ``branch_create``, the commit
+      raises ConcurrentModificationError (re-branch and re-run, as in
+      Delta's WriteSerializable conflicts).
+
+    Returns the new main version; the branch log is deleted (its data files
+    now belong to main history)."""
+    if audit:
+        bad = audit_branch(spark, path, name)
+        if bad:
+            raise ConstraintViolation(
+                f"publish_branch({name}): CHECK constraint(s) violated: {bad}"
+            )
+    files, base = _branch_snapshot(path, name)
+    base_files = {a["file"] for a in snapshot_files(path, base)}
+    live = {a["file"] for a in files}
+    net_add = [a for a in files if a["file"] not in base_files]
+    net_remove = sorted(base_files - live)
+    schema = None
+    for e in reversed(_branch_entries(path, name)):
+        schema = e.get("schema")
+        if schema:
+            break
+    actions: dict = {
+        "operation": "publish_branch",
+        "branch": name,
+        "base_version": base,
+        "add": net_add,
+    }
+    if schema:
+        actions["schema"] = schema
+    if net_remove:
+        # an overwriting branch replaces the base snapshot: stale deletion
+        # vectors over removed files must not survive the publish
+        actions["remove"] = net_remove
+        actions["dv"] = None
+        v = _commit(path, actions, read_version=base)
+    else:
+        v = _commit(path, actions)
+    shutil.rmtree(_branch_dir(path, name))
+    return v
+
+
+def drop_branch(path: str, name: str) -> list[str]:
+    """Abandon a branch: delete its log and the data files only it
+    references (base files stay — main history owns them). The failing-audit
+    exit of the WAP loop."""
+    base_files = {
+        a["file"]
+        for a in snapshot_files(path, _branch_meta(path, name)["base_version"])
+    }
+    deleted = []
+    for e in _branch_entries(path, name):
+        for add in e.get("add", []):
+            f = add["file"]
+            if f not in base_files and os.path.exists(os.path.join(path, f)):
+                os.remove(os.path.join(path, f))
+                deleted.append(f)
+    shutil.rmtree(_branch_dir(path, name))
+    return deleted

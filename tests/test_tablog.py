@@ -1076,3 +1076,82 @@ def test_bloom_probe_int_vs_double_column(spark, sf_dir, tbl):
     got = T.read(spark, tbl, eq=("price_d", some))  # int probe, double column
     want = T.read(spark, tbl).filter(F.col("price_d") == some)
     assert got.count() == want.count() > 0
+
+
+# --- WAP branches (write-audit-publish) --------------------------------------
+
+
+def test_wap_branch_isolated_then_published(spark, sf_dir, tbl):
+    o = _orders(spark, sf_dir)
+    T.create_table(o.limit(100), tbl)
+    T.set_constraints(tbl, {"price_pos": "o_totalprice > 0"})
+    T.branch_create(tbl, "etl")
+    assert T.list_branches(tbl) == ["etl"]
+    T.branch_append(o.limit(150).exceptAll(o.limit(100)), tbl, "etl")
+    # branch sees base + writes; main is untouched until publish
+    assert T.read_branch(spark, tbl, "etl").count() == 150
+    assert T.read(spark, tbl).count() == 100
+    assert T.audit_branch(spark, tbl, "etl") == {}
+    v = T.publish_branch(spark, tbl, "etl")
+    assert T.read(spark, tbl).count() == 150
+    assert T.read(spark, tbl, version=v - 1).count() == 100  # history intact
+    assert T.list_branches(tbl) == []
+    assert T.history(tbl)[-1]["operation"] == "publish_branch"
+
+
+def test_wap_audit_rejects_bad_branch_main_untouched(spark, sf_dir, tbl):
+    o = _orders(spark, sf_dir)
+    T.create_table(o.limit(20), tbl)
+    T.set_constraints(tbl, {"price_pos": "o_totalprice > 0"})
+    T.branch_create(tbl, "bad")
+    T.branch_append(
+        o.limit(5).withColumn("o_totalprice", F.lit(-1.0)), tbl, "bad"
+    )
+    tip_before = T.current_version(tbl)
+    with pytest.raises(T.ConstraintViolation):
+        T.publish_branch(spark, tbl, "bad")
+    # main tip unmoved, branch intact for fix-up; drop cleans its files only
+    assert T.current_version(tbl) == tip_before
+    assert T.list_branches(tbl) == ["bad"]
+    deleted = T.drop_branch(tbl, "bad")
+    assert deleted and T.list_branches(tbl) == []
+    assert T.read(spark, tbl).count() == 20  # base files untouched by drop
+
+
+def test_wap_append_only_branch_fast_forwards_over_moved_tip(spark, sf_dir, tbl):
+    o = _orders(spark, sf_dir)
+    T.create_table(o.limit(10), tbl)
+    T.branch_create(tbl, "ff")
+    branch_rows = o.limit(40).exceptAll(o.limit(30))
+    T.branch_append(branch_rows, tbl, "ff")
+    # main advances independently while the branch is open
+    T.append(o.limit(20).exceptAll(o.limit(10)), tbl)
+    T.publish_branch(spark, tbl, "ff")
+    assert T.read(spark, tbl).count() == 10 + 10 + 10
+
+
+def test_wap_overwriting_branch_conflicts_on_moved_tip(spark, sf_dir, tbl):
+    o = _orders(spark, sf_dir)
+    T.create_table(o.limit(10), tbl)
+    T.branch_create(tbl, "rw")
+    T.branch_overwrite(o.limit(5), tbl, "rw")
+    T.append(o.limit(20).exceptAll(o.limit(10)), tbl)  # tip moves
+    with pytest.raises(T.ConcurrentModificationError):
+        T.publish_branch(spark, tbl, "rw")
+    T.drop_branch(tbl, "rw")
+    assert T.read(spark, tbl).count() == 20  # interleaved append survived
+
+
+def test_wap_vacuum_keeps_open_branch_files(spark, sf_dir, tbl):
+    o = _orders(spark, sf_dir)
+    T.create_table(o.limit(100), tbl)
+    T.branch_create(tbl, "slow")
+    T.branch_append(o.limit(110).exceptAll(o.limit(100)), tbl, "slow")
+    # main compacts + vacuums aggressively while the branch is open: the
+    # branch's base files leave main's recent snapshots but must survive
+    T.compact(spark, tbl)
+    T.vacuum(tbl, keep_versions=1)
+    assert T.read_branch(spark, tbl, "slow").count() == 110
+    # append-only branch still publishes over the compacted tip
+    T.publish_branch(spark, tbl, "slow")
+    assert T.read(spark, tbl).count() == 110
