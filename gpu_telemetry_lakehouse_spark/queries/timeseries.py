@@ -566,22 +566,36 @@ def rolling_wau_dau(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def funnel_conversion_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The viewer denominator stays IN the plan as a broadcast-crossJoined
+    # 1-row aggregate (the tpch_heavy idiom) — NOT an eager .count(), which
+    # would run a separate job at plan-build time and latch a driver scalar.
     funnel = funnel_view_click_purchase(spark, sf_dir)
-    n_viewers = funnel.count()
+    nv = funnel.groupBy().agg(F.count(F.lit(1)).cast("long").alias("n_viewers"))
     d = funnel.filter(F.col("t3").isNotNull()).select(
         (F.unix_timestamp("t3") - F.unix_timestamp("t1")).alias("conv_s")
     )
-    return d.agg(
-        F.lit(n_viewers).cast("long").alias("n_viewers"),
-        F.count(F.lit(1)).alias("n_converted"),
-        F.round(
-            F.count(F.lit(1)).cast("double") / F.lit(float(n_viewers)), 6
-        ).alias("conversion_rate"),
-        F.round(F.percentile("conv_s", F.lit(0.5)), 6).alias("median_conv_s"),
-        F.round(F.percentile("conv_s", F.lit(0.9)), 6).alias("p90_conv_s"),
-        F.round(F.sum("conv_s").cast("double") / F.count(F.lit(1)), 6).alias(
-            "avg_conv_s"
-        ),
+    return (
+        d.agg(
+            F.count(F.lit(1)).alias("n_converted"),
+            F.round(F.percentile("conv_s", F.lit(0.5)), 6).alias("median_conv_s"),
+            F.round(F.percentile("conv_s", F.lit(0.9)), 6).alias("p90_conv_s"),
+            F.round(F.sum("conv_s").cast("double") / F.count(F.lit(1)), 6).alias(
+                "avg_conv_s"
+            ),
+        )
+        .crossJoin(F.broadcast(nv))
+        .select(
+            "n_viewers",
+            "n_converted",
+            F.round(
+                F.col("n_converted").cast("double")
+                / F.col("n_viewers").cast("double"),
+                6,
+            ).alias("conversion_rate"),
+            "median_conv_s",
+            "p90_conv_s",
+            "avg_conv_s",
+        )
     )
 
 
