@@ -301,6 +301,9 @@ def _commit(
                         # fold DV state so snapshot_dv's backward walk stops
                         # at the checkpoint instead of replaying to v0
                         "dv": snapshot_dv(path, version),
+                        # fold the column-mapping so readers replay the tail
+                        # only (same O(CHECKPOINT_EVERY) bound as files)
+                        "renames": snapshot_renames(path, version),
                     },
                     f,
                     default=str,
@@ -372,6 +375,96 @@ def snapshot_dv(path: str, version: int | None = None) -> str | None:
         with open(os.path.join(d, f"_checkpoint-{floor:020d}.json")) as f:
             return json.load(f).get("dv")
     return None
+
+
+def snapshot_renames(path: str, version: int | None = None) -> list[list[str]]:
+    """The cumulative column-mapping at ``version``: ordered [old, new]
+    pairs folded from rename_column entries (checkpoint-accelerated like
+    snapshot_files — readers replay only the tail)."""
+    versions = _list_versions(path)
+    if not versions:
+        return []
+    if version is None:
+        version = versions[-1]
+    d = _log_dir(path)
+    cp_versions = sorted(
+        int(f[len("_checkpoint-"):-5])
+        for f in os.listdir(d)
+        if f.startswith("_checkpoint-") and f.endswith(".json")
+    )
+    out: list[list[str]] = []
+    start = 0
+    usable = [v for v in cp_versions if v <= version]
+    if usable:
+        with open(os.path.join(d, f"_checkpoint-{usable[-1]:020d}.json")) as f:
+            out = [list(p) for p in json.load(f).get("renames", [])]
+        start = usable[-1] + 1
+    for v in versions:
+        if v < start or v > version:
+            continue
+        e = _read_entry(path, v)
+        for old, new in e.get("renames", {}).items():
+            out.append([old, new])
+    return out
+
+
+def _apply_renames(df: DataFrame, renames: list[list[str]]) -> DataFrame:
+    """Replay the column-mapping onto a loaded frame. Files written before a
+    rename still carry the old physical name; after mergeSchema both names
+    can coexist (each NULL where the other file population contributed), so
+    the both-present case COALESCES old into new — this also absorbs a
+    writer that raced a rename with old-named files."""
+    for old, new in renames:
+        if old in df.columns and new in df.columns:
+            df = df.withColumn(new, F.coalesce(F.col(new), F.col(old))).drop(old)
+        elif old in df.columns:
+            df = df.withColumnRenamed(old, new)
+    return df
+
+
+def rename_column(path: str, old: str, new: str) -> int:
+    """METADATA-ONLY column rename (the Delta column-mapping / Iceberg
+    schema-evolution semantic): zero data files rewritten; readers apply the
+    mapping at scan time, so a rename on a 100 TB table costs one log entry.
+
+    Time travel is name-faithful: snapshots before the rename read under the
+    old name, snapshots at/after it under the new. Footer-stat and Bloom
+    skipping keyed under the old physical name degrade gracefully on
+    pre-rename files (missing stats keep the file — pruning is an
+    optimization, never correctness); post-rename files record stats under
+    the new name and prune as usual. CHECK constraints referencing the old
+    name are the caller's to update (as in Delta)."""
+    versions = _list_versions(path)
+    assert versions, f"rename_column on a table with no commits: {path}"
+    schema = None
+    for v in reversed(versions):
+        schema = _read_entry(path, v).get("schema")
+        if schema:
+            break
+    assert schema, f"no schema recorded at {path}"
+    sj = json.loads(schema)
+    names = {f["name"] for f in sj["fields"]}
+    # apply pending renames so chained renames validate against the CURRENT
+    # logical schema, not the physical one the last writer recorded
+    for o, n in snapshot_renames(path):
+        if o in names:
+            names.discard(o)
+            names.add(n)
+    if old not in names:
+        raise ValueError(f"rename_column: no column {old!r} (have {sorted(names)})")
+    if new in names:
+        raise ValueError(f"rename_column: column {new!r} already exists")
+    for f in sj["fields"]:
+        if f["name"] == old:
+            f["name"] = new
+    return _commit(
+        path,
+        {
+            "operation": "rename_column",
+            "renames": {old: new},
+            "schema": json.dumps(sj),
+        },
+    )
 
 
 def delete_where_dv(spark: SparkSession, path: str, predicate) -> int:
@@ -531,13 +624,17 @@ def read(
                 break
         from pyspark.sql.types import StructType
 
-        return spark.createDataFrame([], StructType.fromJson(json.loads(schema)))
+        empty = spark.createDataFrame([], StructType.fromJson(json.loads(schema)))
+        return _apply_renames(empty, snapshot_renames(path, version))
     df = spark.read.option("mergeSchema", "true").parquet(
         *[os.path.join(path, a["file"]) for a in files]
     )
     dv = snapshot_dv(path, version)
     if dv:
         df = _apply_dv(spark, df, path, dv)
+    # column-mapping replay happens BEFORE predicates so between/eq refer to
+    # the logical (post-rename) column names
+    df = _apply_renames(df, snapshot_renames(path, version))
     if between is not None:
         col, lo, hi = between
         df = df.filter(F.col(col).between(lo, hi))

@@ -1155,3 +1155,73 @@ def test_wap_vacuum_keeps_open_branch_files(spark, sf_dir, tbl):
     # append-only branch still publishes over the compacted tip
     T.publish_branch(spark, tbl, "slow")
     assert T.read(spark, tbl).count() == 110
+
+
+# --- metadata-only column rename (column mapping) ----------------------------
+
+
+def test_rename_column_metadata_only_and_time_travel(spark, sf_dir, tbl):
+    o = _orders(spark, sf_dir).select("o_orderkey", "o_totalprice")
+    T.create_table(o.limit(50), tbl, stat_cols=["o_totalprice"])
+    files_before = {a["file"] for a in T.snapshot_files(tbl)}
+    v = T.rename_column(tbl, "o_totalprice", "price")
+    # zero data churn: same physical files before and after
+    assert {a["file"] for a in T.snapshot_files(tbl)} == files_before
+    cur = T.read(spark, tbl)
+    assert "price" in cur.columns and "o_totalprice" not in cur.columns
+    old = T.read(spark, tbl, version=v - 1)
+    assert "o_totalprice" in old.columns  # time travel is name-faithful
+    assert (
+        cur.agg(F.sum("price")).first()[0]
+        == old.agg(F.sum("o_totalprice")).first()[0]
+    )
+
+
+def test_rename_column_merges_mixed_name_files(spark, sf_dir, tbl):
+    o = _orders(spark, sf_dir).select("o_orderkey", "o_totalprice")
+    T.create_table(o.limit(30), tbl)
+    T.rename_column(tbl, "o_totalprice", "price")
+    # post-rename writer appends under the new schema; pre-rename files keep
+    # the old physical name — the read coalesces both populations
+    T.append(
+        o.limit(40).exceptAll(o.limit(30)).withColumnRenamed(
+            "o_totalprice", "price"
+        ),
+        tbl,
+    )
+    cur = T.read(spark, tbl)
+    assert set(cur.columns) == {"o_orderkey", "price"}
+    assert cur.count() == 40
+    assert cur.filter(F.col("price").isNull()).count() == 0
+
+
+def test_rename_column_chain_validation_and_checkpoint(spark, sf_dir, tbl):
+    o = _orders(spark, sf_dir).select("o_orderkey", "o_totalprice")
+    T.create_table(o.limit(10), tbl)
+    T.rename_column(tbl, "o_totalprice", "price_v1")
+    T.rename_column(tbl, "price_v1", "price")
+    assert "price" in T.read(spark, tbl).columns
+    with pytest.raises(ValueError):
+        T.rename_column(tbl, "nope", "x")
+    with pytest.raises(ValueError):
+        T.rename_column(tbl, "o_orderkey", "price")  # target exists
+    # cross a checkpoint boundary: the folded mapping must survive the
+    # checkpointed replay (readers only see the tail)
+    extra = o.limit(11).exceptAll(o.limit(10)).withColumnRenamed(
+        "o_totalprice", "price"
+    )
+    for _ in range(T.CHECKPOINT_EVERY + 2):
+        T.append(extra, tbl)
+    cur = T.read(spark, tbl)
+    assert set(cur.columns) == {"o_orderkey", "price"}
+    assert cur.filter(F.col("price").isNull()).count() == 0
+
+
+def test_rename_column_predicates_use_logical_name(spark, sf_dir, tbl):
+    o = _orders(spark, sf_dir).select("o_orderkey", "o_totalprice")
+    T.create_table(o.limit(100), tbl, stat_cols=["o_totalprice"])
+    T.rename_column(tbl, "o_totalprice", "price")
+    lo = T.read(spark, tbl).agg(F.min("price")).first()[0]
+    got = T.read(spark, tbl, between=("price", lo, lo)).count()
+    want = T.read(spark, tbl).filter(F.col("price") == lo).count()
+    assert got == want > 0
