@@ -76,6 +76,8 @@ HEADLINE = [
     "phrase_search_docs",          # positional inverted-index phrase match
     "dsir_importance_weights",     # DSIR hashed-unigram selection scoring
     "source_token_kl",             # per-source token-distribution KL drift
+    "naive_bayes_lang_confusion",  # distributed multinomial NB train+score
+    "roc_auc_price_returns",       # exact Mann-Whitney AUC over score histogram
 ]
 
 
@@ -113,7 +115,8 @@ def main() -> None:
         "kcore_peel_trace": 5, "exact_substring_dup_spans": 4,
         "bigram_perplexity_docs": 4, "dsir_importance_weights": 3,
         "source_token_kl": 3, "bootstrap_ci_event_value": 3,
-        "phrase_search_docs": 2,
+        "phrase_search_docs": 2, "naive_bayes_lang_confusion": 2,
+        "roc_auc_price_returns": 2,
         "dedup_shingle_jaccard": 8, "sole_fault_suppliers": 8,
         "gold_job_efficiency_daily": 7, "tpch_q5_local_volume": 5,
         "nation_market_share": 4, "knn_ivf": 4,

@@ -66,6 +66,12 @@ HEAVY_SLICE = [
     "char_entropy_docs",
     "label_prop_communities",
     "dedup_minhash_pr_eval",
+    # BENCH_r03 serial_queries >1s sync (the slice tracks every headline
+    # entry above 1s uncontended) + the NB/AUC additions (2.4s / 1.6s)
+    "tpch_q3_shipping",
+    "dedup_simhash",
+    "naive_bayes_lang_confusion",
+    "roc_auc_price_returns",
     # setsim_join_prefix deliberately NOT here: the synthetic docs corpus is
     # a ~30-token vocabulary soup, the worst case for prefix filtering
     # (every pair is a candidate) — ~160 s at sf0.1, dominated by the naive
