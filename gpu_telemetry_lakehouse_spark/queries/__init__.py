@@ -195,6 +195,7 @@ _SECOND_TIER: list[str] = [
     "mutual_info_event_bucket",
     "naive_bayes_lang_confusion",
     "roc_auc_price_returns",
+    "decision_stump_returns",
     # demoted from the round-2 window (their categories stay green above)
     "tpch_q6_revenue",
     "tpch_q10_returns",
