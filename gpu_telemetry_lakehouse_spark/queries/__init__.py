@@ -187,7 +187,6 @@ _SECOND_TIER: list[str] = [
     "bigram_perplexity_docs",
     "zipf_fit_tokens",
     "dp_noisy_counts_segments",
-    "dsir_importance_weights",
     "source_token_kl",
     "mixture_sampling_plan",
     "cms_event_counts",
@@ -196,6 +195,7 @@ _SECOND_TIER: list[str] = [
     "naive_bayes_lang_confusion",
     "roc_auc_price_returns",
     "decision_stump_returns",
+    "tree_depth2_returns",
     # demoted from the round-2 window (their categories stay green above)
     "tpch_q6_revenue",
     "tpch_q10_returns",

@@ -284,3 +284,280 @@ def decision_stump_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("accuracy"),
         )
     )
+
+
+# --- depth-2 tree: recurse the histogram split once --------------------------
+# The induction step the stump docstring promises: child nodes re-run the
+# SAME candidate-enumeration + scaled-long Gini argmin over the contingency
+# cells RESTRICTED by the chosen root split (a join against the 1-row best
+# root — no second corpus pass), with every window now PARTITIONed BY side.
+# Depth-N is this block repeated N times; the corpus is touched once total.
+# Output: one row per node (root + up to two children), each with its chosen
+# split, Gini, node size, and node-local leaf accuracy.
+_T2 = """
+    WITH ret AS (
+        SELECT DISTINCT l_orderkey FROM lineitem WHERE l_returnflag = 'R'
+    ),
+    lab AS (
+        SELECT LEAST(9, CAST(FLOOR(o.o_totalprice / 30000) AS INT)) AS pb,
+               CAST(substring(o.o_orderpriority, 1, 1) AS INT) AS pri,
+               CASE WHEN r.l_orderkey IS NULL THEN 0 ELSE 1 END AS y
+        FROM orders o LEFT JOIN ret r ON r.l_orderkey = o.o_orderkey
+    ),
+    cells AS (
+        SELECT pb, pri, COUNT(*) AS n, CAST(SUM(y) AS BIGINT) AS pos
+        FROM lab GROUP BY 1, 2
+    ),
+    tot AS (
+        SELECT CAST(SUM(n) AS BIGINT) AS n_tot,
+               CAST(SUM(pos) AS BIGINT) AS pos_tot
+        FROM cells
+    ),
+    cand0 AS (
+        SELECT c.feature, c.threshold, c.nl, c.pl,
+               t.n_tot - c.nl AS nr, t.pos_tot - c.pl AS pr, t.n_tot
+        FROM (
+            SELECT 'price_bucket' AS feature, CAST(fv AS INT) AS threshold,
+                   CAST(SUM(n) OVER w01 AS BIGINT) AS nl,
+                   CAST(SUM(pos) OVER w01 AS BIGINT) AS pl
+            FROM (SELECT pb AS fv, CAST(SUM(n) AS BIGINT) AS n,
+                         CAST(SUM(pos) AS BIGINT) AS pos FROM cells GROUP BY 1)
+            WINDOW w01 AS (ORDER BY fv ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND CURRENT ROW)
+            UNION ALL
+            SELECT 'priority', CAST(fv AS INT),
+                   CAST(SUM(n) OVER w02 AS BIGINT),
+                   CAST(SUM(pos) OVER w02 AS BIGINT)
+            FROM (SELECT pri AS fv, CAST(SUM(n) AS BIGINT) AS n,
+                         CAST(SUM(pos) AS BIGINT) AS pos FROM cells GROUP BY 1)
+            WINDOW w02 AS (ORDER BY fv ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND CURRENT ROW)
+        ) c CROSS JOIN tot t
+        WHERE ((c.feature = 'price_bucket' AND c.threshold < 9)
+               OR (c.feature = 'priority' AND c.threshold < 5))
+          AND c.nl > 0 AND t.n_tot - c.nl > 0
+    ),
+    best0 AS (
+        SELECT * FROM (
+            SELECT *,
+                   CAST(ROUND((
+                       CAST(nl*nl - pl*pl - (nl-pl)*(nl-pl) AS DOUBLE)
+                           / CAST(nl AS DOUBLE)
+                       + CAST(nr*nr - pr*pr - (nr-pr)*(nr-pr) AS DOUBLE)
+                           / CAST(nr AS DOUBLE)
+                   ) * 1000000) AS BIGINT) AS gini_s,
+                   ROW_NUMBER() OVER (ORDER BY
+                       CAST(ROUND((
+                           CAST(nl*nl - pl*pl - (nl-pl)*(nl-pl) AS DOUBLE)
+                               / CAST(nl AS DOUBLE)
+                           + CAST(nr*nr - pr*pr - (nr-pr)*(nr-pr) AS DOUBLE)
+                               / CAST(nr AS DOUBLE)
+                       ) * 1000000) AS BIGINT), feature, threshold) AS rn
+            FROM cand0
+        ) WHERE rn = 1
+    ),
+    side_cells AS (
+        SELECT CASE WHEN (CASE WHEN b.feature = 'price_bucket' THEN c.pb
+                               ELSE c.pri END) <= b.threshold
+                    THEN 'left' ELSE 'right' END AS side,
+               c.pb, c.pri, c.n, c.pos
+        FROM cells c CROSS JOIN best0 b
+    ),
+    st AS (
+        SELECT side, CAST(SUM(n) AS BIGINT) AS sn,
+               CAST(SUM(pos) AS BIGINT) AS sp
+        FROM side_cells GROUP BY 1
+    ),
+    cand2 AS (
+        SELECT c.side, c.feature, c.threshold, c.nl, c.pl,
+               s.sn - c.nl AS nr, s.sp - c.pl AS pr, s.sn
+        FROM (
+            SELECT side, 'price_bucket' AS feature, CAST(fv AS INT) AS threshold,
+                   CAST(SUM(n) OVER w21 AS BIGINT) AS nl,
+                   CAST(SUM(pos) OVER w21 AS BIGINT) AS pl
+            FROM (SELECT side, pb AS fv, CAST(SUM(n) AS BIGINT) AS n,
+                         CAST(SUM(pos) AS BIGINT) AS pos
+                  FROM side_cells GROUP BY 1, 2)
+            WINDOW w21 AS (PARTITION BY side ORDER BY fv
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            UNION ALL
+            SELECT side, 'priority', CAST(fv AS INT),
+                   CAST(SUM(n) OVER w22 AS BIGINT),
+                   CAST(SUM(pos) OVER w22 AS BIGINT)
+            FROM (SELECT side, pri AS fv, CAST(SUM(n) AS BIGINT) AS n,
+                         CAST(SUM(pos) AS BIGINT) AS pos
+                  FROM side_cells GROUP BY 1, 2)
+            WINDOW w22 AS (PARTITION BY side ORDER BY fv
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        ) c JOIN st s ON s.side = c.side
+        WHERE ((c.feature = 'price_bucket' AND c.threshold < 9)
+               OR (c.feature = 'priority' AND c.threshold < 5))
+          AND c.nl > 0 AND s.sn - c.nl > 0
+    ),
+    best2 AS (
+        SELECT * FROM (
+            SELECT *,
+                   CAST(ROUND((
+                       CAST(nl*nl - pl*pl - (nl-pl)*(nl-pl) AS DOUBLE)
+                           / CAST(nl AS DOUBLE)
+                       + CAST(nr*nr - pr*pr - (nr-pr)*(nr-pr) AS DOUBLE)
+                           / CAST(nr AS DOUBLE)
+                   ) * 1000000) AS BIGINT) AS gini_s,
+                   ROW_NUMBER() OVER (PARTITION BY side ORDER BY
+                       CAST(ROUND((
+                           CAST(nl*nl - pl*pl - (nl-pl)*(nl-pl) AS DOUBLE)
+                               / CAST(nl AS DOUBLE)
+                           + CAST(nr*nr - pr*pr - (nr-pr)*(nr-pr) AS DOUBLE)
+                               / CAST(nr AS DOUBLE)
+                       ) * 1000000) AS BIGINT), feature, threshold) AS rn
+            FROM cand2
+        ) WHERE rn = 1
+    )
+    SELECT 'root' AS node, feature, threshold,
+           ROUND(CAST(gini_s AS DOUBLE) / 1000000.0, 6) AS gini,
+           n_tot AS n_node,
+           ROUND(CAST((CASE WHEN 2*pl > nl THEN pl ELSE nl - pl END
+                       + CASE WHEN 2*pr > nr THEN pr ELSE nr - pr END)
+                      AS DOUBLE) / CAST(n_tot AS DOUBLE), 6) AS node_accuracy
+    FROM best0
+    UNION ALL
+    SELECT side, feature, threshold,
+           ROUND(CAST(gini_s AS DOUBLE) / 1000000.0, 6),
+           sn,
+           ROUND(CAST((CASE WHEN 2*pl > nl THEN pl ELSE nl - pl END
+                       + CASE WHEN 2*pr > nr THEN pr ELSE nr - pr END)
+                      AS DOUBLE) / CAST(sn AS DOUBLE), 6)
+    FROM best2
+"""
+
+
+@query("tree_depth2_returns", oracle=_T2)
+def tree_depth2_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    ret = li.filter(F.col("l_returnflag") == "R").select("l_orderkey").distinct()
+    lab = orders.join(
+        ret, orders["o_orderkey"] == ret["l_orderkey"], "left"
+    ).select(
+        F.least(F.lit(9), F.floor(F.col("o_totalprice") / 30000).cast("int"))
+        .alias("pb"),
+        F.substring("o_orderpriority", 1, 1).cast("int").alias("pri"),
+        F.when(F.col("l_orderkey").isNotNull(), 1).otherwise(0).alias("y"),
+    )
+    cells = lab.groupBy("pb", "pri").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("y").cast("long").alias("pos")
+    )
+
+    nl, pl, nr, pr = (F.col(c) for c in ("nl", "pl", "nr", "pr"))
+    gini_s = F.round(
+        (
+            (nl * nl - pl * pl - (nl - pl) * (nl - pl)).cast("double")
+            / nl.cast("double")
+            + (nr * nr - pr * pr - (nr - pr) * (nr - pr)).cast("double")
+            / nr.cast("double")
+        )
+        * 1_000_000,
+        0,
+    ).cast("long")
+    node_acc = lambda n_col: F.round(  # noqa: E731
+        (
+            F.when(2 * pl > nl, pl).otherwise(nl - pl)
+            + F.when(2 * pr > nr, pr).otherwise(nr - pr)
+        ).cast("double")
+        / F.col(n_col).cast("double"),
+        6,
+    )
+
+    def candidates(cls: DataFrame, part: list[str]) -> DataFrame:
+        """Split candidates for both features over the cell frame, windows
+        partitioned by ``part`` (empty at the root, [side] below)."""
+        wcum = W.partitionBy(*part).orderBy("fv").rowsBetween(
+            W.unboundedPreceding, W.currentRow
+        )
+        out = None
+        for col, label, max_t in (("pb", "price_bucket", 9), ("pri", "priority", 5)):
+            margin = cls.groupBy(*part, F.col(col).alias("fv")).agg(
+                F.sum("n").cast("long").alias("n"),
+                F.sum("pos").cast("long").alias("pos"),
+            )
+            c = margin.select(
+                *part,
+                F.lit(label).alias("feature"),
+                F.col("fv").cast("int").alias("threshold"),
+                F.sum("n").over(wcum).cast("long").alias("nl"),
+                F.sum("pos").over(wcum).cast("long").alias("pl"),
+            ).filter(F.col("threshold") < max_t)
+            out = c if out is None else out.unionByName(c)
+        return out
+
+    # root split (the stump)
+    tot = cells.groupBy().agg(
+        F.sum("n").cast("long").alias("n_tot"),
+        F.sum("pos").cast("long").alias("pos_tot"),
+    )
+    cand0 = (
+        candidates(cells, [])
+        .crossJoin(F.broadcast(tot))
+        .withColumn("nr", F.col("n_tot") - nl)
+        .withColumn("pr", F.col("pos_tot") - pl)
+        .filter((nl > 0) & (F.col("nr") > 0))
+        .withColumn("gini_s", gini_s)
+    )
+    best0 = (
+        cand0.withColumn(
+            "rn", F.row_number().over(W.orderBy("gini_s", "feature", "threshold"))
+        )
+        .filter(F.col("rn") == 1)
+        .localCheckpoint(eager=False)  # three consumers (side tag + output)
+    )
+
+    # child splits over the root-partitioned cells (no second corpus pass)
+    b = best0.select(
+        F.col("feature").alias("bf"), F.col("threshold").alias("bt")
+    )
+    side = F.when(
+        F.when(F.col("bf") == "price_bucket", F.col("pb")).otherwise(F.col("pri"))
+        <= F.col("bt"),
+        "left",
+    ).otherwise("right")
+    side_cells = cells.crossJoin(F.broadcast(b)).select(
+        side.alias("side"), "pb", "pri", "n", "pos"
+    )
+    st = side_cells.groupBy("side").agg(
+        F.sum("n").cast("long").alias("sn"),
+        F.sum("pos").cast("long").alias("sp"),
+    )
+    cand2 = (
+        candidates(side_cells, ["side"])
+        .join(F.broadcast(st), "side")
+        .withColumn("nr", F.col("sn") - nl)
+        .withColumn("pr", F.col("sp") - pl)
+        .filter((nl > 0) & (F.col("nr") > 0))
+        .withColumn("gini_s", gini_s)
+    )
+    best2 = cand2.withColumn(
+        "rn",
+        F.row_number().over(
+            W.partitionBy("side").orderBy("gini_s", "feature", "threshold")
+        ),
+    ).filter(F.col("rn") == 1)
+
+    root_row = best0.select(
+        F.lit("root").alias("node"),
+        "feature",
+        "threshold",
+        F.round(F.col("gini_s").cast("double") / 1e6, 6).alias("gini"),
+        F.col("n_tot").alias("n_node"),
+        node_acc("n_tot").alias("node_accuracy"),
+    )
+    child_rows = best2.select(
+        F.col("side").alias("node"),
+        "feature",
+        "threshold",
+        F.round(F.col("gini_s").cast("double") / 1e6, 6).alias("gini"),
+        F.col("sn").alias("n_node"),
+        node_acc("sn").alias("node_accuracy"),
+    )
+    return root_row.unionByName(child_rows)
