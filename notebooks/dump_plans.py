@@ -106,6 +106,23 @@ SHOWCASE = [
         "HAVING health predicate applied at the aggregate — only unhealthy "
         "device-days leave the exchange.",
     ),
+    (
+        "naive_bayes_lang_confusion",
+        "Distributed NB classifier: training is two map-side-combined "
+        "aggregations (class/token counts, priors); scoring joins test "
+        "tokens against the vocab-sized count table hash-partitioned on "
+        "token; the |classes|-row stats frame broadcasts; the argmax "
+        "window partitions by doc_id over 5 rows per doc. No Python "
+        "stages, no driver-side model state.",
+    ),
+    (
+        "decision_stump_returns",
+        "Histogram tree induction: the label join shuffles on orderkey "
+        "once, the 50-cell contingency aggregation is partial+final, and "
+        "ALL split search (cumulative windows + Gini argmin) runs over "
+        "<=13 rows — the single-partition window warnings apply to "
+        "candidate-set-sized data, not the corpus.",
+    ),
 ]
 
 HEADER = """# PLANS — physical-plan evidence for the 100 TB contract
