@@ -403,6 +403,11 @@ def snapshot_renames(path: str, version: int | None = None) -> list[list[str]]:
         if v < start or v > version:
             continue
         e = _read_entry(path, v)
+        if "renames_set" in e:
+            # full-rewrite operations (compact/overwrite/zorder/full merge)
+            # materialize the mapping into the data and reset it; restore
+            # pins the mapping of the restored version
+            out = [list(p) for p in e["renames_set"]]
         for old, new in e.get("renames", {}).items():
             out.append([old, new])
     return out
@@ -484,6 +489,8 @@ def delete_where_dv(spark: SparkSession, path: str, predicate) -> int:
     base = spark.read.option("mergeSchema", "true").parquet(
         *[os.path.join(path, a["file"]) for a in files]
     )
+    # predicates are written against LOGICAL (post-rename) column names
+    base = _apply_renames(base, snapshot_renames(path, rv))
     fname = F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1)
     new_dv = base.filter(pred).select(
         fname.alias("file"), F.col("_metadata.row_index").alias("pos")
@@ -555,7 +562,8 @@ def overwrite(df: DataFrame, path: str, stat_cols: list[str] | None = None) -> i
     adds = _stage_files(df, path, stat_cols or [])
     return _commit(
         path,
-        {"operation": "overwrite", "add": adds, "remove": removes, "schema": df.schema.json(), "dv": None},
+        {"operation": "overwrite", "add": adds, "remove": removes,
+         "schema": df.schema.json(), "dv": None, "renames_set": []},
         read_version=rv,
     )
 
@@ -570,7 +578,8 @@ def compact(spark: SparkSession, path: str, stat_cols: list[str] | None = None) 
     adds = _stage_files(df.coalesce(max(1, len(current) // 8)), path, stat_cols or [])
     return _commit(
         path,
-        {"operation": "compact", "add": adds, "remove": [a["file"] for a in current], "dv": None},
+        {"operation": "compact", "add": adds,
+         "remove": [a["file"] for a in current], "dv": None, "renames_set": []},
         read_version=rv,
     )
 
@@ -755,6 +764,7 @@ def delete_where(
             "remove": [a["file"] for a in current],
             "schema": keep.schema.json(),
             "dv": None,
+            "renames_set": [],
         },
         read_version=rv,
     )
@@ -797,6 +807,7 @@ def optimize_zorder(
             "remove": [a["file"] for a in current],
             "schema": df.schema.json(),
             "dv": None,
+            "renames_set": [],
         },
         read_version=rv,
     )
@@ -842,6 +853,7 @@ def apply_changes(
         "remove": [a["file"] for a in current],
         "schema": merged.schema.json(),
         "dv": None,
+        "renames_set": [],
     }
     if batch_id is not None:
         actions["batch_id"] = batch_id
@@ -859,6 +871,13 @@ def export_manifest(path: str, out_file: str, version: int | None = None) -> int
         raise ValueError(
             "snapshot has a pending deletion vector; compact() to materialize "
             "before exporting a plain-reader manifest"
+        )
+    if snapshot_renames(path, version):
+        # physical column names in pre-rename files differ from the logical
+        # schema; a plain reader has no column mapping to reconcile them
+        raise ValueError(
+            "snapshot has pending column renames; compact() to materialize "
+            "the mapping before exporting a plain-reader manifest"
         )
     files = sorted(
         os.path.abspath(os.path.join(path, a["file"]))
@@ -944,6 +963,7 @@ def merge_upsert(
         "remove": [a["file"] for a in current],
         "schema": merged.schema.json(),
         "dv": None,
+        "renames_set": [],
     }
     if batch_id is not None:
         actions["batch_id"] = batch_id
@@ -1045,6 +1065,10 @@ def merge_upsert_pruned(
         base_slice = spark.read.option("mergeSchema", "true").parquet(
             *[os.path.join(path, a["file"]) for a in touched]
         )
+        # pre-rename files carry OLD physical column names; without the
+        # replay the anti-join key would read as NULL there and matching
+        # base rows would survive next to their updates (silent duplicates)
+        base_slice = _apply_renames(base_slice, snapshot_renames(path, rv))
         merged = base_slice.join(
             updates.select(*key_cols), key_cols, "left_anti"
         ).unionByName(updates, allowMissingColumns=True)
@@ -1170,7 +1194,9 @@ def read_incremental(
     df = spark.read.option("mergeSchema", "true").parquet(
         *[os.path.join(path, a["file"]) for a in new_files]
     )
-    return df, tip
+    # change-feed consumers key on logical names; new files may still
+    # predate a rename (e.g. a publish_branch of an older branch)
+    return _apply_renames(df, snapshot_renames(path, tip)), tip
 
 
 def restore(path: str, to_version: int) -> int:
@@ -1200,7 +1226,8 @@ def restore(path: str, to_version: int) -> int:
     removes = [f for f in have if f not in want]
     schema = _read_entry(path, to_version).get("schema")
     actions = {"operation": "restore", "restored_version": to_version,
-               "add": adds, "remove": removes, "dv": dv}
+               "add": adds, "remove": removes, "dv": dv,
+               "renames_set": snapshot_renames(path, to_version)}
     if schema:
         actions["schema"] = schema
     return _commit(path, actions, read_version=rv)
@@ -1561,7 +1588,7 @@ def read_branch(spark: SparkSession, path: str, name: str) -> DataFrame:
     dv = snapshot_dv(path, base)
     if dv:
         df = _apply_dv(spark, df, path, dv)
-    return df
+    return _apply_renames(df, snapshot_renames(path, base))
 
 
 def audit_branch(spark: SparkSession, path: str, name: str) -> dict[str, int]:

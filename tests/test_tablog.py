@@ -1225,3 +1225,46 @@ def test_rename_column_predicates_use_logical_name(spark, sf_dir, tbl):
     got = T.read(spark, tbl, between=("price", lo, lo)).count()
     want = T.read(spark, tbl).filter(F.col("price") == lo).count()
     assert got == want > 0
+
+
+def test_rename_column_merge_pruned_and_dv_use_logical_names(spark, sf_dir, tbl):
+    o = _orders(spark, sf_dir).select("o_orderkey", "o_totalprice")
+    T.create_table(o.limit(40), tbl, stat_cols=["o_orderkey"])
+    T.rename_column(tbl, "o_orderkey", "ok")
+    # pruned MERGE keyed on the LOGICAL name must still match rows living in
+    # pre-rename files (their physical column is o_orderkey)
+    some = [r["ok"] for r in T.read(spark, tbl).limit(3).collect()]
+    updates = T.read(spark, tbl).filter(F.col("ok").isin(some)).withColumn(
+        "o_totalprice", F.lit(0.0)
+    )
+    T.merge_upsert_pruned(spark, updates, tbl, key_cols=["ok"])
+    cur = T.read(spark, tbl)
+    assert cur.count() == 40  # no silent duplicates
+    assert cur.filter(F.col("ok").isin(some)).agg(
+        F.sum("o_totalprice")
+    ).first()[0] == 0.0
+    # DV delete by logical-name predicate on a pre-rename file population
+    T.delete_where_dv(spark, tbl, F.col("ok") == some[0])
+    assert T.read(spark, tbl).filter(F.col("ok") == some[0]).count() == 0
+
+
+def test_rename_column_export_refuses_then_compact_clears(spark, sf_dir, tbl, tmp_path):
+    o = _orders(spark, sf_dir).select("o_orderkey", "o_totalprice")
+    T.create_table(o.limit(20), tbl)
+    T.rename_column(tbl, "o_totalprice", "price")
+    with pytest.raises(ValueError, match="column renames"):
+        T.export_manifest(tbl, str(tmp_path / "m.txt"))
+    # a full rewrite materializes the mapping into the data and clears it
+    T.compact(spark, tbl)
+    assert T.snapshot_renames(tbl) == []
+    assert "price" in T.read(spark, tbl).columns
+    assert T.export_manifest(tbl, str(tmp_path / "m.txt")) > 0
+
+
+def test_rename_column_restore_pins_historical_names(spark, sf_dir, tbl):
+    o = _orders(spark, sf_dir).select("o_orderkey", "o_totalprice")
+    T.create_table(o.limit(10), tbl)
+    T.rename_column(tbl, "o_totalprice", "price")
+    v = T.restore(tbl, 0)
+    cur = T.read(spark, tbl, version=v)
+    assert "o_totalprice" in cur.columns and "price" not in cur.columns
