@@ -1671,3 +1671,49 @@ def drop_branch(path: str, name: str) -> list[str]:
                 deleted.append(f)
     shutil.rmtree(_branch_dir(path, name))
     return deleted
+
+
+def branch_committed_batch_ids(path: str, name: str) -> set:
+    """Stream batch ids already recorded in the BRANCH log (the branch half
+    of the exactly-once ledger; publish carries no batch ids — the squash
+    is a single new commit and the branch ledger dies with the branch)."""
+    return {e["batch_id"] for e in _branch_entries(path, name) if "batch_id" in e}
+
+
+def branch_append_batch(
+    df: DataFrame,
+    path: str,
+    name: str,
+    batch_id: int,
+    stat_cols: list[str] | None = None,
+) -> int | None:
+    """Idempotent branch append keyed by stream batch id — ``append_batch``
+    for a WAP branch: a replayed epoch (restart between sink write and
+    checkpoint commit) is a no-op instead of doubling branch rows."""
+    if batch_id in branch_committed_batch_ids(path, name):
+        return None
+    adds = _stage_files(df, path, stat_cols or [])
+    return _branch_commit(
+        path,
+        name,
+        {
+            "operation": "stream-append",
+            "batch_id": batch_id,
+            "add": adds,
+            "schema": df.schema.json(),
+        },
+    )
+
+
+def branch_stream_writer(path: str, name: str, stat_cols: list[str] | None = None):
+    """``foreachBatch`` callable streaming into a WAP BRANCH — the blue/green
+    deployment loop for streaming pipelines: a new pipeline version streams
+    into a branch (main readers never see it), quality audits run against the
+    accumulating branch snapshot, and cutover is one atomic
+    ``publish_branch`` — or ``drop_branch`` if the new pipeline misbehaves,
+    with main history untouched either way."""
+
+    def _write(batch_df: DataFrame, batch_id: int) -> None:
+        branch_append_batch(batch_df, path, name, batch_id, stat_cols)
+
+    return _write

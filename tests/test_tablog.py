@@ -1268,3 +1268,22 @@ def test_rename_column_restore_pins_historical_names(spark, sf_dir, tbl):
     v = T.restore(tbl, 0)
     cur = T.read(spark, tbl, version=v)
     assert "o_totalprice" in cur.columns and "price" not in cur.columns
+
+
+def test_wap_branch_stream_writer_exactly_once_then_publish(spark, sf_dir, tbl):
+    o = _orders(spark, sf_dir).select("o_orderkey", "o_totalprice")
+    T.create_table(o.limit(10), tbl)
+    T.set_constraints(tbl, {"price_pos": "o_totalprice > 0"})
+    T.branch_create(tbl, "v2")
+    write = T.branch_stream_writer(tbl, "v2")
+    b1 = o.limit(20).exceptAll(o.limit(10))
+    b2 = o.limit(30).exceptAll(o.limit(20))
+    write(b1, 0)
+    write(b2, 1)
+    write(b2, 1)  # replayed epoch (restart between write and checkpoint)
+    assert T.branch_committed_batch_ids(tbl, "v2") == {0, 1}
+    assert T.read_branch(spark, tbl, "v2").count() == 30  # no doubling
+    assert T.read(spark, tbl).count() == 10  # main untouched mid-stream
+    assert T.audit_branch(spark, tbl, "v2") == {}
+    T.publish_branch(spark, tbl, "v2")
+    assert T.read(spark, tbl).count() == 30
