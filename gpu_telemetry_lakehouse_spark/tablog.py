@@ -1717,3 +1717,17 @@ def branch_stream_writer(path: str, name: str, stat_cols: list[str] | None = Non
         branch_append_batch(batch_df, path, name, batch_id, stat_cols)
 
     return _write
+
+
+def register_view(
+    spark: SparkSession,
+    path: str,
+    name: str,
+    version: int | None = None,
+) -> None:
+    """Expose a tablog snapshot to ``spark.sql`` as a temp view (latest by
+    default, or a pinned time-travel version) — the ad-hoc SQL entry point
+    over versioned tables, with deletion vectors and column mapping already
+    applied. Re-registering the same name repoints it (e.g. after new
+    commits, or to flip a dashboard between versions)."""
+    read(spark, path, version=version).createOrReplaceTempView(name)

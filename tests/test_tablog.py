@@ -1287,3 +1287,15 @@ def test_wap_branch_stream_writer_exactly_once_then_publish(spark, sf_dir, tbl):
     assert T.audit_branch(spark, tbl, "v2") == {}
     T.publish_branch(spark, tbl, "v2")
     assert T.read(spark, tbl).count() == 30
+
+
+def test_register_view_sql_over_versions(spark, sf_dir, tbl):
+    o = _orders(spark, sf_dir).select("o_orderkey", "o_totalprice")
+    T.create_table(o.limit(10), tbl)
+    T.append(o.limit(20).exceptAll(o.limit(10)), tbl)
+    T.register_view(spark, tbl, "tl_now")
+    T.register_view(spark, tbl, "tl_v0", version=0)
+    assert spark.sql("SELECT COUNT(*) c FROM tl_now").first()["c"] == 20
+    assert spark.sql("SELECT COUNT(*) c FROM tl_v0").first()["c"] == 10
+    spark.catalog.dropTempView("tl_now")
+    spark.catalog.dropTempView("tl_v0")
