@@ -199,6 +199,14 @@ def _bloom_might_contain(bloom: dict, value) -> bool:
     return True
 
 
+def _data_path(path: str, a: dict) -> str:
+    """Absolute path of an add-entry's data file. Entries normally live in
+    the table directory; SHALLOW-CLONE entries carry an explicit ``dir``
+    (the source table's directory) — zero-copy references, Delta CLONE
+    style."""
+    return os.path.join(a.get("dir", path), a["file"])
+
+
 def _file_size(path: str, f: dict) -> int:
     """Live size of an add-entry: the logged 'bytes' field when present,
     else a guarded filesystem stat — a HISTORICAL version's files may have
@@ -207,7 +215,7 @@ def _file_size(path: str, f: dict) -> int:
     read and the stat under a concurrent vacuum."""
     if f.get("bytes"):
         return f["bytes"]
-    full = os.path.join(path, f["file"])
+    full = _data_path(path, f)
     return os.path.getsize(full) if os.path.exists(full) else 0
 
 
@@ -487,7 +495,7 @@ def delete_where_dv(spark: SparkSession, path: str, predicate) -> int:
     files = snapshot_files(path, rv)
     assert files, "delete_where_dv on an empty table"
     base = spark.read.option("mergeSchema", "true").parquet(
-        *[os.path.join(path, a["file"]) for a in files]
+        *[_data_path(path, a) for a in files]
     )
     # predicates are written against LOGICAL (post-rename) column names
     base = _apply_renames(base, snapshot_renames(path, rv))
@@ -636,7 +644,7 @@ def read(
         empty = spark.createDataFrame([], StructType.fromJson(json.loads(schema)))
         return _apply_renames(empty, snapshot_renames(path, version))
     df = spark.read.option("mergeSchema", "true").parquet(
-        *[os.path.join(path, a["file"]) for a in files]
+        *[_data_path(path, a) for a in files]
     )
     dv = snapshot_dv(path, version)
     if dv:
@@ -880,7 +888,7 @@ def export_manifest(path: str, out_file: str, version: int | None = None) -> int
             "the mapping before exporting a plain-reader manifest"
         )
     files = sorted(
-        os.path.abspath(os.path.join(path, a["file"]))
+        os.path.abspath(_data_path(path, a))
         for a in snapshot_files(path, version)
     )
     tmp = out_file + f".tmp-{uuid.uuid4().hex}"
@@ -1063,7 +1071,7 @@ def merge_upsert_pruned(
     ]
     if touched:
         base_slice = spark.read.option("mergeSchema", "true").parquet(
-            *[os.path.join(path, a["file"]) for a in touched]
+            *[_data_path(path, a) for a in touched]
         )
         # pre-rename files carry OLD physical column names; without the
         # replay the anti-join key would read as NULL there and matching
@@ -1192,7 +1200,7 @@ def read_incremental(
     if not new_files:
         return None, tip
     df = spark.read.option("mergeSchema", "true").parquet(
-        *[os.path.join(path, a["file"]) for a in new_files]
+        *[_data_path(path, a) for a in new_files]
     )
     # change-feed consumers key on logical names; new files may still
     # predate a rename (e.g. a publish_branch of an older branch)
@@ -1583,7 +1591,7 @@ def read_branch(spark: SparkSession, path: str, name: str) -> DataFrame:
     files, base = _branch_snapshot(path, name)
     assert files, f"empty branch snapshot: {name} at {path}"
     df = spark.read.option("mergeSchema", "true").parquet(
-        *[os.path.join(path, a["file"]) for a in files]
+        *[_data_path(path, a) for a in files]
     )
     dv = snapshot_dv(path, base)
     if dv:
@@ -1731,3 +1739,48 @@ def register_view(
     applied. Re-registering the same name repoints it (e.g. after new
     commits, or to flip a dashboard between versions)."""
     read(spark, path, version=version).createOrReplaceTempView(name)
+
+
+def clone_table(src: str, dst: str) -> int:
+    """SHALLOW CLONE (the Delta ``CLONE`` semantic): create a new table
+    whose version-0 snapshot REFERENCES the source's current data files —
+    zero bytes copied, so cloning a 100 TB table costs one log entry.
+    Each referenced add-entry carries ``dir`` (the source directory);
+    footer stats and Blooms ride along, so data skipping works on the
+    clone unchanged.
+
+    The clone's log is independent: writes, DML, compaction on either side
+    never touch the other (snapshot isolation ACROSS tables). Any rewriting
+    operation on the clone (compact/overwrite/merge) re-stages data into
+    the clone's own directory, making it self-contained. Caveats, as in
+    Delta: a pending deletion vector must be compacted away first (the DV
+    sidecar lives in the source directory and names source files), and
+    vacuuming the SOURCE after it rewrites history can break clones that
+    still reference the dropped files — compact the clone first to detach.
+    The source's folded column mapping is pinned into the clone at creation.
+    """
+    rv = current_version(src)
+    assert rv is not None, f"clone_table from a table with no commits: {src}"
+    if snapshot_dv(src, rv) is not None:
+        raise ValueError(
+            "source has a pending deletion vector; compact() it before "
+            "cloning (the DV sidecar is not portable across tables)"
+        )
+    src_abs = os.path.abspath(src)
+    adds = [dict(a, dir=src_abs) for a in snapshot_files(src, rv)]
+    schema = None
+    for v in reversed(_list_versions(src)):
+        schema = _read_entry(src, v).get("schema")
+        if schema:
+            break
+    actions = {
+        "operation": "clone",
+        "source": src_abs,
+        "source_version": rv,
+        "add": adds,
+        "renames_set": snapshot_renames(src, rv),
+    }
+    if schema:
+        actions["schema"] = schema
+    os.makedirs(dst, exist_ok=True)
+    return _commit(dst, actions)

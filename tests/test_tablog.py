@@ -1299,3 +1299,52 @@ def test_register_view_sql_over_versions(spark, sf_dir, tbl):
     assert spark.sql("SELECT COUNT(*) c FROM tl_v0").first()["c"] == 10
     spark.catalog.dropTempView("tl_now")
     spark.catalog.dropTempView("tl_v0")
+
+
+# --- shallow clone ------------------------------------------------------------
+
+
+def test_clone_zero_copy_and_independent(spark, sf_dir, tmp_path):
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+    o = _orders(spark, sf_dir).select("o_orderkey", "o_totalprice")
+    T.create_table(o.limit(50), src, stat_cols=["o_orderkey"])
+    T.clone_table(src, dst)
+    # zero copy: the clone directory holds no parquet data files
+    assert not [f for f in os.listdir(dst) if f.endswith(".parquet")]
+    assert T.read(spark, dst).count() == 50
+    # stats rode along: skipping works on the clone
+    lo = T.read(spark, dst).agg(F.min("o_orderkey")).first()[0]
+    kept, total = T.pruned_file_count(dst, "o_orderkey", lo, lo)
+    assert kept <= total
+    # independence both ways
+    T.append(o.limit(60).exceptAll(o.limit(50)), dst)
+    assert T.read(spark, src).count() == 50
+    T.append(o.limit(70).exceptAll(o.limit(60)), src)
+    assert T.read(spark, dst).count() == 60
+
+
+def test_clone_compact_detaches_from_source(spark, sf_dir, tmp_path):
+    import shutil as _sh
+
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+    o = _orders(spark, sf_dir).select("o_orderkey", "o_totalprice")
+    T.create_table(o.limit(30), src)
+    T.clone_table(src, dst)
+    T.compact(spark, dst)  # re-stages into the clone's own directory
+    assert all("dir" not in a for a in T.snapshot_files(dst))
+    _sh.rmtree(src)  # source gone entirely: the clone must survive
+    assert T.read(spark, dst).count() == 30
+
+
+def test_clone_refuses_pending_dv_and_pins_renames(spark, sf_dir, tmp_path):
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+    o = _orders(spark, sf_dir).select("o_orderkey", "o_totalprice")
+    T.create_table(o.limit(20), src)
+    T.rename_column(src, "o_totalprice", "price")
+    T.delete_where_dv(spark, src, F.col("price") < 0)  # empty but pending DV
+    with pytest.raises(ValueError, match="deletion vector"):
+        T.clone_table(src, dst)
+    T.compact(spark, src)
+    T.rename_column(src, "price", "price2")  # mapping pending again
+    T.clone_table(src, dst)
+    assert "price2" in T.read(spark, dst).columns
