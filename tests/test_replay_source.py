@@ -98,3 +98,90 @@ def test_stream_aggregates_like_engine_gold(spark):
         .collect()
     }
     assert got == want
+
+
+# --- tablog change-feed streaming source --------------------------------------
+
+
+def test_tablog_stream_source_follows_commits(spark, sf_dir, tmp_path):
+    from gpu_telemetry_lakehouse_spark import tablog as T
+    from gpu_telemetry_lakehouse_spark.catalog import load_table
+    from gpu_telemetry_lakehouse_spark.streaming.tablog_source import (
+        register as register_tablog,
+    )
+
+    tbl = str(tmp_path / "feed")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    T.create_table(o.limit(10), tbl)
+    register_tablog(spark)
+    q = (
+        spark.readStream.format("tablog")
+        .option("path", tbl)
+        .load()
+        .writeStream.format("memory")
+        .queryName("tablog_feed")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        assert spark.sql("SELECT COUNT(*) c FROM tablog_feed").first()["c"] == 10
+        # a NEW commit lands while the stream runs: the next batch picks up
+        # exactly the added files
+        T.append(o.limit(25).exceptAll(o.limit(10)), tbl)
+        q.processAllAvailable()
+        assert spark.sql("SELECT COUNT(*) c FROM tablog_feed").first()["c"] == 25
+        # column content round-trips (not just counts)
+        got = spark.sql("SELECT SUM(o_orderkey) s FROM tablog_feed").first()["s"]
+        want = T.read(spark, tbl).agg(F.sum("o_orderkey")).first()[0]
+        assert got == want
+    finally:
+        q.stop()
+
+
+def test_tablog_stream_source_start_version_and_restart(spark, sf_dir, tmp_path):
+    from gpu_telemetry_lakehouse_spark import tablog as T
+    from gpu_telemetry_lakehouse_spark.catalog import load_table
+    from gpu_telemetry_lakehouse_spark.streaming.tablog_source import (
+        register as register_tablog,
+    )
+
+    tbl = str(tmp_path / "feed2")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    T.create_table(o.limit(10), tbl)  # v0: history to skip
+    v = T.current_version(tbl)
+    T.append(o.limit(15).exceptAll(o.limit(10)), tbl)  # v1: streamed
+    register_tablog(spark)
+
+    out = str(tmp_path / "out")
+
+    def start():
+        # file sink (memory sink cannot recover from a checkpoint)
+        return (
+            spark.readStream.format("tablog")
+            .option("path", tbl)
+            .option("start_version", str(v))
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", str(tmp_path / "ckpt2"))
+            .trigger(processingTime="0 seconds")
+            .start()
+        )
+
+    q = start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    # only post-start_version rows: 5, not 15
+    assert spark.read.parquet(out).count() == 5
+    # restart from the checkpoint: already-consumed versions do NOT replay
+    T.append(o.limit(18).exceptAll(o.limit(15)), tbl)
+    q = start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert spark.read.parquet(out).count() == 5 + 3
