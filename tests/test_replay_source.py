@@ -185,3 +185,42 @@ def test_tablog_stream_source_start_version_and_restart(spark, sf_dir, tmp_path)
     finally:
         q.stop()
     assert spark.read.parquet(out).count() == 5 + 3
+
+
+def test_tablog_multi_hop_streaming_pipeline(spark, sf_dir, tmp_path):
+    """bronze table --change feed--> transform --exactly-once--> silver
+    table: both hops are tablog tables, the stream is restart-safe on both
+    ends (version offsets in, batch-id ledger out), and the silver content
+    equals the batch-computed transform of bronze."""
+    from gpu_telemetry_lakehouse_spark import tablog as T
+    from gpu_telemetry_lakehouse_spark.catalog import load_table
+    from gpu_telemetry_lakehouse_spark.streaming.tablog_source import (
+        register as register_tablog,
+    )
+
+    bronze, silver = str(tmp_path / "bronze"), str(tmp_path / "silver")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    T.create_table(o.limit(20), bronze)
+    register_tablog(spark)
+    q = (
+        spark.readStream.format("tablog")
+        .option("path", bronze)
+        .load()
+        .withColumn("price_band", (F.col("o_totalprice") / 50000).cast("int"))
+        .writeStream.foreachBatch(T.stream_writer(silver))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        T.append(o.limit(35).exceptAll(o.limit(20)), bronze)  # late bronze data
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = T.read(spark, silver)
+    want = T.read(spark, bronze).withColumn(
+        "price_band", (F.col("o_totalprice") / 50000).cast("int")
+    )
+    assert got.count() == 35
+    assert got.exceptAll(want).isEmpty() and want.exceptAll(got).isEmpty()
