@@ -1373,16 +1373,54 @@ def maybe_compact(
     small_bytes: int = 8 * 1024 * 1024,
     min_small: int = 4,
 ) -> int | None:
-    """Policy-driven auto-compaction: rewrite the table only when at least
+    """Policy-driven auto-compaction: rewrite only when at least
     ``min_small`` live files are under ``small_bytes`` (the read-amplification
     signal from ``table_stats`` — all from log metadata, no data scan).
     Returns the new version, or None when the layout is already healthy.
-    The maintenance loop a scheduler runs after every streaming day."""
-    files = snapshot_files(path)
-    small = sum(1 for f in files if _file_size(path, f) < small_bytes)
-    if small < min_small:
+    The maintenance loop a scheduler runs after every streaming day.
+
+    Delegates to ``compact_small``: only the small files are rewritten —
+    on a 100 TB table the nightly bin-pack touches the day's streamed
+    slivers, never the settled bulk (``compact``'s full rewrite is the
+    explicit detach/materialize tool, not the maintenance path)."""
+    return compact_small(spark, path, stat_cols, small_bytes, min_small)
+
+
+def compact_small(
+    spark: SparkSession,
+    path: str,
+    stat_cols: list[str] | None = None,
+    small_bytes: int = 8 * 1024 * 1024,
+    min_small: int = 4,
+) -> int | None:
+    """PARTIAL compaction (the OPTIMIZE bin-packing semantic): coalesce only
+    the live files under ``small_bytes`` into fewer files, leaving
+    well-sized files untouched — cost is O(small bytes), not O(table).
+    Classification comes from log metadata alone. Commits one atomic
+    add+remove version; a pending deletion vector forces the full
+    ``compact`` (a partial rewrite would re-stage DV-deleted rows under
+    names the DV does not cover)."""
+    rv = current_version(path)
+    files = snapshot_files(path, rv)
+    small = [f for f in files if _file_size(path, f) < small_bytes]
+    if len(small) < min_small:
         return None
-    return compact(spark, path, stat_cols)
+    if snapshot_dv(path, rv) is not None:
+        return compact(spark, path, stat_cols)
+    df = spark.read.option("mergeSchema", "true").parquet(
+        *[_data_path(path, a) for a in small]
+    )
+    df = _apply_renames(df, snapshot_renames(path, rv))
+    adds = _stage_files(df.coalesce(1), path, stat_cols or [])
+    return _commit(
+        path,
+        {
+            "operation": "compact_small",
+            "add": adds,
+            "remove": [a["file"] for a in small],
+        },
+        read_version=rv,
+    )
 
 
 def scd2_history(

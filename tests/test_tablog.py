@@ -1348,3 +1348,24 @@ def test_clone_refuses_pending_dv_and_pins_renames(spark, sf_dir, tmp_path):
     T.rename_column(src, "price", "price2")  # mapping pending again
     T.clone_table(src, dst)
     assert "price2" in T.read(spark, dst).columns
+
+
+def test_compact_small_rewrites_only_slivers(spark, sf_dir, tbl):
+    o = _orders(spark, sf_dir).select("o_orderkey", "o_totalprice")
+    T.create_table(o.limit(5000), tbl)  # the settled bulk
+    big = {a["file"] for a in T.snapshot_files(tbl)}
+    for k in range(4):  # four streamed slivers
+        T.append(
+            o.limit(5010 + 10 * k).exceptAll(o.limit(5000 + 10 * k)).coalesce(1),
+            tbl,
+        )
+    n_before = T.read(spark, tbl).count()
+    v = T.compact_small(spark, tbl, small_bytes=16 * 1024, min_small=2)
+    assert v is not None
+    after = {a["file"] for a in T.snapshot_files(tbl)}
+    # every bulk file survived untouched; the slivers merged into one
+    assert big <= after
+    assert len(after) == len(big) + 1
+    assert T.read(spark, tbl).count() == n_before
+    # already-healthy layout: no-op
+    assert T.compact_small(spark, tbl, small_bytes=16 * 1024, min_small=2) is None
