@@ -1411,7 +1411,9 @@ def compact_small(
         *[_data_path(path, a) for a in small]
     )
     df = _apply_renames(df, snapshot_renames(path, rv))
-    adds = _stage_files(df.coalesce(1), path, stat_cols or [])
+    # bin-pack toward ~128 MiB outputs: a day of slivers may total many GB
+    target = max(1, sum(_file_size(path, a) for a in small) // (128 * 1024 * 1024))
+    adds = _stage_files(df.coalesce(target), path, stat_cols or [])
     return _commit(
         path,
         {
