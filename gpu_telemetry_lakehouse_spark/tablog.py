@@ -1218,7 +1218,8 @@ def restore(path: str, to_version: int) -> int:
     rv = current_version(path)
     want = {a["file"]: a for a in snapshot_files(path, to_version)}
     have = {a["file"] for a in snapshot_files(path, rv)}
-    missing = [f for f in want if not os.path.exists(os.path.join(path, f))]
+    # _data_path: clone-referenced entries live in the SOURCE directory
+    missing = [f for f, a in want.items() if not os.path.exists(_data_path(path, a))]
     # the target's deletion-vector sidecar is part of the restored state —
     # re-activating a vacuumed DV would make every subsequent read() fail
     # (or, unchecked, silently drop the deletes)

@@ -1441,3 +1441,13 @@ def test_model_based_random_op_sequences(spark, tmp_path):
         # time travel: every recorded version still reproduces its model
         for v in range(0, len(history), 2):
             snap_matches(path, v, *history[v])
+
+
+def test_clone_restore_to_referencing_version(spark, sf_dir, tmp_path):
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+    o = _orders(spark, sf_dir).select("o_orderkey", "o_totalprice")
+    T.create_table(o.limit(15), src)
+    T.clone_table(src, dst)
+    T.overwrite(o.limit(5), dst)  # clone diverges
+    v = T.restore(dst, 0)  # back to the source-referencing snapshot
+    assert v is not None and T.read(spark, dst).count() == 15
