@@ -545,6 +545,51 @@ def create_table(
     )
 
 
+class SchemaMismatch(ValueError):
+    """An append's columns diverge from an enforcement-enabled table."""
+
+
+def set_schema_enforcement(path: str, enabled: bool = True) -> None:
+    """Delta-style SCHEMA ENFORCEMENT as a table property: when enabled,
+    ``append``/``branch_append`` reject batches whose column names differ
+    from the table's current LOGICAL schema (post-rename) — silent drift
+    (typo'd producers, upstream schema changes) fails loudly at the write
+    instead of surfacing as NULL-padded mergeSchema reads. Widening is the
+    explicit act of disabling enforcement for the evolving write (the
+    mergeSchema-option analog)."""
+    os.makedirs(_log_dir(path), exist_ok=True)
+    marker = os.path.join(_log_dir(path), "_enforce_schema")
+    if enabled:
+        with open(marker, "w") as f:
+            f.write("1")
+    elif os.path.exists(marker):
+        os.remove(marker)
+
+
+def _check_schema_enforcement(df: DataFrame, path: str) -> None:
+    if not os.path.exists(os.path.join(_log_dir(path), "_enforce_schema")):
+        return
+    schema = None
+    for v in reversed(_list_versions(path)):
+        schema = _read_entry(path, v).get("schema")
+        if schema:
+            break
+    if not schema:
+        return
+    names = {f["name"] for f in json.loads(schema)["fields"]}
+    for o, n in snapshot_renames(path):
+        if o in names:
+            names.discard(o)
+            names.add(n)
+    got = set(df.columns)
+    if got != names:
+        raise SchemaMismatch(
+            f"append to {path}: columns {sorted(got)} != table schema "
+            f"{sorted(names)} (schema enforcement is enabled; "
+            "set_schema_enforcement(path, False) to evolve)"
+        )
+
+
 def append(
     df: DataFrame,
     path: str,
@@ -557,6 +602,7 @@ def append(
     foreachBatch restart window between append and checkpoint commit)."""
     if batch_id is not None and batch_id in committed_batch_ids(path):
         return current_version(path)
+    _check_schema_enforcement(df, path)
     adds = _stage_files(df, path, stat_cols or [], bloom_cols)
     actions = {"operation": "append", "add": adds, "schema": df.schema.json()}
     if batch_id is not None:
@@ -1600,6 +1646,7 @@ def branch_append(
     """Append to the branch only — main readers are unaffected until
     publish. Data files are staged into the table directory (collision-proof
     unique names), so publish later is a pure log operation, no data copy."""
+    _check_schema_enforcement(df, path)
     adds = _stage_files(df, path, stat_cols or [])
     return _branch_commit(
         path, name, {"operation": "append", "add": adds, "schema": df.schema.json()}
@@ -1741,6 +1788,7 @@ def branch_append_batch(
     checkpoint commit) is a no-op instead of doubling branch rows."""
     if batch_id in branch_committed_batch_ids(path, name):
         return None
+    _check_schema_enforcement(df, path)
     adds = _stage_files(df, path, stat_cols or [])
     return _branch_commit(
         path,

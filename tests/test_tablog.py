@@ -1451,3 +1451,32 @@ def test_clone_restore_to_referencing_version(spark, sf_dir, tmp_path):
     T.overwrite(o.limit(5), dst)  # clone diverges
     v = T.restore(dst, 0)  # back to the source-referencing snapshot
     assert v is not None and T.read(spark, dst).count() == 15
+
+
+def test_schema_enforcement_rejects_drift(spark, sf_dir, tbl):
+    o = _orders(spark, sf_dir).select("o_orderkey", "o_totalprice")
+    T.create_table(o.limit(10), tbl)
+    T.set_schema_enforcement(tbl)
+    with pytest.raises(T.SchemaMismatch):
+        T.append(o.limit(12).withColumn("extra", F.lit(1)), tbl)
+    with pytest.raises(T.SchemaMismatch):
+        T.append(o.limit(12).select("o_orderkey"), tbl)
+    T.append(o.limit(15).exceptAll(o.limit(10)), tbl)  # matching: fine
+    assert T.read(spark, tbl).count() == 15
+    # enforcement follows renames: the LOGICAL schema is the contract
+    T.rename_column(tbl, "o_totalprice", "price")
+    with pytest.raises(T.SchemaMismatch):
+        T.append(o.limit(16).exceptAll(o.limit(15)), tbl)  # old names now drift
+    T.append(
+        o.limit(16).exceptAll(o.limit(15)).withColumnRenamed("o_totalprice", "price"),
+        tbl,
+    )
+    # explicit evolution: disable, widen, done
+    T.set_schema_enforcement(tbl, False)
+    T.append(
+        o.limit(17).exceptAll(o.limit(16))
+        .withColumnRenamed("o_totalprice", "price")
+        .withColumn("extra", F.lit(1)),
+        tbl,
+    )
+    assert T.read(spark, tbl).count() == 17
