@@ -1194,6 +1194,7 @@ def append_batch(
     writer for the same id."""
     if batch_id in committed_batch_ids(path):
         return None
+    _check_schema_enforcement(df, path)
     adds = _stage_files(df, path, stat_cols or [])
     return _commit(
         path,
