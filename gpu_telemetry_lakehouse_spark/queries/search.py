@@ -447,15 +447,41 @@ def acf_daily_value(spark: SparkSession, sf_dir: str) -> DataFrame:
 # keep the plan depth trivially safe here.
 _PR_D = 0.85
 _PR_W = 4  # same co-activity edge threshold as triangle_count_cousers
+# Bucket-size cap for the pair join: a (hour, event_type) bucket with b
+# co-active users generates b² pairs, and bucket size grows LINEARLY with
+# data volume (the hour grid is fixed) — uncapped, the self-join is
+# quadratic at 100 TB. Hot buckets ≈ "everyone online at peak", the least
+# informative co-activity signal, so dropping them is the df-cap/stop-list
+# rationale from the shingle-Jaccard dedup path. The cap is ACTIVE at bench
+# scale (sf0.1: 99th-pct bucket = 40, max = 51 → top ~1% dropped) and both
+# engines apply it identically, so the sf0.1 differential slice proves the
+# capped semantics, not just the uncapped ones.
+_PR_BUCKET_CAP = 40
 
 
 def _edges_sql() -> str:
     return f"""
         SELECT a.user_id AS u, c.user_id AS v
-        FROM (SELECT DISTINCT user_id, date_trunc('hour', ts) AS h,
-                     event_type AS et FROM events) a
-        JOIN (SELECT DISTINCT user_id, date_trunc('hour', ts) AS h,
-                     event_type AS et FROM events) c
+        FROM (
+            SELECT b.* FROM
+                (SELECT DISTINCT user_id, date_trunc('hour', ts) AS h,
+                        event_type AS et FROM events) b
+            JOIN (SELECT h, et FROM
+                      (SELECT DISTINCT user_id, date_trunc('hour', ts) AS h,
+                              event_type AS et FROM events)
+                  GROUP BY h, et HAVING COUNT(*) <= {_PR_BUCKET_CAP}) ok
+              ON b.h = ok.h AND b.et = ok.et
+        ) a
+        JOIN (
+            SELECT b.* FROM
+                (SELECT DISTINCT user_id, date_trunc('hour', ts) AS h,
+                        event_type AS et FROM events) b
+            JOIN (SELECT h, et FROM
+                      (SELECT DISTINCT user_id, date_trunc('hour', ts) AS h,
+                              event_type AS et FROM events)
+                  GROUP BY h, et HAVING COUNT(*) <= {_PR_BUCKET_CAP}) ok
+              ON b.h = ok.h AND b.et = ok.et
+        ) c
           ON a.h = c.h AND a.et = c.et AND a.user_id < c.user_id
         GROUP BY 1, 2 HAVING COUNT(*) >= {_PR_W}
     """
@@ -473,6 +499,16 @@ def _couser_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_trunc("hour", "ts").alias("h"),
         F.col("event_type").alias("et"),
     ).distinct()
+    # bucket-size cap before pairing (see _PR_BUCKET_CAP): the kept-bucket
+    # set is (hours x types)-sized — broadcast semi-join, no extra shuffle
+    # of the user stream
+    ok = (
+        b.groupBy("h", "et")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") <= _PR_BUCKET_CAP)
+        .select("h", "et")
+    )
+    b = b.join(F.broadcast(ok), ["h", "et"], "left_semi")
     a_side = b.select(F.col("user_id").alias("u"), "h", "et")
     c_side = b.select(
         F.col("user_id").alias("v"), F.col("h").alias("h2"), F.col("et").alias("et2")
