@@ -253,14 +253,24 @@ def dedup_groups_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 # out-degree ~ sqrt(edges) while still enumerating each triangle once.
 # Output = per-user triangle participation counts.
 _COACT_W = 4
+# bucket-size cap before pairing — b² pairs per bucket with bucket size
+# growing linearly in data volume; same rationale and value as
+# queries/search.py::_PR_BUCKET_CAP (active at sf0.1, oracle-matched)
+_COACT_CAP = 40
 
 
 @query(
     "triangle_count_cousers",
     oracle=f"""
-    WITH b AS (
+    WITH b0 AS (
         SELECT DISTINCT user_id, date_trunc('hour', ts) AS h, event_type AS et
         FROM events
+    ),
+    b AS (
+        SELECT b0.* FROM b0
+        JOIN (SELECT h, et FROM b0 GROUP BY h, et
+              HAVING COUNT(*) <= {_COACT_CAP}) ok
+          ON b0.h = ok.h AND b0.et = ok.et
     ),
     e AS (
         SELECT a.user_id AS u, c.user_id AS v
@@ -288,6 +298,13 @@ def triangle_count_cousers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_trunc("hour", "ts").alias("h"),
         F.col("event_type").alias("et"),
     ).distinct()
+    ok = (
+        b.groupBy("h", "et")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") <= _COACT_CAP)
+        .select("h", "et")
+    )
+    b = b.join(F.broadcast(ok), ["h", "et"], "left_semi")
     a_side = b.select(F.col("user_id").alias("u"), "h", "et")
     c_side = b.select(F.col("user_id").alias("v"), F.col("h").alias("h2"), F.col("et").alias("et2"))
     e = (
@@ -301,6 +318,9 @@ def triangle_count_cousers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("w"))
         .filter(F.col("w") >= _COACT_W)
         .select("u", "v")
+        # three consumers (e1/e2/e3): the bucket-capped pair join must run
+        # once, not once per triangle leg (same idiom as _couser_edges)
+        .localCheckpoint(eager=False)
     )
     e1 = e.select(F.col("u").alias("a"), F.col("v").alias("b1"))
     e2 = e.select(F.col("u").alias("b2"), F.col("v").alias("c1"))
