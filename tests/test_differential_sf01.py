@@ -72,6 +72,10 @@ HEAVY_SLICE = [
     "dedup_simhash",
     "naive_bayes_lang_confusion",
     "roc_auc_price_returns",
+    # the co-activity bucket cap is ACTIVE at sf0.1 — this run proves the
+    # capped edge semantics agree across engines (pagerank/kcore/label_prop
+    # already in the slice prove it for the shared helper)
+    "triangle_count_cousers",
     # setsim_join_prefix deliberately NOT here: the synthetic docs corpus is
     # a ~30-token vocabulary soup, the worst case for prefix filtering
     # (every pair is a candidate) — ~160 s at sf0.1, dominated by the naive
