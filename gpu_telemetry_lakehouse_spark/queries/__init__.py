@@ -181,6 +181,7 @@ _SECOND_TIER: list[str] = [
     "doc_fingerprint",
     # round-3 additions whose family is represented above
     "k_anonymity_customers",
+    "l_diversity_customers",
     "referential_orphan_summary",
     "freshness_lag_report",
     "accepted_values_violations",

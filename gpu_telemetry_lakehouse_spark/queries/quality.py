@@ -323,3 +323,46 @@ def accepted_values_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
             probe(docs, "documents.lang", ~F.col("lang").isin("en", "de", "fr", "es"))
         )
     )
+
+
+# --- l-diversity over quasi-identifier classes --------------------------------
+# k-anonymity's companion audit: a class can be large (k high) yet still
+# leak if every member shares the SAME sensitive value (homogeneity
+# attack). Per (nation, segment) equivalence class, count DISTINCT
+# sensitive values (the account-balance sign as the sensitive attribute)
+# and summarize classes below the l=2 policy. Same shape as k-anonymity:
+# one aggregation to the bounded class level, then a 1-row summary.
+@query(
+    "l_diversity_customers",
+    oracle=f"""
+    WITH classes AS (
+        SELECT c_nationkey, c_mktsegment,
+               COUNT(*) AS k,
+               COUNT(DISTINCT CASE WHEN c_acctbal < 0 THEN 'neg'
+                                   ELSE 'nonneg' END) AS l
+        FROM customer GROUP BY 1, 2
+    )
+    SELECT COUNT(*) AS n_classes,
+           MIN(l) AS l_min,
+           CAST(SUM(CASE WHEN l < 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS classes_below_l2,
+           CAST(SUM(CASE WHEN l < 2 THEN k ELSE 0 END) AS BIGINT)
+               AS rows_below_l2
+    FROM classes
+    """,
+)
+def l_diversity_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    sens = F.when(F.col("c_acctbal") < 0, "neg").otherwise("nonneg")
+    classes = cust.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).alias("k"),
+        F.countDistinct(sens).alias("l"),
+    )
+    return classes.agg(
+        F.count(F.lit(1)).alias("n_classes"),
+        F.min("l").alias("l_min"),
+        F.sum(F.when(F.col("l") < 2, 1).otherwise(0)).alias("classes_below_l2"),
+        F.sum(F.when(F.col("l") < 2, F.col("k")).otherwise(0)).alias(
+            "rows_below_l2"
+        ),
+    )
