@@ -610,3 +610,226 @@ def roc_auc_price_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("auc"),
     )
+
+
+@query(
+    "ks_test_click_purchase",
+    oracle="""
+    WITH ev AS (
+        SELECT event_type, "value" AS v FROM events
+        WHERE event_type IN ('click', 'purchase') AND "value" IS NOT NULL
+    ),
+    g AS (
+        SELECT v,
+               CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS c1,
+               CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS c2
+        FROM ev GROUP BY v
+    ),
+    c AS (
+        SELECT v,
+               CAST(SUM(c1) OVER (ORDER BY v) AS BIGINT) AS cum1,
+               CAST(SUM(c2) OVER (ORDER BY v) AS BIGINT) AS cum2
+        FROM g
+    ),
+    t AS (
+        SELECT CAST(SUM(c1) AS BIGINT) AS n1, CAST(SUM(c2) AS BIGINT) AS n2
+        FROM g
+    ),
+    d AS (
+        SELECT c.v, t.n1, t.n2,
+               ABS(c.cum1 * t.n2 - c.cum2 * t.n1) AS d_num
+        FROM c, t
+    ),
+    r AS (
+        SELECT v, n1, n2, d_num,
+               ROW_NUMBER() OVER (ORDER BY d_num DESC, v ASC) AS rn
+        FROM d
+    )
+    SELECT n1, n2,
+           ROUND(CAST(d_num AS DOUBLE) / CAST(n1 * n2 AS DOUBLE), 6) AS ks_d,
+           v AS at_value,
+           ROUND(SQRT(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+                      / CAST(n1 + n2 AS DOUBLE))
+                 * (CAST(d_num AS DOUBLE) / CAST(n1 * n2 AS DOUBLE)), 6)
+               AS ks_lambda
+    FROM r WHERE rn = 1
+    """,
+)
+def ks_test_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample Kolmogorov-Smirnov statistic between the `value`
+    distributions of two event types (the distribution-shift companion to
+    `psi_source_drift` / `source_token_kl`, sensitive to ANY CDF divergence,
+    not just binned mass).
+
+    Scale shape: one hash aggregation collapses the corpus to its distinct
+    values (bounded by value cardinality, not row count), then one window
+    pass over that bounded frame builds both empirical CDFs. The supremum
+    comparison |F1-F2| runs entirely in BIGINTs (|cum1*n2 - cum2*n1|), so
+    the argmax cannot drift across engines; the single division and the
+    correctly-rounded sqrt for the scaled lambda statistic happen once on
+    the 1-row result. At 100 TB the distinct-value frame is the only
+    windowed data — for truly continuous doubles (distinct ~ rows) the
+    documented fallback is quantile-sketch pre-binning, a weaker check.
+    """
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+        & F.col("value").isNotNull()
+    )
+    g = ev.groupBy(F.col("value").alias("v")).agg(
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+        .cast("long")
+        .alias("c1"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("long")
+        .alias("c2"),
+    )
+    wc = W.orderBy("v").rowsBetween(W.unboundedPreceding, 0)
+    c = g.select(
+        "v",
+        F.sum("c1").over(wc).cast("long").alias("cum1"),
+        F.sum("c2").over(wc).cast("long").alias("cum2"),
+    )
+    tot = g.groupBy().agg(
+        F.sum("c1").cast("long").alias("n1"),
+        F.sum("c2").cast("long").alias("n2"),
+    )
+    d = c.crossJoin(F.broadcast(tot)).select(
+        "v",
+        "n1",
+        "n2",
+        F.abs(F.col("cum1") * F.col("n2") - F.col("cum2") * F.col("n1")).alias(
+            "d_num"
+        ),
+    )
+    r = d.withColumn(
+        "rn",
+        F.row_number().over(W.orderBy(F.col("d_num").desc(), F.col("v").asc())),
+    ).filter(F.col("rn") == 1)
+    ks_d = F.col("d_num").cast("double") / (
+        F.col("n1") * F.col("n2")
+    ).cast("double")
+    return r.select(
+        "n1",
+        "n2",
+        F.round(ks_d, 6).alias("ks_d"),
+        F.col("v").alias("at_value"),
+        F.round(
+            F.sqrt(
+                F.col("n1").cast("double")
+                * F.col("n2").cast("double")
+                / (F.col("n1") + F.col("n2")).cast("double")
+            )
+            * ks_d,
+            6,
+        ).alias("ks_lambda"),
+    )
+
+
+@query(
+    "lift_gains_price_returns",
+    oracle="""
+    WITH ret AS (
+        SELECT DISTINCT l_orderkey FROM lineitem WHERE l_returnflag = 'R'
+    ),
+    lab AS (
+        SELECT o.o_orderkey, o.o_totalprice AS score,
+               CASE WHEN r.l_orderkey IS NOT NULL THEN 1 ELSE 0 END AS y
+        FROM orders o LEFT JOIN ret r ON r.l_orderkey = o.o_orderkey
+    ),
+    dec AS (
+        SELECT y,
+               NTILE(10) OVER (ORDER BY score DESC, o_orderkey ASC) AS decile
+        FROM lab
+    ),
+    g AS (
+        SELECT decile,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(y) AS BIGINT) AS pos
+        FROM dec GROUP BY decile
+    ),
+    c AS (
+        SELECT decile, n, pos,
+               CAST(SUM(pos) OVER (ORDER BY decile) AS BIGINT) AS cum_pos,
+               CAST(SUM(n) OVER (ORDER BY decile) AS BIGINT) AS cum_n,
+               CAST(SUM(pos) OVER () AS BIGINT) AS tot_pos,
+               CAST(SUM(n) OVER () AS BIGINT) AS tot_n
+        FROM g
+    )
+    SELECT decile, n, pos,
+           ROUND(CAST(pos AS DOUBLE) / CAST(n AS DOUBLE), 6) AS pos_rate,
+           ROUND(CAST(cum_pos AS DOUBLE) / CAST(tot_pos AS DOUBLE), 6)
+               AS cum_capture,
+           ROUND((CAST(cum_pos AS DOUBLE) / CAST(cum_n AS DOUBLE))
+                 / (CAST(tot_pos AS DOUBLE) / CAST(tot_n AS DOUBLE)), 6)
+               AS cum_lift
+    FROM c ORDER BY decile
+    """,
+)
+def lift_gains_price_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile lift/gains table of the price->returns ranking (the campaign-
+    targeting readout next to `roc_auc_price_returns`'s single number):
+    per score decile the observed positive rate, cumulative capture of all
+    positives, and cumulative lift over the base rate.
+
+    The global NTILE is the one scale caveat: it orders the full scored
+    population. At 100 TB the documented swap is pre-bucketing by quantile-
+    sketch score boundaries (mergeable, one pass) — here the exact ntile
+    keeps the oracle hash-checkable, with (score DESC, key ASC) pinning the
+    tie order so decile boundaries cannot drift across engines. All counts
+    stay BIGINT; rates divide once per output row (10 rows).
+    """
+    from pyspark.sql import Window as W
+
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    ret = li.filter(F.col("l_returnflag") == "R").select("l_orderkey").distinct()
+    lab = orders.join(
+        ret, orders["o_orderkey"] == ret["l_orderkey"], "left"
+    ).select(
+        "o_orderkey",
+        F.col("o_totalprice").alias("score"),
+        F.when(F.col("l_orderkey").isNotNull(), 1).otherwise(0).alias("y"),
+    )
+    dec = lab.select(
+        "y",
+        F.ntile(10)
+        .over(W.orderBy(F.col("score").desc(), F.col("o_orderkey").asc()))
+        .alias("decile"),
+    )
+    g = dec.groupBy("decile").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("y").cast("long").alias("pos"),
+    )
+    wc = W.orderBy("decile").rowsBetween(W.unboundedPreceding, 0)
+    wa = W.orderBy("decile").rowsBetween(
+        W.unboundedPreceding, W.unboundedFollowing
+    )
+    c = g.select(
+        "decile",
+        "n",
+        "pos",
+        F.sum("pos").over(wc).cast("long").alias("cum_pos"),
+        F.sum("n").over(wc).cast("long").alias("cum_n"),
+        F.sum("pos").over(wa).cast("long").alias("tot_pos"),
+        F.sum("n").over(wa).cast("long").alias("tot_n"),
+    )
+    return c.select(
+        "decile",
+        "n",
+        "pos",
+        F.round(F.col("pos").cast("double") / F.col("n").cast("double"), 6).alias(
+            "pos_rate"
+        ),
+        F.round(
+            F.col("cum_pos").cast("double") / F.col("tot_pos").cast("double"), 6
+        ).alias("cum_capture"),
+        F.round(
+            (F.col("cum_pos").cast("double") / F.col("cum_n").cast("double"))
+            / (F.col("tot_pos").cast("double") / F.col("tot_n").cast("double")),
+            6,
+        ).alias("cum_lift"),
+    ).orderBy("decile")

@@ -561,3 +561,127 @@ def tree_depth2_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
         node_acc("sn").alias("node_accuracy"),
     )
     return root_row.unionByName(child_rows)
+
+
+# --- two-feature OLS via normal equations (Cramer closed form) ---------------
+# The multi-feature extension of `regression_price_vs_qty`: fit
+# y ~ b0 + bx*x + bz*z per group with ONE map-side-partial aggregation.
+# The distributed work is only the raw-moment sums (n, Sx, Sz, Sy, Sxx, Szz,
+# Sxz, Sxy, Szy, Syy) — each staged through functions.exact_sum's scaled-long
+# form, so partial-aggregation order cannot move a bit. The 2x2 normal system
+# solves by Cramer's rule on the per-group 1-row result; every post-agg double
+# op is the identical expression tree on both engines. This is the
+# histogram-style "moments cross the cluster, never the rows" pattern that
+# scales to any corpus (dim^2 moments per group, here dim=2).
+@query(
+    "ols_price_qty_discount",
+    oracle="""
+    WITH m AS (
+        SELECT l_returnflag,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) / 100.0 AS sx,
+               SUM(CAST(ROUND(l_discount * 1000000) AS BIGINT)) / 1000000.0
+                   AS sz,
+               SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) / 100.0 AS sy,
+               SUM(CAST(ROUND(l_quantity * l_quantity * 100) AS BIGINT))
+                   / 100.0 AS sxx,
+               SUM(CAST(ROUND(l_discount * l_discount * 10000000000) AS BIGINT))
+                   / 10000000000.0 AS szz,
+               SUM(CAST(ROUND(l_quantity * l_discount * 100000000) AS BIGINT))
+                   / 100000000.0 AS sxz,
+               SUM(CAST(ROUND(l_quantity * l_extendedprice * 100) AS BIGINT))
+                   / 100.0 AS sxy,
+               SUM(CAST(ROUND(l_discount * l_extendedprice * 10000) AS BIGINT))
+                   / 10000.0 AS szy,
+               SUM(CAST(ROUND(l_extendedprice * l_extendedprice) AS BIGINT))
+                   / 1.0 AS syy
+        FROM lineitem GROUP BY l_returnflag
+    ),
+    c AS (
+        SELECT l_returnflag, n,
+               sx / n AS mx, sz / n AS mz, sy / n AS my,
+               sxx - sx * sx / n AS cxx,
+               szz - sz * sz / n AS czz,
+               sxz - sx * sz / n AS cxz,
+               sxy - sx * sy / n AS cxy,
+               szy - sz * sy / n AS czy,
+               syy - sy * sy / n AS cyy
+        FROM m
+    ),
+    s AS (
+        SELECT l_returnflag, n, mx, mz, my, cxy, czy, cyy,
+               cxx * czz - cxz * cxz AS det,
+               (czz * cxy - cxz * czy) AS numx,
+               (cxx * czy - cxz * cxy) AS numz
+        FROM c
+    )
+    SELECT l_returnflag, n,
+           ROUND(numx / det, 6) AS beta_qty,
+           ROUND(numz / det, 4) AS beta_discount,
+           ROUND(my - (numx / det) * mx - (numz / det) * mz, 4) AS intercept,
+           ROUND(((numx / det) * cxy + (numz / det) * czy) / cyy, 6) AS r2
+    FROM s ORDER BY l_returnflag
+    """,
+)
+def ols_price_qty_discount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions import exact_sum
+
+    li = load_table(spark, sf_dir, "lineitem")
+    x, z, y = F.col("l_quantity"), F.col("l_discount"), F.col("l_extendedprice")
+    m = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        exact_sum(x, 2).alias("sx"),
+        exact_sum(z, 6).alias("sz"),
+        exact_sum(y, 2).alias("sy"),
+        exact_sum(x * x, 2).alias("sxx"),
+        exact_sum(z * z, 10).alias("szz"),
+        exact_sum(x * z, 8).alias("sxz"),
+        exact_sum(x * y, 2).alias("sxy"),
+        exact_sum(z * y, 4).alias("szy"),
+        exact_sum(y * y, 0).alias("syy"),
+    )
+    nn = F.col("n")
+    c = m.select(
+        "l_returnflag",
+        "n",
+        (F.col("sx") / nn).alias("mx"),
+        (F.col("sz") / nn).alias("mz"),
+        (F.col("sy") / nn).alias("my"),
+        (F.col("sxx") - F.col("sx") * F.col("sx") / nn).alias("cxx"),
+        (F.col("szz") - F.col("sz") * F.col("sz") / nn).alias("czz"),
+        (F.col("sxz") - F.col("sx") * F.col("sz") / nn).alias("cxz"),
+        (F.col("sxy") - F.col("sx") * F.col("sy") / nn).alias("cxy"),
+        (F.col("szy") - F.col("sz") * F.col("sy") / nn).alias("czy"),
+        (F.col("syy") - F.col("sy") * F.col("sy") / nn).alias("cyy"),
+    )
+    s = c.select(
+        "l_returnflag",
+        "n",
+        "mx",
+        "mz",
+        "my",
+        "cxy",
+        "czy",
+        "cyy",
+        (F.col("cxx") * F.col("czz") - F.col("cxz") * F.col("cxz")).alias("det"),
+        (F.col("czz") * F.col("cxy") - F.col("cxz") * F.col("czy")).alias(
+            "numx"
+        ),
+        (F.col("cxx") * F.col("czy") - F.col("cxz") * F.col("cxy")).alias(
+            "numz"
+        ),
+    )
+    bx = F.col("numx") / F.col("det")
+    bz = F.col("numz") / F.col("det")
+    return s.select(
+        "l_returnflag",
+        "n",
+        F.round(bx, 6).alias("beta_qty"),
+        F.round(bz, 4).alias("beta_discount"),
+        F.round(F.col("my") - bx * F.col("mx") - bz * F.col("mz"), 4).alias(
+            "intercept"
+        ),
+        F.round((bx * F.col("cxy") + bz * F.col("czy")) / F.col("cyy"), 6).alias(
+            "r2"
+        ),
+    ).orderBy("l_returnflag")
