@@ -1045,3 +1045,163 @@ def label_prop_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("community")
     )
+
+
+# --- FP-Growth frequent-itemset mining ---------------------------------------
+# Native JVM parallel FP-Growth (PFP, Li et al. 2008 — pyspark.ml.fpm) over
+# order->brand baskets: the mining-algorithm companion to the declarative
+# pairwise `basket_rules_parts`. PFP is the 100 TB shape: group-dependent
+# shards mine conditional FP-trees independently (no candidate-generation
+# passes over the corpus like Apriori). The oracle cannot run FP-Growth, so
+# the result is restricted to itemsets of size <= 3, where frequent-set
+# semantics are exactly enumerable by Apriori-style self-joins; the
+# hash-match certifies PFP's counting (threshold ceil(s*n) replicated
+# bit-for-bit — same IEEE product, same ceil — on both engines).
+FP_MIN_SUPPORT = 0.01
+
+
+@query(
+    "fp_growth_brand_itemsets",
+    oracle=f"""
+    WITH b AS (
+        SELECT DISTINCT l_orderkey, p_brand
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+    ),
+    n AS (SELECT COUNT(DISTINCT l_orderkey) AS n_b FROM b),
+    mc AS (
+        SELECT CAST(CEIL({FP_MIN_SUPPORT} * n_b) AS BIGINT) AS m, n_b FROM n
+    ),
+    s1 AS (
+        SELECT p_brand AS itemset, 1 AS set_size, CAST(COUNT(*) AS BIGINT) AS freq
+        FROM b GROUP BY p_brand
+    ),
+    s2 AS (
+        SELECT a.p_brand || ',' || c.p_brand AS itemset, 2 AS set_size,
+               CAST(COUNT(*) AS BIGINT) AS freq
+        FROM b a JOIN b c
+          ON c.l_orderkey = a.l_orderkey AND c.p_brand > a.p_brand
+        GROUP BY a.p_brand, c.p_brand
+    ),
+    s3 AS (
+        SELECT a.p_brand || ',' || c.p_brand || ',' || d.p_brand AS itemset,
+               3 AS set_size, CAST(COUNT(*) AS BIGINT) AS freq
+        FROM b a
+        JOIN b c ON c.l_orderkey = a.l_orderkey AND c.p_brand > a.p_brand
+        JOIN b d ON d.l_orderkey = a.l_orderkey AND d.p_brand > c.p_brand
+        GROUP BY a.p_brand, c.p_brand, d.p_brand
+    ),
+    u AS (
+        SELECT * FROM s1 UNION ALL SELECT * FROM s2 UNION ALL SELECT * FROM s3
+    )
+    SELECT u.itemset, u.set_size, u.freq,
+           ROUND(CAST(u.freq AS DOUBLE) / CAST(mc.n_b AS DOUBLE), 6) AS support
+    FROM u, mc WHERE u.freq >= mc.m
+    ORDER BY u.set_size, u.itemset
+    """,
+)
+def fp_growth_brand_itemsets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.ml.fpm import FPGrowth
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    b = (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .select("l_orderkey", "p_brand")
+        .distinct()
+    )
+    tx = b.groupBy("l_orderkey").agg(F.collect_set("p_brand").alias("items"))
+    model = FPGrowth(
+        itemsCol="items", minSupport=FP_MIN_SUPPORT, minConfidence=0.5
+    ).fit(tx)
+    n = tx.agg(F.count(F.lit(1)).cast("long").alias("n_b"))
+    return (
+        model.freqItemsets.filter(F.size("items") <= 3)
+        .crossJoin(F.broadcast(n))
+        .select(
+            F.array_join(F.array_sort("items"), ",").alias("itemset"),
+            F.size("items").alias("set_size"),
+            F.col("freq").cast("long").alias("freq"),
+            F.round(
+                F.col("freq").cast("double") / F.col("n_b").cast("double"), 6
+            ).alias("support"),
+        )
+        .orderBy("set_size", "itemset")
+    )
+
+
+# --- multi-source BFS reachability layers ------------------------------------
+# The reachability primitive the other graph queries (PageRank, k-core, LPA,
+# triangles) don't cover: hop-distance layers from a deterministic seed set
+# (user_id % 100 == 0) over the co-activity graph, 3 unrolled synchronous
+# rounds. Per round the frontier relaxation is ONE edge equi-join + ONE
+# min-aggregation — the Pregel/BSP shape; rounds localCheckpoint so lineage
+# stays flat and the edge self-join never re-runs. At 100 TB each round
+# shuffles only (node, dist) pairs on the node key; the unrolled-CTE oracle
+# replays the identical trajectory, and distance layers are pinned by both
+# member count AND sum of node ids.
+@query(
+    "bfs_reach_layers",
+    oracle=f"""
+    WITH e AS ({_edges_sql()}),
+    sym AS (SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e),
+    d0 AS (
+        SELECT DISTINCT user_id AS node, 0 AS dist FROM events
+        WHERE user_id % 100 = 0
+    ),
+    r1 AS (
+        SELECT node, MIN(dist) AS dist FROM (
+            SELECT node, dist FROM d0
+            UNION ALL
+            SELECT s.v AS node, d0.dist + 1 AS dist
+            FROM sym s JOIN d0 ON d0.node = s.u
+        ) GROUP BY node
+    ),
+    r2 AS (
+        SELECT node, MIN(dist) AS dist FROM (
+            SELECT node, dist FROM r1
+            UNION ALL
+            SELECT s.v AS node, r1.dist + 1 AS dist
+            FROM sym s JOIN r1 ON r1.node = s.u
+        ) GROUP BY node
+    ),
+    r3 AS (
+        SELECT node, MIN(dist) AS dist FROM (
+            SELECT node, dist FROM r2
+            UNION ALL
+            SELECT s.v AS node, r2.dist + 1 AS dist
+            FROM sym s JOIN r2 ON r2.node = s.u
+        ) GROUP BY node
+    )
+    SELECT dist, CAST(COUNT(*) AS BIGINT) AS n_nodes,
+           CAST(SUM(node) AS BIGINT) AS sum_nodes
+    FROM r3 WHERE dist <= 3 GROUP BY dist ORDER BY dist
+    """,
+)
+def bfs_reach_layers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sym = _couser_edges(spark, sf_dir)
+    ev = load_table(spark, sf_dir, "events")
+    d = (
+        ev.filter(F.col("user_id") % 100 == 0)
+        .select(F.col("user_id").alias("node"))
+        .distinct()
+        .withColumn("dist", F.lit(0))
+    )
+    for _ in range(3):
+        relaxed = sym.join(d, sym["u"] == d["node"]).select(
+            F.col("v").alias("node"), (F.col("dist") + 1).alias("dist")
+        )
+        d = (
+            d.unionByName(relaxed)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint(eager=False)
+        )
+    return (
+        d.filter(F.col("dist") <= 3)
+        .groupBy("dist")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_nodes"),
+            F.sum("node").cast("long").alias("sum_nodes"),
+        )
+        .orderBy("dist")
+    )
