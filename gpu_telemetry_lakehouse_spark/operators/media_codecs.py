@@ -275,3 +275,39 @@ def luma_grid(img_or_buf, out_w: int, out_h: int) -> np.ndarray:
     )
     counts = (yhi - ylo)[:, None] * (xhi - xlo)[None, :]
     return (cell / counts).astype(np.float32).ravel()
+
+
+_DCT32 = None
+
+
+def _dct_matrix(n: int = 32) -> np.ndarray:
+    """Orthonormal DCT-II basis (float64): D @ x applies the 1-D transform."""
+    global _DCT32
+    if _DCT32 is None or _DCT32.shape[0] != n:
+        k = np.arange(n)
+        d = np.cos(np.pi * (2 * k[None, :] + 1) * k[:, None] / (2 * n))
+        d *= np.sqrt(2.0 / n)
+        d[0] *= np.sqrt(0.5)
+        _DCT32 = d
+    return _DCT32
+
+
+def phash64(img_or_buf) -> int:
+    """64-bit perceptual hash (pHash family: Zauner 2010): luma box-resampled
+    to 32x32, 2-D DCT-II, the low-frequency 8x8 block thresholded at the
+    median of its 63 AC coefficients. Robust to small pixel noise and
+    resampling; Hamming distance on the codes orders perceptual similarity.
+    Pure numpy, deterministic, returns a SIGNED 64-bit int (Spark LongType).
+    """
+    grid = luma_grid(img_or_buf, 32, 32).astype(np.float64).reshape(32, 32)
+    d = _dct_matrix(32)
+    coef = d @ grid @ d.T
+    block = coef[:8, :8].ravel()
+    med = float(np.median(block[1:]))
+    bits = block > med
+    code = 0
+    for b in bits:
+        code = (code << 1) | int(b)
+    if code >= 1 << 63:
+        code -= 1 << 64
+    return code

@@ -243,3 +243,30 @@ def frame_sample(media: DataFrame, every_n_bytes: int = 64, max_frames: int = 4)
     return media.filter(F.col("media_type") == "video").select(
         "media_id", F.explode(frames).alias("frame")
     ).select("media_id", "frame.frame_no", "frame.frame_bytes")
+
+
+PHASH_SCHEMA = "media_id long, phash long, decode_ok boolean"
+
+
+def perceptual_hash(media: DataFrame) -> DataFrame:
+    """Image payloads -> 64-bit perceptual hash (media_codecs.phash64) via
+    mapInPandas. The content-addressed key for image near-dup: band the code
+    into 16-bit keys, equi-join bands, verify with bit_count(xor) — the
+    SimHash/LSH idiom, never all-pairs. Non-image / corrupt payloads emit
+    decode_ok=false with NULL hash."""
+    from .media_codecs import decode_image, phash64
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                if payload is None:
+                    rows.append((mid, None, False))
+                    continue
+                try:
+                    rows.append((mid, phash64(decode_image(bytes(payload))), True))
+                except (ValueError, struct.error, IndexError):
+                    rows.append((mid, None, False))
+            yield pd.DataFrame(rows, columns=["media_id", "phash", "decode_ok"])
+
+    return media.mapInPandas(run, schema=PHASH_SCHEMA)

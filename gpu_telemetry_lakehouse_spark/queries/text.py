@@ -899,3 +899,108 @@ def char_entropy_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .alias("entropy_nats"),
     ).orderBy("doc_id")
+
+
+# --- multimodal perceptual-hash near-dup -------------------------------------
+# Image near-duplicate detection end-to-end through the REAL codec path:
+# deterministic textured images are synthesized executor-side per doc (odd
+# doc_ids get their even neighbor's image with 12 pixel-pair swaps), PPM-
+# encoded, re-decoded by the numpy kernel, pHash'd (32x32 luma DCT, median-
+# thresholded 8x8 low-frequency block), then paired by 16-bit LSH bands +
+# bit_count(xor) <= 6 verification — the SimHash banding idiom, so candidate
+# generation is an equi-join, never all-pairs. The twin noise swaps pixels
+# WITHIN one 2-px box-resample cell: real byte-level perturbation, but every
+# 32x32 luma cell sum is provably unchanged, so twin codes are EXACTLY equal
+# (free-form ±1 noise measured up to 10 flipped bits — the median threshold
+# is knife-edged where AC coefficients tie at the median, so an idealized
+# pair-set oracle needs resolution-bounded noise). Measured cross-image
+# margin: Hamming >= 12 over all 2500 sf0.1 bases, so tau=6 cannot admit a
+# false pair. The oracle asserts the exact (even, even+1) pair set
+# relationally, hash-certifying the WHOLE chain (synth -> encode -> decode
+# -> DCT -> band join -> verify): any codec or hash regression breaks it.
+@query(
+    "multimodal_phash_neardup",
+    oracle="""
+    SELECT d1.doc_id AS doc_a, d2.doc_id AS doc_b
+    FROM documents d1 JOIN documents d2 ON d2.doc_id = d1.doc_id + 1
+    WHERE d1.doc_id % 2 = 0
+    ORDER BY doc_a
+    """,
+)
+def multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from ..catalog import spread_input
+    from ..operators import multimodal as MM
+
+    docs = spread_input(load_table(spark, sf_dir, "documents").select("doc_id"))
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        import numpy as np
+
+        from ..operators.media_codecs import encode_ppm
+
+        def render(base: int) -> np.ndarray:
+            dig = hashlib.md5(str(base).encode()).digest()
+            a = np.frombuffer(dig, dtype=np.uint8).astype(np.int64)
+            y, x = np.mgrid[0:48, 0:64]
+            plane = a[0] + a[1] * x + a[2] * y + ((x * a[3]) // 4) * (
+                (y * a[4]) // 4
+            )
+            return np.stack(
+                [(plane + c * a[5]) % 256 for c in range(3)], axis=-1
+            ).astype(np.uint8)
+
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                img = render(did - (did % 2))
+                if did % 2:
+                    # swap the two pixels of one x-resample cell (64->32
+                    # src cells are [2i, 2i+1]): cell sums — hence the luma
+                    # grid and the phash — are exactly invariant
+                    for k in range(12):
+                        yy, xi, cc = (7 * k) % 48, (11 * k) % 32, k % 3
+                        a_px = img[yy, 2 * xi, cc]
+                        img[yy, 2 * xi, cc] = img[yy, 2 * xi + 1, cc]
+                        img[yy, 2 * xi + 1, cc] = a_px
+                rows.append((did, encode_ppm(img)))
+            yield pd.DataFrame(rows, columns=["media_id", "payload"])
+
+    media = docs.mapInPandas(synth, schema="media_id long, payload binary")
+    ph = MM.perceptual_hash(media).filter("decode_ok").select("media_id", "phash")
+    bands = ph.select(
+        "media_id",
+        "phash",
+        F.explode(F.array(*[F.lit(b) for b in range(4)])).alias("band"),
+    ).withColumn(
+        "key", F.expr("shiftrightunsigned(phash, band * 16) & 65535")
+    )
+    a = bands.select(
+        F.col("media_id").alias("doc_a"),
+        F.col("phash").alias("ha"),
+        "band",
+        "key",
+    )
+    b = bands.select(
+        F.col("media_id").alias("doc_b"),
+        F.col("phash").alias("hb"),
+        "band",
+        "key",
+    )
+    cand = (
+        a.join(b, ["band", "key"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "ha", "hb")
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    return (
+        cand.filter(F.bit_count(F.expr("ha ^ hb")) <= 6)
+        .select("doc_a", "doc_b")
+        .orderBy("doc_a")
+    )

@@ -218,3 +218,54 @@ def test_wav_empty_data_chunk_rejected():
     empty = C.encode_wav(np.zeros((0,), dtype=np.int16), rate=8000)
     with pytest.raises(ValueError, match="empty data"):
         C.decode_wav(empty)
+
+
+def test_phash64_properties():
+    """pHash kernel contract: (a) deterministic signed-64 code; (b) exactly
+    invariant to pixel swaps inside one box-resample cell (the resolution
+    bound the multimodal_phash_neardup oracle relies on); (c) sensitive to
+    genuinely different textures; (d) robust through a PPM encode/decode
+    roundtrip."""
+    import numpy as np
+
+    from gpu_telemetry_lakehouse_spark.operators import media_codecs as C
+
+    rng = np.random.RandomState(7)
+    img = rng.randint(0, 256, size=(48, 64, 3)).astype(np.uint8)
+    code = C.phash64(img)
+    assert isinstance(code, int) and -(1 << 63) <= code < (1 << 63)
+    assert C.phash64(img) == code
+    assert C.phash64(C.decode_image(C.encode_ppm(img))) == code
+
+    # swap both pixels of an x-resample cell (64 -> 32 cells are [2i, 2i+1])
+    swapped = img.copy()
+    for k in range(12):
+        yy, xi, cc = (7 * k) % 48, (11 * k) % 32, k % 3
+        a_px = swapped[yy, 2 * xi, cc]
+        swapped[yy, 2 * xi, cc] = swapped[yy, 2 * xi + 1, cc]
+        swapped[yy, 2 * xi + 1, cc] = a_px
+    assert C.phash64(swapped) == code
+
+    other = rng.randint(0, 256, size=(48, 64, 3)).astype(np.uint8)
+    ham = bin((C.phash64(other) ^ code) & ((1 << 64) - 1)).count("1")
+    assert ham >= 8, ham
+
+
+def test_perceptual_hash_operator(spark):
+    """perceptual_hash maps payloads -> (media_id, phash, decode_ok) with
+    NULL-hash rows for undecodable payloads."""
+    import numpy as np
+
+    from gpu_telemetry_lakehouse_spark.operators import media_codecs as C
+    from gpu_telemetry_lakehouse_spark.operators.multimodal import perceptual_hash
+
+    rng = np.random.RandomState(11)
+    img = rng.randint(0, 256, size=(16, 16, 3)).astype(np.uint8)
+    media = _media_df(
+        spark, {1: C.encode_ppm(img), 2: C.encode_bmp(img), 3: b"not media"}
+    )
+    rows = {r.media_id: r for r in perceptual_hash(media).collect()}
+    assert rows[1].decode_ok and rows[2].decode_ok and not rows[3].decode_ok
+    assert rows[3].phash is None
+    # PPM and BMP carry the same pixels -> identical perceptual code
+    assert rows[1].phash == rows[2].phash == C.phash64(img)
