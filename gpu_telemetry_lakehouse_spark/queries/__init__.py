@@ -104,10 +104,12 @@ DRIVER_WINDOW: list[str] = [
     "semdedup_prune",
     # string parsing of the reference's compound spec columns
     "string_parse_parts",
-    # JSON / VARIANT / arrays (array_norms_vectors demoted to tier 2 — the
-    # category stays green with two slots — in favor of DSIR below)
+    # JSON / VARIANT / arrays (array_norms_vectors and json_extract_props
+    # demoted to tier 2 — variant_props_stats keeps the category green — in
+    # favor of DSIR and FP-Growth below)
     "variant_props_stats",
-    "json_extract_props",
+    # frequent-itemset mining (native PFP, Apriori-enumeration oracle)
+    "fp_growth_brand_itemsets",
     # sessionization + streaming batch twin
     "session_windows_users",
     "events_hourly_window",
@@ -128,9 +130,11 @@ DRIVER_WINDOW: list[str] = [
     # curation: contrastive hard-negative mining + DSIR selection (round 3)
     "knn_hard_negatives",
     "dsir_importance_weights",
-    # multimodal: real PPM decode through the numpy codec kernel (the
-    # byte-plumbing twin multimodal_bytes sits in the second tier)
-    "multimodal_real_decode",
+    # multimodal: perceptual-hash near-dup exercises the whole codec chain
+    # (synth -> PPM encode -> numpy decode -> DCT pHash -> LSH band join ->
+    # Hamming verify); the decode-only and byte-plumbing twins
+    # (multimodal_real_decode, multimodal_bytes) sit in the second tier
+    "multimodal_phash_neardup",
     # time-series gap fill
     "gapfill_hourly_locf",
     # recursive CTE (Q1 chaining + Spark 4)
@@ -148,6 +152,14 @@ DRIVER_WINDOW: list[str] = [
 # Next in line if the driver sweeps deeper: previously-green queries whose
 # category is already represented above (consolidated near-duplicates).
 _SECOND_TIER: list[str] = [
+    # demoted window twins (categories stay green above)
+    "json_extract_props",
+    "multimodal_real_decode",
+    # round-3 late additions: inference + eval + graph reachability
+    "ks_test_click_purchase",
+    "lift_gains_price_returns",
+    "ols_price_qty_discount",
+    "bfs_reach_layers",
     "array_norms_vectors",
     # web-crawl curation (URL canonicalization/dedup, blocklist) — late
     # round-3 family; the LLM-pipeline categories above stay green
