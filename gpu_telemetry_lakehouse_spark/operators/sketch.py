@@ -160,8 +160,12 @@ def tdigest_quantile(means, weights, q: float) -> float:
     frac = (target - cum[i]) / (cum[i + 1] - cum[i])
     # convex-combination form, NOT a + f*(b-a): the latter cancels
     # catastrophically at f==1 when |a| >> |b| (a subnormal b comes back as
-    # exactly 0.0 — a wrong ORDER STATISTIC, found by hypothesis)
-    return float((1.0 - frac) * means[i] + frac * means[i + 1])
+    # exactly 0.0 — a wrong ORDER STATISTIC, found by hypothesis). The
+    # rounded combination can still land one ulp OUTSIDE [a, b] — at a==b
+    # (0.4*M + 0.6*M != M for M near 1e6) that one ulp is a whole rank step
+    # on discrete data (also hypothesis-found) — so clamp into the hull.
+    a, b = means[i], means[i + 1]
+    return float(min(max((1.0 - frac) * a + frac * b, a), b))
 
 
 def tdigest_merge(digests, delta: int = 100):

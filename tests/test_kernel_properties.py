@@ -4,7 +4,7 @@ arbitrary distributions, luma_grid resample bounds, and the BPE merge fold
 against a reference implementation."""
 
 import numpy as np
-from hypothesis import given, settings
+from hypothesis import example, given, settings
 from hypothesis import strategies as st
 
 from gpu_telemetry_lakehouse_spark.operators.sketch import (
@@ -30,6 +30,17 @@ finite = st.floats(
 
 @settings(max_examples=60, deadline=None)
 @given(xs=st.lists(finite, min_size=5, max_size=400))
+@example(
+    xs=[0.0,
+     0.0,
+     0.0,
+     0.0,
+     0.0,
+     0.0,
+     999999.9999999999,
+     999999.9999999999,
+     999999.9999999999],
+).via('discovered failure')
 def test_tdigest_rank_error_bound(xs):
     x = np.array(xs, dtype=np.float64)
     m, w = _compress(x, np.ones(len(x)), delta=100)
