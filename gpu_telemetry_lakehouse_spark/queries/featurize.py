@@ -126,7 +126,7 @@ def cms_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     dims AS (
         SELECT (SELECT COUNT(*) FROM rowm) AS r, (SELECT COUNT(*) FROM colm) AS c
     )
-    SELECT CAST(SUM(CAST(round(term * 1000000.0, 0) AS BIGINT)) AS DOUBLE)
+    SELECT CAST(SUM(CAST(floor(term * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
                / 1000000.0 AS chi2,
            CAST((d.r - 1) * (d.c - 1) AS BIGINT) AS dof,
            round(sqrt((CAST(SUM(CAST(round(term * 1000000.0, 0) AS BIGINT)) AS DOUBLE)
@@ -220,7 +220,7 @@ def chi2_event_weekday(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM cell JOIN mx USING (event_type) JOIN my USING (vq)
         CROSS JOIN tot
     )
-    SELECT CAST(SUM(CAST(round(term * 1000000000.0, 0) AS BIGINT)) AS DOUBLE)
+    SELECT CAST(SUM(CAST(floor(term * 1000000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
                / 1000000000.0 AS mi_nats
     FROM terms
     """,

@@ -251,7 +251,7 @@ def heavy_hitter_users(spark: SparkSession, sf_dir: str) -> DataFrame:
               + GROUPING(date_trunc('day', ts)) * 2
               + GROUPING(date_trunc('hour', ts)) AS BIGINT) AS lvl,
            COUNT(*) AS n,
-           (SUM(CAST(ROUND(value * 1000000) AS BIGINT)) / 1000000.0) AS sum_value
+           (SUM(CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT)) / 1000000.0) AS sum_value
     FROM events WHERE value IS NOT NULL
     GROUP BY ROLLUP (date_trunc('week', ts), date_trunc('day', ts),
                      date_trunc('hour', ts))
@@ -296,7 +296,7 @@ def time_hierarchy_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT date_trunc('month', ts) AS mon,
            event_type,
            COUNT(*) AS n_events,
-           (SUM(CAST(ROUND(value * 10000.0, 0) AS BIGINT)) / 10000.0)
+           (SUM(CAST(FLOOR(value * 10000.0 + 0.5) AS BIGINT)) / 10000.0)
                AS sum_value
     FROM events
     GROUP BY 1, 2
@@ -310,7 +310,7 @@ def rollup_reuse_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         # keep the partial as the exact scaled long — additive, so the
         # monthly fold below stays exact (divide back only at the end)
-        F.sum(F.round(F.col("value") * 10000.0, 0).cast("long")).alias("sv_l"),
+        F.sum(F.floor(F.col("value") * 10000.0 + F.lit(0.5)).cast("long")).alias("sv_l"),
     )
     return daily.groupBy(
         F.date_trunc("month", "day").alias("mon"), "event_type"

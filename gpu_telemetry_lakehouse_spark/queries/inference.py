@@ -59,7 +59,7 @@ def _pois_case(h):
     ),
     wm AS (
         SELECT event_type, b,
-               (SUM(CAST(ROUND(({_pois_case_sql("h6")}) * value * 10000) AS BIGINT)) / 10000.0)
+               (SUM(CAST(FLOOR(({_pois_case_sql("h6")}) * value * 10000 + 0.5) AS BIGINT)) / 10000.0)
                / NULLIF(SUM({_pois_case_sql("h6")}), 0) AS rep_mean
         FROM reps GROUP BY event_type, b
     )
@@ -105,7 +105,7 @@ def bootstrap_ci_event_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     m = F.lit(10**4)
     wm = reps.groupBy("event_type", F.col("b").cast("int").alias("b")).agg(
         (
-            (F.sum(F.round(F.col("w") * F.col("value") * m, 0).cast("long")) / m.cast("double"))
+            (F.sum(F.floor(F.col("w") * F.col("value") * m + F.lit(0.5)).cast("long")) / m.cast("double"))
             / F.nullif(F.sum("w"), F.lit(0))
         ).alias("rep_mean")
     )
@@ -126,7 +126,7 @@ def bootstrap_ci_event_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH d AS (
         SELECT date_trunc('day', ts) AS dt,
-               (SUM(CAST(ROUND(value * 1000000) AS BIGINT)) / 1000000.0)
+               (SUM(CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT)) / 1000000.0)
                / COUNT(value) AS avg_v
         FROM events WHERE value IS NOT NULL GROUP BY 1
     ),
@@ -187,18 +187,18 @@ def theilsen_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     per_user AS (
         SELECT e.user_id,
-               (SUM(CAST(ROUND(CASE WHEN e.ts >= TIMESTAMP '2024-01-16' THEN e.value
-                                    ELSE 0 END * 10000) AS BIGINT)) / 10000.0) AS y,
-               (SUM(CAST(ROUND(CASE WHEN e.ts < TIMESTAMP '2024-01-16' THEN e.value
-                                    ELSE 0 END * 10000) AS BIGINT)) / 10000.0) AS x
+               (SUM(CAST(FLOOR(CASE WHEN e.ts >= TIMESTAMP '2024-01-16' THEN e.value
+                                    ELSE 0 END * 10000 + 0.5) AS BIGINT)) / 10000.0) AS y,
+               (SUM(CAST(FLOOR(CASE WHEN e.ts < TIMESTAMP '2024-01-16' THEN e.value
+                                    ELSE 0 END * 10000 + 0.5) AS BIGINT)) / 10000.0) AS x
         FROM events e WHERE e.value IS NOT NULL
         GROUP BY e.user_id
     ),
     moments AS (
-        SELECT (SUM(CAST(ROUND(x * 10000) AS BIGINT)) / 10000.0) / COUNT(*) AS mx,
-               (SUM(CAST(ROUND(y * 10000) AS BIGINT)) / 10000.0) / COUNT(*) AS my,
-               (SUM(CAST(ROUND(x * y * 100) AS BIGINT)) / 100.0) / COUNT(*) AS mxy,
-               (SUM(CAST(ROUND(x * x * 100) AS BIGINT)) / 100.0) / COUNT(*) AS mxx
+        SELECT (SUM(CAST(FLOOR(x * 10000 + 0.5) AS BIGINT)) / 10000.0) / COUNT(*) AS mx,
+               (SUM(CAST(FLOOR(y * 10000 + 0.5) AS BIGINT)) / 10000.0) / COUNT(*) AS my,
+               (SUM(CAST(FLOOR(x * y * 100 + 0.5) AS BIGINT)) / 100.0) / COUNT(*) AS mxy,
+               (SUM(CAST(FLOOR(x * x * 100 + 0.5) AS BIGINT)) / 100.0) / COUNT(*) AS mxx
         FROM per_user
     ),
     theta AS (
@@ -278,15 +278,15 @@ def cuped_experiment_readout(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH m AS (
         SELECT event_type,
                COUNT(*) AS n,
-               (SUM(CAST(ROUND(value * 1000000) AS BIGINT)) / 1000000.0)
+               (SUM(CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT)) / 1000000.0)
                    / COUNT(*) AS mean_v
         FROM events WHERE value IS NOT NULL GROUP BY event_type
     ),
     c AS (
         SELECT e.event_type, m.n, m.mean_v,
-               (SUM(CAST(ROUND((e.value - m.mean_v) * (e.value - m.mean_v) * 100) AS BIGINT)) / 100.0) / m.n AS m2,
-               (SUM(CAST(ROUND((e.value - m.mean_v) * (e.value - m.mean_v) * (e.value - m.mean_v) * 0.01) AS BIGINT)) * 100.0) / m.n AS m3,
-               (SUM(CAST(ROUND((e.value - m.mean_v) * (e.value - m.mean_v) * (e.value - m.mean_v) * (e.value - m.mean_v) * 0.0001) AS BIGINT)) * 10000.0) / m.n AS m4
+               (SUM(CAST(FLOOR((e.value - m.mean_v) * (e.value - m.mean_v) * 100 + 0.5) AS BIGINT)) / 100.0) / m.n AS m2,
+               (SUM(CAST(FLOOR((e.value - m.mean_v) * (e.value - m.mean_v) * (e.value - m.mean_v) * 0.01 + 0.5) AS BIGINT)) * 100.0) / m.n AS m3,
+               (SUM(CAST(FLOOR((e.value - m.mean_v) * (e.value - m.mean_v) * (e.value - m.mean_v) * (e.value - m.mean_v) * 0.0001 + 0.5) AS BIGINT)) * 10000.0) / m.n AS m4
         FROM events e JOIN m USING (event_type)
         WHERE e.value IS NOT NULL
         GROUP BY e.event_type, m.n, m.mean_v
@@ -319,9 +319,9 @@ def higher_moment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.join(F.broadcast(m), "event_type")
         .groupBy("event_type", "n", "mean_v")
         .agg(
-            (F.sum(F.round(d * d * 100, 0).cast("long")) / F.lit(100.0) / F.col("n")).alias("m2"),
-            (F.sum(F.round(d * d * d * 0.01, 0).cast("long")) * F.lit(100.0) / F.col("n")).alias("m3"),
-            (F.sum(F.round(d * d * d * d * 0.0001, 0).cast("long")) * F.lit(10000.0) / F.col("n")).alias("m4"),
+            (F.sum(F.floor(d * d * 100 + F.lit(0.5)).cast("long")) / F.lit(100.0) / F.col("n")).alias("m2"),
+            (F.sum(F.floor(d * d * d * 0.01 + F.lit(0.5)).cast("long")) * F.lit(100.0) / F.col("n")).alias("m3"),
+            (F.sum(F.floor(d * d * d * d * 0.0001 + F.lit(0.5)).cast("long")) * F.lit(10000.0) / F.col("n")).alias("m4"),
         )
     )
     return c.select(
@@ -355,8 +355,8 @@ def higher_moment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     m AS (
         SELECT col_a, col_b, COUNT(*) AS n,
-               (SUM(CAST(ROUND(va * 1000000) AS BIGINT)) / 1000000.0) / COUNT(*) AS ma,
-               (SUM(CAST(ROUND(vb * 1000000) AS BIGINT)) / 1000000.0) / COUNT(*) AS mb
+               (SUM(CAST(FLOOR(va * 1000000 + 0.5) AS BIGINT)) / 1000000.0) / COUNT(*) AS ma,
+               (SUM(CAST(FLOOR(vb * 1000000 + 0.5) AS BIGINT)) / 1000000.0) / COUNT(*) AS mb
         FROM p GROUP BY col_a, col_b
     )
     SELECT p.col_a, p.col_b,
@@ -409,7 +409,7 @@ def correlation_matrix_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     da, db = F.col("va") - F.col("ma"), F.col("vb") - F.col("mb")
     sc = F.lit(10**4)
-    ex = lambda e: F.sum(F.round(e * sc, 0).cast("long")) / sc.cast("double") / F.col("n")  # noqa: E731
+    ex = lambda e: F.sum(F.floor(e * sc + F.lit(0.5)).cast("long")) / sc.cast("double") / F.col("n")  # noqa: E731
     return (
         p.join(F.broadcast(m), ["col_a", "col_b"])
         .groupBy("col_a", "col_b", "n")

@@ -134,10 +134,10 @@ def bigram_perplexity_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     m AS (
         SELECT COUNT(*) AS n,
-               SUM(CAST(ROUND(x * 1000000.0, 0) AS BIGINT)) / 1000000.0 AS sx,
-               SUM(CAST(ROUND(y * 1000000.0, 0) AS BIGINT)) / 1000000.0 AS sy,
-               SUM(CAST(ROUND(x * x * 1000000.0, 0) AS BIGINT)) / 1000000.0 AS sxx,
-               SUM(CAST(ROUND(x * y * 1000000.0, 0) AS BIGINT)) / 1000000.0 AS sxy
+               SUM(CAST(FLOOR(x * 1000000.0 + 0.5) AS BIGINT)) / 1000000.0 AS sx,
+               SUM(CAST(FLOOR(y * 1000000.0 + 0.5) AS BIGINT)) / 1000000.0 AS sy,
+               SUM(CAST(FLOOR(x * x * 1000000.0 + 0.5) AS BIGINT)) / 1000000.0 AS sxx,
+               SUM(CAST(FLOOR(x * y * 1000000.0 + 0.5) AS BIGINT)) / 1000000.0 AS sxy
         FROM ranked
     )
     SELECT n AS n_vocab,
@@ -470,17 +470,17 @@ def bpe_apply_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     voc AS (SELECT COUNT(DISTINCT token) AS v FROM tc),
     cls AS (
         SELECT dc.lang,
-               CAST(ROUND(ln(CAST(dc.dc AS DOUBLE) / CAST(tot.td AS DOUBLE))
-                          * 1000000) AS BIGINT) AS prior_s,
-               CAST(ROUND(ln(CAST(ct.tok_c + voc.v AS DOUBLE))
-                          * 1000000) AS BIGINT) AS denom_s
+               CAST(FLOOR(ln(CAST(dc.dc AS DOUBLE) / CAST(tot.td AS DOUBLE))
+                          * 1000000 + 0.5) AS BIGINT) AS prior_s,
+               CAST(FLOOR(ln(CAST(ct.tok_c + voc.v AS DOUBLE))
+                          * 1000000 + 0.5) AS BIGINT) AS denom_s
         FROM docs_c dc JOIN cls_tok ct USING (lang) CROSS JOIN tot CROSS JOIN voc
     ),
     te_tok AS (SELECT doc_id, unnest(tk) AS token FROM d WHERE doc_id % 2 = 1),
     nd AS (SELECT doc_id, COUNT(*) AS n_tok FROM te_tok GROUP BY 1),
     hit AS (
         SELECT t.doc_id, c.lang,
-               CAST(SUM(CAST(ROUND(ln(CAST(c.c + 1 AS DOUBLE)) * 1000000)
+               CAST(SUM(CAST(FLOOR(ln(CAST(c.c + 1 AS DOUBLE)) * 1000000 + 0.5)
                              AS BIGINT)) AS BIGINT) AS hit_s
         FROM te_tok t JOIN tc c USING (token) GROUP BY 1, 2
     ),
@@ -518,7 +518,7 @@ def naive_bayes_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot = docs_c.groupBy().agg(F.sum("dc").cast("long").alias("td"))
     voc = tc.groupBy().agg(F.countDistinct("token").alias("v"))
 
-    s6 = lambda col: F.round(col * 1_000_000, 0).cast("long")  # noqa: E731
+    s6 = lambda col: F.floor(col * 1_000_000 + F.lit(0.5)).cast("long")  # noqa: E731
     cls = (
         docs_c.join(cls_tok, "lang")
         .crossJoin(F.broadcast(tot))

@@ -151,10 +151,10 @@ def _fixture_csvs(spark: SparkSession, sf_dir: str, src_dir: str) -> None:
     ), j AS (
         SELECT COUNT(*) AS n_jobs,
                COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS n_running,
-               SUM(CAST(ROUND(
+               SUM(CAST(FLOOR(
                    ((CAST(1704067200 + (o_orderkey % 2500000) AS DOUBLE) + o_totalprice)
                     - CAST(1704067200 + (o_orderkey % 2500000) AS DOUBLE))
-                   * CASE WHEN o_orderstatus <> 'O' THEN 10000 END) AS BIGINT)
+                   * CASE WHEN o_orderstatus <> 'O' THEN 10000 END + 0.5) AS BIGINT)
                ) / 10000.0 AS runtime_sec_total
         FROM orders
     )

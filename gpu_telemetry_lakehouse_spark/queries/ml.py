@@ -183,12 +183,12 @@ def als_recommend_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     scored AS (
         SELECT *,
-               CAST(ROUND((
+               CAST(FLOOR((
                    CAST(nl * nl - pl * pl - (nl - pl) * (nl - pl) AS DOUBLE)
                        / CAST(nl AS DOUBLE)
                    + CAST(nr * nr - pr * pr - (nr - pr) * (nr - pr) AS DOUBLE)
                        / CAST(nr AS DOUBLE)
-               ) * 1000000) AS BIGINT) AS gini_s
+               ) * 1000000 + 0.5) AS BIGINT) AS gini_s
         FROM cand
     ),
     best AS (
@@ -340,19 +340,19 @@ _T2 = """
     best0 AS (
         SELECT * FROM (
             SELECT *,
-                   CAST(ROUND((
+                   CAST(FLOOR((
                        CAST(nl*nl - pl*pl - (nl-pl)*(nl-pl) AS DOUBLE)
                            / CAST(nl AS DOUBLE)
                        + CAST(nr*nr - pr*pr - (nr-pr)*(nr-pr) AS DOUBLE)
                            / CAST(nr AS DOUBLE)
-                   ) * 1000000) AS BIGINT) AS gini_s,
+                   ) * 1000000 + 0.5) AS BIGINT) AS gini_s,
                    ROW_NUMBER() OVER (ORDER BY
-                       CAST(ROUND((
+                       CAST(FLOOR((
                            CAST(nl*nl - pl*pl - (nl-pl)*(nl-pl) AS DOUBLE)
                                / CAST(nl AS DOUBLE)
                            + CAST(nr*nr - pr*pr - (nr-pr)*(nr-pr) AS DOUBLE)
                                / CAST(nr AS DOUBLE)
-                       ) * 1000000) AS BIGINT), feature, threshold) AS rn
+                       ) * 1000000 + 0.5) AS BIGINT), feature, threshold) AS rn
             FROM cand0
         ) WHERE rn = 1
     ),
@@ -397,19 +397,19 @@ _T2 = """
     best2 AS (
         SELECT * FROM (
             SELECT *,
-                   CAST(ROUND((
+                   CAST(FLOOR((
                        CAST(nl*nl - pl*pl - (nl-pl)*(nl-pl) AS DOUBLE)
                            / CAST(nl AS DOUBLE)
                        + CAST(nr*nr - pr*pr - (nr-pr)*(nr-pr) AS DOUBLE)
                            / CAST(nr AS DOUBLE)
-                   ) * 1000000) AS BIGINT) AS gini_s,
+                   ) * 1000000 + 0.5) AS BIGINT) AS gini_s,
                    ROW_NUMBER() OVER (PARTITION BY side ORDER BY
-                       CAST(ROUND((
+                       CAST(FLOOR((
                            CAST(nl*nl - pl*pl - (nl-pl)*(nl-pl) AS DOUBLE)
                                / CAST(nl AS DOUBLE)
                            + CAST(nr*nr - pr*pr - (nr-pr)*(nr-pr) AS DOUBLE)
                                / CAST(nr AS DOUBLE)
-                       ) * 1000000) AS BIGINT), feature, threshold) AS rn
+                       ) * 1000000 + 0.5) AS BIGINT), feature, threshold) AS rn
             FROM cand2
         ) WHERE rn = 1
     )
@@ -579,21 +579,21 @@ def tree_depth2_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH m AS (
         SELECT l_returnflag,
                CAST(COUNT(*) AS BIGINT) AS n,
-               SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) / 100.0 AS sx,
-               SUM(CAST(ROUND(l_discount * 1000000) AS BIGINT)) / 1000000.0
+               SUM(CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT)) / 100.0 AS sx,
+               SUM(CAST(FLOOR(l_discount * 1000000 + 0.5) AS BIGINT)) / 1000000.0
                    AS sz,
-               SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) / 100.0 AS sy,
-               SUM(CAST(ROUND(l_quantity * l_quantity * 100) AS BIGINT))
+               SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)) / 100.0 AS sy,
+               SUM(CAST(FLOOR(l_quantity * l_quantity * 100 + 0.5) AS BIGINT))
                    / 100.0 AS sxx,
-               SUM(CAST(ROUND(l_discount * l_discount * 10000000000) AS BIGINT))
+               SUM(CAST(FLOOR(l_discount * l_discount * 10000000000 + 0.5) AS BIGINT))
                    / 10000000000.0 AS szz,
-               SUM(CAST(ROUND(l_quantity * l_discount * 100000000) AS BIGINT))
+               SUM(CAST(FLOOR(l_quantity * l_discount * 100000000 + 0.5) AS BIGINT))
                    / 100000000.0 AS sxz,
-               SUM(CAST(ROUND(l_quantity * l_extendedprice * 100) AS BIGINT))
+               SUM(CAST(FLOOR(l_quantity * l_extendedprice * 100 + 0.5) AS BIGINT))
                    / 100.0 AS sxy,
-               SUM(CAST(ROUND(l_discount * l_extendedprice * 10000) AS BIGINT))
+               SUM(CAST(FLOOR(l_discount * l_extendedprice * 10000 + 0.5) AS BIGINT))
                    / 10000.0 AS szy,
-               SUM(CAST(ROUND(l_extendedprice * l_extendedprice) AS BIGINT))
+               SUM(CAST(FLOOR(l_extendedprice * l_extendedprice + 0.5) AS BIGINT))
                    / 1.0 AS syy
         FROM lineitem GROUP BY l_returnflag
     ),

@@ -148,9 +148,9 @@ def chunk_documents_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     q AS (
         SELECT vec_id, scale,
-               list_transform(x, e -> CAST(ROUND(e / scale) AS INT)) AS qi,
+               list_transform(x, e -> CAST(FLOOR(e / scale + 0.5) AS INT)) AS qi,
                list_max(list_transform(x,
-                   e -> abs(e - ROUND(e / scale) * scale))) AS max_err
+                   e -> abs(e - FLOOR(e / scale + 0.5) * scale))) AS max_err
         FROM s
         WHERE scale > 0
     )
@@ -168,10 +168,10 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = emb.select("vec_id", x.alias("x"), scale.alias("scale")).filter(
         F.col("scale") > 0
     )
-    qi = F.transform("x", lambda e: F.round(e / F.col("scale"), 0).cast("int"))
+    qi = F.transform("x", lambda e: F.floor(e / F.col("scale") + F.lit(0.5)).cast("int"))
     err = F.array_max(
         F.transform(
-            "x", lambda e: F.abs(e - F.round(e / F.col("scale"), 0) * F.col("scale"))
+            "x", lambda e: F.abs(e - F.floor(e / F.col("scale") + F.lit(0.5)) * F.col("scale"))
         )
     )
     # two selects: aliasing ROUND(scale) as "scale" in the same projection
@@ -241,7 +241,7 @@ def sample_exact_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH d AS (
         SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS dt,
-               (SUM(CAST(ROUND(value * 1000000) AS BIGINT)) / 1000000.0)
+               (SUM(CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT)) / 1000000.0)
                    / COUNT(value) AS avg_v
         FROM events
         WHERE value IS NOT NULL
@@ -276,8 +276,8 @@ def ewma_daily_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     wexp = -F.datediff(F.col("dt"), F.col("dt_b"))
     weight = F.pow(F.lit(2.0), wexp.cast("double"))
     m = F.lit(10**9)
-    num = F.sum(F.round(F.col("avg_b") * weight * m, 0).cast("long")) / m.cast("double")
-    den = F.sum(F.round(weight * m, 0).cast("long")) / m.cast("double")
+    num = F.sum(F.floor(F.col("avg_b") * weight * m + F.lit(0.5)).cast("long")) / m.cast("double")
+    den = F.sum(F.floor(weight * m + F.lit(0.5)).cast("long")) / m.cast("double")
     return (
         j.groupBy("dt", "avg_v")
         .agg(F.round(num / den, 6).alias("ewma_v"))

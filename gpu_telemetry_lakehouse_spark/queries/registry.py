@@ -8,13 +8,14 @@ ANSI SQL DuckDB runs over the same parquet tables (driver contract in
 
 Float-determinism tactics (verified bit-exact vs DuckDB 1.0):
 - SUM/AVG over doubles: round the addend to a scaled BIGINT first
-  (``round(x * 10^d)`` is a pure function of the identical IEEE double on
+  (``floor(x * 10^d + 0.5)`` is a pure function of the identical IEEE double on
   both engines), sum the longs exactly (commutative — parallel fp addition
   order cannot matter), divide back in double. Long sums also stay
   codegen-native, where a decimal-staged sum is ~4x slower. For AVG divide
   the exact sum by the count in double arithmetic.
 - exact percentile: Spark ``percentile`` == DuckDB ``quantile_cont`` (both
-  interpolate the same order statistics); round(6) retained as belt-and-braces.
+  interpolate the same order statistics); round(x, 6) retained as
+  belt-and-braces on displayed doubles.
 - hash-derived ints: md5 hex -> bigint works identically on both engines
   (Spark ``conv(substring(md5(x),1,15),16,10)`` == DuckDB
   ``cast('0x'||substring(md5(x),1,15) as bigint)``).
@@ -56,17 +57,21 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # SQL fragment helpers shared by oracle strings -------------------------------
 
 def dsum(expr: str, alias: str, scale: int = 4) -> str:
-    """Bit-exact double sum, mirroring functions.exact_sum: round to a scaled
-    BIGINT (pure function of the identical IEEE double on both engines), sum
-    exactly, divide back in double."""
+    """Bit-exact double sum, mirroring functions.exact_sum: stage each addend
+    to a scaled BIGINT via floor(x*m + 0.5) (multiply/add/floor are exact
+    IEEE ops — identical on both engines by construction), sum exactly,
+    divide back in double."""
     m = 10**scale
-    return f"(SUM(CAST(ROUND(({expr}) * {m}) AS BIGINT)) / {float(m)}) AS {alias}"
+    return (
+        f"(SUM(CAST(FLOOR(({expr}) * {m} + 0.5) AS BIGINT))"
+        f" / {float(m)}) AS {alias}"
+    )
 
 
 def davg(expr: str, alias: str, scale: int = 6) -> str:
     """Bit-exact double mean, mirroring functions.exact_avg."""
     m = 10**scale
     return (
-        f"((SUM(CAST(ROUND(({expr}) * {m}) AS BIGINT)) / {float(m)})"
+        f"((SUM(CAST(FLOOR(({expr}) * {m} + 0.5) AS BIGINT)) / {float(m)})"
         f" / COUNT({expr})) AS {alias}"
     )

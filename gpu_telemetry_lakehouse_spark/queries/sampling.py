@@ -205,7 +205,7 @@ MIX_TOTAL = 200
     WITH ps AS (SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source),
     w AS (
         SELECT source, n_docs,
-               CAST(ROUND(sqrt(CAST(n_docs AS DOUBLE)) * 1000000) AS BIGINT) AS w
+               CAST(FLOOR(sqrt(CAST(n_docs AS DOUBLE)) * 1000000 + 0.5) AS BIGINT) AS w
         FROM ps
     ),
     tot AS (SELECT SUM(w) AS sum_w FROM w),
@@ -238,7 +238,7 @@ def alpha_mix_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
     per_src = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
     w = per_src.withColumn(
-        "w", F.round(F.sqrt(F.col("n_docs").cast("double")) * 1000000, 0).cast("long")
+        "w", F.floor(F.sqrt(F.col("n_docs").cast("double")) * 1000000 + F.lit(0.5)).cast("long")
     )
     tot = w.agg(F.sum("w").alias("sum_w"))
     quotas = w.crossJoin(F.broadcast(tot)).withColumn(

@@ -117,7 +117,7 @@ def _bm25_summed(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     summed AS (
         SELECT doc_id,
-               CAST(SUM(CAST(round(term_score * 1000000.0, 0) AS BIGINT)) AS DOUBLE)
+               CAST(SUM(CAST(floor(term_score * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
                    / 1000000.0 AS bm25
         FROM scored GROUP BY 1
     ),
@@ -371,11 +371,11 @@ def copurchase_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     sums AS (
         SELECT lag,
                COUNT(*) AS n,
-               CAST(SUM(CAST(round(x * 1000000.0, 0) AS BIGINT)) AS DOUBLE) / 1000000.0 AS sx,
-               CAST(SUM(CAST(round(y * 1000000.0, 0) AS BIGINT)) AS DOUBLE) / 1000000.0 AS sy,
-               CAST(SUM(CAST(round(x * y * 1000000.0, 0) AS BIGINT)) AS DOUBLE) / 1000000.0 AS sxy,
-               CAST(SUM(CAST(round(x * x * 1000000.0, 0) AS BIGINT)) AS DOUBLE) / 1000000.0 AS sxx,
-               CAST(SUM(CAST(round(y * y * 1000000.0, 0) AS BIGINT)) AS DOUBLE) / 1000000.0 AS syy
+               CAST(SUM(CAST(floor(x * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0 AS sx,
+               CAST(SUM(CAST(floor(y * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0 AS sy,
+               CAST(SUM(CAST(floor(x * y * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0 AS sxy,
+               CAST(SUM(CAST(floor(x * x * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0 AS sxx,
+               CAST(SUM(CAST(floor(y * y * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0 AS syy
         FROM pairs GROUP BY 1
     )
     SELECT lag, n,
@@ -535,14 +535,14 @@ def _pr_iter_sql(prev: str, out: str) -> str:
     return f"""
     {out} AS (
         SELECT n.user_id,
-               CAST(round((1.0 - {_PR_D}) * 1000000000000.0 / nn.n, 0) AS BIGINT)
-               + CAST(round({_PR_D} * CAST(COALESCE(c.contrib_l, 0) AS DOUBLE), 0)
+               CAST(floor((1.0 - {_PR_D}) * 1000000000000.0 / nn.n + 0.5) AS BIGINT)
+               + CAST(floor({_PR_D} * CAST(COALESCE(c.contrib_l, 0) AS DOUBLE) + 0.5)
                       AS BIGINT) AS rl
         FROM nodes n
         CROSS JOIN ncount nn
         LEFT JOIN (
             SELECT s.v AS user_id,
-                   SUM(CAST(round(CAST(p.rl AS DOUBLE) / d.deg, 0) AS BIGINT))
+                   SUM(CAST(floor(CAST(p.rl AS DOUBLE) / d.deg + 0.5) AS BIGINT))
                        AS contrib_l
             FROM sym s
             JOIN {prev} p ON p.user_id = s.u
@@ -564,7 +564,7 @@ def _pr_iter_sql(prev: str, out: str) -> str:
     deg AS (SELECT u AS user_id, COUNT(*) AS deg FROM sym GROUP BY 1),
     r0 AS (
         SELECT n.user_id,
-               CAST(round(1000000000000.0 / nn.n, 0) AS BIGINT) AS rl
+               CAST(floor(1000000000000.0 / nn.n + 0.5) AS BIGINT) AS rl
         FROM nodes n CROSS JOIN ncount nn
     ),
     {_pr_iter_sql("r0", "r1")},
@@ -583,7 +583,7 @@ def pagerank_cousers(spark: SparkSession, sf_dir: str) -> DataFrame:
     _S = 1_000_000_000_000.0  # rank scale: rl = rank × 1e12, exact in BIGINT
     ranks = nodes.crossJoin(F.broadcast(ncount)).select(
         "user_id",
-        F.round(F.lit(_S) / F.col("n"), 0).cast("long").alias("rl"),
+        F.floor(F.lit(_S) / F.col("n") + F.lit(0.5)).cast("long").alias("rl"),
     )
     for _ in range(3):
         contrib = (
@@ -594,7 +594,7 @@ def pagerank_cousers(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy(F.col("v").alias("user_id"))
             .agg(
                 F.sum(
-                    F.round(F.col("rl").cast("double") / F.col("deg"), 0).cast("long")
+                    F.floor(F.col("rl").cast("double") / F.col("deg") + F.lit(0.5)).cast("long")
                 ).alias("contrib_l")
             )
         )
@@ -604,7 +604,7 @@ def pagerank_cousers(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(
                 "user_id",
                 (
-                    F.round(F.lit((1.0 - _PR_D) * _S) / F.col("n"), 0).cast("long")
+                    F.floor(F.lit((1.0 - _PR_D) * _S) / F.col("n") + F.lit(0.5)).cast("long")
                     + F.round(
                         _PR_D
                         * F.coalesce(F.col("contrib_l"), F.lit(0)).cast("double"),
@@ -663,7 +663,7 @@ _RRF_QVEC = 0  # query = embedding of vec_id 0; doc ids align with vec ids
     lex AS (
         SELECT doc_id,
                ROW_NUMBER() OVER (
-                   ORDER BY CAST(SUM(CAST(round(term_score * 1000000.0, 0)
+                   ORDER BY CAST(SUM(CAST(floor(term_score * 1000000.0 + 0.5)
                                           AS BIGINT)) AS DOUBLE) DESC,
                             doc_id ASC) AS rk_lex
         FROM scored GROUP BY doc_id

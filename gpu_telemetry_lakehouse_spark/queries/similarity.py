@@ -276,14 +276,14 @@ def knn_cosine_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT label,
                CASE WHEN step = 0 THEN 0.0
                     ELSE list_max(list_transform(
-                        v, x -> abs(vmin + round((x - vmin) / step) * step - x)))
+                        v, x -> abs(vmin + floor((x - vmin) / step + 0.5) * step - x)))
                END AS maxerr
         FROM per
     )
     SELECT label,
            COUNT(*) AS n_vecs,
            ROUND(MAX(maxerr), 9) AS worst_err,
-           (SUM(CAST(ROUND((maxerr) * 1000000000) AS BIGINT)) / 1000000000.0)
+           (SUM(CAST(FLOOR((maxerr) * 1000000000 + 0.5) AS BIGINT)) / 1000000000.0)
                AS sum_err
     FROM err
     GROUP BY label
@@ -302,7 +302,7 @@ def embedding_quantize_error(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("v"),
                 lambda x: F.abs(
                     F.col("vmin")
-                    + F.round((x - F.col("vmin")) / F.col("step"), 0) * F.col("step")
+                    + F.floor((x - F.col("vmin")) / F.col("step") + F.lit(0.5)) * F.col("step")
                     - x
                 ),
             )
@@ -314,7 +314,7 @@ def embedding_quantize_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_vecs"),
             F.round(F.max("maxerr"), 9).alias("worst_err"),
-            (F.sum(F.round(F.col("maxerr") * 1_000_000_000, 0).cast("long")) / 1e9).alias(
+            (F.sum(F.floor(F.col("maxerr") * 1_000_000_000 + F.lit(0.5)).cast("long")) / 1e9).alias(
                 "sum_err"
             ),
         )
@@ -477,7 +477,7 @@ EVAL_K = 10
     ),
     dcg AS (
         SELECT query_id,
-               SUM(CAST(ROUND(rel / log2(CAST(rn AS DOUBLE) + 1.0) * 1000000000) AS BIGINT))
+               SUM(CAST(FLOOR(rel / log2(CAST(rn AS DOUBLE) + 1.0) * 1000000000 + 0.5) AS BIGINT))
                    / 1000000000.0 AS dcg,
                MIN(CASE WHEN rel = 1 THEN rn END) AS first_rel
         FROM top GROUP BY query_id
@@ -491,7 +491,7 @@ EVAL_K = 10
     ),
     idcg AS (
         SELECT rc.query_id,
-               SUM(CAST(ROUND(1.0 / log2(CAST(u.i AS DOUBLE) + 1.0) * 1000000000) AS BIGINT))
+               SUM(CAST(FLOOR(1.0 / log2(CAST(u.i AS DOUBLE) + 1.0) * 1000000000 + 0.5) AS BIGINT))
                    / 1000000000.0 AS idcg
         FROM rc CROSS JOIN UNNEST(range(1, LEAST(rc.r, {EVAL_K}) + 1)) AS u(i)
         GROUP BY rc.query_id
@@ -525,9 +525,8 @@ def knn_eval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
     dcg = top.groupBy("query_id").agg(
         (
             F.sum(
-                F.round(
-                    F.col("rel") / F.log2(F.col("rn").cast("double") + 1.0) * m, 0
-                ).cast("long")
+                F.floor(
+                    F.col("rel") / F.log2(F.col("rn").cast("double") + 1.0) * m + F.lit(0.5)).cast("long")
             )
             / m.cast("double")
         ).alias("dcg"),
@@ -549,7 +548,7 @@ def knn_eval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.sequence(F.lit(1), F.least(F.col("r"), F.lit(EVAL_K))),
                 F.lit(0).cast("long"),
                 lambda acc, i: acc
-                + F.round(1.0 / F.log2(i.cast("double") + 1.0) * m, 0).cast("long"),
+                + F.floor(1.0 / F.log2(i.cast("double") + 1.0) * m + F.lit(0.5)).cast("long"),
             )
             / m.cast("double")
         ).alias("idcg"),

@@ -87,7 +87,7 @@ def time_bucket_rollup_15m(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
     ).agg(
         F.count(F.lit(1)).alias("n"),
-        (F.sum(F.round(F.col("value") * 1_000_000, 0).cast("long")) / 1e6).alias("sum_value"),
+        (F.sum(F.floor(F.col("value") * 1_000_000 + F.lit(0.5)).cast("long")) / 1e6).alias("sum_value"),
     )
 
 
@@ -323,9 +323,9 @@ def regression_price_vs_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT e.event_type, b.lo, b.hi,
            COUNT(*) AS n,
-           (SUM(CAST(ROUND(e.value * 1000000) AS BIGINT)) / 1000000.0)
+           (SUM(CAST(FLOOR(e.value * 1000000 + 0.5) AS BIGINT)) / 1000000.0)
                / COUNT(*) AS raw_mean,
-           (SUM(CAST(ROUND(least(greatest(e.value, b.lo), b.hi) * 1000000)
+           (SUM(CAST(FLOOR(least(greatest(e.value, b.lo), b.hi) * 1000000 + 0.5)
                      AS BIGINT)) / 1000000.0) / COUNT(*) AS winsorized_mean
     FROM events e JOIN b USING (event_type)
     WHERE e.value IS NOT NULL
@@ -457,7 +457,7 @@ def key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH r AS (
         SELECT o_custkey,
-               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev_c
+               CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS rev_c
         FROM orders GROUP BY o_custkey
     ),
     ranked AS (
@@ -484,7 +484,7 @@ def pareto_customer_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     o = load_table(spark, sf_dir, "orders")
     r = o.groupBy("o_custkey").agg(
-        F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long")).alias("rev_c")
+        F.sum(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")).alias("rev_c")
     )
     wr = W.orderBy(F.col("rev_c").desc(), "o_custkey")
     ranked = (
@@ -625,7 +625,7 @@ def mad_value_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH d AS (
         SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS dt,
-               CAST(SUM(CAST(ROUND(value * 1000000) AS BIGINT)) AS BIGINT) AS s,
+               CAST(SUM(CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT)) AS BIGINT) AS s,
                COUNT(*) AS n
         FROM events WHERE value IS NOT NULL GROUP BY 1, 2
     ),
@@ -665,7 +665,7 @@ def cusum_change_point(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_type", F.date_trunc("day", "ts").alias("dt"), "value")
     )
     d = ev.groupBy("event_type", "dt").agg(
-        F.sum(F.round(F.col("value") * 1000000, 0).cast("long")).alias("s"),
+        F.sum(F.floor(F.col("value") * 1000000 + F.lit(0.5)).cast("long")).alias("s"),
         F.count(F.lit(1)).alias("n"),
     )
     g = d.groupBy("event_type").agg(
@@ -713,7 +713,7 @@ def cusum_change_point(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT o_custkey,
                MAX(o_orderdate) AS last_order,
                COUNT(*) AS freq,
-               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS mon_c
+               CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS mon_c
         FROM orders GROUP BY o_custkey
     ),
     t AS (
@@ -736,7 +736,7 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = o.groupBy("o_custkey").agg(
         F.max("o_orderdate").alias("last_order"),
         F.count(F.lit(1)).alias("freq"),
-        F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long")).alias("mon_c"),
+        F.sum(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")).alias("mon_c"),
     )
     t = (
         base.withColumn(
@@ -895,7 +895,7 @@ def ship_latency_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH rev AS (
         SELECT s.s_nationkey, l.l_suppkey,
-               SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 100.0, 0)
+               SUM(CAST(FLOOR(l.l_extendedprice * (1 - l.l_discount) * 100.0 + 0.5)
                         AS BIGINT)) AS cents
         FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
         GROUP BY 1, 2
@@ -921,9 +921,8 @@ def hhi_supplier_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("s_nationkey", "l_suppkey")
         .agg(
             F.sum(
-                F.round(
-                    F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100.0, 0
-                ).cast("long")
+                F.floor(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100.0 + F.lit(0.5)).cast("long")
             ).alias("cents")
         )
     )
@@ -968,7 +967,7 @@ def tdigest_daily_value_p95(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH y AS (
         SELECT p.p_brand,
                year(l.l_shipdate) AS yr,
-               CAST(SUM(CAST(ROUND(l.l_extendedprice * 100.0, 0) AS BIGINT))
+               CAST(SUM(CAST(FLOOR(l.l_extendedprice * 100.0 + 0.5) AS BIGINT))
                     AS BIGINT) AS rev_cents,
                CAST(SUM(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS qty
         FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
@@ -1004,7 +1003,7 @@ def revenue_bridge_price_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
         .groupBy("p_brand", F.year("l_shipdate").alias("yr"))
         .agg(
-            F.sum(F.round(F.col("l_extendedprice") * 100.0, 0).cast("long"))
+            F.sum(F.floor(F.col("l_extendedprice") * 100.0 + F.lit(0.5)).cast("long"))
             .cast("long")
             .alias("rev_cents"),
             F.sum(F.col("l_quantity").cast("long")).cast("long").alias("qty"),

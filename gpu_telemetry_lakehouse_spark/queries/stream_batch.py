@@ -17,7 +17,7 @@ from .registry import query
     SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_start,
            event_type,
            COUNT(*) AS n,
-           (SUM(CAST(ROUND(value * 1000000) AS BIGINT)) / 1000000.0) AS sum_value
+           (SUM(CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT)) / 1000000.0) AS sum_value
     FROM events
     GROUP BY 1, 2
     """,
@@ -41,7 +41,7 @@ def events_hourly_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT win_start, event_type,
            COUNT(*) AS n,
-           (SUM(CAST(ROUND(value * 1000000) AS BIGINT)) / 1000000.0) AS sum_value
+           (SUM(CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT)) / 1000000.0) AS sum_value
     FROM w
     GROUP BY 1, 2
     """,

@@ -266,7 +266,7 @@ def editdist_join_partnames(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT c.c_mktsegment,
            COUNT(*) AS n_events,
            COUNT(DISTINCT e.user_token) AS n_tokens,
-           (SUM(CAST(ROUND(e.value * 1000000) AS BIGINT)) / 1000000.0) AS sum_value
+           (SUM(CAST(FLOOR(e.value * 1000000 + 0.5) AS BIGINT)) / 1000000.0) AS sum_value
     FROM e JOIN c USING (user_token)
     WHERE e.value IS NOT NULL
     GROUP BY c.c_mktsegment
@@ -296,7 +296,7 @@ def pseudonymized_join_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_events"),
             F.countDistinct("user_token").alias("n_tokens"),
             (
-                F.sum(F.round(F.col("value") * 1000000, 0).cast("long")) / 1000000.0
+                F.sum(F.floor(F.col("value") * 1000000 + F.lit(0.5)).cast("long")) / 1000000.0
             ).alias("sum_value"),
         )
     )

@@ -95,8 +95,8 @@ def order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT
         {dsum("CASE WHEN p.p_type = 'PROMO' THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0 END", "promo_revenue")},
         {dsum("l.l_extendedprice * (1 - l.l_discount)", "total_revenue")},
-        (100.0 * (SUM(CAST(ROUND((CASE WHEN p.p_type = 'PROMO' THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0 END) * 10000) AS BIGINT)) / 10000.0)
-               / (SUM(CAST(ROUND((l.l_extendedprice * (1 - l.l_discount)) * 10000) AS BIGINT)) / 10000.0)) AS promo_share_pct
+        (100.0 * (SUM(CAST(FLOOR((CASE WHEN p.p_type = 'PROMO' THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0 END) * 10000 + 0.5) AS BIGINT)) / 10000.0)
+               / (SUM(CAST(FLOOR((l.l_extendedprice * (1 - l.l_discount)) * 10000 + 0.5) AS BIGINT)) / 10000.0)) AS promo_share_pct
     FROM lineitem l
     JOIN part p ON p.p_partkey = l.l_partkey
     """,
@@ -392,7 +392,7 @@ def supplier_churn_9798(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT vec_id, label,
            len(embedding) AS dim,
            CAST(list_sum(list_transform(embedding,
-               x -> CAST(ROUND(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) * 1000000) AS BIGINT)
+               x -> CAST(FLOOR(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT)
            )) AS BIGINT) AS sq_norm_scaled
     FROM embeddings
     ORDER BY sq_norm_scaled DESC, vec_id
@@ -405,7 +405,7 @@ def array_norms_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     sq = F.aggregate(
         F.col("embedding"),
         F.lit(0).cast("long"),
-        lambda acc, x: acc + F.round(xd(x) * xd(x) * 1000000).cast("long"),
+        lambda acc, x: acc + F.floor(xd(x) * xd(x) * 1000000 + F.lit(0.5)).cast("long"),
     )
     return (
         emb.select(
@@ -557,7 +557,7 @@ def sql_scripting_adaptive_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
 # check covers the sugar's semantics, not a hand-translated equivalent.
 _GBA_SQL = """
     SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
-           (SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) / CAST(100 AS DOUBLE)) AS sum_price
+           (SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) / CAST(100 AS DOUBLE)) AS sum_price
     FROM orders
     GROUP BY ALL
     ORDER BY ALL

@@ -146,7 +146,7 @@ def _job_days(jobs: DataFrame) -> DataFrame:
                CAST(date_trunc('day', e.ts) AS TIMESTAMP) AS dt,
                COUNT(*) AS n,
                COUNT(e.value) AS nv,
-               SUM(CAST(ROUND(least(e.value, 100.0) * 1000000) AS BIGINT)) AS su
+               SUM(CAST(FLOOR(least(e.value, 100.0) * 1000000 + 0.5) AS BIGINT)) AS su
         FROM jobs j
         JOIN events e
           ON e.user_id = j.user_id

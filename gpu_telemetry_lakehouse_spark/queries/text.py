@@ -308,7 +308,7 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT doc_id,
            COUNT(*) AS n_tokens,
-           (SUM(CAST(ROUND((lp) * 1000000) AS BIGINT)) / 1000000.0) AS sum_logprob,
+           (SUM(CAST(FLOOR((lp) * 1000000 + 0.5) AS BIGINT)) / 1000000.0) AS sum_logprob,
            ROUND((SUM(CAST(ROUND((lp) * 1000000) AS BIGINT)) / 1000000.0)
                  / COUNT(*), 6) AS avg_logprob
     FROM per_tok
@@ -325,7 +325,7 @@ def doc_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     # third scan of the raw token stream
     tot = freq.groupBy().agg(F.sum("c").alias("n"))
     lp = F.log(F.col("c").cast("double") / F.col("n").cast("double"))
-    scaled = F.sum(F.round(lp * 1_000_000, 0).cast("long")) / 1e6
+    scaled = F.sum(F.floor(lp * 1_000_000 + F.lit(0.5)).cast("long")) / 1e6
     return (
         tok.join(F.broadcast(freq), "token")
         .crossJoin(F.broadcast(tot))
@@ -554,9 +554,9 @@ def doc_length_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         LEFT JOIN c ON c.source = st.source AND c.lang = lt.lang
     )
     SELECT source, CAST(MAX(s_tot) AS BIGINT) AS n_docs,
-           (SUM(CAST(ROUND(abs(CAST(n AS DOUBLE) / CAST(s_tot AS DOUBLE)
+           (SUM(CAST(FLOOR(abs(CAST(n AS DOUBLE) / CAST(s_tot AS DOUBLE)
                                - CAST(l_tot AS DOUBLE) / CAST(g_tot AS DOUBLE))
-                           * 1000000) AS BIGINT)) / 1000000.0) AS l1_drift
+                           * 1000000 + 0.5) AS BIGINT)) / 1000000.0) AS l1_drift
     FROM cells GROUP BY source
     """,
 )
@@ -585,7 +585,7 @@ def source_lang_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return cells.groupBy("source").agg(
         F.max("s_tot").alias("n_docs"),
-        (F.sum(F.round(dp * 1000000, 0).cast("long")) / 1000000.0).alias("l1_drift"),
+        (F.sum(F.floor(dp * 1000000 + F.lit(0.5)).cast("long")) / 1000000.0).alias("l1_drift"),
     )
 
 
@@ -847,7 +847,7 @@ def multimodal_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                    list_transform(
                        list_transform(list_distinct(ch),
                            u -> len(list_filter(ch, x -> x = u))),
-                       k -> CAST(ROUND(k * ln(k) * 1e12, 0) AS BIGINT)),
+                       k -> CAST(FLOOR(k * ln(k) * 1e12 + 0.5) AS BIGINT)),
                    'sum') AS s
         FROM c
     )
@@ -877,9 +877,8 @@ def char_entropy_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode_outer(ch).alias("c"),
     )
     cnt = ex.groupBy("doc_id", "is_null", "c").agg(F.count("c").alias("k"))
-    term = F.round(
-        F.col("k").cast("double") * F.log(F.col("k").cast("double")) * 1e12, 0
-    ).cast("long")
+    term = F.floor(
+        F.col("k").cast("double") * F.log(F.col("k").cast("double")) * 1e12 + F.lit(0.5)).cast("long")
     d = cnt.groupBy("doc_id", "is_null").agg(
         F.sum(F.when(F.col("k") > 0, term)).alias("s"),
         F.sum("k").alias("n"),

@@ -25,7 +25,7 @@ from .registry import query
     WITH hourly AS (
         SELECT event_type, date_trunc('hour', ts) AS hour_start,
                COUNT(*) AS n,
-               SUM(CAST(ROUND(value * 1000000, 0) AS BIGINT)) / 1e6 AS sum_value
+               SUM(CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT)) / 1e6 AS sum_value
         FROM events
         GROUP BY 1, 2
     ),
@@ -60,7 +60,7 @@ def gapfill_hourly_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", F.date_trunc("hour", "ts").alias("hour_start")
     ).agg(
         F.count(F.lit(1)).alias("n"),
-        (F.sum(F.round(F.col("value") * 1_000_000, 0).cast("long")) / 1e6).alias(
+        (F.sum(F.floor(F.col("value") * 1_000_000 + F.lit(0.5)).cast("long")) / 1e6).alias(
             "sum_value"
         ),
     )
@@ -97,9 +97,9 @@ def gapfill_hourly_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH base AS (
         SELECT l_returnflag,
-               SUM(CAST(ROUND(l_quantity, 0) AS BIGINT)) AS sum_qty,
-               SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)) AS sum_price_c,
-               SUM(CAST(ROUND(l_discount * 100, 0) AS BIGINT)) AS sum_disc_c
+               SUM(CAST(FLOOR(l_quantity + 0.5) AS BIGINT)) AS sum_qty,
+               SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)) AS sum_price_c,
+               SUM(CAST(FLOOR(l_discount * 100 + 0.5) AS BIGINT)) AS sum_disc_c
         FROM lineitem GROUP BY l_returnflag
     )
     SELECT l_returnflag, 'sum_qty' AS measure, CAST(sum_qty AS DOUBLE) AS amount FROM base
@@ -112,11 +112,11 @@ def gapfill_hourly_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
 def unpivot_flag_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     base = li.groupBy("l_returnflag").agg(
-        F.sum(F.round("l_quantity", 0).cast("long")).alias("sum_qty"),
-        F.sum(F.round(F.col("l_extendedprice") * 100, 0).cast("long")).alias(
+        F.sum(F.floor(F.col("l_quantity") + F.lit(0.5)).cast("long")).alias("sum_qty"),
+        F.sum(F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long")).alias(
             "sum_price_c"
         ),
-        F.sum(F.round(F.col("l_discount") * 100, 0).cast("long")).alias("sum_disc_c"),
+        F.sum(F.floor(F.col("l_discount") * 100 + F.lit(0.5)).cast("long")).alias("sum_disc_c"),
     )
     return base.unpivot(
         ids=["l_returnflag"],
@@ -654,7 +654,7 @@ def top_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT event_type,
                CAST(date_trunc('day', ts) AS TIMESTAMP) AS dt,
                CAST(EXTRACT(isodow FROM ts) AS BIGINT) AS dow,
-               CAST(SUM(CAST(ROUND(value * 1000000) AS BIGINT)) AS BIGINT) AS s,
+               CAST(SUM(CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT)) AS BIGINT) AS s,
                COUNT(*) AS n
         FROM events WHERE value IS NOT NULL GROUP BY 1, 2, 3
     ),
@@ -683,7 +683,7 @@ def weekday_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     d = ev.groupBy("event_type", "dt", "dow").agg(
-        F.sum(F.round(F.col("value") * 1000000, 0).cast("long")).alias("s"),
+        F.sum(F.floor(F.col("value") * 1000000 + F.lit(0.5)).cast("long")).alias("s"),
         F.count(F.lit(1)).alias("n"),
     )
     base = d.groupBy("event_type", "dow").agg(
@@ -765,11 +765,11 @@ def daily_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     fit AS (
         SELECT event_type, MAX(last_d) AS last_d, COUNT(*) AS n,
-               SUM(CAST(ROUND(x * 1000000.0, 0) AS BIGINT)) / 1000000.0 AS sx,
-               SUM(CAST(ROUND(CAST(y AS DOUBLE) * 1000000.0, 0) AS BIGINT))
+               SUM(CAST(FLOOR(x * 1000000.0 + 0.5) AS BIGINT)) / 1000000.0 AS sx,
+               SUM(CAST(FLOOR(CAST(y AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT))
                    / 1000000.0 AS sy,
-               SUM(CAST(ROUND(x * x * 1000000.0, 0) AS BIGINT)) / 1000000.0 AS sxx,
-               SUM(CAST(ROUND(x * CAST(y AS DOUBLE) * 1000000.0, 0) AS BIGINT))
+               SUM(CAST(FLOOR(x * x * 1000000.0 + 0.5) AS BIGINT)) / 1000000.0 AS sxx,
+               SUM(CAST(FLOOR(x * CAST(y AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT))
                    / 1000000.0 AS sxy,
                MAX(x) AS max_x
         FROM idx GROUP BY 1
@@ -783,8 +783,8 @@ def daily_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     seas AS (
         SELECT i.event_type, isodow(i.d) AS wd,
-               SUM(CAST(ROUND((CAST(i.y AS DOUBLE)
-                    - (c.intercept + c.slope * i.x)) * 1000000.0, 0) AS BIGINT))
+               SUM(CAST(FLOOR((CAST(i.y AS DOUBLE)
+                    - (c.intercept + c.slope * i.x)) * 1000000.0 + 0.5) AS BIGINT))
                    / 1000000.0 / COUNT(*) AS offset
         FROM idx i JOIN coef c USING (event_type)
         GROUP BY 1, 2
@@ -1122,7 +1122,7 @@ def kaplan_meier_fulfillment(spark: SparkSession, sf_dir: str) -> DataFrame:
         1.0 - F.col("d").cast("double") / F.col("n_at_risk").cast("double")
     )
     surv = F.exp(
-        F.sum(F.round(lnterm * 1_000_000_000.0, 0).cast("long")).over(wcum)
+        F.sum(F.floor(lnterm * 1_000_000_000.0 + F.lit(0.5)).cast("long")).over(wcum)
         / 1e9
     )
     return risk.select(
@@ -1211,8 +1211,8 @@ def peak_concurrent_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH RECURSIVE seq AS (
         SELECT user_id, event_id,
-               CAST(ROUND(CASE WHEN event_type IN ('purchase','signup')
-                    THEN value ELSE -value END * 100) AS BIGINT) AS delta,
+               CAST(FLOOR(CASE WHEN event_type IN ('purchase','signup')
+                    THEN value ELSE -value END * 100 + 0.5) AS BIGINT) AS delta,
                ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
         FROM events WHERE value IS NOT NULL
     ),
@@ -1285,7 +1285,7 @@ def clamped_balance_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH RECURSIVE seq AS (
         SELECT event_type, date_trunc('day', ts) AS d,
-               (SUM(CAST(ROUND(value * 1000000, 0) AS BIGINT)) / 1e6)
+               (SUM(CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT)) / 1e6)
                    / COUNT(value) AS x,
                ROW_NUMBER() OVER (PARTITION BY event_type
                                   ORDER BY date_trunc('day', ts)) AS rn
@@ -1310,7 +1310,7 @@ def ewma_recursive_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", F.date_trunc("day", "ts").alias("d")
     ).agg(
         (
-            F.sum(F.round(F.col("value") * 1e6, 0).cast("long"))
+            F.sum(F.floor(F.col("value") * 1e6 + F.lit(0.5)).cast("long"))
             / F.lit(1e6)
             / F.count("value")
         ).alias("x")
@@ -1355,7 +1355,7 @@ def ewma_recursive_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH RECURSIVE seq AS (
         SELECT event_type, date_trunc('day', ts) AS d,
-               (SUM(CAST(ROUND(value * 1000000, 0) AS BIGINT)) / 1e6)
+               (SUM(CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT)) / 1e6)
                    / COUNT(value) AS x,
                ROW_NUMBER() OVER (PARTITION BY event_type
                                   ORDER BY date_trunc('day', ts)) AS rn
@@ -1391,7 +1391,7 @@ def holt_linear_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", F.date_trunc("day", "ts").alias("d")
     ).agg(
         (
-            F.sum(F.round(F.col("value") * 1e6, 0).cast("long"))
+            F.sum(F.floor(F.col("value") * 1e6 + F.lit(0.5)).cast("long"))
             / F.lit(1e6)
             / F.count("value")
         ).alias("x")
@@ -1473,7 +1473,7 @@ def holt_linear_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT channel,
            CAST(COUNT(ts_t) AS BIGINT) AS n_touches,
-           SUM(CAST(ROUND(wt * 1e9, 0) AS BIGINT)) / 1e9 AS credit
+           SUM(CAST(FLOOR(wt * 1e9 + 0.5) AS BIGINT)) / 1e9 AS credit
     FROM w GROUP BY channel ORDER BY channel
     """,
 )
@@ -1519,7 +1519,7 @@ def attribution_position_based(spark: SparkSession, sf_dir: str) -> DataFrame:
         w.groupBy("channel")
         .agg(
             F.count("ts_t").cast("long").alias("n_touches"),
-            (F.sum(F.round(F.col("wt") * 1e9, 0).cast("long")) / F.lit(1e9)).alias(
+            (F.sum(F.floor(F.col("wt") * 1e9 + F.lit(0.5)).cast("long")) / F.lit(1e9)).alias(
                 "credit"
             ),
         )

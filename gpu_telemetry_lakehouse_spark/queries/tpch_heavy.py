@@ -92,8 +92,8 @@ def nation_pair_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE r.r_name = 'ASIA'
     )
     SELECT o_year,
-           ((SUM(CAST(ROUND((CASE WHEN supp_nation = 'NATION_1' THEN volume ELSE 0 END) * 10000) AS BIGINT)) / 10000.0)
-            / (SUM(CAST(ROUND(volume * 10000) AS BIGINT)) / 10000.0)) AS mkt_share
+           ((SUM(CAST(FLOOR((CASE WHEN supp_nation = 'NATION_1' THEN volume ELSE 0 END) * 10000 + 0.5) AS BIGINT)) / 10000.0)
+            / (SUM(CAST(FLOOR(volume * 10000 + 0.5) AS BIGINT)) / 10000.0)) AS mkt_share
     FROM base
     GROUP BY o_year
     ORDER BY o_year
@@ -448,7 +448,7 @@ def cheapest_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT l_partkey, part_value
     FROM val
     WHERE part_value > (
-        SELECT (SUM(CAST(ROUND(part_value * 10000) AS BIGINT)) / 10000.0)
+        SELECT (SUM(CAST(FLOOR(part_value * 10000 + 0.5) AS BIGINT)) / 10000.0)
         FROM val
     ) * 0.001
     ORDER BY part_value DESC, l_partkey
@@ -500,7 +500,7 @@ def important_parts_value_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH t AS (
         SELECT l_partkey,
-               0.2 * ((SUM(CAST(ROUND(l_quantity * 1000000) AS BIGINT)) / 1000000.0)
+               0.2 * ((SUM(CAST(FLOOR(l_quantity * 1000000 + 0.5) AS BIGINT)) / 1000000.0)
                       / COUNT(l_quantity)) AS qty_thresh
         FROM lineitem GROUP BY l_partkey
     )
@@ -581,13 +581,13 @@ def brand_band_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dormant_customer_balances",
     oracle="""
     WITH avg_bal AS (
-        SELECT (SUM(CAST(ROUND(c_acctbal * 1000000) AS BIGINT)) / 1000000.0)
+        SELECT (SUM(CAST(FLOOR(c_acctbal * 1000000 + 0.5) AS BIGINT)) / 1000000.0)
                / COUNT(c_acctbal) AS ab
         FROM customer WHERE c_acctbal > 0.0
     )
     SELECT CAST(c.c_nationkey % 5 AS INT) AS country_band,
            CAST(COUNT(*) AS BIGINT) AS n_custs,
-           (SUM(CAST(ROUND(c.c_acctbal * 10000) AS BIGINT)) / 10000.0) AS total_bal
+           (SUM(CAST(FLOOR(c.c_acctbal * 10000 + 0.5) AS BIGINT)) / 10000.0) AS total_bal
     FROM customer c CROSS JOIN avg_bal
     WHERE c.c_acctbal > avg_bal.ab
       AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey

@@ -78,9 +78,9 @@ def udtf_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
     "udaf_weighted_avg_price",
     oracle="""
     SELECT l_returnflag,
-           (CAST(SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)
-                     * CAST(ROUND(l_quantity, 0) AS BIGINT)) AS DOUBLE)
-            / CAST(SUM(CAST(ROUND(l_quantity, 0) AS BIGINT)) AS DOUBLE)) / 100.0
+           (CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)
+                     * CAST(FLOOR(l_quantity + 0.5) AS BIGINT)) AS DOUBLE)
+            / CAST(SUM(CAST(FLOOR(l_quantity + 0.5) AS BIGINT)) AS DOUBLE)) / 100.0
                AS w_avg_price
     FROM lineitem
     GROUP BY l_returnflag

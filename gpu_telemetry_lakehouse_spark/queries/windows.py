@@ -51,7 +51,7 @@ def window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     "window_rolling_metrics",
     oracle="""
     SELECT event_id,
-           ((SUM(CAST(ROUND(value * 1000000) AS BIGINT)) OVER w10 / 1000000.0)
+           ((SUM(CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT)) OVER w10 / 1000000.0)
              / COUNT(value) OVER w10) AS avg10_value,
            LAG(value) OVER w AS prev_value,
            epoch_us(ts) - LAG(epoch_us(ts)) OVER w AS delta_us,
@@ -70,7 +70,7 @@ def window_rolling_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.select(
         "event_id",
         (
-            (F.sum(F.round(F.col("value") * 1_000_000, 0).cast("long")).over(w10) / 1e6)
+            (F.sum(F.floor(F.col("value") * 1_000_000 + F.lit(0.5)).cast("long")).over(w10) / 1e6)
             / F.count("value").over(w10)
         ).alias("avg10_value"),
         F.lag("value").over(w).alias("prev_value"),
@@ -122,10 +122,10 @@ def window_daily_momentum(spark: SparkSession, sf_dir: str) -> DataFrame:
            RANK() OVER w AS rk,
            DENSE_RANK() OVER w AS drk,
            NTILE(4) OVER w AS quartile,
-           ROUND((RANK() OVER w - 1) * 1000000.0
-                 / NULLIF(COUNT(*) OVER p - 1, 0)) / 1000000.0 AS pct_rank,
-           ROUND(RANK() OVER w * 1000000.0
-                 / COUNT(*) OVER p) / 1000000.0 AS cume,
+           FLOOR((RANK() OVER w - 1) * 1000000.0
+                 / NULLIF(COUNT(*) OVER p - 1, 0) + 0.5) / 1000000.0 AS pct_rank,
+           FLOOR(RANK() OVER w * 1000000.0
+                 / COUNT(*) OVER p + 0.5) / 1000000.0 AS cume,
            FIRST_VALUE(o_orderkey) OVER w AS top_key
     FROM orders
     WINDOW w AS (PARTITION BY o_orderpriority
@@ -150,14 +150,14 @@ def window_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
         # integer ratios; native round(percent_rank(), 6) hits decimal
         # midpoints (41/640 = .0640625) where Spark's shortest-repr HALF_UP
         # and DuckDB's exact-expansion rounding disagree in the 6th decimal
-        F.round(
+        F.floor(
             (F.rank().over(w) - 1)
             * 1e6
             / F.nullif(F.count(F.lit(1)).over(p) - 1, F.lit(0))
-        ).alias("__pr6"),
-        F.round(
+         + F.lit(0.5)).alias("__pr6"),
+        F.floor(
             F.rank().over(w) * 1e6 / F.count(F.lit(1)).over(p)
-        ).alias("__cd6"),
+         + F.lit(0.5)).alias("__cd6"),
         F.first("o_orderkey").over(w).alias("top_key"),
     ).select(
         "o_orderkey",
@@ -182,7 +182,7 @@ def window_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_id, user_id,
            COUNT(*) OVER w AS n_trailing_1h,
-           (SUM(CAST(ROUND(value * 1000000) AS BIGINT)) OVER w) / 1000000.0
+           (SUM(CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT)) OVER w) / 1000000.0
                AS sum_trailing_1h
     FROM events
     WINDOW w AS (PARTITION BY user_id ORDER BY epoch(ts)
@@ -204,7 +204,7 @@ def window_trailing_hour_range(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         "user_id",
         F.count(F.lit(1)).over(w).alias("n_trailing_1h"),
-        (F.sum(F.round(F.col("value") * 1_000_000, 0).cast("long")).over(w) / 1e6).alias(
+        (F.sum(F.floor(F.col("value") * 1_000_000 + F.lit(0.5)).cast("long")).over(w) / 1e6).alias(
             "sum_trailing_1h"
         ),
     )

@@ -38,7 +38,7 @@ def hourly_agg(df: DataFrame) -> DataFrame:
         df.groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            (F.sum(F.round(F.col("value") * 1_000_000, 0).cast("long")) / 1e6).alias("sum_value"),
+            (F.sum(F.floor(F.col("value") * 1_000_000 + F.lit(0.5)).cast("long")) / 1e6).alias("sum_value"),
         )
         .select(F.col("win.start").alias("hour_start"), "event_type", "n", "sum_value")
     )
@@ -105,7 +105,7 @@ def sliding_value_rate(df: DataFrame, length: str = "2 hours", slide: str = "1 h
         df.groupBy(F.window("ts", length, slide).alias("win"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            (F.sum(F.round(F.col("value") * 1_000_000, 0).cast("long")) / 1e6).alias("sum_value"),
+            (F.sum(F.floor(F.col("value") * 1_000_000 + F.lit(0.5)).cast("long")) / 1e6).alias("sum_value"),
         )
         .select(F.col("win.start").alias("win_start"), "event_type", "n", "sum_value")
     )

@@ -547,7 +547,7 @@ def test_kmeans_full_fit_partition_invariant_and_matches_reference(spark, sf_dir
         for c in range(4):
             mem = M[assign == c]
             if len(mem):
-                cents[c] = np.round(mem * 1e7).sum(axis=0) / 1e7 / len(mem)
+                cents[c] = np.floor(mem * 1e7 + 0.5).sum(axis=0) / 1e7 / len(mem)
     assert np.allclose(np.array(c1), cents, atol=1e-9)
 
 
