@@ -160,6 +160,10 @@ _SECOND_TIER: list[str] = [
     "lift_gains_price_returns",
     "ols_price_qty_discount",
     "bfs_reach_layers",
+    "kaplan_meier_signup_purchase",
+    "spearman_price_qty",
+    "gini_customer_revenue",
+    "anomaly_daily_robust",
     "array_norms_vectors",
     # web-crawl curation (URL canonicalization/dedup, blocklist) — late
     # round-3 family; the LLM-pipeline categories above stay green

@@ -833,3 +833,281 @@ def lift_gains_price_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("cum_lift"),
     ).orderBy("decile")
+
+
+# --- Kaplan-Meier survival estimator -----------------------------------------
+# Time-to-first-purchase after signup with right censoring at the corpus
+# horizon — the product-limit estimator computed as ONE distributed
+# aggregation chain: per-user durations (two conditional-min aggs, the
+# funnel idiom), a day-granular event/censor histogram, then n-at-risk and
+# the survival product via cumulative windows over the BOUNDED duration
+# frame. The product folds as exp(cumsum(ln(1 - d/n))) with each ln term
+# floored to a 1e-12-scaled BIGINT (the KL idiom), so partial order cannot
+# move a bit; day rows where the factor hits zero short-circuit to S=0 on
+# both engines identically.
+@query(
+    "kaplan_meier_signup_purchase",
+    oracle="""
+    WITH horizon AS (SELECT MAX(ts) AS tmax FROM events),
+    per_user AS (
+        SELECT user_id,
+               MIN(CASE WHEN event_type = 'signup' THEN ts END) AS t0,
+               MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS tp
+        FROM events GROUP BY user_id
+    ),
+    cohort AS (
+        SELECT u.user_id,
+               CASE WHEN u.tp IS NOT NULL AND u.tp > u.t0
+                    THEN CAST(FLOOR(CAST(epoch_us(u.tp) - epoch_us(u.t0)
+                              AS DOUBLE) / 86400000000.0) AS BIGINT)
+                    ELSE CAST(FLOOR(CAST(epoch_us(h.tmax) - epoch_us(u.t0)
+                              AS DOUBLE) / 86400000000.0) AS BIGINT)
+               END AS dur,
+               CASE WHEN u.tp IS NOT NULL AND u.tp > u.t0 THEN 1 ELSE 0
+               END AS ev
+        FROM per_user u, horizon h WHERE u.t0 IS NOT NULL
+    ),
+    hist AS (
+        SELECT dur, CAST(SUM(ev) AS BIGINT) AS d_events,
+               CAST(SUM(1 - ev) AS BIGINT) AS d_censored
+        FROM cohort GROUP BY dur
+    ),
+    risk AS (
+        SELECT dur, d_events, d_censored,
+               CAST(SUM(d_events + d_censored) OVER () AS BIGINT)
+                   - CAST(COALESCE(SUM(d_events + d_censored) OVER (
+                         ORDER BY dur
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                     ), 0) AS BIGINT) AS n_risk
+        FROM hist
+    ),
+    terms AS (
+        SELECT dur, d_events, d_censored, n_risk,
+               CASE WHEN d_events >= n_risk THEN NULL
+                    ELSE CAST(FLOOR(ln(1.0 - CAST(d_events AS DOUBLE)
+                         / CAST(n_risk AS DOUBLE)) * 1e12 + 0.5) AS BIGINT)
+               END AS lnterm,
+               CAST(SUM(CASE WHEN d_events >= n_risk THEN 1 ELSE 0 END)
+                    OVER (ORDER BY dur) AS BIGINT) AS dead
+        FROM risk
+    )
+    SELECT dur AS day, d_events, d_censored, n_risk,
+           CASE WHEN dead > 0 THEN 0.0
+                ELSE ROUND(exp((CAST(SUM(lnterm) OVER (ORDER BY dur)
+                     AS DOUBLE)) / 1e12), 6)
+           END AS survival
+    FROM terms
+    WHERE d_events > 0
+    ORDER BY day
+    """,
+)
+def kaplan_meier_signup_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    horizon = ev.agg(F.max("ts").alias("tmax"))
+    per_user = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias("t0"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "tp"
+        ),
+    )
+    has_event = F.col("tp").isNotNull() & (F.col("tp") > F.col("t0"))
+    cohort = (
+        per_user.filter(F.col("t0").isNotNull())
+        .crossJoin(F.broadcast(horizon))
+        .select(
+            F.when(
+                has_event,
+                F.floor(
+                    (
+                        F.unix_micros("tp") - F.unix_micros("t0")
+                    ).cast("double")
+                    / 86400000000.0
+                ),
+            )
+            .otherwise(
+                F.floor(
+                    (
+                        F.unix_micros("tmax") - F.unix_micros("t0")
+                    ).cast("double")
+                    / 86400000000.0
+                )
+            )
+            .cast("long")
+            .alias("dur"),
+            F.when(has_event, 1).otherwise(0).alias("ev"),
+        )
+    )
+    hist = cohort.groupBy("dur").agg(
+        F.sum("ev").cast("long").alias("d_events"),
+        F.sum(1 - F.col("ev")).cast("long").alias("d_censored"),
+    )
+    wall = W.orderBy("dur").rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    wprev = W.orderBy("dur").rowsBetween(W.unboundedPreceding, -1)
+    wcum = W.orderBy("dur").rowsBetween(W.unboundedPreceding, 0)
+    tot = F.col("d_events") + F.col("d_censored")
+    risk = hist.select(
+        "dur",
+        "d_events",
+        "d_censored",
+        (
+            F.sum(tot).over(wall).cast("long")
+            - F.coalesce(F.sum(tot).over(wprev), F.lit(0)).cast("long")
+        ).alias("n_risk"),
+    )
+    lnterm = F.when(
+        F.col("d_events") >= F.col("n_risk"), F.lit(None)
+    ).otherwise(
+        F.floor(
+            F.log(
+                1.0
+                - F.col("d_events").cast("double") / F.col("n_risk").cast("double")
+            )
+            * 1e12
+            + F.lit(0.5)
+        ).cast("long")
+    )
+    terms = risk.select(
+        "dur",
+        "d_events",
+        "d_censored",
+        "n_risk",
+        lnterm.alias("lnterm"),
+        F.sum(
+            F.when(F.col("d_events") >= F.col("n_risk"), 1).otherwise(0)
+        )
+        .over(wcum)
+        .cast("long")
+        .alias("dead"),
+    )
+    return (
+        terms.select(
+            F.col("dur").alias("day"),
+            "d_events",
+            "d_censored",
+            "n_risk",
+            F.when(F.col("dead") > 0, F.lit(0.0))
+            .otherwise(
+                F.round(
+                    F.exp(
+                        F.sum("lnterm").over(wcum).cast("double") / 1e12
+                    ),
+                    6,
+                )
+            )
+            .alias("survival"),
+            F.col("d_events").alias("_de"),
+        )
+        .filter(F.col("_de") > 0)
+        .drop("_de")
+        .orderBy("day")
+    )
+
+
+# --- Spearman rank correlation (exact midranks) ------------------------------
+# Tie-corrected Spearman rho WITHOUT a global per-row sort: midranks come
+# from each column's DISTINCT-VALUE histogram (the AUC idiom) — cumulative
+# counts over the bounded value frame give 2*midrank as an exact integer,
+# broadcast-joined back to the fact rows. The five rank moments then fold
+# in one map-side-partial aggregation (all BIGINT: with 2*rank <= 2n the
+# squared sums stay under 2^63 to ~1e6 rows per... at 6e5 rows sf0.1 the
+# largest moment is ~9e17; beyond ~7e5 rows stage through decimal or the
+# two-phase dense_ids path), and rho's closed form evaluates on the 1-row
+# result in identical double arithmetic.
+@query(
+    "spearman_price_qty",
+    oracle="""
+    WITH src AS (
+        SELECT l_quantity AS x, l_extendedprice AS y FROM lineitem
+    ),
+    hx AS (
+        SELECT x, CAST(COUNT(*) AS BIGINT) AS c FROM src GROUP BY x
+    ),
+    rx AS (
+        SELECT x,
+               2 * CAST(COALESCE(SUM(c) OVER (
+                   ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) AS BIGINT) + c + 1 AS r2
+        FROM hx
+    ),
+    hy AS (
+        SELECT y, CAST(COUNT(*) AS BIGINT) AS c FROM src GROUP BY y
+    ),
+    ry AS (
+        SELECT y,
+               2 * CAST(COALESCE(SUM(c) OVER (
+                   ORDER BY y ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) AS BIGINT) + c + 1 AS r2
+        FROM hy
+    ),
+    m AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(rx.r2) AS BIGINT) AS sx,
+               CAST(SUM(ry.r2) AS BIGINT) AS sy,
+               CAST(SUM(rx.r2 * ry.r2) AS BIGINT) AS sxy,
+               CAST(SUM(rx.r2 * rx.r2) AS BIGINT) AS sxx,
+               CAST(SUM(ry.r2 * ry.r2) AS BIGINT) AS syy
+        FROM src JOIN rx ON rx.x = src.x JOIN ry ON ry.y = src.y
+    )
+    SELECT n,
+           ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / SQRT((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                        * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+               AS rho_spearman
+    FROM m
+    """,
+)
+def spearman_price_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    src = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_quantity").alias("x"), F.col("l_extendedprice").alias("y")
+    )
+
+    def midranks(col: str) -> DataFrame:
+        h = src.groupBy(col).agg(F.count(F.lit(1)).cast("long").alias("c"))
+        wprev = W.orderBy(col).rowsBetween(W.unboundedPreceding, -1)
+        return h.select(
+            col,
+            (
+                2 * F.coalesce(F.sum("c").over(wprev), F.lit(0)).cast("long")
+                + F.col("c")
+                + 1
+            ).alias("r2"),
+        )
+
+    rx = midranks("x").withColumnRenamed("r2", "rx2")
+    ry = midranks("y").withColumnRenamed("r2", "ry2")
+    # rx (quantity) is genuinely tiny -> force broadcast; ry's histogram is
+    # row-sized for a near-continuous column, so let AQE pick its strategy
+    # (broadcast at test scale, shuffle join at corpus scale).
+    m = (
+        src.join(F.broadcast(rx), "x")
+        .join(ry, "y")
+        .groupBy()
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("rx2").cast("long").alias("sx"),
+            F.sum("ry2").cast("long").alias("sy"),
+            F.sum(F.col("rx2") * F.col("ry2")).cast("long").alias("sxy"),
+            F.sum(F.col("rx2") * F.col("rx2")).cast("long").alias("sxx"),
+            F.sum(F.col("ry2") * F.col("ry2")).cast("long").alias("syy"),
+        )
+    )
+    nd = F.col("n").cast("double")
+    sxd, syd = F.col("sx").cast("double"), F.col("sy").cast("double")
+    return m.select(
+        "n",
+        F.round(
+            (nd * F.col("sxy").cast("double") - sxd * syd)
+            / F.sqrt(
+                (nd * F.col("sxx").cast("double") - sxd * sxd)
+                * (nd * F.col("syy").cast("double") - syd * syd)
+            ),
+            6,
+        ).alias("rho_spearman"),
+    )

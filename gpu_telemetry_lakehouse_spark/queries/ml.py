@@ -685,3 +685,76 @@ def ols_price_qty_discount(spark: SparkSession, sf_dir: str) -> DataFrame:
             "r2"
         ),
     ).orderBy("l_returnflag")
+
+
+# --- robust anomaly days (MAD z-score) ---------------------------------------
+# The ORACLE-CHECKABLE twin of the rows-only IsolationForest flag
+# (`anomaly_daily`): flag days whose mean value deviates from the series
+# median by more than 3 robust sigmas (1.4826 * MAD). Same gold-rollup
+# input, same "which days are anomalous" product question, but every step
+# is SQL-expressible — two exact interpolated-percentile passes (median,
+# then median absolute deviation) over the BOUNDED daily frame, deviations
+# compared on identically-rounded 6dp bounds so the flag cannot flip
+# across engines. Reference: ml/score_cluster_anomalies.py:44-48 flags via
+# sklearn; this is the distribution-free alternative a SQL engine ships.
+@query(
+    "anomaly_daily_robust",
+    oracle=f"""
+    WITH daily AS (
+        SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS dt,
+               {{davg}}
+        FROM events WHERE value IS NOT NULL GROUP BY 1
+    ),
+    med AS (
+        SELECT ROUND(quantile_cont(avg_value, 0.5), 6) AS med_v FROM daily
+    ),
+    dev AS (
+        SELECT d.dt, d.avg_value, m.med_v,
+               ROUND(ABS(d.avg_value - m.med_v), 6) AS absdev
+        FROM daily d, med m
+    ),
+    mad AS (SELECT ROUND(quantile_cont(absdev, 0.5), 6) AS mad_v FROM dev)
+    SELECT d.dt, ROUND(d.avg_value, 6) AS avg_value,
+           CASE WHEN d.absdev > ROUND(3.0 * 1.4826 * m.mad_v, 6)
+                THEN 1 ELSE 0 END AS anomaly_flag
+    FROM dev d, mad m
+    ORDER BY d.dt
+    """.replace("{davg}", "(SUM(CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT)) / 1000000.0) / COUNT(value) AS avg_value"),
+)
+def anomaly_daily_robust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions import exact_avg
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    # the daily frame feeds three consumers (median agg, deviation frame,
+    # final projection) — checkpoint so the events scan+rollup runs once,
+    # not per consumer (the semdedup shared-frame idiom)
+    daily = (
+        ev.groupBy(F.date_trunc("day", "ts").cast("timestamp").alias("dt"))
+        .agg(exact_avg("value", 6).alias("avg_value"))
+        .localCheckpoint(eager=False)
+    )
+    med = daily.agg(
+        F.round(F.expr("percentile(avg_value, 0.5)"), 6).alias("med_v")
+    )
+    dev = daily.crossJoin(F.broadcast(med)).select(
+        "dt",
+        "avg_value",
+        "med_v",
+        F.round(F.abs(F.col("avg_value") - F.col("med_v")), 6).alias("absdev"),
+    )
+    mad = dev.agg(
+        F.round(F.expr("percentile(absdev, 0.5)"), 6).alias("mad_v")
+    )
+    return (
+        dev.crossJoin(F.broadcast(mad))
+        .select(
+            "dt",
+            F.round("avg_value", 6).alias("avg_value"),
+            F.when(
+                F.col("absdev") > F.round(3.0 * 1.4826 * F.col("mad_v"), 6), 1
+            )
+            .otherwise(0)
+            .alias("anomaly_flag"),
+        )
+        .orderBy("dt")
+    )

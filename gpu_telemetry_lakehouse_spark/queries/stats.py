@@ -1309,3 +1309,73 @@ def business_day_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+# --- Gini coefficient (revenue inequality) -----------------------------------
+# The single-number companion to `pareto_customer_revenue`'s head-share
+# curve: G = (2 * sum(i * x_i) / (n * sum(x)) - (n + 1) / n) over customers
+# ranked by revenue. Everything before the final division is exact BIGINT
+# (revenue in cents, ranks from a deterministic (revenue, custkey) order),
+# so ties cannot flip the rank sum across engines. The global window runs
+# over the customer ROLLUP (bounded), not the order stream.
+@query(
+    "gini_customer_revenue",
+    oracle="""
+    WITH rev AS (
+        SELECT o_custkey,
+               CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM orders GROUP BY o_custkey
+    ),
+    ranked AS (
+        SELECT cents,
+               CAST(ROW_NUMBER() OVER (ORDER BY cents, o_custkey) AS BIGINT)
+                   AS rk
+        FROM rev
+    ),
+    s AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(cents) AS BIGINT) AS tot,
+               CAST(SUM(rk * cents) AS BIGINT) AS wsum
+        FROM ranked
+    )
+    SELECT n, tot AS total_cents,
+           ROUND(2.0 * CAST(wsum AS DOUBLE)
+                 / (CAST(n AS DOUBLE) * CAST(tot AS DOUBLE))
+                 - (CAST(n AS DOUBLE) + 1.0) / CAST(n AS DOUBLE), 6) AS gini
+    FROM s
+    """,
+)
+def gini_customer_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    orders = load_table(spark, sf_dir, "orders")
+    rev = orders.groupBy("o_custkey").agg(
+        F.sum(
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+        )
+        .cast("long")
+        .alias("cents")
+    )
+    ranked = rev.select(
+        "cents",
+        F.row_number()
+        .over(W.orderBy("cents", "o_custkey"))
+        .cast("long")
+        .alias("rk"),
+    )
+    s = ranked.groupBy().agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("cents").cast("long").alias("tot"),
+        F.sum(F.col("rk") * F.col("cents")).cast("long").alias("wsum"),
+    )
+    nd = F.col("n").cast("double")
+    return s.select(
+        "n",
+        F.col("tot").alias("total_cents"),
+        F.round(
+            2.0 * F.col("wsum").cast("double") / (nd * F.col("tot").cast("double"))
+            - (nd + 1.0) / nd,
+            6,
+        ).alias("gini"),
+    )
