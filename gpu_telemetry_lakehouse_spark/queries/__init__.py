@@ -164,6 +164,7 @@ _SECOND_TIER: list[str] = [
     "spearman_price_qty",
     "gini_customer_revenue",
     "anomaly_daily_robust",
+    "cv_regression_price_qty",
     "array_norms_vectors",
     # web-crawl curation (URL canonicalization/dedup, blocklist) — late
     # round-3 family; the LLM-pipeline categories above stay green

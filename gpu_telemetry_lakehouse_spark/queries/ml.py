@@ -758,3 +758,125 @@ def anomaly_daily_robust(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("dt")
     )
+
+
+# --- k-fold cross-validation as aggregation ----------------------------------
+# 5-fold CV of the price~quantity regression WITHOUT training 5 times:
+# raw moments fold additively, so each fold's TRAIN moments are the grand
+# totals minus that fold's moments (exact BIGINT subtraction — one
+# aggregation pass yields all five complement fits). The second pass joins
+# the 5-row fit table back (broadcast) and scores per-fold test MSE with
+# the staged-residual sum. Fold assignment is the entity-keyed md5 % 5
+# (whole orders stay in one fold — the split train_val_test_split uses).
+# This is the model-selection loop a SQL-first pipeline runs: 2 passes
+# over the corpus total, whatever k is.
+@query(
+    "cv_regression_price_qty",
+    oracle="""
+    WITH src AS (
+        SELECT CAST(('0x' || substring(md5(CAST(l_orderkey AS VARCHAR)), 1, 15))
+                    AS BIGINT) % 5 AS fold,
+               l_quantity AS x, l_extendedprice AS y
+        FROM lineitem
+    ),
+    fm AS (
+        SELECT fold, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(FLOOR(x * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sx,
+               CAST(SUM(CAST(FLOOR(y * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sy,
+               CAST(SUM(CAST(FLOOR(x * x * 100 + 0.5) AS BIGINT)) AS BIGINT)
+                   AS sxx,
+               CAST(SUM(CAST(FLOOR(x * y * 100 + 0.5) AS BIGINT)) AS BIGINT)
+                   AS sxy
+        FROM src GROUP BY fold
+    ),
+    tot AS (
+        SELECT CAST(SUM(n) AS BIGINT) AS n, CAST(SUM(sx) AS BIGINT) AS sx,
+               CAST(SUM(sy) AS BIGINT) AS sy, CAST(SUM(sxx) AS BIGINT) AS sxx,
+               CAST(SUM(sxy) AS BIGINT) AS sxy
+        FROM fm
+    ),
+    fit AS (
+        SELECT f.fold,
+               (CAST(t.n - f.n AS DOUBLE) * CAST(t.sxy - f.sxy AS DOUBLE)
+                - CAST(t.sx - f.sx AS DOUBLE) * CAST(t.sy - f.sy AS DOUBLE))
+               / (CAST(t.n - f.n AS DOUBLE) * CAST(t.sxx - f.sxx AS DOUBLE)
+                  - CAST(t.sx - f.sx AS DOUBLE) * CAST(t.sx - f.sx AS DOUBLE))
+                   AS slope100,
+               f.n AS n_test
+        FROM fm f, tot t
+    ),
+    fit2 AS (
+        SELECT fit.fold, fit.n_test, fit.slope100,
+               (CAST(t.sy - f.sy AS DOUBLE) / 100.0
+                - fit.slope100 * (CAST(t.sx - f.sx AS DOUBLE) / 100.0))
+               / CAST(t.n - f.n AS DOUBLE) AS intercept
+        FROM fit JOIN fm f ON f.fold = fit.fold CROSS JOIN tot t
+    )
+    SELECT s.fold, f2.n_test,
+           ROUND(f2.slope100, 6) AS slope,
+           ROUND(f2.intercept, 4) AS intercept,
+           ROUND((SUM(CAST(FLOOR((s.y - (f2.intercept + f2.slope100 * s.x))
+                                 * (s.y - (f2.intercept + f2.slope100 * s.x))
+                                 + 0.5) AS BIGINT)) / 1.0)
+                 / CAST(f2.n_test AS DOUBLE), 2) AS test_mse
+    FROM src s JOIN fit2 f2 ON f2.fold = s.fold
+    GROUP BY s.fold, f2.n_test, f2.slope100, f2.intercept
+    ORDER BY s.fold
+    """,
+)
+def cv_regression_price_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions import md5_int
+
+    li = load_table(spark, sf_dir, "lineitem")
+    src = li.select(
+        (md5_int(F.col("l_orderkey").cast("string")) % 5).alias("fold"),
+        F.col("l_quantity").alias("x"),
+        F.col("l_extendedprice").alias("y"),
+    )
+    stage = lambda e, m: F.floor(e * m + F.lit(0.5)).cast("long")  # noqa: E731
+    fm = src.groupBy("fold").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(stage(F.col("x"), 100)).cast("long").alias("sx"),
+        F.sum(stage(F.col("y"), 100)).cast("long").alias("sy"),
+        F.sum(stage(F.col("x") * F.col("x"), 100)).cast("long").alias("sxx"),
+        F.sum(stage(F.col("x") * F.col("y"), 100)).cast("long").alias("sxy"),
+    )
+    tot = fm.groupBy().agg(
+        F.sum("n").cast("long").alias("tn"),
+        F.sum("sx").cast("long").alias("tsx"),
+        F.sum("sy").cast("long").alias("tsy"),
+        F.sum("sxx").cast("long").alias("tsxx"),
+        F.sum("sxy").cast("long").alias("tsxy"),
+    )
+    c = fm.crossJoin(F.broadcast(tot))
+    dn = (F.col("tn") - F.col("n")).cast("double")
+    dsx = (F.col("tsx") - F.col("sx")).cast("double")
+    dsy = (F.col("tsy") - F.col("sy")).cast("double")
+    dsxx = (F.col("tsxx") - F.col("sxx")).cast("double")
+    dsxy = (F.col("tsxy") - F.col("sxy")).cast("double")
+    slope = (dn * dsxy - dsx * dsy) / (dn * dsxx - dsx * dsx)
+    fit2 = c.select(
+        "fold",
+        F.col("n").alias("n_test"),
+        slope.alias("slope100"),
+        ((dsy / 100.0 - slope * (dsx / 100.0)) / dn).alias("intercept"),
+    )
+    resid = F.col("y") - (F.col("intercept") + F.col("slope100") * F.col("x"))
+    return (
+        src.join(F.broadcast(fit2), "fold")
+        .groupBy("fold", "n_test", "slope100", "intercept")
+        .agg(
+            (
+                (F.sum(F.floor(resid * resid + F.lit(0.5)).cast("long")) / 1.0)
+                / F.col("n_test").cast("double")
+            ).alias("mse_raw")
+        )
+        .select(
+            "fold",
+            "n_test",
+            F.round("slope100", 6).alias("slope"),
+            F.round("intercept", 4).alias("intercept"),
+            F.round("mse_raw", 2).alias("test_mse"),
+        )
+        .orderBy("fold")
+    )
