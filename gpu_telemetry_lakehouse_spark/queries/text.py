@@ -902,21 +902,24 @@ def char_entropy_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- multimodal perceptual-hash near-dup -------------------------------------
 # Image near-duplicate detection end-to-end through the REAL codec path:
-# deterministic textured images are synthesized executor-side per doc (odd
-# doc_ids get their even neighbor's image with 12 pixel-pair swaps), PPM-
-# encoded, re-decoded by the numpy kernel, pHash'd (32x32 luma DCT, median-
-# thresholded 8x8 low-frequency block), then paired by 16-bit LSH bands +
-# bit_count(xor) <= 6 verification — the SimHash banding idiom, so candidate
-# generation is an equi-join, never all-pairs. The twin noise swaps pixels
-# WITHIN one 2-px box-resample cell: real byte-level perturbation, but every
-# 32x32 luma cell sum is provably unchanged, so twin codes are EXACTLY equal
-# (free-form ±1 noise measured up to 10 flipped bits — the median threshold
-# is knife-edged where AC coefficients tie at the median, so an idealized
-# pair-set oracle needs resolution-bounded noise). Measured cross-image
-# margin: Hamming >= 12 over all 2500 sf0.1 bases, so tau=6 cannot admit a
-# false pair. The oracle asserts the exact (even, even+1) pair set
-# relationally, hash-certifying the WHOLE chain (synth -> encode -> decode
-# -> DCT -> band join -> verify): any codec or hash regression breaks it.
+# deterministic textured images are synthesized executor-side per doc, the
+# odd doc carrying its even neighbor's PIXELS IN A DIFFERENT CONTAINER
+# (BMP vs PPM — different magic, header, bottom-up row order, BGR channel
+# order: the payloads share no bytes). Both decode through the sniffing
+# numpy kernel, get pHash'd (32x32 luma DCT, median-thresholded 8x8
+# low-frequency block), and pair by 16-bit LSH bands + bit_count(xor) <= 6
+# verification — the SimHash banding idiom, so candidate generation is an
+# equi-join, never all-pairs. The container-change twin keeps codes EXACTLY
+# equal by construction (identical decoded array), which is what an
+# idealized pair-set oracle needs: pixel-level noise is only APPROXIMATELY
+# hash-invariant — free-form ±1 noise measured up to 10 flipped bits and
+# even sum-preserving within-resample-cell pixel swaps flipped 2-4 bits on
+# 13 of 2500 sf0.1 pairs (float32 per-pixel luma rounding moves cell sums
+# an ulp, and median-tied DCT coefficients sit on the knife edge).
+# Measured cross-image margin: Hamming >= 12 over all 2500 sf0.1 bases, so
+# tau=6 cannot admit a false pair. The oracle asserts the exact
+# (even, even+1) pair set relationally, hash-certifying the WHOLE chain
+# (synth -> two encoders -> sniff+decode -> DCT -> band join -> verify).
 @query(
     "multimodal_phash_neardup",
     oracle="""
@@ -941,7 +944,7 @@ def multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         import numpy as np
 
-        from ..operators.media_codecs import encode_ppm
+        from ..operators.media_codecs import encode_bmp, encode_ppm
 
         def render(base: int) -> np.ndarray:
             dig = hashlib.md5(str(base).encode()).digest()
@@ -959,16 +962,13 @@ def multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             for did in pdf["doc_id"]:
                 did = int(did)
                 img = render(did - (did % 2))
-                if did % 2:
-                    # swap the two pixels of one x-resample cell (64->32
-                    # src cells are [2i, 2i+1]): cell sums — hence the luma
-                    # grid and the phash — are exactly invariant
-                    for k in range(12):
-                        yy, xi, cc = (7 * k) % 48, (11 * k) % 32, k % 3
-                        a_px = img[yy, 2 * xi, cc]
-                        img[yy, 2 * xi, cc] = img[yy, 2 * xi + 1, cc]
-                        img[yy, 2 * xi + 1, cc] = a_px
-                rows.append((did, encode_ppm(img)))
+                # odd docs carry the SAME pixels in a DIFFERENT container
+                # (BMP vs PPM): payloads share no bytes (different magic,
+                # header, bottom-up row order, BGR channel order), but the
+                # decoded array — hence the phash — is identical by
+                # construction, so the expected pair set is exact.
+                payload = encode_bmp(img) if did % 2 else encode_ppm(img)
+                rows.append((did, payload))
             yield pd.DataFrame(rows, columns=["media_id", "payload"])
 
     media = docs.mapInPandas(synth, schema="media_id long, payload binary")

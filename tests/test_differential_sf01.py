@@ -76,6 +76,16 @@ HEAVY_SLICE = [
     # capped edge semantics agree across engines (pagerank/kcore/label_prop
     # already in the slice prove it for the shared helper)
     "triangle_count_cousers",
+    # end-of-round-3 additions >1s serial at sf0.1 (FP-Growth model refit,
+    # image synth->decode->pHash chain, 3-round BFS, two-pass CV, 10-moment
+    # OLS). The phash run matters most here: sf0.1's 2500 image bases are
+    # where the cross-pair Hamming margin (>=12) was measured.
+    "fp_growth_brand_itemsets",
+    "multimodal_phash_neardup",
+    "bfs_reach_layers",
+    "cv_regression_price_qty",
+    "ols_price_qty_discount",
+    "lift_gains_price_returns",
     # setsim_join_prefix deliberately NOT here: the synthetic docs corpus is
     # a ~30-token vocabulary soup, the worst case for prefix filtering
     # (every pair is a candidate) — ~160 s at sf0.1, dominated by the naive

@@ -221,11 +221,12 @@ def test_wav_empty_data_chunk_rejected():
 
 
 def test_phash64_properties():
-    """pHash kernel contract: (a) deterministic signed-64 code; (b) exactly
-    invariant to pixel swaps inside one box-resample cell (the resolution
-    bound the multimodal_phash_neardup oracle relies on); (c) sensitive to
-    genuinely different textures; (d) robust through a PPM encode/decode
-    roundtrip."""
+    """pHash kernel contract: (a) deterministic signed-64 code; (b) near-
+    invariant to pixel swaps inside one box-resample cell (sum-preserving in
+    exact arithmetic; float32 per-pixel luma rounding can still flip a
+    knife-edge bit or two, which is why the multimodal_phash_neardup oracle
+    twins via container change, not pixel noise); (c) sensitive to genuinely
+    different textures; (d) robust through a PPM encode/decode roundtrip."""
     import numpy as np
 
     from gpu_telemetry_lakehouse_spark.operators import media_codecs as C
@@ -244,7 +245,8 @@ def test_phash64_properties():
         a_px = swapped[yy, 2 * xi, cc]
         swapped[yy, 2 * xi, cc] = swapped[yy, 2 * xi + 1, cc]
         swapped[yy, 2 * xi + 1, cc] = a_px
-    assert C.phash64(swapped) == code
+    ham = bin((C.phash64(swapped) ^ code) & ((1 << 64) - 1)).count("1")
+    assert ham <= 2, ham
 
     other = rng.randint(0, 256, size=(48, 64, 3)).astype(np.uint8)
     ham = bin((C.phash64(other) ^ code) & ((1 << 64) - 1)).count("1")
