@@ -291,7 +291,11 @@ def _commit(
                     "the table and retry the operation"
                 )
         version = (versions[-1] + 1) if versions else 0
-        entry = dict(actions, version=version)
+        entry = dict(
+            actions,
+            version=version,
+            ts=_dt.datetime.now(_dt.timezone.utc).isoformat(),
+        )
         try:
             fd = os.open(_entry_path(path, version), os.O_CREAT | os.O_EXCL | os.O_WRONLY)
         except FileExistsError:
@@ -638,12 +642,37 @@ def compact(spark: SparkSession, path: str, stat_cols: list[str] | None = None) 
     )
 
 
+def version_at(path: str, ts) -> int:
+    """TIMESTAMP AS OF resolution (Delta/Iceberg semantic): the latest
+    version whose commit timestamp is <= ``ts`` (datetime or ISO string,
+    naive values treated as UTC). Commits predating the ts field count as
+    arbitrarily old. Raises ValueError when ``ts`` precedes every commit."""
+    if isinstance(ts, str):
+        ts = _dt.datetime.fromisoformat(ts)
+    if ts.tzinfo is None:
+        ts = ts.replace(tzinfo=_dt.timezone.utc)
+    best = None
+    for v in _list_versions(path):
+        e_ts = _read_entry(path, v).get("ts")
+        if e_ts is not None:
+            committed = _dt.datetime.fromisoformat(e_ts)
+            if committed.tzinfo is None:
+                committed = committed.replace(tzinfo=_dt.timezone.utc)
+            if committed > ts:
+                break  # versions commit in time order; later ones only newer
+        best = v
+    if best is None:
+        raise ValueError(f"no snapshot of {path} exists at or before {ts}")
+    return best
+
+
 def read(
     spark: SparkSession,
     path: str,
     version: int | None = None,
     between: tuple[str, object, object] | None = None,
     eq: tuple[str, object] | None = None,
+    as_of: object | None = None,
 ) -> DataFrame:
     """Read a snapshot. ``between=(col, lo, hi)`` additionally prunes files
     whose footer [min,max] cannot overlap — log-level data skipping; the
@@ -654,7 +683,12 @@ def read(
     skipped — this prunes high-cardinality equality probes on UNSORTED
     layouts where every file's [min,max] overlaps and range skipping is
     useless. min/max (when logged) and the re-applied filter still back it
-    up, so a missing or saturated bloom only costs performance."""
+    up, so a missing or saturated bloom only costs performance.
+    ``as_of`` (datetime or ISO string) is TIMESTAMP AS OF time travel —
+    mutually exclusive with ``version``."""
+    if as_of is not None:
+        assert version is None, "pass either version or as_of, not both"
+        version = version_at(path, as_of)
     files = snapshot_files(path, version)
     if between is not None:
         col, lo, hi = between
@@ -974,6 +1008,7 @@ def history(path: str) -> list[dict]:
             {
                 "version": v,
                 "operation": e.get("operation"),
+                "ts": e.get("ts"),
                 "n_added": len(e.get("add", [])),
                 "n_removed": len(e.get("remove", [])),
             }

@@ -1480,3 +1480,32 @@ def test_schema_enforcement_rejects_drift(spark, sf_dir, tbl):
         tbl,
     )
     assert T.read(spark, tbl).count() == 17
+
+
+def test_timestamp_as_of_time_travel(spark, sf_dir, tbl):
+    """TIMESTAMP AS OF: commits record a UTC timestamp; read(as_of=ts)
+    resolves the latest snapshot at-or-before ts, a ts before the first
+    commit raises, and a future ts reads the tip."""
+    import datetime as dt
+
+    o = _orders(spark, sf_dir).limit(30)
+    T.create_table(o.limit(10), tbl)
+    T.append(o.limit(20).subtract(o.limit(10)), tbl)
+    T.append(o.subtract(o.limit(20)), tbl)
+    hist = T.history(tbl)
+    assert [h["version"] for h in hist] == [0, 1, 2]
+    assert all(h["ts"] is not None for h in hist)
+
+    # exactly at each commit's own timestamp -> that version
+    for h, want in zip(hist, (10, 20, 30)):
+        assert T.version_at(tbl, h["ts"]) == h["version"]
+        assert T.read(spark, tbl, as_of=h["ts"]).count() == want
+
+    # far future -> tip; datetime input accepted
+    future = dt.datetime.now(dt.timezone.utc) + dt.timedelta(days=1)
+    assert T.read(spark, tbl, as_of=future).count() == 30
+
+    # before the first commit -> error
+    past = dt.datetime.fromisoformat(hist[0]["ts"]) - dt.timedelta(seconds=1)
+    with pytest.raises(ValueError, match="no snapshot"):
+        T.version_at(tbl, past)
