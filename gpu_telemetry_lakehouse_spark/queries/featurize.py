@@ -129,7 +129,7 @@ def cms_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(SUM(CAST(floor(term * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
                / 1000000.0 AS chi2,
            CAST((d.r - 1) * (d.c - 1) AS BIGINT) AS dof,
-           round(sqrt((CAST(SUM(CAST(round(term * 1000000.0, 0) AS BIGINT)) AS DOUBLE)
+           round(sqrt((CAST(SUM(CAST(floor(term * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
                        / 1000000.0)
                       / (CAST(MAX(n) AS DOUBLE)
                          * CAST(NULLIF(LEAST(d.r - 1, d.c - 1), 0) AS DOUBLE))),

@@ -206,9 +206,9 @@ def theilsen_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT a.arm,
            CAST(COUNT(*) AS BIGINT) AS n_users,
-           ROUND((SUM(CAST(ROUND(p.y * 10000) AS BIGINT)) / 10000.0)
+           ROUND((SUM(CAST(FLOOR(p.y * 10000 + 0.5) AS BIGINT)) / 10000.0)
                  / COUNT(*), 6) AS raw_mean,
-           ROUND((SUM(CAST(ROUND((p.y - t.th * (p.x - t.mx)) * 10000) AS BIGINT)) / 10000.0)
+           ROUND((SUM(CAST(FLOOR((p.y - t.th * (p.x - t.mx)) * 10000 + 0.5) AS BIGINT)) / 10000.0)
                  / COUNT(*), 6) AS cuped_mean
     FROM per_user p
     JOIN assign a USING (user_id)
@@ -257,9 +257,9 @@ def cuped_experiment_readout(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(
                 (
                     F.sum(
-                        F.round(
-                            (F.col("y") - F.col("th") * (F.col("x") - F.col("mx"))) * m,
-                            0,
+                        F.floor(
+                            (F.col("y") - F.col("th") * (F.col("x") - F.col("mx"))) * m
+                            + F.lit(0.5)
                         ).cast("long")
                     )
                     / m.cast("double")
@@ -361,10 +361,10 @@ def higher_moment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT p.col_a, p.col_b,
            ROUND(
-             ((SUM(CAST(ROUND((p.va - m.ma) * (p.vb - m.mb) * 10000) AS BIGINT)) / 10000.0) / m.n)
+             ((SUM(CAST(FLOOR((p.va - m.ma) * (p.vb - m.mb) * 10000 + 0.5) AS BIGINT)) / 10000.0) / m.n)
              / NULLIF(sqrt(
-                 ((SUM(CAST(ROUND((p.va - m.ma) * (p.va - m.ma) * 10000) AS BIGINT)) / 10000.0) / m.n)
-               * ((SUM(CAST(ROUND((p.vb - m.mb) * (p.vb - m.mb) * 10000) AS BIGINT)) / 10000.0) / m.n)
+                 ((SUM(CAST(FLOOR((p.va - m.ma) * (p.va - m.ma) * 10000 + 0.5) AS BIGINT)) / 10000.0) / m.n)
+               * ((SUM(CAST(FLOOR((p.vb - m.mb) * (p.vb - m.mb) * 10000 + 0.5) AS BIGINT)) / 10000.0) / m.n)
              ), 0), 6) AS pearson_r
     FROM p JOIN m USING (col_a, col_b)
     GROUP BY p.col_a, p.col_b, m.n

@@ -797,9 +797,9 @@ def anomaly_daily_robust(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     fit AS (
         SELECT f.fold,
-               (CAST(t.n - f.n AS DOUBLE) * CAST(t.sxy - f.sxy AS DOUBLE)
+               (100.0 * CAST(t.n - f.n AS DOUBLE) * CAST(t.sxy - f.sxy AS DOUBLE)
                 - CAST(t.sx - f.sx AS DOUBLE) * CAST(t.sy - f.sy AS DOUBLE))
-               / (CAST(t.n - f.n AS DOUBLE) * CAST(t.sxx - f.sxx AS DOUBLE)
+               / (100.0 * CAST(t.n - f.n AS DOUBLE) * CAST(t.sxx - f.sxx AS DOUBLE)
                   - CAST(t.sx - f.sx AS DOUBLE) * CAST(t.sx - f.sx AS DOUBLE))
                    AS slope100,
                f.n AS n_test
@@ -854,7 +854,14 @@ def cv_regression_price_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
     dsy = (F.col("tsy") - F.col("sy")).cast("double")
     dsxx = (F.col("tsxx") - F.col("sxx")).cast("double")
     dsxy = (F.col("tsxy") - F.col("sxy")).cast("double")
-    slope = (dn * dsxy - dsx * dsy) / (dn * dsxx - dsx * dsx)
+    # Staged sums carry a 100x factor (sx ~ 100*Sx, sxy ~ 100*Sxy ...), so the
+    # n-weighted moment terms need the extra 100 to cancel: the least-squares
+    # slope in staged units is (100*n*sxy - sx*sy) / (100*n*sxx - sx*sx).
+    # Same literal association order as the oracle's fit CTE so IEEE products
+    # match bit-for-bit.
+    slope = (F.lit(100.0) * dn * dsxy - dsx * dsy) / (
+        F.lit(100.0) * dn * dsxx - dsx * dsx
+    )
     fit2 = c.select(
         "fold",
         F.col("n").alias("n_test"),

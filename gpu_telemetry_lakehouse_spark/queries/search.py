@@ -460,31 +460,28 @@ _PR_BUCKET_CAP = 40
 
 
 def _edges_sql() -> str:
-    return f"""
-        SELECT a.user_id AS u, c.user_id AS v
-        FROM (
-            SELECT b.* FROM
-                (SELECT DISTINCT user_id, date_trunc('hour', ts) AS h,
-                        event_type AS et FROM events) b
-            JOIN (SELECT h, et FROM
-                      (SELECT DISTINCT user_id, date_trunc('hour', ts) AS h,
-                              event_type AS et FROM events)
-                  GROUP BY h, et HAVING COUNT(*) <= {_PR_BUCKET_CAP}) ok
-              ON b.h = ok.h AND b.et = ok.et
-        ) a
-        JOIN (
-            SELECT b.* FROM
-                (SELECT DISTINCT user_id, date_trunc('hour', ts) AS h,
-                        event_type AS et FROM events) b
-            JOIN (SELECT h, et FROM
-                      (SELECT DISTINCT user_id, date_trunc('hour', ts) AS h,
-                              event_type AS et FROM events)
-                  GROUP BY h, et HAVING COUNT(*) <= {_PR_BUCKET_CAP}) ok
-              ON b.h = ok.h AND b.et = ok.et
-        ) c
-          ON a.h = c.h AND a.et = c.et AND a.user_id < c.user_id
-        GROUP BY 1, 2 HAVING COUNT(*) >= {_PR_W}
-    """
+    """CTE chain ending in ``e`` (the co-activity edge list) — callers splice
+    it as ``WITH {_edges_sql()},``. The distinct-events scan and the
+    bucket-cap filter are written ONCE (b0/okb/bb CTEs) instead of inlined
+    per join side, mirroring triangle_count_cousers' oracle shape."""
+    return f"""b0 AS (
+            SELECT DISTINCT user_id, date_trunc('hour', ts) AS h,
+                   event_type AS et FROM events
+        ),
+        okb AS (
+            SELECT h, et FROM b0
+            GROUP BY h, et HAVING COUNT(*) <= {_PR_BUCKET_CAP}
+        ),
+        bb AS (
+            SELECT b0.* FROM b0 JOIN okb ON b0.h = okb.h AND b0.et = okb.et
+        ),
+        e AS (
+            SELECT a.user_id AS u, c.user_id AS v
+            FROM bb a
+            JOIN bb c
+              ON a.h = c.h AND a.et = c.et AND a.user_id < c.user_id
+            GROUP BY 1, 2 HAVING COUNT(*) >= {_PR_W}
+        )"""
 
 
 def _couser_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -555,7 +552,7 @@ def _pr_iter_sql(prev: str, out: str) -> str:
 @query(
     "pagerank_cousers",
     oracle=f"""
-    WITH e AS ({_edges_sql()}),
+    WITH {_edges_sql()},
     sym AS (
         SELECT u, v FROM e UNION ALL SELECT v, u FROM e
     ),
@@ -605,10 +602,10 @@ def pagerank_cousers(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "user_id",
                 (
                     F.floor(F.lit((1.0 - _PR_D) * _S) / F.col("n") + F.lit(0.5)).cast("long")
-                    + F.round(
+                    + F.floor(
                         _PR_D
-                        * F.coalesce(F.col("contrib_l"), F.lit(0)).cast("double"),
-                        0,
+                        * F.coalesce(F.col("contrib_l"), F.lit(0)).cast("double")
+                        + F.lit(0.5)
                     ).cast("long")
                 ).alias("rl"),
             )
@@ -766,7 +763,7 @@ _KCORE_K = 3
 @query(
     "kcore_peel_trace",
     oracle=f"""
-    WITH e AS ({_edges_sql()}),
+    WITH {_edges_sql()},
     sym0 AS (SELECT u, v FROM e UNION ALL SELECT v, u FROM e),
     keep1 AS (SELECT u FROM sym0 GROUP BY u HAVING COUNT(*) >= {_KCORE_K}),
     sym1 AS (
@@ -1005,7 +1002,7 @@ def _lp_round_sql(prev: str, out: str) -> str:
 @query(
     "label_prop_communities",
     oracle=f"""
-    WITH e AS ({_edges_sql()}),
+    WITH {_edges_sql()},
     sym AS (SELECT u, v FROM e UNION ALL SELECT v, u FROM e),
     nodes AS (SELECT DISTINCT u AS user_id FROM sym),
     l0 AS (SELECT user_id, CAST(user_id AS BIGINT) AS label FROM nodes),
@@ -1142,7 +1139,7 @@ def fp_growth_brand_itemsets(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "bfs_reach_layers",
     oracle=f"""
-    WITH e AS ({_edges_sql()}),
+    WITH {_edges_sql()},
     sym AS (SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e),
     d0 AS (
         SELECT DISTINCT user_id AS node, 0 AS dist FROM events

@@ -687,7 +687,8 @@ def read(
     ``as_of`` (datetime or ISO string) is TIMESTAMP AS OF time travel —
     mutually exclusive with ``version``."""
     if as_of is not None:
-        assert version is None, "pass either version or as_of, not both"
+        if version is not None:
+            raise ValueError("pass either version or as_of, not both")
         version = version_at(path, as_of)
     files = snapshot_files(path, version)
     if between is not None:
