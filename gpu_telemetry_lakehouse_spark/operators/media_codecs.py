@@ -168,6 +168,86 @@ def decode_wav(buf: bytes) -> tuple[int, np.ndarray]:
 
 
 # --------------------------------------------------------------------------
+# Y4M (YUV4MPEG2): https://wiki.multimedia.cx/index.php/YUV4MPEG2
+# The simplest real video container — plain-text stream header, one
+# ``FRAME\n`` marker per frame, raw planar YUV after each. Supported
+# chroma layouts: C420* (2x2-subsampled U/V), C422, C444, Cmono.
+# --------------------------------------------------------------------------
+
+
+def _y4m_chroma_bytes(tag: str, w: int, h: int) -> int:
+    """Per-frame chroma-plane byte count for a chroma tag."""
+    if tag.startswith("C420"):
+        return 2 * (w // 2) * (h // 2)
+    if tag.startswith("C422"):
+        return 2 * (w // 2) * h
+    if tag.startswith("C444"):
+        return 2 * w * h
+    if tag.startswith("Cmono"):
+        return 0
+    raise ValueError(f"unsupported Y4M chroma layout {tag!r}")
+
+
+def encode_y4m(frames, chroma: str = "C420jpeg") -> bytes:
+    """uint8 luma frames [(H, W), ...] -> Y4M with neutral (0x80) chroma."""
+    if not frames:
+        raise ValueError("Y4M needs at least one frame")
+    h, w = frames[0].shape
+    if chroma.startswith(("C420", "C422")) and (w % 2 or h % 2):
+        raise ValueError("subsampled chroma needs even dimensions")
+    parts = [b"YUV4MPEG2 W%d H%d F25:1 Ip A1:1 %s\n" % (w, h, chroma.encode())]
+    pad = b"\x80" * _y4m_chroma_bytes(chroma, w, h)
+    for fr in frames:
+        if fr.shape != (h, w):
+            raise ValueError("all frames must share one geometry")
+        parts.append(b"FRAME\n")
+        parts.append(np.ascontiguousarray(fr, dtype=np.uint8).tobytes())
+        parts.append(pad)
+    return b"".join(parts)
+
+
+def decode_y4m(buf: bytes) -> tuple[int, int, list[np.ndarray]]:
+    """Y4M -> (width, height, [uint8 (H, W) luma planes]).
+
+    Chroma planes are parsed (their size must be exactly right to find the
+    next FRAME marker) but not returned — the pipeline's features are
+    luma-only. Unknown stream parameters are ignored per spec; unknown
+    chroma layouts, bad geometry, or truncated planes raise ValueError.
+    """
+    nl = buf.find(b"\n")
+    if not buf.startswith(b"YUV4MPEG2") or nl < 0:
+        raise ValueError("not a Y4M stream")
+    w = h = 0
+    chroma = "C420jpeg"
+    for tok in buf[9:nl].decode("ascii", "replace").split():
+        if tok.startswith("W"):
+            w = int(tok[1:])
+        elif tok.startswith("H"):
+            h = int(tok[1:])
+        elif tok.startswith("C"):
+            chroma = tok
+    if w <= 0 or h <= 0:
+        raise ValueError("Y4M header missing geometry")
+    ysz, csz = w * h, _y4m_chroma_bytes(chroma, w, h)
+    frames: list[np.ndarray] = []
+    pos = nl + 1
+    while pos < len(buf):
+        if buf[pos : pos + 5] != b"FRAME":
+            raise ValueError("bad Y4M frame marker")
+        fnl = buf.find(b"\n", pos)
+        if fnl < 0:
+            raise ValueError("truncated Y4M frame header")
+        pos = fnl + 1
+        if pos + ysz + csz > len(buf):
+            raise ValueError("truncated Y4M frame data")
+        frames.append(
+            np.frombuffer(buf, dtype=np.uint8, count=ysz, offset=pos).reshape(h, w)
+        )
+        pos += ysz + csz
+    return w, h, frames
+
+
+# --------------------------------------------------------------------------
 # Dispatch + feature kernels (the multimodal pipeline's decode contract)
 # --------------------------------------------------------------------------
 
@@ -179,6 +259,8 @@ def sniff(buf: bytes) -> str | None:
         return "bmp"
     if buf[:4] == b"RIFF" and buf[8:12] == b"WAVE":
         return "wav"
+    if buf[:9] == b"YUV4MPEG2":
+        return "y4m"
     return None
 
 
@@ -217,12 +299,29 @@ def audio_features(rate: int, samples: np.ndarray) -> np.ndarray:
     )
 
 
+def video_features(frames: list[np.ndarray]) -> np.ndarray:
+    """16-dim float32: frame count, global luma mean/std, mean absolute
+    inter-frame difference (motion proxy), and a 12-slot temporal luma-mean
+    profile (evenly sampled, zero-padded for short clips)."""
+    lum = np.stack([f.astype(np.float32) / 255.0 for f in frames])
+    motion = (
+        float(np.mean(np.abs(np.diff(lum, axis=0)))) if len(frames) > 1 else 0.0
+    )
+    idx = np.linspace(0, len(frames) - 1, num=min(12, len(frames))).round().astype(int)
+    profile = np.zeros(12, dtype=np.float32)
+    profile[: len(idx)] = lum[idx].mean(axis=(1, 2))
+    return np.concatenate(
+        [[float(len(frames)), lum.mean(), lum.std(), motion], profile]
+    ).astype(np.float32)
+
+
 def real_decode(payload: bytes) -> tuple[int, int, np.ndarray]:
     """Magic-sniffing decode kernel: (width, height, 16-dim feature).
 
     Images: (pixel width, pixel height, image_features). Audio:
-    (n_samples, n_channels, audio_features). Raises ValueError on
-    unknown/corrupt payloads — callers map that to decode_ok=false.
+    (n_samples, n_channels, audio_features). Video (Y4M): (pixel width,
+    pixel height, video_features). Raises ValueError on unknown/corrupt
+    payloads — callers map that to decode_ok=false.
     """
     kind = sniff(payload)
     try:
@@ -232,6 +331,11 @@ def real_decode(payload: bytes) -> tuple[int, int, np.ndarray]:
         if kind == "wav":
             rate, samples = decode_wav(payload)
             return samples.shape[0], samples.shape[1], audio_features(rate, samples)
+        if kind == "y4m":
+            w, h, frames = decode_y4m(payload)
+            if not frames:
+                raise ValueError("Y4M stream with zero frames")
+            return w, h, video_features(frames)
     except (struct.error, IndexError) as e:  # truncated headers/chunks
         raise ValueError(f"corrupt {kind} payload: {e}") from e
     raise ValueError("unrecognized media payload")

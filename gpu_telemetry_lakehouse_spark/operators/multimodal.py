@@ -226,9 +226,11 @@ def resize(media: DataFrame, out_width: int = 8, out_height: int = 8, decode="re
 
 
 def frame_sample(media: DataFrame, every_n_bytes: int = 64, max_frames: int = 4) -> DataFrame:
-    """Video frame-sampling stand-in: slice the payload every N bytes (a real
-    pipeline seeks keyframes with ffmpeg; the explode-to-frames plumbing and
-    output schema are what matter for the Spark plan)."""
+    """Byte-sliced frame-sampling stand-in for OPAQUE video containers the
+    pure-numpy layer can't parse (mp4/mkv need ffmpeg). For real container
+    parsing use ``sample_video_frames`` — Y4M streams decode end-to-end.
+    This variant keeps the explode-to-frames plumbing exercised for
+    arbitrary payloads."""
     idx = F.sequence(
         F.lit(1),
         F.least(F.lit(max_frames), (F.octet_length("payload") / every_n_bytes).cast("int")),
@@ -243,6 +245,56 @@ def frame_sample(media: DataFrame, every_n_bytes: int = 64, max_frames: int = 4)
     return media.filter(F.col("media_type") == "video").select(
         "media_id", F.explode(frames).alias("frame")
     ).select("media_id", "frame.frame_no", "frame.frame_bytes")
+
+
+VIDEO_FRAME_SCHEMA = (
+    "media_id long, frame_no int, n_frames int, width int, height int, "
+    "luma_sum long, decode_ok boolean"
+)
+
+
+def sample_video_frames(media: DataFrame, every_n: int = 2) -> DataFrame:
+    """REAL video frame sampling: parse each Y4M payload with the pure-numpy
+    container parser (``media_codecs.decode_y4m``), keep every
+    ``every_n``-th frame, and emit one row per sampled frame with its exact
+    luma byte sum — the keyframe-extraction step of a video training
+    pipeline, minus only the ffmpeg codec swap.
+
+    The chroma-plane arithmetic must be exactly right for the parser to land
+    on each successive FRAME marker, so the per-frame sums are a hard
+    correctness probe of the container math, not just of the plumbing.
+    Corrupt/NULL payloads emit a single frame_no=-1 row with decode_ok=false
+    (a bad file never kills the job). One payload is decoded ONCE per row
+    regardless of its frame count — the explode happens on parsed planes,
+    not by re-reading bytes.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .media_codecs import decode_y4m
+
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                if payload is None:
+                    rows.append((mid, -1, None, None, None, None, False))
+                    continue
+                try:
+                    w, h, frames = decode_y4m(bytes(payload))
+                except (ValueError, struct.error, IndexError):
+                    rows.append((mid, -1, None, None, None, None, False))
+                    continue
+                for fno in range(0, len(frames), every_n):
+                    lsum = int(frames[fno].sum(dtype=np.int64))
+                    rows.append((mid, fno, len(frames), w, h, lsum, True))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "frame_no", "n_frames",
+                    "width", "height", "luma_sum", "decode_ok",
+                ],
+            )
+
+    return media.mapInPandas(run, schema=VIDEO_FRAME_SCHEMA)
 
 
 PHASH_SCHEMA = "media_id long, phash long, decode_ok boolean"

@@ -821,6 +821,88 @@ def multimodal_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- video frame sampling through the real Y4M container parser -------------
+# The video complement of multimodal_audio_decode: every doc synthesizes a
+# deterministic Y4M clip EXECUTOR-SIDE (frame count and per-pixel luma are
+# pure functions of doc_id), which then rides through the pure-numpy
+# YUV4MPEG2 parser (operators/media_codecs.decode_y4m) and the every-2nd-
+# frame sampler. The parser must get header geometry AND the C420 chroma-
+# plane stride exactly right to land on each FRAME marker, so the sampled
+# per-frame luma sums are a hard probe of the container math; the oracle
+# replays the closed-form pixel function over a bounded 16x8 grid join.
+@query(
+    "multimodal_video_frames",
+    oracle="""
+    WITH fr AS (
+        SELECT d.doc_id, d.source, t.f
+        FROM documents d
+        CROSS JOIN range(5) t(f)
+        WHERE t.f < 2 + d.doc_id % 4 AND t.f % 2 = 0
+    ),
+    per_frame AS (
+        SELECT fr.source, fr.doc_id, fr.f,
+               SUM((fr.doc_id * 7 + fr.f * 13 + gx.x + 2 * gy.y) % 251) AS fsum
+        FROM fr
+        CROSS JOIN range(16) gx(x)
+        CROSS JOIN range(8) gy(y)
+        GROUP BY 1, 2, 3
+    )
+    SELECT source,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_media,
+           CAST(COUNT(*) AS BIGINT) AS n_sampled_frames,
+           CAST(SUM(fsum) AS BIGINT) AS luma_total,
+           CAST(MAX(f) AS BIGINT) AS max_frame_no
+    FROM per_frame
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def multimodal_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+
+    from ..operators import multimodal as MM
+    from ..operators.media_codecs import encode_y4m
+
+    docs = load_table(spark, sf_dir, "documents")
+
+    def synth(batches):
+        x = np.arange(16, dtype=np.int64)[None, :]
+        y = np.arange(8, dtype=np.int64)[:, None]
+        for pdf in batches:
+            rows = []
+            for did, src in zip(pdf["doc_id"], pdf["source"]):
+                did = int(did)
+                frames = [
+                    ((did * 7 + f * 13 + x + 2 * y) % 251).astype(np.uint8)
+                    for f in range(2 + did % 4)
+                ]
+                payload = encode_y4m(frames)  # C420: real chroma stride
+                rows.append((did, "video", payload, (str(src), len(payload))))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "media_type", "payload", "meta"]
+            )
+
+    media = docs.select("doc_id", "source").mapInPandas(
+        synth,
+        schema="media_id long, media_type string, payload binary, "
+        "meta struct<source:string, byte_len:bigint>",
+    )
+    fr = MM.sample_video_frames(media, every_n=2)
+    src = docs.select(F.col("doc_id").alias("media_id"), "source")
+    return (
+        fr.join(src, "media_id")
+        .groupBy("source")
+        .agg(
+            F.countDistinct("media_id").cast("long").alias("n_media"),
+            F.count(F.lit(1)).cast("long").alias("n_sampled_frames"),
+            F.sum("luma_sum").cast("long").alias("luma_total"),
+            F.max("frame_no").cast("long").alias("max_frame_no"),
+        )
+        .orderBy("source")
+    )
+
+
 # --- character-level Shannon entropy -----------------------------------------
 # Gibberish / encoding-junk detector: natural prose sits in a narrow
 # char-entropy band, base64 blobs and key-mash score high, repeated-char

@@ -271,3 +271,82 @@ def test_perceptual_hash_operator(spark):
     assert rows[3].phash is None
     # PPM and BMP carry the same pixels -> identical perceptual code
     assert rows[1].phash == rows[2].phash == C.phash64(img)
+
+
+def test_y4m_roundtrip_all_chroma_layouts():
+    """encode_y4m/decode_y4m reproduce luma planes exactly for every
+    supported chroma layout (the chroma stride must be right to find the
+    next FRAME marker), and corrupt streams raise ValueError."""
+    import numpy as np
+    import pytest as _pytest
+
+    from gpu_telemetry_lakehouse_spark.operators import media_codecs as C
+
+    rng = np.random.RandomState(3)
+    frames = [rng.randint(0, 256, size=(8, 16)).astype(np.uint8) for _ in range(5)]
+    for chroma in ("C420jpeg", "C420", "C422", "C444", "Cmono"):
+        w, h, out = C.decode_y4m(C.encode_y4m(frames, chroma))
+        assert (w, h, len(out)) == (16, 8, 5)
+        for a, b in zip(frames, out):
+            assert (a == b).all()
+    assert C.sniff(C.encode_y4m(frames)) == "y4m"
+    for bad in (
+        b"YUV4MPEG2 W16 H8 C444\nFRAM",  # bad marker
+        C.encode_y4m(frames)[:-3],  # truncated plane
+        b"YUV4MPEG2 C444\nFRAME\n",  # missing geometry
+        b"YUV4MPEG2 W16 H8 C999\nFRAME\n" + b"\0" * 128,  # unknown chroma
+    ):
+        with _pytest.raises(ValueError):
+            C.decode_y4m(bad)
+    with _pytest.raises(ValueError):
+        C.encode_y4m([frames[0][:7, :]], "C420jpeg")  # odd height, subsampled
+
+
+def test_sample_video_frames_real_parser(spark):
+    """sample_video_frames explodes each Y4M payload into every-Nth-frame
+    rows with exact luma sums; corrupt/NULL payloads yield one
+    decode_ok=false row instead of failing the job."""
+    import numpy as np
+
+    from gpu_telemetry_lakehouse_spark.operators import media_codecs as C
+    from gpu_telemetry_lakehouse_spark.operators.multimodal import (
+        sample_video_frames,
+    )
+
+    rng = np.random.RandomState(7)
+    clips = {
+        1: [rng.randint(0, 256, size=(8, 16)).astype(np.uint8) for _ in range(5)],
+        2: [rng.randint(0, 256, size=(4, 6)).astype(np.uint8) for _ in range(2)],
+    }
+    payloads = {k: C.encode_y4m(v) for k, v in clips.items()}
+    payloads[3] = b"definitely not a video"
+    media = _media_df(spark, payloads, media_type="video")
+    rows = sample_video_frames(media, every_n=2).collect()
+    by_media = {}
+    for r in rows:
+        by_media.setdefault(r.media_id, []).append(r)
+    assert sorted(r.frame_no for r in by_media[1]) == [0, 2, 4]
+    assert all(r.n_frames == 5 and (r.width, r.height) == (16, 8) for r in by_media[1])
+    for r in by_media[1]:
+        assert r.luma_sum == int(clips[1][r.frame_no].sum(dtype=np.int64))
+    assert [r.frame_no for r in by_media[2]] == [0]
+    (bad,) = by_media[3]
+    assert bad.frame_no == -1 and not bad.decode_ok and bad.luma_sum is None
+
+
+def test_real_decode_video_features():
+    """real_decode routes Y4M through video_features: (w, h, 16-dim) with
+    frame count in slot 0 and a non-zero motion proxy for changing clips."""
+    import numpy as np
+
+    from gpu_telemetry_lakehouse_spark.operators import media_codecs as C
+
+    frames = [np.full((8, 16), 10 * (f + 1), dtype=np.uint8) for f in range(3)]
+    w, h, feat = C.real_decode(C.encode_y4m(frames))
+    assert (w, h) == (16, 8)
+    assert feat.shape == (16,) and feat.dtype == np.float32
+    assert feat[0] == 3.0  # n_frames
+    assert feat[3] > 0.0  # motion: luma changes between frames
+    still = [frames[0]] * 3
+    _, _, sfeat = C.real_decode(C.encode_y4m(still))
+    assert sfeat[3] == 0.0
