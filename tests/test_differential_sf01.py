@@ -82,6 +82,9 @@ HEAVY_SLICE = [
     # where the cross-pair Hamming margin (>=12) was measured.
     "fp_growth_brand_itemsets",
     "multimodal_phash_neardup",
+    # video synth->Y4M parse->frame sample chain: sf0.1's ~60k clips make
+    # the chroma-stride math run over multi-batch Arrow partitions
+    "multimodal_video_frames",
     "bfs_reach_layers",
     "cv_regression_price_qty",
     "ols_price_qty_discount",
