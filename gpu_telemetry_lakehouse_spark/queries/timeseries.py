@@ -1525,3 +1525,124 @@ def attribution_position_based(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("channel")
     )
+
+
+# --- isotonic regression (monotone calibration) -------------------------------
+# Weighted isotonic fit of the daily mean value over time, per event type —
+# the PAVA result computed by the closed-form minimax identity
+#   fitted[i] = max_{j<=i} min_{k>=i} weighted_avg(y[j..k])
+# instead of the inherently sequential pool-adjacent-violators loop. The
+# distributed shape: the 100 TB events scan collapses to ONE map-side-partial
+# daily aggregation (exact scaled-long sums); everything after runs on the
+# bounded day series (n = distinct days, <=365/yr), so the O(n^2) range
+# enumeration is a few-thousand-row self-join per type no matter the corpus
+# size. Range sums come from prefix-sum differences (exact BIGINTs), the
+# reverse running MIN and the per-day MAX are plain windows/aggs, and every
+# division is one IEEE BIGINT/BIGINT->double op — bit-identical on both
+# engines by construction. This is the model-calibration primitive
+# (isotonic/monotone calibration of scores) expressed as a query.
+@query(
+    "isotonic_daily_value",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, date_trunc('day', ts) AS d,
+               SUM(CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT)) AS s,
+               COUNT(value) AS c
+        FROM events WHERE value IS NOT NULL
+        GROUP BY 1, 2
+    ),
+    seq AS (
+        SELECT event_type, d, s, c,
+               ROW_NUMBER() OVER w AS rn,
+               SUM(s) OVER w AS cums,
+               SUM(c) OVER w AS cumc
+        FROM daily
+        WINDOW w AS (PARTITION BY event_type ORDER BY d)
+    ),
+    pairs AS (
+        SELECT a.event_type, a.rn AS j, b.rn AS k,
+               CAST(b.cums - a.cums + a.s AS DOUBLE)
+                   / CAST(b.cumc - a.cumc + a.c AS DOUBLE) AS avg_jk
+        FROM seq a JOIN seq b
+          ON b.event_type = a.event_type AND b.rn >= a.rn
+    ),
+    mins AS (
+        SELECT event_type, j, k,
+               MIN(avg_jk) OVER (PARTITION BY event_type, j
+                                 ORDER BY k DESC) AS m_ji
+        FROM pairs
+    ),
+    fit AS (
+        SELECT event_type, k AS rn, MAX(m_ji) AS fit
+        FROM mins GROUP BY 1, 2
+    )
+    SELECT s.event_type, s.d,
+           FLOOR((CAST(s.s AS DOUBLE) / 1e6 / s.c) * 1e6 + 0.5) / 1e6
+               AS daily_mean,
+           -- avg_jk runs over the 1e6-scaled daily sums, so fit is already
+           -- mean*1e6: one floor(+0.5) both rounds to 6dp and unscales
+           FLOOR(f.fit + 0.5) / 1e6 AS fitted_value
+    FROM seq s JOIN fit f
+      ON f.event_type = s.event_type AND f.rn = s.rn
+    ORDER BY s.event_type, s.d
+    """,
+)
+def isotonic_daily_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("d")
+    ).agg(
+        F.sum(F.floor(F.col("value") * 1e6 + F.lit(0.5)).cast("long")).alias("s"),
+        F.count("value").alias("c"),
+    )
+    w = W.partitionBy("event_type").orderBy("d")
+    seq = daily.select(
+        "event_type",
+        "d",
+        "s",
+        "c",
+        F.row_number().over(w).alias("rn"),
+        F.sum("s").over(w).alias("cums"),
+        F.sum("c").over(w).alias("cumc"),
+    ).localCheckpoint()
+    a, b = seq.alias("a"), seq.alias("b")
+    # range sum over [j..k] = cums[k] - cums[j] + s[j] (prefix difference),
+    # exact BIGINT; ONE double division per pair keeps both engines IEEE-equal
+    pairs = a.join(
+        b,
+        (F.col("b.event_type") == F.col("a.event_type"))
+        & (F.col("b.rn") >= F.col("a.rn")),
+    ).select(
+        F.col("a.event_type").alias("event_type"),
+        F.col("a.rn").alias("j"),
+        F.col("b.rn").alias("k"),
+        (
+            (F.col("b.cums") - F.col("a.cums") + F.col("a.s")).cast("double")
+            / (F.col("b.cumc") - F.col("a.cumc") + F.col("a.c")).cast("double")
+        ).alias("avg_jk"),
+    )
+    # reverse running MIN over k (frame: k' >= k) gives m(j,i); the per-day
+    # MAX over j <= i is exactly the groupBy below because pairs only exist
+    # for j <= k
+    w_rev = W.partitionBy("event_type", "j").orderBy(F.col("k").desc())
+    mins = pairs.select(
+        "event_type", "j", "k", F.min("avg_jk").over(w_rev).alias("m_ji")
+    )
+    fit = mins.groupBy("event_type", F.col("k").alias("rn")).agg(
+        F.max("m_ji").alias("fit")
+    )
+    return (
+        seq.join(fit, ["event_type", "rn"])
+        .select(
+            "event_type",
+            "d",
+            (
+                F.floor((F.col("s").cast("double") / 1e6 / F.col("c")) * 1e6 + 0.5)
+                / 1e6
+            ).alias("daily_mean"),
+            (F.floor(F.col("fit") + F.lit(0.5)) / 1e6).alias("fitted_value"),
+        )
+        .orderBy("event_type", "d")
+    )

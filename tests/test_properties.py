@@ -753,3 +753,49 @@ def test_incremental_minhash_partitions_full_pairs(spark, sf_dir, tmp_path):
         for r in minhash_lsh_pairs(minhash_signatures(docs)).collect()
     }
     assert merged == full
+
+
+def test_isotonic_minimax_equals_pava(spark, sf_dir):
+    """isotonic_daily_value's minimax-formula fit == the literal sequential
+    pool-adjacent-violators algorithm on the same weighted daily series, and
+    the fit is non-decreasing within each event_type."""
+    from gpu_telemetry_lakehouse_spark.queries import QUERIES
+
+    out = QUERIES["isotonic_daily_value"](spark, sf_dir).collect()
+    by_type: dict[str, list] = {}
+    for r in sorted(out, key=lambda r: (r.event_type, r.d)):
+        by_type.setdefault(r.event_type, []).append(r)
+
+    ev = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .filter(F.col("value").isNotNull())
+        .groupBy("event_type", F.date_trunc("day", "ts").alias("d"))
+        .agg(
+            F.sum(F.floor(F.col("value") * 1e6 + F.lit(0.5)).cast("long")).alias("s"),
+            F.count("value").alias("c"),
+        )
+        .collect()
+    )
+    daily: dict[str, list] = {}
+    for r in sorted(ev, key=lambda r: (r.event_type, r.d)):
+        daily.setdefault(r.event_type, []).append((r.s / 1e6 / r.c, r.c))
+
+    for etype, rows in by_type.items():
+        fits = [r.fitted_value for r in rows]
+        assert all(a <= b for a, b in zip(fits, fits[1:])), etype
+        # sequential weighted PAVA: merge adjacent violating blocks, each
+        # block tracking (weighted sum, weight, member-day count)
+        blocks: list[list[float]] = []
+        for y, w in daily[etype]:
+            blocks.append([y * w, w, 1])
+            while len(blocks) > 1 and (
+                blocks[-2][0] / blocks[-2][1] > blocks[-1][0] / blocks[-1][1]
+            ):
+                b = blocks.pop()
+                blocks[-1][0] += b[0]
+                blocks[-1][1] += b[1]
+                blocks[-1][2] += b[2]
+        expanded = [sy / sw for sy, sw, nd in blocks for _ in range(int(nd))]
+        assert len(expanded) == len(fits), etype
+        for got, want in zip(fits, expanded):
+            assert abs(got - want) < 1e-5, (etype, got, want)
