@@ -1111,3 +1111,177 @@ def spearman_price_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("rho_spearman"),
     )
+
+
+# --- split-conformal prediction intervals -------------------------------------
+# Distribution-free uncertainty quantification for a regression: fit y~x on
+# the 'fit' split, take q-hat = the ceil(0.9*(n+1))-th smallest |residual| on
+# the 'calib' split, and the interval prediction +/- q-hat then covers >= 90%
+# of 'test' rows by the exchangeability guarantee — no Gaussian assumption.
+# Scale shape: entity-keyed md5 split (no RNG), ONE map-side-partial moment
+# aggregation fits the model, and the conformal order statistic comes from
+# the CENT-QUANTIZED residual histogram (distinct cent values are bounded by
+# the price range, not the corpus) + a cumulative window — never a global
+# per-row sort. Coverage is an exact BIGINT count. All doubles mirror the
+# oracle's literal association order (cv_regression idiom).
+@query(
+    "conformal_interval_price",
+    oracle="""
+    WITH src AS (
+        SELECT CASE
+                   WHEN substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 2) < '80'
+                       THEN 'fit'
+                   WHEN substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 2) < 'c0'
+                       THEN 'calib'
+                   ELSE 'test'
+               END AS split,
+               l_quantity AS x, l_extendedprice AS y
+        FROM lineitem
+    ),
+    fm AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(FLOOR(x * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sx,
+               CAST(SUM(CAST(FLOOR(y * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sy,
+               CAST(SUM(CAST(FLOOR(x * x * 100 + 0.5) AS BIGINT)) AS BIGINT)
+                   AS sxx,
+               CAST(SUM(CAST(FLOOR(x * y * 100 + 0.5) AS BIGINT)) AS BIGINT)
+                   AS sxy
+        FROM src WHERE split = 'fit'
+    ),
+    fit2 AS (
+        SELECT n AS n_fit,
+               (100.0 * CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+               / (100.0 * CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS slope100,
+               (CAST(sy AS DOUBLE) / 100.0
+                - ((100.0 * CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                   / (100.0 * CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+                  * (CAST(sx AS DOUBLE) / 100.0))
+               / CAST(n AS DOUBLE) AS intercept
+        FROM fm
+    ),
+    calib AS (
+        SELECT CAST(FLOOR(ABS(s.y - (f.intercept + f.slope100 * s.x)) * 100
+                          + 0.5) AS BIGINT) AS r_s
+        FROM src s, fit2 f WHERE s.split = 'calib'
+    ),
+    hist AS (SELECT r_s, CAST(COUNT(*) AS BIGINT) AS c FROM calib GROUP BY r_s),
+    nc AS (SELECT CAST(SUM(c) AS BIGINT) AS n_calib FROM hist),
+    cum AS (
+        SELECT h.r_s, SUM(h.c) OVER (ORDER BY h.r_s) AS cum, n.n_calib,
+               CAST(FLOOR((9.0 * (n.n_calib + 1) + 9) / 10) AS BIGINT) AS k
+        FROM hist h, nc n
+    ),
+    q AS (
+        SELECT MIN(r_s) AS qhat_s, MIN(n_calib) AS n_calib
+        FROM cum WHERE cum >= LEAST(k, n_calib)
+    ),
+    tst AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_test,
+               CAST(SUM(CASE WHEN CAST(FLOOR(ABS(s.y - (f.intercept
+                                  + f.slope100 * s.x)) * 100 + 0.5) AS BIGINT)
+                                  <= q.qhat_s
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_covered
+        FROM src s, fit2 f, q WHERE s.split = 'test'
+    )
+    SELECT f.n_fit, q.n_calib, t.n_test,
+           FLOOR(f.slope100 * 1e6 + 0.5) / 1e6 AS slope,
+           FLOOR(f.intercept * 1e6 + 0.5) / 1e6 AS intercept,
+           CAST(q.qhat_s AS DOUBLE) / 100 AS qhat,
+           FLOOR(CAST(t.n_covered AS DOUBLE) / t.n_test * 1e6 + 0.5) / 1e6
+               AS coverage
+    FROM fit2 f, q, tst t
+    """,
+)
+def conformal_interval_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    li = load_table(spark, sf_dir, "lineitem")
+    prefix = F.substring(F.md5(F.col("l_orderkey").cast("string")), 1, 2)
+    # entity-keyed (whole orders stay in one split), deterministic:
+    # ~50% fit / ~25% calib / ~25% test by hash range
+    src = li.select(
+        F.when(prefix < "80", "fit")
+        .when(prefix < "c0", "calib")
+        .otherwise("test")
+        .alias("split"),
+        F.col("l_quantity").alias("x"),
+        F.col("l_extendedprice").alias("y"),
+    ).localCheckpoint(eager=False)  # three split consumers, one scan
+    stage = lambda e, m: F.floor(e * m + F.lit(0.5)).cast("long")  # noqa: E731
+    fm = src.filter(F.col("split") == "fit").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(stage(F.col("x"), 100)).cast("long").alias("sx"),
+        F.sum(stage(F.col("y"), 100)).cast("long").alias("sy"),
+        F.sum(stage(F.col("x") * F.col("x"), 100)).cast("long").alias("sxx"),
+        F.sum(stage(F.col("x") * F.col("y"), 100)).cast("long").alias("sxy"),
+    )
+    dn = F.col("n").cast("double")
+    dsx = F.col("sx").cast("double")
+    dsy = F.col("sy").cast("double")
+    dsxx = F.col("sxx").cast("double")
+    dsxy = F.col("sxy").cast("double")
+    slope = (F.lit(100.0) * dn * dsxy - dsx * dsy) / (
+        F.lit(100.0) * dn * dsxx - dsx * dsx
+    )
+    fit2 = fm.select(
+        F.col("n").alias("n_fit"),
+        slope.alias("slope100"),
+        ((dsy / 100.0 - slope * (dsx / 100.0)) / dn).alias("intercept"),
+    )
+    resid_s = stage(
+        F.abs(F.col("y") - (F.col("intercept") + F.col("slope100") * F.col("x"))),
+        100,
+    )
+    calib = (
+        src.filter(F.col("split") == "calib")
+        .crossJoin(F.broadcast(fit2))
+        .select(resid_s.alias("r_s"))
+    )
+    hist = calib.groupBy("r_s").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    nc = hist.agg(F.sum("c").cast("long").alias("n_calib"))
+    cum = hist.crossJoin(F.broadcast(nc)).select(
+        "r_s",
+        "n_calib",
+        F.sum("c").over(W.orderBy("r_s")).alias("cum"),
+        F.floor((F.lit(9.0) * (F.col("n_calib") + 1) + F.lit(9.0)) / F.lit(10.0))
+        .cast("long")
+        .alias("k"),
+    )
+    q = cum.filter(F.col("cum") >= F.least(F.col("k"), F.col("n_calib"))).agg(
+        F.min("r_s").alias("qhat_s"), F.min("n_calib").alias("n_calib")
+    )
+    covered = (resid_s <= F.col("qhat_s")).cast("int")
+    tst = (
+        src.filter(F.col("split") == "test")
+        .crossJoin(F.broadcast(fit2))
+        .crossJoin(F.broadcast(q))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_test"),
+            F.sum(covered).cast("long").alias("n_covered"),
+        )
+    )
+    return (
+        fit2.crossJoin(F.broadcast(q))
+        .crossJoin(F.broadcast(tst))
+        .select(
+            "n_fit",
+            "n_calib",
+            "n_test",
+            (F.floor(F.col("slope100") * 1e6 + F.lit(0.5)) / 1e6).alias("slope"),
+            (F.floor(F.col("intercept") * 1e6 + F.lit(0.5)) / 1e6).alias(
+                "intercept"
+            ),
+            (F.col("qhat_s").cast("double") / 100).alias("qhat"),
+            (
+                F.floor(
+                    F.col("n_covered").cast("double") / F.col("n_test") * 1e6
+                    + F.lit(0.5)
+                )
+                / 1e6
+            ).alias("coverage"),
+        )
+    )

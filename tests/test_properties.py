@@ -799,3 +799,17 @@ def test_isotonic_minimax_equals_pava(spark, sf_dir):
         assert len(expanded) == len(fits), etype
         for got, want in zip(fits, expanded):
             assert abs(got - want) < 1e-5, (etype, got, want)
+
+
+def test_conformal_coverage_guarantee(spark, sf_dir):
+    """Split-conformal's defining property: test coverage >= 1 - alpha (0.9),
+    up to finite-sample slack, and q-hat is a real calibration residual."""
+    from gpu_telemetry_lakehouse_spark.queries import QUERIES
+
+    row = QUERIES["conformal_interval_price"](spark, sf_dir).collect()[0]
+    assert row.n_fit > 0 and row.n_calib > 0 and row.n_test > 0
+    assert row.qhat >= 0
+    # guarantee is >= 0.9 in expectation over splits; allow finite-sample
+    # slack of 3 binomial sigmas on the test count
+    sigma = (0.9 * 0.1 / row.n_test) ** 0.5
+    assert row.coverage >= 0.9 - 3 * sigma, (row.coverage, row.n_test)
