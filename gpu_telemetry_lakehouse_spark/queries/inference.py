@@ -1210,7 +1210,11 @@ def conformal_interval_price(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("split"),
         F.col("l_quantity").alias("x"),
         F.col("l_extendedprice").alias("y"),
-    ).localCheckpoint(eager=False)  # three split consumers, one scan
+    )
+    # NOT checkpointed: at 100 TB, materializing the corpus-sized projection
+    # costs more than three pushed-down 3-column parquet scans (one per
+    # split). The tiny 1-row fit/quantile frames below are checkpointed
+    # instead, so each scan happens once.
     stage = lambda e, m: F.floor(e * m + F.lit(0.5)).cast("long")  # noqa: E731
     fm = src.filter(F.col("split") == "fit").agg(
         F.count(F.lit(1)).cast("long").alias("n"),
@@ -1231,7 +1235,7 @@ def conformal_interval_price(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").alias("n_fit"),
         slope.alias("slope100"),
         ((dsy / 100.0 - slope * (dsx / 100.0)) / dn).alias("intercept"),
-    )
+    ).localCheckpoint(eager=False)  # 1 row, three consumers: fit scan once
     resid_s = stage(
         F.abs(F.col("y") - (F.col("intercept") + F.col("slope100") * F.col("x"))),
         100,
@@ -1251,8 +1255,10 @@ def conformal_interval_price(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("k"),
     )
-    q = cum.filter(F.col("cum") >= F.least(F.col("k"), F.col("n_calib"))).agg(
-        F.min("r_s").alias("qhat_s"), F.min("n_calib").alias("n_calib")
+    q = (
+        cum.filter(F.col("cum") >= F.least(F.col("k"), F.col("n_calib")))
+        .agg(F.min("r_s").alias("qhat_s"), F.min("n_calib").alias("n_calib"))
+        .localCheckpoint(eager=False)  # 1 row, two consumers: calib scan once
     )
     covered = (resid_s <= F.col("qhat_s")).cast("int")
     tst = (
