@@ -21,6 +21,8 @@ from .oracle import compare
 SF01 = "/root/testdata/sf0.1"
 
 HEAVY_SLICE = [
+    "isotonic_daily_value",
+    "conformal_interval_price",
     "tpch_q1",
     "tpch_q5_local_volume",
     "interval_join_shipments",
