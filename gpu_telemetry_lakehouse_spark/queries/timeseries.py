@@ -1606,7 +1606,7 @@ def isotonic_daily_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number().over(w).alias("rn"),
         F.sum("s").over(w).alias("cums"),
         F.sum("c").over(w).alias("cumc"),
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)  # bounded day series, three consumers
     a, b = seq.alias("a"), seq.alias("b")
     # range sum over [j..k] = cums[k] - cums[j] + s[j] (prefix difference),
     # exact BIGINT; ONE double division per pair keeps both engines IEEE-equal
