@@ -1291,3 +1291,133 @@ def conformal_interval_price(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("coverage"),
         )
     )
+
+
+# --- reliability diagram + Brier decomposition --------------------------------
+# The third leg of the calibration trio (conformal interval, isotonic fit,
+# and THIS: is a probabilistic score calibrated?). Model: predict
+# P(l_returnflag = 'R') per price decile from the train split; the
+# reliability diagram compares that prediction against the eval split's
+# observed rate per bin, with each bin's exact Brier contribution. Scale
+# shape: one train pass for the 9 decile boundaries (exact interpolated
+# percentile == DuckDB quantile_cont) + per-bin positive counts, one eval
+# pass binned by the broadcast boundary row; every rate is one
+# BIGINT/BIGINT -> double division and the Brier term mirrors the oracle's
+# literal association order. The deciles come from TRAIN only — reusing eval
+# quantiles would leak the evaluation distribution into the binning.
+@query(
+    "calibration_bins_returns",
+    oracle="""
+    WITH src AS (
+        SELECT CASE WHEN substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 2) < 'aa'
+                    THEN 'train' ELSE 'eval' END AS split,
+               l_extendedprice AS price,
+               CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+        FROM lineitem
+    ),
+    bounds AS (
+        SELECT quantile_cont(price,
+                   [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS q
+        FROM src WHERE split = 'train'
+    ),
+    binned AS (
+        SELECT s.split, s.y,
+               (CASE WHEN s.price > b.q[1] THEN 1 ELSE 0 END
+                + CASE WHEN s.price > b.q[2] THEN 1 ELSE 0 END
+                + CASE WHEN s.price > b.q[3] THEN 1 ELSE 0 END
+                + CASE WHEN s.price > b.q[4] THEN 1 ELSE 0 END
+                + CASE WHEN s.price > b.q[5] THEN 1 ELSE 0 END
+                + CASE WHEN s.price > b.q[6] THEN 1 ELSE 0 END
+                + CASE WHEN s.price > b.q[7] THEN 1 ELSE 0 END
+                + CASE WHEN s.price > b.q[8] THEN 1 ELSE 0 END
+                + CASE WHEN s.price > b.q[9] THEN 1 ELSE 0 END) AS bin
+        FROM src s, bounds b
+    ),
+    tr AS (
+        SELECT bin, CAST(COUNT(*) AS BIGINT) AS n_train,
+               CAST(SUM(y) AS BIGINT) AS pos_train
+        FROM binned WHERE split = 'train' GROUP BY bin
+    ),
+    ev AS (
+        SELECT bin, CAST(COUNT(*) AS BIGINT) AS n_eval,
+               CAST(SUM(y) AS BIGINT) AS pos_eval
+        FROM binned WHERE split = 'eval' GROUP BY bin
+    ),
+    j AS (
+        SELECT t.bin, t.n_train, e.n_eval,
+               CAST(t.pos_train AS DOUBLE) / t.n_train AS pred_rate,
+               CAST(e.pos_eval AS DOUBLE) / e.n_eval AS obs_rate,
+               e.pos_eval
+        FROM tr t JOIN ev e ON e.bin = t.bin
+    )
+    SELECT bin, n_train, n_eval,
+           FLOOR(pred_rate * 1e6 + 0.5) / 1e6 AS pred_rate,
+           FLOOR(obs_rate * 1e6 + 0.5) / 1e6 AS obs_rate,
+           FLOOR((pred_rate - obs_rate) * 1e6 + 0.5) / 1e6 AS gap,
+           FLOOR((pred_rate * pred_rate * n_eval
+                  - 2.0 * pred_rate * pos_eval + pos_eval)
+                 / n_eval * 1e6 + 0.5) / 1e6 AS bin_brier
+    FROM j ORDER BY bin
+    """,
+)
+def calibration_bins_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    prefix = F.substring(F.md5(F.col("l_orderkey").cast("string")), 1, 2)
+    src = li.select(
+        F.when(prefix < "aa", "train").otherwise("eval").alias("split"),
+        F.col("l_extendedprice").alias("price"),
+        F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("y"),
+    )
+    bounds = (
+        src.filter(F.col("split") == "train")
+        .agg(
+            F.expr(
+                "percentile(price, array(0.1D, 0.2D, 0.3D, 0.4D, 0.5D,"
+                " 0.6D, 0.7D, 0.8D, 0.9D))"
+            ).alias("q")
+        )
+        .localCheckpoint(eager=False)  # 1 row, two split consumers
+    )
+    bin_col = sum(
+        F.when(F.col("price") > F.element_at("q", i), 1).otherwise(0)
+        for i in range(1, 10)
+    ).alias("bin")
+    binned = src.crossJoin(F.broadcast(bounds)).select("split", "y", bin_col)
+    tr = (
+        binned.filter(F.col("split") == "train")
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_train"),
+            F.sum("y").cast("long").alias("pos_train"),
+        )
+    )
+    ev = (
+        binned.filter(F.col("split") == "eval")
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_eval"),
+            F.sum("y").cast("long").alias("pos_eval"),
+        )
+    )
+    pred = (F.col("pos_train").cast("double") / F.col("n_train")).alias("pred_rate")
+    obs = (F.col("pos_eval").cast("double") / F.col("n_eval")).alias("obs_rate")
+    j = tr.join(ev, "bin").select(
+        "bin", "n_train", "n_eval", pred, obs, "pos_eval"
+    )
+    r6 = lambda c: F.floor(c * 1e6 + F.lit(0.5)) / 1e6  # noqa: E731
+    return j.select(
+        "bin",
+        "n_train",
+        "n_eval",
+        r6(F.col("pred_rate")).alias("pred_rate"),
+        r6(F.col("obs_rate")).alias("obs_rate"),
+        r6(F.col("pred_rate") - F.col("obs_rate")).alias("gap"),
+        r6(
+            (
+                F.col("pred_rate") * F.col("pred_rate") * F.col("n_eval")
+                - F.lit(2.0) * F.col("pred_rate") * F.col("pos_eval")
+                + F.col("pos_eval")
+            )
+            / F.col("n_eval")
+        ).alias("bin_brier"),
+    ).orderBy("bin")

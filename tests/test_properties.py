@@ -813,3 +813,26 @@ def test_conformal_coverage_guarantee(spark, sf_dir):
     # slack of 3 binomial sigmas on the test count
     sigma = (0.9 * 0.1 / row.n_test) ** 0.5
     assert row.coverage >= 0.9 - 3 * sigma, (row.coverage, row.n_test)
+
+
+def test_calibration_bins_partition_eval(spark, sf_dir):
+    """Reliability-diagram invariants: the 10 bins partition both splits
+    (counts sum to the split sizes), rates live in [0,1], and each bin's
+    Brier term equals mean((pred - y)^2) recomputed exactly from the bin's
+    integer counts."""
+    from gpu_telemetry_lakehouse_spark.queries import QUERIES
+
+    rows = QUERIES["calibration_bins_returns"](spark, sf_dir).collect()
+    assert [r.bin for r in rows] == sorted({r.bin for r in rows})
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    prefix = F.substring(F.md5(F.col("l_orderkey").cast("string")), 1, 2)
+    n_train = li.filter(prefix < "aa").count()
+    n_eval = li.count() - n_train
+    assert sum(r.n_train for r in rows) == n_train
+    assert sum(r.n_eval for r in rows) == n_eval
+    for r in rows:
+        assert 0.0 <= r.pred_rate <= 1.0 and 0.0 <= r.obs_rate <= 1.0
+        assert abs(r.gap - round(r.pred_rate - r.obs_rate, 6)) < 2e-6
+        # brier = p^2 - 2p*obs + obs given constant p within the bin
+        want = r.pred_rate**2 - 2 * r.pred_rate * r.obs_rate + r.obs_rate
+        assert abs(r.bin_brier - want) < 5e-6, (r.bin, r.bin_brier, want)
