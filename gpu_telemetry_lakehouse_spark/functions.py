@@ -33,16 +33,22 @@ def exact_sum(col: ColumnOrName, scale: int = 4) -> Column:
     under 2^63 (~9.2e18) — e.g. values to 1e5 at scale 4 allow ~9e9 rows per
     group; beyond that, stage through ``decimal(38,scale)`` instead.
 
-    PRECONDITION: inputs are finite (NULL is fine). A NaN/Infinity raises
-    under ANSI — identically in the DuckDB oracle's
-    CAST(FLOOR(.. + 0.5) AS BIGINT) — by design: non-finite sensor glitches
-    are a data-contract violation caught at the medallion boundary
-    (checks.expect_finite / ingest quarantine), not silently absorbed into
-    an aggregate where IEEE semantics would poison the whole group."""
+    PRECONDITION: inputs are finite (NULL is fine). A NaN/Infinity raises —
+    identically in the DuckDB oracle's CAST(FLOOR(.. + 0.5) AS BIGINT) — by
+    design: non-finite sensor glitches are a data-contract violation caught
+    loudly, not silently absorbed into an aggregate where IEEE semantics
+    would poison the whole group. Spark's floor(double) itself returns LONG
+    with NO ANSI check (NaN->0, Inf->Long.MaxValue), so the fail-loud path
+    is an explicit guard term ``CAST(x * 0.0 AS BIGINT)``: exactly 0 for
+    every finite input (including -0.0), NaN for non-finite, and the cast
+    raises CAST_OVERFLOW under ANSI (default-on in Spark 4; the engine never
+    disables it). Pinned by tests/test_kernel_properties.py."""
     m = 10**scale
-    return F.sum(F.floor(_c(col) * m + F.lit(0.5)).cast("long")) / F.lit(
-        float(m)
+    x = _c(col)
+    staged = F.floor(x * m + F.lit(0.5)).cast("long") + (x * F.lit(0.0)).cast(
+        "long"
     )
+    return F.sum(staged) / F.lit(float(m))
 
 
 def exact_avg(col: ColumnOrName, scale: int = 6) -> Column:
@@ -109,8 +115,11 @@ SQL_FUNCTIONS = {
         "RETURN vec_dot(a, b) / (sqrt(vec_dot(a, a)) * sqrt(vec_dot(b, b)))"
     ),
     "exact_sum_6": (
+        # the + CAST(x*0.0 AS BIGINT) term is the non-finite guard: 0 for
+        # finite x, ANSI CAST_OVERFLOW for NaN/Inf (see exact_sum docstring)
         "(x DOUBLE) RETURNS BIGINT "
-        "RETURN CAST(FLOOR(x * 1000000 + 0.5) AS BIGINT)"
+        "RETURN CAST(FLOOR(x * 1000000 + 0.5) AS BIGINT) "
+        "+ CAST(x * 0.0 AS BIGINT)"
     ),
 }
 

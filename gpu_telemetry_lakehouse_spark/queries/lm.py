@@ -62,7 +62,7 @@ _BIGRAMS = (
     )
     SELECT doc_id,
            COUNT(*) AS n_bigrams,
-           ROUND(exp(-((SUM(CAST(ROUND(lp * 1000000.0, 0) AS BIGINT)) / 1000000.0)
+           ROUND(exp(-((SUM(CAST(FLOOR(lp * 1000000.0 + 0.5) AS BIGINT)) / 1000000.0)
                        / COUNT(*))), 4) AS perplexity
     FROM scored GROUP BY doc_id
     """,

@@ -140,10 +140,10 @@ def _fixture_csvs(spark: SparkSession, sf_dir: str, src_dir: str) -> None:
     oracle="""
     WITH g AS (
         SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS dt,
-               ROUND((SUM(CAST(ROUND(value * 1000000) AS BIGINT)) / 1000000.0)
+               ROUND((SUM(CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT)) / 1000000.0)
                      / COUNT(value), 6) AS avg_gpu_util,
                ROUND(quantile_cont(value, 0.95), 6) AS p95_gpu_util,
-               ROUND((SUM(CAST(ROUND((value * 0.5) * 1000000) AS BIGINT)) / 1000000.0)
+               ROUND((SUM(CAST(FLOOR((value * 0.5) * 1000000 + 0.5) AS BIGINT)) / 1000000.0)
                      / COUNT(value), 6) AS avg_cpu_util
         FROM events
         WHERE COALESCE(event_type, 'unknown') <> 'error' AND value IS NOT NULL

@@ -249,8 +249,8 @@ def sample_exact_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT a.dt, ROUND(a.avg_v, 6) AS avg_v,
            ROUND(
-               (SUM(CAST(ROUND(b.avg_v * power(2.0, -date_diff('day', b.dt, a.dt)) * 1000000000) AS BIGINT)) / 1000000000.0)
-               / (SUM(CAST(ROUND(power(2.0, -date_diff('day', b.dt, a.dt)) * 1000000000) AS BIGINT)) / 1000000000.0),
+               (SUM(CAST(FLOOR(b.avg_v * power(2.0, -date_diff('day', b.dt, a.dt)) * 1000000000 + 0.5) AS BIGINT)) / 1000000000.0)
+               / (SUM(CAST(FLOOR(power(2.0, -date_diff('day', b.dt, a.dt)) * 1000000000 + 0.5) AS BIGINT)) / 1000000000.0),
            6) AS ewma_v
     FROM d a JOIN d b
       ON b.dt BETWEEN a.dt - INTERVAL 7 DAY AND a.dt

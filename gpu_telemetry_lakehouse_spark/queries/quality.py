@@ -54,7 +54,7 @@ _PSI_W = 100  # n_chars bucket width
         FROM grid a JOIN grid b ON a.b = b.b AND a.source < b.source
     )
     SELECT source_a, source_b,
-           ROUND(SUM(CAST(ROUND(term * 1000000000.0, 0) AS BIGINT)) / 1000000000.0,
+           ROUND(SUM(CAST(FLOOR(term * 1000000000.0 + 0.5) AS BIGINT)) / 1000000000.0,
                  6) AS psi
     FROM pairs GROUP BY 1, 2
     """,

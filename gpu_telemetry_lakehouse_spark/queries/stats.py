@@ -903,10 +903,10 @@ def ship_latency_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot AS (SELECT s_nationkey, SUM(cents) AS t FROM rev GROUP BY 1)
     SELECT r.s_nationkey AS nationkey,
            COUNT(*) AS n_suppliers,
-           ROUND(SUM(CAST(ROUND(10000.0
+           ROUND(SUM(CAST(FLOOR(10000.0
                      * (CAST(r.cents AS DOUBLE) / CAST(t.t AS DOUBLE))
                      * (CAST(r.cents AS DOUBLE) / CAST(t.t AS DOUBLE))
-                     * 1000000.0, 0) AS BIGINT)) / 1000000.0, 4) AS hhi
+                     * 1000000.0 + 0.5) AS BIGINT)) / 1000000.0, 4) AS hhi
     FROM rev r JOIN tot t ON t.s_nationkey = r.s_nationkey
     GROUP BY 1
     """,
@@ -1318,6 +1318,11 @@ def business_day_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (revenue in cents, ranks from a deterministic (revenue, custkey) order),
 # so ties cannot flip the rank sum across engines. The global window runs
 # over the customer ROLLUP (bounded), not the order stream.
+# Overflow bound (same convention as spearman_price_qty): SUM(rk * cents)
+# grows ~n^2 — with ~1e5 cents per customer it crosses 2^63 around ~1e7
+# customers. Past that, stage wsum through DECIMAL(38,0) on both engines
+# (`CAST(rk AS DECIMAL(38,0)) * cents`); exactness is preserved, only the
+# codegen-native long sum is lost.
 @query(
     "gini_customer_revenue",
     oracle="""

@@ -309,7 +309,7 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id,
            COUNT(*) AS n_tokens,
            (SUM(CAST(FLOOR((lp) * 1000000 + 0.5) AS BIGINT)) / 1000000.0) AS sum_logprob,
-           ROUND((SUM(CAST(ROUND((lp) * 1000000) AS BIGINT)) / 1000000.0)
+           ROUND((SUM(CAST(FLOOR((lp) * 1000000 + 0.5) AS BIGINT)) / 1000000.0)
                  / COUNT(*), 6) AS avg_logprob
     FROM per_tok
     GROUP BY doc_id
@@ -989,9 +989,12 @@ def char_entropy_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (BMP vs PPM — different magic, header, bottom-up row order, BGR channel
 # order: the payloads share no bytes). Both decode through the sniffing
 # numpy kernel, get pHash'd (32x32 luma DCT, median-thresholded 8x8
-# low-frequency block), and pair by 16-bit LSH bands + bit_count(xor) <= 6
+# low-frequency block), and pair by 8-bit LSH bands + bit_count(xor) <= 6
 # verification — the SimHash banding idiom, so candidate generation is an
-# equi-join, never all-pairs. The container-change twin keeps codes EXACTLY
+# equi-join, never all-pairs. Eight bands of 8 bits: pigeonhole guarantees
+# any pair within Hamming tau <= 7 shares at least one intact band (bands
+# must exceed tau), so recall at the documented tau=6 is exact — 4x16 bands
+# only guaranteed tau <= 3 and could miss a (2,2,1,1)-spread 6-bit pair. The container-change twin keeps codes EXACTLY
 # equal by construction (identical decoded array), which is what an
 # idealized pair-set oracle needs: pixel-level noise is only APPROXIMATELY
 # hash-invariant — free-form ±1 noise measured up to 10 flipped bits and
@@ -1058,9 +1061,9 @@ def multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     bands = ph.select(
         "media_id",
         "phash",
-        F.explode(F.array(*[F.lit(b) for b in range(4)])).alias("band"),
+        F.explode(F.array(*[F.lit(b) for b in range(8)])).alias("band"),
     ).withColumn(
-        "key", F.expr("shiftrightunsigned(phash, band * 16) & 65535")
+        "key", F.expr("shiftrightunsigned(phash, band * 8) & 255")
     )
     a = bands.select(
         F.col("media_id").alias("doc_a"),

@@ -332,7 +332,7 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT user_id, dt,
            COUNT(*) AS n_samples,
            CAST(SUM(ee - es) AS BIGINT) AS covered_s,
-           ROUND((SUM(CAST(ROUND(value * 10000) AS BIGINT) * (ee - es))
+           ROUND((SUM(CAST(FLOOR(value * 10000 + 0.5) AS BIGINT) * (ee - es))
                   / 10000.0) / SUM(ee - es), 6) AS twap
     FROM s GROUP BY user_id, dt
     """,
@@ -361,7 +361,13 @@ def twap_user_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_samples"),
         F.sum(wsec).alias("covered_s"),
         F.round(
-            (F.sum(F.round(F.col("value") * 10000, 0).cast("long") * wsec) / 10000.0)
+            (
+                F.sum(
+                    F.floor(F.col("value") * 10000 + F.lit(0.5)).cast("long")
+                    * wsec
+                )
+                / 10000.0
+            )
             / F.sum(wsec),
             6,
         ).alias("twap"),
@@ -1072,9 +1078,9 @@ def rolling_corr_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM at_t CROSS JOIN tot
     )
     SELECT t AS days, d AS events, CAST(n_at_risk AS BIGINT) AS n_at_risk,
-           ROUND(exp(SUM(CAST(ROUND(ln(1.0 - CAST(d AS DOUBLE)
+           ROUND(exp(SUM(CAST(FLOOR(ln(1.0 - CAST(d AS DOUBLE)
                                           / CAST(n_at_risk AS DOUBLE))
-                                    * 1000000000.0, 0) AS BIGINT))
+                                    * 1000000000.0 + 0.5) AS BIGINT))
                      OVER (ORDER BY t) / 1000000000.0), 6) AS survival
     FROM risk
     WHERE d > 0 AND n_at_risk > d

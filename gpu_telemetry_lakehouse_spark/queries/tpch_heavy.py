@@ -505,7 +505,7 @@ def important_parts_value_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM lineitem GROUP BY l_partkey
     )
     SELECT CAST(COUNT(*) AS BIGINT) AS n_lines,
-           ROUND((SUM(CAST(ROUND(l.l_extendedprice * 10000) AS BIGINT)) / 10000.0) / 7.0, 6) AS avg_yearly
+           ROUND((SUM(CAST(FLOOR(l.l_extendedprice * 10000 + 0.5) AS BIGINT)) / 10000.0) / 7.0, 6) AS avg_yearly
     FROM lineitem l
     JOIN part p ON p.p_partkey = l.l_partkey
     JOIN t ON t.l_partkey = l.l_partkey

@@ -646,21 +646,42 @@ def version_at(path: str, ts) -> int:
     """TIMESTAMP AS OF resolution (Delta/Iceberg semantic): the latest
     version whose commit timestamp is <= ``ts`` (datetime or ISO string,
     naive values treated as UTC). Commits predating the ts field count as
-    arbitrarily old. Raises ValueError when ``ts`` precedes every commit."""
+    arbitrarily old. Raises ValueError when ``ts`` precedes every commit.
+
+    Commit timestamps come from each WRITER's wall clock, so clock skew
+    between concurrent writers (or a legacy no-ts entry after ts'd ones) can
+    place an earlier wall-time on a later version. Like Delta, the effective
+    timestamp is MONOTONIZED at read time — ``effective(v) = max(ts(v),
+    effective(v-1) + 1µs)`` — so version order always wins: a skewed clock
+    can never resolve a query to a stale version, and querying exactly at a
+    commit's own recorded ts still yields that commit (strict +1µs bump,
+    Delta's rule). No early break: the whole (checkpoint-bounded) log is
+    scanned and the LAST version with effective ts <= target wins."""
     if isinstance(ts, str):
         ts = _dt.datetime.fromisoformat(ts)
     if ts.tzinfo is None:
         ts = ts.replace(tzinfo=_dt.timezone.utc)
     best = None
+    prev_eff = None
+    tick = _dt.timedelta(microseconds=1)
     for v in _list_versions(path):
         e_ts = _read_entry(path, v).get("ts")
+        committed = None
         if e_ts is not None:
             committed = _dt.datetime.fromisoformat(e_ts)
             if committed.tzinfo is None:
                 committed = committed.replace(tzinfo=_dt.timezone.utc)
-            if committed > ts:
-                break  # versions commit in time order; later ones only newer
-        best = v
+        if committed is None:
+            # legacy no-ts entry: arbitrarily old unless following ts'd
+            # commits, then pinned just after its predecessor
+            effective = prev_eff + tick if prev_eff is not None else None
+        elif prev_eff is not None and committed <= prev_eff:
+            effective = prev_eff + tick
+        else:
+            effective = committed
+        if effective is None or effective <= ts:
+            best = v
+        prev_eff = effective if effective is not None else prev_eff
     if best is None:
         raise ValueError(f"no snapshot of {path} exists at or before {ts}")
     return best

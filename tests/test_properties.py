@@ -836,3 +836,42 @@ def test_calibration_bins_partition_eval(spark, sf_dir):
         # brier = p^2 - 2p*obs + obs given constant p within the bin
         want = r.pred_rate**2 - 2 * r.pred_rate * r.obs_rate + r.obs_rate
         assert abs(r.bin_brier - want) < 5e-6, (r.bin, r.bin_brier, want)
+
+
+def test_exact_sum_fails_loud_on_non_finite(spark):
+    """ADVICE r3 (high): the floor(x*m+0.5) staging must NOT silently absorb
+    NaN/Inf (Spark's floor(double) returns LONG with no ANSI check — NaN
+    would become 0, Inf Long.MaxValue). exact_sum carries an explicit
+    ``CAST(x*0.0 AS BIGINT)`` guard: exactly 0 for finite inputs, ANSI
+    CAST_OVERFLOW for non-finite — matching the DuckDB oracle, whose
+    CAST(FLOOR(..+0.5) AS BIGINT) raises on NaN/Inf."""
+    import duckdb
+    import pytest as _pt
+
+    from gpu_telemetry_lakehouse_spark.functions import exact_sum
+
+    fin = spark.createDataFrame([(1.25,), (2.5,), (None,)], "x double")
+    assert fin.agg(exact_sum("x", 4).alias("s")).collect()[0].s == 3.75
+    for bad in (float("nan"), float("inf"), float("-inf")):
+        df = spark.createDataFrame([(1.0,), (bad,)], "x double")
+        with _pt.raises(Exception, match="CAST_OVERFLOW|ArithmeticException"):
+            df.agg(exact_sum("x", 4).alias("s")).collect()
+        with _pt.raises(Exception):
+            duckdb.sql(
+                f"SELECT SUM(CAST(FLOOR(x * 10000 + 0.5) AS BIGINT)) "
+                f"FROM (VALUES (1.0), (CAST('{bad}' AS DOUBLE))) t(x)"
+            ).fetchall()
+
+
+def test_exact_sum_sql_function_guard(spark):
+    """The SQL-exposed exact_sum_6 carries the same non-finite guard."""
+    import pytest as _pt
+
+    from gpu_telemetry_lakehouse_spark.functions import register_sql_functions
+
+    register_sql_functions(spark)
+    assert (
+        spark.sql("SELECT exact_sum_6(1.5) AS s").collect()[0].s == 1_500_000
+    )
+    with _pt.raises(Exception, match="CAST_OVERFLOW|ArithmeticException"):
+        spark.sql("SELECT exact_sum_6(CAST('NaN' AS DOUBLE)) AS s").collect()

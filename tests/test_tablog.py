@@ -1509,3 +1509,45 @@ def test_timestamp_as_of_time_travel(spark, sf_dir, tbl):
     past = dt.datetime.fromisoformat(hist[0]["ts"]) - dt.timedelta(seconds=1)
     with pytest.raises(ValueError, match="no snapshot"):
         T.version_at(tbl, past)
+
+
+def test_version_at_monotonizes_skewed_clocks(spark, sf_dir, tbl):
+    """ADVICE r3: commit timestamps come from writer wall clocks, so a later
+    version can carry an EARLIER ts (clock skew between concurrent writers).
+    version_at must monotonize effective timestamps Delta-style
+    (max(ts, prev+1us)) instead of early-breaking on the first ts > target —
+    a skewed clock must never resolve a query to a superseded snapshot."""
+    import datetime as dt
+    import json
+    import os
+
+    o = _orders(spark, sf_dir).limit(30)
+    T.create_table(o.limit(10), tbl)
+    T.append(o.limit(20).subtract(o.limit(10)), tbl)
+    T.append(o.subtract(o.limit(20)), tbl)
+    hist = T.history(tbl)
+    t0 = dt.datetime.fromisoformat(hist[0]["ts"])
+
+    # skew version 1's wall clock 10 minutes BEFORE version 0's
+    p1 = os.path.join(tbl, "_txn_log", f"{1:020d}.json")
+    with open(p1) as f:
+        e1 = json.load(f)
+    e1["ts"] = (t0 - dt.timedelta(minutes=10)).isoformat()
+    with open(p1, "w") as f:
+        json.dump(e1, f)
+
+    # at v0's own ts: v1's effective ts is monotonized to t0+1us (> t0), so
+    # v0 still wins — the naive raw-ts scan would pick v1 (stale-ts newer
+    # version) or, with an early break, miss v2 entirely
+    assert T.version_at(tbl, hist[0]["ts"]) == 0
+    # just past v0: the skewed v1 becomes visible (effective t0+1us)
+    assert (
+        T.version_at(tbl, t0 + dt.timedelta(microseconds=1)) == 1
+    )
+    # v2's genuine ts still resolves to the tip despite the non-monotone
+    # entry in the middle (no early break)
+    assert T.version_at(tbl, hist[2]["ts"]) == 2
+    assert T.read(spark, tbl, as_of=hist[2]["ts"]).count() == 30
+    # before everything -> still an error
+    with pytest.raises(ValueError, match="no snapshot"):
+        T.version_at(tbl, t0 - dt.timedelta(days=1))
