@@ -79,7 +79,17 @@ def _centroid_dots(vec: Column, centroids: list[list[float]]) -> Column:
     cost of the IVF query at bench scale) without changing the arithmetic:
     same left-to-right fold per centroid, bit-identical doubles.
     """
-    cents = F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in centroids])
+    # ONE parsed SQL literal, not k*dim F.lit py4j calls: building the
+    # nested array element-by-element costs ~0.5ms of py4j latency per
+    # element (~1.1s for 8x256 centroids, measured) while parsing the
+    # equivalent SQL string costs ~3ms + ~0.1s analysis. repr(float) is the
+    # shortest round-tripping decimal and Spark's parser is correctly
+    # rounding, so the literal doubles are bit-identical to F.lit's.
+    inner = ",".join(
+        "array(" + ",".join(repr(float(x)) + "D" for x in c) + ")"
+        for c in centroids
+    )
+    cents = F.expr(f"array({inner})")
     return F.transform(
         cents,
         lambda c: F.aggregate(
@@ -456,29 +466,42 @@ def semdedup(
     probability (1 − θ/π)^planes → 1. The cap is NOT silent: affected rows
     come back with capped=1 (and recall inside capped clusters is
     documented as approximate). Cluster sizes come from one tiny
-    (≤ n_centroids rows) aggregate that broadcasts back onto the corpus.
+    (≤ n_centroids rows) aggregate over the CHECKPOINTED assignment that
+    broadcasts back — deliberately NOT a count window partitioned by
+    cluster: that window's shuffle output becomes the pair join's input
+    partitioning (hash(cluster) satisfies the (cluster, __sub) clustering),
+    which caps pair-join parallelism at n_clusters tasks — and after AQE
+    small-partition coalescing, at ONE task locally (measured 1.6 s → 3.3 s
+    on the sf0.1 bench). The broadcast join keeps the scan's partitioning,
+    so the quadratic within-cluster work spreads over every core.
     """
     v = with_norm(df, vec_col=vec_col)
     planes = hyperplane_signs(cap_planes, len(centroids[0]))
     sub = F.when(
         F.col("__cn") > max_cluster_rows, lsh_code(F.col("v"), planes)
     ).otherwise(F.lit(0).cast("long"))
-    # lazy checkpoint: the assigned frame feeds FOUR consumers (sizes, both
+    # lazy checkpoint: the assigned frame feeds THREE consumers (both
     # pair-join branches, the final keep join) and the k x dim literal
     # centroid projection is the expensive part — without truncation Spark
     # re-scans the corpus and re-projects per consumer (measured 6 scans,
     # 0 reused exchanges). One materialization (MEMORY_AND_DISK, spills at
     # cluster scale) makes every branch read the computed assignment.
-    assigned = (
-        v.withColumn("cluster", _assign_expr(centroids))
-        .select(id_col, "cluster", "v", "nrm")
-        .localCheckpoint(eager=False)
-    )
+    # single select per stage (not a withColumn chain): every DataFrame
+    # transformation analyzes eagerly, and with k x dim literal centroids in
+    # the tree each extra analysis pass costs real driver latency
+    assigned = v.select(
+        id_col, "v", "nrm", _assign_expr(centroids).alias("cluster")
+    ).localCheckpoint(eager=False)
+    # second pass over the checkpoint is k-row cheap (map-side partial agg)
     sizes = assigned.groupBy("cluster").agg(F.count(F.lit(1)).alias("__cn"))
-    assigned = (
-        assigned.join(F.broadcast(sizes), "cluster")
-        .withColumn("__sub", sub)
-        .withColumn("capped", (F.col("__cn") > max_cluster_rows).cast("int"))
+    assigned = assigned.join(F.broadcast(sizes), "cluster").select(
+        id_col,
+        "cluster",
+        "v",
+        "nrm",
+        "__cn",
+        sub.alias("__sub"),
+        (F.col("__cn") > max_cluster_rows).cast("int").alias("capped"),
     )
     a = assigned.select(
         F.col("cluster"),
