@@ -1,8 +1,11 @@
 #!/usr/bin/env python
 """Benchmark headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
 
-Prints ONE JSON line:
+Prints the full result as ONE JSON line:
   {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+followed by a compact FINAL line repeating the headline numbers (no
+per-query maps), because the driver's stdout capture keeps only the tail
+and must always see a parseable headline.
 
 Each query executes fully (noop sink — no driver collect) after a shared
 warm session is up. The suite runs CONCURRENTLY under Spark's FIFO
@@ -213,6 +216,24 @@ def main() -> None:
                 "serial_queries": serial_timings,
                 "duckdb_serial_value": duck_total,
                 "duckdb_serial_nqueries": duck_n,
+            }
+        )
+    )
+    # The driver records only the TAIL of stdout, which truncated the
+    # round-3 headline "value" (it leads the long line above). Repeat the
+    # headline numbers in a compact FINAL line so they always survive tail
+    # capture, whatever the capture window.
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "sf": sf,
+                "serial_value": serial_total,
+                "duckdb_serial_value": duck_total,
+                "duckdb_serial_nqueries": duck_n,
+                "n_queries": len(HEADLINE),
             }
         )
     )

@@ -301,29 +301,79 @@ def sql_cte_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
 # group to one reducer (holistic aggregate — no map-side combine). This twin
 # swaps in approx_percentile's KLL-style sketch: fixed-size per-partition
 # state, map-side merged, so the exchange carries one sketch per (partition,
-# day) instead of every sample. Approximate by design => rows-only gate
-# (DuckDB's approx_quantile uses a different sketch; values can't hash-match),
-# plus a bounded-error assertion against the exact tier in tests/.
-@query("gold_daily_util_approx", oracle=None)
+# day) instead of every sample. Sketch VALUES can't hash-match DuckDB's
+# different sketch, so the oracle pins the BOUNDED comparison (VERDICT r3
+# #7): per day, exact n/avg plus flags that each approx quantile's exact
+# rank sits within 0.01 of its target (KLL guarantee at accuracy=10000 is
+# 1e-4). The rank check is one extra day-keyed pass; a sketch regression
+# flips a flag and hash-mismatches.
+@query(
+    "gold_daily_util_approx",
+    oracle="""
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS dt,
+           COUNT(*) AS n_samples,
+           (SUM(CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT))
+            / 1000000.0) / COUNT(value) AS avg_value,
+           1 AS p95_ok,
+           1 AS med_ok
+    FROM events
+    WHERE value IS NOT NULL
+    GROUP BY 1
+    ORDER BY dt
+    """,
+)
 def gold_daily_util_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
-    return (
-        ev.filter(F.col("value").isNotNull())
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
         .withColumn("dt", F.date_trunc("day", "ts"))
+        .select("dt", "value")
+    )
+    agg = ev.groupBy("dt").agg(
+        F.count(F.lit(1)).alias("n_samples"),
+        exact_avg("value").alias("avg_value"),
+        F.approx_percentile(
+            "value", F.array(F.lit(0.95), F.lit(0.5)), F.lit(10_000)
+        ).alias("__ps"),
+    )
+    rk = (
+        ev.join(F.broadcast(agg.select("dt", "__ps")), "dt")
         .groupBy("dt")
         .agg(
-            F.count(F.lit(1)).alias("n_samples"),
-            exact_avg("value").alias("avg_value"),
-            F.approx_percentile(
-                "value", F.array(F.lit(0.95), F.lit(0.5)), F.lit(10_000)
-            ).alias("__ps"),
+            *[
+                (
+                    F.sum((F.col("value") < F.col("__ps")[i]).cast("long"))
+                    / F.count("value")
+                ).alias(f"__lo{i}")
+                for i in (0, 1)
+            ],
+            *[
+                (
+                    F.sum((F.col("value") <= F.col("__ps")[i]).cast("long"))
+                    / F.count("value")
+                ).alias(f"__hi{i}")
+                for i in (0, 1)
+            ],
         )
+    )
+
+    def ok(i: int, q: float):
+        # tie-robust rank interval check (the tdigest_value_quantiles idiom)
+        return (
+            F.greatest(
+                F.lit(0.0), F.col(f"__lo{i}") - q, F.lit(q) - F.col(f"__hi{i}")
+            )
+            <= 0.01
+        ).cast("int")
+
+    return (
+        agg.join(F.broadcast(rk), "dt")
         .select(
             "dt",
             "n_samples",
             "avg_value",
-            F.round(F.col("__ps")[0], 6).alias("p95_value"),
-            F.round(F.col("__ps")[1], 6).alias("med_value"),
+            ok(0, 0.95).alias("p95_ok"),
+            ok(1, 0.5).alias("med_ok"),
         )
         .orderBy("dt")
     )

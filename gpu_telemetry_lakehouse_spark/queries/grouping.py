@@ -162,14 +162,66 @@ def count_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# HLL sketches differ between engines by construction -> rows-only check
-# (SURVEY.md §2.2 approx aggregates; the scale path for 100 TB distincts).
-@query("approx_distinct_users", oracle=None)
+# HLL/KLL sketch VALUES differ between engines by construction, so the
+# oracle pins the BOUNDED comparison instead (VERDICT r3 #7 pattern): the
+# HLL++ estimate must sit within its configured relative error of the exact
+# distinct (rsd 0.05 default, flag at 3x = 15%) and the approx p95 must be
+# a value whose exact rank is within 0.01 of 0.95 (KLL rank guarantee is
+# 1/accuracy = 1e-4). Both checks run DISTRIBUTED in the same plan — a
+# sketch regression flips a flag to 0 and hash-mismatches the driver gate.
+@query(
+    "approx_distinct_users",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           1 AS users_ok,
+           1 AS p95_ok
+    FROM events
+    GROUP BY event_type
+    """,
+)
 def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id").alias("approx_users"),
-        F.percentile_approx("value", 0.95).alias("approx_p95_value"),
+    agg = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count_distinct("user_id").alias("__exact_users"),
+        F.approx_count_distinct("user_id").alias("__approx_users"),
+        F.percentile_approx("value", 0.95, 10_000).alias("__p95a"),
+    )
+    # second pass: exact rank of the approx p95 value within each group
+    rk = (
+        ev.join(
+            F.broadcast(agg.select("event_type", "__p95a")), "event_type"
+        )
+        .groupBy("event_type")
+        .agg(
+            (
+                F.sum((F.col("value") < F.col("__p95a")).cast("long"))
+                / F.count("value")
+            ).alias("__rlo"),
+            (
+                F.sum((F.col("value") <= F.col("__p95a")).cast("long"))
+                / F.count("value")
+            ).alias("__rhi"),
+        )
+    )
+    users_ok = (
+        F.abs(F.col("__approx_users") - F.col("__exact_users"))
+        <= 0.15 * F.col("__exact_users")
+    ).cast("int")
+    # tie-robust rank interval: the estimate is fine if 0.95 falls within
+    # [rank(<est), rank(<=est)] padded by the tolerance
+    p95_ok = (
+        F.greatest(
+            F.lit(0.0), F.col("__rlo") - 0.95, F.lit(0.95) - F.col("__rhi")
+        )
+        <= 0.01
+    ).cast("int")
+    return agg.join(F.broadcast(rk), "event_type").select(
+        "event_type",
+        "n_events",
+        users_ok.alias("users_ok"),
+        p95_ok.alias("p95_ok"),
     )
 
 

@@ -820,7 +820,25 @@ def event_cooccurrence_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- t-digest quantile sketch (rows-only: the sketch is not SQL-expressible;
 # rank-error and merge-determinism invariants are pinned in
 # tests/test_sketch_tdigest.py) ----------------------------------------------
-@query("tdigest_value_quantiles")
+# VERDICT r3 #7: rows-only -> oracle-twinned via the BOUNDED comparison the
+# property test already proves (tests/test_sketch_tdigest.py): each digest
+# estimate's exact rank must sit within 0.02 of its target quantile
+# (generous ceiling for delta=100's ~O(q(1-q)/delta) rank error). The rank
+# check runs DISTRIBUTED — one conditional-sum pass over the corpus against
+# the 6 driver-merged estimates — so the driver row certifies fit, merge,
+# quantile evaluation AND the bound end-to-end; the oracle pins the exact
+# corpus count and the all-pass contract. A digest regression flips
+# within_bound to 0 and hash-mismatches.
+@query(
+    "tdigest_value_quantiles",
+    oracle="""
+    SELECT t.q,
+           (SELECT COUNT(value) FROM events) AS n,
+           1 AS within_bound
+    FROM (VALUES (0.01), (0.25), (0.5), (0.75), (0.95), (0.99)) t(q)
+    ORDER BY q
+    """,
+)
 def tdigest_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable t-digest over events.value (operators/sketch.py): one corpus
     pass builds per-partition digests; the driver merges O(partitions x
@@ -832,8 +850,39 @@ def tdigest_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     m, w = SK.tdigest_fit(ev, "value", delta=100)
     qs = [0.01, 0.25, 0.5, 0.75, 0.95, 0.99]
-    rows = [(q, round(SK.tdigest_quantile(m, w, q), 6)) for q in qs]
-    return spark.createDataFrame(rows, "q double, value_est double")
+    ests = [SK.tdigest_quantile(m, w, q) for q in qs]
+    aggs = [F.count("value").alias("n")]
+    for i, est in enumerate(ests):
+        aggs.append(
+            F.sum((F.col("value") < F.lit(est)).cast("long")).alias(f"lo{i}")
+        )
+        aggs.append(
+            F.sum((F.col("value") <= F.lit(est)).cast("long")).alias(f"hi{i}")
+        )
+    one = ev.agg(*aggs)
+    nd = F.col("n").cast("double")
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(q).alias("q"),
+                F.greatest(
+                    F.lit(0.0),
+                    F.col(f"lo{i}") / nd - F.lit(q),
+                    F.lit(q) - F.col(f"hi{i}") / nd,
+                ).alias("err"),
+            )
+            for i, q in enumerate(qs)
+        ]
+    )
+    return (
+        one.select("n", F.explode(entries).alias("s"))
+        .select(
+            F.col("s.q").alias("q"),
+            F.col("n"),
+            (F.col("s.err") <= 0.02).cast("int").alias("within_bound"),
+        )
+        .orderBy("q")
+    )
 
 
 # --- shipping-latency distribution per priority ------------------------------

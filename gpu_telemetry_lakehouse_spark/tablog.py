@@ -513,8 +513,18 @@ def delete_where_dv(spark: SparkSession, path: str, predicate) -> int:
             spark.read.parquet(os.path.join(path, prev))
         ).distinct()
     name = f"dv-{uuid.uuid4().hex}"
-    new_dv.coalesce(1).write.parquet(os.path.join(path, name))
-    n = spark.read.parquet(os.path.join(path, name)).count()
+    # no coalesce(1): the DV is already file-scoped and a broad-predicate
+    # delete on a 100 TB table produces a large DV — serializing its write
+    # through one task gains nothing (readers list the directory). The row
+    # count rides on the write via observe() (the ingest.py:44 idiom)
+    # instead of a second read-back job.
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    new_dv.observe(obs, F.count(F.lit(1)).alias("rows")).write.parquet(
+        os.path.join(path, name)
+    )
+    n = int(obs.get["rows"])
     return _commit(
         path,
         {"operation": "delete_dv", "dv": name, "dv_rows": n},

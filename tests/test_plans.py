@@ -341,3 +341,44 @@ def test_partition_pruning_static_and_dynamic(spark, sf_dir, tmp_path):
     assert j2.groupBy().sum("count").first()[0] == f.join(
         dim_rt, "prio"
     ).count()
+
+
+def test_global_ranking_windows_avoid_full_single_partition_sort(spark, sf_dir):
+    """VERDICT r3 #4: global top-k rankings must not silently regress into a
+    single-partition full sort of the unreduced input.
+
+    - bm25_search / top_event_paths: the ``row_number() <= k`` over a global
+      order must plan as WindowGroupLimit or the TakeOrderedAndProject
+      rewrite (per-partition limit before the singleton final), never a
+      bare global Window.
+    - pareto_customer_revenue: the global cumulative window is inherent to
+      the Pareto curve, but it must run over the customer-level
+      HashAggregate rollup, never the raw order stream.
+    - doc_length_deciles: global ntile needs a total order by definition;
+      pin that the single-partition sort carries ONLY the narrow
+      (doc_id, n_tokens) projection, not the corpus text.
+    """
+    import re
+
+    for name in ("bm25_search", "top_event_paths"):
+        p = plan_of(spark, name, sf_dir)
+        assert ("WindowGroupLimit" in p) or ("TakeOrderedAndProject" in p), (
+            f"{name}: global rank-limit lost its limited rewrite:\n{p[:1200]}"
+        )
+
+    p = plan_of(spark, "pareto_customer_revenue", sf_dir)
+    nodes = re.findall(r"\(\d+\) (\w+)", p)
+    wi = nodes.index("Window")
+    assert "HashAggregate" in nodes[:wi], (
+        f"pareto window must consume the customer rollup, got {nodes}"
+    )
+
+    p = plan_of(spark, "doc_length_deciles", sf_dir)
+    # the Window node's Input line lists the columns crossing the singleton
+    # exchange — the raw text column must have been pruned away before it
+    m = re.search(r"\(\d+\) Window\b.*?Input \[\d+\]: \[([^\]]*)\]", p, re.S)
+    assert m, p[:1200]
+    cols = [c.strip().split("#")[0] for c in m.group(1).split(",")]
+    assert "text" not in cols and len(cols) <= 3, (
+        f"deciles global sort carries wide input: {cols}"
+    )

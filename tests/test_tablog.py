@@ -1551,3 +1551,53 @@ def test_version_at_monotonizes_skewed_clocks(spark, sf_dir, tbl):
     # before everything -> still an error
     with pytest.raises(ValueError, match="no snapshot"):
         T.version_at(tbl, t0 - dt.timedelta(days=1))
+
+
+def test_log_fold_stays_checkpoint_bounded_at_500_versions(spark, sf_dir, tbl):
+    """VERDICT r3 #8: with checkpointing every CHECKPOINT_EVERY commits, the
+    per-read log fold must stay O(since-checkpoint) no matter how long the
+    table lives. Drive ~500 versions (metadata-only rename ping-pong
+    interleaved with appends, a branch, and a shallow clone) and pin, at a
+    sweep of version depths, that snapshot_files replays at most the
+    checkpoint tail — the deterministic proxy for flat read() latency."""
+    from unittest import mock
+
+    o = _orders(spark, sf_dir)
+    T.create_table(o.limit(3), tbl)
+    # 500 versions: cheap metadata-only renames dominate; every 25th commit
+    # is a real append so checkpointed file lists keep growing; a branch and
+    # a clone interleave to prove neither disturbs the main-log fold
+    renamed = False
+    for i in range(500):
+        if i % 25 == 0:
+            T.append(o.limit(1), tbl)
+        elif renamed:
+            T.rename_column(tbl, "order_key", "o_orderkey")
+            renamed = False
+        else:
+            T.rename_column(tbl, "o_orderkey", "order_key")
+            renamed = True
+        if i == 100:
+            T.branch_create(tbl, "probe")
+        if i == 200:
+            T.clone_table(tbl, tbl + "_clone")
+    tip = T.current_version(tbl)
+    assert tip >= 500
+
+    counts = {}
+    for v in (tip, tip - 97, tip - 251, 260):
+        with mock.patch.object(
+            T, "_read_entry", side_effect=T._read_entry
+        ) as spy:
+            files = T.snapshot_files(tbl, v)
+            assert files  # fold still lands on live data
+            counts[v] = spy.call_count
+    # every depth folds at most one checkpoint interval of tail entries
+    # (+1 for the entry at the checkpoint boundary itself)
+    for v, c in counts.items():
+        assert c <= T.CHECKPOINT_EVERY + 1, (v, c, counts)
+    # and the row data is still correct at the tip (renames fold cleanly
+    # through 500 versions: the last rename state decides the column name)
+    df = T.read(spark, tbl)
+    assert df.count() == 3 + len([i for i in range(500) if i % 25 == 0])
+    assert ("o_orderkey" in df.columns) or ("order_key" in df.columns)
