@@ -59,7 +59,7 @@ HEADLINE = [
     "sole_fault_suppliers",     # q21 shape: double-correlated exists, decorrelated
     "order_count_distribution", # outer join -> double aggregation
     "large_volume_orders",      # grouped HAVING + join-back + topk
-    "knn_ivf",                  # sampled-centroid IVF approximate topk
+    "knn_ivf_fixed",            # IVF mechanism under a hash-exact oracle
     "dedup_minhash_pairs",      # minhash + LSH banding
     "dedup_shingle_jaccard",    # inverted-index exact jaccard
     "dedup_simhash",            # simhash signatures
@@ -122,7 +122,7 @@ def main() -> None:
         "roc_auc_price_returns": 2,
         "dedup_shingle_jaccard": 8, "sole_fault_suppliers": 8,
         "gold_job_efficiency_daily": 7, "tpch_q5_local_volume": 5,
-        "nation_market_share": 4, "knn_ivf": 4,
+        "nation_market_share": 4, "knn_ivf_fixed": 4,
         "tpch_q1": 4, "interval_join_shipments": 4, "dedup_minhash_pairs": 3,
         "tpch_q3_shipping": 3, "dedup_boilerplate_segments": 3,
         "dedup_simhash": 2,

@@ -110,13 +110,44 @@ def _centroids_for(spark: SparkSession, sf_dir: str, n_clusters: int) -> list[li
     return _CENTROID_MEMO[key]
 
 
-@query("knn_ivf", oracle=None)
+# knn_ivf's learned centroids are driver-fit, so the raw neighbor lists
+# cannot hash-match a static oracle — the oracle instead pins the RECALL
+# CERTIFICATE (the bounded-oracle pattern): the IVF answer's average
+# recall@5 against the brute-force truth, computed in the same plan, must
+# clear 0.5 (probe 2/8 clusters; measured 0.80-0.82 across sf0.001-0.1).
+# The mechanism itself also has a hash-exact twin (knn_ivf_fixed below).
+@query(
+    "knn_ivf",
+    oracle=f"""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_queries, 5 AS k, 1 AS recall_ok
+    FROM embeddings WHERE vec_id < {N_QUERIES}
+    """,
+)
 def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = spread_input(load_table(spark, sf_dir, "embeddings"))
     queries = emb.filter(F.col("vec_id") < N_QUERIES)
-    return SIM.ivf_topk(
+    ivf = SIM.ivf_topk(
         spark, emb, queries, k=5, n_clusters=8, n_probe=2,
         centroids=_centroids_for(spark, sf_dir, 8),
+    )
+    truth = SIM.cosine_topk(emb, queries, k=5).select(
+        "query_id", "neighbor_id"
+    )
+    hits = ivf.join(truth, ["query_id", "neighbor_id"]).groupBy(
+        "query_id"
+    ).agg(F.count(F.lit(1)).alias("__h"))
+    per_q = (
+        ivf.select("query_id")
+        .distinct()
+        .join(hits, "query_id", "left")
+        .select(
+            (F.coalesce(F.col("__h"), F.lit(0)) / 5.0).alias("__recall")
+        )
+    )
+    return per_q.agg(
+        F.count(F.lit(1)).cast("long").alias("n_queries"),
+        F.lit(5).alias("k"),
+        (F.avg("__recall") >= 0.5).cast("int").alias("recall_ok"),
     )
 
 
@@ -388,12 +419,47 @@ def _pq_books_for(spark: SparkSession, sf_dir: str):
     return _PQ_MEMO[key]
 
 
-@query("knn_pq_adc", oracle=None)
+def _recall_certificate(ann: DataFrame, emb: DataFrame, qids, bound: float) -> DataFrame:
+    """Bounded-oracle shape for learned-index ANN queries: join the ANN
+    answer against the brute-force truth computed in the SAME plan, and emit
+    (n_queries, k, recall_ok) — a fitted-codebook regression drops recall
+    below the bound, flips the flag, and hash-mismatches the driver gate."""
+    queries = emb.filter(F.col("vec_id").isin(list(qids)))
+    truth = SIM.cosine_topk(emb, queries, k=5).select("query_id", "neighbor_id")
+    hits = (
+        ann.join(truth, ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("__h"))
+    )
+    per_q = (
+        ann.select("query_id")
+        .distinct()
+        .join(hits, "query_id", "left")
+        .select((F.coalesce(F.col("__h"), F.lit(0)) / 5.0).alias("__recall"))
+    )
+    return per_q.agg(
+        F.count(F.lit(1)).cast("long").alias("n_queries"),
+        F.lit(5).alias("k"),
+        (F.avg("__recall") >= bound).cast("int").alias("recall_ok"),
+    )
+
+
+# Fitted PQ codebooks can't ride into static SQL, so the oracle pins the
+# recall certificate (avg recall@5 of ADC+re-rank vs brute >= 0.4; measured
+# 0.53-0.80 across sf0.001-0.1, and tests/test_pq.py pins >= 0.6 at its own
+# scale). Codebook/encode invariants stay in tests/test_pq.py.
+@query(
+    "knn_pq_adc",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_queries, 5 AS k, 1 AS recall_ok
+    FROM embeddings WHERE vec_id < 3
+    """,
+)
 def knn_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PQ-compressed ANN (operators/pq.py): 8x4-bit codes per vector (32x
     compression vs float32), asymmetric-distance scan over the code table,
-    exact re-rank of the top-50 candidates. Three anchor queries unioned;
-    recall vs brute force pinned in tests/test_pq.py."""
+    exact re-rank of the top-50 candidates. Three anchor queries unioned
+    into a recall certificate vs in-plan brute force."""
     import numpy as np
 
     from ..operators import pq as PQ
@@ -409,15 +475,22 @@ def knn_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     for qid in sorted(qrows):
         top = PQ.pq_adc_topk(codes, emb, books, qrows[qid], qid, k=5, rerank=50)
         out = top if out is None else out.unionByName(top)
-    return out
+    return _recall_certificate(out, emb, sorted(qrows), bound=0.4)
 
 
-@query("knn_ivfpq", oracle=None)
+@query(
+    "knn_ivfpq",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_queries, 5 AS k, 1 AS recall_ok
+    FROM embeddings WHERE vec_id < 3
+    """,
+)
 def knn_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composed IVF-PQ ANN (operators/pq.py): coarse 8-cluster routing with
     n_probe=4 + 8x4-bit ADC within the probed clusters + exact re-rank.
     Probe pruning means only ~half the code table is scanned per query;
-    recall and pruning invariants in tests/test_pq.py."""
+    recall certificate vs in-plan brute force (measured 0.60-0.87 across
+    sf0.001-0.1, bound 0.4); pruning invariants in tests/test_pq.py."""
     import numpy as np
 
     from ..operators import pq as PQ
@@ -436,7 +509,7 @@ def knn_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
             enc, emb, cents, books, qrows[qid], qid, n_probe=4, k=5, rerank=50
         )
         out = top if out is None else out.unionByName(top)
-    return out
+    return _recall_certificate(out, emb, sorted(qrows), bound=0.4)
 
 
 # --- retrieval-quality evaluation (NDCG@10 / reciprocal rank) ----------------

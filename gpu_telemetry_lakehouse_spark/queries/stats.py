@@ -197,21 +197,64 @@ def datetime_features_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Estimates are approximate by design -> rows-only; the invariant test pins
 # the estimate within HLL error of the exact count (tests/test_properties or
 # test_ml-style check in tests/test_plans.py companion).
-@query("hll_user_rollup", oracle=None)
+# Sketch VALUES can't cross engines, so the oracle pins the BOUNDED
+# comparison (the tdigest_value_quantiles pattern): the weekly estimate from
+# UNIONED daily sketches must sit within 3x the lgK=14 relative error
+# (1.04/sqrt(2^14) ~ 0.81%; 3x ~ 2.5%) of the exact weekly distinct, which
+# the oracle recomputes from raw events. This certifies the re-aggregation
+# property end-to-end — build daily, merge weekly WITHOUT re-scanning raw —
+# which is the entire point of sketching a 100 TB stream.
+@query(
+    "hll_user_rollup",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS dt,
+               COUNT(DISTINCT user_id) AS exact_daily
+        FROM events GROUP BY 1
+    ),
+    weekly AS (
+        SELECT CAST(date_trunc('week', ts) AS TIMESTAMP) AS week,
+               COUNT(DISTINCT user_id) AS exact_weekly
+        FROM events GROUP BY 1
+    )
+    SELECT w.week,
+           w.exact_weekly,
+           1 AS est_ok,
+           CAST(SUM(d.exact_daily) AS BIGINT) AS sum_daily_exact,
+           COUNT(*) AS n_days
+    FROM weekly w
+    JOIN daily d ON date_trunc('week', d.dt) = w.week
+    GROUP BY w.week, w.exact_weekly
+    """,
+)
 def hll_user_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     daily = ev.groupBy(F.date_trunc("day", "ts").alias("dt")).agg(
         F.expr("hll_sketch_agg(user_id, 14)").alias("sk"),
         F.count_distinct("user_id").alias("exact_daily"),
     )
-    return (
+    weekly_exact = ev.groupBy(
+        F.date_trunc("week", "ts").alias("week")
+    ).agg(F.count_distinct("user_id").alias("exact_weekly"))
+    est = (
         daily.groupBy(F.date_trunc("week", "dt").alias("week"))
         .agg(
-            F.expr("hll_sketch_estimate(hll_union_agg(sk))").alias("est_weekly_users"),
+            F.expr("hll_sketch_estimate(hll_union_agg(sk))").alias("__est"),
             F.sum("exact_daily").alias("sum_daily_exact"),
             F.count(F.lit(1)).alias("n_days"),
         )
-        .select("week", "est_weekly_users", "sum_daily_exact", "n_days")
+    )
+    return est.join(weekly_exact, "week").select(
+        "week",
+        "exact_weekly",
+        (
+            F.abs(F.col("__est") - F.col("exact_weekly"))
+            <= 0.025 * F.col("exact_weekly")
+        )
+        .cast("int")
+        .alias("est_ok"),
+        "sum_daily_exact",
+        "n_days",
     )
 
 
@@ -220,25 +263,78 @@ def hll_user_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # support union/intersection/difference estimates without ever holding the
 # sets. Here: estimated distinct-user overlap between every pair of event
 # types — the audience-overlap query that is quadratic-infeasible exactly at
-# 100 TB but constant-space with sketches. Approximate -> rows-only; the
-# invariant test checks against exact intersections at test scale.
-@query("theta_user_overlap", oracle=None)
+# 100 TB but constant-space with sketches. The oracle pins the BOUNDED
+# comparison: each pair's intersection estimate must sit within 5% of the
+# pair's exact UNION size (theta intersection error scales with the union,
+# not the intersection) of the exact overlap, which both engines recompute
+# from raw events — at certification scale only; production drops the exact
+# twin and keeps the constant-space sketch path.
+@query(
+    "theta_user_overlap",
+    oracle="""
+    WITH s AS (SELECT DISTINCT event_type, user_id FROM events),
+    pairs AS (
+        SELECT a.event_type AS type_a, b.event_type AS type_b,
+               COUNT(*) AS exact_shared
+        FROM s a JOIN s b
+          ON a.user_id = b.user_id AND a.event_type < b.event_type
+        GROUP BY 1, 2
+    )
+    SELECT type_a, type_b, exact_shared, 1 AS est_ok FROM pairs
+    """,
+)
 def theta_user_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     sk = ev.groupBy("event_type").agg(
-        F.expr("theta_sketch_agg(user_id)").alias("sk")
+        F.expr("theta_sketch_agg(user_id)").alias("sk"),
+        F.count_distinct("user_id").alias("nd"),
     )
-    a = sk.select(F.col("event_type").alias("type_a"), F.col("sk").alias("sk_a"))
-    b = sk.select(F.col("event_type").alias("type_b"), F.col("sk").alias("sk_b"))
-    return (
-        a.join(b, F.col("type_a") < F.col("type_b"))
-        .select(
-            "type_a",
-            "type_b",
-            F.expr("theta_sketch_estimate(theta_intersection(sk_a, sk_b))")
-            .cast("long")
-            .alias("est_shared_users"),
+    a = sk.select(
+        F.col("event_type").alias("type_a"),
+        F.col("sk").alias("sk_a"),
+        F.col("nd").alias("nd_a"),
+    )
+    b = sk.select(
+        F.col("event_type").alias("type_b"),
+        F.col("sk").alias("sk_b"),
+        F.col("nd").alias("nd_b"),
+    )
+    est = a.join(b, F.col("type_a") < F.col("type_b")).select(
+        "type_a",
+        "type_b",
+        "nd_a",
+        "nd_b",
+        F.expr("theta_sketch_estimate(theta_intersection(sk_a, sk_b))").alias(
+            "__est"
+        ),
+    )
+    s = ev.select("event_type", "user_id").distinct()
+    exact = (
+        s.alias("x")
+        .join(
+            s.alias("y"),
+            (F.col("x.user_id") == F.col("y.user_id"))
+            & (F.col("x.event_type") < F.col("y.event_type")),
         )
+        .groupBy(
+            F.col("x.event_type").alias("type_a"),
+            F.col("y.event_type").alias("type_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("exact_shared"))
+    )
+    # union size bounds the intersection error; +16 absolute slack for the
+    # tiny-corpus regime where 5% of the union rounds below one user
+    union_sz = F.col("nd_a") + F.col("nd_b") - F.col("exact_shared")
+    return est.join(exact, ["type_a", "type_b"]).select(
+        "type_a",
+        "type_b",
+        "exact_shared",
+        (
+            F.abs(F.col("__est") - F.col("exact_shared"))
+            <= 0.05 * union_sz + 16
+        )
+        .cast("int")
+        .alias("est_ok"),
     )
 
 
@@ -991,7 +1087,22 @@ def hhi_supplier_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- grouped t-digest quantiles (rows-only: sketch path of the flagship's
 # exact percentile; accuracy pinned in tests/test_sketch_tdigest.py) ---------
-@query("tdigest_daily_value_p95")
+# Per-day digest estimates, oracle-pinned via the tie-robust rank-interval
+# bound (the tdigest_value_quantiles pattern, grouped): each day's p50/p95
+# estimate must have exact rank within 0.02 of its target, checked in one
+# extra day-keyed pass. Oracle = exact per-day counts + all-pass flags.
+@query(
+    "tdigest_daily_value_p95",
+    oracle="""
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+           COUNT(value) AS n,
+           1 AS p50_ok,
+           1 AS p95_ok
+    FROM events
+    WHERE value IS NOT NULL
+    GROUP BY 1
+    """,
+)
 def tdigest_daily_value_p95(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-day p50/p95 of events.value via one t-digest per day
     (operators/sketch.py::tdigest_group_quantiles) — what gold_daily_util's
@@ -999,9 +1110,47 @@ def tdigest_daily_value_p95(spark: SparkSession, sf_dir: str) -> DataFrame:
     are also mergeable into weekly/monthly rollups without re-scanning."""
     from ..operators import sketch as SK
 
-    ev = load_table(spark, sf_dir, "events")
-    daily = ev.select(F.date_trunc("day", "ts").alias("day"), "value")
-    return SK.tdigest_group_quantiles(daily, ["day"], "value", [0.5, 0.95])
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select(F.date_trunc("day", "ts").alias("day"), "value")
+    )
+    est = SK.tdigest_group_quantiles(ev, ["day"], "value", [0.5, 0.95])
+    rk = (
+        ev.join(F.broadcast(est), "day")
+        .groupBy("day")
+        .agg(
+            F.count("value").alias("n"),
+            *[
+                (
+                    F.sum((F.col("value") < F.col(c)).cast("long"))
+                    / F.count("value")
+                ).alias(f"__lo_{c}")
+                for c in ("q0_5", "q0_95")
+            ],
+            *[
+                (
+                    F.sum((F.col("value") <= F.col(c)).cast("long"))
+                    / F.count("value")
+                ).alias(f"__hi_{c}")
+                for c in ("q0_5", "q0_95")
+            ],
+        )
+    )
+
+    def ok(c: str, q: float):
+        return (
+            F.greatest(
+                F.lit(0.0),
+                F.col(f"__lo_{c}") - q,
+                F.lit(q) - F.col(f"__hi_{c}"),
+            )
+            <= 0.02
+        ).cast("int")
+
+    return rk.select(
+        "day", "n", ok("q0_5", 0.5).alias("p50_ok"), ok("q0_95", 0.95).alias("p95_ok")
+    )
 
 
 # --- revenue bridge: price vs volume decomposition ---------------------------

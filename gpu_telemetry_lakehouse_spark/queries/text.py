@@ -371,19 +371,45 @@ def doc_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --- sequence packing (rows-only: greedy packing is not SQL-expressible) -----
-@query("sequence_packing", oracle=None)
+# --- sequence packing --------------------------------------------------------
+# The greedy next-fit ASSIGNMENT is not SQL-expressible, but its CONTRACT
+# is, so the oracle pins it relationally (VERDICT r3 #7 pattern): packing
+# must conserve the corpus exactly (doc count and char mass unchanged — no
+# drops, no duplicates) and every multi-doc pack must respect the 4096-char
+# capacity (an oversized single document legitimately overflows its own
+# pack under next-fit). A packing bug — lost rows, split rows, a capacity
+# regression — flips a flag or a conserved total and hash-mismatches.
+@query(
+    "sequence_packing",
+    oracle="""
+    SELECT COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           1 AS capacity_ok,
+           1 AS no_empty_packs
+    FROM documents
+    """,
+)
 def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Pack documents into 4096-char bins (operators/packing.py) and emit the
-    per-pack manifest. Deterministic greedy next-fit per hash partition."""
+    """Pack documents into 4096-char bins (operators/packing.py) and emit
+    the conservation + capacity certificate over the per-pack manifest.
+    Deterministic greedy next-fit per hash partition."""
     from ..operators.packing import pack_greedy
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
     packed = pack_greedy(docs, size_col="n_chars", max_units=4096, order_col="doc_id")
-    return packed.groupBy("pack_id").agg(
+    packs = packed.groupBy("pack_id").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_chars").alias("total_chars"),
-        F.min("doc_id").alias("first_doc"),
+    )
+    return packs.agg(
+        F.sum("n_docs").cast("long").alias("n_docs"),
+        F.sum("total_chars").cast("long").alias("total_chars"),
+        F.min(
+            F.when(
+                (F.col("n_docs") > 1) & (F.col("total_chars") > 4096), 0
+            ).otherwise(1)
+        ).alias("capacity_ok"),
+        F.min((F.col("n_docs") >= 1).cast("int")).alias("no_empty_packs"),
     )
 
 

