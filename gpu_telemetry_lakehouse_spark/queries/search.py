@@ -192,10 +192,79 @@ _PPJ_T = 0.72
     """,
 )
 def setsim_join_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADAPTIVE exact set-similarity self-join — two physical strategies,
+    one logical answer:
+
+    * **dense/dictionary-encodable regime** (vocab <= 64 distinct tokens —
+      the testdata corpus has 31): PPJoin's prefix filter cannot prune,
+      because with a tiny vocabulary even the globally-rarest token appears
+      in most documents (measured df ~3700/5000 at sf0.1 — the prefix
+      candidate join degenerates to ~all-pairs x tokens, 150+s). Instead,
+      dictionary-encode each token-SET as one 64-bit mask and run the join
+      at the DISTINCT-MASK level: Jaccard(a, b) = bit_count(a&b) /
+      bit_count(a|b) is two codegen bit ops, the pair space collapses from
+      docs^2 x tokens to masks^2 (3935^2/2 here), and the per-doc answer
+      (neighbor COUNT + max j) aggregates at mask level without ever
+      materializing doc pairs. Exact by construction.
+    * **sparse regime** (vocab > 64): classic PPJoin prefix filtering
+      (_setsim_ppjoin below) — rarest-token prefixes generate candidates,
+      posting-list equi-joins verify; Zipf keeps prefix df tiny on real
+      text. Exact (Chaudhuri et al., SSJoin/PPJoin).
+
+    The vocab probe is a LIMIT-65 collect (bounded regardless of corpus
+    size). Both strategies return identical rows — the dispatch is a purely
+    physical choice, like Spark picking broadcast vs sort-merge."""
     docs = load_table(spark, sf_dir, "documents")
     tok = docs.select(
         "doc_id", F.explode(tokens(F.col("text"))).alias("token")
     ).distinct()
+    vocab = [r.token for r in tok.select("token").distinct().limit(65).collect()]
+    if len(vocab) <= 64:
+        ids = spark.createDataFrame(
+            [(t, i) for i, t in enumerate(sorted(vocab))], "token string, bit int"
+        )
+        doc_mask = (
+            tok.join(F.broadcast(ids), "token")
+            .groupBy("doc_id")
+            .agg(F.sum(F.expr("shiftleft(1L, bit)")).alias("mask"))
+        )
+        masks = doc_mask.groupBy("mask").agg(F.count(F.lit(1)).alias("cnt"))
+        a = masks.select(F.col("mask").alias("ma"), F.col("cnt").alias("ca"))
+        b = masks.select(F.col("mask").alias("mb"), F.col("cnt").alias("cb"))
+        j = F.bit_count(F.expr("ma & mb")).cast("double") / F.bit_count(
+            F.expr("ma | mb")
+        ).cast("double")
+        qual = (
+            a.join(F.broadcast(b), F.col("ma") < F.col("mb"))
+            .select("ma", "ca", "mb", "cb", j.alias("j"))
+            .filter(F.col("j") >= _PPJ_T)
+        )
+        contrib = qual.select(
+            F.col("ma").alias("mask"), F.col("cb").alias("nb"), "j"
+        ).unionAll(
+            qual.select(F.col("mb").alias("mask"), F.col("ca").alias("nb"), "j")
+        )
+        # identical sets are a j=1.0 pair per co-member (>= threshold always)
+        same = masks.filter(F.col("cnt") > 1).select(
+            "mask", (F.col("cnt") - 1).alias("nb"), F.lit(1.0).alias("j")
+        )
+        per_mask = (
+            contrib.unionAll(same)
+            .groupBy("mask")
+            .agg(
+                F.sum("nb").alias("n_neighbors"),
+                F.round(F.max("j"), 6).alias("max_jaccard"),
+            )
+        )
+        return doc_mask.join(per_mask, "mask").select(
+            "doc_id", "n_neighbors", "max_jaccard"
+        )
+    return _setsim_ppjoin(tok)
+
+
+def _setsim_ppjoin(tok: DataFrame) -> DataFrame:
+    """Sparse-regime PPJoin (prefix filter + posting-list verify); see
+    setsim_join_prefix for the strategy dispatch."""
     # global token order: ascending df, token as tie-break (must be total)
     dford = tok.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     ranked = tok.join(F.broadcast(dford), "token").select(

@@ -444,14 +444,24 @@ def array_norms_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def recursive_month_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Hoist the recursion bounds into literals from ONE tiny min/max agg
+    # (bounded 1-row collect): leaving the MAX as a correlated scalar
+    # subquery inside the recursive step makes Spark re-evaluate it — a
+    # full orders scan — PER ITERATION (measured 14s for a ~25-month spine
+    # at sf0.1; 0.4s with literal bounds). The recursion itself stays real:
+    # month rows are generated iteratively, depth = #months.
     register_views(spark, sf_dir, ["orders"])
+    lo, hi = spark.sql(
+        "SELECT date_trunc('month', MIN(o_orderdate)),"
+        "       date_trunc('month', MAX(o_orderdate)) FROM orders"
+    ).first()
     return spark.sql(
-        """
+        f"""
         WITH RECURSIVE spine(mo) AS (
-            SELECT date_trunc('month', MIN(o_orderdate)) FROM orders
+            SELECT TIMESTAMP '{lo}'
             UNION ALL
             SELECT mo + INTERVAL 1 MONTH FROM spine
-            WHERE mo < (SELECT date_trunc('month', MAX(o_orderdate)) FROM orders)
+            WHERE mo < TIMESTAMP '{hi}'
         ),
         per_month AS (
             SELECT date_trunc('month', o_orderdate) AS mo, COUNT(*) AS n_orders

@@ -879,3 +879,30 @@ def test_exact_sum_sql_function_guard(spark):
     )
     with _pt.raises(Exception, match="CAST_OVERFLOW|ArithmeticException"):
         spark.sql("SELECT exact_sum_6(CAST('NaN' AS DOUBLE)) AS s").collect()
+
+
+def test_cogroup_asof_enrich_equals_window_rewrite(spark, sf_dir):
+    """operators/cogroup.py::asof_enrich (per-key pandas merge_asof — the
+    escape hatch when per-key logic outgrows SQL) must agree row-for-row
+    with the production union+window as-of plan used by
+    asof_enrich_orders."""
+    from gpu_telemetry_lakehouse_spark.catalog import load_table
+    from gpu_telemetry_lakehouse_spark.operators.cogroup import asof_enrich
+    from gpu_telemetry_lakehouse_spark.queries import QUERIES
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "ts", "user_id")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate"
+    )
+    via_cogroup = asof_enrich(
+        ev,
+        orders,
+        left_key="user_id",
+        right_key="o_custkey",
+        left_ts="ts",
+        right_ts="o_orderdate",
+        out_col="last_order_ts",
+    ).select("event_id", "ts", "user_id", "last_order_ts")
+    via_window = QUERIES["asof_enrich_orders"](spark, sf_dir)
+    assert via_cogroup.exceptAll(via_window).count() == 0
+    assert via_window.exceptAll(via_cogroup).count() == 0
