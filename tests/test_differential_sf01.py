@@ -92,11 +92,13 @@ HEAVY_SLICE = [
     "cv_regression_price_qty",
     "ols_price_qty_discount",
     "lift_gains_price_returns",
-    # setsim_join_prefix deliberately NOT here: the synthetic docs corpus is
-    # a ~30-token vocabulary soup, the worst case for prefix filtering
-    # (every pair is a candidate) — ~160 s at sf0.1, dominated by the naive
-    # O(n^2) DuckDB oracle. Its optimized==naive equivalence is pinned at
-    # sf0.01 by the main differential suite.
+    # r4 scale-straggler rewrites, re-proven at 10x driver scale: the
+    # adaptive bitmask set-similarity strategy (31-token vocab -> mask-level
+    # join, 153s -> 2.2s), the union+window as-of rewrite of the cogrouped
+    # plan, and the literal-bounded recursive spine
+    "setsim_join_prefix",
+    "asof_enrich_orders",
+    "recursive_month_spine",
 ]
 
 pytestmark = pytest.mark.skipif(
