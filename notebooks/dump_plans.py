@@ -123,6 +123,27 @@ SHOWCASE = [
         "<=13 rows — the single-partition window warnings apply to "
         "candidate-set-sized data, not the corpus.",
     ),
+    (
+        "setsim_join_prefix",
+        "Adaptive exact set-similarity (round 4): on this dictionary-dense "
+        "corpus (31-token vocab) the strategy dispatch picks the bitmask "
+        "path — token sets dictionary-encode to one 64-bit mask, the join "
+        "runs at the DISTINCT-MASK level as a broadcast nested-loop over "
+        "the mask histogram with two codegen bit_counts per pair, and the "
+        "per-doc answer aggregates at mask level (doc pairs never "
+        "materialize). The sparse-vocab PPJoin path remains for real text. "
+        "153s -> 2.2s at sf0.1.",
+    ),
+    (
+        "asof_enrich_orders",
+        "Two-table as-of join as the union+window rewrite (round 4): both "
+        "sides tagged and unioned, ONE co-partitioning exchange on the "
+        "key, and a running max over (ts, kind) delivers every event's "
+        "latest prior order in a single codegen window pass — replacing "
+        "the cogrouped-pandas plan whose per-key Python round-trips cost "
+        "18s at sf0.1 (0.5s now). The cogroup operator remains the "
+        "escape hatch for per-key logic that genuinely outgrows SQL.",
+    ),
 ]
 
 HEADER = """# PLANS — physical-plan evidence for the 100 TB contract
