@@ -906,3 +906,78 @@ def test_cogroup_asof_enrich_equals_window_rewrite(spark, sf_dir):
     via_window = QUERIES["asof_enrich_orders"](spark, sf_dir)
     assert via_cogroup.exceptAll(via_window).count() == 0
     assert via_window.exceptAll(via_cogroup).count() == 0
+
+
+@given(
+    docs=st.lists(
+        st.lists(st.integers(0, 9), min_size=0, max_size=8),
+        min_size=0,
+        max_size=24,
+    )
+)
+@SET
+def test_setsim_bitmask_equals_ppjoin_on_arbitrary_corpora(spark, docs):
+    """The r4 adaptive set-similarity dispatch is a purely physical choice:
+    the dense bitmask strategy and the sparse PPJoin strategy must return
+    identical rows for ANY corpus (hypothesis drives empty docs, identical
+    sets, single-token docs, all-disjoint sets)."""
+    from gpu_telemetry_lakehouse_spark.functions import tokens as _tokens
+    from gpu_telemetry_lakehouse_spark.queries.search import (
+        _PPJ_T,
+        _setsim_ppjoin,
+    )
+
+    rows = [(i, " ".join(f"w{t}" for t in ws) or "w_empty") for i, ws in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    tok = df.select(
+        "doc_id", F.explode(_tokens(F.col("text"))).alias("token")
+    ).distinct()
+    want = sorted(map(tuple, _setsim_ppjoin(tok).collect()))
+
+    # dense path, replicated from setsim_join_prefix with the same inputs
+    vocab = sorted(r.token for r in tok.select("token").distinct().collect())
+    assert len(vocab) <= 64
+    ids = spark.createDataFrame(
+        [(t, i) for i, t in enumerate(vocab)], "token string, bit int"
+    )
+    doc_mask = (
+        tok.join(F.broadcast(ids), "token")
+        .groupBy("doc_id")
+        .agg(F.sum(F.expr("shiftleft(1L, bit)")).alias("mask"))
+    )
+    masks = doc_mask.groupBy("mask").agg(F.count(F.lit(1)).alias("cnt"))
+    a = masks.select(F.col("mask").alias("ma"), F.col("cnt").alias("ca"))
+    b = masks.select(F.col("mask").alias("mb"), F.col("cnt").alias("cb"))
+    j = F.bit_count(F.expr("ma & mb")).cast("double") / F.bit_count(
+        F.expr("ma | mb")
+    ).cast("double")
+    qual = (
+        a.join(F.broadcast(b), F.col("ma") < F.col("mb"))
+        .select("ma", "ca", "mb", "cb", j.alias("j"))
+        .filter(F.col("j") >= _PPJ_T)
+    )
+    contrib = qual.select(
+        F.col("ma").alias("mask"), F.col("cb").alias("nb"), "j"
+    ).unionAll(
+        qual.select(F.col("mb").alias("mask"), F.col("ca").alias("nb"), "j")
+    )
+    same = masks.filter(F.col("cnt") > 1).select(
+        "mask", (F.col("cnt") - 1).alias("nb"), F.lit(1.0).alias("j")
+    )
+    per_mask = (
+        contrib.unionAll(same)
+        .groupBy("mask")
+        .agg(
+            F.sum("nb").alias("n_neighbors"),
+            F.round(F.max("j"), 6).alias("max_jaccard"),
+        )
+    )
+    got = sorted(
+        map(
+            tuple,
+            doc_mask.join(per_mask, "mask")
+            .select("doc_id", "n_neighbors", "max_jaccard")
+            .collect(),
+        )
+    )
+    assert got == want, (got, want)
