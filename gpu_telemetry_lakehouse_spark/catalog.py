@@ -41,11 +41,17 @@ _TABLE_MEMO: dict = {}
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one testdata table with engine-canonical column types."""
+    # Runtime confs (UTC tz, ANSI, AQE) are SESSION-scoped, but the memo key
+    # is the shared sparkContext: a sibling session (spark.newSession()) can
+    # hit a memo entry created by another session, and must still get the
+    # canonical confs applied to ITS session. apply_runtime_confs is a handful
+    # of local conf sets (~µs against the ~0.1s footer read the memo saves),
+    # so it runs unconditionally before the lookup.
+    apply_runtime_confs(spark)
     key = (id(spark.sparkContext), os.path.abspath(sf_dir), name)
     hit = _TABLE_MEMO.get(key)
     if hit is not None:
         return hit
-    apply_runtime_confs(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         # nanos-as-long -> TimestampType (µs), truncating like DuckDB does.

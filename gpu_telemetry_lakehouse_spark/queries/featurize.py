@@ -258,17 +258,25 @@ def mutual_info_event_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- distributed PCA projection over a 2-feature slice -----------------------
 # VERDICT r3 #7: rows-only -> oracle-twinned via the closed-form 2x2
 # covariance eigenbasis. Over the (dim0, dim1) slice of the embeddings the
-# principal axis has the textbook closed form theta = atan2(2c, a-b)/2 for
-# covariance [[a,c],[c,b]], so BOTH engines can derive the basis from exact
-# staged moments and project every row — no eigensolver required. The
-# covariance moments go through scaled-long sums (products of |x|<=1 values
-# staged at 1e12: overflow past ~3.7e7 rows -> decimal(38,0) staging, the
-# gini_customer_revenue convention); everything after the moments is the
-# identical double expression on both engines. The FULL-dim eigh path
-# (operators/linalg.py: mapInPandas Gram partials -> driver eigh ->
-# row-local literal projection) remains numpy-parity-pinned in
-# tests/test_linalg.py — this query certifies the distributed fit+project
-# shape end-to-end against an oracle.
+# principal axis of covariance [[a,c],[c,b]] is theta = atan2(2c, a-b)/2; we
+# need only (cos theta, sin theta), which the half-angle identities give
+# ALGEBRAICALLY: with d = a-b, r = sqrt(d^2 + 4c^2),
+#   cos theta = sqrt((1 + d/r)/2),  sin theta = sign(c) * sqrt((1 - d/r)/2)
+# (theta in (-pi/2, pi/2] so cos >= 0; the c = 0, d < 0 edge takes the +
+# branch giving sin = 1, matching atan2(0, d<0)/2 = pi/2; r = 0 is the
+# isotropic degenerate case pinned to the identity basis). Every op here is
+# +,-,*,/,sqrt — all IEEE-754 correctly rounded and therefore BIT-IDENTICAL
+# on the JVM and DuckDB's libm given the identical staged moments, unlike
+# atan2/cos/sin which both runtimes only guarantee to 1-2 ulp (ADVICE r4: a
+# 1-ulp theta flip could cross a FLOOR(x*1e4+0.5) boundary). The covariance
+# moments go through scaled-long sums (products of |x|<=1 values staged at
+# 1e12: each term <= 1e12, so BIGINT overflow past ~9.2e6 rows ->
+# decimal(38,0) staging, the gini_customer_revenue convention); everything
+# after the moments is the identical deterministic double expression on both
+# engines. The FULL-dim eigh path (operators/linalg.py: mapInPandas Gram
+# partials -> driver eigh -> row-local literal projection) remains
+# numpy-parity-pinned in tests/test_linalg.py — this query certifies the
+# distributed fit+project shape end-to-end against an oracle.
 _PCA_M = "1000000000000"  # 1e12 staging for moments
 
 
@@ -283,12 +291,24 @@ def _pca2_theta_sql() -> str:
                SUM(CAST(FLOOR(x * y * {_PCA_M} + 0.5) AS BIGINT)) / {_PCA_M}.0 AS sxy
         FROM pts
     ),
-    basis AS (
+    cov AS (
         SELECT n, sx / n AS mx, sy / n AS my,
-               atan2(2.0 * (sxy / n - (sx / n) * (sy / n)),
-                     (sxx / n - (sx / n) * (sx / n))
-                     - (syy / n - (sy / n) * (sy / n))) / 2.0 AS theta
+               (sxx / n - (sx / n) * (sx / n))
+                   - (syy / n - (sy / n) * (sy / n)) AS d,
+               sxy / n - (sx / n) * (sy / n) AS c
         FROM moms
+    ),
+    pol AS (
+        SELECT n, mx, my, d, c, sqrt(d * d + 4.0 * c * c) AS r FROM cov
+    ),
+    basis AS (
+        SELECT n, mx, my,
+               CASE WHEN r = 0 THEN 1.0
+                    ELSE sqrt((1.0 + d / r) / 2.0) END AS ct,
+               CASE WHEN r = 0 THEN 0.0
+                    WHEN c < 0 THEN -sqrt((1.0 - d / r) / 2.0)
+                    ELSE sqrt((1.0 - d / r) / 2.0) END AS st
+        FROM pol
     )
     """
 
@@ -304,11 +324,11 @@ def _pca2_theta_sql() -> str:
     ),
     {_pca2_theta_sql()}
     SELECT p.vec_id,
-           CAST(FLOOR(((p.x - b.mx) * cos(b.theta)
-                       + (p.y - b.my) * sin(b.theta)) * 10000 + 0.5) AS BIGINT)
+           CAST(FLOOR(((p.x - b.mx) * b.ct
+                       + (p.y - b.my) * b.st) * 10000 + 0.5) AS BIGINT)
                / 10000.0 AS pc1,
-           CAST(FLOOR((-(p.x - b.mx) * sin(b.theta)
-                       + (p.y - b.my) * cos(b.theta)) * 10000 + 0.5) AS BIGINT)
+           CAST(FLOOR((-(p.x - b.mx) * b.st
+                       + (p.y - b.my) * b.ct) * 10000 + 0.5) AS BIGINT)
                / 10000.0 AS pc2
     FROM pts p CROSS JOIN basis b
     """,
@@ -340,17 +360,30 @@ def pca_project_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n = F.col("n").cast("double")
     mx, my = F.col("sx") / n, F.col("sy") / n
-    theta = (
-        F.atan2(
-            2.0 * (F.col("sxy") / n - mx * my),
-            (F.col("sxx") / n - mx * mx) - (F.col("syy") / n - my * my),
-        )
-        / 2.0
+    # Half-angle eigenbasis (see module comment): only +,-,*,/,sqrt — every
+    # op correctly rounded, bit-identical to the DuckDB oracle expression.
+    cov = moms.select(
+        mx.alias("mx"),
+        my.alias("my"),
+        ((F.col("sxx") / n - mx * mx) - (F.col("syy") / n - my * my)).alias("d"),
+        (F.col("sxy") / n - mx * my).alias("c"),
     )
-    basis = moms.select(mx.alias("mx"), my.alias("my"), theta.alias("theta"))
+    pol = cov.withColumn("r", F.sqrt(F.col("d") * F.col("d") + 4.0 * F.col("c") * F.col("c")))
+    half_minus = F.sqrt((F.lit(1.0) - F.col("d") / F.col("r")) / 2.0)
+    basis = pol.select(
+        "mx",
+        "my",
+        F.when(F.col("r") == 0, F.lit(1.0))
+        .otherwise(F.sqrt((F.lit(1.0) + F.col("d") / F.col("r")) / 2.0))
+        .alias("ct"),
+        F.when(F.col("r") == 0, F.lit(0.0))
+        .when(F.col("c") < 0, -half_minus)
+        .otherwise(half_minus)
+        .alias("st"),
+    )
     dx, dy = x - F.col("mx"), y - F.col("my")
-    pc1 = dx * F.cos("theta") + dy * F.sin("theta")
-    pc2 = -dx * F.sin("theta") + dy * F.cos("theta")
+    pc1 = dx * F.col("ct") + dy * F.col("st")
+    pc2 = -dx * F.col("st") + dy * F.col("ct")
 
     def out4(c):
         return F.floor(c * 10000 + F.lit(0.5)).cast("long") / 10000.0

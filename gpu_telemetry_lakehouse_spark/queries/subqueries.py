@@ -455,6 +455,13 @@ def recursive_month_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT date_trunc('month', MIN(o_orderdate)),"
         "       date_trunc('month', MAX(o_orderdate)) FROM orders"
     ).first()
+    if lo is None or hi is None:
+        # Empty orders: MIN/MAX are NULL and "TIMESTAMP '{lo}'" would render
+        # as the unparsable TIMESTAMP 'None'. The recursive oracle degrades
+        # to an empty spine in that case — match it with a typed empty frame.
+        return spark.sql(
+            "SELECT CAST(NULL AS TIMESTAMP) AS mo, CAST(NULL AS BIGINT) AS n_orders WHERE FALSE"
+        )
     return spark.sql(
         f"""
         WITH RECURSIVE spine(mo) AS (

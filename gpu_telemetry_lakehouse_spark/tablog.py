@@ -305,21 +305,24 @@ def _commit(
         if version and version % CHECKPOINT_EVERY == 0:
             files = snapshot_files(path, version)
             cp = os.path.join(_log_dir(path), f"_checkpoint-{version:020d}.json")
+            cp_body = {
+                "version": version,
+                "files": files,
+                # fold DV state so snapshot_dv's backward walk stops
+                # at the checkpoint instead of replaying to v0
+                "dv": snapshot_dv(path, version),
+                # fold the column-mapping so readers replay the tail
+                # only (same O(CHECKPOINT_EVERY) bound as files)
+                "renames": snapshot_renames(path, version),
+            }
+            # Fold the MONOTONIZED commit timestamp (version_at semantics)
+            # so TIMESTAMP AS OF replays only the tail past the newest
+            # eligible checkpoint instead of O(total versions) entry reads.
+            eff = _effective_ts_at(path, version)
+            if eff is not None:
+                cp_body["eff_ts"] = eff.isoformat()
             with open(cp + ".tmp", "w") as f:
-                json.dump(
-                    {
-                        "version": version,
-                        "files": files,
-                        # fold DV state so snapshot_dv's backward walk stops
-                        # at the checkpoint instead of replaying to v0
-                        "dv": snapshot_dv(path, version),
-                        # fold the column-mapping so readers replay the tail
-                        # only (same O(CHECKPOINT_EVERY) bound as files)
-                        "renames": snapshot_renames(path, version),
-                    },
-                    f,
-                    default=str,
-                )
+                json.dump(cp_body, f, default=str)
             os.replace(cp + ".tmp", cp)  # atomic publish
         return version
     raise RuntimeError(f"commit contention exceeded {max_retries} retries at {path}")
@@ -652,6 +655,70 @@ def compact(spark: SparkSession, path: str, stat_cols: list[str] | None = None) 
     )
 
 
+def _parse_commit_ts(e_ts):
+    if e_ts is None:
+        return None
+    committed = _dt.datetime.fromisoformat(e_ts)
+    if committed.tzinfo is None:
+        committed = committed.replace(tzinfo=_dt.timezone.utc)
+    return committed
+
+
+def _step_effective(prev_eff, committed):
+    """One step of Delta-style timestamp monotonization:
+    effective(v) = max(ts(v), effective(v-1) + 1µs); legacy no-ts entries
+    are arbitrarily old unless following ts'd commits (then pinned just
+    after their predecessor). Effective ts is therefore STRICTLY increasing
+    with version once it becomes non-None."""
+    tick = _dt.timedelta(microseconds=1)
+    if committed is None:
+        return prev_eff + tick if prev_eff is not None else None
+    if prev_eff is not None and committed <= prev_eff:
+        return prev_eff + tick
+    return committed
+
+
+def _eff_checkpoints(path: str) -> list[tuple[int, _dt.datetime]]:
+    """Sorted (version, folded effective ts) for checkpoints carrying one.
+    Pre-eff_ts checkpoints are skipped (readers fall back to a longer replay)."""
+    d = _log_dir(path)
+    try:
+        names = os.listdir(d)
+    except FileNotFoundError:
+        return []
+    out = []
+    for f in sorted(names):
+        if not (f.startswith("_checkpoint-") and f.endswith(".json")):
+            continue
+        with open(os.path.join(d, f)) as fh:
+            body = json.load(fh)
+        eff = _parse_commit_ts(body.get("eff_ts"))
+        if eff is not None:
+            out.append((body["version"], eff))
+    return out
+
+
+def _effective_ts_at(path: str, version: int):
+    """Monotonized effective commit timestamp of ``version``. Replays from
+    the newest eff_ts-bearing checkpoint at or below ``version`` (the one
+    written CHECKPOINT_EVERY commits ago in steady state), so the checkpoint
+    fold in _commit is O(CHECKPOINT_EVERY) entry reads, not O(version)."""
+    prev_eff = None
+    start = 0
+    usable = [(v, eff) for v, eff in _eff_checkpoints(path) if v <= version]
+    if usable:
+        cp_v, prev_eff = usable[-1]
+        if cp_v == version:
+            return prev_eff
+        start = cp_v + 1
+    eff = prev_eff
+    for v in _list_versions(path):
+        if v < start or v > version:
+            continue
+        eff = _step_effective(eff, _parse_commit_ts(_read_entry(path, v).get("ts")))
+    return eff
+
+
 def version_at(path: str, ts) -> int:
     """TIMESTAMP AS OF resolution (Delta/Iceberg semantic): the latest
     version whose commit timestamp is <= ``ts`` (datetime or ISO string,
@@ -665,32 +732,38 @@ def version_at(path: str, ts) -> int:
     effective(v-1) + 1µs)`` — so version order always wins: a skewed clock
     can never resolve a query to a stale version, and querying exactly at a
     commit's own recorded ts still yields that commit (strict +1µs bump,
-    Delta's rule). No early break: the whole (checkpoint-bounded) log is
-    scanned and the LAST version with effective ts <= target wins."""
+    Delta's rule).
+
+    Cost: checkpoints fold the effective ts (``eff_ts``), and effective ts
+    is strictly increasing with version, so the scan starts at the newest
+    checkpoint whose eff_ts <= target (every earlier version is <= target
+    by monotonicity) and EARLY-BREAKS once effective ts exceeds the target
+    — O(CHECKPOINT_EVERY) entry reads per lookup in steady state. Raw
+    commit ts would not admit the early break (skew can place small ts
+    late); the monotonized sequence does."""
     if isinstance(ts, str):
         ts = _dt.datetime.fromisoformat(ts)
     if ts.tzinfo is None:
         ts = ts.replace(tzinfo=_dt.timezone.utc)
     best = None
     prev_eff = None
-    tick = _dt.timedelta(microseconds=1)
+    start = 0
+    # newest checkpoint already at-or-before the target: its version is a
+    # floor for the answer, its eff_ts seeds the monotonization
+    usable = [(v, eff) for v, eff in _eff_checkpoints(path) if eff <= ts]
+    if usable:
+        best, prev_eff = usable[-1][0], usable[-1][1]
+        start = best + 1
     for v in _list_versions(path):
-        e_ts = _read_entry(path, v).get("ts")
-        committed = None
-        if e_ts is not None:
-            committed = _dt.datetime.fromisoformat(e_ts)
-            if committed.tzinfo is None:
-                committed = committed.replace(tzinfo=_dt.timezone.utc)
-        if committed is None:
-            # legacy no-ts entry: arbitrarily old unless following ts'd
-            # commits, then pinned just after its predecessor
-            effective = prev_eff + tick if prev_eff is not None else None
-        elif prev_eff is not None and committed <= prev_eff:
-            effective = prev_eff + tick
-        else:
-            effective = committed
+        if v < start:
+            continue
+        effective = _step_effective(
+            prev_eff, _parse_commit_ts(_read_entry(path, v).get("ts"))
+        )
         if effective is None or effective <= ts:
             best = v
+        else:
+            break  # strictly increasing past the target: no later v can win
         prev_eff = effective if effective is not None else prev_eff
     if best is None:
         raise ValueError(f"no snapshot of {path} exists at or before {ts}")

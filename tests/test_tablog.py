@@ -1596,6 +1596,22 @@ def test_log_fold_stays_checkpoint_bounded_at_500_versions(spark, sf_dir, tbl):
     # (+1 for the entry at the checkpoint boundary itself)
     for v, c in counts.items():
         assert c <= T.CHECKPOINT_EVERY + 1, (v, c, counts)
+    # version_at must be checkpoint-bounded too (ADVICE r4: it regressed to
+    # O(total versions) entry reads): a tip-time lookup starts at the newest
+    # eff_ts-folded checkpoint and early-breaks past the target
+    import datetime as _ldt
+
+    with mock.patch.object(T, "_read_entry", side_effect=T._read_entry) as spy:
+        v_now = T.version_at(tbl, _ldt.datetime.now(_ldt.timezone.utc))
+        assert v_now == tip
+        assert spy.call_count <= T.CHECKPOINT_EVERY + 1, spy.call_count
+    # and a mid-log lookup resolves exactly (strict +1µs rule: querying at a
+    # commit's own effective ts yields that commit), also checkpoint-bounded
+    mid = tip - 97
+    mid_eff = T._effective_ts_at(tbl, mid)
+    with mock.patch.object(T, "_read_entry", side_effect=T._read_entry) as spy:
+        assert T.version_at(tbl, mid_eff) == mid
+        assert spy.call_count <= 2 * (T.CHECKPOINT_EVERY + 1), spy.call_count
     # and the row data is still correct at the tip (renames fold cleanly
     # through 500 versions: the last rename state decides the column name)
     df = T.read(spark, tbl)
