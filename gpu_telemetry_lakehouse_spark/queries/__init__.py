@@ -174,7 +174,7 @@ _SECOND_TIER: list[str] = [
     "weighted_sample_users",
     "theilsen_daily_trend",
     "cuped_experiment_readout",
-    "als_recommend_parts",
+    "als_recommend_parts_certified",
     # demoted from the round-3 window (their categories stay green above)
     "window_rank_family",
     "dedup_shingle_jaccard_capped",
@@ -258,7 +258,7 @@ _SECOND_TIER: list[str] = [
     "cross_source_contamination",
     "text_repetition_gopher",
     "knn_cosine_vectorized",
-    "knn_ivf",
+    "knn_ivf_certified",
     "gold_daily_util_approx",
 ]
 

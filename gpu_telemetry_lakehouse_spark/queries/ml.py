@@ -93,31 +93,17 @@ def logreg_embedding_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- implicit-feedback ALS recommender ---------------------------------------
-# Alternating least squares is iterative and its factor VALUES are not
-# SQL-expressible, but the recommendation CONTRACT is, so the oracle pins it
+# Payload/certificate split (ADVICE r4 medium): als_recommend_parts returns
+# the actual (customer, rank, part, score) recommendations — factor values
+# are not SQL-expressible, so the payload is rows-only by nature. The
+# _certified twin pins the recommendation CONTRACT under a DuckDB oracle
 # (the bounded-oracle pattern): every training customer gets exactly k=5
 # recommendations, scores are non-increasing within each customer's list,
-# and every recommended part comes from the training item vocabulary. The
-# exact user count replays relationally in DuckDB. Ranking-quality and
-# determinism invariants stay in tests/test_ml.py (hit-rate is scale-
-# dependent — 0.89 at sf0.001, 0.06 at sf0.1 with rank 8 — so it is a test
-# diagnostic, not a gate).
-@query(
-    "als_recommend_parts",
-    oracle="""
-    SELECT CAST(COUNT(DISTINCT o.o_custkey) AS BIGINT) AS n_users,
-           1 AS k_ok, 1 AS sorted_ok, 1 AS items_known_ok
-    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
-    """,
-)
-def als_recommend_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-5 part recommendations per customer from implicit purchase
-    feedback (lineitem counts per customer x part), trained with
-    distributed implicit ALS (ml/native.py::fit_implicit_als). The
-    interaction matrix is built relationally (orders join lineitem, one
-    shuffle); recommendForAllUsers is the blocked cross-factor top-k —
-    factors never collect. Output: the recommendation-contract certificate
-    over (customer, rank, part, score)."""
+# and every recommended part comes from the training item vocabulary; the
+# exact user count replays relationally. Ranking-quality and determinism
+# invariants stay in tests/test_ml.py (hit-rate is scale-dependent — 0.89
+# at sf0.001, 0.06 at sf0.1 with rank 8 — a diagnostic, not a gate).
+def _als_flat_recs(spark: SparkSession, sf_dir: str):
     from ..ml.native import fit_implicit_als
 
     o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
@@ -141,6 +127,33 @@ def als_recommend_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rec.item").alias("partkey"),
         F.col("rec.rating").cast("double").alias("score"),
     )
+    return inter, flat
+
+
+@query("als_recommend_parts", oracle=None)
+def als_recommend_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 part recommendations per customer from implicit purchase
+    feedback (lineitem counts per customer x part), trained with
+    distributed implicit ALS (ml/native.py::fit_implicit_als). The
+    interaction matrix is built relationally (orders join lineitem, one
+    shuffle); recommendForAllUsers is the blocked cross-factor top-k —
+    factors never collect. Contract: als_recommend_parts_certified."""
+    _, flat = _als_flat_recs(spark, sf_dir)
+    return flat
+
+
+@query(
+    "als_recommend_parts_certified",
+    oracle="""
+    SELECT CAST(COUNT(DISTINCT o.o_custkey) AS BIGINT) AS n_users,
+           1 AS k_ok, 1 AS sorted_ok, 1 AS items_known_ok
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    """,
+)
+def als_recommend_parts_certified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recommendation-contract certificate for als_recommend_parts (see the
+    family comment)."""
+    inter, flat = _als_flat_recs(spark, sf_dir)
     items = inter.select(F.col("item").alias("partkey")).distinct()
     per_user = (
         flat.join(F.broadcast(items).withColumn("__known", F.lit(1)), "partkey", "left")

@@ -110,26 +110,46 @@ def _centroids_for(spark: SparkSession, sf_dir: str, n_clusters: int) -> list[li
     return _CENTROID_MEMO[key]
 
 
-# knn_ivf's learned centroids are driver-fit, so the raw neighbor lists
-# cannot hash-match a static oracle — the oracle instead pins the RECALL
-# CERTIFICATE (the bounded-oracle pattern): the IVF answer's average
-# recall@5 against the brute-force truth, computed in the same plan, must
-# clear 0.5 (probe 2/8 clusters; measured 0.80-0.82 across sf0.001-0.1).
-# The mechanism itself also has a hash-exact twin (knn_ivf_fixed below).
+# knn_ivf is the PAYLOAD query (ADVICE r4 medium): the production entry
+# point returns the actual neighbor lists from the learned index and pays
+# ONLY the IVF cost (probe 2/8 clusters — the whole point of the index at
+# 100 TB). Learned centroids are driver-fit, so these rows are
+# implementation-defined and cannot hash-match a static oracle: rows-only
+# by nature, like every served ANN answer. The certification story lives in
+# two oracle-checked twins: knn_ivf_certified (recall certificate vs
+# in-plan brute force — certification-scale only, it deliberately pays the
+# exact twin) and knn_ivf_fixed (hash-exact mechanism check over
+# content-addressed centroids).
+@query("knn_ivf", oracle=None)
+def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learned-centroid IVF top-5 neighbors for the anchor queries — the
+    scale path: kmeans coarse quantizer (fit once, memoized), argmax
+    bucketing, top-2-probe candidate generation, in-bucket exact cosine."""
+    emb = spread_input(load_table(spark, sf_dir, "embeddings"))
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+    return SIM.ivf_topk(
+        spark, emb, queries, k=5, n_clusters=8, n_probe=2,
+        centroids=_centroids_for(spark, sf_dir, 8),
+    )
+
+
+# The RECALL CERTIFICATE twin (the bounded-oracle pattern): the IVF answer's
+# average recall@5 against the brute-force truth, computed in the same plan,
+# must clear 0.5 (probe 2/8 clusters; measured 0.80-0.82 across
+# sf0.001-0.1). The in-plan brute force is the computation the index exists
+# to avoid — run this twin at certification scale (sf sweeps, canaries),
+# serve knn_ivf in production.
 @query(
-    "knn_ivf",
+    "knn_ivf_certified",
     oracle=f"""
     SELECT CAST(COUNT(*) AS BIGINT) AS n_queries, 5 AS k, 1 AS recall_ok
     FROM embeddings WHERE vec_id < {N_QUERIES}
     """,
 )
-def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+def knn_ivf_certified(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = spread_input(load_table(spark, sf_dir, "embeddings"))
     queries = emb.filter(F.col("vec_id") < N_QUERIES)
-    ivf = SIM.ivf_topk(
-        spark, emb, queries, k=5, n_clusters=8, n_probe=2,
-        centroids=_centroids_for(spark, sf_dir, 8),
-    )
+    ivf = knn_ivf(spark, sf_dir)
     truth = SIM.cosine_topk(emb, queries, k=5).select(
         "query_id", "neighbor_id"
     )
@@ -444,22 +464,14 @@ def _recall_certificate(ann: DataFrame, emb: DataFrame, qids, bound: float) -> D
     )
 
 
-# Fitted PQ codebooks can't ride into static SQL, so the oracle pins the
-# recall certificate (avg recall@5 of ADC+re-rank vs brute >= 0.4; measured
-# 0.53-0.80 across sf0.001-0.1, and tests/test_pq.py pins >= 0.6 at its own
-# scale). Codebook/encode invariants stay in tests/test_pq.py.
-@query(
-    "knn_pq_adc",
-    oracle="""
-    SELECT CAST(COUNT(*) AS BIGINT) AS n_queries, 5 AS k, 1 AS recall_ok
-    FROM embeddings WHERE vec_id < 3
-    """,
-)
-def knn_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PQ-compressed ANN (operators/pq.py): 8x4-bit codes per vector (32x
-    compression vs float32), asymmetric-distance scan over the code table,
-    exact re-rank of the top-50 candidates. Three anchor queries unioned
-    into a recall certificate vs in-plan brute force."""
+# PQ/IVFPQ payload-vs-certificate split (ADVICE r4 medium): the plain-name
+# queries return the actual ANN answers and pay only the compressed-scan
+# cost; fitted codebooks can't ride into static SQL, so those rows are
+# rows-only by nature. The *_certified twins pin the recall certificate
+# (avg recall@5 vs in-plan brute force) under a DuckDB oracle — run at
+# certification scale only, since the brute truth is the scan PQ exists to
+# avoid. Codebook/encode invariants stay in tests/test_pq.py.
+def _pq_adc_answers(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
 
     from ..operators import pq as PQ
@@ -475,22 +487,35 @@ def knn_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     for qid in sorted(qrows):
         top = PQ.pq_adc_topk(codes, emb, books, qrows[qid], qid, k=5, rerank=50)
         out = top if out is None else out.unionByName(top)
-    return _recall_certificate(out, emb, sorted(qrows), bound=0.4)
+    return out
+
+
+@query("knn_pq_adc", oracle=None)
+def knn_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ-compressed ANN answers (operators/pq.py): 8x4-bit codes per vector
+    (32x compression vs float32), asymmetric-distance scan over the code
+    table, exact re-rank of the top-50 candidates, top-5 per anchor query.
+    Recall certificate: knn_pq_adc_certified."""
+    return _pq_adc_answers(spark, sf_dir)
 
 
 @query(
-    "knn_ivfpq",
+    "knn_pq_adc_certified",
     oracle="""
     SELECT CAST(COUNT(*) AS BIGINT) AS n_queries, 5 AS k, 1 AS recall_ok
     FROM embeddings WHERE vec_id < 3
     """,
 )
-def knn_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Composed IVF-PQ ANN (operators/pq.py): coarse 8-cluster routing with
-    n_probe=4 + 8x4-bit ADC within the probed clusters + exact re-rank.
-    Probe pruning means only ~half the code table is scanned per query;
-    recall certificate vs in-plan brute force (measured 0.60-0.87 across
-    sf0.001-0.1, bound 0.4); pruning invariants in tests/test_pq.py."""
+def knn_pq_adc_certified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall certificate for knn_pq_adc vs in-plan brute force (bound 0.4;
+    measured 0.53-0.80 across sf0.001-0.1; tests/test_pq.py pins >= 0.6 at
+    its own scale). Certification-scale only."""
+    emb = spread_input(load_table(spark, sf_dir, "embeddings"))
+    out = _pq_adc_answers(spark, sf_dir)
+    return _recall_certificate(out, emb, [0, 1, 2], bound=0.4)
+
+
+def _ivfpq_answers(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
 
     from ..operators import pq as PQ
@@ -509,7 +534,31 @@ def knn_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
             enc, emb, cents, books, qrows[qid], qid, n_probe=4, k=5, rerank=50
         )
         out = top if out is None else out.unionByName(top)
-    return _recall_certificate(out, emb, sorted(qrows), bound=0.4)
+    return out
+
+
+@query("knn_ivfpq", oracle=None)
+def knn_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed IVF-PQ ANN answers (operators/pq.py): coarse 8-cluster
+    routing with n_probe=4 + 8x4-bit ADC within the probed clusters + exact
+    re-rank — only ~half the code table is scanned per query. Recall
+    certificate: knn_ivfpq_certified; pruning invariants in tests/test_pq.py."""
+    return _ivfpq_answers(spark, sf_dir)
+
+
+@query(
+    "knn_ivfpq_certified",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_queries, 5 AS k, 1 AS recall_ok
+    FROM embeddings WHERE vec_id < 3
+    """,
+)
+def knn_ivfpq_certified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall certificate for knn_ivfpq vs in-plan brute force (bound 0.4;
+    measured 0.60-0.87 across sf0.001-0.1). Certification-scale only."""
+    emb = spread_input(load_table(spark, sf_dir, "embeddings"))
+    out = _ivfpq_answers(spark, sf_dir)
+    return _recall_certificate(out, emb, [0, 1, 2], bound=0.4)
 
 
 # --- retrieval-quality evaluation (NDCG@10 / reciprocal rank) ----------------

@@ -263,27 +263,14 @@ def hll_user_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # support union/intersection/difference estimates without ever holding the
 # sets. Here: estimated distinct-user overlap between every pair of event
 # types — the audience-overlap query that is quadratic-infeasible exactly at
-# 100 TB but constant-space with sketches. The oracle pins the BOUNDED
-# comparison: each pair's intersection estimate must sit within 5% of the
-# pair's exact UNION size (theta intersection error scales with the union,
-# not the intersection) of the exact overlap, which both engines recompute
-# from raw events — at certification scale only; production drops the exact
-# twin and keeps the constant-space sketch path.
-@query(
-    "theta_user_overlap",
-    oracle="""
-    WITH s AS (SELECT DISTINCT event_type, user_id FROM events),
-    pairs AS (
-        SELECT a.event_type AS type_a, b.event_type AS type_b,
-               COUNT(*) AS exact_shared
-        FROM s a JOIN s b
-          ON a.user_id = b.user_id AND a.event_type < b.event_type
-        GROUP BY 1, 2
-    )
-    SELECT type_a, type_b, exact_shared, 1 AS est_ok FROM pairs
-    """,
-)
-def theta_user_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+# 100 TB but constant-space with sketches. Payload/certificate split (ADVICE
+# r4 medium): theta_user_overlap returns the ESTIMATES (the product a user
+# consumes; sketch values are implementation-defined -> rows-only by
+# nature); theta_user_overlap_certified additionally recomputes the exact
+# overlap in-plan and pins the bounded comparison under a DuckDB oracle —
+# certification scale only, since the exact twin is the distinct self-join
+# the sketch exists to avoid.
+def _theta_overlap_est(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     sk = ev.groupBy("event_type").agg(
         F.expr("theta_sketch_agg(user_id)").alias("sk"),
@@ -299,7 +286,7 @@ def theta_user_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("sk").alias("sk_b"),
         F.col("nd").alias("nd_b"),
     )
-    est = a.join(b, F.col("type_a") < F.col("type_b")).select(
+    return a.join(b, F.col("type_a") < F.col("type_b")).select(
         "type_a",
         "type_b",
         "nd_a",
@@ -308,6 +295,38 @@ def theta_user_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             "__est"
         ),
     )
+
+
+@query("theta_user_overlap", oracle=None)
+def theta_user_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Estimated distinct-user overlap per event-type pair from mergeable
+    theta sketches — one corpus aggregation + a bounded (#types²/2) sketch
+    intersection; the raw user sets never shuffle. Accuracy contract:
+    theta_user_overlap_certified."""
+    return _theta_overlap_est(spark, sf_dir).select(
+        "type_a",
+        "type_b",
+        F.col("__est").alias("est_shared"),
+    )
+
+
+@query(
+    "theta_user_overlap_certified",
+    oracle="""
+    WITH s AS (SELECT DISTINCT event_type, user_id FROM events),
+    pairs AS (
+        SELECT a.event_type AS type_a, b.event_type AS type_b,
+               COUNT(*) AS exact_shared
+        FROM s a JOIN s b
+          ON a.user_id = b.user_id AND a.event_type < b.event_type
+        GROUP BY 1, 2
+    )
+    SELECT type_a, type_b, exact_shared, 1 AS est_ok FROM pairs
+    """,
+)
+def theta_user_overlap_certified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    est = _theta_overlap_est(spark, sf_dir)
     s = ev.select("event_type", "user_id").distinct()
     exact = (
         s.alias("x")
@@ -913,20 +932,55 @@ def event_cooccurrence_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --- t-digest quantile sketch (rows-only: the sketch is not SQL-expressible;
-# rank-error and merge-determinism invariants are pinned in
-# tests/test_sketch_tdigest.py) ----------------------------------------------
-# VERDICT r3 #7: rows-only -> oracle-twinned via the BOUNDED comparison the
-# property test already proves (tests/test_sketch_tdigest.py): each digest
-# estimate's exact rank must sit within 0.02 of its target quantile
-# (generous ceiling for delta=100's ~O(q(1-q)/delta) rank error). The rank
-# check runs DISTRIBUTED — one conditional-sum pass over the corpus against
-# the 6 driver-merged estimates — so the driver row certifies fit, merge,
-# quantile evaluation AND the bound end-to-end; the oracle pins the exact
-# corpus count and the all-pass contract. A digest regression flips
-# within_bound to 0 and hash-mismatches.
+# --- t-digest quantile sketch -------------------------------------------------
+# Payload/certificate split (ADVICE r4 medium): tdigest_value_quantiles
+# returns the ESTIMATES themselves (q, est) — the product a consumer reads;
+# digest values are implementation-defined, hence rows-only by nature
+# (rank-error and merge-determinism invariants pinned in
+# tests/test_sketch_tdigest.py). The _certified twin pins the BOUNDED
+# comparison under a DuckDB oracle: each estimate's exact rank must sit
+# within 0.02 of its target quantile (generous ceiling for delta=100's
+# ~O(q(1-q)/delta) rank error). The rank check runs DISTRIBUTED — one
+# conditional-sum pass over the corpus (linear, map-side combinable, itself
+# scale-safe) against the 6 driver-merged estimates — so the driver row
+# certifies fit, merge, quantile evaluation AND the bound end-to-end; a
+# digest regression flips within_bound to 0 and hash-mismatches.
+_TDIGEST_GRID = [0.01, 0.25, 0.5, 0.75, 0.95, 0.99]
+
+
+def _tdigest_grid_estimates(spark: SparkSession, sf_dir: str) -> list[float]:
+    from ..operators import sketch as SK
+
+    ev = load_table(spark, sf_dir, "events")
+    m, w = SK.tdigest_fit(ev, "value", delta=100)
+    return [SK.tdigest_quantile(m, w, q) for q in _TDIGEST_GRID]
+
+
+@query("tdigest_value_quantiles", oracle=None)
+def tdigest_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable t-digest over events.value (operators/sketch.py): one corpus
+    pass builds per-partition digests; the driver merges O(partitions x
+    delta) centroids and evaluates the quantile grid. The scale counterpart
+    of the exact-percentile path in gold_daily_util — exact shuffles every
+    value, the digest ships constant-size partials. Returns the estimate per
+    grid quantile; accuracy contract: tdigest_value_quantiles_certified."""
+    ests = _tdigest_grid_estimates(spark, sf_dir)
+    entries = F.array(
+        *[
+            F.struct(F.lit(q).alias("q"), F.lit(est).alias("est"))
+            for q, est in zip(_TDIGEST_GRID, ests)
+        ]
+    )
+    return (
+        spark.range(1)
+        .select(F.explode(entries).alias("s"))
+        .select(F.col("s.q").alias("q"), F.col("s.est").alias("est"))
+        .orderBy("q")
+    )
+
+
 @query(
-    "tdigest_value_quantiles",
+    "tdigest_value_quantiles_certified",
     oracle="""
     SELECT t.q,
            (SELECT COUNT(value) FROM events) AS n,
@@ -935,18 +989,12 @@ def event_cooccurrence_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY q
     """,
 )
-def tdigest_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Mergeable t-digest over events.value (operators/sketch.py): one corpus
-    pass builds per-partition digests; the driver merges O(partitions x
-    delta) centroids and evaluates the quantile grid. The scale counterpart
-    of the exact-percentile path in gold_daily_util — exact shuffles every
-    value, the digest ships constant-size partials."""
-    from ..operators import sketch as SK
-
+def tdigest_value_quantiles_certified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-bound certificate for tdigest_value_quantiles (see the family
+    comment): exact rank of each estimate within 0.02 of its target."""
     ev = load_table(spark, sf_dir, "events")
-    m, w = SK.tdigest_fit(ev, "value", delta=100)
-    qs = [0.01, 0.25, 0.5, 0.75, 0.95, 0.99]
-    ests = [SK.tdigest_quantile(m, w, q) for q in qs]
+    qs = _TDIGEST_GRID
+    ests = _tdigest_grid_estimates(spark, sf_dir)
     aggs = [F.count("value").alias("n")]
     for i, est in enumerate(ests):
         aggs.append(
@@ -1085,14 +1133,43 @@ def hhi_supplier_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --- grouped t-digest quantiles (rows-only: sketch path of the flagship's
-# exact percentile; accuracy pinned in tests/test_sketch_tdigest.py) ---------
-# Per-day digest estimates, oracle-pinned via the tie-robust rank-interval
-# bound (the tdigest_value_quantiles pattern, grouped): each day's p50/p95
-# estimate must have exact rank within 0.02 of its target, checked in one
-# extra day-keyed pass. Oracle = exact per-day counts + all-pass flags.
+# --- grouped t-digest quantiles ----------------------------------------------
+# Payload/certificate split (ADVICE r4 medium): tdigest_daily_value_p95
+# returns each day's p50/p95 ESTIMATES (the gold-mart rows a consumer
+# reads; sketch values are implementation-defined -> rows-only by nature;
+# accuracy pinned in tests/test_sketch_tdigest.py). The _certified twin
+# pins the tie-robust rank-interval bound under a DuckDB oracle: each
+# day's estimate must have exact rank within 0.02 of its target, checked
+# in one extra day-keyed linear pass. Oracle = exact per-day counts +
+# all-pass flags.
+def _tdigest_daily_est(spark: SparkSession, sf_dir: str):
+    from ..operators import sketch as SK
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select(F.date_trunc("day", "ts").alias("day"), "value")
+    )
+    return ev, SK.tdigest_group_quantiles(ev, ["day"], "value", [0.5, 0.95])
+
+
+@query("tdigest_daily_value_p95", oracle=None)
+def tdigest_daily_value_p95(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day p50/p95 of events.value via one t-digest per day
+    (operators/sketch.py::tdigest_group_quantiles) — what gold_daily_util's
+    exact percentile becomes at the 100 TB tier, where per-group digests
+    are also mergeable into weekly/monthly rollups without re-scanning.
+    Accuracy contract: tdigest_daily_value_p95_certified."""
+    _, est = _tdigest_daily_est(spark, sf_dir)
+    return est.select(
+        "day",
+        F.col("q0_5").alias("p50_est"),
+        F.col("q0_95").alias("p95_est"),
+    )
+
+
 @query(
-    "tdigest_daily_value_p95",
+    "tdigest_daily_value_p95_certified",
     oracle="""
     SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
            COUNT(value) AS n,
@@ -1103,19 +1180,10 @@ def hhi_supplier_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY 1
     """,
 )
-def tdigest_daily_value_p95(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-day p50/p95 of events.value via one t-digest per day
-    (operators/sketch.py::tdigest_group_quantiles) — what gold_daily_util's
-    exact percentile becomes at the 100 TB tier, where per-group digests
-    are also mergeable into weekly/monthly rollups without re-scanning."""
-    from ..operators import sketch as SK
-
-    ev = (
-        load_table(spark, sf_dir, "events")
-        .filter(F.col("value").isNotNull())
-        .select(F.date_trunc("day", "ts").alias("day"), "value")
-    )
-    est = SK.tdigest_group_quantiles(ev, ["day"], "value", [0.5, 0.95])
+def tdigest_daily_value_p95_certified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-interval certificate for tdigest_daily_value_p95 (see the family
+    comment)."""
+    ev, est = _tdigest_daily_est(spark, sf_dir)
     rk = (
         ev.join(F.broadcast(est), "day")
         .groupBy("day")

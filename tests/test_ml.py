@@ -179,7 +179,7 @@ def test_als_recommender_invariants(spark, sf_dir):
 
     # the registry query now RETURNS the contract certificate — assert it,
     # then rebuild the raw rec lists from the model for the lift check
-    cert = QUERIES["als_recommend_parts"](spark, sf_dir).collect()[0]
+    cert = QUERIES["als_recommend_parts_certified"](spark, sf_dir).collect()[0]
     assert cert.n_users > 0
     assert cert.k_ok == 1 and cert.sorted_ok == 1 and cert.items_known_ok == 1
 
