@@ -52,11 +52,17 @@ for _mod in (
     __import__(f"{__name__}.{_mod}")
 
 
-# The 50-entry driver window, ROTATED for round 4 (VERDICT r3 item #1):
+# The 50-entry driver window, ROTATED for round 5 (VERDICT r4 item #1):
 # 35 proven anchors — one per §2.1 reference row and §2.2 category — plus 15
-# queries that have NEVER had a driver row across rounds 1-3, so the hard
-# oracle signal reaches the composites and heavy hitters (union of
-# CORRECTNESS_r01-r03 keys = 90 of 271; the 15 below are all outside it).
+# rotation slots for queries with no (or stale) driver history. This round's
+# rotation: the 14 never-driver-checked entries VERDICT r4 named (inference
+# family, graph reachability/communities, web curation, sequential
+# smoothers, attribution) + the two r4 plan rewrites (setsim_join_prefix
+# never checked; asof_enrich_orders re-exposed because its PLAN changed to
+# the union+window rewrite after its last driver row). The M1-M3 anchor
+# upgrades from rows-only anomaly_daily to the oracle-checked
+# anomaly_daily_certified (same pipeline runs inside it, now hash-gated).
+# Cumulative hard-driver coverage before this round: 105/271 (COVERAGE.md).
 # Changing this list trades hard driver signal between categories — keep
 # every category represented before adding depth anywhere.
 DRIVER_WINDOW: list[str] = [
@@ -71,7 +77,9 @@ DRIVER_WINDOW: list[str] = [
     "casts_flags",
     "sql_cte_daily",            # Q1 CTE chaining
     "medallion_end_to_end",     # S1/S2/S5/S6/Q2/X1/X2 in one slot
-    "anomaly_daily",            # M1-M3 (rows-only by design)
+    "anomaly_daily_certified",  # M1-M3 contract certificate (first
+                                # oracle-checked driver row for the ML
+                                # pipeline; runs anomaly_daily inside)
     "gold_job_efficiency_daily",  # interval join + ref-future gold mart
     # --- §2.2 category anchors (one proven member each) ---
     "join_broadcast_dims",      # equi/broadcast
@@ -85,8 +93,7 @@ DRIVER_WINDOW: list[str] = [
     "heavy_hitter_users",       # sketches / distinct
     "dedup_minhash_pairs",      # LSH dedup
     "knn_cosine_brute",         # similarity search
-    "semdedup_prune",           # semantic dedup (fresh signal after the
-                                # r4 cluster-size-count fold)
+    "semdedup_prune",           # semantic dedup
     "string_parse_parts",       # strings
     "variant_props_stats",      # JSON/VARIANT
     "udaf_weighted_avg_price",  # UDAF/UDTF family
@@ -95,32 +102,50 @@ DRIVER_WINDOW: list[str] = [
     "dsir_importance_weights",  # curation
     "shard_manifest_summary",   # packing/shard export
     "fp_growth_brand_itemsets", # frequent itemsets
-    "multimodal_phash_neardup", # multimodal codec chain (fresh signal after
-                                # the r4 8x8 banding fix)
-    "recursive_month_spine",    # recursive CTE
+    "multimodal_phash_neardup", # multimodal codec chain
+    "recursive_month_spine",    # recursive CTE (r5: fresh empty-guard plan)
     "exists_priority_counts",   # subqueries
-    # --- 15 never-driver-checked rotations (r4) ---
-    "kcore_peel_trace",         # graph (replaces pagerank_cousers)
-    "isotonic_daily_value",     # inference: PAVA isotonic regression
-    "conformal_interval_price", # inference: split-conformal intervals
-    "roc_auc_price_returns",    # eval: exact AUC
-    "naive_bayes_lang_confusion",  # ML eval: NB confusion matrix
-    "knn_ivf_fixed",            # ANN scale path (IVF, fixed seed list)
-    "corpus_prep_report",       # composite LLM corpus-prep pipeline
-    "dedup_clean_corpus_report",   # composite exact+fuzzy dedup pipeline
-    "multimodal_video_frames",  # video frame-sample through the Y4M codec
-    "pareto_customer_revenue",  # global ranking (WindowGroupLimit gate)
-    "twap_user_daily",          # time-series (fresh floor-staged twap)
-    "source_token_kl",          # curation drift (token-KL by source)
-    "phrase_search_docs",       # retrieval (replaces bm25_search slot)
-    "cohort_weekly_retention",  # retention analytics
-    "dedup_minhash_pr_eval",    # dedup PR-curve evaluation
+    # --- 15 rotation slots (r5; 14 first-ever driver rows + 1 re-exposure) ---
+    "setsim_join_prefix",       # adaptive set-similarity (r4 rewrite + r5
+                                # mask-diversity cap — first driver row)
+    "asof_enrich_orders",       # as-of union+window rewrite (plan changed
+                                # since its last driver row)
+    "lateral_top_orders",       # JOIN LATERAL decorrelation
+    "bfs_reach_layers",         # graph reachability
+    "label_prop_communities",   # graph communities
+    "ks_test_click_purchase",   # inference: Kolmogorov-Smirnov
+    "ols_price_qty_discount",   # inference: closed-form OLS
+    "kaplan_meier_signup_purchase",  # inference: survival curve
+    "spearman_price_qty",       # inference: rank correlation
+    "gini_customer_revenue",    # inequality stats (n^2 BIGINT staging)
+    "url_canonical_dedup",      # web curation: URL canonicalization
+    "domain_blocklist_filter",  # web curation: blocklist filtering
+    "ewma_recursive_daily",     # sequential smoother (literal recursion)
+    "holt_linear_daily",        # sequential smoother (two-state Holt)
+    "attribution_position_based",  # multi-touch attribution
 ]
 
 # Next in line if the driver sweeps deeper: previously-green queries whose
 # category is already represented above (consolidated near-duplicates).
-# Head = the 15 rotated OUT this round (all driver-green in r01-r03).
+# Head = the 15 rotated OUT this round (all driver-green in r04) + the
+# still-proven earlier rotations.
 _SECOND_TIER: list[str] = [
+    "kcore_peel_trace",
+    "isotonic_daily_value",
+    "conformal_interval_price",
+    "roc_auc_price_returns",
+    "naive_bayes_lang_confusion",
+    "knn_ivf_fixed",
+    "corpus_prep_report",
+    "dedup_clean_corpus_report",
+    "multimodal_video_frames",
+    "pareto_customer_revenue",
+    "twap_user_daily",
+    "source_token_kl",
+    "phrase_search_docs",
+    "cohort_weekly_retention",
+    "dedup_minhash_pr_eval",
+    "anomaly_daily",
     "filter_probes",
     "gold_user_gpu_usage_daily",
     "join_anti",
@@ -140,28 +165,16 @@ _SECOND_TIER: list[str] = [
     "json_extract_props",
     "multimodal_real_decode",
     # round-3 late additions: inference + eval + graph reachability
-    "ks_test_click_purchase",
     "lift_gains_price_returns",
-    "ols_price_qty_discount",
-    "bfs_reach_layers",
-    "kaplan_meier_signup_purchase",
-    "spearman_price_qty",
-    "gini_customer_revenue",
     "anomaly_daily_robust",
     "cv_regression_price_qty",
     "array_norms_vectors",
     # web-crawl curation (URL canonicalization/dedup, blocklist) — late
     # round-3 family; the LLM-pipeline categories above stay green
-    "url_canonical_dedup",
-    "domain_blocklist_filter",
     # sequential smoothers proven by literal-recursion oracles
-    "ewma_recursive_daily",
-    "holt_linear_daily",
     # row-local char-entropy quality signal
     "char_entropy_docs",
     # graph communities, dedup-quality eval, multi-touch attribution
-    "label_prop_communities",
-    "attribution_position_based",
     # demoted from the round-3 window late in the round (grouping stays
     # green via rollup_region_nation; dedup via minhash/heavy-hitter;
     # joins via broadcast/semi/anti/interval/asof; stats via the new
@@ -241,7 +254,6 @@ _SECOND_TIER: list[str] = [
     "gold_error_spikes_daily",
     "tpch_q3_shipping",
     "tpch_q5_local_volume",
-    "asof_enrich_orders",
     "hinted_join_revenue",
     "window_topk_per_group",
     "window_rolling_metrics",
