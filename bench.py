@@ -113,20 +113,22 @@ def main() -> None:
     # to kill the straggler tail.
     heavy = {
         # re-measured serial costs at sf0.1 (35-query suite, 2026-08-15,
-        # after the round-4 semdedup fold + plan-build shaves: kcore is now
-        # the tail-setter, semdedup dropped 1.6 -> 1.1s)
-        "kcore_peel_trace": 9, "dedup_shingle_jaccard": 8,
-        "gold_job_efficiency_daily": 7, "benchmark_decontam": 6,
-        "exact_substring_dup_spans": 5, "sole_fault_suppliers": 5,
-        "bigram_perplexity_docs": 4, "bootstrap_ci_event_value": 4,
-        "dsir_importance_weights": 3, "phrase_search_docs": 3,
-        "semdedup_prune": 3, "source_token_kl": 3,
-        "naive_bayes_lang_confusion": 3, "roc_auc_price_returns": 3,
-        "tpch_q5_local_volume": 3, "nation_market_share": 3,
+        # round-5 profile: kcore still sets the tail; the gap to second
+        # place widened — gold_job_efficiency 2.9s, the dedup composites
+        # ~2.4s, then a broad 1.2-1.6s band)
+        "kcore_peel_trace": 9,
+        "gold_job_efficiency_daily": 6,
+        "exact_substring_dup_spans": 5, "dedup_shingle_jaccard": 5,
+        "sole_fault_suppliers": 4, "dsir_importance_weights": 4,
+        "roc_auc_price_returns": 3, "bigram_perplexity_docs": 3,
+        "semdedup_prune": 3, "naive_bayes_lang_confusion": 3,
+        "dedup_boilerplate_segments": 3, "phrase_search_docs": 3,
+        "bootstrap_ci_event_value": 3,
+        "benchmark_decontam": 2, "source_token_kl": 2,
+        "tpch_q5_local_volume": 2, "nation_market_share": 2,
         "knn_ivf_fixed": 2,
         "tpch_q1": 2, "interval_join_shipments": 2, "dedup_minhash_pairs": 2,
-        "tpch_q3_shipping": 2, "dedup_boilerplate_segments": 2,
-        "dedup_simhash": 2,
+        "tpch_q3_shipping": 2, "dedup_simhash": 2,
         "window_topk_per_group": 2, "large_volume_orders": 2,
         "window_rolling_metrics": 2, "embedding_neardup_pairs": 2,
         "anomaly_daily": 2, "gold_user_gpu_usage_daily": 2,
