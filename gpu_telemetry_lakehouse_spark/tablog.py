@@ -265,6 +265,7 @@ def _commit(
     actions: dict,
     max_retries: int = 20,
     read_version: int | None = None,
+    conflict_on: tuple = (),
 ) -> int:
     """Optimistic-concurrency commit: EXCL-create the next version slot;
     on collision re-read the log and retry. Returns the committed version.
@@ -274,7 +275,14 @@ def _commit(
     remove-bearing commit whose read snapshot is no longer the tip raises
     ConcurrentModificationError instead of publishing stale removes —
     blind-retrying an overwrite/merge against a moved tip would silently
-    drop or duplicate the interleaved writer's rows."""
+    drop or duplicate the interleaved writer's rows.
+
+    ``conflict_on`` is Delta-style LOGICAL conflict detection for commits
+    that depend on metadata rather than the file list (e.g. a rename
+    validated against the schema at read time): when the tip has moved past
+    ``read_version``, only interleaved entries carrying one of these action
+    keys conflict (raise) — unrelated commits (appends) are not conflicts
+    and the commit proceeds at the new slot."""
     os.makedirs(_log_dir(path), exist_ok=True)
     for _ in range(max_retries):
         versions = _list_versions(path)
@@ -290,6 +298,21 @@ def _commit(
                     f"version {read_version} but tip is now {tip}; re-read "
                     "the table and retry the operation"
                 )
+        if conflict_on:
+            tip = versions[-1] if versions else None
+            if tip != read_version:
+                for v in versions:
+                    if read_version is not None and v <= read_version:
+                        continue
+                    e = _read_entry(path, v)
+                    hit = [k for k in conflict_on if k in e]
+                    if hit:
+                        raise ConcurrentModificationError(
+                            f"{actions.get('operation')} at {path}: validated "
+                            f"at version {read_version} but version {v} "
+                            f"carries conflicting action(s) {hit}; re-read "
+                            "and retry the operation"
+                        )
         version = (versions[-1] + 1) if versions else 0
         entry = dict(
             actions,
@@ -453,9 +476,19 @@ def rename_column(path: str, old: str, new: str) -> int:
     pre-rename files (missing stats keep the file — pruning is an
     optimization, never correctness); post-rename files record stats under
     the new name and prune as usual. CHECK constraints referencing the old
-    name are the caller's to update (as in Delta)."""
+    name are the caller's to update (as in Delta).
+
+    Concurrency: the rename is validated against the logical schema at the
+    read tip, and the commit carries LOGICAL conflict detection (Delta's
+    metadata-update rule): an interleaved commit that also touches the
+    column mapping (another rename, or a rewriting op that resets it —
+    overwrite/compact/zorder/full merge) raises
+    ConcurrentModificationError instead of publishing a rename validated
+    against a stale mapping; interleaved appends/deletes don't conflict.
+    Callers retry by re-invoking (re-validation is cheap and correct)."""
     versions = _list_versions(path)
     assert versions, f"rename_column on a table with no commits: {path}"
+    read_tip = versions[-1]
     schema = None
     for v in reversed(versions):
         schema = _read_entry(path, v).get("schema")
@@ -484,6 +517,8 @@ def rename_column(path: str, old: str, new: str) -> int:
             "renames": {old: new},
             "schema": json.dumps(sj),
         },
+        read_version=read_tip,
+        conflict_on=("renames", "renames_set"),
     )
 
 

@@ -1767,3 +1767,58 @@ def test_randomized_interleaving_one_winner_per_version_no_lost_updates(
         for v, kind, payload in committed:
             if kind == "clone":
                 assert payload <= ever_appended
+
+def test_rename_logical_conflict_detection(spark, sf_dir, tbl):
+    """Racing metadata commits (Delta's metadata-update conflict rule): a
+    rename validated at a stale tip must abort when an interleaved commit
+    also touched the column mapping (another rename, or a rewriting op that
+    resets it), but must PROCEED over interleaved appends — appends don't
+    conflict with a rename."""
+    import json as _json
+
+    o = _orders(spark, sf_dir)
+    T.create_table(o.limit(5), tbl)
+
+    # interleaved APPEND: no logical conflict, rename proceeds at a new slot
+    rv = T.current_version(tbl)
+    T.append(o.limit(2), tbl)
+    schema = _json.loads(T._read_entry(tbl, 0)["schema"])
+    for f in schema["fields"]:
+        if f["name"] == "o_orderkey":
+            f["name"] = "order_key"
+    v = T._commit(
+        tbl,
+        {"operation": "rename_column", "renames": {"o_orderkey": "order_key"},
+         "schema": _json.dumps(schema)},
+        read_version=rv,
+        conflict_on=("renames", "renames_set"),
+    )
+    assert v == rv + 2
+    assert "order_key" in T.read(spark, tbl).columns
+
+    # interleaved RENAME: logical conflict, the stale one aborts
+    rv = T.current_version(tbl)
+    T.rename_column(tbl, "o_orderstatus", "status")
+    with pytest.raises(T.ConcurrentModificationError, match="renames"):
+        T._commit(
+            tbl,
+            {"operation": "rename_column", "renames": {"order_key": "okey"},
+             "schema": T._read_entry(tbl, 0)["schema"]},
+            read_version=rv,
+            conflict_on=("renames", "renames_set"),
+        )
+
+    # interleaved COMPACT (renames_set reset): also a logical conflict
+    rv = T.current_version(tbl)
+    T.compact(spark, tbl)
+    with pytest.raises(T.ConcurrentModificationError, match="renames"):
+        T._commit(
+            tbl,
+            {"operation": "rename_column", "renames": {"status": "st"},
+             "schema": T._read_entry(tbl, 0)["schema"]},
+            read_version=rv,
+            conflict_on=("renames", "renames_set"),
+        )
+    # the documented recovery — re-invoke (re-validates) — succeeds
+    T.rename_column(tbl, "status", "st")
+    assert "st" in T.read(spark, tbl).columns
