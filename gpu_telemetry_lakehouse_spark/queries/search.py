@@ -947,32 +947,43 @@ _KCORE_K = 3
 )
 def kcore_peel_trace(spark: SparkSession, sf_dir: str) -> DataFrame:
     sym = _couser_edges(spark, sf_dir)
-    out = None
-    for r in range(1, 4):
-        # keep is NODE-sized (users with degree >= k — tiny next to edges)
-        # and feeds BOTH semi-join sides; the static plan shows no
-        # ReusedExchange for the identical degree-agg subplans (VERDICT r4
-        # nit #3), so an eager checkpoint pins single evaluation: the agg
-        # runs once here, both probes scan the materialized rows. Broadcast
-        # semi joins read it whole, so the checkpoint's partition count
-        # cannot couple downstream parallelism (the AQE-coalesce trap).
-        keep = (
-            sym.groupBy("u")
+    # One degree aggregation per peel does double duty: deg(r) drives round
+    # r's keep set AND carries round r-1's trace row (nodes_remaining =
+    # #deg rows, edges_remaining = sum(d)/2 — the symmetric edge list counts
+    # each edge from both endpoints). That halves the per-round passes over
+    # the edge stream vs a separate count_distinct trace aggregation.
+    # deg is NODE-sized (tiny next to edges) and feeds BOTH semi-join sides;
+    # the static plan shows no ReusedExchange for duplicated agg subplans
+    # (VERDICT r4 nit #3), so the eager checkpoint pins single evaluation:
+    # the agg runs once here, keep's probes and the trace row scan the
+    # materialized rows. Broadcast semi joins read it whole, so the
+    # checkpoint's partition count cannot couple downstream parallelism
+    # (the AQE-coalesce trap).
+    def degrees(edges: DataFrame) -> DataFrame:
+        return (
+            edges.groupBy("u")
             .agg(F.count(F.lit(1)).alias("d"))
-            .filter(F.col("d") >= _KCORE_K)
-            .select("u")
             .localCheckpoint(eager=True)
         )
+
+    deg = degrees(sym)
+    out = None
+    for r in range(1, 4):
+        keep = deg.filter(F.col("d") >= _KCORE_K).select("u")
         sym = (
             sym.join(keep, "u", "left_semi")
             .join(keep.select(F.col("u").alias("v")), "v", "left_semi")
             .select("u", "v")
             .localCheckpoint(eager=False)
         )
-        row = sym.agg(
+        deg = degrees(sym)
+        row = deg.agg(
             F.lit(r).alias("round"),
-            F.count_distinct("u").alias("nodes_remaining"),
-            (F.count(F.lit(1)) / 2).cast("long").alias("edges_remaining"),
+            F.count(F.lit(1)).alias("nodes_remaining"),
+            # coalesce: an emptied graph has SUM(d) = NULL but 0 edges
+            (F.coalesce(F.sum("d"), F.lit(0)) / 2)
+            .cast("long")
+            .alias("edges_remaining"),
         ).select("round", "nodes_remaining", "edges_remaining")
         out = row if out is None else out.unionByName(row)
     return out
