@@ -38,16 +38,24 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 # schema inference, dtype fetches) that otherwise taxes EVERY query build.
 _TABLE_MEMO: dict = {}
 
+# session-id -> session: sessions whose runtime confs are already applied
+# (value pins the object so the id is stable for the process lifetime)
+_CONFS_APPLIED: dict = {}
+
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one testdata table with engine-canonical column types."""
-    # Runtime confs (UTC tz, ANSI, AQE) are SESSION-scoped, but the memo key
-    # is the shared sparkContext: a sibling session (spark.newSession()) can
-    # hit a memo entry created by another session, and must still get the
-    # canonical confs applied to ITS session. apply_runtime_confs is a handful
-    # of local conf sets (~µs against the ~0.1s footer read the memo saves),
-    # so it runs unconditionally before the lookup.
-    apply_runtime_confs(spark)
+    # Runtime confs (UTC tz, ANSI, AQE) are SESSION-scoped, but the table
+    # memo key is the shared sparkContext: a sibling session
+    # (spark.newSession()) can hit a memo entry created by another session,
+    # and must still get the canonical confs applied to ITS session. Each
+    # conf.set is a py4j round-trip (~ms per batch, and load_table is on
+    # every query-build path), so confs are applied ONCE PER SESSION OBJECT
+    # — the memo pins the session so its id can't be recycled while the
+    # entry lives.
+    if id(spark) not in _CONFS_APPLIED:
+        apply_runtime_confs(spark)
+        _CONFS_APPLIED[id(spark)] = spark
     key = (id(spark.sparkContext), os.path.abspath(sf_dir), name)
     hit = _TABLE_MEMO.get(key)
     if hit is not None:

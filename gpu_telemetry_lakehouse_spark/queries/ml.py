@@ -27,34 +27,62 @@ def anomaly_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # VERDICT r4 #3: the scoring CONTRACT is relational even though the forest
 # isn't — total_days replays exactly in DuckDB, flags are {0,1}, scores are
-# finite, and the flagged count is pinned by the contamination quantile:
-# flag = score >= np.quantile(scores, 1 - 0.05) with linear interpolation,
-# so with continuous (tie-free) scores n_flagged = floor(0.05*(n-1)) + 1 —
-# the formula reproduces the reference's published 3 anomalies over 49 days
-# (README.md:278-280: floor(0.05*48)+1 = 3). A training/scoring regression
-# flips a flag column and hash-mismatches.
+# finite, flags form a TOP SET of the scores, and the flagged count is
+# pinned by the contamination quantile: flag = score >=
+# np.quantile(scores, 1 - 0.05) with linear interpolation, so n_flagged =
+# floor(0.05*(n-1)) + 1 when scores are tie-free — the closed form
+# reproduces the reference's published 3 anomalies over 49 days
+# (README.md:278-280: floor(0.05*48)+1 = 3). Ties AT the threshold are all
+# flagged (>=), so the tie-robust bound is
+#   expected <= n_flagged <= expected - 1 + (#scores equal to the minimum
+#   flagged score)
+# (tie-free boundary: that count is 1 and the bound collapses to equality).
+# A training/scoring regression flips a flag column and hash-mismatches.
 @query(
     "anomaly_daily_certified",
     oracle="""
     SELECT CAST(COUNT(DISTINCT date_trunc('day', ts)) AS BIGINT) AS total_days,
-           1 AS flags_ok, 1 AS n_flagged_ok, 1 AS scores_finite_ok
+           1 AS flags_ok, 1 AS n_flagged_ok, 1 AS topset_ok,
+           1 AS scores_finite_ok
     FROM events WHERE value IS NOT NULL
     """,
 )
 def anomaly_daily_certified(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Contract certificate for anomaly_daily (see comment above)."""
     scored = anomaly_daily(spark, sf_dir)
-    n = F.count(F.lit(1))
-    return scored.agg(
-        n.cast("long").alias("total_days"),
-        F.min(F.col("anomaly_flag").isin(0, 1).cast("int")).alias("flags_ok"),
-        (F.sum("anomaly_flag") == F.floor(F.lit(0.05) * (n - 1)) + 1)
-        .cast("int")
-        .alias("n_flagged_ok"),
-        F.min(
-            (F.col("anomaly_score").isNotNull() & ~F.isnan("anomaly_score"))
+    flag, score = F.col("anomaly_flag"), F.col("anomaly_score")
+    s1 = scored.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("anomaly_flag").alias("nf"),
+        F.min(flag.isin(0, 1).cast("int")).alias("flags_ok"),
+        F.min(F.when(flag == 1, score)).alias("min_f"),
+        F.max(F.when(flag == 0, score)).alias("max_u"),
+        F.min((score.isNotNull() & ~F.isnan(score)).cast("int")).alias(
+            "scores_finite_ok"
+        ),
+    )
+    expected = F.floor(F.lit(0.05) * (F.col("n") - 1)) + 1
+    return (
+        scored.select("anomaly_score")
+        .crossJoin(F.broadcast(s1))
+        .groupBy("n", "nf", "flags_ok", "min_f", "max_u", "scores_finite_ok")
+        .agg(F.sum((score == F.col("min_f")).cast("long")).alias("__ties"))
+        .select(
+            F.col("n").alias("total_days"),
+            F.col("flags_ok"),
+            (
+                (F.col("nf") >= expected)
+                & (F.col("nf") <= expected - 1 + F.col("__ties"))
+            )
             .cast("int")
-        ).alias("scores_finite_ok"),
+            .alias("n_flagged_ok"),
+            # flags are a top set: every flagged score strictly above every
+            # unflagged one (threshold ties are all flagged by >=)
+            (F.col("max_u").isNull() | (F.col("min_f") > F.col("max_u")))
+            .cast("int")
+            .alias("topset_ok"),
+            F.col("scores_finite_ok"),
+        )
     )
 
 

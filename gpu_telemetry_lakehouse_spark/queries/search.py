@@ -954,16 +954,17 @@ def kcore_peel_trace(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the edge stream vs a separate count_distinct trace aggregation.
     # deg is NODE-sized (tiny next to edges) and feeds BOTH semi-join sides;
     # the static plan shows no ReusedExchange for duplicated agg subplans
-    # (VERDICT r4 nit #3), so the eager checkpoint pins single evaluation:
-    # the agg runs once here, keep's probes and the trace row scan the
-    # materialized rows. Broadcast semi joins read it whole, so the
-    # checkpoint's partition count cannot couple downstream parallelism
-    # (the AQE-coalesce trap).
+    # (VERDICT r4 nit #3), so the checkpoint pins single evaluation: the agg
+    # materializes once (at the first action — eager=False keeps plan-only
+    # consumers like the budget tests from executing the peel at build
+    # time), and keep's probes and the trace row scan the cached rows.
+    # Broadcast semi joins read it whole, so the checkpoint's partition
+    # count cannot couple downstream parallelism (the AQE-coalesce trap).
     def degrees(edges: DataFrame) -> DataFrame:
         return (
             edges.groupBy("u")
             .agg(F.count(F.lit(1)).alias("d"))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
 
     deg = degrees(sym)

@@ -713,36 +713,44 @@ def _step_effective(prev_eff, committed):
     return committed
 
 
-def _eff_checkpoints(path: str) -> list[tuple[int, _dt.datetime]]:
-    """Sorted (version, folded effective ts) for checkpoints carrying one.
-    Pre-eff_ts checkpoints are skipped (readers fall back to a longer replay)."""
+def _eff_checkpoints_desc(path: str):
+    """Yield (version, folded effective ts) for eff_ts-bearing checkpoints,
+    NEWEST FIRST, parsing bodies lazily. eff_ts is strictly increasing in
+    version, so both callers stop at the first usable hit — the steady-state
+    cost is ONE checkpoint-body parse, not O(total checkpoints) (checkpoint
+    bodies carry the full folded file list and grow with the table). Only a
+    deep-past lookup walks further; pre-eff_ts (legacy) checkpoints are
+    skipped (readers fall back to a longer entry replay)."""
     d = _log_dir(path)
     try:
         names = os.listdir(d)
     except FileNotFoundError:
-        return []
-    out = []
-    for f in sorted(names):
-        if not (f.startswith("_checkpoint-") and f.endswith(".json")):
-            continue
+        return
+    cps = sorted(
+        (f for f in names if f.startswith("_checkpoint-") and f.endswith(".json")),
+        reverse=True,
+    )
+    for f in cps:
         with open(os.path.join(d, f)) as fh:
             body = json.load(fh)
         eff = _parse_commit_ts(body.get("eff_ts"))
         if eff is not None:
-            out.append((body["version"], eff))
-    return out
+            yield (body["version"], eff)
 
 
 def _effective_ts_at(path: str, version: int):
     """Monotonized effective commit timestamp of ``version``. Replays from
     the newest eff_ts-bearing checkpoint at or below ``version`` (the one
     written CHECKPOINT_EVERY commits ago in steady state), so the checkpoint
-    fold in _commit is O(CHECKPOINT_EVERY) entry reads, not O(version)."""
+    fold in _commit is O(CHECKPOINT_EVERY) entry reads + one checkpoint
+    parse, not O(version)."""
     prev_eff = None
     start = 0
-    usable = [(v, eff) for v, eff in _eff_checkpoints(path) if v <= version]
+    usable = next(
+        ((v, e) for v, e in _eff_checkpoints_desc(path) if v <= version), None
+    )
     if usable:
-        cp_v, prev_eff = usable[-1]
+        cp_v, prev_eff = usable
         if cp_v == version:
             return prev_eff
         start = cp_v + 1
@@ -784,10 +792,14 @@ def version_at(path: str, ts) -> int:
     prev_eff = None
     start = 0
     # newest checkpoint already at-or-before the target: its version is a
-    # floor for the answer, its eff_ts seeds the monotonization
-    usable = [(v, eff) for v, eff in _eff_checkpoints(path) if eff <= ts]
+    # floor for the answer, its eff_ts seeds the monotonization. eff_ts is
+    # strictly increasing in version, so the first hit of the newest-first
+    # scan IS the newest such checkpoint — one body parse in steady state.
+    usable = next(
+        ((v, e) for v, e in _eff_checkpoints_desc(path) if e <= ts), None
+    )
     if usable:
-        best, prev_eff = usable[-1][0], usable[-1][1]
+        best, prev_eff = usable
         start = best + 1
     for v in _list_versions(path):
         if v < start:

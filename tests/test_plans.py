@@ -171,16 +171,24 @@ def test_new_query_plans(spark, sf_dir):
 
 
 def test_kcore_keep_set_single_evaluation(spark, sf_dir):
-    """VERDICT r4 #4: each k-core round's keep set (degree >= k survivors)
-    feeds BOTH semi-join probes, and the static plan shows no ReusedExchange
-    for the identical degree-agg subplans — so the query eagerly checkpoints
-    keep and the final plan must read the materialized rows (ExistingRDD)
-    on both probe sides of all 3 rounds, never re-running the aggregation
-    per probe. A regression (checkpoint dropped, agg re-inlined) halves to
-    <6 ExistingRDD scans and doubles the tail-setter's aggregation work."""
+    """VERDICT r4 #4: each k-core round's degree aggregation feeds the keep
+    set (both semi-join probes) AND the round's trace row, and the static
+    plan shows no ReusedExchange for duplicated agg subplans — so the query
+    checkpoints deg per round and the returned plan must consist of trace
+    aggregations over the checkpointed deg frames ONLY: no join may appear
+    (probes live behind the checkpoints), and each of the 3 union branches
+    carries exactly one partial+final aggregate pair over a Scan
+    ExistingRDD. A regression (checkpoint dropped, degree agg re-inlined
+    per probe) re-introduces semi joins and extra HashAggregates into the
+    returned plan and doubles the tail-setter's aggregation work."""
     df = QUERIES["kcore_peel_trace"](spark, sf_dir)
     p = P.explain_formatted(df)
-    assert p.count("ExistingRDD") >= 6, p[:1500]
+    assert "Join" not in p, p[:1500]
+    assert p.count("Scan ExistingRDD") >= 6, p[:1500]  # 3 branches x 2 mentions
+    # 3 branches x (partial + final) aggs, each printed twice by the
+    # formatted explain (tree line + detail header) = 12 mentions; anything
+    # above means a degree aggregation leaked back into the returned plan
+    assert p.count("HashAggregate") <= 12, p[:1500]
 
 
 def test_theta_join_plan_has_no_nested_loop(spark, sf_dir):
