@@ -164,8 +164,14 @@ _PPJ_T = 0.72
 # re-quadratics. Above this many distinct masks the dense regime falls back
 # to PPJoin AT MASK GRANULARITY (bit positions as tokens, mask-level df for
 # the prefix order, cnt as doc multiplicity): the doc->mask collapse is
-# kept, prefix pruning returns, and no stage is ever quadratic in an
-# unbounded quantity. 100k masks * ~16B/row keeps the broadcast ~MBs.
+# kept and the OOM cliff is gone — candidate generation becomes a spillable,
+# AQE-skew-handled shuffle equi-join whose prefix filter prunes under the
+# skewed bit frequencies real corpora have. Honest bound: on adversarial
+# UNIFORM-random sets prefix df ~ n_masks/3 and the candidate space is
+# still superlinear — exact set-similarity join is inherently quadratic in
+# the worst case; the documented approximate scale path for such corpora is
+# dedup_minhash_pairs (banded LSH, linear in candidates by construction).
+# 100k masks * ~16B/row keeps the broadcast ~MBs.
 _SETSIM_MAX_DENSE_MASKS = 100_000
 
 
