@@ -88,6 +88,146 @@ def gapfill_hourly_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- gap fill: LINEAR interpolation ------------------------------------------
+# The companion to LOCF for continuous telemetry (utilization, temperature):
+# each gap hour takes the straight line between its bracketing non-null
+# anchors; leading/trailing gaps back-/forward-fill to the nearest anchor.
+# Same dense spine as gapfill_hourly_locf; the interpolation axis is the
+# spine ROW INDEX (the spine is uniform hourly), so the fraction
+# (i - i_prev)/(i_next - i_prev) divides exact integers — bit-identical on
+# both engines — and the hourly sums are 1e-6-staged BIGINTs, so the final
+# interpolated double is deterministic before its own 1e-6 staging. Scale
+# shape: one hourly aggregation, a broadcast spine cross join, and two
+# windows per event_type partition — no self-join of the series.
+@query(
+    "gapfill_hourly_linear",
+    oracle="""
+    WITH hourly AS (
+        SELECT event_type, date_trunc('hour', ts) AS hour_start,
+               COUNT(*) AS n,
+               SUM(CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT)) / 1e6 AS sum_value
+        FROM events
+        GROUP BY 1, 2
+    ),
+    bounds AS (SELECT MIN(hour_start) AS mn, MAX(hour_start) AS mx FROM hourly),
+    hours AS (
+        SELECT unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS hour_start
+        FROM bounds
+    ),
+    spine AS (
+        SELECT t.event_type, h.hour_start
+        FROM (SELECT DISTINCT event_type FROM hourly) t, hours h
+    ),
+    j AS (
+        SELECT s.event_type, s.hour_start, hh.n, hh.sum_value,
+               ROW_NUMBER() OVER (
+                   PARTITION BY s.event_type ORDER BY s.hour_start
+               ) AS i
+        FROM spine s
+        LEFT JOIN hourly hh
+          ON hh.event_type = s.event_type AND hh.hour_start = s.hour_start
+    ),
+    anch AS (
+        SELECT *,
+               last_value(sum_value IGNORE NULLS) OVER (
+                   PARTITION BY event_type ORDER BY hour_start
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS prev_v,
+               last_value(CASE WHEN sum_value IS NOT NULL THEN i END IGNORE NULLS)
+                   OVER (
+                   PARTITION BY event_type ORDER BY hour_start
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS prev_i,
+               first_value(sum_value IGNORE NULLS) OVER (
+                   PARTITION BY event_type ORDER BY hour_start
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING
+               ) AS next_v,
+               first_value(CASE WHEN sum_value IS NOT NULL THEN i END IGNORE NULLS)
+                   OVER (
+                   PARTITION BY event_type ORDER BY hour_start
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING
+               ) AS next_i
+        FROM j
+    )
+    SELECT event_type, hour_start,
+           COALESCE(n, 0) AS n,
+           CAST(n IS NULL AS INT) AS is_gap,
+           CAST(FLOOR(
+               CASE WHEN prev_v IS NULL THEN next_v
+                    WHEN next_v IS NULL THEN prev_v
+                    WHEN next_i = prev_i THEN prev_v
+                    ELSE prev_v + (next_v - prev_v)
+                         * (CAST(i - prev_i AS DOUBLE)
+                            / CAST(next_i - prev_i AS DOUBLE))
+               END * 1000000 + 0.5) AS BIGINT) / 1e6 AS sum_value_interp
+    FROM anch
+    """,
+)
+def gapfill_hourly_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hour_start")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        (
+            F.sum(F.floor(F.col("value") * 1_000_000 + F.lit(0.5)).cast("long"))
+            / 1e6
+        ).alias("sum_value"),
+    )
+    bounds = hourly.agg(
+        F.min("hour_start").alias("mn"), F.max("hour_start").alias("mx")
+    )
+    hours = bounds.select(
+        F.explode(F.sequence("mn", "mx", F.expr("INTERVAL 1 HOUR"))).alias(
+            "hour_start"
+        )
+    )
+    spine = hourly.select("event_type").distinct().crossJoin(F.broadcast(hours))
+    j = spine.join(hourly, ["event_type", "hour_start"], "left").withColumn(
+        "i",
+        F.row_number().over(W.partitionBy("event_type").orderBy("hour_start")),
+    )
+    wb = (
+        W.partitionBy("event_type")
+        .orderBy("hour_start")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    wf = (
+        W.partitionBy("event_type")
+        .orderBy("hour_start")
+        .rowsBetween(W.currentRow, W.unboundedFollowing)
+    )
+    masked_i = F.when(F.col("sum_value").isNotNull(), F.col("i"))
+    anch = j.select(
+        "event_type",
+        "hour_start",
+        "n",
+        "i",
+        F.last("sum_value", ignorenulls=True).over(wb).alias("prev_v"),
+        F.last(masked_i, ignorenulls=True).over(wb).alias("prev_i"),
+        F.first("sum_value", ignorenulls=True).over(wf).alias("next_v"),
+        F.first(masked_i, ignorenulls=True).over(wf).alias("next_i"),
+    )
+    frac = (F.col("i") - F.col("prev_i")).cast("double") / (
+        F.col("next_i") - F.col("prev_i")
+    ).cast("double")
+    interp = (
+        F.when(F.col("prev_v").isNull(), F.col("next_v"))
+        .when(F.col("next_v").isNull(), F.col("prev_v"))
+        .when(F.col("next_i") == F.col("prev_i"), F.col("prev_v"))
+        .otherwise(F.col("prev_v") + (F.col("next_v") - F.col("prev_v")) * frac)
+    )
+    return anch.select(
+        "event_type",
+        "hour_start",
+        F.coalesce(F.col("n"), F.lit(0)).alias("n"),
+        F.col("n").isNull().cast("int").alias("is_gap"),
+        (F.floor(interp * 1_000_000 + F.lit(0.5)).cast("long") / 1e6).alias(
+            "sum_value_interp"
+        ),
+    )
+
+
 # --- unpivot / melt ----------------------------------------------------------
 # The wide->long reshape (df.unpivot, SQL stack()): gold tables are wide per
 # metric, monitoring sinks want (key, metric, value) rows. The oracle uses

@@ -21,6 +21,7 @@ from .oracle import compare
 SF01 = "/root/testdata/sf0.1"
 
 HEAVY_SLICE = [
+    "gapfill_hourly_linear",
     "calibration_bins_returns",
     "isotonic_daily_value",
     "conformal_interval_price",
