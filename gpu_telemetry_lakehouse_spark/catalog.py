@@ -38,24 +38,25 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 # schema inference, dtype fetches) that otherwise taxes EVERY query build.
 _TABLE_MEMO: dict = {}
 
-# session-id -> session: sessions whose runtime confs are already applied
-# (value pins the object so the id is stable for the process lifetime)
-_CONFS_APPLIED: dict = {}
-
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one testdata table with engine-canonical column types."""
-    # Runtime confs (UTC tz, ANSI, AQE) are SESSION-scoped, but the table
-    # memo key is the shared sparkContext: a sibling session
+    # Runtime confs (UTC tz, nanos-parquet, AQE) are SESSION-scoped, but the
+    # table memo key is the shared sparkContext: a sibling session
     # (spark.newSession()) can hit a memo entry created by another session,
-    # and must still get the canonical confs applied to ITS session. Each
-    # conf.set is a py4j round-trip (~ms per batch, and load_table is on
-    # every query-build path), so confs are applied ONCE PER SESSION OBJECT
-    # — the memo pins the session so its id can't be recycled while the
-    # entry lives.
-    if id(spark) not in _CONFS_APPLIED:
+    # and must still get the canonical confs applied to ITS session. A full
+    # apply is a batch of py4j conf.set round-trips on every query-build
+    # path, so the guard is a single SENTINEL read:
+    # spark.sql.legacy.parquet.nanosAsLong is in RUNTIME_CONFS, defaults to
+    # false on any session we did not prepare (vanilla driver session,
+    # sibling session, post-RESET), and is the conf this module itself
+    # depends on (events.parquet is TIMESTAMP(NANOS)) — so any unprepared
+    # session gets the full apply and an already-canonical session pays one
+    # conf.get. (A surgical flip of one OTHER conf with the sentinel left
+    # set escapes — no code path here does that, and pre-round-5 behavior
+    # had the same exposure on memo hits.)
+    if spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true":
         apply_runtime_confs(spark)
-        _CONFS_APPLIED[id(spark)] = spark
     key = (id(spark.sparkContext), os.path.abspath(sf_dir), name)
     hit = _TABLE_MEMO.get(key)
     if hit is not None:

@@ -62,7 +62,8 @@ for _mod in (
 # the union+window rewrite after its last driver row). The M1-M3 anchor
 # upgrades from rows-only anomaly_daily to the oracle-checked
 # anomaly_daily_certified (same pipeline runs inside it, now hash-gated).
-# Cumulative hard-driver coverage before this round: 105/279 (COVERAGE.md).
+# Cumulative hard-driver coverage before this round: 105 queries — see the
+# COVERAGE.md map (denominator = current registry size there).
 # Changing this list trades hard driver signal between categories — keep
 # every category represented before adding depth anywhere.
 DRIVER_WINDOW: list[str] = [

@@ -76,9 +76,12 @@ def anomaly_daily_certified(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .cast("int")
             .alias("n_flagged_ok"),
-            # flags are a top set: every flagged score strictly above every
-            # unflagged one (threshold ties are all flagged by >=)
-            (F.col("max_u").isNull() | (F.col("min_f") > F.col("max_u")))
+            # flags are a top set. Flags were computed from RAW scores but
+            # anomaly_score is 6dp-rounded; rounding is monotone, so a
+            # rounding collision can make min_f == max_u but never invert
+            # them — compare with >= (catches genuine inversions > 1e-6,
+            # never false-fails on a collision)
+            (F.col("max_u").isNull() | (F.col("min_f") >= F.col("max_u")))
             .cast("int")
             .alias("topset_ok"),
             F.col("scores_finite_ok"),

@@ -961,11 +961,14 @@ def kcore_peel_trace(spark: SparkSession, sf_dir: str) -> DataFrame:
     # deg is NODE-sized (tiny next to edges) and feeds BOTH semi-join sides;
     # the static plan shows no ReusedExchange for duplicated agg subplans
     # (VERDICT r4 nit #3), so the checkpoint pins single evaluation: the agg
-    # materializes once (at the first action — eager=False keeps plan-only
-    # consumers like the budget tests from executing the peel at build
-    # time), and keep's probes and the trace row scan the cached rows.
-    # Broadcast semi joins read it whole, so the checkpoint's partition
-    # count cannot couple downstream parallelism (the AQE-coalesce trap).
+    # materializes once and keep's probes and the trace row scan the cached
+    # rows. Honest cost model: under AQE, localCheckpoint — eager or lazy —
+    # materializes its upstream stages when the checkpointed frame is built
+    # (getFinalPhysicalPlan runs at .rdd), so constructing this query
+    # executes the peel regardless; eager=False only skips the extra
+    # count-style job per checkpoint. Broadcast semi joins read deg whole,
+    # so the checkpoint's partition count cannot couple downstream
+    # parallelism (the AQE-coalesce trap).
     def degrees(edges: DataFrame) -> DataFrame:
         return (
             edges.groupBy("u")

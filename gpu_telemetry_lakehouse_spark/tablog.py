@@ -713,14 +713,17 @@ def _step_effective(prev_eff, committed):
     return committed
 
 
-def _eff_checkpoints_desc(path: str):
+def _eff_checkpoints_desc(path: str, max_version: int | None = None):
     """Yield (version, folded effective ts) for eff_ts-bearing checkpoints,
     NEWEST FIRST, parsing bodies lazily. eff_ts is strictly increasing in
     version, so both callers stop at the first usable hit — the steady-state
     cost is ONE checkpoint-body parse, not O(total checkpoints) (checkpoint
-    bodies carry the full folded file list and grow with the table). Only a
-    deep-past lookup walks further; pre-eff_ts (legacy) checkpoints are
-    skipped (readers fall back to a longer entry replay)."""
+    bodies carry the full folded file list and grow with the table).
+    ``max_version`` filters on the version ENCODED IN THE FILENAME before
+    any body is opened, so a deep-past version lookup also parses exactly
+    one body; only a deep-past TIMESTAMP lookup (version_at, which must
+    compare eff_ts itself) walks newer bodies. Pre-eff_ts (legacy)
+    checkpoints are skipped (readers fall back to a longer entry replay)."""
     d = _log_dir(path)
     try:
         names = os.listdir(d)
@@ -731,6 +734,8 @@ def _eff_checkpoints_desc(path: str):
         reverse=True,
     )
     for f in cps:
+        if max_version is not None and int(f[len("_checkpoint-"):-5]) > max_version:
+            continue
         with open(os.path.join(d, f)) as fh:
             body = json.load(fh)
         eff = _parse_commit_ts(body.get("eff_ts"))
@@ -746,9 +751,7 @@ def _effective_ts_at(path: str, version: int):
     parse, not O(version)."""
     prev_eff = None
     start = 0
-    usable = next(
-        ((v, e) for v, e in _eff_checkpoints_desc(path) if v <= version), None
-    )
+    usable = next(_eff_checkpoints_desc(path, max_version=version), None)
     if usable:
         cp_v, prev_eff = usable
         if cp_v == version:

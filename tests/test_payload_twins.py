@@ -90,7 +90,9 @@ def test_anomaly_daily_payload_contract(spark, sf_dir):
     min_f = min(r["anomaly_score"] for r in rows if r["anomaly_flag"] == 1)
     ties = sum(1 for r in rows if r["anomaly_score"] == min_f)
     assert expected <= nf <= expected - 1 + ties, (nf, expected, ties)
-    # flags are a top set of the scores
+    # flags are a top set of the scores (>= — the stored scores are
+    # 6dp-rounded while flags used raw scores; rounding is monotone so a
+    # collision can equalize the boundary but never invert it)
     unflagged = [r["anomaly_score"] for r in rows if r["anomaly_flag"] == 0]
-    assert not unflagged or min_f > max(unflagged)
+    assert not unflagged or min_f >= max(unflagged)
     assert all(math.isfinite(r["anomaly_score"]) for r in rows)
