@@ -52,18 +52,20 @@ for _mod in (
     __import__(f"{__name__}.{_mod}")
 
 
-# The 50-entry driver window, ROTATED for round 5 (VERDICT r4 item #1):
+# The 50-entry driver window, ROTATED for round 6 (VERDICT r5 items #1/#2/#5):
 # 35 proven anchors — one per §2.1 reference row and §2.2 category — plus 15
-# rotation slots for queries with no (or stale) driver history. This round's
-# rotation: the 14 never-driver-checked entries VERDICT r4 named (inference
-# family, graph reachability/communities, web curation, sequential
-# smoothers, attribution) + the two r4 plan rewrites (setsim_join_prefix
-# never checked; asof_enrich_orders re-exposed because its PLAN changed to
-# the union+window rewrite after its last driver row). The M1-M3 anchor
-# upgrades from rows-only anomaly_daily to the oracle-checked
-# anomaly_daily_certified (same pipeline runs inside it, now hash-gated).
-# Cumulative hard-driver coverage before this round: 105 queries — see the
-# COVERAGE.md map (denominator = current registry size there).
+# rotation slots for queries with no driver history. This round's rotation
+# leads with the four certified payload twins that have never faced the
+# external oracle (ALS recommendation contract, IVF recall@5 certificate,
+# theta-sketch estimate bound, t-digest quantile bound — these ARE the
+# correctness story for the approximate tier), the stream-stream interval
+# join batch twin (the one §2.2 streaming shape never driver-checked), and
+# ten head-of-queue entries from COVERAGE.md's rotation plan (JSON
+# extraction, real multimodal decode, model-eval lift/gains, the robust MAD
+# anomaly twin, k-fold CV, char entropy, weighted sampling, Theil-Sen,
+# CUPED, k-anonymity). All 15 verified green vs DuckDB at sf0.01 before
+# rotation. Cumulative hard-driver coverage before this round: 120/280 —
+# see the COVERAGE.md map.
 # Changing this list trades hard driver signal between categories — keep
 # every category represented before adding depth anywhere.
 DRIVER_WINDOW: list[str] = [
@@ -106,31 +108,48 @@ DRIVER_WINDOW: list[str] = [
     "multimodal_phash_neardup", # multimodal codec chain
     "recursive_month_spine",    # recursive CTE (r5: fresh empty-guard plan)
     "exists_priority_counts",   # subqueries
-    # --- 15 rotation slots (r5; 14 first-ever driver rows + 1 re-exposure) ---
-    "setsim_join_prefix",       # adaptive set-similarity (r4 rewrite + r5
-                                # mask-diversity cap — first driver row)
-    "asof_enrich_orders",       # as-of union+window rewrite (plan changed
-                                # since its last driver row)
-    "lateral_top_orders",       # JOIN LATERAL decorrelation
-    "bfs_reach_layers",         # graph reachability
-    "label_prop_communities",   # graph communities
-    "ks_test_click_purchase",   # inference: Kolmogorov-Smirnov
-    "ols_price_qty_discount",   # inference: closed-form OLS
-    "kaplan_meier_signup_purchase",  # inference: survival curve
-    "spearman_price_qty",       # inference: rank correlation
-    "gini_customer_revenue",    # inequality stats (n^2 BIGINT staging)
-    "url_canonical_dedup",      # web curation: URL canonicalization
-    "domain_blocklist_filter",  # web curation: blocklist filtering
-    "ewma_recursive_daily",     # sequential smoother (literal recursion)
-    "holt_linear_daily",        # sequential smoother (two-state Holt)
-    "attribution_position_based",  # multi-touch attribution
+    # --- 15 rotation slots (r6; all first-ever driver rows) ---
+    "als_recommend_parts_certified",  # ALS payload contract (rank-1 parity,
+                                      # coverage, score-order certificate)
+    "knn_ivf_certified",              # IVF ANN recall@5 certificate vs the
+                                      # in-plan exact brute-force twin
+    "theta_user_overlap_certified",   # theta-sketch estimate-within-bound
+    "tdigest_value_quantiles_certified",  # t-digest quantile error bound
+    "clicks_before_errors_batch",     # stream-stream interval join batch
+                                      # twin (streaming §2.2 first exposure)
+    "json_extract_props",             # from_json typed extraction
+    "multimodal_real_decode",         # real PPM/WAV decode via mapInPandas
+    "lift_gains_price_returns",       # model-eval lift/gains deciles
+    "anomaly_daily_robust",           # MAD-based anomaly twin (oracle-SQL
+                                      # counterpart of the IForest pipeline)
+    "cv_regression_price_qty",        # 5-fold CV via additive moments
+    "char_entropy_docs",              # row-local char-entropy quality
+    "weighted_sample_users",          # deterministic weighted sampling
+    "theilsen_daily_trend",           # Theil-Sen median-slope trend
+    "cuped_experiment_readout",       # CUPED variance-reduced experiment
+    "k_anonymity_customers",          # privacy: k-anonymity audit
 ]
 
 # Next in line if the driver sweeps deeper: previously-green queries whose
 # category is already represented above (consolidated near-duplicates).
-# Head = the 15 rotated OUT this round (all driver-green in r04) + the
+# Head = the 15 rotated OUT this round (all driver-green in r05) + the
 # still-proven earlier rotations.
 _SECOND_TIER: list[str] = [
+    "setsim_join_prefix",
+    "asof_enrich_orders",
+    "lateral_top_orders",
+    "bfs_reach_layers",
+    "label_prop_communities",
+    "ks_test_click_purchase",
+    "ols_price_qty_discount",
+    "kaplan_meier_signup_purchase",
+    "spearman_price_qty",
+    "gini_customer_revenue",
+    "url_canonical_dedup",
+    "domain_blocklist_filter",
+    "ewma_recursive_daily",
+    "holt_linear_daily",
+    "attribution_position_based",
     "kcore_peel_trace",
     "isotonic_daily_value",
     "conformal_interval_price",
@@ -163,18 +182,12 @@ _SECOND_TIER: list[str] = [
     "gapfill_hourly_locf",
     "udtf_sentences",
     # demoted window twins (categories stay green above)
-    "json_extract_props",
-    "multimodal_real_decode",
     # round-3 late additions: inference + eval + graph reachability
-    "lift_gains_price_returns",
-    "anomaly_daily_robust",
-    "cv_regression_price_qty",
     "array_norms_vectors",
     # web-crawl curation (URL canonicalization/dedup, blocklist) — late
     # round-3 family; the LLM-pipeline categories above stay green
     # sequential smoothers proven by literal-recursion oracles
     # row-local char-entropy quality signal
-    "char_entropy_docs",
     # graph communities, dedup-quality eval, multi-touch attribution
     # demoted from the round-3 window late in the round (grouping stays
     # green via rollup_region_nation; dedup via minhash/heavy-hitter;
@@ -185,16 +198,11 @@ _SECOND_TIER: list[str] = [
     "dedup_first_per_key",
     "stats_profile_lineitem",
     "theta_join_balance_rank",
-    "weighted_sample_users",
-    "theilsen_daily_trend",
-    "cuped_experiment_readout",
-    "als_recommend_parts_certified",
     # demoted from the round-3 window (their categories stay green above)
     "window_rank_family",
     "dedup_shingle_jaccard_capped",
     "doc_fingerprint",
     # round-3 additions whose family is represented above
-    "k_anonymity_customers",
     "l_diversity_customers",
     "referential_orphan_summary",
     "freshness_lag_report",
@@ -271,7 +279,6 @@ _SECOND_TIER: list[str] = [
     "cross_source_contamination",
     "text_repetition_gopher",
     "knn_cosine_vectorized",
-    "knn_ivf_certified",
     "gold_daily_util_approx",
 ]
 
