@@ -1822,3 +1822,138 @@ def test_rename_logical_conflict_detection(spark, sf_dir, tbl):
     # the documented recovery — re-invoke (re-validates) — succeeds
     T.rename_column(tbl, "status", "st")
     assert "st" in T.read(spark, tbl).columns
+
+
+def test_version_at_checkpoint_fold_equals_checkpoint_free_replay(spark, sf_dir, tbl):
+    """VERDICT r5 #6: the checkpoint eff_ts fold (tablog.py _commit /
+    _eff_checkpoints_desc / version_at) must be a pure ACCELERATION — for a
+    log with heavily skewed writer clocks (and legacy no-ts tail entries),
+    ``version_at(ts)`` must resolve identically on the checkpointed log and
+    on a checkpoint-stripped copy (full replay from v0) at probes just
+    before / exactly at / just after EVERY version's effective timestamp,
+    plus a random probe sweep. Also pins the steady-state cost: a
+    tip-adjacent probe parses exactly ONE checkpoint body and at most one
+    checkpoint interval of entries; a deep-past probe stays entry-bounded
+    too (it may walk newer checkpoint bodies — documented)."""
+    import datetime as dt
+    import random
+    import shutil
+    from unittest import mock
+
+    o = _orders(spark, sf_dir)
+    rng = random.Random(41)
+    clock = dt.datetime.now(dt.timezone.utc).replace(microsecond=0)
+
+    def skew_ts(path, version):
+        # Rewrite the just-committed entry's wall clock with a seeded random
+        # walk where ~40% of steps go BACKWARD (concurrent-writer skew).
+        # Checkpoint-boundary entries keep their natural clock: the fold at
+        # version v reads entry v's ts inside the same _commit call, so a
+        # post-hoc rewrite there would desynchronize fold and log — exactly
+        # the hazard this test must not inject (earlier rewrites happen
+        # before the next boundary commit, so every fold sees final values).
+        nonlocal clock
+        step = rng.choice([-90, -90, -5, -1, 0, 0, 1, 3, 60, 600])
+        clock = clock + dt.timedelta(seconds=step, microseconds=rng.randrange(1000))
+        if version % T.CHECKPOINT_EVERY == 0:
+            return
+        p = os.path.join(tbl, "_txn_log", f"{version:020d}.json")
+        with open(p) as f:
+            e = json.load(f)
+        e["ts"] = clock.isoformat()
+        with open(p, "w") as f:
+            json.dump(e, f)
+
+    T.create_table(o.limit(2), tbl)
+    skew_ts(tbl, 0)
+    renamed = False
+    for i in range(1, 65):
+        if i % 7 == 0:
+            v = T.append(o.limit(1), tbl)
+        elif renamed:
+            v = T.rename_column(tbl, "order_key", "o_orderkey")
+            renamed = False
+        else:
+            v = T.rename_column(tbl, "o_orderkey", "order_key")
+            renamed = True
+        assert v == i
+        skew_ts(tbl, i)
+    tip = T.current_version(tbl)
+    assert tip == 64
+    n_cps = len(
+        [f for f in os.listdir(os.path.join(tbl, "_txn_log"))
+         if f.startswith("_checkpoint-")]
+    )
+    assert n_cps == 6  # v10..v60
+
+    # two legacy (no-ts) entries in the tail past the last checkpoint —
+    # rewriting entries no checkpoint has folded keeps fold/log consistent
+    for v in (62, 63):
+        p = os.path.join(tbl, "_txn_log", f"{v:020d}.json")
+        with open(p) as f:
+            e = json.load(f)
+        del e["ts"]
+        with open(p, "w") as f:
+            json.dump(e, f)
+
+    # ground truth: same log, checkpoints stripped -> full replay from v0
+    free = tbl + "_free"
+    shutil.copytree(tbl, free)
+    for f in os.listdir(os.path.join(free, "_txn_log")):
+        if f.startswith("_checkpoint-"):
+            os.remove(os.path.join(free, "_txn_log", f))
+    assert next(T._eff_checkpoints_desc(free), None) is None
+
+    def both(ts):
+        out = []
+        for path in (tbl, free):
+            try:
+                out.append(T.version_at(path, ts))
+            except ValueError:
+                out.append("no-snapshot")
+        return out
+
+    tick = dt.timedelta(microseconds=1)
+    effs = [T._effective_ts_at(free, v) for v in range(tip + 1)]
+    assert all(b - a >= tick for a, b in zip(effs, effs[1:])), (
+        "monotonization must be strictly increasing"
+    )
+    for v, eff in enumerate(effs):
+        for probe in (eff - tick, eff, eff + tick):
+            got_cp, got_free = both(probe)
+            assert got_cp == got_free, (v, probe, got_cp, got_free)
+        # absolute: querying exactly at a commit's effective ts yields it
+        assert T.version_at(tbl, eff) == v
+    lo, hi = effs[0] - dt.timedelta(hours=1), effs[-1] + dt.timedelta(hours=1)
+    for _ in range(50):
+        probe = lo + (hi - lo) * rng.random()
+        got_cp, got_free = both(probe)
+        assert got_cp == got_free, (probe, got_cp, got_free)
+    assert both(effs[0] - tick) == ["no-snapshot", "no-snapshot"]
+
+    # steady-state cost, tip-adjacent probe: exactly ONE checkpoint body
+    # parsed, at most one checkpoint interval (+boundary) of entry reads
+    real_open = open
+    cp_opens = []
+
+    def spy_open(p, *a, **k):
+        if isinstance(p, str) and os.path.basename(p).startswith("_checkpoint-"):
+            cp_opens.append(p)
+        return real_open(p, *a, **k)
+
+    with mock.patch.object(T, "_read_entry", side_effect=T._read_entry) as spy, \
+            mock.patch("builtins.open", side_effect=spy_open):
+        assert T.version_at(tbl, effs[tip]) == tip
+    assert len(cp_opens) == 1, cp_opens
+    assert spy.call_count <= T.CHECKPOINT_EVERY + 1, spy.call_count
+
+    # deep-past probe (just past the first checkpoint): entry reads stay
+    # checkpoint-bounded; body parses bounded by the checkpoint count
+    # (newest-first walk until eff_ts <= target — the documented trade)
+    cp_opens.clear()
+    deep = 2 * T.CHECKPOINT_EVERY + 2
+    with mock.patch.object(T, "_read_entry", side_effect=T._read_entry) as spy, \
+            mock.patch("builtins.open", side_effect=spy_open):
+        assert T.version_at(tbl, effs[deep]) == deep
+    assert spy.call_count <= T.CHECKPOINT_EVERY + 1, spy.call_count
+    assert len(cp_opens) <= n_cps, cp_opens
