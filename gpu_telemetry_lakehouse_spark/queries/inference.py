@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table, spread_input
-from ..functions import exact_avg, exact_sum, md5_int
+from ..functions import exact_avg, exact_sum, md5_int, tokens
 from .registry import query
 
 # Poisson(1) inverse-CDF thresholds quantized to 6 hex digits: the uniform
@@ -1421,3 +1421,141 @@ def calibration_bins_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.col("n_eval")
         ).alias("bin_brier"),
     ).orderBy("bin")
+
+
+@query(
+    "cohens_kappa_quality_labels",
+    oracle="""
+    WITH lab AS (
+        SELECT CASE WHEN n_chars >= 200 THEN 1 ELSE 0 END AS a,
+               CASE WHEN len(regexp_split_to_array(trim(text), '\\s+')) >= 40
+                    THEN 1 ELSE 0 END AS b
+        FROM documents
+    ),
+    c AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(COUNT(*) FILTER (a = 1 AND b = 1) AS BIGINT) AS n11,
+               CAST(COUNT(*) FILTER (a = 1 AND b = 0) AS BIGINT) AS n10,
+               CAST(COUNT(*) FILTER (a = 0 AND b = 1) AS BIGINT) AS n01,
+               CAST(COUNT(*) FILTER (a = 0 AND b = 0) AS BIGINT) AS n00
+        FROM lab
+    )
+    SELECT n, n11, n10, n01, n00,
+           CAST(n * (n11 + n00) - ((n11 + n10) * (n11 + n01)
+                                   + (n01 + n00) * (n10 + n00)) AS DOUBLE)
+           / NULLIF(n * n - ((n11 + n10) * (n11 + n01)
+                             + (n01 + n00) * (n10 + n00)), 0) AS kappa
+    FROM c
+    """,
+)
+def cohens_kappa_quality_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa between two deterministic document-quality raters
+    (label A: n_chars >= 200; label B: token count >= 40) — the
+    inter-annotator-agreement audit a labeling pipeline runs before
+    trusting a cheap heuristic as a filter. One corpus pass folds the full
+    2x2 contingency table map-side; kappa = (po - pe) / (1 - pe) is
+    rearranged over the common denominator so the ONLY float op is a single
+    division of two exact BIGINTs (bit-identical cross-engine by
+    construction — no staged rounding needed). pe = 1 (degenerate constant
+    raters) yields NULL via NULLIF, not a crash. Scale shape: map-side
+    partial aggregation to one row; no shuffle wider than the 5-counter
+    partials."""
+    d = load_table(spark, sf_dir, "documents")
+    a = (F.col("n_chars") >= 200).cast("int")
+    b = (F.size(tokens(F.col("text"))) >= 40).cast("int")
+    lab = d.select(a.alias("a"), b.alias("b"))
+    c = lab.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count(F.when((F.col("a") == 1) & (F.col("b") == 1), 1)).alias("n11"),
+        F.count(F.when((F.col("a") == 1) & (F.col("b") == 0), 1)).alias("n10"),
+        F.count(F.when((F.col("a") == 0) & (F.col("b") == 1), 1)).alias("n01"),
+        F.count(F.when((F.col("a") == 0) & (F.col("b") == 0), 1)).alias("n00"),
+    )
+    pe_num = (F.col("n11") + F.col("n10")) * (F.col("n11") + F.col("n01")) + (
+        F.col("n01") + F.col("n00")
+    ) * (F.col("n10") + F.col("n00"))
+    return c.select(
+        "n",
+        "n11",
+        "n10",
+        "n01",
+        "n00",
+        (
+            (F.col("n") * (F.col("n11") + F.col("n00")) - pe_num).cast("double")
+            / F.nullif(F.col("n") * F.col("n") - pe_num, F.lit(0))
+        ).alias("kappa"),
+    )
+
+
+@query(
+    "kendall_tau_daily",
+    oracle="""
+    WITH dy AS (
+        SELECT date_trunc('day', ts) AS d,
+               CAST(COUNT(*) AS BIGINT) AS x,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS y
+        FROM events GROUP BY 1
+    ),
+    p AS (
+        SELECT CAST(COUNT(*) FILTER ((a.x - b.x) * (a.y - b.y) > 0) AS BIGINT) AS c,
+               CAST(COUNT(*) FILTER ((a.x - b.x) * (a.y - b.y) < 0) AS BIGINT) AS d,
+               CAST(COUNT(*) FILTER (a.x = b.x) AS BIGINT) AS tx,
+               CAST(COUNT(*) FILTER (a.y = b.y) AS BIGINT) AS ty,
+               CAST(COUNT(*) AS BIGINT) AS n0
+        FROM dy a JOIN dy b ON a.d < b.d
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM dy) AS n_days,
+           n0 AS n_pairs, c AS concordant, d AS discordant,
+           tx AS tied_x, ty AS tied_y,
+           CAST(c - d AS DOUBLE)
+           / NULLIF(sqrt(CAST((n0 - tx) * (n0 - ty) AS DOUBLE)), 0) AS tau_b
+    FROM p
+    """,
+)
+def kendall_tau_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall tau-b rank correlation between two daily series (event
+    volume vs distinct active users) — the tie-robust monotone-association
+    companion to spearman_price_qty. Pair statistics (concordant,
+    discordant, tied-in-x, tied-in-y) are EXACT BIGINT counts over the
+    day-level self-join — bounded at days² pairs (the rollup collapses the
+    corpus to one row per day first, so the quadratic stage is days-sized,
+    never event-sized; at 100 TB this is a few thousand pairs). tau_b =
+    (C - D) / sqrt((n0 - tx)(n0 - ty)) is two IEEE ops (sqrt, divide) over
+    exact integers — bit-identical cross-engine; a constant series
+    (denominator 0) yields NULL via NULLIF. The inequality join is a
+    broadcast nested-loop over the days-sized frame by design (documented
+    bounded cardinality, same rationale as gini's n² BIGINT staging)."""
+    ev = load_table(spark, sf_dir, "events")
+    dy = ev.groupBy(F.date_trunc("day", F.col("ts")).alias("d")).agg(
+        F.count(F.lit(1)).alias("x"),
+        F.countDistinct("user_id").alias("y"),
+    )
+    a = dy.select(F.col("d").alias("ad"), F.col("x").alias("ax"), F.col("y").alias("ay"))
+    b = dy.select(F.col("d").alias("bd"), F.col("x").alias("bx"), F.col("y").alias("by"))
+    prod = (F.col("ax") - F.col("bx")) * (F.col("ay") - F.col("by"))
+    p = (
+        a.join(b, F.col("ad") < F.col("bd"))
+        .agg(
+            F.count(F.when(prod > 0, 1)).alias("c"),
+            F.count(F.when(prod < 0, 1)).alias("d"),
+            F.count(F.when(F.col("ax") == F.col("bx"), 1)).alias("tx"),
+            F.count(F.when(F.col("ay") == F.col("by"), 1)).alias("ty"),
+            F.count(F.lit(1)).alias("n0"),
+        )
+    )
+    n_days = dy.agg(F.count(F.lit(1)).alias("n_days"))
+    return p.crossJoin(F.broadcast(n_days)).select(
+        "n_days",
+        F.col("n0").alias("n_pairs"),
+        F.col("c").alias("concordant"),
+        F.col("d").alias("discordant"),
+        F.col("tx").alias("tied_x"),
+        F.col("ty").alias("tied_y"),
+        (
+            (F.col("c") - F.col("d")).cast("double")
+            / F.nullif(
+                F.sqrt(((F.col("n0") - F.col("tx")) * (F.col("n0") - F.col("ty"))).cast("double")),
+                F.lit(0.0),
+            )
+        ).alias("tau_b"),
+    )

