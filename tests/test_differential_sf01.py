@@ -100,6 +100,34 @@ HEAVY_SLICE = [
     "setsim_join_prefix",
     "asof_enrich_orders",
     "recursive_month_spine",
+    # r6 full-registry sf0.1 sweep sync (VERDICT r5 #3): every oracle-twinned
+    # query the sweep measured >1s serial joins the slice. The three
+    # rows-only payloads in that band (als_recommend_parts, knn_pq_adc,
+    # knn_ivfpq) cannot join (no oracle SQL by design); their *_certified
+    # twins below run the same payload mechanism at sf0.1 plus the bounded
+    # contract, which is the stronger check.
+    "als_recommend_parts_certified",
+    "knn_ivf_certified",
+    "knn_pq_adc_certified",
+    "knn_ivfpq_certified",
+    "anomaly_daily_certified",
+    "dedup_clean_corpus_report",
+    "dedup_clusters",
+    "decontam_span_report",
+    "cross_source_contamination",
+    "basket_rules_parts",
+    "spearman_price_qty",
+    "tree_depth2_returns",
+    "stats_profile_lineitem",
+    "kaplan_meier_fulfillment",
+    "multimodal_audio_decode",
+    "peak_concurrent_orders",
+    "sql_scripting_adaptive_bins",
+    "decision_stump_returns",
+    "cheapest_supplier_per_part",
+    "embedding_dim_profile",
+    "profile_orders_columns",
+    "rrf_hybrid_search",
 ]
 
 pytestmark = pytest.mark.skipif(
