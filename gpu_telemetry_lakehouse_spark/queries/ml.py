@@ -934,7 +934,9 @@ def anomaly_daily_robust(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(SUM(CAST(FLOOR(x * x * 100 + 0.5) AS BIGINT)) AS BIGINT)
                    AS sxx,
                CAST(SUM(CAST(FLOOR(x * y * 100 + 0.5) AS BIGINT)) AS BIGINT)
-                   AS sxy
+                   AS sxy,
+               CAST(SUM(CAST(FLOOR(y * y * 100 + 0.5) AS BIGINT)) AS BIGINT)
+                   AS syy
         FROM src GROUP BY fold
     ),
     tot AS (
@@ -960,16 +962,18 @@ def anomaly_daily_robust(spark: SparkSession, sf_dir: str) -> DataFrame:
                / CAST(t.n - f.n AS DOUBLE) AS intercept
         FROM fit JOIN fm f ON f.fold = fit.fold CROSS JOIN tot t
     )
-    SELECT s.fold, f2.n_test,
+    SELECT f2.fold, f2.n_test,
            ROUND(f2.slope100, 6) AS slope,
            ROUND(f2.intercept, 4) AS intercept,
-           ROUND((SUM(CAST(FLOOR((s.y - (f2.intercept + f2.slope100 * s.x))
-                                 * (s.y - (f2.intercept + f2.slope100 * s.x))
-                                 + 0.5) AS BIGINT)) / 1.0)
+           ROUND((CAST(f.syy AS DOUBLE) / 100.0
+                  - 2.0 * f2.intercept * (CAST(f.sy AS DOUBLE) / 100.0)
+                  - 2.0 * f2.slope100 * (CAST(f.sxy AS DOUBLE) / 100.0)
+                  + CAST(f.n AS DOUBLE) * f2.intercept * f2.intercept
+                  + 2.0 * f2.intercept * f2.slope100 * (CAST(f.sx AS DOUBLE) / 100.0)
+                  + f2.slope100 * f2.slope100 * (CAST(f.sxx AS DOUBLE) / 100.0))
                  / CAST(f2.n_test AS DOUBLE), 2) AS test_mse
-    FROM src s JOIN fit2 f2 ON f2.fold = s.fold
-    GROUP BY s.fold, f2.n_test, f2.slope100, f2.intercept
-    ORDER BY s.fold
+    FROM fit2 f2 JOIN fm f ON f.fold = f2.fold
+    ORDER BY f2.fold
     """,
 )
 def cv_regression_price_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -988,6 +992,7 @@ def cv_regression_price_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(stage(F.col("y"), 100)).cast("long").alias("sy"),
         F.sum(stage(F.col("x") * F.col("x"), 100)).cast("long").alias("sxx"),
         F.sum(stage(F.col("x") * F.col("y"), 100)).cast("long").alias("sxy"),
+        F.sum(stage(F.col("y") * F.col("y"), 100)).cast("long").alias("syy"),
     )
     tot = fm.groupBy().agg(
         F.sum("n").cast("long").alias("tn"),
@@ -1010,28 +1015,28 @@ def cv_regression_price_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
     slope = (F.lit(100.0) * dn * dsxy - dsx * dsy) / (
         F.lit(100.0) * dn * dsxx - dsx * dsx
     )
-    fit2 = c.select(
+    intercept = (dsy / 100.0 - slope * (dsx / 100.0)) / dn
+    # Test MSE by MOMENT ALGEBRA over the fold's own staged sums — the r6
+    # one-pass rewrite: sum((y - a - b*x)^2) expands to Syy - 2a*Sy - 2b*Sxy
+    # + n*a^2 + 2ab*Sx + b^2*Sxx, all available from the single fold-moment
+    # aggregation, so the residual re-scan of the corpus (which also
+    # re-evaluated the whole moment subplan inside its own plan — three
+    # corpus passes total, 3.6s vs the 0.9s one-pass OLS at sf0.1)
+    # disappears. Term order and association mirror the oracle exactly;
+    # every input is an exact BIGINT, so the double algebra is bit-identical
+    # cross-engine.
+    mse = (
+        F.col("syy").cast("double") / 100.0
+        - F.lit(2.0) * intercept * (F.col("sy").cast("double") / 100.0)
+        - F.lit(2.0) * slope * (F.col("sxy").cast("double") / 100.0)
+        + F.col("n").cast("double") * intercept * intercept
+        + F.lit(2.0) * intercept * slope * (F.col("sx").cast("double") / 100.0)
+        + slope * slope * (F.col("sxx").cast("double") / 100.0)
+    ) / F.col("n").cast("double")
+    return c.select(
         "fold",
         F.col("n").alias("n_test"),
-        slope.alias("slope100"),
-        ((dsy / 100.0 - slope * (dsx / 100.0)) / dn).alias("intercept"),
-    )
-    resid = F.col("y") - (F.col("intercept") + F.col("slope100") * F.col("x"))
-    return (
-        src.join(F.broadcast(fit2), "fold")
-        .groupBy("fold", "n_test", "slope100", "intercept")
-        .agg(
-            (
-                (F.sum(F.floor(resid * resid + F.lit(0.5)).cast("long")) / 1.0)
-                / F.col("n_test").cast("double")
-            ).alias("mse_raw")
-        )
-        .select(
-            "fold",
-            "n_test",
-            F.round("slope100", 6).alias("slope"),
-            F.round("intercept", 4).alias("intercept"),
-            F.round("mse_raw", 2).alias("test_mse"),
-        )
-        .orderBy("fold")
-    )
+        F.round(slope, 6).alias("slope"),
+        F.round(intercept, 4).alias("intercept"),
+        F.round(mse, 2).alias("test_mse"),
+    ).orderBy("fold")
