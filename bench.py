@@ -81,6 +81,7 @@ HEADLINE = [
     "source_token_kl",             # per-source token-distribution KL drift
     "naive_bayes_lang_confusion",  # distributed multinomial NB train+score
     "roc_auc_price_returns",       # exact Mann-Whitney AUC over score histogram
+    "er_blocked_match_pairs",      # entity-resolution prefix blocking + verify
 ]
 
 
@@ -112,11 +113,12 @@ def main() -> None:
     # costs at sf0.1; makespan scheduling (LPT) needs only a rough cost order
     # to kill the straggler tail.
     heavy = {
-        # re-measured serial costs at sf0.1 (35-query suite, 2026-08-15,
-        # round-5 profile: kcore still sets the tail; the gap to second
-        # place widened — gold_job_efficiency 2.9s, the dedup composites
-        # ~2.4s, then a broad 1.2-1.6s band)
-        "kcore_peel_trace": 9,
+        # re-measured serial costs at sf0.1 (36-query suite, 2026-08-16,
+        # round-6 profile: the degree-decrement rewrite cut kcore 4.0->2.7s,
+        # flattening the tail — kcore, q1 and the dedup composites now sit
+        # in a 2.0-2.7s band, then a broad 1.0-1.9s band)
+        "kcore_peel_trace": 5,
+        "er_blocked_match_pairs": 3,
         "gold_job_efficiency_daily": 6,
         "exact_substring_dup_spans": 5, "dedup_shingle_jaccard": 5,
         "sole_fault_suppliers": 4, "dsir_importance_weights": 4,

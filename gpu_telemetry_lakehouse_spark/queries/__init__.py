@@ -48,6 +48,7 @@ for _mod in (
     "cdc",
     "inference",
     "web",
+    "entity",
 ):
     __import__(f"{__name__}.{_mod}")
 

@@ -391,3 +391,81 @@ def pca_project_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pts.crossJoin(F.broadcast(basis)).select(
         "vec_id", out4(pc1).alias("pc1"), out4(pc2).alias("pc2")
     )
+
+
+# --- quantile normalization ----------------------------------------------------
+# The feature-preprocessing transform that forces every source's value
+# distribution onto ONE pooled shape (microarray heritage; in LLM-data work it
+# re-scales per-source quality/length scores so a mixed-corpus threshold means
+# the same thing in every source). Bin-granular form: rank within source ->
+# 100 quantile bins -> the normalized value of a bin is the cross-source mean
+# of that bin's per-source means.
+
+
+@query(
+    "quantile_normalize_lengths",
+    oracle="""
+    WITH ranked AS (
+        SELECT source, n_chars,
+               ntile(100) OVER (PARTITION BY source
+                                ORDER BY n_chars, doc_id) AS bin
+        FROM documents
+    ),
+    src_bin AS (
+        SELECT source, bin, COUNT(*) AS n,
+               SUM(n_chars) AS s,
+               CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS m
+        FROM ranked GROUP BY source, bin
+    )
+    SELECT CAST(bin AS BIGINT) AS bin,
+           CAST(COUNT(*) AS BIGINT) AS n_sources,
+           CAST(SUM(n) AS BIGINT) AS n_rows,
+           (SUM(CAST(FLOOR(m * 1000000 + 0.5) AS BIGINT)) / 1000000.0)
+               / COUNT(*) AS qnorm_value,
+           MIN(m) AS min_src_mean,
+           MAX(m) AS max_src_mean
+    FROM src_bin GROUP BY bin ORDER BY bin
+    """,
+)
+def quantile_normalize_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source quantile normalization of document lengths (100 bins).
+
+    Rank each source's docs (deterministic tie-break on doc_id), cut into
+    100 equal-frequency bins with the SAME ntile arithmetic both engines
+    use, reduce each (source, bin) to an exact-integer mean, then average
+    the per-source means across sources (staged through scaled longs) —
+    that average IS the normalized value every source's bin maps to.
+    min/max per-source means expose the spread being normalized away. The
+    per-source window sorts only within a source partition (the documented
+    two-phase rank path lifts even that at extreme scale); everything after
+    the first rollup is (sources x 100)-sized.
+    """
+    from pyspark.sql import Window as W
+
+    d = load_table(spark, sf_dir, "documents")
+    w = W.partitionBy("source").orderBy("n_chars", "doc_id")
+    ranked = d.select("source", "n_chars", F.ntile(100).over(w).alias("bin"))
+    src_bin = ranked.groupBy("source", "bin").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("n_chars").alias("s"),
+        (F.sum("n_chars").cast("double") / F.count(F.lit(1))).alias("m"),
+    )
+    return (
+        src_bin.groupBy(F.col("bin").cast("long").alias("bin"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_sources"),
+            F.sum("n").cast("long").alias("n_rows"),
+            (
+                (
+                    F.sum(
+                        F.floor(F.col("m") * 1000000 + F.lit(0.5)).cast("long")
+                    )
+                    / F.lit(1000000.0)
+                )
+                / F.count(F.lit(1))
+            ).alias("qnorm_value"),
+            F.min("m").alias("min_src_mean"),
+            F.max("m").alias("max_src_mean"),
+        )
+        .orderBy("bin")
+    )

@@ -1559,3 +1559,144 @@ def kendall_tau_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("tau_b"),
     )
+
+
+# --- delete-one-group jackknife ------------------------------------------------
+# The variance estimator for ratio metrics that have no closed-form SE —
+# revenue-per-order, cost-per-click, sessions-per-user. Resampling ROWS at
+# 100 TB is hopeless; the delete-one-GROUP jackknife (days here; shards or
+# cookie-buckets in production) needs only one bounded frame of per-group
+# partials: every leave-one-out estimate is (total - group)/(total - group),
+# pure algebra on exact BIGINTs. This is the mechanism behind per-bucket
+# jackknife CIs in large experimentation platforms.
+
+
+@query(
+    "jackknife_day_ratio",
+    oracle="""
+    WITH daily AS (
+        SELECT date_trunc('day', o_orderdate) AS d,
+               SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS s_cents,
+               COUNT(*) AS n
+        FROM orders GROUP BY 1
+    ),
+    tot AS (
+        SELECT SUM(s_cents) AS s_tot, SUM(n) AS n_tot, COUNT(*) AS g
+        FROM daily
+    ),
+    loo AS (
+        SELECT ((t.s_tot - d.s_cents) / 100.0) / (t.n_tot - d.n)
+                   AS theta_i
+        FROM daily d, tot t
+        WHERE t.n_tot > d.n
+    ),
+    bar AS (
+        SELECT COUNT(*) AS g,
+               (SUM(CAST(FLOOR(theta_i * 1000000 + 0.5) AS BIGINT))
+                / 1000000.0) / COUNT(*) AS theta_bar
+        FROM loo
+    )
+    SELECT CAST(b.g AS BIGINT) AS g_days,
+           (t.s_tot / 100.0) / t.n_tot AS theta_full,
+           b.theta_bar,
+           (CAST(b.g - 1 AS DOUBLE) / b.g)
+             * (SELECT SUM(CAST(FLOOR((l.theta_i - b2.theta_bar)
+                                      * (l.theta_i - b2.theta_bar)
+                                      * 100000000 + 0.5) AS BIGINT))
+                       / 100000000.0
+                FROM loo l, bar b2) AS jk_var,
+           SQRT((CAST(b.g - 1 AS DOUBLE) / b.g)
+             * (SELECT SUM(CAST(FLOOR((l.theta_i - b2.theta_bar)
+                                      * (l.theta_i - b2.theta_bar)
+                                      * 100000000 + 0.5) AS BIGINT))
+                       / 100000000.0
+                FROM loo l, bar b2)) AS jk_se
+    FROM bar b, tot t
+    """,
+)
+def jackknife_day_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delete-one-day jackknife SE for the revenue-per-order ratio.
+
+    One corpus pass builds per-day exact partials (cents as BIGINT, order
+    counts); totals broadcast back and every leave-one-out estimate
+    theta_i = (S - s_i)/(N - n_i) is exact-integer algebra divided once in
+    double. theta_bar and the squared deviations stage through scaled longs
+    (floor(x*10^s + 0.5)) so partial-aggregation order cannot perturb the
+    variance; jk_se is a correctly-rounded IEEE sqrt on both engines. The
+    frame that crosses the cluster is days-sized, never rows-sized — swap
+    days for 1000 cookie-buckets and this is the standard experimentation
+    platform CI at any scale.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    daily = (
+        o.groupBy(F.date_trunc("day", "o_orderdate").alias("d"))
+        .agg(
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+            ).alias("s_cents"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        # days-sized; 4 downstream consumers (tot, loo, bar, dev) — without
+        # this the orders scan repeats once per crossJoin branch
+        .localCheckpoint(eager=False)
+    )
+    tot = daily.agg(
+        F.sum("s_cents").alias("s_tot"),
+        F.sum("n").alias("n_tot"),
+        F.count(F.lit(1)).alias("g0"),
+    )
+    loo = (
+        daily.crossJoin(F.broadcast(tot))
+        .where(F.col("n_tot") > F.col("n"))
+        .select(
+            (
+                ((F.col("s_tot") - F.col("s_cents")) / F.lit(100.0))
+                / (F.col("n_tot") - F.col("n"))
+            ).alias("theta_i"),
+            "s_tot",
+            "n_tot",
+        )
+    )
+    bar = loo.agg(
+        F.count(F.lit(1)).alias("g"),
+        (
+            (
+                F.sum(
+                    F.floor(F.col("theta_i") * 1000000 + F.lit(0.5)).cast(
+                        "long"
+                    )
+                )
+                / F.lit(1000000.0)
+            )
+            / F.count(F.lit(1))
+        ).alias("theta_bar"),
+        F.max("s_tot").alias("s_tot"),
+        F.max("n_tot").alias("n_tot"),
+    )
+    dev = (
+        loo.crossJoin(F.broadcast(bar.select("g", "theta_bar")))
+        .select(
+            F.floor(
+                (F.col("theta_i") - F.col("theta_bar"))
+                * (F.col("theta_i") - F.col("theta_bar"))
+                * 100000000
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("dev2"),
+        )
+        .agg((F.sum("dev2") / F.lit(100000000.0)).alias("ss"))
+    )
+    var = (F.col("g") - 1).cast("double") / F.col("g") * F.col("ss")
+    return (
+        bar.crossJoin(F.broadcast(dev))
+        .select(
+            F.col("g").cast("long").alias("g_days"),
+            ((F.col("s_tot") / F.lit(100.0)) / F.col("n_tot")).alias(
+                "theta_full"
+            ),
+            F.col("theta_bar"),
+            var.alias("jk_var"),
+            F.sqrt(var).alias("jk_se"),
+        )
+    )

@@ -1650,3 +1650,80 @@ def gini_customer_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("gini"),
     )
+
+
+# --- functional-dependency audit ----------------------------------------------
+# Profiling-suite staple (deequ/HoloClean family): does determinant -> dependent
+# hold, and how badly is it violated? The violation count per candidate FD is
+# the schema-design / dirty-merge signal (a PK candidate has zero; a
+# dirty-joined dim shows exactly the conflicting keys). Each candidate is one
+# column-pruned two-column scan + a map-side-partial (det)-keyed aggregation in
+# NATIVE key types (an exploded string-triple formulation measured 3x slower at
+# sf0.1 — it shuffles every determinant as a string and defeats pruning);
+# the union glues 4 one-row summaries.
+
+_FD_CANDIDATES = [
+    # (name, determinant col, dependent col) — chosen to span: a true PK
+    # (zero violations), a real dependency broken sparsely, and dense
+    # violations (low-cardinality determinant).
+    ("orderkey->status", "o_orderkey", "o_orderstatus"),
+    ("custkey->priority", "o_custkey", "o_orderpriority"),
+    ("orderdate->status", "o_orderdate", "o_orderstatus"),
+    ("priority->status", "o_orderpriority", "o_orderstatus"),
+]
+
+
+def _fd_branch_sql(n: str, det: str, dep: str) -> str:
+    return (
+        f"SELECT '{n}' AS fd, "
+        "CAST(COUNT(*) AS BIGINT) AS n_determinants, "
+        "CAST(SUM(CASE WHEN n_dep > 1 THEN 1 ELSE 0 END) AS BIGINT) "
+        "AS n_violating, "
+        "CAST(MAX(n_dep) AS BIGINT) AS max_distinct_dep, "
+        "CAST(SUM(CASE WHEN n_dep > 1 THEN n_rows ELSE 0 END) AS BIGINT) "
+        "AS n_rows_in_violation "
+        f"FROM (SELECT {det} AS det, COUNT(DISTINCT {dep}) AS n_dep, "
+        "COUNT(*) AS n_rows FROM orders GROUP BY 1)"
+    )
+
+
+@query(
+    "functional_dependency_audit",
+    oracle=" UNION ALL ".join(
+        _fd_branch_sql(n, det, dep) for n, det, dep in _FD_CANDIDATES
+    )
+    + " ORDER BY fd",
+)
+def functional_dependency_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate functional-dependency violation report over orders.
+
+    Per candidate: group by the determinant in its NATIVE type, count
+    distinct dependents (map-side partial), reduce to one summary row;
+    union the candidates. ``orderkey->status`` hash-matching zero
+    violations IS the primary-key proof; the dense violators size the
+    repair. At 100 TB each candidate costs one pruned two-column scan and
+    one narrow shuffle — adding a candidate never touches the others.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    parts = []
+    for n, det, dep in _FD_CANDIDATES:
+        per_det = o.groupBy(F.col(det).alias("det")).agg(
+            F.countDistinct(dep).alias("n_dep"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        parts.append(
+            per_det.agg(
+                F.count(F.lit(1)).cast("long").alias("n_determinants"),
+                F.sum(F.when(F.col("n_dep") > 1, 1).otherwise(0))
+                .cast("long")
+                .alias("n_violating"),
+                F.max("n_dep").cast("long").alias("max_distinct_dep"),
+                F.sum(F.when(F.col("n_dep") > 1, F.col("n_rows")).otherwise(0))
+                .cast("long")
+                .alias("n_rows_in_violation"),
+            ).select(F.lit(n).alias("fd"), "*")
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out.orderBy("fd")

@@ -128,6 +128,8 @@ HEAVY_SLICE = [
     "embedding_dim_profile",
     "profile_orders_columns",
     "rrf_hybrid_search",
+    "er_blocked_match_pairs",
+    "symspell_match_terms",
 ]
 
 pytestmark = pytest.mark.skipif(
