@@ -49,6 +49,7 @@ for _mod in (
     "inference",
     "web",
     "entity",
+    "causal",
 ):
     __import__(f"{__name__}.{_mod}")
 

@@ -301,6 +301,24 @@ _DEL_KEYS = """
 """
 
 
+def deletion_neighborhood(df: DataFrame, t: str) -> DataFrame:
+    """Explode column ``t`` to its SymSpell key set: the term itself plus
+    every 1-deletion (O(length) keys per term). Property-tested to surface
+    EVERY edit-distance-1 pair through an equi-join on ``key``
+    (tests/test_properties.py)."""
+    return df.select(
+        "*",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, length({t})), i -> "
+                f"CASE WHEN i = 0 THEN {t} "
+                f"ELSE substring({t}, 1, CAST(i AS INT) - 1) || "
+                f"substring({t}, CAST(i AS INT) + 1, length({t})) END)"
+            )
+        ).alias("key"),
+    )
+
+
 @query(
     "symspell_match_terms",
     oracle=f"""
@@ -360,21 +378,8 @@ def symspell_match_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("qterm"),
     )
 
-    def del_keys(df: DataFrame, t: str) -> DataFrame:
-        return df.select(
-            "*",
-            F.explode(
-                F.expr(
-                    f"transform(sequence(0, length({t})), i -> "
-                    f"CASE WHEN i = 0 THEN {t} "
-                    f"ELSE substring({t}, 1, CAST(i AS INT) - 1) || "
-                    f"substring({t}, CAST(i AS INT) + 1, length({t})) END)"
-                )
-            ).alias("key"),
-        )
-
-    ikeys = del_keys(vocab, "term")
-    qkeys = del_keys(qterms, "qterm")
+    ikeys = deletion_neighborhood(vocab, "term")
+    qkeys = deletion_neighborhood(qterms, "qterm")
     cand = (
         ikeys.join(qkeys, "key")
         .select("k", "term", "qk", "qterm")

@@ -130,6 +130,8 @@ HEAVY_SLICE = [
     "rrf_hybrid_search",
     "er_blocked_match_pairs",
     "symspell_match_terms",
+    "did_readout",
+    "cem_att_readout",
 ]
 
 pytestmark = pytest.mark.skipif(

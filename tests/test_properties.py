@@ -1006,3 +1006,90 @@ def test_setsim_dispatch_caps_dense_broadcast(spark, sf_dir, monkeypatch):
     monkeypatch.setattr(S, "_SETSIM_MAX_DENSE_MASKS", 0)
     capped = sorted(map(tuple, S.setsim_join_prefix(spark, sf_dir).collect()))
     assert capped == base
+
+
+# --- entity-resolution / fuzzy-match family -----------------------------------
+
+_WORD = st.text(alphabet="ab", min_size=0, max_size=6)
+
+
+def _lev(a: str, b: str) -> int:
+    if len(a) < len(b):
+        a, b = b, a
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+@given(
+    terms=st.lists(_WORD, min_size=0, max_size=6, unique=True),
+    qterms=st.lists(_WORD, min_size=0, max_size=6, unique=True),
+)
+@SET
+def test_symspell_key_join_finds_all_edit1_pairs(spark, terms, qterms):
+    """The deletion-neighborhood equi-join must surface EVERY edit-1 pair
+    (the SymSpell completeness theorem: for lev(a,b)<=1 some 0/1-deletion of
+    a equals one of b) — verified against a naive all-pairs levenshtein.
+    The tiny 'ab' alphabet maximizes key collisions, the adversarial case
+    for both completeness and the distinct-before-verify dedup."""
+    from gpu_telemetry_lakehouse_spark.queries.entity import (
+        deletion_neighborhood,
+    )
+
+    t_df = spark.createDataFrame(
+        [(t,) for t in terms] or [("zz_sentinel",)], ["term"]
+    )
+    q_df = spark.createDataFrame(
+        [(q,) for q in qterms] or [("zz_sentinel_q",)], ["qterm"]
+    )
+    cand = (
+        deletion_neighborhood(t_df, "term")
+        .join(deletion_neighborhood(q_df, "qterm"), "key")
+        .select("term", "qterm")
+        .distinct()
+    )
+    got = {
+        (r.term, r.qterm)
+        for r in cand.collect()
+        if _lev(r.term, r.qterm) <= 1
+    }
+    want = {
+        (t, q) for t in terms for q in qterms if _lev(t, q) <= 1
+    }
+    assert got >= want, want - got  # completeness: no edit-1 pair missed
+    assert all(_lev(t, q) <= 2 for t, q in cand.collect() or [])
+
+
+@given(
+    toks=st.lists(st.text(alphabet="xyz0", min_size=1, max_size=4),
+                  min_size=1, max_size=5),
+    seed=st.integers(0, 2**31),
+)
+@SET
+def test_fingerprint_collapses_noise_classes(spark, toks, seed):
+    """The ER fingerprint must be invariant to exactly the four noise
+    classes it claims to collapse: case, punctuation/whitespace runs, token
+    order, and duplicated tokens — on arbitrary token sets, not just the
+    synthetic records."""
+    import random
+
+    from gpu_telemetry_lakehouse_spark.queries.entity import _fingerprint
+
+    rng = random.Random(seed)
+    canonical = " ".join(toks)
+    shuffled = list(toks)
+    rng.shuffle(shuffled)
+    shuffled += rng.sample(toks, k=min(2, len(toks)))  # duplicate tokens
+    dirty = ",  ".join(
+        t.upper() if rng.random() < 0.5 else t for t in shuffled
+    ) + ("!" if rng.random() < 0.5 else "")
+    df = spark.createDataFrame([(canonical, dirty)], ["a", "b"])
+    row = df.select(
+        _fingerprint(F.col("a")).alias("fa"),
+        _fingerprint(F.col("b")).alias("fb"),
+    ).collect()[0]
+    assert row.fa == row.fb, (canonical, dirty)
