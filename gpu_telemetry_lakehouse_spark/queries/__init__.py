@@ -50,6 +50,7 @@ for _mod in (
     "web",
     "entity",
     "causal",
+    "interop",
 ):
     __import__(f"{__name__}.{_mod}")
 

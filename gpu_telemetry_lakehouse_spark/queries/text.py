@@ -1147,3 +1147,78 @@ def multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b")
         .orderBy("doc_a")
     )
+
+
+# --- encoding-artifact (mojibake) QA -------------------------------------------
+# UTF-8 text decoded as Latin-1 somewhere upstream leaves unmistakable
+# two-char fossils ('Ã¡' for a, 'â€™' for a curly quote); every web-corpus
+# pipeline scans for them before training because a single double-decoded
+# shard poisons tokenizer statistics. The documents table is clean ASCII, so
+# the query injects the corruption deterministically (doc_id-keyed, the SAME
+# expression both engines — the web.py synthetic-noise pattern) and the
+# operator under test is the detector: row-local char arithmetic
+# (length-difference occurrence counts over literal replace), one rollup.
+
+
+@query(
+    "mojibake_detect_report",
+    oracle="""
+    WITH corrupted AS (
+        SELECT doc_id, source,
+               CASE WHEN doc_id % 9 = 0 THEN replace(text, 'a', 'Ã¡')
+                    WHEN doc_id % 9 = 3 THEN replace(text, 'e', 'â€™')
+                    ELSE text END AS t
+        FROM documents
+    ),
+    scored AS (
+        SELECT source,
+               length(t) - length(replace(t, 'Ã', '')) AS n_latin1,
+               (length(t) - length(replace(t, 'â€', ''))) / 2 AS n_win1252
+        FROM corrupted
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN n_latin1 + n_win1252 > 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_flagged,
+           CAST(SUM(n_latin1) AS BIGINT) AS n_latin1_artifacts,
+           CAST(SUM(n_win1252) AS BIGINT) AS n_win1252_artifacts
+    FROM scored GROUP BY source ORDER BY source
+    """,
+)
+def mojibake_detect_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source mojibake scan: count double-decoding fossils per document.
+
+    Detection is pure row-local character arithmetic — occurrence counts as
+    length minus length-after-literal-replace (both engines count UTF-8
+    CHARACTERS, pinned), no regex engine in the loop — then one per-source
+    rollup. At 100 TB this is a single pruned scan of (source, text) with a
+    map-side-partial aggregation; the flagged-shard rate is the
+    quarantine-or-retranscode decision input.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    t = (
+        F.when(F.col("doc_id") % 9 == 0, F.replace(F.col("text"), F.lit("a"), F.lit("Ã¡")))
+        .when(F.col("doc_id") % 9 == 3, F.replace(F.col("text"), F.lit("e"), F.lit("â€™")))
+        .otherwise(F.col("text"))
+    )
+    scored = d.select(
+        "source",
+        (F.length(t) - F.length(F.replace(t, F.lit("Ã")))).alias("n_latin1"),
+        (
+            (F.length(t) - F.length(F.replace(t, F.lit("â€")))) / 2
+        ).alias("n_win1252"),
+    )
+    return (
+        scored.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(
+                F.when(F.col("n_latin1") + F.col("n_win1252") > 0, 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_flagged"),
+            F.sum("n_latin1").cast("long").alias("n_latin1_artifacts"),
+            F.sum("n_win1252").cast("long").alias("n_win1252_artifacts"),
+        )
+        .orderBy("source")
+    )

@@ -1,4 +1,4 @@
-"""Multi-format source/sink layer: parquet, ORC, JSON-lines, CSV.
+"""Multi-format source/sink layer: parquet, ORC, JSON-lines, CSV, XML.
 
 The lake's at-rest format is parquet (columnar, splittable, predicate/row-group
 pushdown — see `ingest.py` for the CSV->parquet bronze path, reference
@@ -12,6 +12,11 @@ deployment meets at its edges:
   convert to parquet, query the parquet. Splittable per line, so a 100 TB
   JSON drop still parallelizes.
 - **CSV**: the reference's own source format (handled by `ingest.py`).
+- **XML**: the B2B/enterprise interchange format (Spark 4 ships the reader
+  natively — no external package). Same edge-only role as JSON lines: land,
+  convert to parquet, query the parquet. Values are entity-escaped by the
+  writer, so markup-hostile payloads (quotes, angle brackets, ampersands in
+  the ``props`` JSON strings) survive the trip.
 
 Round-trip fidelity notes baked into the options below:
 - JSON has no timestamp type; we pin an explicit microsecond ISO format on
@@ -40,6 +45,12 @@ def write_table(df: DataFrame, path: str, fmt: str = "parquet") -> None:
         w = w.option("timestampFormat", TS_US_FORMAT)
     if fmt == "csv":
         w = w.option("header", True).option("timestampFormat", TS_US_FORMAT)
+    if fmt == "xml":
+        w = (
+            w.option("rootTag", "rows")
+            .option("rowTag", "row")
+            .option("timestampFormat", TS_US_FORMAT)
+        )
     w.save(path)
 
 
@@ -64,4 +75,6 @@ def read_table(
         r = r.option("timestampFormat", TS_US_FORMAT)
     if fmt == "csv":
         r = r.option("header", True).option("timestampFormat", TS_US_FORMAT)
+    if fmt == "xml":
+        r = r.option("rowTag", "row").option("timestampFormat", TS_US_FORMAT)
     return r.load(path)

@@ -132,6 +132,7 @@ HEAVY_SLICE = [
     "symspell_match_terms",
     "did_readout",
     "cem_att_readout",
+    "delta_interop_snapshot",
 ]
 
 pytestmark = pytest.mark.skipif(

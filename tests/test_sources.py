@@ -16,7 +16,7 @@ def _rows(df):
     return sorted(tuple(r) for r in df.collect())
 
 
-@pytest.mark.parametrize("fmt", ["orc", "json", "csv"])
+@pytest.mark.parametrize("fmt", ["orc", "json", "csv", "xml"])
 def test_events_roundtrip(spark, sf_dir, tmp_path, fmt):
     ev = load_table(spark, sf_dir, "events")
     path = str(tmp_path / fmt)
