@@ -198,3 +198,30 @@ def test_delta_history(spark, delta_table):
     h = DI.delta_history(delta_table)
     assert [e["version"] for e in h] == [0, 1, 2]
     assert h[2]["operation"] == "MERGE"
+
+
+def test_delta_empty_snapshot_keeps_schema(spark, tmp_path):
+    """A version whose removes empty the table must read as a 0-row frame
+    with the FULL logical schema (incl. partition columns) — downstream
+    unions and joins must not see a schema change just because a purge
+    landed."""
+    t = str(tmp_path / "emptied")
+    _write_data(spark, t, "dt=2024-01-01/f0.parquet", [(1, 1.5)])
+    _commit(
+        t,
+        0,
+        [
+            {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+            _meta(),
+            _add("dt=2024-01-01/f0.parquet", "2024-01-01"),
+        ],
+    )
+    _commit(
+        t,
+        1,
+        [{"remove": {"path": "dt=2024-01-01/f0.parquet", "dataChange": True}}],
+    )
+    d = DI.read_delta(spark, t)
+    assert d.count() == 0
+    assert [f.name for f in d.schema.fields] == ["id", "v", "dt"]
+    assert dict(d.dtypes)["dt"] == "date"
