@@ -400,3 +400,125 @@ def symspell_match_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lev")
     )
+
+
+# --- full resolution: pairs -> transitive closure -> resolved entities --------
+# Stages 1+2 produce same-entity evidence (key collisions, fuzzy matches);
+# RESOLUTION is their transitive closure — A~B (same fingerprint) and B~C
+# (typo match) put A and C in one entity even though no stage compared them
+# directly. Fingerprint clusters enter as STAR edges (each record -> its
+# cluster's min rid): same closure as all-pairs edges, O(records) not
+# O(cluster²).
+
+
+@query(
+    "er_resolved_clusters",
+    oracle=f"""
+    WITH RECURSIVE records AS ({_RECORDS_SQL}),
+    keyed AS (
+        SELECT rid, entity_key, ({_FP_SQL}) AS fp, ({_BLK_SQL}) AS blk
+        FROM records
+    ),
+    fpm AS (SELECT fp, MIN(rid) AS m FROM keyed GROUP BY fp),
+    star AS (
+        SELECT f.m AS id_a, k.rid AS id_b
+        FROM keyed k JOIN fpm f ON k.fp = f.fp WHERE k.rid <> f.m
+    ),
+    fuzzy AS (
+        SELECT a.rid AS id_a, b.rid AS id_b
+        FROM keyed a JOIN keyed b
+          ON a.blk = b.blk AND a.rid < b.rid AND a.fp <> b.fp
+        WHERE levenshtein(a.fp, b.fp) <= 2
+    ),
+    pairs AS (SELECT * FROM star UNION SELECT * FROM fuzzy),
+    edges AS (
+        SELECT id_a AS a, id_b AS b FROM pairs
+        UNION ALL SELECT id_b, id_a FROM pairs
+    ),
+    reach(node, lbl) AS (
+        SELECT a, a FROM (SELECT DISTINCT a FROM edges) t
+        UNION
+        SELECT e.b, r.lbl FROM reach r JOIN edges e ON e.a = r.node
+    ),
+    cc AS (SELECT node, MIN(lbl) AS lbl FROM reach GROUP BY node),
+    resolved AS (
+        SELECT k.rid, k.entity_key, COALESCE(cc.lbl, k.rid) AS component
+        FROM keyed k LEFT JOIN cc ON cc.node = k.rid
+    ),
+    clusters AS (
+        SELECT component, COUNT(*) AS sz,
+               COUNT(DISTINCT entity_key) AS n_entities
+        FROM resolved GROUP BY component
+    )
+    SELECT CAST(sz AS BIGINT) AS cluster_size,
+           CAST(COUNT(*) AS BIGINT) AS n_clusters,
+           CAST(SUM(sz) AS BIGINT) AS n_records,
+           CAST(SUM(CASE WHEN n_entities > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_mixed,
+           CAST(SUM(component) AS BIGINT) AS sum_cluster_ids
+    FROM clusters GROUP BY sz ORDER BY cluster_size
+    """,
+)
+def er_resolved_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resolved entities: closure of fingerprint + fuzzy evidence.
+
+    Distributed min-label propagation (`operators/dedup.py::
+    connected_components`) over star edges (record -> fingerprint-cluster
+    survivor) unioned with the blocked levenshtein<=2 matches; the oracle
+    replays the identical fixpoint as a recursive CTE, so the hash match
+    certifies the closure, not just the pair lists. The typo'd records
+    that stage 1 isolates (their own fingerprint) land in their entity's
+    cluster here — and purity stays measurable: ``n_mixed`` counts
+    components mixing generative entities (0 by construction, PROVEN by
+    the match). Edge volume is O(records + fuzzy pairs); propagation
+    rounds are O(log diameter) and the evidence graph's diameter is small
+    by construction (stars joined by verified pairs)."""
+    from ..operators import dedup as DD
+
+    keyed = _records(spark, sf_dir).select(
+        "rid",
+        "entity_key",
+        _fingerprint(F.col("name")).alias("fp"),
+        _block_key(F.col("name")).alias("blk"),
+    )
+    fpm = keyed.groupBy("fp").agg(F.min("rid").alias("m"))
+    star = (
+        keyed.join(fpm, "fp")
+        .where(F.col("rid") != F.col("m"))
+        .select(F.col("m").alias("id_a"), F.col("rid").alias("id_b"))
+    )
+    a = keyed.alias("a")
+    b = keyed.alias("b")
+    fuzzy = (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.rid") < F.col("b.rid"))
+            & (F.col("a.fp") != F.col("b.fp")),
+        )
+        .where(F.levenshtein(F.col("a.fp"), F.col("b.fp")) <= 2)
+        .select(F.col("a.rid").alias("id_a"), F.col("b.rid").alias("id_b"))
+    )
+    pairs = star.unionAll(fuzzy).distinct()
+    cc = DD.connected_components(pairs)
+    resolved = keyed.join(cc, keyed.rid == cc.node, "left").select(
+        "rid",
+        "entity_key",
+        F.coalesce(F.col("lbl"), F.col("rid")).alias("component"),
+    )
+    clusters = resolved.groupBy("component").agg(
+        F.count(F.lit(1)).alias("sz"),
+        F.countDistinct("entity_key").alias("n_entities"),
+    )
+    return (
+        clusters.groupBy(F.col("sz").cast("long").alias("cluster_size"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_clusters"),
+            F.sum("sz").cast("long").alias("n_records"),
+            F.sum(F.when(F.col("n_entities") > 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_mixed"),
+            F.sum("component").cast("long").alias("sum_cluster_ids"),
+        )
+        .orderBy("cluster_size")
+    )

@@ -133,6 +133,7 @@ HEAVY_SLICE = [
     "did_readout",
     "cem_att_readout",
     "delta_interop_snapshot",
+    "er_resolved_clusters",
 ]
 
 pytestmark = pytest.mark.skipif(
