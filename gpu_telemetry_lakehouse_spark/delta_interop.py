@@ -55,7 +55,9 @@ def _log_dir(path: str) -> str:
 
 
 def delta_versions(path: str) -> list[int]:
-    """All commit versions present in the log, ascending."""
+    """All commit versions present in the log, ascending (empty if no log)."""
+    if not os.path.isdir(_log_dir(path)):
+        return []
     out = []
     for f in os.listdir(_log_dir(path)):
         m = _VERSION_RE.match(f)
@@ -190,3 +192,135 @@ def delta_history(path: str) -> list[dict]:
                         info.update(action["commitInfo"])
         out.append(info)
     return out
+
+
+# --- write side: export snapshots AS a Delta table ----------------------------
+# The outbound half of the interop story (export_manifest covers plain-
+# parquet readers; this covers Delta-native engines): materialize a
+# DataFrame as a minimal, protocol-conformant Delta table — reader
+# version 1, plain add actions, partition columns carried in
+# partitionValues and NOT written into the data files, exactly as the
+# protocol requires. Appends create new versions; read_delta (and any
+# Delta runtime) sees every snapshot.
+
+
+def _spark_schema_string(schema: T.StructType) -> str:
+    return json.dumps(json.loads(schema.json()))
+
+
+def _serialize_partition_value(v) -> str | None:
+    if v is None:
+        return None
+    return str(v)
+
+
+def _write_version(
+    spark: SparkSession,
+    df: DataFrame,
+    path: str,
+    partition_by: list[str],
+    version: int,
+    schema: T.StructType,
+    operation: str,
+) -> int:
+    data_cols = [c for c in df.columns if c not in partition_by]
+    adds = []
+    if partition_by:
+        keys = [
+            tuple(getattr(r, c) for c in partition_by)
+            for r in df.select(*partition_by).distinct().collect()
+        ]
+    else:
+        keys = [()]
+    for key in sorted(keys, key=repr):
+        rel_dir = "/".join(
+            f"{c}={_serialize_partition_value(v)}"
+            for c, v in zip(partition_by, key)
+        ) or f"part-{version:05d}"
+        part = df
+        for c, v in zip(partition_by, key):
+            part = part.where(
+                F.col(c).isNull() if v is None else (F.col(c) == F.lit(v))
+            )
+        out_dir = os.path.join(path, rel_dir, f"v{version:05d}")
+        part.select(*data_cols).write.mode("overwrite").parquet(out_dir)
+        for f in sorted(os.listdir(out_dir)):
+            if f.endswith(".parquet"):
+                adds.append(
+                    {
+                        "add": {
+                            "path": f"{rel_dir}/v{version:05d}/{f}",
+                            "partitionValues": {
+                                c: _serialize_partition_value(v)
+                                for c, v in zip(partition_by, key)
+                            },
+                            "size": os.path.getsize(os.path.join(out_dir, f)),
+                            "modificationTime": 0,
+                            "dataChange": True,
+                        }
+                    }
+                )
+    actions = []
+    if version == 0:
+        actions.append(
+            {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}
+        )
+        actions.append(
+            {
+                "metaData": {
+                    "id": "00000000-0000-4000-8000-%012d" % 0,
+                    "format": {"provider": "parquet", "options": {}},
+                    "schemaString": _spark_schema_string(schema),
+                    "partitionColumns": partition_by,
+                    "configuration": {},
+                }
+            }
+        )
+    actions += adds
+    actions.append({"commitInfo": {"operation": operation}})
+    log = _log_dir(path)
+    os.makedirs(log, exist_ok=True)
+    entry = os.path.join(log, f"{version:020d}.json")
+    # EXCL create: two racing writers of the same version -> one wins,
+    # the same commit discipline tablog uses.
+    fd = os.open(entry, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    with os.fdopen(fd, "w") as fh:
+        for a in actions:
+            fh.write(json.dumps(a) + "\n")
+    return version
+
+
+def write_delta(
+    df: DataFrame, path: str, partition_by: list[str] | None = None
+) -> int:
+    """Create a Delta table at ``path`` from ``df`` (version 0). Partition
+    columns land in the log's partitionValues, not in the data files."""
+    partition_by = partition_by or []
+    os.makedirs(path, exist_ok=True)
+    if delta_versions(path):
+        raise ValueError(f"{path} already has a _delta_log; use append_delta")
+    return _write_version(
+        df.sparkSession, df, path, partition_by, 0, df.schema, "WRITE"
+    )
+
+
+def append_delta(df: DataFrame, path: str) -> int:
+    """Append ``df`` as a new version of an existing Delta table (the table's
+    own partition columns and schema govern; column order is aligned)."""
+    versions = delta_versions(path)
+    if not versions:
+        raise ValueError(f"no Delta table at {path}")
+    state = _replay(df.sparkSession, path, versions[-1])
+    meta = state["meta"]
+    schema = T.StructType.fromJson(json.loads(meta["schemaString"]))
+    part_cols = meta.get("partitionColumns") or []
+    aligned = df.select(*[f.name for f in schema.fields])
+    return _write_version(
+        df.sparkSession,
+        aligned,
+        path,
+        part_cols,
+        versions[-1] + 1,
+        schema,
+        "WRITE",
+    )
