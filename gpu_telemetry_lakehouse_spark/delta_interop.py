@@ -223,43 +223,42 @@ def _write_version(
     schema: T.StructType,
     operation: str,
 ) -> int:
-    data_cols = [c for c in df.columns if c not in partition_by]
-    adds = []
+    """ONE partitionBy write (single scan, parallel tasks; hive layout is
+    exactly Delta's physical layout — partition values in dir names, not in
+    the files), then the written tree is walked into add actions."""
+    from urllib.parse import unquote
+
+    out_root = os.path.join(path, f"v{version:05d}")
     if partition_by:
-        keys = [
-            tuple(getattr(r, c) for c in partition_by)
-            for r in df.select(*partition_by).distinct().collect()
-        ]
+        df.write.partitionBy(*partition_by).mode("overwrite").parquet(out_root)
     else:
-        keys = [()]
-    for key in sorted(keys, key=repr):
-        rel_dir = "/".join(
-            f"{c}={_serialize_partition_value(v)}"
-            for c, v in zip(partition_by, key)
-        ) or f"part-{version:05d}"
-        part = df
-        for c, v in zip(partition_by, key):
-            part = part.where(
-                F.col(c).isNull() if v is None else (F.col(c) == F.lit(v))
-            )
-        out_dir = os.path.join(path, rel_dir, f"v{version:05d}")
-        part.select(*data_cols).write.mode("overwrite").parquet(out_dir)
-        for f in sorted(os.listdir(out_dir)):
-            if f.endswith(".parquet"):
-                adds.append(
-                    {
-                        "add": {
-                            "path": f"{rel_dir}/v{version:05d}/{f}",
-                            "partitionValues": {
-                                c: _serialize_partition_value(v)
-                                for c, v in zip(partition_by, key)
-                            },
-                            "size": os.path.getsize(os.path.join(out_dir, f)),
-                            "modificationTime": 0,
-                            "dataChange": True,
-                        }
-                    }
+        df.write.mode("overwrite").parquet(out_root)
+    adds = []
+    for dirpath, _dirs, files in sorted(os.walk(out_root)):
+        rel_dir = os.path.relpath(dirpath, path)
+        pvals = {}
+        for seg in rel_dir.split(os.sep):
+            if "=" in seg:
+                c, v = seg.split("=", 1)
+                pvals[c] = (
+                    None if v == "__HIVE_DEFAULT_PARTITION__" else unquote(v)
                 )
+        for f in sorted(files):
+            if not f.endswith(".parquet"):
+                continue
+            adds.append(
+                {
+                    "add": {
+                        "path": f"{rel_dir}/{f}".replace(os.sep, "/"),
+                        "partitionValues": {
+                            c: pvals.get(c) for c in partition_by
+                        },
+                        "size": os.path.getsize(os.path.join(dirpath, f)),
+                        "modificationTime": 0,
+                        "dataChange": True,
+                    }
+                }
+            )
     actions = []
     if version == 0:
         actions.append(

@@ -33,72 +33,30 @@ _FLAGS = ["A", "N", "R"]
 
 
 def _build_delta_table(spark: SparkSession, sf_dir: str, table: str) -> None:
+    """v0 through the real writer (write_delta: partitioned adds, protocol/
+    metaData emission); v1 is a remove-only purge of the 'R' partition —
+    zero data rewritten, the log alone changes the snapshot."""
+    from .. import delta_interop as DI
+
     li = load_table(spark, sf_dir, "lineitem").select(
-        "l_returnflag",
         "l_orderkey",
         F.floor(F.col("l_quantity") * 100 + F.lit(0.5))
         .cast("long")
         .alias("qty_c"),
+        "l_returnflag",
     )
-    adds = []
-    for flag in _FLAGS:
-        rel_dir = f"l_returnflag={flag}"
-        part = li.where(F.col("l_returnflag") == flag).drop("l_returnflag")
-        part.coalesce(1).write.mode("overwrite").parquet(
-            os.path.join(table, rel_dir)
-        )
-        for f in sorted(os.listdir(os.path.join(table, rel_dir))):
-            if f.endswith(".parquet"):
-                adds.append(
-                    {
-                        "add": {
-                            "path": f"{rel_dir}/{f}",
-                            "partitionValues": {"l_returnflag": flag},
-                            "size": 1,
-                            "modificationTime": 0,
-                            "dataChange": True,
-                        }
-                    }
-                )
-    schema_str = json.dumps(
-        {
-            "type": "struct",
-            "fields": [
-                {"name": "l_orderkey", "type": "long",
-                 "nullable": True, "metadata": {}},
-                {"name": "qty_c", "type": "long",
-                 "nullable": True, "metadata": {}},
-                {"name": "l_returnflag", "type": "string",
-                 "nullable": True, "metadata": {}},
-            ],
-        }
-    )
-    log = os.path.join(table, "_delta_log")
-    os.makedirs(log, exist_ok=True)
-    v0 = [
-        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
-        {
-            "metaData": {
-                "id": "00000000-0000-0000-0000-000000000001",
-                "format": {"provider": "parquet", "options": {}},
-                "schemaString": schema_str,
-                "partitionColumns": ["l_returnflag"],
-                "configuration": {},
-            }
-        },
-        *adds,
-        {"commitInfo": {"operation": "WRITE"}},
-    ]
-    # v1: purge the 'R' partition — remove actions only, zero data rewritten
+    DI.write_delta(li, table, partition_by=["l_returnflag"])
+    state = DI._replay(spark, table, 0)
     v1 = [
-        {"remove": {"path": a["add"]["path"], "dataChange": True}}
-        for a in adds
-        if a["add"]["partitionValues"]["l_returnflag"] == "R"
+        {"remove": {"path": p, "dataChange": True}}
+        for p, a in sorted(state["files"].items())
+        if a["partitionValues"]["l_returnflag"] == "R"
     ] + [{"commitInfo": {"operation": "DELETE"}}]
-    for v, actions in ((0, v0), (1, v1)):
-        with open(os.path.join(log, f"{v:020d}.json"), "w") as fh:
-            for a in actions:
-                fh.write(json.dumps(a) + "\n")
+    with open(
+        os.path.join(table, "_delta_log", f"{1:020d}.json"), "w"
+    ) as fh:
+        for a in v1:
+            fh.write(json.dumps(a) + "\n")
 
 
 @query(
