@@ -366,3 +366,120 @@ def l_diversity_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rows_below_l2"
         ),
     )
+
+
+# --- t-closeness ----------------------------------------------------------------
+# Completes the re-identification audit trio: k-anonymity bounds class size,
+# l-diversity bounds sensitive-value variety, t-closeness bounds the
+# DISTRIBUTION gap — a class can pass both k and l yet still leak (90%
+# negative-balance in a class vs 10% globally reveals plenty). t is the
+# total-variation distance between the class's sensitive distribution and
+# the global one; the policy flag compares 5*num > 2*k*N in exact BIGINTs,
+# so the t>0.2 verdict cannot wobble on a division ulp.
+
+
+@query(
+    "t_closeness_customers",
+    oracle="""
+    WITH buckets AS (
+        SELECT c_nationkey, c_mktsegment,
+               CASE WHEN c_acctbal < 0 THEN 0
+                    WHEN c_acctbal < 2500 THEN 1
+                    WHEN c_acctbal < 5000 THEN 2 ELSE 3 END AS s
+        FROM customer
+    ),
+    cells AS (
+        SELECT c_nationkey, c_mktsegment, s, COUNT(*) AS n_cs
+        FROM buckets GROUP BY 1, 2, 3
+    ),
+    class_tot AS (
+        SELECT c_nationkey, c_mktsegment, SUM(n_cs) AS k
+        FROM cells GROUP BY 1, 2
+    ),
+    gdist AS (
+        SELECT s, SUM(n_cs) AS n_s FROM cells GROUP BY s
+    ),
+    n AS (SELECT SUM(n_cs) AS n FROM cells),
+    terms AS (
+        SELECT c.c_nationkey, c.c_mktsegment, ct.k, n.n,
+               ABS(c.n_cs * n.n - g.n_s * ct.k) AS num_term
+        FROM cells c
+        JOIN class_tot ct USING (c_nationkey, c_mktsegment)
+        JOIN gdist g USING (s) CROSS JOIN n
+    ),
+    per_class AS (
+        SELECT c_nationkey, c_mktsegment, k, n,
+               SUM(num_term) AS num
+        FROM terms GROUP BY 1, 2, 3, 4
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_classes,
+           ROUND(MAX(CAST(num AS DOUBLE) / (2.0 * k * n)), 6) AS t_max,
+           CAST(SUM(CASE WHEN 5 * num > 2 * k * n THEN 1 ELSE 0 END)
+                AS BIGINT) AS classes_above_t02,
+           CAST(SUM(CASE WHEN 5 * num > 2 * k * n THEN k ELSE 0 END)
+                AS BIGINT) AS rows_above_t02
+    FROM per_class
+    """,
+)
+def t_closeness_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness audit over the (nation, segment) quasi-identifier classes.
+
+    One (qi, bucket) cell aggregation; class totals and the global bucket
+    distribution come back via joins on the CELLS frame (classes-sized, not
+    rows-sized); per class, t = sum_s |n_cs*N - N_s*k| / (2kN) — the
+    total-variation identity cross-multiplied so every addend is an exact
+    BIGINT and only the reported t_max divides. Underlying sensitive
+    distribution: fixed-cut balance buckets (analyst-named resolution, the
+    CEM discipline). At 100 TB the only rows-sized stage is the first cell
+    rollup, map-side partial.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    s = (
+        F.when(F.col("c_acctbal") < 0, 0)
+        .when(F.col("c_acctbal") < 2500, 1)
+        .when(F.col("c_acctbal") < 5000, 2)
+        .otherwise(3)
+    )
+    cells = cust.groupBy("c_nationkey", "c_mktsegment", s.alias("s")).agg(
+        F.count(F.lit(1)).alias("n_cs")
+    )
+    cells = cells.localCheckpoint(eager=False)  # 3 consumers, classes-sized
+    class_tot = cells.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.sum("n_cs").alias("k")
+    )
+    glob = cells.groupBy("s").agg(F.sum("n_cs").alias("n_s"))
+    n = cells.agg(F.sum("n_cs").alias("n"))
+    terms = (
+        cells.join(class_tot, ["c_nationkey", "c_mktsegment"])
+        .join(F.broadcast(glob), "s")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "c_nationkey",
+            "c_mktsegment",
+            "k",
+            "n",
+            F.abs(
+                F.col("n_cs") * F.col("n") - F.col("n_s") * F.col("k")
+            ).alias("num_term"),
+        )
+    )
+    per_class = terms.groupBy("c_nationkey", "c_mktsegment", "k", "n").agg(
+        F.sum("num_term").alias("num")
+    )
+    above = 5 * F.col("num") > 2 * F.col("k") * F.col("n")
+    return per_class.agg(
+        F.count(F.lit(1)).cast("long").alias("n_classes"),
+        F.round(
+            F.max(
+                F.col("num").cast("double")
+                / (F.lit(2.0) * F.col("k") * F.col("n"))
+            ),
+            6,
+        ).alias("t_max"),
+        F.sum(F.when(above, 1).otherwise(0)).cast("long").alias(
+            "classes_above_t02"
+        ),
+        F.sum(F.when(above, F.col("k")).otherwise(0))
+        .cast("long")
+        .alias("rows_above_t02"),
+    )
