@@ -169,7 +169,8 @@ def read_delta(
         groups.setdefault(key, []).append(os.path.join(path, a["path"]))
     out = None
     by_name = {f.name: f for f in schema.fields}
-    for key, paths in sorted(groups.items()):
+    # repr-keyed sort: partition values may be None (not orderable vs str)
+    for key, paths in sorted(groups.items(), key=lambda kv: repr(kv[0])):
         df = spark.read.schema(data_schema).parquet(*sorted(paths))
         for c, v in zip(part_cols, key):
             df = df.withColumn(c, _partition_expr(v, by_name[c]))

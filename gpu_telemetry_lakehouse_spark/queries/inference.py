@@ -1700,3 +1700,118 @@ def jackknife_day_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sqrt(var).alias("jk_se"),
         )
     )
+
+
+# --- Mann-Kendall trend test ----------------------------------------------------
+# The significance companion to theilsen_daily_trend (same series, same
+# days-bounded pair space): S = sum of pairwise signs against time order,
+# tie-corrected variance, and the continuity-corrected z. Monotone-trend
+# detection with NO distributional assumption — the standard pre-gate before
+# trusting a fitted slope on telemetry that may be flat.
+
+
+@query(
+    "mann_kendall_daily",
+    oracle="""
+    WITH d AS (
+        SELECT date_trunc('day', ts) AS dt,
+               (SUM(CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT)) / 1000000.0)
+               / COUNT(value) AS x
+        FROM events WHERE value IS NOT NULL GROUP BY 1
+    ),
+    s AS (
+        SELECT CAST(SUM(CASE WHEN b.x > a.x THEN 1
+                             WHEN b.x < a.x THEN -1 ELSE 0 END) AS BIGINT)
+                   AS s_stat
+        FROM d a JOIN d b ON a.dt < b.dt
+    ),
+    nn AS (SELECT COUNT(*) AS n FROM d),
+    ties AS (
+        SELECT COALESCE(SUM(t * (t - 1) * (2 * t + 5)), 0) AS tie_term
+        FROM (SELECT COUNT(*) AS t FROM d GROUP BY x) g WHERE t > 1
+    )
+    SELECT nn.n AS n_days,
+           s.s_stat,
+           (nn.n * (nn.n - 1) * (2 * nn.n + 5) - ties.tie_term) / 18.0
+               AS var_s,
+           CASE WHEN s.s_stat > 0 THEN (s.s_stat - 1)
+                     / SQRT((nn.n * (nn.n - 1) * (2 * nn.n + 5)
+                             - ties.tie_term) / 18.0)
+                WHEN s.s_stat < 0 THEN (s.s_stat + 1)
+                     / SQRT((nn.n * (nn.n - 1) * (2 * nn.n + 5)
+                             - ties.tie_term) / 18.0)
+                ELSE 0.0 END AS z
+    FROM s, nn, ties
+    """,
+)
+def mann_kendall_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall S, tie-corrected variance and continuity-corrected z
+    over the daily mean-value series.
+
+    The daily means are exact staged doubles (identical both engines), so
+    pairwise sign comparisons and tie-grouping by exact equality are
+    deterministic; S and the tie term are pure BIGINT folds over the
+    days-sized frame (days² pairs — a few thousand at any corpus size,
+    because the rollup collapses rows first). One division and one IEEE
+    sqrt produce var_s and z.
+    """
+    ev = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    d = (
+        ev.groupBy(F.date_trunc("day", "ts").alias("dt"))
+        .agg(
+            (
+                (
+                    F.sum(
+                        F.floor(F.col("value") * 1000000 + F.lit(0.5)).cast(
+                            "long"
+                        )
+                    )
+                    / F.lit(1000000.0)
+                )
+                / F.count("value")
+            ).alias("x")
+        )
+        .localCheckpoint(eager=False)  # 3 consumers of the days-sized frame
+    )
+    a = d.select(F.col("dt").alias("ad"), F.col("x").alias("ax"))
+    b = d.select(F.col("dt").alias("bd"), F.col("x").alias("bx"))
+    s = a.join(b, F.col("ad") < F.col("bd")).agg(
+        F.sum(
+            F.when(F.col("bx") > F.col("ax"), 1)
+            .when(F.col("bx") < F.col("ax"), -1)
+            .otherwise(0)
+        )
+        .cast("long")
+        .alias("s_stat")
+    )
+    nn = d.agg(F.count(F.lit(1)).alias("n"))
+    ties = (
+        d.groupBy("x")
+        .agg(F.count(F.lit(1)).alias("t"))
+        .where(F.col("t") > 1)
+        .agg(
+            F.coalesce(
+                F.sum(F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)),
+                F.lit(0),
+            ).alias("tie_term")
+        )
+    )
+    var_s = (
+        F.col("n") * (F.col("n") - 1) * (2 * F.col("n") + 5)
+        - F.col("tie_term")
+    ) / F.lit(18.0)
+    z = (
+        F.when(F.col("s_stat") > 0, (F.col("s_stat") - 1) / F.sqrt(var_s))
+        .when(F.col("s_stat") < 0, (F.col("s_stat") + 1) / F.sqrt(var_s))
+        .otherwise(F.lit(0.0))
+    )
+    return (
+        s.crossJoin(F.broadcast(nn))
+        .crossJoin(F.broadcast(ties))
+        .select(
+            F.col("n").alias("n_days"),
+            "s_stat",
+            var_s.alias("var_s"),
+            z.alias("z"),
+        )
+    )

@@ -278,3 +278,20 @@ def test_delta_tablog_export_roundtrip(spark, tmp_path):
     DI.write_delta(snap, out, partition_by=["g"])
     back = DI.read_delta(spark, out).select("k", "g", "v")
     assert sorted(map(tuple, back.collect())) == sorted(map(tuple, snap.collect()))
+
+
+def test_delta_partition_value_encoding_roundtrip(spark, tmp_path):
+    """Hive-layout partition values survive write_delta -> read_delta for
+    the hostile cases: spaces, '=', '/', '%', unicode, and NULL (the
+    __HIVE_DEFAULT_PARTITION__ sentinel must come back as NULL, not as the
+    sentinel string)."""
+    t = str(tmp_path / "enc")
+    vals = ["plain", "with space", "a=b", "a/b", "100%", "naïve", None]
+    rows = [(i, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "id int, g string")
+    DI.write_delta(df, t, partition_by=["g"])
+    back = sorted(
+        ((r.id, r.g) for r in DI.read_delta(spark, t).collect()),
+        key=lambda x: x[0],
+    )
+    assert back == rows
