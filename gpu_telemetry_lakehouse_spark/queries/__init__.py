@@ -51,6 +51,7 @@ for _mod in (
     "entity",
     "causal",
     "interop",
+    "spatial",
 ):
     __import__(f"{__name__}.{_mod}")
 
