@@ -105,3 +105,95 @@ def delta_interop_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).select(F.lit(version).cast("int").alias("version"), "*")
 
     return rollup(0).unionAll(rollup(1)).orderBy("version", "l_returnflag")
+
+
+# --- tablog lifecycle under the driver -----------------------------------------
+# medallion_end_to_end drives tablog's create/materialize path; the row-level
+# DML half (MERGE, DELETE, time travel) has only pytest coverage. This query
+# runs the full lifecycle against driver data and reads EVERY version back
+# through time travel, so the external oracle hash-checks the version algebra:
+#   v0 create  = orders with o_custkey % 10 = 0
+#   v1 append  = orders with o_custkey % 10 = 1
+#   v2 merge   = priority-'1-URGENT' rows of v0/v1 population, price doubled
+#                (matched rows replaced, none inserted: the update set is
+#                derived from the same population)
+#   v3 delete  = drop '5-LOW'
+# The oracle rebuilds each version's row set with plain SQL set algebra.
+
+
+@query(
+    "tablog_lifecycle_report",
+    oracle="""
+    WITH base AS (
+        SELECT o_orderkey, o_orderpriority,
+               CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+        FROM orders WHERE o_custkey % 10 = 0
+    ),
+    appended AS (
+        SELECT o_orderkey, o_orderpriority,
+               CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+        FROM orders WHERE o_custkey % 10 = 1
+    ),
+    v0 AS (SELECT * FROM base),
+    v1 AS (SELECT * FROM v0 UNION ALL SELECT * FROM appended),
+    v2 AS (
+        SELECT o_orderkey, o_orderpriority,
+               CASE WHEN o_orderpriority = '1-URGENT' THEN cents * 2
+                    ELSE cents END AS cents
+        FROM v1
+    ),
+    v3 AS (SELECT * FROM v2 WHERE o_orderpriority <> '5-LOW'),
+    labeled AS (
+        SELECT 0 AS version, * FROM v0
+        UNION ALL SELECT 1, * FROM v1
+        UNION ALL SELECT 2, * FROM v2
+        UNION ALL SELECT 3, * FROM v3
+    )
+    SELECT CAST(version AS INT) AS version,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(cents) AS BIGINT) AS sum_cents,
+           CAST(SUM(o_orderkey) AS BIGINT) AS sum_keys
+    FROM labeled GROUP BY version ORDER BY version
+    """,
+)
+def tablog_lifecycle_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """create -> append -> MERGE -> DELETE, every version read via time
+    travel and rolled up; the hash match against the set-algebra oracle
+    certifies snapshot isolation and the version algebra, not just the tip.
+    Row counts, exact cents and key sums pin membership per version."""
+    from .. import tablog as TL
+
+    table = str(
+        _REPO_ROOT
+        / ".scratch"
+        / "tablog_lifecycle"
+        / md5(sf_dir.encode()).hexdigest()[:10]
+    )
+    shutil.rmtree(table, ignore_errors=True)
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+    base = o.where(F.col("o_custkey") % 10 == 0).select(
+        "o_orderkey", "o_orderpriority", cents.alias("cents")
+    )
+    appended = o.where(F.col("o_custkey") % 10 == 1).select(
+        "o_orderkey", "o_orderpriority", cents.alias("cents")
+    )
+    TL.create_table(base, table)
+    TL.append(appended, table)
+    updates = (
+        TL.read(spark, table)
+        .where(F.col("o_orderpriority") == "1-URGENT")
+        .withColumn("cents", F.col("cents") * 2)
+    )
+    TL.merge_upsert(spark, updates, table, key_cols=["o_orderkey"])
+    TL.delete_where(spark, table, F.col("o_orderpriority") == "5-LOW")
+
+    out = None
+    for v in (0, 1, 2, 3):
+        snap = TL.read(spark, table, version=v).agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum("cents").cast("long").alias("sum_cents"),
+            F.sum("o_orderkey").cast("long").alias("sum_keys"),
+        ).select(F.lit(v).cast("int").alias("version"), "*")
+        out = snap if out is None else out.unionAll(snap)
+    return out.orderBy("version")

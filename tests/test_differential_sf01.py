@@ -134,6 +134,7 @@ HEAVY_SLICE = [
     "cem_att_readout",
     "delta_interop_snapshot",
     "er_resolved_clusters",
+    "tablog_lifecycle_report",
 ]
 
 pytestmark = pytest.mark.skipif(
