@@ -99,3 +99,118 @@ def clicks_before_errors_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.filter(F.col("event_type") == "click"),
         ev.filter(F.col("event_type") == "error"),
     )
+
+
+# --- REAL streaming execution under the external oracle -------------------------
+# Every other entry in this module is a batch TWIN of a streaming plan; this
+# one runs the actual micro-batch machinery: the telemetry_replay connector
+# streamed (one tick per epoch) through the additive foreachBatch maintenance
+# loop into a tablog table with batch-id-idempotent MERGEs, then the table is
+# read back. The connector's rows are pure integer-hash functions of
+# (machine, tick), so DuckDB can replay the SAME feed with generate_series —
+# the hash match certifies streaming execution end-to-end (offsets, epochs,
+# exactly-once MERGE folding), not a twin of it.
+
+
+@query(
+    "streaming_gold_probe",
+    oracle="""
+    WITH g AS (
+        SELECT m, t, ((m * 2654435761 + t * 40503) % 2147483648) AS h
+        FROM generate_series(0, 5) s1(m), generate_series(0, 4) s2(t)
+    )
+    SELECT make_timestamp(CAST(1704067200 + t * 60 AS BIGINT) * 1000000)
+               AS mn,
+           CAST(COUNT(*) AS BIGINT) AS n_samples,
+           CAST(SUM(h % 1000) AS BIGINT) AS sum_gpu_tenths
+    FROM g GROUP BY 1 ORDER BY mn
+    """,
+)
+def streaming_gold_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run a real 5-epoch stream (telemetry_replay, one tick per micro-batch)
+    maintaining a per-minute gold table via batch-id-guarded tablog MERGEs;
+    return the maintained table. Each epoch folds ADDITIVE partials
+    (count, exact gpu tenths) into the keyed row, so arithmetic is integer-
+    exact regardless of epoch boundaries, and a replayed epoch is a ledger
+    no-op. The oracle regenerates the connector's deterministic feed with
+    generate_series and aggregates directly — certifying the streaming
+    run's RESULT, not a look-alike batch plan. Cost note: ~15s wall,
+    SF-independent — micro-batch machinery + 6 tablog commits, the
+    streaming sibling of medallion_end_to_end's full-pipeline cost; it
+    buys the only external check of offsets/epochs/exactly-once folding."""
+    import os
+    import shutil
+    from hashlib import md5
+    from pathlib import Path
+
+    from .. import tablog as TL
+    from ..streaming import replay_source as R
+
+    repo_root = Path(__file__).resolve().parents[2]
+    scratch = str(
+        repo_root
+        / ".scratch"
+        / "streaming_gold"
+        / md5(sf_dir.encode()).hexdigest()[:10]
+    )
+    shutil.rmtree(scratch, ignore_errors=True)
+    tbl = os.path.join(scratch, "gold_minutely")
+    ck = os.path.join(scratch, "ck")
+    R.register(spark)
+    opts = {"machines": "6", "ticks": "5"}
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy(F.date_trunc("minute", "ts").alias("mn")).agg(
+            F.count(F.lit(1)).alias("n_samples"),
+            F.sum(F.round(F.col("gpu_util") * 10).cast("long")).alias(
+                "sum_gpu_tenths"
+            ),
+        )
+
+    def apply_batch(bdf: DataFrame, epoch_id: int) -> None:
+        base = TL.read(bdf.sparkSession, tbl)
+        upd = (
+            partial(bdf)
+            .alias("u")
+            .join(base.alias("b"), "mn", "full_outer")
+            .select(
+                "mn",
+                (
+                    F.coalesce(F.col("u.n_samples"), F.lit(0))
+                    + F.coalesce(F.col("b.n_samples"), F.lit(0))
+                ).alias("n_samples"),
+                (
+                    F.coalesce(F.col("u.sum_gpu_tenths"), F.lit(0))
+                    + F.coalesce(F.col("b.sum_gpu_tenths"), F.lit(0))
+                ).alias("sum_gpu_tenths"),
+            )
+        )
+        TL.merge_upsert(
+            bdf.sparkSession, upd, tbl, key_cols=["mn"], batch_id=int(epoch_id)
+        )
+
+    empty = partial(
+        spark.read.format("telemetry_replay").options(**opts).load()
+    ).limit(0)
+    TL.create_table(empty, tbl)
+    q = (
+        spark.readStream.format("telemetry_replay")
+        .options(**opts)
+        .load()
+        .writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", ck)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return (
+        TL.read(spark, tbl)
+        .select(
+            "mn",
+            F.col("n_samples").cast("long").alias("n_samples"),
+            F.col("sum_gpu_tenths").cast("long").alias("sum_gpu_tenths"),
+        )
+        .orderBy("mn")
+    )

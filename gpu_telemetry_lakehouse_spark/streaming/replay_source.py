@@ -119,4 +119,19 @@ class TelemetryReplaySource(DataSource):
 
 
 def register(spark) -> None:
+    import sys
+
+    from pyspark import cloudpickle
+
+    from ..session import ensure_package_on_executors
+
+    # DataSource classes normally unpickle by module REFERENCE, so the
+    # worker (including the driver-side planning runner, which ignores
+    # runtime-added pyFiles) must import this module by name — which fails
+    # under an external driver with a neutral cwd. Two belts: ship the
+    # package zip for task workers, and register this module for BY-VALUE
+    # cloudpickle so the planning runner needs no import at all (the module
+    # depends only on pyspark + stdlib, so by-value is self-contained).
+    ensure_package_on_executors(spark)
+    cloudpickle.register_pickle_by_value(sys.modules[__name__])
     spark.dataSource.register(TelemetryReplaySource)

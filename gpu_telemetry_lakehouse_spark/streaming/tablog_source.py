@@ -121,4 +121,21 @@ class TablogChangeFeedSource(DataSource):
 
 
 def register(spark) -> None:
+    import sys
+
+    from pyspark import cloudpickle
+
+    from .. import tablog
+    from ..session import ensure_package_on_executors
+
+    # DataSource classes normally unpickle by module REFERENCE, so the
+    # worker (including the driver-side planning runner, which ignores
+    # runtime-added pyFiles) must import this module by name — which fails
+    # under an external driver with a neutral cwd. Ship the package zip for
+    # task workers AND register this module (plus tablog, its one package
+    # dependency — itself pyspark+stdlib-only) for BY-VALUE cloudpickle so
+    # the planning runner needs no import at all.
+    ensure_package_on_executors(spark)
+    cloudpickle.register_pickle_by_value(sys.modules[__name__])
+    cloudpickle.register_pickle_by_value(tablog)
     spark.dataSource.register(TablogChangeFeedSource)
