@@ -197,3 +197,78 @@ def tablog_lifecycle_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).select(F.lit(v).cast("int").alias("version"), "*")
         out = snap if out is None else out.unionAll(snap)
     return out.orderBy("version")
+
+
+@query(
+    "tablog_change_feed_report",
+    oracle="""
+    WITH v0 AS (
+        SELECT o_orderkey, o_orderpriority,
+               CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+        FROM orders WHERE o_custkey % 10 = 0
+    ),
+    changed AS (SELECT * FROM v0 WHERE o_orderpriority = '1-URGENT'),
+    inserted AS (
+        SELECT o_orderkey, o_orderpriority,
+               CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+        FROM orders WHERE o_custkey % 10 = 1
+    ),
+    feed AS (
+        SELECT 'insert' AS change_type, o_orderkey, cents FROM inserted
+        UNION ALL
+        SELECT 'update_preimage', o_orderkey, cents FROM changed
+        UNION ALL
+        SELECT 'update_postimage', o_orderkey, cents * 2 FROM changed
+    )
+    SELECT change_type,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(cents) AS BIGINT) AS sum_cents,
+           CAST(SUM(o_orderkey) AS BIGINT) AS sum_keys
+    FROM feed GROUP BY change_type ORDER BY change_type
+    """,
+)
+def tablog_change_feed_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed change-data-feed (Delta CDF semantic) under the external oracle.
+
+    v0 = one customer cohort; one MERGE doubles urgent-priority cents AND
+    inserts a second cohort; ``changes_between(0, 1)`` must emit exactly the
+    insert rows plus pre/post-image pairs for the updates — counts, exact
+    cents and key sums per change type hash-match the set-algebra oracle.
+    The feed pairs rows BY KEY (an update is not a delete+insert), which is
+    what cache-invalidation and reverse-ETL consumers rely on."""
+    from .. import tablog as TL
+
+    table = str(
+        _REPO_ROOT
+        / ".scratch"
+        / "tablog_cdf"
+        / md5(sf_dir.encode()).hexdigest()[:10]
+    )
+    shutil.rmtree(table, ignore_errors=True)
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+    v0 = o.where(F.col("o_custkey") % 10 == 0).select(
+        "o_orderkey", "o_orderpriority", cents.alias("cents")
+    )
+    TL.create_table(v0, table)
+    updates = (
+        TL.read(spark, table)
+        .where(F.col("o_orderpriority") == "1-URGENT")
+        .withColumn("cents", F.col("cents") * 2)
+        .unionAll(
+            o.where(F.col("o_custkey") % 10 == 1).select(
+                "o_orderkey", "o_orderpriority", cents.alias("cents")
+            )
+        )
+    )
+    TL.merge_upsert(spark, updates, table, key_cols=["o_orderkey"])
+    feed = TL.changes_between(spark, table, 0, 1, key_cols=["o_orderkey"])
+    return (
+        feed.groupBy(F.col("_change_type").alias("change_type"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum("cents").cast("long").alias("sum_cents"),
+            F.sum("o_orderkey").cast("long").alias("sum_keys"),
+        )
+        .orderBy("change_type")
+    )

@@ -135,6 +135,7 @@ HEAVY_SLICE = [
     "delta_interop_snapshot",
     "er_resolved_clusters",
     "tablog_lifecycle_report",
+    "tablog_change_feed_report",
 ]
 
 pytestmark = pytest.mark.skipif(
