@@ -1815,3 +1815,74 @@ def mann_kendall_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             z.alias("z"),
         )
     )
+
+
+# --- median-of-means ------------------------------------------------------------
+# The heavy-tail-robust mean estimator with distributed structure built in:
+# hash rows into k buckets, take each bucket's exact mean, report the MEDIAN
+# of the bucket means. One map-side-partial aggregation to k rows, one exact
+# interpolated percentile over k values — sub-Gaussian concentration under
+# heavy tails where the plain mean is dominated by outliers, at the cost of
+# one tiny extra stage. Bucketing is md5-derived, so membership is
+# partition- and engine-proof.
+
+
+@query(
+    "median_of_means_value",
+    oracle="""
+    WITH b AS (
+        SELECT CAST('0x' || substring(md5(CAST(event_id AS VARCHAR) || 'mom'),
+                    1, 15) AS BIGINT) % 32 AS bucket,
+               value
+        FROM events WHERE value IS NOT NULL
+    ),
+    means AS (
+        SELECT bucket,
+               (SUM(CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT)) / 1000000.0)
+                   / COUNT(*) AS m,
+               COUNT(*) AS n
+        FROM b GROUP BY bucket
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_buckets,
+           CAST(SUM(n) AS BIGINT) AS n_rows,
+           CAST(MIN(n) AS BIGINT) AS min_bucket_n,
+           ROUND(quantile_cont(m, 0.5), 6) AS median_of_means,
+           ROUND((SUM(CAST(FLOOR(m * 1000000 + 0.5) AS BIGINT)) / 1000000.0)
+                 / COUNT(*), 6) AS mean_of_means
+    FROM means
+    """,
+)
+def median_of_means_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median-of-means for the event value: 32 md5 buckets, exact bucket
+    means (staged-long sums), exact interpolated median over the 32 means.
+    The plain mean rides along (mean_of_means == plain mean up to bucket
+    rounding) so the robust-vs-naive gap is visible in one row. Scale
+    shape: everything after the first rollup is 32 rows."""
+    ev = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    bucket = md5_int(F.concat(F.col("event_id").cast("string"), F.lit("mom"))) % 32
+    means = ev.groupBy(bucket.alias("bucket")).agg(
+        (
+            (
+                F.sum(
+                    F.floor(F.col("value") * 1000000 + F.lit(0.5)).cast("long")
+                )
+                / F.lit(1000000.0)
+            )
+            / F.count(F.lit(1))
+        ).alias("m"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    return means.agg(
+        F.count(F.lit(1)).cast("long").alias("n_buckets"),
+        F.sum("n").cast("long").alias("n_rows"),
+        F.min("n").cast("long").alias("min_bucket_n"),
+        F.round(F.expr("percentile(m, 0.5)"), 6).alias("median_of_means"),
+        F.round(
+            (
+                F.sum(F.floor(F.col("m") * 1000000 + F.lit(0.5)).cast("long"))
+                / F.lit(1000000.0)
+            )
+            / F.count(F.lit(1)),
+            6,
+        ).alias("mean_of_means"),
+    )
