@@ -163,10 +163,13 @@ def read_delta(
     # Group adds by their partitionValues so each group is ONE multi-path
     # parquet scan with literal partition columns appended — pushdown and
     # pruning behave exactly as on a directly-read parquet dataset.
+    from urllib.parse import unquote
+
     groups: dict[tuple, list[str]] = {}
     for a in state["files"].values():
         key = tuple((a.get("partitionValues") or {}).get(c) for c in part_cols)
-        groups.setdefault(key, []).append(os.path.join(path, a["path"]))
+        # PROTOCOL.md: add.path is URL-encoded relative to the table root
+        groups.setdefault(key, []).append(os.path.join(path, unquote(a["path"])))
     out = None
     by_name = {f.name: f for f in schema.fields}
     # repr-keyed sort: partition values may be None (not orderable vs str)
@@ -209,12 +212,6 @@ def _spark_schema_string(schema: T.StructType) -> str:
     return json.dumps(json.loads(schema.json()))
 
 
-def _serialize_partition_value(v) -> str | None:
-    if v is None:
-        return None
-    return str(v)
-
-
 def _write_version(
     spark: SparkSession,
     df: DataFrame,
@@ -226,10 +223,18 @@ def _write_version(
 ) -> int:
     """ONE partitionBy write (single scan, parallel tasks; hive layout is
     exactly Delta's physical layout — partition values in dir names, not in
-    the files), then the written tree is walked into add actions."""
-    from urllib.parse import unquote
+    the files), then the written tree is walked into add actions.
 
-    out_root = os.path.join(path, f"v{version:05d}")
+    Race safety: data stages under a per-ATTEMPT unique directory, so a
+    writer that loses the O_EXCL log commit below cannot have clobbered the
+    winner's already-referenced files (tablog stages under unique names for
+    the same reason). Logged ``add.path`` entries are URL-encoded as
+    PROTOCOL.md requires (hive escapes like ``%3D`` would otherwise be
+    mis-decoded by conformant readers); read_delta decodes symmetrically."""
+    import uuid
+    from urllib.parse import quote, unquote
+
+    out_root = os.path.join(path, f"v{version:05d}-{uuid.uuid4().hex[:8]}")
     if partition_by:
         df.write.partitionBy(*partition_by).mode("overwrite").parquet(out_root)
     else:
@@ -250,7 +255,9 @@ def _write_version(
             adds.append(
                 {
                     "add": {
-                        "path": f"{rel_dir}/{f}".replace(os.sep, "/"),
+                        "path": quote(
+                            f"{rel_dir}/{f}".replace(os.sep, "/"), safe="/"
+                        ),
                         "partitionValues": {
                             c: pvals.get(c) for c in partition_by
                         },
@@ -314,7 +321,9 @@ def append_delta(df: DataFrame, path: str) -> int:
     meta = state["meta"]
     schema = T.StructType.fromJson(json.loads(meta["schemaString"]))
     part_cols = meta.get("partitionColumns") or []
-    aligned = df.select(*[f.name for f in schema.fields])
+    aligned = df.select(
+        *[F.col(f.name).cast(f.dataType) for f in schema.fields]
+    )
     return _write_version(
         df.sparkSession,
         aligned,
@@ -322,5 +331,5 @@ def append_delta(df: DataFrame, path: str) -> int:
         part_cols,
         versions[-1] + 1,
         schema,
-        "WRITE",
+        "APPEND",
     )

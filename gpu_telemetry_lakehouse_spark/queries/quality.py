@@ -400,12 +400,16 @@ def l_diversity_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT s, SUM(n_cs) AS n_s FROM cells GROUP BY s
     ),
     n AS (SELECT SUM(n_cs) AS n FROM cells),
+    -- every (class, bucket) cell, INCLUDING absent buckets (n_cs = 0):
+    -- dropping the |0 - q_s| terms would understate t for exactly the
+    -- concentrated classes the audit exists to catch
     terms AS (
-        SELECT c.c_nationkey, c.c_mktsegment, ct.k, n.n,
-               ABS(c.n_cs * n.n - g.n_s * ct.k) AS num_term
-        FROM cells c
-        JOIN class_tot ct USING (c_nationkey, c_mktsegment)
-        JOIN gdist g USING (s) CROSS JOIN n
+        SELECT ct.c_nationkey, ct.c_mktsegment, ct.k, n.n,
+               ABS(COALESCE(c.n_cs, 0) * n.n - g.n_s * ct.k) AS num_term
+        FROM class_tot ct CROSS JOIN gdist g CROSS JOIN n
+        LEFT JOIN cells c
+          ON c.c_nationkey = ct.c_nationkey
+         AND c.c_mktsegment = ct.c_mktsegment AND c.s = g.s
     ),
     per_class AS (
         SELECT c_nationkey, c_mktsegment, k, n,
@@ -424,9 +428,9 @@ def l_diversity_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 def t_closeness_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """t-closeness audit over the (nation, segment) quasi-identifier classes.
 
-    One (qi, bucket) cell aggregation; class totals and the global bucket
-    distribution come back via joins on the CELLS frame (classes-sized, not
-    rows-sized); per class, t = sum_s |n_cs*N - N_s*k| / (2kN) — the
+    One (qi, bucket) cell aggregation; the term grid is class_tot x ALL
+    buckets (absent buckets contribute their full |0 - q_s| mass), with
+    observed cells left-joined on; per class, t = sum_s |n_cs*N - N_s*k| / (2kN) — the
     total-variation identity cross-multiplied so every addend is an exact
     BIGINT and only the reported t_max divides. Underlying sensitive
     distribution: fixed-cut balance buckets (analyst-named resolution, the
@@ -449,17 +453,20 @@ def t_closeness_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     glob = cells.groupBy("s").agg(F.sum("n_cs").alias("n_s"))
     n = cells.agg(F.sum("n_cs").alias("n"))
+    # every (class, bucket) cell, INCLUDING absent buckets (n_cs = 0) —
+    # dropping |0 - q_s| terms would understate t for exactly the
+    # concentrated classes the audit exists to catch
+    grid = class_tot.crossJoin(F.broadcast(glob)).crossJoin(F.broadcast(n))
     terms = (
-        cells.join(class_tot, ["c_nationkey", "c_mktsegment"])
-        .join(F.broadcast(glob), "s")
-        .crossJoin(F.broadcast(n))
+        grid.join(cells, ["c_nationkey", "c_mktsegment", "s"], "left")
         .select(
             "c_nationkey",
             "c_mktsegment",
             "k",
             "n",
             F.abs(
-                F.col("n_cs") * F.col("n") - F.col("n_s") * F.col("k")
+                F.coalesce(F.col("n_cs"), F.lit(0)) * F.col("n")
+                - F.col("n_s") * F.col("k")
             ).alias("num_term"),
         )
     )

@@ -162,7 +162,7 @@ def grid_radius_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     n AS (SELECT COUNT(*) AS n_points FROM pts)
     SELECT n.n_points,
-           CAST(COUNT(*) AS BIGINT) AS n_matched,
+           CAST(COUNT(best.pid) AS BIGINT) AS n_matched,
            CAST(COALESCE(SUM(pid + b_pid), 0) AS BIGINT) AS sum_nn_ids,
            CAST(COALESCE(SUM(d2), 0) AS BIGINT) AS sum_d2,
            CAST(COALESCE(MIN(d2), 0) AS BIGINT) AS min_d2

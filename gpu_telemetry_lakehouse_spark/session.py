@@ -118,40 +118,3 @@ def get_spark(app: str = "gpu-telemetry-lakehouse-spark", cpus: int | None = Non
     spark.sparkContext.setLogLevel("WARN")
     return apply_runtime_confs(spark)
 
-
-_SHIPPED_APPS: set[str] = set()
-
-
-def ensure_package_on_executors(spark: SparkSession) -> None:
-    """Ship this package to executor Python workers via ``addPyFile``.
-
-    Arrow-batched kernels travel by VALUE (cloudpickle serializes the
-    function object), but Python DataSource classes pickle by REFERENCE —
-    the worker must import ``gpu_telemetry_lakehouse_spark.streaming.*`` by
-    name. Under pytest the working directory makes that import succeed by
-    accident; under an external driver with a neutral cwd it fails with
-    ModuleNotFoundError at stream planning time. Zipping the package once
-    per application and registering it puts the module on every worker's
-    sys.path regardless of cwd — the same mechanism spark-submit --py-files
-    uses. Idempotent per application id."""
-    app_id = spark.sparkContext.applicationId
-    if app_id in _SHIPPED_APPS:
-        return
-    import tempfile
-    import zipfile
-
-    pkg_dir = os.path.dirname(os.path.abspath(__file__))
-    fd, zip_path = tempfile.mkstemp(suffix=".zip", prefix="gtl_pkg_")
-    os.close(fd)
-    with zipfile.ZipFile(zip_path, "w") as zf:
-        for root, _dirs, files in os.walk(pkg_dir):
-            for f in sorted(files):
-                if f.endswith(".py"):
-                    full = os.path.join(root, f)
-                    arc = os.path.join(
-                        "gpu_telemetry_lakehouse_spark",
-                        os.path.relpath(full, pkg_dir),
-                    )
-                    zf.write(full, arc)
-    spark.sparkContext.addPyFile(zip_path)
-    _SHIPPED_APPS.add(app_id)

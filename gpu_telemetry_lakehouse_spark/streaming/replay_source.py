@@ -123,7 +123,7 @@ def register(spark) -> None:
 
     from pyspark import cloudpickle
 
-    from ..session import ensure_package_on_executors
+    from ..session import _ship_package
 
     # DataSource classes normally unpickle by module REFERENCE, so the
     # worker (including the driver-side planning runner, which ignores
@@ -132,6 +132,6 @@ def register(spark) -> None:
     # package zip for task workers, and register this module for BY-VALUE
     # cloudpickle so the planning runner needs no import at all (the module
     # depends only on pyspark + stdlib, so by-value is self-contained).
-    ensure_package_on_executors(spark)
+    _ship_package(spark)
     cloudpickle.register_pickle_by_value(sys.modules[__name__])
     spark.dataSource.register(TelemetryReplaySource)

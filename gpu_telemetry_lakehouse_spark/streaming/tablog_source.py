@@ -126,7 +126,7 @@ def register(spark) -> None:
     from pyspark import cloudpickle
 
     from .. import tablog
-    from ..session import ensure_package_on_executors
+    from ..session import _ship_package
 
     # DataSource classes normally unpickle by module REFERENCE, so the
     # worker (including the driver-side planning runner, which ignores
@@ -135,7 +135,7 @@ def register(spark) -> None:
     # task workers AND register this module (plus tablog, its one package
     # dependency — itself pyspark+stdlib-only) for BY-VALUE cloudpickle so
     # the planning runner needs no import at all.
-    ensure_package_on_executors(spark)
+    _ship_package(spark)
     cloudpickle.register_pickle_by_value(sys.modules[__name__])
     cloudpickle.register_pickle_by_value(tablog)
     spark.dataSource.register(TablogChangeFeedSource)
