@@ -273,3 +273,135 @@ def cem_att_readout(spark: SparkSession, sf_dir: str) -> DataFrame:
         y_c.alias("y_control_weighted"),
         (y_t - y_c).alias("att"),
     )
+
+
+# --- Cochran-Mantel-Haenszel -----------------------------------------------------
+# The STRATIFIED 2x2 test: does treatment associate with conversion after
+# controlling for a confounding stratum (weekday here; geography/platform in
+# production)? Completes the readout family: randomized (ab/cuped),
+# observational (did/cem), stratified (cmh). Everything is derived from one
+# (stratum, treated, converted) cell aggregation; per-stratum E_i and var_i
+# are rationals of exact BIGINT cell products divided ONCE each and staged
+# through scaled longs before the cross-stratum fold.
+
+
+@query(
+    "cmh_stratified_readout",
+    oracle="""
+    WITH cells AS (
+        SELECT isodow(ts) AS stratum,
+               CASE WHEN user_id % 3 = 0 THEN 1 ELSE 0 END AS treated,
+               CASE WHEN value > 50 THEN 1 ELSE 0 END AS converted,
+               COUNT(*) AS m
+        FROM events WHERE value IS NOT NULL GROUP BY 1, 2, 3
+    ),
+    strata AS (
+        SELECT stratum,
+               SUM(CASE WHEN treated = 1 AND converted = 1 THEN m END) AS a,
+               SUM(CASE WHEN treated = 1 THEN m ELSE 0 END) AS r1,
+               SUM(CASE WHEN treated = 0 THEN m ELSE 0 END) AS r2,
+               SUM(CASE WHEN converted = 1 THEN m ELSE 0 END) AS c1,
+               SUM(CASE WHEN converted = 0 THEN m ELSE 0 END) AS c2,
+               SUM(m) AS n
+        FROM cells GROUP BY stratum
+    ),
+    terms AS (
+        SELECT stratum,
+               CAST(FLOOR(CAST(a * n - r1 * c1 AS DOUBLE) / n
+                          * 100000000 + 0.5) AS BIGINT) AS dev8,
+               CAST(FLOOR(CAST(r1 AS DOUBLE) * r2 * c1 * c2
+                          / (CAST(n AS DOUBLE) * n * (n - 1))
+                          * 100000000 + 0.5) AS BIGINT) AS var8
+        FROM strata WHERE n > 1
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_strata,
+           SUM(dev8) / 100000000.0 AS sum_dev,
+           SUM(var8) / 100000000.0 AS sum_var,
+           (ABS(SUM(dev8) / 100000000.0) - 0.5)
+             * (ABS(SUM(dev8) / 100000000.0) - 0.5)
+             / (SUM(var8) / 100000000.0) AS cmh_chi2
+    FROM terms
+    """,
+)
+def cmh_stratified_readout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CMH chi-square for treatment x conversion stratified by weekday.
+
+    One map-side-partial cell rollup (stratum x treated x converted), a
+    strata-sized pivot, then per-stratum deviation a_i - E_i and variance
+    r1·r2·c1·c2 / (n²(n-1)) — each an exact-integer product divided once in
+    double, staged to scaled longs so the cross-stratum sums are
+    order-proof. The continuity-corrected chi2 is three IEEE ops at the
+    end. Nothing after the first rollup exceeds strata-count rows.
+    """
+    ev = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    cells = ev.groupBy(
+        F.dayofweek("ts").alias("dow_raw"),
+        F.when(F.col("user_id") % 3 == 0, 1).otherwise(0).alias("treated"),
+        F.when(F.col("value") > 50, 1).otherwise(0).alias("converted"),
+    ).agg(F.count(F.lit(1)).alias("m"))
+    # Spark dayofweek is 1=Sunday..7=Saturday; DuckDB isodow is 1=Mon..7=Sun.
+    # Convert Spark's to isodow so the stratum labels agree.
+    cells = cells.select(
+        F.when(F.col("dow_raw") == 1, 7)
+        .otherwise(F.col("dow_raw") - 1)
+        .alias("stratum"),
+        "treated",
+        "converted",
+        "m",
+    )
+    strata = cells.groupBy("stratum").agg(
+        F.sum(
+            F.when(
+                (F.col("treated") == 1) & (F.col("converted") == 1),
+                F.col("m"),
+            )
+        ).alias("a"),
+        F.sum(F.when(F.col("treated") == 1, F.col("m")).otherwise(0)).alias(
+            "r1"
+        ),
+        F.sum(F.when(F.col("treated") == 0, F.col("m")).otherwise(0)).alias(
+            "r2"
+        ),
+        F.sum(F.when(F.col("converted") == 1, F.col("m")).otherwise(0)).alias(
+            "c1"
+        ),
+        F.sum(F.when(F.col("converted") == 0, F.col("m")).otherwise(0)).alias(
+            "c2"
+        ),
+        F.sum("m").alias("n"),
+    )
+    terms = strata.where(F.col("n") > 1).select(
+        F.floor(
+            (F.col("a") * F.col("n") - F.col("r1") * F.col("c1")).cast(
+                "double"
+            )
+            / F.col("n")
+            * 100000000
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("dev8"),
+        F.floor(
+            F.col("r1").cast("double")
+            * F.col("r2")
+            * F.col("c1")
+            * F.col("c2")
+            / (F.col("n").cast("double") * F.col("n") * (F.col("n") - 1))
+            * 100000000
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("var8"),
+    )
+    sum_dev = F.sum("dev8") / F.lit(100000000.0)
+    sum_var = F.sum("var8") / F.lit(100000000.0)
+    return terms.agg(
+        F.count(F.lit(1)).cast("long").alias("n_strata"),
+        sum_dev.alias("sum_dev"),
+        sum_var.alias("sum_var"),
+        (
+            (F.abs(sum_dev) - F.lit(0.5))
+            * (F.abs(sum_dev) - F.lit(0.5))
+            / sum_var
+        ).alias("cmh_chi2"),
+    )
