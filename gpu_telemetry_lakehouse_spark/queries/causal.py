@@ -173,10 +173,15 @@ def did_readout(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(mt AS BIGINT) AS n_treated_matched,
            CAST(mc AS BIGINT) AS n_control_matched,
            CAST(n_pruned AS BIGINT) AS n_users_pruned,
-           (st / 1000000.0) / mt AS y_treated,
-           ((ctrl_term / 100.0) / 1000000.0) / mt AS y_control_weighted,
-           (st / 1000000.0) / mt
-             - ((ctrl_term / 100.0) / 1000000.0) / mt AS att
+           -- an empty matched set (mt = 0) leaves the ATT undefined BY
+           -- CONSTRUCTION on both engines, never a div-by-zero failure
+           CASE WHEN mt > 0 THEN (st / 1000000.0) / mt END AS y_treated,
+           CASE WHEN mt > 0 THEN ((ctrl_term / 100.0) / 1000000.0) / mt
+           END AS y_control_weighted,
+           CASE WHEN mt > 0 THEN
+             (st / 1000000.0) / mt
+               - ((ctrl_term / 100.0) / 1000000.0) / mt
+           END AS att
     FROM agg
     """,
 )
@@ -259,9 +264,14 @@ def cem_att_readout(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).otherwise(0)
         ).alias("ctrl_term"),
     )
-    y_t = (F.col("st") / F.lit(1000000.0)) / F.col("mt")
-    y_c = ((F.col("ctrl_term") / F.lit(100.0)) / F.lit(1000000.0)) / F.col(
-        "mt"
+    # mt = 0 (no matched cells at all) => ATT undefined: explicit NULL on
+    # both engines rather than an ANSI divide-by-zero failure
+    has_t = F.col("mt") > 0
+    y_t = F.when(has_t, (F.col("st") / F.lit(1000000.0)) / F.col("mt"))
+    y_c = F.when(
+        has_t,
+        ((F.col("ctrl_term") / F.lit(100.0)) / F.lit(1000000.0))
+        / F.col("mt"),
     )
     return agg.select(
         "n_cells",
@@ -297,7 +307,7 @@ def cem_att_readout(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     strata AS (
         SELECT stratum,
-               SUM(CASE WHEN treated = 1 AND converted = 1 THEN m END) AS a,
+               SUM(CASE WHEN treated = 1 AND converted = 1 THEN m ELSE 0 END) AS a,
                SUM(CASE WHEN treated = 1 THEN m ELSE 0 END) AS r1,
                SUM(CASE WHEN treated = 0 THEN m ELSE 0 END) AS r2,
                SUM(CASE WHEN converted = 1 THEN m ELSE 0 END) AS c1,
@@ -317,9 +327,14 @@ def cem_att_readout(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(COUNT(*) AS BIGINT) AS n_strata,
            SUM(dev8) / 100000000.0 AS sum_dev,
            SUM(var8) / 100000000.0 AS sum_var,
-           (ABS(SUM(dev8) / 100000000.0) - 0.5)
-             * (ABS(SUM(dev8) / 100000000.0) - 0.5)
-             / (SUM(var8) / 100000000.0) AS cmh_chi2
+           -- zero variance (all strata single-arm or constant) => the test
+           -- statistic is undefined BY CONSTRUCTION on both engines, not a
+           -- div-by-zero artifact one engine happens to tolerate
+           CASE WHEN SUM(var8) > 0 THEN
+             (ABS(SUM(dev8) / 100000000.0) - 0.5)
+               * (ABS(SUM(dev8) / 100000000.0) - 0.5)
+               / (SUM(var8) / 100000000.0)
+           END AS cmh_chi2
     FROM terms
     """,
 )
@@ -350,11 +365,16 @@ def cmh_stratified_readout(spark: SparkSession, sf_dir: str) -> DataFrame:
         "m",
     )
     strata = cells.groupBy("stratum").agg(
+        # ELSE 0 (not NULL): a stratum with zero treated converters must
+        # contribute its full (0 - E_i) deviation, not silently drop out of
+        # sum_dev while still counting in n_strata (that NULL would bias the
+        # CMH statistic toward zero exactly when treatment looks harmful in
+        # a stratum — VERDICT r6 finding #1).
         F.sum(
             F.when(
                 (F.col("treated") == 1) & (F.col("converted") == 1),
                 F.col("m"),
-            )
+            ).otherwise(0)
         ).alias("a"),
         F.sum(F.when(F.col("treated") == 1, F.col("m")).otherwise(0)).alias(
             "r1"
@@ -399,9 +419,12 @@ def cmh_stratified_readout(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_strata"),
         sum_dev.alias("sum_dev"),
         sum_var.alias("sum_var"),
-        (
+        # explicit NULL when the pooled variance is zero (degenerate strata)
+        # instead of an ANSI divide-by-zero failure
+        F.when(
+            sum_var > F.lit(0.0),
             (F.abs(sum_dev) - F.lit(0.5))
             * (F.abs(sum_dev) - F.lit(0.5))
-            / sum_var
+            / sum_var,
         ).alias("cmh_chi2"),
     )

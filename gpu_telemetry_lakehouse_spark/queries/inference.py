@@ -1599,18 +1599,25 @@ def kendall_tau_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(b.g AS BIGINT) AS g_days,
            (t.s_tot / 100.0) / t.n_tot AS theta_full,
            b.theta_bar,
-           (CAST(b.g - 1 AS DOUBLE) / b.g)
-             * (SELECT SUM(CAST(FLOOR((l.theta_i - b2.theta_bar)
-                                      * (l.theta_i - b2.theta_bar)
-                                      * 100000000 + 0.5) AS BIGINT))
-                       / 100000000.0
-                FROM loo l, bar b2) AS jk_var,
-           SQRT((CAST(b.g - 1 AS DOUBLE) / b.g)
-             * (SELECT SUM(CAST(FLOOR((l.theta_i - b2.theta_bar)
-                                      * (l.theta_i - b2.theta_bar)
-                                      * 100000000 + 0.5) AS BIGINT))
-                       / 100000000.0
-                FROM loo l, bar b2)) AS jk_se
+           -- a single day (g = 0 leave-one-out estimates) leaves the
+           -- jackknife variance undefined BY CONSTRUCTION on both engines,
+           -- never a div-by-zero failure
+           CASE WHEN b.g > 0 THEN
+             (CAST(b.g - 1 AS DOUBLE) / b.g)
+               * (SELECT SUM(CAST(FLOOR((l.theta_i - b2.theta_bar)
+                                        * (l.theta_i - b2.theta_bar)
+                                        * 100000000 + 0.5) AS BIGINT))
+                         / 100000000.0
+                  FROM loo l, bar b2)
+           END AS jk_var,
+           CASE WHEN b.g > 0 THEN
+             SQRT((CAST(b.g - 1 AS DOUBLE) / b.g)
+               * (SELECT SUM(CAST(FLOOR((l.theta_i - b2.theta_bar)
+                                        * (l.theta_i - b2.theta_bar)
+                                        * 100000000 + 0.5) AS BIGINT))
+                         / 100000000.0
+                  FROM loo l, bar b2))
+           END AS jk_se
     FROM bar b, tot t
     """,
 )
@@ -1659,7 +1666,10 @@ def jackknife_day_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     bar = loo.agg(
         F.count(F.lit(1)).alias("g"),
-        (
+        # guarded so an empty leave-one-out set (single day) yields NULL on
+        # both engines instead of an ANSI divide-by-zero
+        F.when(
+            F.count(F.lit(1)) > 0,
             (
                 F.sum(
                     F.floor(F.col("theta_i") * 1000000 + F.lit(0.5)).cast(
@@ -1668,10 +1678,8 @@ def jackknife_day_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
                 / F.lit(1000000.0)
             )
-            / F.count(F.lit(1))
+            / F.count(F.lit(1)),
         ).alias("theta_bar"),
-        F.max("s_tot").alias("s_tot"),
-        F.max("n_tot").alias("n_tot"),
     )
     dev = (
         loo.crossJoin(F.broadcast(bar.select("g", "theta_bar")))
@@ -1687,9 +1695,15 @@ def jackknife_day_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg((F.sum("dev2") / F.lit(100000000.0)).alias("ss"))
     )
-    var = (F.col("g") - 1).cast("double") / F.col("g") * F.col("ss")
+    # g = 0 (single day: no leave-one-out estimates) => variance undefined
+    # BY CONSTRUCTION; theta_full still reports from the full-sample totals
+    var = F.when(
+        F.col("g") > 0,
+        (F.col("g") - 1).cast("double") / F.col("g") * F.col("ss"),
+    )
     return (
-        bar.crossJoin(F.broadcast(dev))
+        tot.crossJoin(F.broadcast(bar))
+        .crossJoin(F.broadcast(dev))
         .select(
             F.col("g").cast("long").alias("g_days"),
             ((F.col("s_tot") / F.lit(100.0)) / F.col("n_tot")).alias(

@@ -261,3 +261,198 @@ def test_degenerate_embeddings_do_not_crash(spark, degenerate_embeddings_dir, na
         for f in ("neighbor_id", "negative_id", "id_a", "id_b", "vec_id"):
             if f in r.asDict() and r[f] is not None:
                 assert r[f] not in bad_ids, (name, f, r[f])
+
+
+# --- degenerate branches of the r6 stats/causal family (VERDICT r6 #1/#5) ---
+# Each corpus triggers the branch an oracle twin could silently share a NULL
+# (or an ANSI divide-by-zero crash) on: the row must be DEFINED and identical
+# on both engines by construction, and where the value is determinable by
+# hand it is pinned exactly.
+
+
+@pytest.fixture(scope="module")
+def sparse_stratum_dir(tmp_path_factory):
+    """Events where one weekday stratum has treated rows but ZERO treated
+    converters: the CMH `a` cell is 0, so its (0 - E_i) deviation must be
+    INCLUDED in sum_dev (VERDICT r6 #1 — the unguarded SUM(CASE...THEN m END)
+    went NULL and silently dropped the stratum on both engines)."""
+    import shutil
+
+    import duckdb
+
+    src = "/root/testdata/sf0.001"
+    d = tmp_path_factory.mktemp("sparse_stratum")
+    for f in os.listdir(src):
+        shutil.copy(os.path.join(src, f), d / f)
+    con = duckdb.connect()
+    con.sql(
+        f"""
+        COPY (
+          SELECT * FROM (VALUES
+            -- Mon: treated (uid 3) never converts; control (uid 1) converts once
+            (1, TIMESTAMP '2024-01-01 10:00:00', 3, 'click', 10.0, NULL),
+            (2, TIMESTAMP '2024-01-01 11:00:00', 3, 'click', 10.0, NULL),
+            (3, TIMESTAMP '2024-01-01 12:00:00', 1, 'click', 80.0, NULL),
+            (4, TIMESTAMP '2024-01-01 13:00:00', 1, 'click', 10.0, NULL),
+            -- Tue: balanced (one converter per arm)
+            (5, TIMESTAMP '2024-01-02 10:00:00', 3, 'click', 80.0, NULL),
+            (6, TIMESTAMP '2024-01-02 11:00:00', 3, 'click', 10.0, NULL),
+            (7, TIMESTAMP '2024-01-02 12:00:00', 1, 'click', 80.0, NULL),
+            (8, TIMESTAMP '2024-01-02 13:00:00', 1, 'click', 10.0, NULL)
+          ) t(event_id, ts, user_id, event_type, value, props)
+        ) TO '{d}/events.parquet' (FORMAT PARQUET)
+        """
+    )
+    con.close()
+    return str(d)
+
+
+def test_cmh_sparse_stratum_includes_zero_cell(spark, sparse_stratum_dir):
+    """Mon: a=0, E=r1*c1/n=2*1/4=0.5 -> dev -0.5; Tue: a=1, E=1 -> dev 0.
+    sum_dev MUST be -0.5 (the pre-fix NULL-asymmetry summed to 0.0)."""
+    compare(spark, "cmh_stratified_readout", sparse_stratum_dir)
+    from gpu_telemetry_lakehouse_spark.queries import QUERIES
+
+    row = QUERIES["cmh_stratified_readout"](spark, sparse_stratum_dir).collect()[0]
+    assert row["n_strata"] == 2
+    assert row["sum_dev"] == pytest.approx(-0.5)
+
+
+@pytest.fixture(scope="module")
+def one_arm_events_dir(tmp_path_factory):
+    """Every user treated (uid % 3 == 0), every value constant, activity in
+    both periods: CEM has NO matched cell, DiD is missing both control
+    cells, every daily mean ties, and the CMH pooled variance is zero."""
+    import shutil
+
+    import duckdb
+
+    src = "/root/testdata/sf0.001"
+    d = tmp_path_factory.mktemp("one_arm")
+    rows = []
+    eid = 0
+    for uid in (3, 6, 9):
+        for day in ("2024-01-10", "2024-01-11", "2024-01-12",
+                    "2024-01-20", "2024-01-21"):
+            eid += 1
+            rows.append(
+                f"({eid}, TIMESTAMP '{day} 10:00:00', {uid},"
+                " 'click', 10.0, NULL)"
+            )
+    for f in os.listdir(src):
+        shutil.copy(os.path.join(src, f), d / f)
+    con = duckdb.connect()
+    con.sql(
+        f"""
+        COPY (SELECT * FROM (VALUES {','.join(rows)})
+              t(event_id, ts, user_id, event_type, value, props)
+        ) TO '{d}/events.parquet' (FORMAT PARQUET)
+        """
+    )
+    con.close()
+    return str(d)
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "cem_att_readout",       # empty matched set: ATT NULL by construction
+        "did_readout",           # missing control cells: did NULL, counts real
+        "mann_kendall_daily",    # all-tied days: S=0, var_s=0, z=0
+        "cmh_stratified_readout",  # zero pooled variance: chi2 NULL
+    ],
+)
+def test_one_arm_degenerate_matches_oracle(spark, one_arm_events_dir, name):
+    compare(spark, name, one_arm_events_dir)
+
+
+def test_one_arm_degenerate_semantics(spark, one_arm_events_dir):
+    from gpu_telemetry_lakehouse_spark.queries import QUERIES
+
+    cem = QUERIES["cem_att_readout"](spark, one_arm_events_dir).collect()[0]
+    assert cem["n_matched_cells"] == 0 and cem["n_users_pruned"] == 3
+    assert cem["att"] is None  # explicit, not a crash
+
+    did = QUERIES["did_readout"](spark, one_arm_events_dir).collect()[0]
+    assert did["n_t_pre"] == 9 and did["n_t_post"] == 6
+    assert did["n_c_pre"] is None and did["did"] is None
+
+    mk = QUERIES["mann_kendall_daily"](spark, one_arm_events_dir).collect()[0]
+    assert mk["n_days"] == 5 and mk["s_stat"] == 0
+    assert mk["var_s"] == 0.0 and mk["z"] == 0.0
+
+    cmh = QUERIES["cmh_stratified_readout"](spark, one_arm_events_dir).collect()[0]
+    assert cmh["sum_var"] == 0.0 and cmh["cmh_chi2"] is None
+
+
+@pytest.fixture(scope="module")
+def single_day_orders_dir(tmp_path_factory):
+    """Orders collapsed onto ONE order date: the delete-one-day jackknife has
+    zero leave-one-out estimates — variance undefined, but theta_full must
+    still report from the full-sample totals."""
+    import shutil
+
+    import duckdb
+
+    src = "/root/testdata/sf0.001"
+    d = tmp_path_factory.mktemp("one_day_orders")
+    for f in os.listdir(src):
+        shutil.copy(os.path.join(src, f), d / f)
+    con = duckdb.connect()
+    con.sql(
+        f"""
+        COPY (
+          SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+                 MIN(o_orderdate) OVER () AS o_orderdate, o_orderpriority
+          FROM '{src}/orders.parquet' LIMIT 50
+        ) TO '{d}/orders.parquet' (FORMAT PARQUET)
+        """
+    )
+    con.close()
+    return str(d)
+
+
+def test_jackknife_single_day_defined(spark, single_day_orders_dir):
+    compare(spark, "jackknife_day_ratio", single_day_orders_dir)
+    from gpu_telemetry_lakehouse_spark.queries import QUERIES
+
+    row = QUERIES["jackknife_day_ratio"](spark, single_day_orders_dir).collect()[0]
+    assert row["g_days"] == 0
+    assert row["theta_full"] is not None and row["theta_full"] > 0
+    assert row["jk_var"] is None and row["jk_se"] is None
+
+
+@pytest.fixture(scope="module")
+def single_class_customers_dir(tmp_path_factory):
+    """Customers collapsed to ONE quasi-identifier class: its bucket mix IS
+    the global mix, so t-closeness must report t_max = 0 exactly."""
+    import shutil
+
+    import duckdb
+
+    src = "/root/testdata/sf0.001"
+    d = tmp_path_factory.mktemp("one_class_cust")
+    for f in os.listdir(src):
+        shutil.copy(os.path.join(src, f), d / f)
+    con = duckdb.connect()
+    con.sql(
+        f"""
+        COPY (
+          SELECT c_custkey, c_name, CAST(7 AS INT) AS c_nationkey, c_acctbal,
+                 'BUILDING' AS c_mktsegment
+          FROM '{src}/customer.parquet' LIMIT 40
+        ) TO '{d}/customer.parquet' (FORMAT PARQUET)
+        """
+    )
+    con.close()
+    return str(d)
+
+
+def test_t_closeness_single_class(spark, single_class_customers_dir):
+    compare(spark, "t_closeness_customers", single_class_customers_dir)
+    from gpu_telemetry_lakehouse_spark.queries import QUERIES
+
+    row = QUERIES["t_closeness_customers"](
+        spark, single_class_customers_dir
+    ).collect()[0]
+    assert row["n_classes"] == 1 and row["t_max"] == 0.0
