@@ -16,15 +16,24 @@ Implements the documented transaction-log protocol (delta.io PROTOCOL.md):
   each add's ``partitionValues``, deserialized per the protocol's string
   serialization against the table schema.
 
-Reader gating is strict by design: ``minReaderVersion`` <= 2 only, and any
+Reader gating is strict by design: ``minReaderVersion`` <= 2 only, any
 ``readerFeatures`` beyond what replay implements (deletion vectors, column
-mapping, v2 checkpoints) raises ``UnsupportedDeltaFeature`` rather than
-returning silently wrong rows — the same fail-loud contract tablog uses
-for pending DVs.
+mapping, v2 checkpoints) raises ``UnsupportedDeltaFeature``, and — because
+column mapping can be switched on at reader version 2 purely through table
+configuration — ``delta.columnMapping.mode != none`` in the resolved
+metaData raises too, rather than returning silently wrong (all-NULL) rows.
+A hole in the version sequence below the replay target (log cleanup
+without a covering checkpoint) fails loud instead of reconstructing a
+wrong partial snapshot. Same fail-loud contract tablog uses for pending
+DVs.
 
-Scale shape: log replay is metadata work (KBs per version, one checkpoint
-parquet); the data read is an ordinary multi-path parquet scan, so column
-pruning and predicate pushdown apply exactly as on a native table.
+Scale shape: log replay is metadata work (KBs per version, checkpoint
+parquet pruned to the action columns before it crosses to the driver —
+the replayed state is O(#live files), see ``_replay``); the data read is
+an ordinary multi-path parquet scan, so column pruning and predicate
+pushdown apply exactly as on a native table. Above ``_MAX_LITERAL_GROUPS``
+distinct partition tuples the scan switches to one-scan + broadcast
+partition-value join so plan size stays constant in partition count.
 """
 
 from __future__ import annotations
@@ -39,6 +48,17 @@ from pyspark.sql import types as T
 
 _VERSION_RE = re.compile(r"^(\d{20})\.json$")
 _CHECKPOINT_RE = re.compile(r"^(\d{20})\.checkpoint\.parquet$")
+# classic multi-part checkpoints: <v>.checkpoint.<part>.<n_parts>.parquet
+_CHECKPOINT_PART_RE = re.compile(
+    r"^(\d{20})\.checkpoint\.(\d{10})\.(\d{10})\.parquet$"
+)
+
+# Above this many distinct partitionValues tuples, read_delta switches from
+# one literal-column scan per partition group (analyzer cost linear in
+# partition count) to ONE scan of every live file with partition values
+# joined back from the log by file URI (broadcast hash join, constant-size
+# plan) — high-cardinality partitioned estates stay readable.
+_MAX_LITERAL_GROUPS = 64
 
 # Replay implements: plain add/remove actions, JSON schemaString metadata,
 # partitionValues reconstitution. Everything else must be absent or the
@@ -66,18 +86,37 @@ def delta_versions(path: str) -> list[int]:
     return sorted(out)
 
 
-def _checkpoint_before(path: str, version: int) -> int | None:
-    """Newest simple-parquet checkpoint at or before ``version``.
+def _checkpoint_before(path: str, version: int) -> tuple[int, list[str]] | None:
+    """Newest COMPLETE parquet checkpoint at or before ``version`` as
+    ``(checkpoint_version, part_paths)`` — single-file or classic
+    multi-part (``<v>.checkpoint.<part>.<n>.parquet``; complete means all
+    ``n`` parts are present, else that checkpoint is skipped).
 
     ``_last_checkpoint`` is an optimization hint only (it can lag or point
     past a time-travel target); listing is authoritative, exactly as the
     protocol prescribes for readers."""
-    best = None
-    for f in os.listdir(_log_dir(path)):
+    log = _log_dir(path)
+    candidates: dict[int, list[str]] = {}
+    parts: dict[int, dict[int, tuple[int, str]]] = {}
+    for f in os.listdir(log):
         m = _CHECKPOINT_RE.match(f)
         if m and int(m.group(1)) <= version:
-            best = int(m.group(1)) if best is None else max(best, int(m.group(1)))
-    return best
+            candidates[int(m.group(1))] = [os.path.join(log, f)]
+            continue
+        m = _CHECKPOINT_PART_RE.match(f)
+        if m and int(m.group(1)) <= version:
+            v, part, n = int(m.group(1)), int(m.group(2)), int(m.group(3))
+            parts.setdefault(v, {})[part] = (n, os.path.join(log, f))
+    for v, by_part in parts.items():
+        n_parts = {n for n, _ in by_part.values()}
+        if len(n_parts) == 1 and len(by_part) == next(iter(n_parts)):
+            candidates.setdefault(
+                v, [p for _, (_, p) in sorted(by_part.items())]
+            )
+    if not candidates:
+        return None
+    best = max(candidates)
+    return best, candidates[best]
 
 
 def _check_protocol(action: dict) -> None:
@@ -109,27 +148,67 @@ def _fold(state: dict, action: dict) -> None:
 
 
 def _replay(spark: SparkSession, path: str, version: int) -> dict:
+    """Reconstruct the action state at ``version``.
+
+    Driver-memory bound: the replayed state is O(#live files) of add-action
+    metadata held on the driver — the standard Delta-reader shape, fine up
+    to millions of files. The checkpoint read prunes to the four action
+    columns (dropping per-file ``stats`` payloads) before collecting; past
+    ~10^7-file tables the upgrade path is a distributed fold (last-add-wins
+    per path as a window over the checkpoint + tail) feeding the scan paths
+    without a driver-side dict — see docs/PLANS.md."""
     state: dict = {"files": {}, "meta": None}
     start = 0
     cp = _checkpoint_before(path, version)
     if cp is not None:
-        cp_file = os.path.join(_log_dir(path), f"{cp:020d}.checkpoint.parquet")
-        # The checkpoint is itself parquet of action structs; NULL columns
-        # mark absent action kinds. Read through Spark so a many-part
-        # checkpoint of a huge table never lands on the driver raw.
-        for row in spark.read.parquet(cp_file).toJSON().collect():
+        cp_version, cp_paths = cp
+        cp_df = spark.read.parquet(*cp_paths)
+        # The checkpoint is parquet of action structs; NULL columns mark
+        # absent action kinds. Prune to the action columns replay folds
+        # (and drop add.stats, the bulk of checkpoint bytes) BEFORE the
+        # collect — state building is inherently driver-side in this
+        # design, so bound what crosses.
+        cols = [
+            c
+            for c in ("protocol", "metaData", "add", "remove")
+            if c in cp_df.columns
+        ]
+        cp_df = cp_df.select(*cols)
+        if "add" in cols and "stats" in [
+            f.name for f in cp_df.schema["add"].dataType.fields
+        ]:
+            cp_df = cp_df.withColumn("add", F.col("add").dropFields("stats"))
+        for row in cp_df.toJSON().collect():
             _fold(state, json.loads(row))
-        start = cp + 1
+        start = cp_version + 1
     for v in range(start, version + 1):
         entry = os.path.join(_log_dir(path), f"{v:020d}.json")
         if not os.path.exists(entry):
-            continue
+            # a vacuumed/cleaned log without a covering checkpoint (or a
+            # hole in the version sequence) cannot replay correctly —
+            # fail loud instead of reconstructing a wrong partial snapshot
+            raise ValueError(
+                f"_delta_log gap: version {v} missing while replaying to "
+                f"{version} (checkpoint covers up to {start - 1})"
+            )
         with open(entry) as fh:
             for line in fh:
                 if line.strip():
                     _fold(state, json.loads(line))
     if state["meta"] is None:
         raise ValueError(f"no metaData action in log up to version {version}")
+    # Column mapping can be enabled at minReaderVersion=2 purely via table
+    # configuration (it only surfaces in readerFeatures at version 3): such
+    # tables store physical col-<uuid> parquet names, so a name-based read
+    # would return all-NULL columns. Gate on the resolved metaData.
+    mode = (state["meta"].get("configuration") or {}).get(
+        "delta.columnMapping.mode", "none"
+    )
+    if mode != "none":
+        raise UnsupportedDeltaFeature(
+            f"delta.columnMapping.mode={mode}: physical column names differ "
+            "from logical; name-based parquet reads would be silently wrong"
+        )
     return state
 
 
@@ -170,8 +249,14 @@ def read_delta(
         key = tuple((a.get("partitionValues") or {}).get(c) for c in part_cols)
         # PROTOCOL.md: add.path is URL-encoded relative to the table root
         groups.setdefault(key, []).append(os.path.join(path, unquote(a["path"])))
-    out = None
     by_name = {f.name: f for f in schema.fields}
+
+    if len(groups) > _MAX_LITERAL_GROUPS:
+        return _read_joined_partitions(
+            spark, groups, part_cols, data_schema, schema, by_name
+        )
+
+    out = None
     # repr-keyed sort: partition values may be None (not orderable vs str)
     for key, paths in sorted(groups.items(), key=lambda kv: repr(kv[0])):
         df = spark.read.schema(data_schema).parquet(*sorted(paths))
@@ -180,6 +265,62 @@ def read_delta(
         df = df.select(*[f.name for f in schema.fields])
         out = df if out is None else out.unionAll(df)
     return out
+
+
+def _read_joined_partitions(
+    spark: SparkSession,
+    groups: dict[tuple, list[str]],
+    part_cols: list[str],
+    data_schema: T.StructType,
+    schema: T.StructType,
+    by_name: dict[str, T.StructField],
+) -> DataFrame:
+    """High-cardinality partition layout: ONE scan of every live file, with
+    partition values joined back from the log keyed by the scanned file's
+    URI (broadcast hash join — log metadata is tiny next to the data).
+
+    The literal-column path builds a union plan linear in partition count,
+    which bogs the analyzer down long before any data is read on estates
+    with thousands of partitions; this path keeps the plan constant-size.
+    Trade-off: partition-column filters prune after the join instead of
+    statically eliminating scan paths — acceptable because file-level
+    row-group pruning still applies and the alternative is an unusable
+    plan.
+
+    Join key: the DECODED absolute file path. ``input_file_name()`` yields
+    a URI whose percent-encoding differs from ``Path.as_uri()`` (Hadoop
+    leaves ``=`` bare, pathlib encodes it), so both sides normalize to the
+    raw path: scan side strips the scheme and percent-decodes (literal
+    ``+`` protected first — ``url_decode`` is form-decoding), map side uses
+    ``os.path.abspath`` directly."""
+    all_paths: list[str] = []
+    mapping: list[tuple] = []
+    for key, paths in groups.items():
+        for p in paths:
+            all_paths.append(p)
+            mapping.append((os.path.abspath(p), *key))
+    map_schema = T.StructType(
+        [T.StructField("__file_path", T.StringType(), False)]
+        + [T.StructField(c, T.StringType(), True) for c in part_cols]
+    )
+    lookup = spark.createDataFrame(mapping, map_schema)
+    decoded = F.url_decode(
+        F.regexp_replace(
+            F.regexp_replace(F.input_file_name(), "^file:(//)?", ""),
+            r"\+",
+            "%2B",
+        )
+    )
+    df = (
+        spark.read.schema(data_schema)
+        .parquet(*sorted(all_paths))
+        .withColumn("__file_path", decoded)
+        .join(F.broadcast(lookup), "__file_path", "left")
+    )
+    # protocol string deserialization, same semantics as _partition_expr
+    for c in part_cols:
+        df = df.withColumn(c, F.col(c).cast(by_name[c].dataType))
+    return df.select(*[f.name for f in schema.fields])
 
 
 def delta_history(path: str) -> list[dict]:

@@ -29,8 +29,6 @@ from .registry import query
 
 _REPO_ROOT = Path(__file__).resolve().parents[2]
 
-_FLAGS = ["A", "N", "R"]
-
 
 def _build_delta_table(spark: SparkSession, sf_dir: str, table: str) -> None:
     """v0 through the real writer (write_delta: partitioned adds, protocol/

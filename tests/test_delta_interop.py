@@ -295,3 +295,100 @@ def test_delta_partition_value_encoding_roundtrip(spark, tmp_path):
         key=lambda x: x[0],
     )
     assert back == rows
+
+
+def test_delta_column_mapping_config_gated(spark, tmp_path):
+    """Column mapping can be enabled at minReaderVersion=2 purely via table
+    configuration (readerFeatures only exists at version 3). Such tables
+    store physical col-<uuid> parquet names, so a name-based read would
+    return all-NULL columns — the reader must refuse, not return wrong
+    rows."""
+    t = str(tmp_path / "colmap")
+    _write_data(spark, t, "dt=2024-01-01/f0.parquet", [(1, 1.5)])
+    meta = _meta()
+    meta["metaData"]["configuration"] = {"delta.columnMapping.mode": "name"}
+    _commit(
+        t,
+        0,
+        [
+            {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+            meta,
+            _add("dt=2024-01-01/f0.parquet", "2024-01-01"),
+        ],
+    )
+    with pytest.raises(DI.UnsupportedDeltaFeature, match="columnMapping"):
+        DI.read_delta(spark, t)
+
+
+def test_delta_log_gap_fails_loud(spark, delta_table):
+    """A missing version below the replay target without a covering
+    checkpoint (vacuumed log, torn copy) must raise — silently skipping it
+    would reconstruct a wrong partial snapshot."""
+    log = os.path.join(delta_table, "_delta_log")
+    os.remove(os.path.join(log, f"{1:020d}.json"))
+    with pytest.raises(ValueError, match="gap"):
+        DI.read_delta(spark, delta_table)
+
+
+def test_delta_multipart_checkpoint_replay(spark, delta_table):
+    """Classic multi-part checkpoints (<v>.checkpoint.<part>.<n>.parquet)
+    must replay like single-file ones; an INCOMPLETE part set must be
+    ignored (falling back to JSON replay), never half-applied."""
+    before = _rows(DI.read_delta(spark, delta_table))
+    log = os.path.join(delta_table, "_delta_log")
+    part1 = [
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+        _meta(),
+        _add("dt=2024-01-01/f0.parquet", "2024-01-01"),
+    ]
+    part2 = [
+        _add("dt=2024-01-02/f1.parquet", "2024-01-02"),
+        _add("dt=2024-01-01/f2.parquet", "2024-01-01"),
+    ]
+    for i, actions in enumerate((part1, part2), start=1):
+        jl = os.path.join(delta_table, f"cp_stage_{i}.jsonl")
+        build = os.path.join(delta_table, f"cp_build_{i}")
+        with open(jl, "w") as fh:
+            for a in actions:
+                fh.write(json.dumps(a) + "\n")
+        spark.read.json(jl).coalesce(1).write.mode("overwrite").parquet(build)
+        part = [f for f in os.listdir(build) if f.endswith(".parquet")][0]
+        os.replace(
+            os.path.join(build, part),
+            os.path.join(
+                log, f"{1:020d}.checkpoint.{i:010d}.{2:010d}.parquet"
+            ),
+        )
+        os.remove(jl)
+    # incomplete part set first: only part 1 of 2 present -> must fall back
+    # to the JSON tail (which still exists) and read correctly
+    two = os.path.join(log, f"{1:020d}.checkpoint.{2:010d}.{2:010d}.parquet")
+    hidden = two + ".hidden"
+    os.replace(two, hidden)
+    assert _rows(DI.read_delta(spark, delta_table, version=2)) == before
+    # complete part set: v0/v1 JSON removed, replay must come from the parts
+    os.replace(hidden, two)
+    os.remove(os.path.join(log, f"{0:020d}.json"))
+    os.remove(os.path.join(log, f"{1:020d}.json"))
+    assert _rows(DI.read_delta(spark, delta_table, version=2)) == before
+
+
+def test_delta_many_partitions_single_scan(spark, tmp_path):
+    """Above _MAX_LITERAL_GROUPS distinct partition tuples the reader must
+    keep the plan constant-size (one scan + broadcast partition-value join),
+    not one union branch per partition — and still reconstruct every
+    partition value exactly."""
+    t = str(tmp_path / "manyparts")
+    n = DI._MAX_LITERAL_GROUPS + 16
+    rows = [(i, float(i), f"g{i:04d}") for i in range(n)]
+    # hostile partition value: the URI-vs-path encoding divergence cases
+    # (space, %, =, +) must survive the decoded-path join too
+    rows.append((n, float(n), "a b%c=+d"))
+    df = spark.createDataFrame(rows, "id int, v double, g string")
+    DI.write_delta(df, t, partition_by=["g"])
+    back = DI.read_delta(spark, t)
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    # one multi-path scan + broadcast join, never a partition-count union
+    assert "Union" not in plan, plan[:2000]
+    assert "FileScan parquet" in plan and "BroadcastHashJoin" in plan
