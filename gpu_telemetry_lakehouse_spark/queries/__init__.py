@@ -2,14 +2,15 @@
 
 Registration order is the DRIVER-VISIBLE order: the external correctness
 gate samples the first 50 registry entries, so after all modules register,
-the registry is re-ranked so those 50 form a maximum-coverage set — at least
-one oracle-twinned query per SURVEY.md §2.1 row and §2.2 category (joins,
-windows, grouping, dedup/LSH, similarity, text, multimodal, JSON/VARIANT,
-sessionization, streaming batch-twin, UDAF/UDTF, sampling, time-series,
-stats, subqueries, recursive CTE, TPC-H, telemetry gold marts). Queries
-whose coverage duplicates a ranked entry (e.g. the uncapped shingle-Jaccard
-next to its capped scale-path twin) sit immediately after, so a deeper
-driver sweep still reaches them in coverage-density order.
+the registry is re-ranked to put the current round's DRIVER_WINDOW first —
+a core of proven anchors (the SURVEY.md §2.1 reference-parity surface plus
+one member per high-level §2.2 family) and a rotation block of
+never-driver-checked queries, sized per the round's VERDICT targets.
+Families whose anchor is not in the current window retain their hard rows
+from earlier rounds (COVERAGE.md per-query map) and stay covered by the
+full differential suite every round. Queries whose coverage duplicates a
+ranked entry sit immediately after, so a deeper driver sweep still reaches
+them in coverage-density order.
 """
 
 from .registry import ORACLE, QUERIES, query  # noqa: F401
@@ -56,24 +57,25 @@ for _mod in (
     __import__(f"{__name__}.{_mod}")
 
 
-# The 50-entry driver window, ROTATED for round 6 (VERDICT r5 items #1/#2/#5):
-# 35 proven anchors — one per §2.1 reference row and §2.2 category — plus 15
-# rotation slots for queries with no driver history. This round's rotation
-# leads with the four certified payload twins that have never faced the
-# external oracle (ALS recommendation contract, IVF recall@5 certificate,
-# theta-sketch estimate bound, t-digest quantile bound — these ARE the
-# correctness story for the approximate tier), the stream-stream interval
-# join batch twin (the one §2.2 streaming shape never driver-checked), and
-# ten head-of-queue entries from COVERAGE.md's rotation plan (JSON
-# extraction, real multimodal decode, model-eval lift/gains, the robust MAD
-# anomaly twin, k-fold CV, char entropy, weighted sampling, Theil-Sen,
-# CUPED, k-anonymity). All 15 verified green vs DuckDB at sf0.01 before
-# rotation. Cumulative hard-driver coverage before this round: 120/280 —
+# The 50-entry driver window, ROTATED for round 7 (VERDICT r6 items #2/#3/#4):
+# anchors shrink 35 -> 20 to make room for THIRTY first-exposure rotation
+# slots — every anchor dropped this round holds a hard r6 driver row (all 50
+# r6 slots were hash-green), so nothing loses external signal, and the
+# never-driver-checked backlog burns down at 2x the old rate (cumulative
+# target 165/303 per VERDICT r6 #4). The 20 kept anchors still cover the
+# §2.1 reference-parity core end-to-end (medallion_end_to_end alone carries
+# S1/S2/S5/S6/Q2/X1/X2) plus one proven member of each high-level §2.2
+# family; the rotation leads with the infrastructure-certification head
+# (real streaming execution, tablog DML lifecycle + keyed change feed,
+# Delta-protocol interop, the ER/fuzzy family, the round-6 causal/stats
+# readouts incl. the post-fix CMH), then the LAST three never-driven
+# certified twins (after these, every *_certified bounded-certificate query
+# has a hard external row), then the standing queue head. All 30 verified
+# green vs DuckDB at sf0.01 under a vanilla neutral-cwd session before
+# rotation. Cumulative hard-driver coverage before this round: 135/303 —
 # see the COVERAGE.md map.
-# Changing this list trades hard driver signal between categories — keep
-# every category represented before adding depth anywhere.
 DRIVER_WINDOW: list[str] = [
-    # --- §2.1 reference-parity core (anchors, unchanged) ---
+    # --- §2.1 reference-parity core (anchors) ---
     "gold_daily_util",
     "silver_jobs_shape",
     "agg_summary",
@@ -84,61 +86,95 @@ DRIVER_WINDOW: list[str] = [
     "casts_flags",
     "sql_cte_daily",            # Q1 CTE chaining
     "medallion_end_to_end",     # S1/S2/S5/S6/Q2/X1/X2 in one slot
-    "anomaly_daily_certified",  # M1-M3 contract certificate (first
-                                # oracle-checked driver row for the ML
-                                # pipeline; runs anomaly_daily inside)
+    "anomaly_daily_certified",  # M1-M3 contract certificate
     "gold_job_efficiency_daily",  # interval join + ref-future gold mart
-    # --- §2.2 category anchors (one proven member each) ---
-    "join_broadcast_dims",      # equi/broadcast
-    "join_semi",                # semi/anti
-    "asof_last_error",          # as-of
-    "set_ops_customers",        # set ops
+    # --- §2.2 family anchors (one proven member each; the families whose
+    # anchor rotated out retain their hard r1-r6 rows per COVERAGE.md) ---
+    "join_broadcast_dims",      # joins (equi/broadcast)
     "window_daily_momentum",    # window functions
     "rollup_region_nation",     # grouping sets/rollup
-    "cdc_snapshot_diff",        # CDC / streaming batch twin
-    "session_windows_users",    # sessionization
-    "heavy_hitter_users",       # sketches / distinct
+    "session_windows_users",    # sessionization / streaming batch twin
     "dedup_minhash_pairs",      # LSH dedup
     "knn_cosine_brute",         # similarity search
-    "semdedup_prune",           # semantic dedup
-    "string_parse_parts",       # strings
-    "variant_props_stats",      # JSON/VARIANT
-    "udaf_weighted_avg_price",  # UDAF/UDTF family
-    "hash_sample_orders",       # sampling
     "text_lang_id",             # text analysis
-    "dsir_importance_weights",  # curation
-    "shard_manifest_summary",   # packing/shard export
-    "fp_growth_brand_itemsets", # frequent itemsets
-    "multimodal_phash_neardup", # multimodal codec chain
-    "recursive_month_spine",    # recursive CTE (r5: fresh empty-guard plan)
-    "exists_priority_counts",   # subqueries
-    # --- 15 rotation slots (r6; all first-ever driver rows) ---
-    "als_recommend_parts_certified",  # ALS payload contract (rank-1 parity,
-                                      # coverage, score-order certificate)
-    "knn_ivf_certified",              # IVF ANN recall@5 certificate vs the
-                                      # in-plan exact brute-force twin
-    "theta_user_overlap_certified",   # theta-sketch estimate-within-bound
-    "tdigest_value_quantiles_certified",  # t-digest quantile error bound
-    "clicks_before_errors_batch",     # stream-stream interval join batch
-                                      # twin (streaming §2.2 first exposure)
-    "json_extract_props",             # from_json typed extraction
-    "multimodal_real_decode",         # real PPM/WAV decode via mapInPandas
-    "lift_gains_price_returns",       # model-eval lift/gains deciles
-    "anomaly_daily_robust",           # MAD-based anomaly twin (oracle-SQL
-                                      # counterpart of the IForest pipeline)
-    "cv_regression_price_qty",        # 5-fold CV via additive moments
-    "char_entropy_docs",              # row-local char-entropy quality
-    "weighted_sample_users",          # deterministic weighted sampling
-    "theilsen_daily_trend",           # Theil-Sen median-slope trend
-    "cuped_experiment_readout",       # CUPED variance-reduced experiment
-    "k_anonymity_customers",          # privacy: k-anonymity audit
+    "variant_props_stats",      # JSON/VARIANT
+    # --- 30 rotation slots (r7; ALL first-ever driver rows) ---
+    # infrastructure certification: subsystems with only pytest coverage
+    # until now become external hard signal
+    "streaming_gold_probe",     # REAL streaming execution: 5 foreachBatch
+                                # epochs + idempotent tablog MERGEs
+    "tablog_lifecycle_report",  # tablog DML lifecycle + time travel
+    "tablog_change_feed_report",  # keyed change data feed
+    "delta_interop_snapshot",   # Delta-protocol read+write interop
+    "er_fingerprint_entities",  # ER: normalization fingerprint blocking
+    "er_blocked_match_pairs",   # ER: blocked fuzzy candidate pairs
+    "er_resolved_clusters",     # ER: transitive-closure resolution
+    "symspell_match_terms",     # SymSpell delete-neighborhood matching
+    # round-6 causal/stats readout family (cmh post-fix)
+    "jackknife_day_ratio",      # delete-one-day jackknife SE
+    "did_readout",              # difference-in-differences
+    "cem_att_readout",          # coarsened exact matching ATT
+    "cmh_stratified_readout",   # CMH stratified chi2 (sparse-stratum fix)
+    "functional_dependency_audit",  # FD discovery audit
+    "grid_radius_join",         # spatial grid-bucketed radius join
+    "mann_kendall_daily",       # Mann-Kendall trend significance
+    # the LAST never-driven certified twins (completes the tier)
+    "knn_pq_adc_certified",     # PQ ADC recall@5 certificate
+    "knn_ivfpq_certified",      # IVF+PQ composed recall certificate
+    "tdigest_daily_value_p95_certified",  # grouped-sketch rank bound
+    # standing queue head (registry rank order)
+    "quantile_normalize_lengths",  # cross-source quantile normalization
+    "mojibake_detect_report",   # encoding-damage detection
+    "t_closeness_customers",    # privacy: t-closeness audit
+    "median_of_means_value",    # robust heavy-tail estimator
+    "grid_nearest_neighbor",    # spatial nearest-neighbor via grid rings
+    "cohens_kappa_quality_labels",  # inter-rater agreement
+    "kendall_tau_daily",        # rank-correlation significance
+    "rbo_rank_overlap",         # rank-biased overlap of rankings
+    "l_diversity_customers",    # privacy: l-diversity audit
+    "referential_orphan_summary",  # referential-integrity audit
+    "freshness_lag_report",     # per-type freshness lag
+    "accepted_values_violations",  # dbt accepted_values analogue
 ]
 
 # Next in line if the driver sweeps deeper: previously-green queries whose
 # category is already represented above (consolidated near-duplicates).
-# Head = the 15 rotated OUT this round (all driver-green in r05) + the
-# still-proven earlier rotations.
+# Head = the 30 rotated OUT this round (ALL hold hard r6 driver rows —
+# 15 former anchors + the 15 r6 rotation slots) + earlier rotations.
 _SECOND_TIER: list[str] = [
+    # former anchors, r6-green
+    "join_semi",
+    "asof_last_error",
+    "set_ops_customers",
+    "cdc_snapshot_diff",
+    "heavy_hitter_users",
+    "semdedup_prune",
+    "string_parse_parts",
+    "udaf_weighted_avg_price",
+    "hash_sample_orders",
+    "dsir_importance_weights",
+    "shard_manifest_summary",
+    "fp_growth_brand_itemsets",
+    "multimodal_phash_neardup",
+    "recursive_month_spine",
+    "exists_priority_counts",
+    # r6 rotation slots, r6-green
+    "als_recommend_parts_certified",
+    "knn_ivf_certified",
+    "theta_user_overlap_certified",
+    "tdigest_value_quantiles_certified",
+    "clicks_before_errors_batch",
+    "json_extract_props",
+    "multimodal_real_decode",
+    "lift_gains_price_returns",
+    "anomaly_daily_robust",
+    "cv_regression_price_qty",
+    "char_entropy_docs",
+    "weighted_sample_users",
+    "theilsen_daily_trend",
+    "cuped_experiment_readout",
+    "k_anonymity_customers",
+    # earlier rotations
     "setsim_join_prefix",
     "asof_enrich_orders",
     "lateral_top_orders",
@@ -207,10 +243,6 @@ _SECOND_TIER: list[str] = [
     "dedup_shingle_jaccard_capped",
     "doc_fingerprint",
     # round-3 additions whose family is represented above
-    "l_diversity_customers",
-    "referential_orphan_summary",
-    "freshness_lag_report",
-    "accepted_values_violations",
     "bigram_perplexity_docs",
     "zipf_fit_tokens",
     "dp_noisy_counts_segments",
