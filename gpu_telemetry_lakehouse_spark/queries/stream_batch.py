@@ -168,6 +168,11 @@ def streaming_gold_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     def apply_batch(bdf: DataFrame, epoch_id: int) -> None:
+        # Probe-scale fold: full-outer against the WHOLE minute-keyed base
+        # each epoch (the gold table is minutes-sized here). At production
+        # scale the equivalent is tablog.merge_upsert_pruned — the epoch
+        # partial merges into only the files whose stats can contain its
+        # keys, cost ∝ change, not table.
         base = TL.read(bdf.sparkSession, tbl)
         upd = (
             partial(bdf)
