@@ -113,27 +113,22 @@ def main() -> None:
     # costs at sf0.1; makespan scheduling (LPT) needs only a rough cost order
     # to kill the straggler tail.
     heavy = {
-        # re-measured serial costs at sf0.1 (36-query suite, 2026-08-16,
-        # round-6 profile: the degree-decrement rewrite cut kcore 4.0->2.7s,
-        # flattening the tail — kcore, q1 and the dedup composites now sit
-        # in a 2.0-2.7s band, then a broad 1.0-1.9s band)
+        # re-measured serial costs at sf0.1 (36-query suite, round-7
+        # profile, serial 34.1s / duckdb 38.3s: kcore 3.2s alone at the
+        # top, the dedup composites 2.0-2.1s, then a broad 1.0-1.7s band)
         "kcore_peel_trace": 5,
-        "er_blocked_match_pairs": 3,
-        "gold_job_efficiency_daily": 6,
-        "exact_substring_dup_spans": 5, "dedup_shingle_jaccard": 5,
-        "sole_fault_suppliers": 4, "dsir_importance_weights": 4,
-        "roc_auc_price_returns": 3, "bigram_perplexity_docs": 3,
-        "semdedup_prune": 3, "naive_bayes_lang_confusion": 3,
-        "dedup_boilerplate_segments": 3, "phrase_search_docs": 3,
-        "bootstrap_ci_event_value": 3,
-        "benchmark_decontam": 2, "source_token_kl": 2,
-        "tpch_q5_local_volume": 2, "nation_market_share": 2,
-        "knn_ivf_fixed": 2,
-        "tpch_q1": 2, "interval_join_shipments": 2, "dedup_minhash_pairs": 2,
-        "tpch_q3_shipping": 2, "dedup_simhash": 2,
-        "window_topk_per_group": 2, "large_volume_orders": 2,
-        "window_rolling_metrics": 2, "embedding_neardup_pairs": 2,
+        "dedup_shingle_jaccard": 4, "exact_substring_dup_spans": 4,
+        "gold_job_efficiency_daily": 3, "sole_fault_suppliers": 3,
+        "bootstrap_ci_event_value": 3, "dsir_importance_weights": 3,
+        "er_blocked_match_pairs": 3, "naive_bayes_lang_confusion": 3,
+        "bigram_perplexity_docs": 3, "semdedup_prune": 3,
+        "roc_auc_price_returns": 3, "phrase_search_docs": 3,
+        "dedup_boilerplate_segments": 3,
+        "source_token_kl": 2, "dedup_minhash_pairs": 2,
+        "benchmark_decontam": 2, "dedup_simhash": 2,
+        "nation_market_share": 2, "tpch_q5_local_volume": 2,
         "anomaly_daily": 2, "gold_user_gpu_usage_daily": 2,
+        "knn_ivf_fixed": 2, "interval_join_shipments": 2,
     }
     order = sorted(HEADLINE, key=lambda n: -heavy.get(n, 1))
 
