@@ -322,7 +322,10 @@ def test_cmh_sparse_stratum_includes_zero_cell(spark, sparse_stratum_dir):
 def one_arm_events_dir(tmp_path_factory):
     """Every user treated (uid % 3 == 0), every value constant, activity in
     both periods: CEM has NO matched cell, DiD is missing both control
-    cells, every daily mean ties, and the CMH pooled variance is zero."""
+    cells, every daily mean ties, the CMH pooled variance is zero, and
+    both Kendall daily series are constant (every pair tied). Documents
+    are replaced by 5 identical long texts, so both kappa raters are the
+    CONSTANT rater (p_e = 1)."""
     import shutil
 
     import duckdb
@@ -349,6 +352,17 @@ def one_arm_events_dir(tmp_path_factory):
         ) TO '{d}/events.parquet' (FORMAT PARQUET)
         """
     )
+    text = " ".join(["word"] * 60)
+    doc_rows = ",".join(
+        f"({i}, '{text}', 'en', 'web', {len(text)})" for i in range(1, 6)
+    )
+    con.sql(
+        f"""
+        COPY (SELECT * FROM (VALUES {doc_rows})
+              t(doc_id, text, lang, source, n_chars)
+        ) TO '{d}/documents.parquet' (FORMAT PARQUET)
+        """
+    )
     con.close()
     return str(d)
 
@@ -360,6 +374,10 @@ def one_arm_events_dir(tmp_path_factory):
         "did_readout",           # missing control cells: did NULL, counts real
         "mann_kendall_daily",    # all-tied days: S=0, var_s=0, z=0
         "cmh_stratified_readout",  # zero pooled variance: chi2 NULL
+        "kendall_tau_daily",     # constant series: tau_b NULL via NULLIF
+        "cohens_kappa_quality_labels",  # constant raters: kappa NULL
+        "median_of_means_value",  # constant values: all bucket means equal
+        "freshness_lag_report",  # single event type, sparse days
     ],
 )
 def test_one_arm_degenerate_matches_oracle(spark, one_arm_events_dir, name):
@@ -383,6 +401,14 @@ def test_one_arm_degenerate_semantics(spark, one_arm_events_dir):
 
     cmh = QUERIES["cmh_stratified_readout"](spark, one_arm_events_dir).collect()[0]
     assert cmh["sum_var"] == 0.0 and cmh["cmh_chi2"] is None
+
+    tau = QUERIES["kendall_tau_daily"](spark, one_arm_events_dir).collect()[0]
+    assert tau["tied_x"] == tau["n_pairs"] and tau["tau_b"] is None
+
+    kap = QUERIES["cohens_kappa_quality_labels"](
+        spark, one_arm_events_dir
+    ).collect()[0]
+    assert kap["n11"] == kap["n"] and kap["kappa"] is None
 
 
 @pytest.fixture(scope="module")
