@@ -109,7 +109,11 @@ def _checkpoint_before(path: str, version: int) -> tuple[int, list[str]] | None:
             parts.setdefault(v, {})[part] = (n, os.path.join(log, f))
     for v, by_part in parts.items():
         n_parts = {n for n, _ in by_part.values()}
-        if len(n_parts) == 1 and len(by_part) == next(iter(n_parts)):
+        # complete means parts are EXACTLY 1..n (count alone would accept
+        # e.g. {2,3} of a torn 2-part set and replay a wrong snapshot)
+        if len(n_parts) == 1 and set(by_part) == set(
+            range(1, next(iter(n_parts)) + 1)
+        ):
             candidates.setdefault(
                 v, [p for _, (_, p) in sorted(by_part.items())]
             )
@@ -162,7 +166,10 @@ def _replay(spark: SparkSession, path: str, version: int) -> dict:
     cp = _checkpoint_before(path, version)
     if cp is not None:
         cp_version, cp_paths = cp
-        cp_df = spark.read.parquet(*cp_paths)
+        # mergeSchema: multi-part checkpoints from foreign writers may have
+        # per-part schemas (one part all-adds, another protocol/metaData);
+        # single-file inference would silently drop the absent action kinds
+        cp_df = spark.read.option("mergeSchema", "true").parquet(*cp_paths)
         # The checkpoint is parquet of action structs; NULL columns mark
         # absent action kinds. Prune to the action columns replay folds
         # (and drop add.stats, the bulk of checkpoint bytes) BEFORE the

@@ -1650,7 +1650,6 @@ def jackknife_day_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot = daily.agg(
         F.sum("s_cents").alias("s_tot"),
         F.sum("n").alias("n_tot"),
-        F.count(F.lit(1)).alias("g0"),
     )
     loo = (
         daily.crossJoin(F.broadcast(tot))
@@ -1660,8 +1659,6 @@ def jackknife_day_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ((F.col("s_tot") - F.col("s_cents")) / F.lit(100.0))
                 / (F.col("n_tot") - F.col("n"))
             ).alias("theta_i"),
-            "s_tot",
-            "n_tot",
         )
     )
     bar = loo.agg(

@@ -333,15 +333,20 @@ def test_delta_log_gap_fails_loud(spark, delta_table):
 def test_delta_multipart_checkpoint_replay(spark, delta_table):
     """Classic multi-part checkpoints (<v>.checkpoint.<part>.<n>.parquet)
     must replay like single-file ones; an INCOMPLETE part set must be
-    ignored (falling back to JSON replay), never half-applied."""
+    ignored (falling back to JSON replay), never half-applied.
+
+    The parts deliberately have DIVERGENT schemas — part 1 carries only
+    protocol/metaData rows, part 2 only add rows — because foreign writers
+    emit exactly that, and single-file schema inference would silently
+    drop the 'add' column and reconstruct an empty table."""
     before = _rows(DI.read_delta(spark, delta_table))
     log = os.path.join(delta_table, "_delta_log")
     part1 = [
         {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
         _meta(),
-        _add("dt=2024-01-01/f0.parquet", "2024-01-01"),
     ]
     part2 = [
+        _add("dt=2024-01-01/f0.parquet", "2024-01-01"),
         _add("dt=2024-01-02/f1.parquet", "2024-01-02"),
         _add("dt=2024-01-01/f2.parquet", "2024-01-01"),
     ]
@@ -362,12 +367,19 @@ def test_delta_multipart_checkpoint_replay(spark, delta_table):
         os.remove(jl)
     # incomplete part set first: only part 1 of 2 present -> must fall back
     # to the JSON tail (which still exists) and read correctly
+    one = os.path.join(log, f"{1:020d}.checkpoint.{1:010d}.{2:010d}.parquet")
     two = os.path.join(log, f"{1:020d}.checkpoint.{2:010d}.{2:010d}.parquet")
     hidden = two + ".hidden"
     os.replace(two, hidden)
     assert _rows(DI.read_delta(spark, delta_table, version=2)) == before
-    # complete part set: v0/v1 JSON removed, replay must come from the parts
+    # torn set {2,3} of n=2 (part 1 lost, a retry left a stray part 3):
+    # count matches n but the numbers are not 1..n -> must be ignored too
+    stray = os.path.join(log, f"{1:020d}.checkpoint.{3:010d}.{2:010d}.parquet")
+    os.replace(one, stray)
     os.replace(hidden, two)
+    assert _rows(DI.read_delta(spark, delta_table, version=2)) == before
+    # complete part set: v0/v1 JSON removed, replay must come from the parts
+    os.replace(stray, one)
     os.remove(os.path.join(log, f"{0:020d}.json"))
     os.remove(os.path.join(log, f"{1:020d}.json"))
     assert _rows(DI.read_delta(spark, delta_table, version=2)) == before
