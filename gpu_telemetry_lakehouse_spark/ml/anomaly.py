@@ -47,10 +47,6 @@ def score_driver_side(
     the reference executes its gold query twice (train + score scripts each
     re-query DuckDB); one collect halves the aggregation work."""
     pdf = gold.toPandas()
-    scaler, forest = train_on_matrix(pdf[features].to_numpy(dtype=float))
-    X = scaler.transform(pdf[features].to_numpy(dtype=float))
-    pdf["anomaly_score"] = forest.score_samples(X).round(6)
-    pdf["anomaly_flag"] = forest.predict_flags(X)
     schema = T.StructType(
         gold.schema.fields
         + [
@@ -58,6 +54,14 @@ def score_driver_side(
             T.StructField("anomaly_flag", T.IntegerType()),
         ]
     )
+    if pdf.empty:
+        # no gold rows => nothing to fit; a typed empty frame keeps the
+        # scored-table contract instead of an IndexError inside the fit
+        return spark.createDataFrame([], schema=schema)
+    scaler, forest = train_on_matrix(pdf[features].to_numpy(dtype=float))
+    X = scaler.transform(pdf[features].to_numpy(dtype=float))
+    pdf["anomaly_score"] = forest.score_samples(X).round(6)
+    pdf["anomaly_flag"] = forest.predict_flags(X)
     return spark.createDataFrame(pdf, schema=schema)
 
 

@@ -147,11 +147,16 @@ def delta_interop_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         UNION ALL SELECT 2, * FROM v2
         UNION ALL SELECT 3, * FROM v3
     )
-    SELECT CAST(version AS INT) AS version,
-           CAST(COUNT(*) AS BIGINT) AS n_rows,
-           CAST(SUM(cents) AS BIGINT) AS sum_cents,
-           CAST(SUM(o_orderkey) AS BIGINT) AS sum_keys
-    FROM labeled GROUP BY version ORDER BY version
+    -- version spine, not GROUP BY over the population: all four versions
+    -- EXIST even when a version (or the whole corpus) is empty, exactly as
+    -- the Spark side's per-version aggregates report them
+    SELECT CAST(v.version AS INT) AS version,
+           CAST(COUNT(l.o_orderkey) AS BIGINT) AS n_rows,
+           CAST(SUM(l.cents) AS BIGINT) AS sum_cents,
+           CAST(SUM(l.o_orderkey) AS BIGINT) AS sum_keys
+    FROM (VALUES (0), (1), (2), (3)) v(version)
+    LEFT JOIN labeled l ON l.version = v.version
+    GROUP BY v.version ORDER BY v.version
     """,
 )
 def tablog_lifecycle_report(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -62,30 +62,50 @@ def anomaly_daily_certified(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     expected = F.floor(F.lit(0.05) * (F.col("n") - 1)) + 1
-    return (
+    # an agg (not a groupBy over the scored rows) so an EMPTY gold still
+    # yields the one certificate row — vacuous truths, matching the oracle's
+    # plain SELECT over zero events
+    ties = (
         scored.select("anomaly_score")
-        .crossJoin(F.broadcast(s1))
-        .groupBy("n", "nf", "flags_ok", "min_f", "max_u", "scores_finite_ok")
-        .agg(F.sum((score == F.col("min_f")).cast("long")).alias("__ties"))
-        .select(
-            F.col("n").alias("total_days"),
-            F.col("flags_ok"),
+        .crossJoin(F.broadcast(s1.select("min_f")))
+        .agg(
+            F.coalesce(
+                F.sum((score == F.col("min_f")).cast("long")), F.lit(0)
+            ).alias("__ties")
+        )
+    )
+    empty = F.col("n") == 0
+    return s1.crossJoin(F.broadcast(ties)).select(
+        F.col("n").alias("total_days"),
+        F.when(empty, 1).otherwise(F.col("flags_ok")).alias("flags_ok"),
+        F.when(
+            empty,
+            1,
+        )
+        .otherwise(
             (
                 (F.col("nf") >= expected)
                 & (F.col("nf") <= expected - 1 + F.col("__ties"))
-            )
-            .cast("int")
-            .alias("n_flagged_ok"),
-            # flags are a top set. Flags were computed from RAW scores but
-            # anomaly_score is 6dp-rounded; rounding is monotone, so a
-            # rounding collision can make min_f == max_u but never invert
-            # them — compare with >= (catches genuine inversions > 1e-6,
-            # never false-fails on a collision)
+            ).cast("int")
+        )
+        .alias("n_flagged_ok"),
+        # flags are a top set. Flags were computed from RAW scores but
+        # anomaly_score is 6dp-rounded; rounding is monotone, so a
+        # rounding collision can make min_f == max_u but never invert
+        # them — compare with >= (catches genuine inversions > 1e-6,
+        # never false-fails on a collision)
+        F.when(
+            empty,
+            1,
+        )
+        .otherwise(
             (F.col("max_u").isNull() | (F.col("min_f") >= F.col("max_u")))
             .cast("int")
-            .alias("topset_ok"),
-            F.col("scores_finite_ok"),
         )
+        .alias("topset_ok"),
+        F.when(empty, 1).otherwise(F.col("scores_finite_ok")).alias(
+            "scores_finite_ok"
+        ),
     )
 
 

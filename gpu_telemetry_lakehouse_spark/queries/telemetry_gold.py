@@ -44,7 +44,7 @@ _STRIDE = 3607  # prime stride spreading same-date orders across the span
 # ``sim_jobs`` below. DuckDB make_timestamp(micros) == Spark
 # timestamp_seconds(s) at session-UTC for naive timestamps.
 JOBS_SQL = f"""
-    nu AS (SELECT MAX(user_id) + 1 AS n_users FROM events),
+    nu AS (SELECT COALESCE(MAX(user_id) + 1, 1) AS n_users FROM events),
     jobs AS (
         SELECT o_orderkey AS job_id,
                o_custkey % n_users AS user_id,
@@ -85,7 +85,10 @@ def _n_users(spark: SparkSession, sf_dir: str) -> int:
     blocking driver action on every query construction."""
     if sf_dir not in _N_USERS_MEMO:
         ev = load_table(spark, sf_dir, "events")
-        _N_USERS_MEMO[sf_dir] = ev.agg(F.max("user_id")).first()[0] + 1
+        m = ev.agg(F.max("user_id")).first()[0]
+        # empty telemetry => a 1-user domain (mirrors the oracle's
+        # COALESCE(MAX+1, 1)), never None+1 / a modulo-by-zero downstream
+        _N_USERS_MEMO[sf_dir] = (m + 1) if m is not None else 1
     return _N_USERS_MEMO[sf_dir]
 
 

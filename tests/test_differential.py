@@ -482,3 +482,83 @@ def test_t_closeness_single_class(spark, single_class_customers_dir):
         spark, single_class_customers_dir
     ).collect()[0]
     assert row["n_classes"] == 1 and row["t_max"] == 0.0
+
+
+# --- the all-empty corpus (round 7): zero-row tables, schemas preserved ------
+# The remaining classic degenerate class after the one-arm/sparse corpora:
+# fitted operators must return a typed empty frame (or a diagnosable typed
+# error), aggregation contracts must emit their vacuous-truth row, and both
+# engines must agree — not crash in numpy or return undefined NULL shapes.
+
+
+@pytest.fixture(scope="module")
+def empty_corpus_dir(tmp_path_factory):
+    import duckdb
+
+    src = "/root/testdata/sf0.001"
+    d = tmp_path_factory.mktemp("empty_sf")
+    con = duckdb.connect()
+    for t in ("region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events", "documents", "embeddings"):
+        con.sql(
+            f"COPY (SELECT * FROM '{src}/{t}.parquet' LIMIT 0)"
+            f" TO '{d}/{t}.parquet' (FORMAT PARQUET)"
+        )
+    con.close()
+    return str(d)
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "gold_daily_util",
+        "agg_summary",            # ungrouped agg: 1 vacuous row both engines
+        "tpch_q1",
+        "gold_job_efficiency_daily",  # was: None+1 TypeError in _n_users
+        "anomaly_daily_certified",    # was: numpy IndexError in the fit;
+                                      # now the vacuous-truth certificate row
+        "tablog_lifecycle_report",    # 4 empty versions exist on both sides
+        "jackknife_day_ratio",
+        "cmh_stratified_readout",
+        "kendall_tau_daily",
+        "t_closeness_customers",
+        "freshness_lag_report",
+    ],
+)
+def test_empty_corpus_matches_oracle(spark, empty_corpus_dir, name):
+    compare(spark, name, empty_corpus_dir)
+
+
+def test_empty_corpus_semantics(spark, empty_corpus_dir):
+    from gpu_telemetry_lakehouse_spark.queries import QUERIES
+
+    # fitted scorer returns a TYPED empty frame, not an IndexError
+    scored = QUERIES["anomaly_daily"](spark, empty_corpus_dir)
+    assert scored.count() == 0
+    assert {"anomaly_score", "anomaly_flag"} <= set(scored.columns)
+
+    cert = QUERIES["anomaly_daily_certified"](spark, empty_corpus_dir).collect()
+    assert len(cert) == 1 and cert[0]["total_days"] == 0
+    assert cert[0]["flags_ok"] == 1  # vacuous truth, not NULL
+
+    # PQ codebook fitting on zero vectors fails LOUD with a typed,
+    # diagnosable error (the sklearn contract), never a silent empty answer
+    with pytest.raises(ValueError, match="sample vectors"):
+        QUERIES["knn_pq_adc_certified"](spark, empty_corpus_dir).collect()
+
+
+def test_empty_corpus_rollup_engine_divergence(spark, empty_corpus_dir):
+    """KNOWN engine-semantics difference, pinned so a silent change either
+    way is noticed: SQL-standard ROLLUP includes the () grouping set, so
+    DuckDB emits ONE grand-total row over an empty input; Spark's
+    rollup()/ROLLUP emits ZERO rows. On any non-empty input both agree
+    (the sf0.01 differential covers that); the empty limit diverges by
+    engine design, not by a bug in this repo's plans."""
+    from gpu_telemetry_lakehouse_spark.queries import ORACLE, QUERIES
+
+    from .oracle import duck_con
+
+    assert QUERIES["rollup_region_nation"](spark, empty_corpus_dir).count() == 0
+    con = duck_con(empty_corpus_dir)
+    assert len(con.sql(ORACLE["rollup_region_nation"]).fetchall()) == 1
+    con.close()
