@@ -146,9 +146,15 @@ def tdigest_fit(df: DataFrame, col: str, delta: int = 100):
 
 
 def tdigest_quantile(means, weights, q: float) -> float:
-    """Interpolated quantile from the centroid list (midpoint rule)."""
+    """Interpolated quantile from the centroid list (midpoint rule).
+
+    An EMPTY digest (zero observations) has no order statistics: returns
+    NaN — the defined no-data answer — rather than indexing into an empty
+    centroid array."""
     import numpy as np
 
+    if len(means) == 0:
+        return float("nan")
     n = weights.sum()
     target = q * n
     cum = np.cumsum(weights) - weights / 2.0

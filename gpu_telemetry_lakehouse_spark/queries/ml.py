@@ -144,6 +144,12 @@ def logreg_embedding_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..ml.native import fit_embedding_classifier, score_embedding_classifier
 
     emb = load_table(spark, sf_dir, "embeddings")
+    if emb.isEmpty():
+        # no vectors: nothing to fit — typed empty report, matching the
+        # oracle's zero groups (eager probe, consistent with the eager fit)
+        return spark.createDataFrame(
+            [], "split string, n bigint, quality_ok int"
+        )
     # deterministic 80/20 split on the hash of the id — reproducible across
     # runs and engines, no RNG state
     split = emb.withColumn("h", md5_int(F.col("vec_id").cast("string")) % 5)
@@ -202,6 +208,15 @@ def _als_flat_recs(spark: SparkSession, sf_dir: str):
         )
         .agg(F.count(F.lit(1)).cast("float").alias("rating"))
     )
+    if inter.isEmpty():
+        # zero interactions: nothing to factorize — a typed empty
+        # recommendation frame, not Spark ML's raw requirement failure.
+        # (The isEmpty probe is an eager action, consistent with the ALS
+        # fit below, which is itself eager at query construction.)
+        flat = spark.createDataFrame(
+            [], "custkey int, rec_rank int, partkey int, score double"
+        )
+        return inter, flat
     model = fit_implicit_als(inter)
     recs = model.recommendForAllUsers(5)
     flat = recs.select(
@@ -271,9 +286,15 @@ def als_recommend_parts_certified(spark: SparkSession, sf_dir: str) -> DataFrame
         per_user.join(sortflag, "custkey")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_users"),
-            F.min((F.col("__k") == 5).cast("int")).alias("k_ok"),
-            F.min("__sorted_ok").alias("sorted_ok"),
-            F.min("__known_ok").alias("items_known_ok"),
+            # vacuous truths when there are no users at all (empty corpus),
+            # matching the oracle's constant flags over zero joined rows
+            F.coalesce(
+                F.min((F.col("__k") == 5).cast("int")), F.lit(1)
+            ).alias("k_ok"),
+            F.coalesce(F.min("__sorted_ok"), F.lit(1)).alias("sorted_ok"),
+            F.coalesce(F.min("__known_ok"), F.lit(1)).alias(
+                "items_known_ok"
+            ),
         )
     )
 

@@ -703,8 +703,11 @@ def rolling_wau_dau(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT CAST((SELECT COUNT(*) FROM v) AS BIGINT) AS n_viewers,
            COUNT(*) AS n_converted,
-           ROUND(CAST(COUNT(*) AS DOUBLE)
-                 / CAST((SELECT COUNT(*) FROM v) AS DOUBLE), 6) AS conversion_rate,
+           -- zero viewers => rate undefined BY CONSTRUCTION on both engines
+           CASE WHEN (SELECT COUNT(*) FROM v) > 0 THEN
+             ROUND(CAST(COUNT(*) AS DOUBLE)
+                   / CAST((SELECT COUNT(*) FROM v) AS DOUBLE), 6)
+           END AS conversion_rate,
            ROUND(quantile_cont(conv_s, 0.5), 6) AS median_conv_s,
            ROUND(quantile_cont(conv_s, 0.9), 6) AS p90_conv_s,
            ROUND(CAST(SUM(conv_s) AS DOUBLE) / COUNT(*), 6) AS avg_conv_s
@@ -733,10 +736,13 @@ def funnel_conversion_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "n_viewers",
             "n_converted",
-            F.round(
-                F.col("n_converted").cast("double")
-                / F.col("n_viewers").cast("double"),
-                6,
+            F.when(
+                F.col("n_viewers") > 0,
+                F.round(
+                    F.col("n_converted").cast("double")
+                    / F.col("n_viewers").cast("double"),
+                    6,
+                ),
             ).alias("conversion_rate"),
             "median_conv_s",
             "p90_conv_s",

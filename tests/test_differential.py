@@ -523,6 +523,13 @@ def empty_corpus_dir(tmp_path_factory):
         "kendall_tau_daily",
         "t_closeness_customers",
         "freshness_lag_report",
+        "als_recommend_parts_certified",  # was: ALS 'No ratings' failure;
+                                          # now the vacuous-truth contract
+        "tdigest_value_quantiles_certified",  # was: IndexError in the
+                                              # empty digest; NaN estimates
+        "funnel_conversion_stats",    # was: ANSI 0/0 conversion rate
+        "logreg_embedding_eval",      # was: empty-summarizer failure;
+                                      # now a typed empty report
     ],
 )
 def test_empty_corpus_matches_oracle(spark, empty_corpus_dir, name):
