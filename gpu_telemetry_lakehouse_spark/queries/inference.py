@@ -294,8 +294,8 @@ def cuped_experiment_readout(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_type, CAST(n AS BIGINT) AS n,
            ROUND(mean_v, 6) AS mean_v,
            ROUND(sqrt(m2), 6) AS stddev_pop,
-           ROUND(m3 / (m2 * sqrt(m2)), 6) AS skewness,
-           ROUND(m4 / (m2 * m2) - 3.0, 6) AS excess_kurtosis
+           ROUND(m3 / NULLIF(m2 * sqrt(m2), 0), 6) AS skewness,
+           ROUND(m4 / NULLIF(m2 * m2, 0) - 3.0, 6) AS excess_kurtosis
     FROM c ORDER BY event_type
     """,
 )
@@ -329,8 +329,16 @@ def higher_moment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("long").alias("n"),
         F.round("mean_v", 6).alias("mean_v"),
         F.round(F.sqrt("m2"), 6).alias("stddev_pop"),
-        F.round(F.col("m3") / (F.col("m2") * F.sqrt("m2")), 6).alias("skewness"),
-        F.round(F.col("m4") / (F.col("m2") * F.col("m2")) - 3.0, 6).alias("excess_kurtosis"),
+        # NULLIF: a zero-variance group (single observation) has no defined
+        # shape moments — NULL on both engines, not an ANSI 0/0
+        F.round(
+            F.col("m3") / F.nullif(F.col("m2") * F.sqrt("m2"), F.lit(0.0)), 6
+        ).alias("skewness"),
+        F.round(
+            F.col("m4") / F.nullif(F.col("m2") * F.col("m2"), F.lit(0.0))
+            - 3.0,
+            6,
+        ).alias("excess_kurtosis"),
     ).orderBy("event_type")
 
 
@@ -567,7 +575,8 @@ def embedding_dim_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM c
     )
     SELECT n_pos, n_neg,
-           ROUND(CAST(num2 AS DOUBLE) / CAST(2 * n_pos * n_neg AS DOUBLE), 6)
+           ROUND(CAST(num2 AS DOUBLE)
+                 / CAST(NULLIF(2 * n_pos * n_neg, 0) AS DOUBLE), 6)
                AS auc
     FROM s
     """,
@@ -604,9 +613,13 @@ def roc_auc_price_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.select(
         "n_pos",
         "n_neg",
+        # one empty class => AUC undefined BY CONSTRUCTION on both engines
         F.round(
             F.col("num2").cast("double")
-            / (2 * F.col("n_pos") * F.col("n_neg")).cast("double"),
+            / F.nullif(
+                (2 * F.col("n_pos") * F.col("n_neg")).cast("double"),
+                F.lit(0.0),
+            ),
             6,
         ).alias("auc"),
     )
@@ -761,10 +774,12 @@ def ks_test_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT decile, n, pos,
            ROUND(CAST(pos AS DOUBLE) / CAST(n AS DOUBLE), 6) AS pos_rate,
-           ROUND(CAST(cum_pos AS DOUBLE) / CAST(tot_pos AS DOUBLE), 6)
+           ROUND(CAST(cum_pos AS DOUBLE)
+                 / CAST(NULLIF(tot_pos, 0) AS DOUBLE), 6)
                AS cum_capture,
            ROUND((CAST(cum_pos AS DOUBLE) / CAST(cum_n AS DOUBLE))
-                 / (CAST(tot_pos AS DOUBLE) / CAST(tot_n AS DOUBLE)), 6)
+                 / NULLIF(CAST(tot_pos AS DOUBLE) / CAST(tot_n AS DOUBLE), 0),
+                 6)
                AS cum_lift
     FROM c ORDER BY decile
     """,
@@ -824,12 +839,19 @@ def lift_gains_price_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("pos").cast("double") / F.col("n").cast("double"), 6).alias(
             "pos_rate"
         ),
+        # zero positives anywhere => capture/lift undefined BY CONSTRUCTION
         F.round(
-            F.col("cum_pos").cast("double") / F.col("tot_pos").cast("double"), 6
+            F.col("cum_pos").cast("double")
+            / F.nullif(F.col("tot_pos").cast("double"), F.lit(0.0)),
+            6,
         ).alias("cum_capture"),
         F.round(
             (F.col("cum_pos").cast("double") / F.col("cum_n").cast("double"))
-            / (F.col("tot_pos").cast("double") / F.col("tot_n").cast("double")),
+            / F.nullif(
+                F.col("tot_pos").cast("double")
+                / F.col("tot_n").cast("double"),
+                F.lit(0.0),
+            ),
             6,
         ).alias("cum_lift"),
     ).orderBy("decile")
@@ -1053,10 +1075,10 @@ def kaplan_meier_signup_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT n,
            ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
                   - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-                 / SQRT((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                 / NULLIF(SQRT((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
                          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
                         * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
-                           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+                           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 0), 6)
                AS rho_spearman
     FROM m
     """,
@@ -1102,11 +1124,16 @@ def spearman_price_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
     sxd, syd = F.col("sx").cast("double"), F.col("sy").cast("double")
     return m.select(
         "n",
+        # a constant series (all ranks tied, e.g. a single row) has zero
+        # rank variance: rho undefined BY CONSTRUCTION on both engines
         F.round(
             (nd * F.col("sxy").cast("double") - sxd * syd)
-            / F.sqrt(
-                (nd * F.col("sxx").cast("double") - sxd * sxd)
-                * (nd * F.col("syy").cast("double") - syd * syd)
+            / F.nullif(
+                F.sqrt(
+                    (nd * F.col("sxx").cast("double") - sxd * sxd)
+                    * (nd * F.col("syy").cast("double") - syd * syd)
+                ),
+                F.lit(0.0),
             ),
             6,
         ).alias("rho_spearman"),
@@ -1152,15 +1179,15 @@ def spearman_price_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT n AS n_fit,
                (100.0 * CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
                 - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-               / (100.0 * CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
-                  - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS slope100,
+               / NULLIF(100.0 * CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE), 0) AS slope100,
                (CAST(sy AS DOUBLE) / 100.0
                 - ((100.0 * CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
                     - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-                   / (100.0 * CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
-                      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+                   / NULLIF(100.0 * CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE), 0))
                   * (CAST(sx AS DOUBLE) / 100.0))
-               / CAST(n AS DOUBLE) AS intercept
+               / NULLIF(CAST(n AS DOUBLE), 0) AS intercept
         FROM fm
     ),
     calib AS (
@@ -1191,7 +1218,8 @@ def spearman_price_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
            FLOOR(f.slope100 * 1e6 + 0.5) / 1e6 AS slope,
            FLOOR(f.intercept * 1e6 + 0.5) / 1e6 AS intercept,
            CAST(q.qhat_s AS DOUBLE) / 100 AS qhat,
-           FLOOR(CAST(t.n_covered AS DOUBLE) / t.n_test * 1e6 + 0.5) / 1e6
+           FLOOR(CAST(t.n_covered AS DOUBLE) / NULLIF(t.n_test, 0) * 1e6
+                 + 0.5) / 1e6
                AS coverage
     FROM fit2 f, q, tst t
     """,
@@ -1228,13 +1256,17 @@ def conformal_interval_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     dsy = F.col("sy").cast("double")
     dsxx = F.col("sxx").cast("double")
     dsxy = F.col("sxy").cast("double")
-    slope = (F.lit(100.0) * dn * dsxy - dsx * dsy) / (
-        F.lit(100.0) * dn * dsxx - dsx * dsx
+    # NULLIF: an empty or x-constant fit split (degenerate tiny corpora)
+    # has no defined least-squares line — NULL on both engines
+    slope = (F.lit(100.0) * dn * dsxy - dsx * dsy) / F.nullif(
+        F.lit(100.0) * dn * dsxx - dsx * dsx, F.lit(0.0)
     )
     fit2 = fm.select(
         F.col("n").alias("n_fit"),
         slope.alias("slope100"),
-        ((dsy / 100.0 - slope * (dsx / 100.0)) / dn).alias("intercept"),
+        (
+            (dsy / 100.0 - slope * (dsx / 100.0)) / F.nullif(dn, F.lit(0.0))
+        ).alias("intercept"),
     ).localCheckpoint(eager=False)  # 1 row, three consumers: fit scan once
     resid_s = stage(
         F.abs(F.col("y") - (F.col("intercept") + F.col("slope100") * F.col("x"))),
@@ -1284,7 +1316,9 @@ def conformal_interval_price(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("qhat_s").cast("double") / 100).alias("qhat"),
             (
                 F.floor(
-                    F.col("n_covered").cast("double") / F.col("n_test") * 1e6
+                    F.col("n_covered").cast("double")
+                    / F.nullif(F.col("n_test").cast("double"), F.lit(0.0))
+                    * 1e6
                     + F.lit(0.5)
                 )
                 / 1e6

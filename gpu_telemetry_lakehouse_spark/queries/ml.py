@@ -990,8 +990,10 @@ def anomaly_daily_robust(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT f.fold,
                (100.0 * CAST(t.n - f.n AS DOUBLE) * CAST(t.sxy - f.sxy AS DOUBLE)
                 - CAST(t.sx - f.sx AS DOUBLE) * CAST(t.sy - f.sy AS DOUBLE))
-               / (100.0 * CAST(t.n - f.n AS DOUBLE) * CAST(t.sxx - f.sxx AS DOUBLE)
-                  - CAST(t.sx - f.sx AS DOUBLE) * CAST(t.sx - f.sx AS DOUBLE))
+               / NULLIF(100.0 * CAST(t.n - f.n AS DOUBLE)
+                        * CAST(t.sxx - f.sxx AS DOUBLE)
+                  - CAST(t.sx - f.sx AS DOUBLE) * CAST(t.sx - f.sx AS DOUBLE),
+                  0)
                    AS slope100,
                f.n AS n_test
         FROM fm f, tot t
@@ -1000,7 +1002,7 @@ def anomaly_daily_robust(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT fit.fold, fit.n_test, fit.slope100,
                (CAST(t.sy - f.sy AS DOUBLE) / 100.0
                 - fit.slope100 * (CAST(t.sx - f.sx AS DOUBLE) / 100.0))
-               / CAST(t.n - f.n AS DOUBLE) AS intercept
+               / NULLIF(CAST(t.n - f.n AS DOUBLE), 0) AS intercept
         FROM fit JOIN fm f ON f.fold = fit.fold CROSS JOIN tot t
     )
     SELECT f2.fold, f2.n_test,
@@ -1053,10 +1055,14 @@ def cv_regression_price_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
     # slope in staged units is (100*n*sxy - sx*sy) / (100*n*sxx - sx*sx).
     # Same literal association order as the oracle's fit CTE so IEEE products
     # match bit-for-bit.
-    slope = (F.lit(100.0) * dn * dsxy - dsx * dsy) / (
-        F.lit(100.0) * dn * dsxx - dsx * dsx
+    # NULLIF: a fold complement with no x-variance (or no rows at all —
+    # degenerate tiny corpora) has no defined least-squares line
+    slope = (F.lit(100.0) * dn * dsxy - dsx * dsy) / F.nullif(
+        F.lit(100.0) * dn * dsxx - dsx * dsx, F.lit(0.0)
     )
-    intercept = (dsy / 100.0 - slope * (dsx / 100.0)) / dn
+    intercept = (dsy / 100.0 - slope * (dsx / 100.0)) / F.nullif(
+        dn, F.lit(0.0)
+    )
     # Test MSE by MOMENT ALGEBRA over the fold's own staged sums — the r6
     # one-pass rewrite: sum((y - a - b*x)^2) expands to Syy - 2a*Sy - 2b*Sxy
     # + n*a^2 + 2ab*Sx + b^2*Sxx, all available from the single fold-moment

@@ -1361,7 +1361,7 @@ def gini_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
            ROUND(CAST(SUM(c) AS DOUBLE) / COUNT(*), 6) AS mean_rate,
            ROUND((CAST(SUM(c * c) AS DOUBLE)
                   - CAST(SUM(c) AS DOUBLE) * CAST(SUM(c) AS DOUBLE) / COUNT(*))
-                 / (COUNT(*) - 1)
+                 / NULLIF(COUNT(*) - 1, 0)
                  / (CAST(SUM(c) AS DOUBLE) / COUNT(*)), 6) AS fano
     FROM hourly GROUP BY 1
     """,
@@ -1375,7 +1375,10 @@ def fano_burstiness_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     sc = F.sum("c").cast("double")
     scc = F.sum(F.col("c") * F.col("c")).cast("double")
     mean = sc / n
-    var = (scc - sc * sc / n) / (n - 1)
+    # a single observed hour has no sample variance: NULL, not an ANSI 0/0
+    var = (scc - sc * sc / n) / F.nullif(
+        (n - 1).cast("double"), F.lit(0.0)
+    )
     return hourly.groupBy("event_type").agg(
         n.alias("n_hours"),
         F.round(mean, 6).alias("mean_rate"),

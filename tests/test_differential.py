@@ -569,3 +569,45 @@ def test_empty_corpus_rollup_engine_divergence(spark, empty_corpus_dir):
     con = duck_con(empty_corpus_dir)
     assert len(con.sql(ORACLE["rollup_region_nation"]).fetchall()) == 1
     con.close()
+
+
+# --- the single-row corpus (round 7): one row per table ----------------------
+# The n-1 / zero-variance denominator class: sample variance, rank
+# correlation, AUC with one empty class, least-squares on a single point —
+# each must yield a defined NULL on BOTH engines, never an ANSI 0/0.
+
+
+@pytest.fixture(scope="module")
+def one_row_corpus_dir(tmp_path_factory):
+    import duckdb
+
+    src = "/root/testdata/sf0.001"
+    d = tmp_path_factory.mktemp("onerow_sf")
+    con = duckdb.connect()
+    for t in ("region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events", "documents", "embeddings"):
+        con.sql(
+            f"COPY (SELECT * FROM '{src}/{t}.parquet' LIMIT 1)"
+            f" TO '{d}/{t}.parquet' (FORMAT PARQUET)"
+        )
+    con.close()
+    return str(d)
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "higher_moment_stats",       # zero-variance shape moments
+        "spearman_price_qty",        # zero rank variance
+        "roc_auc_price_returns",     # one empty class
+        "lift_gains_price_returns",  # zero total positives
+        "fano_burstiness_types",     # single hour: no sample variance
+        "cv_regression_price_qty",   # single-point least squares
+        "conformal_interval_price",  # empty/degenerate fit split
+        "jackknife_day_ratio",
+        "kendall_tau_daily",
+        "mann_kendall_daily",
+    ],
+)
+def test_one_row_corpus_matches_oracle(spark, one_row_corpus_dir, name):
+    compare(spark, name, one_row_corpus_dir)
