@@ -155,6 +155,13 @@ def logreg_embedding_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     split = emb.withColumn("h", md5_int(F.col("vec_id").cast("string")) % 5)
     train = split.filter(F.col("h") != 0)
     test = split.filter(F.col("h") == 0)
+    if train.isEmpty():
+        # non-empty table whose every id hashed into the test split: no
+        # model can exist — typed diagnosable error, not a JVM
+        # empty-summarizer failure (cheap probe: take(1) through a filter)
+        raise ValueError(
+            "logreg_embedding_eval: training split is empty"
+        )
     model = fit_embedding_classifier(train)
 
     def report(df: DataFrame, split_name: str, lo: float, hi: float) -> DataFrame:
@@ -176,10 +183,13 @@ def logreg_embedding_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     # train must beat 1.5x chance; test must sit below 0.5 (barely
-    # generalizing by construction — see the oracle comment)
+    # generalizing by construction — see the oracle comment). The n > 0
+    # filter drops an EMPTY split's vacuous agg row, matching the oracle's
+    # GROUP BY (which emits no group for an empty split).
     return (
         report(train, "train", 0.15, 1.0)
         .unionByName(report(test, "test", 0.0, 0.5))
+        .where(F.col("n") > 0)
         .orderBy("split")
     )
 
@@ -207,6 +217,10 @@ def _als_flat_recs(spark: SparkSession, sf_dir: str):
             F.col("l_partkey").cast("int").alias("item"),
         )
         .agg(F.count(F.lit(1)).cast("float").alias("rating"))
+        # materialize once: the isEmpty probe below AND the multi-pass ALS
+        # fit both read the interaction matrix — without this the probe
+        # re-runs the join+aggregation the fit then rebuilds from scratch
+        .localCheckpoint(eager=False)
     )
     if inter.isEmpty():
         # zero interactions: nothing to factorize — a typed empty

@@ -491,21 +491,29 @@ def test_t_closeness_single_class(spark, single_class_customers_dir):
 # engines must agree — not crash in numpy or return undefined NULL shapes.
 
 
-@pytest.fixture(scope="module")
-def empty_corpus_dir(tmp_path_factory):
+def _corpus_slice(tmp_path_factory, name: str, limit: int) -> str:
+    """Every catalog table truncated to ``limit`` rows, schemas preserved.
+    Iterates catalog.TABLES so a newly added table is covered automatically
+    instead of silently missing from the degenerate corpora."""
     import duckdb
 
+    from gpu_telemetry_lakehouse_spark.catalog import TABLES
+
     src = "/root/testdata/sf0.001"
-    d = tmp_path_factory.mktemp("empty_sf")
+    d = tmp_path_factory.mktemp(name)
     con = duckdb.connect()
-    for t in ("region", "nation", "customer", "supplier", "part", "orders",
-              "lineitem", "events", "documents", "embeddings"):
+    for t in TABLES:
         con.sql(
-            f"COPY (SELECT * FROM '{src}/{t}.parquet' LIMIT 0)"
+            f"COPY (SELECT * FROM '{src}/{t}.parquet' LIMIT {limit})"
             f" TO '{d}/{t}.parquet' (FORMAT PARQUET)"
         )
     con.close()
     return str(d)
+
+
+@pytest.fixture(scope="module")
+def empty_corpus_dir(tmp_path_factory):
+    return _corpus_slice(tmp_path_factory, "empty_sf", 0)
 
 
 @pytest.mark.parametrize(
@@ -579,19 +587,7 @@ def test_empty_corpus_rollup_engine_divergence(spark, empty_corpus_dir):
 
 @pytest.fixture(scope="module")
 def one_row_corpus_dir(tmp_path_factory):
-    import duckdb
-
-    src = "/root/testdata/sf0.001"
-    d = tmp_path_factory.mktemp("onerow_sf")
-    con = duckdb.connect()
-    for t in ("region", "nation", "customer", "supplier", "part", "orders",
-              "lineitem", "events", "documents", "embeddings"):
-        con.sql(
-            f"COPY (SELECT * FROM '{src}/{t}.parquet' LIMIT 1)"
-            f" TO '{d}/{t}.parquet' (FORMAT PARQUET)"
-        )
-    con.close()
-    return str(d)
+    return _corpus_slice(tmp_path_factory, "onerow_sf", 1)
 
 
 @pytest.mark.parametrize(
