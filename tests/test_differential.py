@@ -607,3 +607,55 @@ def one_row_corpus_dir(tmp_path_factory):
 )
 def test_one_row_corpus_matches_oracle(spark, one_row_corpus_dir, name):
     compare(spark, name, one_row_corpus_dir)
+
+
+@pytest.fixture(scope="module")
+def single_day_events_dir(tmp_path_factory):
+    """All events collapsed onto ONE day (intra-day times preserved): the
+    daily trend/lag/pairwise family sees an empty pair space and
+    zero-variance daily series — defined NULLs on both engines."""
+    import shutil
+
+    import duckdb
+
+    src = "/root/testdata/sf0.001"
+    d = tmp_path_factory.mktemp("oneday_sf")
+    for f in os.listdir(src):
+        shutil.copy(os.path.join(src, f), d / f)
+    con = duckdb.connect()
+    con.sql(
+        f"""
+        COPY (
+          SELECT event_id,
+                 TIMESTAMP '2024-01-15 00:00:00'
+                   + (ts - date_trunc('day', ts)) AS ts,
+                 user_id, event_type, value, props
+          FROM '{src}/events.parquet'
+        ) TO '{d}/events.parquet' (FORMAT PARQUET)
+        """
+    )
+    con.close()
+    return str(d)
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "theilsen_daily_trend",   # zero pairwise slopes
+        "mann_kendall_daily",     # single day: no pairs
+        "kendall_tau_daily",
+        "jackknife_day_ratio",    # events-based twin stays defined
+        "forecast_daily_events",  # zero-variance OLS on one day
+        "acf_daily_value",        # lag series empty
+        "ewma_recursive_daily",
+        "holt_linear_daily",
+        "isotonic_daily_value",
+        "cusum_change_point",
+        "weekday_seasonality",
+        "rolling_wau_dau",
+        "daily_new_vs_returning",
+        "gold_daily_util",
+    ],
+)
+def test_single_day_corpus_matches_oracle(spark, single_day_events_dir, name):
+    compare(spark, name, single_day_events_dir)
