@@ -659,3 +659,92 @@ def single_day_events_dir(tmp_path_factory):
 )
 def test_single_day_corpus_matches_oracle(spark, single_day_events_dir, name):
     compare(spark, name, single_day_events_dir)
+
+
+# --- unicode-hostile documents (round 7) -------------------------------------
+# Emoji (astral plane), CJK, RTL scripts, combining marks, zero-width
+# joiners, control-ish characters: the text family must stay crash-free and
+# engine-identical. The ONE known divergence is pinned below.
+
+_HOSTILE_TEXTS = [
+    "café naïve résumé coöperation",
+    "\U0001F600\U0001F680 emoji soup \U0001F4A9\U0001F3C6 end",
+    "東京都 北京市 漢字テスト",
+    "العربية mixed עברית rtl",
+    "tab\there newline\\n quote'quote double\"double",
+    "ÿþ latin1-ish €£¥ currency",
+    "zero​width‌joiners‍ here",
+]
+
+
+@pytest.fixture(scope="module")
+def unicode_docs_dir(tmp_path_factory):
+    import shutil
+
+    import duckdb
+
+    src = "/root/testdata/sf0.001"
+    d = tmp_path_factory.mktemp("unicode_sf")
+    for f in os.listdir(src):
+        shutil.copy(os.path.join(src, f), d / f)
+    rows = ",".join(
+        f"({9000001 + i}, '{t.replace(chr(39), chr(39) * 2)}', 'en', 'web',"
+        f" {len(t)})"
+        for i, t in enumerate(_HOSTILE_TEXTS)
+    )
+    con = duckdb.connect()
+    con.sql(
+        f"""
+        COPY (
+          SELECT * FROM '{src}/documents.parquet'
+          UNION ALL BY NAME
+          SELECT * FROM (VALUES {rows}) t(doc_id, text, lang, source, n_chars)
+        ) TO '{d}/documents.parquet' (FORMAT PARQUET)
+        """
+    )
+    con.close()
+    return str(d)
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "char_entropy_docs",
+        "doc_fingerprint",
+        "text_lang_id",
+        "text_stats",
+        "text_quality_score",
+        "text_token_count",
+        "mojibake_detect_report",
+        "dedup_exact_summary",
+        "dedup_simhash",
+        "pii_redaction_report",
+        "chunk_documents_overlap",
+        "doc_length_deciles",
+    ],
+)
+def test_unicode_corpus_matches_oracle(spark, unicode_docs_dir, name):
+    compare(spark, name, unicode_docs_dir)
+
+
+def test_turkish_dotted_i_engine_divergence(spark):
+    """KNOWN engine-semantics difference, pinned so a silent change either
+    way is noticed: lowercasing U+0130 (LATIN CAPITAL LETTER I WITH DOT
+    ABOVE) yields TWO codepoints on the JVM ('i' + U+0307 combining dot —
+    the Unicode SpecialCasing.txt mapping) but ONE in DuckDB ('i'). Any
+    query that case-folds text before counting or hashing characters
+    (char_entropy_docs, doc_fingerprint) legitimately differs on documents
+    containing İ; every other hostile-unicode class above is
+    engine-identical. Neither mapping is wrong — they implement different
+    published Unicode options."""
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    spark_len = (
+        spark.range(1)
+        .select(F.length(F.lower(F.lit("İstanbul"))).alias("n"))
+        .first()["n"]
+    )
+    duck_len = duckdb.sql("SELECT length(lower('İstanbul'))").fetchone()[0]
+    assert spark_len == 9 and duck_len == 8
