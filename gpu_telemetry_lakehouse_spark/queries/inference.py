@@ -661,11 +661,13 @@ def roc_auc_price_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM d
     )
     SELECT n1, n2,
-           ROUND(CAST(d_num AS DOUBLE) / CAST(n1 * n2 AS DOUBLE), 6) AS ks_d,
+           ROUND(CAST(d_num AS DOUBLE)
+                 / CAST(NULLIF(n1 * n2, 0) AS DOUBLE), 6) AS ks_d,
            v AS at_value,
            ROUND(SQRT(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
                       / CAST(n1 + n2 AS DOUBLE))
-                 * (CAST(d_num AS DOUBLE) / CAST(n1 * n2 AS DOUBLE)), 6)
+                 * (CAST(d_num AS DOUBLE)
+                    / CAST(NULLIF(n1 * n2, 0) AS DOUBLE)), 6)
                AS ks_lambda
     FROM r WHERE rn = 1
     """,
@@ -722,9 +724,11 @@ def ks_test_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rn",
         F.row_number().over(W.orderBy(F.col("d_num").desc(), F.col("v").asc())),
     ).filter(F.col("rn") == 1)
-    ks_d = F.col("d_num").cast("double") / (
-        F.col("n1") * F.col("n2")
-    ).cast("double")
+    # one sample empty (a corpus with only one of the two event types) =>
+    # the two-sample statistic is undefined BY CONSTRUCTION on both engines
+    ks_d = F.col("d_num").cast("double") / F.nullif(
+        (F.col("n1") * F.col("n2")).cast("double"), F.lit(0.0)
+    )
     return r.select(
         "n1",
         "n2",

@@ -748,3 +748,45 @@ def test_turkish_dotted_i_engine_divergence(spark):
     )
     duck_len = duckdb.sql("SELECT length(lower('İstanbul'))").fetchone()[0]
     assert spark_len == 9 and duck_len == 8
+
+
+@pytest.fixture(scope="module")
+def single_type_events_dir(tmp_path_factory):
+    """Every event the same type: two-sample and funnel-style queries see
+    one empty sample — defined NULLs on both engines, never an ANSI 0/0."""
+    import shutil
+
+    import duckdb
+
+    src = "/root/testdata/sf0.001"
+    d = tmp_path_factory.mktemp("onetype_sf")
+    for f in os.listdir(src):
+        shutil.copy(os.path.join(src, f), d / f)
+    con = duckdb.connect()
+    con.sql(
+        f"""
+        COPY (
+          SELECT event_id, ts, user_id, 'click' AS event_type, value, props
+          FROM '{src}/events.parquet'
+        ) TO '{d}/events.parquet' (FORMAT PARQUET)
+        """
+    )
+    con.close()
+    return str(d)
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "ks_test_click_purchase",   # empty purchase sample: KS NULL
+        "funnel_view_click_purchase",
+        "funnel_conversion_stats",  # zero viewers: rate NULL
+        "chi2_event_weekday",       # 1xC contingency
+        "event_transition_matrix",  # single self-transition state
+        "event_cooccurrence_lift",
+        "attribution_last_touch",
+        "top_event_paths",
+    ],
+)
+def test_single_type_corpus_matches_oracle(spark, single_type_events_dir, name):
+    compare(spark, name, single_type_events_dir)
