@@ -16,16 +16,24 @@ Implements the documented transaction-log protocol (delta.io PROTOCOL.md):
   each add's ``partitionValues``, deserialized per the protocol's string
   serialization against the table schema.
 
-Reader gating is strict by design: ``minReaderVersion`` <= 2 only, any
-``readerFeatures`` beyond what replay implements (deletion vectors, column
-mapping, v2 checkpoints) raises ``UnsupportedDeltaFeature``, and — because
-column mapping can be switched on at reader version 2 purely through table
-configuration — ``delta.columnMapping.mode != none`` in the resolved
-metaData raises too, rather than returning silently wrong (all-NULL) rows.
-A hole in the version sequence below the replay target (log cleanup
-without a covering checkpoint) fails loud instead of reconstructing a
-wrong partial snapshot. Same fail-loud contract tablog uses for pending
-DVs.
+Reader gating is strict by design: any ``readerFeatures`` beyond what
+replay implements (column mapping, v2 checkpoints, ...) raises
+``UnsupportedDeltaFeature``, and — because column mapping can be switched
+on at reader version 2 purely through table configuration —
+``delta.columnMapping.mode != none`` in the resolved metaData raises too,
+rather than returning silently wrong (all-NULL) rows. A hole in the
+version sequence below the replay target (log cleanup without a covering
+checkpoint) fails loud instead of reconstructing a wrong partial snapshot.
+
+DELETION VECTORS are implemented (reader version 3 + the
+``deletionVectors`` feature): each add's DV descriptor resolves through
+the public binary format (deletion_vectors.py — Z85, RoaringBitmapArray)
+to per-file row positions, and the scan anti-joins them away exactly like
+tablog's native ``delete_where_dv`` read path — positions ride a broadcast
+DataFrame keyed by (file, ``_metadata.row_index``). The resolved positions
+are driver-side metadata like the rest of replay, bounded by
+``_MAX_DV_ROWS`` (fail-loud above; the upgrade path is distributing the
+descriptor decode, not silently sampling).
 
 Scale shape: log replay is metadata work (KBs per version, checkpoint
 parquet pruned to the action columns before it crosses to the driver —
@@ -61,9 +69,15 @@ _CHECKPOINT_PART_RE = re.compile(
 _MAX_LITERAL_GROUPS = 64
 
 # Replay implements: plain add/remove actions, JSON schemaString metadata,
-# partitionValues reconstitution. Everything else must be absent or the
-# table is unreadable by this implementation.
-_SUPPORTED_READER_FEATURES = {"timestampNtz"}
+# partitionValues reconstitution, deletion vectors. Everything else must be
+# absent or the table is unreadable by this implementation.
+_SUPPORTED_READER_FEATURES = {"timestampNtz", "deletionVectors"}
+
+# Resolved DV row positions are driver-side replay metadata (like the live-
+# file dict): bound what crosses. 10M positions ~ hundreds of MB of tuples —
+# far beyond any GDPR-delete-shaped DV; a table carrying more deletions than
+# this should be compacted (or the decode distributed), not silently capped.
+_MAX_DV_ROWS = 10_000_000
 
 
 class UnsupportedDeltaFeature(RuntimeError):
@@ -125,13 +139,13 @@ def _checkpoint_before(path: str, version: int) -> tuple[int, list[str]] | None:
 
 def _check_protocol(action: dict) -> None:
     p = action["protocol"]
-    if p.get("minReaderVersion", 1) > 2 or set(
+    if p.get("minReaderVersion", 1) > 3 or set(
         p.get("readerFeatures") or []
     ) - _SUPPORTED_READER_FEATURES:
         raise UnsupportedDeltaFeature(
             f"requires reader version {p.get('minReaderVersion')} with "
             f"features {p.get('readerFeatures')}; replay implements plain "
-            "add/remove + partitionValues only"
+            "add/remove + partitionValues + deletion vectors only"
         )
 
 
@@ -143,9 +157,9 @@ def _fold(state: dict, action: dict) -> None:
     if "metaData" in action:
         state["meta"] = action["metaData"]
     if "add" in action:
+        # an add may carry a deletionVector descriptor; read_delta resolves
+        # it through deletion_vectors.read_dv_descriptor at scan time
         a = action["add"]
-        if a.get("deletionVector"):
-            raise UnsupportedDeltaFeature("add carries a deletion vector")
         state["files"][a["path"]] = a
     if "remove" in action:
         state["files"].pop(action["remove"]["path"], None)
@@ -194,9 +208,14 @@ def _replay(spark: SparkSession, path: str, version: int) -> dict:
             # a vacuumed/cleaned log without a covering checkpoint (or a
             # hole in the version sequence) cannot replay correctly —
             # fail loud instead of reconstructing a wrong partial snapshot
+            covered = (
+                "no checkpoint found"
+                if cp is None
+                else f"checkpoint covers up to {start - 1}"
+            )
             raise ValueError(
                 f"_delta_log gap: version {v} missing while replaying to "
-                f"{version} (checkpoint covers up to {start - 1})"
+                f"{version} ({covered})"
             )
         with open(entry) as fh:
             for line in fh:
@@ -227,15 +246,69 @@ def _partition_expr(value: str | None, field: T.StructField) -> F.Column:
     return F.lit(value).cast(field.dataType)
 
 
+def _decoded_path_expr(col: F.Column) -> F.Column:
+    """Scanned-file URI -> raw decoded path. ``input_file_name()`` /
+    ``_metadata.file_path`` yield URIs whose percent-encoding differs from
+    ``Path.as_uri()`` (Hadoop leaves ``=`` bare, pathlib encodes it), so
+    normalize to the raw path: strip the scheme and percent-decode, with
+    literal ``+`` protected first (``url_decode`` is form-decoding)."""
+    return F.url_decode(
+        F.regexp_replace(F.regexp_replace(col, "^file:(//)?", ""), r"\+", "%2B")
+    )
+
+
+def _dv_exclusions(spark: SparkSession, path: str, adds) -> DataFrame | None:
+    """Resolve every add's deletionVector descriptor to one exclusion
+    DataFrame of (__dv_file abs path, __dv_pos row index), or None when the
+    snapshot carries no DVs. Decoding is driver-side replay metadata,
+    bounded by _MAX_DV_ROWS (fail loud, never sample)."""
+    from urllib.parse import unquote
+
+    from .deletion_vectors import read_dv_descriptor
+
+    flat: list[tuple[str, int]] = []
+    for a in adds:
+        d = a.get("deletionVector")
+        if not d:
+            continue
+        abs_file = os.path.abspath(os.path.join(path, unquote(a["path"])))
+        ixs = read_dv_descriptor(path, d)
+        if len(flat) + len(ixs) > _MAX_DV_ROWS:
+            raise UnsupportedDeltaFeature(
+                f"snapshot carries more than {_MAX_DV_ROWS:,} deletion-vector "
+                "positions; compact the table (or distribute the DV decode) "
+                "instead of a driver-side exclusion list this large"
+            )
+        flat.extend((abs_file, ix) for ix in ixs)
+    if not flat:
+        return None
+    return spark.createDataFrame(
+        flat,
+        T.StructType(
+            [
+                T.StructField("__dv_file", T.StringType(), False),
+                T.StructField("__dv_pos", T.LongType(), False),
+            ]
+        ),
+    )
+
+
 def read_delta(
     spark: SparkSession, path: str, version: int | None = None
 ) -> DataFrame:
     """Read a Delta table snapshot (time travel via ``version``) as a
     DataFrame, reconstructing partition columns from the log."""
     versions = delta_versions(path)
-    if not versions:
-        raise ValueError(f"no _delta_log versions under {path}")
-    target = versions[-1] if version is None else version
+    if versions:
+        target = versions[-1] if version is None else version
+    else:
+        # Protocol-legal checkpoint-only log: retention may have expired
+        # every commit json at or before a checkpoint at the latest version;
+        # the newest complete checkpoint fully serves that snapshot.
+        cp = _checkpoint_before(path, version if version is not None else (1 << 62))
+        if cp is None:
+            raise ValueError(f"no _delta_log versions under {path}")
+        target = cp[0] if version is None else version
     state = _replay(spark, path, target)
     meta = state["meta"]
     schema = T.StructType.fromJson(json.loads(meta["schemaString"]))
@@ -257,20 +330,33 @@ def read_delta(
         # PROTOCOL.md: add.path is URL-encoded relative to the table root
         groups.setdefault(key, []).append(os.path.join(path, unquote(a["path"])))
     by_name = {f.name: f for f in schema.fields}
+    dv_excl = _dv_exclusions(spark, path, state["files"].values())
 
     if len(groups) > _MAX_LITERAL_GROUPS:
         return _read_joined_partitions(
-            spark, groups, part_cols, data_schema, schema, by_name
+            spark, groups, part_cols, data_schema, schema, by_name, dv_excl
         )
 
     out = None
+    tags = ["__dv_file", "__dv_pos"] if dv_excl is not None else []
     # repr-keyed sort: partition values may be None (not orderable vs str)
     for key, paths in sorted(groups.items(), key=lambda kv: repr(kv[0])):
         df = spark.read.schema(data_schema).parquet(*sorted(paths))
+        if dv_excl is not None:
+            # tag at scan time — _metadata is only addressable on the scan
+            df = df.select(
+                "*",
+                _decoded_path_expr(F.col("_metadata.file_path")).alias("__dv_file"),
+                F.col("_metadata.row_index").alias("__dv_pos"),
+            )
         for c, v in zip(part_cols, key):
             df = df.withColumn(c, _partition_expr(v, by_name[c]))
-        df = df.select(*[f.name for f in schema.fields])
+        df = df.select(*[f.name for f in schema.fields], *tags)
         out = df if out is None else out.unionAll(df)
+    if dv_excl is not None:
+        out = out.join(
+            F.broadcast(dv_excl), ["__dv_file", "__dv_pos"], "left_anti"
+        ).drop(*tags)
     return out
 
 
@@ -281,6 +367,7 @@ def _read_joined_partitions(
     data_schema: T.StructType,
     schema: T.StructType,
     by_name: dict[str, T.StructField],
+    dv_excl: DataFrame | None = None,
 ) -> DataFrame:
     """High-cardinality partition layout: ONE scan of every live file, with
     partition values joined back from the log keyed by the scanned file's
@@ -305,25 +392,41 @@ def _read_joined_partitions(
     for key, paths in groups.items():
         for p in paths:
             all_paths.append(p)
-            mapping.append((os.path.abspath(p), *key))
+            mapping.append((os.path.abspath(p), True, *key))
     map_schema = T.StructType(
-        [T.StructField("__file_path", T.StringType(), False)]
+        [
+            T.StructField("__file_path", T.StringType(), False),
+            T.StructField("__pv_matched", T.BooleanType(), False),
+        ]
         + [T.StructField(c, T.StringType(), True) for c in part_cols]
     )
     lookup = spark.createDataFrame(mapping, map_schema)
-    decoded = F.url_decode(
-        F.regexp_replace(
-            F.regexp_replace(F.input_file_name(), "^file:(//)?", ""),
-            r"\+",
-            "%2B",
-        )
-    )
     df = (
         spark.read.schema(data_schema)
         .parquet(*sorted(all_paths))
-        .withColumn("__file_path", decoded)
-        .join(F.broadcast(lookup), "__file_path", "left")
+        .withColumn("__file_path", _decoded_path_expr(F.input_file_name()))
     )
+    if dv_excl is not None:
+        df = df.withColumn("__dv_pos", F.col("_metadata.row_index")).join(
+            F.broadcast(dv_excl.withColumnRenamed("__dv_file", "__file_path")),
+            ["__file_path", "__dv_pos"],
+            "left_anti",
+        ).drop("__dv_pos")
+    df = df.join(F.broadcast(lookup), "__file_path", "left")
+    # A normalization miss (non-file:// scheme, unexpected encoding) would
+    # otherwise surface as silently-NULL partition columns — the exact
+    # silent-wrong-rows failure this module's contract forbids. Fail loud
+    # per row through the first partition column's expression (an
+    # un-referenced check column would be pruned away by Catalyst).
+    guard = F.when(F.col("__pv_matched").isNotNull(), F.col(part_cols[0])).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("delta partition lookup missed scanned file: "),
+                F.col("__file_path"),
+            )
+        )
+    )
+    df = df.withColumn(part_cols[0], guard)
     # protocol string deserialization, same semantics as _partition_expr
     for c in part_cols:
         df = df.withColumn(c, F.col(c).cast(by_name[c].dataType))
@@ -457,6 +560,106 @@ def write_delta(
     return _write_version(
         df.sparkSession, df, path, partition_by, 0, df.schema, "WRITE"
     )
+
+
+def delete_where_delta(spark: SparkSession, path: str, predicate) -> int:
+    """DELETE via deletion vectors: mark matching rows deleted WITHOUT
+    rewriting any data file — the Delta-native sibling of tablog's
+    ``delete_where_dv``. Matching (file, row position) pairs come from one
+    scan with the parquet ``_metadata`` columns; each affected file's add is
+    re-logged with a ``deletionVector`` descriptor over the union of its
+    previous and new positions (the protocol replaces, never stacks, a
+    file's DV), serialized through the public binary format
+    (deletion_vectors.write_dv_file). The commit upgrades the protocol to
+    reader 3 / writer 7 with the deletionVectors feature, so conformant
+    Delta runtimes read the result; read_delta round-trips it.
+
+    Positions are collected to the driver (bounded by _MAX_DV_ROWS, fail
+    loud) — the GDPR-delete shape this operation exists for; a delete big
+    enough to breach the bound should be a rewrite (``delete_where``-style),
+    not a DV."""
+    from urllib.parse import unquote
+
+    from .deletion_vectors import read_dv_descriptor, write_dv_file
+
+    pred = F.expr(predicate) if isinstance(predicate, str) else predicate
+    versions = delta_versions(path)
+    if not versions:
+        raise ValueError(f"no Delta table at {path}")
+    state = _replay(spark, path, versions[-1])
+    meta = state["meta"]
+    schema = T.StructType.fromJson(json.loads(meta["schemaString"]))
+    part_cols = meta.get("partitionColumns") or []
+    data_schema = T.StructType(
+        [f for f in schema.fields if f.name not in part_cols]
+    )
+    by_name = {f.name: f for f in schema.fields}
+
+    # abs data path -> the add's log key, so scan hits map back to actions
+    by_abs: dict[str, str] = {
+        os.path.abspath(os.path.join(path, unquote(p))): p
+        for p in state["files"]
+    }
+    groups: dict[tuple, list[str]] = {}
+    for a in state["files"].values():
+        key = tuple((a.get("partitionValues") or {}).get(c) for c in part_cols)
+        groups.setdefault(key, []).append(os.path.join(path, unquote(a["path"])))
+
+    matched = None
+    for key, paths in sorted(groups.items(), key=lambda kv: repr(kv[0])):
+        df = spark.read.schema(data_schema).parquet(*sorted(paths)).select(
+            "*",
+            _decoded_path_expr(F.col("_metadata.file_path")).alias("__dv_file"),
+            F.col("_metadata.row_index").alias("__dv_pos"),
+        )
+        for c, v in zip(part_cols, key):
+            df = df.withColumn(c, _partition_expr(v, by_name[c]))
+        df = df.filter(pred).select("__dv_file", "__dv_pos")
+        matched = df if matched is None else matched.unionAll(df)
+    hits = matched.limit(_MAX_DV_ROWS + 1).collect()
+    if len(hits) > _MAX_DV_ROWS:
+        raise ValueError(
+            f"predicate deletes more than {_MAX_DV_ROWS:,} rows — use a "
+            "rewriting delete instead of a deletion vector"
+        )
+    new_by_file: dict[str, set[int]] = {}
+    for r in hits:  # index access: Row blocks dunder attribute lookups
+        new_by_file.setdefault(r["__dv_file"], set()).add(r["__dv_pos"])
+    if not new_by_file:
+        return versions[-1]  # nothing matched: no commit
+
+    actions: list[dict] = [
+        {
+            "protocol": {
+                "minReaderVersion": 3,
+                "minWriterVersion": 7,
+                "readerFeatures": ["deletionVectors"],
+                "writerFeatures": ["deletionVectors"],
+            }
+        }
+    ]
+    for abs_file, positions in sorted(new_by_file.items()):
+        log_path = by_abs.get(abs_file)
+        if log_path is None:
+            raise ValueError(f"scan produced a file replay never added: {abs_file}")
+        add = dict(state["files"][log_path])
+        prev = add.get("deletionVector")
+        if prev:
+            positions |= set(read_dv_descriptor(path, prev))
+        add["deletionVector"] = write_dv_file(path, sorted(positions))
+        add["dataChange"] = False  # same live rows' files; rows change via DV
+        actions.append({"remove": {"path": log_path, "dataChange": False}})
+        actions.append({"add": add})
+    actions.append(
+        {"commitInfo": {"operation": "DELETE", "mode": "deletionVector"}}
+    )
+    version = versions[-1] + 1
+    entry = os.path.join(_log_dir(path), f"{version:020d}.json")
+    fd = os.open(entry, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    with os.fdopen(fd, "w") as fh:
+        for a in actions:
+            fh.write(json.dumps(a) + "\n")
+    return version
 
 
 def append_delta(df: DataFrame, path: str) -> int:

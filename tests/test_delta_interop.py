@@ -173,25 +173,31 @@ def test_delta_checkpoint_replay(spark, delta_table):
 
 
 def test_delta_reader_gating(spark, tmp_path):
+    """Reader version 3 with ONLY implemented features (deletionVectors) now
+    reads; any unimplemented feature (v2Checkpoint, columnMapping) and any
+    reader version above 3 still fail loud."""
     t = str(tmp_path / "gated")
     _write_data(spark, t, "dt=2024-01-01/f0.parquet", [(1, 1.5)])
-    _commit(
-        t,
-        0,
-        [
-            {
-                "protocol": {
-                    "minReaderVersion": 3,
-                    "minWriterVersion": 7,
-                    "readerFeatures": ["deletionVectors"],
-                }
-            },
-            _meta(),
-            _add("dt=2024-01-01/f0.parquet", "2024-01-01"),
-        ],
-    )
-    with pytest.raises(DI.UnsupportedDeltaFeature):
-        DI.read_delta(spark, t)
+    proto_ok = {
+        "protocol": {
+            "minReaderVersion": 3,
+            "minWriterVersion": 7,
+            "readerFeatures": ["deletionVectors"],
+        }
+    }
+    _commit(t, 0, [proto_ok, _meta(), _add("dt=2024-01-01/f0.parquet", "2024-01-01")])
+    assert DI.read_delta(spark, t).count() == 1
+
+    for bad in (
+        {"minReaderVersion": 3, "readerFeatures": ["deletionVectors", "v2Checkpoint"]},
+        {"minReaderVersion": 3, "readerFeatures": ["columnMapping"]},
+        {"minReaderVersion": 4, "readerFeatures": []},
+    ):
+        t2 = str(tmp_path / f"gated_{bad.get('minReaderVersion')}_{len(bad['readerFeatures'])}")
+        _write_data(spark, t2, "dt=2024-01-01/f0.parquet", [(1, 1.5)])
+        _commit(t2, 0, [{"protocol": bad}, _meta(), _add("dt=2024-01-01/f0.parquet", "2024-01-01")])
+        with pytest.raises(DI.UnsupportedDeltaFeature):
+            DI.read_delta(spark, t2)
 
 
 def test_delta_history(spark, delta_table):
@@ -404,3 +410,168 @@ def test_delta_many_partitions_single_scan(spark, tmp_path):
     # one multi-path scan + broadcast join, never a partition-count union
     assert "Union" not in plan, plan[:2000]
     assert "FileScan parquet" in plan and "BroadcastHashJoin" in plan
+
+
+def test_deletion_vector_binary_roundtrip():
+    """deletion_vectors.py round-trips the public binary format across
+    container kinds (array, bitmap, multi-key, multi-bitmap/64-bit) and
+    both storage encodings (sidecar file descriptor, inline Z85)."""
+    import random
+
+    from gpu_telemetry_lakehouse_spark import deletion_vectors as dv
+
+    rnd = random.Random(42)
+    for n in (4, 16, 32):
+        b = bytes(rnd.randrange(256) for _ in range(n))
+        assert dv.z85_decode(dv.z85_encode(b)) == b
+    cases = [
+        [0],
+        [1, 5, 9],
+        list(range(7000)),  # bitmap container (cardinality > 4096)
+        sorted(rnd.sample(range(200_000), 5000)),  # multi-key arrays
+        sorted(rnd.sample(range(1 << 33), 3000)),  # spans two 32-bit bitmaps
+        [65535, 65536, (1 << 32) - 1, 1 << 32, (1 << 32) + 7],  # boundaries
+    ]
+    for ix in cases:
+        assert dv.parse_bitmap_array(dv.serialize_bitmap_array(ix)) == sorted(set(ix))
+
+
+def test_deletion_vector_descriptor_roundtrip(tmp_path):
+    import random
+
+    from gpu_telemetry_lakehouse_spark import deletion_vectors as dv
+
+    rnd = random.Random(7)
+    ix = sorted(rnd.sample(range(100_000), 1234))
+    desc = dv.write_dv_file(str(tmp_path), ix)
+    assert desc["storageType"] == "u" and desc["cardinality"] == len(ix)
+    assert dv.read_dv_descriptor(str(tmp_path), desc) == ix
+    # inline variant: pathOrInlineDv IS the Z85 of the bitmap bytes
+    data = dv.serialize_bitmap_array(ix)
+    pad = (-len(data)) % 4
+    inline = {
+        "storageType": "i",
+        "pathOrInlineDv": dv.z85_encode(data + b"\x00" * pad),
+        "sizeInBytes": len(data),
+        "cardinality": len(ix),
+    }
+    assert dv.read_dv_descriptor(str(tmp_path), inline) == ix
+    # corrupted checksum fails loud, never un-deletes rows silently
+    import os as _os
+    import struct
+
+    fname = [f for f in _os.listdir(tmp_path) if f.startswith("deletion_vector_")][0]
+    p = str(tmp_path / fname)
+    raw = bytearray(open(p, "rb").read())
+    raw[-1] ^= 0xFF
+    open(p, "wb").write(bytes(raw))
+    with pytest.raises(ValueError, match="checksum"):
+        dv.read_dv_descriptor(str(tmp_path), desc)
+
+
+def test_delta_deletion_vector_read(spark, tmp_path):
+    """A DV-bearing snapshot (VERDICT r7 #6): delete_where_delta attaches
+    protocol-conformant deletionVector descriptors; read_delta anti-joins
+    the positions away on BOTH scan paths, and time travel to the pre-delete
+    version still sees every row."""
+    from pyspark.sql import functions as F
+
+    t = str(tmp_path / "dvtab")
+    df = spark.range(0, 100).select(
+        F.col("id").cast("int").alias("id"),
+        (F.col("id") % 3).cast("string").alias("grp"),
+        (F.col("id") * 1.5).alias("v"),
+    )
+    DI.write_delta(df, t, partition_by=["grp"])
+    v1 = DI.delete_where_delta(spark, t, "id % 10 = 0")
+    assert v1 == 1
+    d = DI.read_delta(spark, t)
+    assert d.count() == 90 and d.filter("id % 10 = 0").count() == 0
+    assert DI.read_delta(spark, t, version=0).count() == 100
+    # second delete UNIONS with the files' existing DVs (id=20 is already
+    # gone: deleting it again must stay idempotent)
+    v2 = DI.delete_where_delta(spark, t, "id = 13 OR id = 20")
+    d2 = DI.read_delta(spark, t)
+    assert d2.count() == 89
+    assert sorted(r.id for r in d2.filter("id < 25").collect()) == [
+        1, 2, 3, 4, 5, 6, 7, 8, 9, 11, 12, 14, 15, 16, 17, 18, 19, 21, 22, 23, 24,
+    ]
+    # zero-match predicate: no commit minted
+    assert DI.delete_where_delta(spark, t, "id = -1") == v2
+    # the upgraded protocol is what a conformant reader requires
+    log0 = DI.delta_history(t)
+    assert [e["version"] for e in log0] == [0, 1, 2]
+
+
+def test_delta_deletion_vector_joined_path(spark, tmp_path):
+    """DV anti-join on the >_MAX_LITERAL_GROUPS one-scan+broadcast path."""
+    from pyspark.sql import functions as F
+
+    t = str(tmp_path / "dvmany")
+    n_groups = DI._MAX_LITERAL_GROUPS + 10
+    df = spark.range(0, 2 * n_groups).select(
+        F.col("id").cast("int").alias("id"),
+        (F.col("id") % n_groups).cast("string").alias("grp"),
+        F.lit(1.0).alias("v"),
+    )
+    DI.write_delta(df, t, partition_by=["grp"])
+    DI.delete_where_delta(spark, t, "id < 20")
+    d = DI.read_delta(spark, t)
+    assert d.count() == 2 * n_groups - 20 and d.filter("id < 20").count() == 0
+    plan = d._jdf.queryExecution().executedPlan().toString()
+    assert "Union" not in plan
+
+
+def test_delta_checkpoint_only_log(spark, delta_table):
+    """ADVICE r7: a protocol-legal checkpoint-only log (retention expired
+    every commit json at or before the checkpoint) must serve the snapshot
+    from the newest complete checkpoint instead of raising."""
+    before = _rows(DI.read_delta(spark, delta_table, version=1))
+    state_actions = [
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+        _meta(),
+        _add("dt=2024-01-01/f0.parquet", "2024-01-01"),
+        _add("dt=2024-01-02/f1.parquet", "2024-01-02"),
+        _add("dt=2024-01-01/f2.parquet", "2024-01-01"),
+    ]
+    log = os.path.join(delta_table, "_delta_log")
+    jl = os.path.join(delta_table, "cp_staging.jsonl")
+    build = os.path.join(delta_table, "cp_build")
+    with open(jl, "w") as fh:
+        for a in state_actions:
+            fh.write(json.dumps(a) + "\n")
+    spark.read.json(jl).coalesce(1).write.mode("overwrite").parquet(build)
+    part = [f for f in os.listdir(build) if f.endswith(".parquet")][0]
+    os.replace(
+        os.path.join(build, part),
+        os.path.join(log, f"{1:020d}.checkpoint.parquet"),
+    )
+    for v in (0, 1, 2):
+        os.remove(os.path.join(log, f"{v:020d}.json"))
+    assert _rows(DI.read_delta(spark, delta_table)) == before
+    # an explicit version NEWER than the checkpoint still fails loud: its
+    # commit json is genuinely gone
+    with pytest.raises(ValueError, match="gap"):
+        DI.read_delta(spark, delta_table, version=2)
+
+
+def test_delta_partition_lookup_miss_fails_loud(spark, tmp_path, monkeypatch):
+    """ADVICE r7: on the one-scan path, a file-path normalization miss must
+    raise, not return silently-NULL partition columns."""
+    from pyspark.sql import functions as F
+
+    t = str(tmp_path / "misstab")
+    n_groups = DI._MAX_LITERAL_GROUPS + 10
+    df = spark.range(0, n_groups).select(
+        F.col("id").cast("int").alias("id"),
+        F.col("id").cast("string").alias("grp"),
+        F.lit(1.0).alias("v"),
+    )
+    DI.write_delta(df, t, partition_by=["grp"])
+    assert DI.read_delta(spark, t).count() == n_groups  # healthy join
+    # simulate the miss: break the scan-side normalization
+    monkeypatch.setattr(
+        DI, "_decoded_path_expr", lambda col: F.lit("/nowhere/else.parquet")
+    )
+    with pytest.raises(Exception, match="partition lookup missed"):
+        DI.read_delta(spark, t).collect()
