@@ -84,6 +84,11 @@ def _sub_code_expr(vec: Column, book: list[list[float]], j: int, sub: int) -> Co
     """0-based nearest-centroid index for subspace ``j`` as one literal
     lambda: scores[k] = ||c_k||² − 2·v_sub·c_k (monotone in L2 distance);
     argmin via array_position of the min (first match -> lowest index)."""
+    from .similarity import require_finite_centroids
+
+    # NaN codebook entries poison every score (argmin over NaNs is
+    # meaningless) — same typed fail-loud as the IVF literal path
+    require_finite_centroids(book, what=f"codebooks[{j}]")
     lit_books = F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in book])
     s = F.slice(vec, j * sub + 1, sub).cast("array<double>")
     scores = F.transform(

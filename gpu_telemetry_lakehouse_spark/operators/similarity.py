@@ -69,6 +69,28 @@ def cosine_topk(
     )
 
 
+def require_finite_centroids(
+    centroids: list[list[float]], what: str = "centroids"
+) -> None:
+    """Typed fail-loud for the r8 NaN/Inf-embeddings degenerate class: a
+    non-finite fitted centroid means the corpus carries NaN/Inf embedding
+    components — every downstream assignment would be garbage (and the
+    string-literal plan form is not even parseable: repr(nan)+'D' reads as
+    a COLUMN named nanD). Raise the diagnosable ValueError at the single
+    point centroids become plan literals, which covers every fit path
+    (sampled driver k-means, distributed k-means, PQ codebooks)."""
+    import math
+
+    for ci, c in enumerate(centroids):
+        for x in c:
+            if not math.isfinite(x):
+                raise ValueError(
+                    f"{what}[{ci}] has a non-finite component ({x!r}): input "
+                    "embeddings carry NaN/Inf — filter non-finite vectors "
+                    "before fitting"
+                )
+
+
 def _centroid_dots(vec: Column, centroids: list[list[float]]) -> Column:
     """``array<double>`` of v·c_j for every centroid, as ONE transform over a
     literal ``array<array<double>>``. The naive form — k separate unrolled
@@ -79,6 +101,7 @@ def _centroid_dots(vec: Column, centroids: list[list[float]]) -> Column:
     cost of the IVF query at bench scale) without changing the arithmetic:
     same left-to-right fold per centroid, bit-identical doubles.
     """
+    require_finite_centroids(centroids)
     # ONE parsed SQL literal, not k*dim F.lit py4j calls: building the
     # nested array element-by-element costs ~0.5ms of py4j latency per
     # element (~1.1s for 8x256 centroids, measured) while parsing the

@@ -222,7 +222,7 @@ def token_freq_top(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM documents
     )
     SELECT content_hash, COUNT(*) AS group_size,
-           list_sort(list(doc_id)) AS doc_ids
+           array_to_string(list_sort(list(doc_id)), ',') AS doc_ids
     FROM h
     GROUP BY content_hash
     HAVING COUNT(*) > 1
@@ -231,12 +231,23 @@ def token_freq_top(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_groups_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    # doc_ids is a SCALAR join of the sorted member ids, not an array cell:
+    # the driver's canonicalizer cannot hash nested cells, and on clean
+    # corpora the >1 filter made the old array column VACUOUSLY green —
+    # the r8 duplicate-every-row corpus exposed it the moment real groups
+    # appeared (numeric sort first, then stringify, both engines).
+    members = F.array_join(
+        F.transform(
+            F.array_sort(F.collect_list("doc_id")), lambda x: x.cast("string")
+        ),
+        ",",
+    )
     return (
         docs.select("doc_id", F.md5(norm).alias("content_hash"))
         .groupBy("content_hash")
         .agg(
             F.count(F.lit(1)).alias("group_size"),
-            F.array_sort(F.collect_list("doc_id")).alias("doc_ids"),
+            members.alias("doc_ids"),
         )
         .filter(F.col("group_size") > 1)
     )

@@ -93,8 +93,27 @@ def udaf_weighted_avg_price(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     @pandas_udf("double")
     def w_avg(price: pd.Series, qty: pd.Series) -> float:
-        cents = price.mul(100).round().astype("int64")
-        q = qty.round().astype("int64")
+        import numpy as np
+
+        c0, q0 = price.mul(100).round(), qty.round()
+        # Domain guard (r8 extreme-magnitude corpus class): numpy's
+        # float->int64 astype and int64 products WRAP silently out of range
+        # — the one failure mode worse than crashing — while the DuckDB
+        # oracle's BIGINT cast refuses. Refuse identically, typed. The
+        # product bound is conservative (max|cents| * max|q| * n <= 2^62)
+        # so the in-domain fast path stays pure int64 vector math.
+        if not (np.isfinite(c0).all() and np.isfinite(q0).all()):
+            raise ValueError(
+                "w_avg: non-finite price/qty outside the cent-exact domain"
+            )
+        bound = float(c0.abs().max() or 0) * float(q0.abs().max() or 0) * len(q0)
+        if bound >= float(2**62):
+            raise ValueError(
+                "w_avg: cent-scaled products could exceed int64 — outside "
+                "the exact domain (clean extreme magnitudes first)"
+            )
+        cents = c0.astype("int64")
+        q = q0.astype("int64")
         return (int((cents * q).sum()) / int(q.sum())) / 100.0
 
     li = load_table(spark, sf_dir, "lineitem")

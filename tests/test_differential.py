@@ -790,3 +790,182 @@ def single_type_events_dir(tmp_path_factory):
 )
 def test_single_type_corpus_matches_oracle(spark, single_type_events_dir, name):
     compare(spark, name, single_type_events_dir)
+
+
+# --- round-8 degenerate classes (VERDICT r7 #4) -------------------------------
+# Four new adversarial corpora: duplicate-every-row (sampling/reservoir
+# family), extreme-magnitude numerics (+-1e308, subnormals through the
+# exact-decimal staging), NaN/Inf embedding vectors (ANN/k-means family),
+# and a multi-MB single document (posting/text family — swept separately,
+# tools/degen_sweep.py). Full 303-query sweep results in COVERAGE.md.
+
+
+@pytest.fixture(scope="module")
+def dup_all_rows_dir(tmp_path_factory):
+    """Every row of every table duplicated exactly once."""
+    import duckdb
+
+    from gpu_telemetry_lakehouse_spark.catalog import TABLES
+
+    src = "/root/testdata/sf0.001"
+    d = tmp_path_factory.mktemp("dup_all")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(
+            f"COPY (SELECT t.* FROM '{src}/{t}.parquet' t CROSS JOIN range(2) r)"
+            f" TO '{d}/{t}.parquet' (FORMAT PARQUET)"
+        )
+    con.close()
+    return str(d)
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        # the sampling/dedup family must stay deterministic and
+        # engine-identical when every row has an exact twin
+        "reservoir_sample_per_user",
+        "quota_sample_by_group",
+        "sample_exact_k",
+        "stratified_user_sample",
+        "weighted_sample_users",
+        "hash_sample_orders",
+        "train_val_test_split",
+        "dedup_exact_summary",
+        "dedup_groups_exact",
+        "constraint_unique_probe",  # duplicates are exactly what it reports
+        "heavy_hitter_users",
+        "content_checksum_orders",  # XOR cancels twin pairs; n_rows catches
+    ],
+)
+def test_dup_all_rows_matches_oracle(spark, dup_all_rows_dir, name):
+    compare(spark, name, dup_all_rows_dir)
+
+
+@pytest.fixture(scope="module")
+def extreme_values_dir(tmp_path_factory):
+    """+-1e308, the smallest subnormal, DBL_MIN-boundary and zero rotated
+    through events.value and lineitem.l_extendedprice."""
+    import duckdb
+
+    from gpu_telemetry_lakehouse_spark.catalog import TABLES
+
+    src = "/root/testdata/sf0.001"
+    d = tmp_path_factory.mktemp("extreme_vals")
+    con = duckdb.connect()
+    for t in TABLES:
+        if t == "events":
+            sql = f"""
+              SELECT event_id, ts, user_id, event_type,
+                     CASE event_id % 8
+                          WHEN 0 THEN 1e308 WHEN 1 THEN -1e308
+                          WHEN 2 THEN 5e-324 WHEN 3 THEN -2.2250738585072014e-308
+                          WHEN 4 THEN 0.0 WHEN 5 THEN NULL
+                          ELSE value END AS value,
+                     props
+              FROM '{src}/events.parquet'"""
+        elif t == "lineitem":
+            sql = f"""
+              SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity,
+                     CASE l_orderkey % 7 WHEN 0 THEN 1e308 WHEN 1 THEN 4.9e-324
+                          ELSE l_extendedprice END AS l_extendedprice,
+                     l_discount, l_tax, l_returnflag, l_linestatus, l_shipdate
+              FROM '{src}/lineitem.parquet'"""
+        else:
+            sql = f"SELECT * FROM '{src}/{t}.parquet'"
+        con.sql(f"COPY ({sql}) TO '{d}/{t}.parquet' (FORMAT PARQUET)")
+    con.close()
+    return str(d)
+
+
+@pytest.mark.parametrize("name", ["gold_daily_util", "tpch_q1", "agg_summary"])
+def test_extreme_values_both_engines_refuse(spark, extreme_values_dir, name):
+    """PINNED engine-parity fail-loud: the exact-decimal staging's domain is
+    |x| * 10^scale < 2^63 (functions.exact_sum). Outside it there is no
+    representable exact answer, and BOTH engines refuse — Spark with the
+    ANSI overflow (the reason ANSI mode is on: never a silent wraparound),
+    DuckDB with its BIGINT conversion error. A fix that silenced either
+    side (try_cast, ansi off) would trade a loud refusal for silently
+    dropped or wrapped values."""
+    import duckdb as _duck
+
+    from .oracle import duck_con
+
+    with pytest.raises(Exception, match="OVERFLOW|overflow"):
+        QUERIES[name](spark, extreme_values_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
+    con = duck_con(extreme_values_dir)
+    with pytest.raises(_duck.Error):
+        con.sql(ORACLE[name]).fetchall()
+    con.close()
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        # non-staged math over the same extremes must stay engine-identical:
+        # order statistics and plain IEEE arithmetic both define +-1e308
+        "mad_value_by_type",
+        "topk_orders",  # untouched-domain control
+        "casts_flags",
+        "constraint_null_probe",
+        "doc_length_deciles",
+    ],
+)
+def test_extreme_values_nonstaged_matches_oracle(spark, extreme_values_dir, name):
+    compare(spark, name, extreme_values_dir)
+
+
+@pytest.fixture(scope="module")
+def naninf_embeddings_dir(tmp_path_factory):
+    import duckdb
+
+    from gpu_telemetry_lakehouse_spark.catalog import TABLES
+
+    src = "/root/testdata/sf0.001"
+    d = tmp_path_factory.mktemp("naninf_emb")
+    con = duckdb.connect()
+    for t in TABLES:
+        if t == "embeddings":
+            sql = f"""
+              SELECT vec_id,
+                     CASE vec_id % 5
+                          WHEN 0 THEN list_transform(embedding, x -> CAST('nan' AS FLOAT))
+                          WHEN 1 THEN list_transform(embedding, x -> CAST('inf' AS FLOAT))
+                          WHEN 2 THEN list_transform(embedding, x -> CAST('-inf' AS FLOAT))
+                          WHEN 3 THEN [CAST('nan' AS FLOAT)] || embedding[2:]
+                          ELSE embedding END AS embedding,
+                     label
+              FROM '{src}/embeddings.parquet'"""
+        else:
+            sql = f"SELECT * FROM '{src}/{t}.parquet'"
+        con.sql(f"COPY ({sql}) TO '{d}/{t}.parquet' (FORMAT PARQUET)")
+    con.close()
+    return str(d)
+
+
+@pytest.mark.parametrize(
+    "name", ["knn_ivf", "knn_ivf_certified", "knn_ivfpq", "knn_ivfpq_certified"]
+)
+def test_naninf_embeddings_fail_loud_typed(spark, naninf_embeddings_dir, name):
+    """r8 defect class FIXED: NaN centroids used to reach the SQL-literal
+    plan form as an unparseable ``nanD`` token (an AnalysisException about a
+    phantom column). Now the single chokepoint where centroids become plan
+    literals raises the diagnosable ValueError every fit path shares."""
+    with pytest.raises(ValueError, match="non-finite"):
+        QUERIES[name](spark, naninf_embeddings_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
+
+
+def test_naninf_embeddings_udaf_guard(spark, extreme_values_dir):
+    """The cent-exact pandas UDAF refuses non-finite input with a typed
+    ValueError instead of pandas' IntCastingNaNError (and refuses the
+    silent-wrap int64 range numpy would otherwise allow)."""
+    from pyspark.errors import PythonException
+
+    with pytest.raises(PythonException, match="cent-exact|exact domain"):
+        QUERIES["udaf_weighted_avg_price"](spark, extreme_values_dir).write.format(
+            "noop"
+        ).mode("overwrite").save()

@@ -1,0 +1,62 @@
+#!/usr/bin/env python
+"""Adversarial-corpus sweep: run every registry query's Spark side against a
+degenerate corpus directory, classifying outcomes.
+
+The round-7 method (COVERAGE.md degenerate-corpus campaign): a typed
+ValueError/AssertionError with a diagnosable message is an acceptable
+fail-loud for fitted operators on impossible input; ANY other exception
+(ANSI DIVIDE_BY_ZERO, CAST_OVERFLOW, numpy crashes, py4j analysis errors)
+is a defect to fix or pin. Queries that run are exercised to completion
+through a noop sink, so executor-side failures surface too.
+
+Usage: python tools/degen_sweep.py <corpus_dir> [name_filter_substr]
+Prints one line per non-OK query and a final summary.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import traceback
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
+
+os.environ.setdefault("SPARK_GRAFT_SHUFFLE", "8")
+
+from gpu_telemetry_lakehouse_spark.queries import QUERIES  # noqa: E402
+from gpu_telemetry_lakehouse_spark.session import get_spark  # noqa: E402
+
+
+def main() -> None:
+    corpus = sys.argv[1]
+    filt = sys.argv[2] if len(sys.argv) > 2 else ""
+    spark = get_spark(app="degen-sweep")
+    ok, typed, defect = [], [], []
+    for name, fn in QUERIES.items():
+        if filt and filt not in name:
+            continue
+        if os.environ.get("DEGEN_VERBOSE"):
+            print(f"RUN    {name}", flush=True)
+        try:
+            fn(spark, corpus).write.format("noop").mode("overwrite").save()
+            ok.append(name)
+        except (ValueError, AssertionError) as e:
+            typed.append((name, f"{type(e).__name__}: {e}"))
+            print(f"TYPED  {name}: {type(e).__name__}: {str(e)[:140]}", flush=True)
+        except Exception as e:
+            msg = str(e).splitlines()[0][:200] if str(e) else repr(e)[:200]
+            defect.append((name, f"{type(e).__name__}: {msg}"))
+            print(f"DEFECT {name}: {type(e).__name__}: {msg}", flush=True)
+            if os.environ.get("DEGEN_TRACE"):
+                traceback.print_exc()
+    print(
+        f"\n== {os.path.basename(corpus)}: {len(ok)} ok, "
+        f"{len(typed)} typed fail-loud, {len(defect)} defects"
+    )
+    for name, m in defect:
+        print(f"  DEFECT {name}: {m}")
+
+
+if __name__ == "__main__":
+    main()
