@@ -740,25 +740,28 @@ def decontam_span_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     gate = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2) < "1a"
     bench, train = docs.filter(gate), docs.filter(~gate)
 
-    tk = tokens(F.col("text"))
-    n_gr = F.greatest(F.size(tk) - (DECON_N - 1), F.lit(0))
-    pos_grams = F.when(
-        n_gr >= 1,
-        F.transform(
-            F.sequence(F.lit(1), n_gr),
-            lambda i: F.struct(
-                md5_int(F.array_join(F.slice(tk, i, DECON_N), " ")).alias("g"),
-                i.alias("s"),
-            ),
-        ),
-    ).otherwise(F.array())
-    d = train.select("doc_id", F.size(tk).alias("n_tokens"), pos_grams.alias("pg"))
-    g = d.select("doc_id", F.explode("pg").alias("u")).select(
-        "doc_id", F.col("u.g").alias("g"), F.col("u.s").alias("s")
+    # Positional grams via shingles + posexplode, NOT slice-in-a-lambda:
+    # F.slice inside transform() re-materializes the backing array per
+    # element (O(tokens) per call -> O(tokens^2) per document), which the
+    # r8 mega-doc corpus exposed as a 25+ minute single-task stall on ONE
+    # 800k-token document. shingles() builds the gram array in O(n·N) via
+    # zip_with over N shifted slices, and posexplode carries the 1-based
+    # start position for free. The token array is also bound to a column
+    # first so the 4MB regex-split runs once per row.
+    tk = F.col("tk")
+    train_tk = train.select("doc_id", tokens(F.col("text")).alias("tk"))
+    d = train_tk.select(
+        "doc_id",
+        F.size(tk).alias("n_tokens"),
+        TXO.shingles(tk, DECON_N).alias("sh"),
     )
+    g = d.select(
+        "doc_id", F.posexplode("sh").alias("p", "gram")
+    ).select("doc_id", md5_int(F.col("gram")).alias("g"), (F.col("p") + 1).alias("s"))
     barr = F.array_distinct(F.transform(TXO.shingles(tk, DECON_N), md5_int))
     bg = (
-        bench.select(F.explode(barr).alias("g")).distinct()
+        bench.select(tokens(F.col("text")).alias("tk"))
+        .select(F.explode(barr).alias("g")).distinct()
         .withColumn("hit", F.lit(True))
     )
     flagged = (
