@@ -596,17 +596,33 @@ def segment_boilerplate_stats(
     only (hash, id, count) triples — payload width is constant no matter how
     large the documents are.
     """
-    tk = tokens(F.col(text_col))
+    # Segment structs WITHOUT F.slice inside the lambda: slice re-copies the
+    # backing array per evaluation (O(tokens) per segment -> O(tokens^2) per
+    # document; the r8 mega-doc corpus stalled a task 25+ minutes on one
+    # 800k-token document, same defect class as decontam_span_report).
+    # try_element_at is O(1) per access on a COLUMN-bound array (NULL past
+    # the end, covering the partial tail segment exactly like slice did),
+    # so each segment costs O(seg_len) and the document costs O(tokens).
+    tk = F.col("__tk")
     n_seg = F.ceil(F.size(tk) / F.lit(float(seg_len))).cast("int")
-    seg_structs = F.transform(
-        F.sequence(F.lit(0), n_seg - 1),
-        lambda i: F.struct(
-            md5_int(F.array_join(F.slice(tk, i * seg_len + 1, seg_len), " ")).alias("h"),
-            F.size(F.slice(tk, i * seg_len + 1, seg_len)).alias("c"),
-        ),
-    )
-    segs = df.select(F.col(id_col), F.explode(seg_structs).alias("g")).select(
-        id_col, F.col("g.h").alias("h"), F.col("g.c").alias("c")
+
+    def _seg(i):
+        elems = F.filter(
+            F.array(
+                *[F.try_element_at(tk, (i * seg_len + j + 1).cast("int")) for j in range(seg_len)]
+            ),
+            lambda x: x.isNotNull(),
+        )
+        return F.struct(
+            md5_int(F.array_join(elems, " ")).alias("h"),
+            F.size(elems).alias("c"),
+        )
+
+    seg_structs = F.transform(F.sequence(F.lit(0), n_seg - 1), _seg)
+    segs = (
+        df.select(F.col(id_col), tokens(F.col(text_col)).alias("__tk"))
+        .select(F.col(id_col), F.explode(seg_structs).alias("g"))
+        .select(id_col, F.col("g.h").alias("h"), F.col("g.c").alias("c"))
     )
     boiler = (
         segs.select(id_col, "h")

@@ -973,8 +973,13 @@ def multimodal_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 # F.aggregate fold and 5.1s for a distinct x filter HOF scan — Spark's
 # higher-order lambdas run interpreted, while this plan stays in
 # whole-stage codegen end-to-end. The ln-term staging follows the
-# source_token_kl idiom: round each k*ln(k) term to a 1e-12-scaled BIGINT
-# so the sum is partition-order-proof and engine-exact.
+# source_token_kl idiom: round each k*ln(k) term to a 1e-9-scaled BIGINT
+# so the sum is partition-order-proof and engine-exact. Scale 1e9, not
+# 1e12: k*ln(k)*1e12 overflows BIGINT at k ~ 7e5 — ONE character repeated
+# through a multi-MB document (the r8 mega-doc corpus hit it; a 4.8MB
+# single-char-dominated doc is normal web data). At 1e9 the domain is
+# ~4.5e8 chars per doc and the entropy error bound is <= D*5e-10/n,
+# invisible at the 6dp output rounding.
 # H = ln(n) - (sum k*ln(k))/n in nats.
 @query(
     "char_entropy_docs",
@@ -988,14 +993,14 @@ def multimodal_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
                    list_transform(
                        list_transform(list_distinct(ch),
                            u -> len(list_filter(ch, x -> x = u))),
-                       k -> CAST(FLOOR(k * ln(k) * 1e12 + 0.5) AS BIGINT)),
+                       k -> CAST(FLOOR(k * ln(k) * 1e9 + 0.5) AS BIGINT)),
                    'sum') AS s
         FROM c
     )
     SELECT doc_id, CAST(n AS BIGINT) AS n_chars_counted,
            CASE WHEN n = 0 THEN NULL
                 ELSE ROUND(ln(CAST(n AS DOUBLE))
-                           - (CAST(s AS DOUBLE) / 1e12) / n, 6) END
+                           - (CAST(s AS DOUBLE) / 1e9) / n, 6) END
                AS entropy_nats
     FROM t ORDER BY doc_id
     """,
@@ -1019,7 +1024,7 @@ def char_entropy_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cnt = ex.groupBy("doc_id", "is_null", "c").agg(F.count("c").alias("k"))
     term = F.floor(
-        F.col("k").cast("double") * F.log(F.col("k").cast("double")) * 1e12 + F.lit(0.5)).cast("long")
+        F.col("k").cast("double") * F.log(F.col("k").cast("double")) * 1e9 + F.lit(0.5)).cast("long")
     d = cnt.groupBy("doc_id", "is_null").agg(
         F.sum(F.when(F.col("k") > 0, term)).alias("s"),
         F.sum("k").alias("n"),
@@ -1033,7 +1038,7 @@ def char_entropy_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(n0.isNull() | (n0 == 0), F.lit(None).cast("double"))
         .otherwise(
             F.round(
-                F.log(n0.cast("double")) - (F.col("s").cast("double") / 1e12) / n0,
+                F.log(n0.cast("double")) - (F.col("s").cast("double") / 1e9) / n0,
                 6,
             )
         )
