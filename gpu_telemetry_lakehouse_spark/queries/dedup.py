@@ -869,19 +869,31 @@ def exact_substring_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spread_input(load_table(spark, sf_dir, "documents")).select(
         "doc_id", "text", "n_chars"
     )
-    n = F.length("text") - (SUBSTR_L - 1)
+    # Grams from a chars ARRAY with O(1) element_at, not F.substr(text, i):
+    # UTF8String.substring walks the string to find the codepoint offset —
+    # O(i) per position, O(len^2) per document — which the r8 mega-doc
+    # corpus (4.8M chars) exposed as an hours-scale single task. Splitting
+    # to chars once and concatenating SUBSTR_L O(1) accesses per position
+    # rebuilds the identical grams in O(len * SUBSTR_L) total.
+    ch = F.col("__ch")
+    n = F.size(ch) - (SUBSTR_L - 1)
+    gram = lambda i: md5_int(  # noqa: E731
+        F.concat(*[F.try_element_at(ch, (i + j).cast("int")) for j in range(SUBSTR_L)])
+    )
     pos_grams = F.when(
         n >= 1,
         F.transform(
             F.sequence(F.lit(1), n),
             lambda i: F.struct(
-                md5_int(F.substr(F.col("text"), i, F.lit(SUBSTR_L))).alias("gh"),
+                gram(i).alias("gh"),
                 i.cast("int").alias("pos"),
             ),
         ),
     ).otherwise(F.array())
-    grams = docs.select("doc_id", F.explode(pos_grams).alias("u")).select(
-        "doc_id", F.col("u.gh").alias("gh"), F.col("u.pos").alias("pos")
+    grams = (
+        docs.select("doc_id", F.split(F.col("text"), "").alias("__ch"))
+        .select("doc_id", F.explode(pos_grams).alias("u"))
+        .select("doc_id", F.col("u.gh").alias("gh"), F.col("u.pos").alias("pos"))
     )
     dup = grams.groupBy("gh").count().filter(F.col("count") > 1).select("gh")
     hits = grams.join(dup, "gh").select(
