@@ -113,9 +113,11 @@ def main() -> None:
     # costs at sf0.1; makespan scheduling (LPT) needs only a rough cost order
     # to kill the straggler tail.
     heavy = {
-        # re-measured serial costs at sf0.1 (36-query suite, round-7
-        # profile, serial 34.1s / duckdb 38.3s: kcore 3.2s alone at the
-        # top, the dedup composites 2.0-2.1s, then a broad 1.0-1.7s band)
+        # re-measured serial costs at sf0.1 (36-query suite, round-8
+        # profile, serial 30.6s / duckdb 30.3s: kcore 2.9s at the top,
+        # exact-substring 2.4s after its chars-array rewrite, shingle
+        # 2.1s, then a broad 1.0-1.5s band; sole_fault dropped 1.6->1.2
+        # with the Expand elimination)
         "kcore_peel_trace": 5,
         "dedup_shingle_jaccard": 4, "exact_substring_dup_spans": 4,
         "gold_job_efficiency_daily": 3, "sole_fault_suppliers": 3,
