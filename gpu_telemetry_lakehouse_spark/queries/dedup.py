@@ -869,29 +869,46 @@ def exact_substring_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spread_input(load_table(spark, sf_dir, "documents")).select(
         "doc_id", "text", "n_chars"
     )
-    # Grams from a chars ARRAY with O(1) element_at, not F.substr(text, i):
-    # UTF8String.substring walks the string to find the codepoint offset —
-    # O(i) per position, O(len^2) per document — which the r8 mega-doc
-    # corpus (4.8M chars) exposed as an hours-scale single task. Splitting
-    # to chars once and concatenating SUBSTR_L O(1) accesses per position
-    # rebuilds the identical grams in O(len * SUBSTR_L) total.
+    # Two size-gated gram builders, identical output:
+    # - small docs: F.substr(text, i, L) — ONE interpreted expression per
+    #   position; its O(i) codepoint walk (UTF8String.substring) is cheap
+    #   while i stays small;
+    # - large docs: a chars array split ONCE per row + SUBSTR_L O(1)
+    #   element accesses per position — linear in document length, where
+    #   the substr walk is O(len^2) (the r8 mega-doc corpus exposed one
+    #   4.8M-char document as an hours-scale single task; the array path
+    #   finishes it in 25s).
+    # The row-level gate keeps the common web-document case on the cheaper
+    # single-expression path (the array form measured +25% on 300-char
+    # docs at sf0.1) while bounding the worst case.
     ch = F.col("__ch")
-    n = F.size(ch) - (SUBSTR_L - 1)
-    gram = lambda i: md5_int(  # noqa: E731
+    gram_small = lambda i: md5_int(F.substr(F.col("text"), i, F.lit(SUBSTR_L)))  # noqa: E731
+    gram_large = lambda i: md5_int(  # noqa: E731
         F.concat(*[F.try_element_at(ch, (i + j).cast("int")) for j in range(SUBSTR_L)])
     )
-    pos_grams = F.when(
-        n >= 1,
-        F.transform(
+
+    def _pos_grams(gram, n):
+        return F.transform(
             F.sequence(F.lit(1), n),
-            lambda i: F.struct(
-                gram(i).alias("gh"),
-                i.cast("int").alias("pos"),
-            ),
-        ),
-    ).otherwise(F.array())
+            lambda i: F.struct(gram(i).alias("gh"), i.cast("int").alias("pos")),
+        )
+
+    small = F.length("text") <= 4096
+    n_small = F.length("text") - (SUBSTR_L - 1)
+    n_large = F.size(ch) - (SUBSTR_L - 1)
+    pos_grams = (
+        F.when(small & (n_small >= 1), _pos_grams(gram_small, n_small))
+        .when(~small & (n_large >= 1), _pos_grams(gram_large, n_large))
+        .otherwise(F.array())
+    )
     grams = (
-        docs.select("doc_id", F.split(F.col("text"), "").alias("__ch"))
+        docs.select(
+            "doc_id",
+            "text",
+            F.when(~small, F.split(F.col("text"), "")).otherwise(
+                F.array().cast("array<string>")
+            ).alias("__ch"),
+        )
         .select("doc_id", F.explode(pos_grams).alias("u"))
         .select("doc_id", F.col("u.gh").alias("gh"), F.col("u.pos").alias("pos"))
     )
