@@ -154,6 +154,9 @@ def _fold(state: dict, action: dict) -> None:
     an add of a path supersedes prior adds/removes of that path)."""
     if "protocol" in action:
         _check_protocol(action)
+        # last-wins, kept so writers can MERGE new features into the
+        # table's existing protocol instead of clobbering it
+        state["protocol"] = action["protocol"]
     if "metaData" in action:
         state["meta"] = action["metaData"]
     if "add" in action:
@@ -175,7 +178,7 @@ def _replay(spark: SparkSession, path: str, version: int) -> dict:
     ~10^7-file tables the upgrade path is a distributed fold (last-add-wins
     per path as a window over the checkpoint + tail) feeding the scan paths
     without a driver-side dict — see docs/PLANS.md."""
-    state: dict = {"files": {}, "meta": None}
+    state: dict = {"files": {}, "meta": None, "protocol": None}
     start = 0
     cp = _checkpoint_before(path, version)
     if cp is not None:
@@ -354,9 +357,29 @@ def read_delta(
         df = df.select(*[f.name for f in schema.fields], *tags)
         out = df if out is None else out.unionAll(df)
     if dv_excl is not None:
+        # Decode-integrity guard (review r8): a scan-side path-decode miss
+        # would make the anti-join match NOTHING and silently UN-DELETE
+        # rows — the joined-partitions path catches decode breakage via
+        # its __pv_matched raise, so give this path the same teeth: every
+        # scanned row's decoded path must hit the known file list.
+        known = spark.createDataFrame(
+            [(os.path.abspath(p),) for paths in groups.values() for p in paths],
+            T.StructType([T.StructField("__dv_file", T.StringType(), False)]),
+        ).withColumn("__scan_ok", F.lit(True))
+        out = out.join(F.broadcast(known), "__dv_file", "left").withColumn(
+            "__dv_pos",
+            F.when(F.col("__scan_ok").isNotNull(), F.col("__dv_pos")).otherwise(
+                F.raise_error(
+                    F.concat(
+                        F.lit("delta DV path decode missed scanned file: "),
+                        F.col("__dv_file"),
+                    )
+                )
+            ),
+        )
         out = out.join(
             F.broadcast(dv_excl), ["__dv_file", "__dv_pos"], "left_anti"
-        ).drop(*tags)
+        ).drop(*tags, "__scan_ok")
     return out
 
 
@@ -594,28 +617,63 @@ def delete_where_delta(spark: SparkSession, path: str, predicate) -> int:
         [f for f in schema.fields if f.name not in part_cols]
     )
     by_name = {f.name: f for f in schema.fields}
+    if not state["files"]:
+        return versions[-1]  # nothing live: nothing to delete, no commit
 
     # abs data path -> the add's log key, so scan hits map back to actions
     by_abs: dict[str, str] = {
         os.path.abspath(os.path.join(path, unquote(p))): p
         for p in state["files"]
     }
-    groups: dict[tuple, list[str]] = {}
-    for a in state["files"].values():
-        key = tuple((a.get("partitionValues") or {}).get(c) for c in part_cols)
-        groups.setdefault(key, []).append(os.path.join(path, unquote(a["path"])))
 
-    matched = None
-    for key, paths in sorted(groups.items(), key=lambda kv: repr(kv[0])):
-        df = spark.read.schema(data_schema).parquet(*sorted(paths)).select(
-            "*",
-            _decoded_path_expr(F.col("_metadata.file_path")).alias("__dv_file"),
-            F.col("_metadata.row_index").alias("__dv_pos"),
+    # Match with ONE scan of every live file (constant-size plan at any
+    # partition cardinality — the per-group literal form would build one
+    # union branch per partitionValues tuple, the analyzer blow-up
+    # _read_joined_partitions exists to avoid): partition values join back
+    # broadcast keyed by the decoded file path, and the __pv_matched guard
+    # makes any decode miss LOUD (a miss here would silently match zero
+    # rows of that file). Rows already dead under an existing DV are
+    # excluded BEFORE the predicate, so re-running a delete no-ops and the
+    # _MAX_DV_ROWS bound counts live matches only.
+    mapping = []
+    for p, a in state["files"].items():
+        pv = a.get("partitionValues") or {}
+        mapping.append(
+            (os.path.abspath(os.path.join(path, unquote(p))), True)
+            + tuple(pv.get(c) for c in part_cols)
         )
-        for c, v in zip(part_cols, key):
-            df = df.withColumn(c, _partition_expr(v, by_name[c]))
-        df = df.filter(pred).select("__dv_file", "__dv_pos")
-        matched = df if matched is None else matched.unionAll(df)
+    map_schema = T.StructType(
+        [
+            T.StructField("__dv_file", T.StringType(), False),
+            T.StructField("__pv_matched", T.BooleanType(), False),
+        ]
+        + [T.StructField(c, T.StringType(), True) for c in part_cols]
+    )
+    lookup = spark.createDataFrame(mapping, map_schema)
+    df = spark.read.schema(data_schema).parquet(
+        *sorted(by_abs)
+    ).select(
+        "*",
+        _decoded_path_expr(F.col("_metadata.file_path")).alias("__dv_file"),
+        F.col("_metadata.row_index").alias("__dv_pos"),
+    )
+    prev_excl = _dv_exclusions(spark, path, state["files"].values())
+    if prev_excl is not None:
+        df = df.join(F.broadcast(prev_excl), ["__dv_file", "__dv_pos"], "left_anti")
+    df = df.join(F.broadcast(lookup), "__dv_file", "left").withColumn(
+        "__dv_pos",
+        F.when(F.col("__pv_matched").isNotNull(), F.col("__dv_pos")).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit("delta delete scan missed file in lookup: "),
+                    F.col("__dv_file"),
+                )
+            )
+        ),
+    )
+    for c in part_cols:
+        df = df.withColumn(c, F.col(c).cast(by_name[c].dataType))
+    matched = df.filter(pred).select("__dv_file", "__dv_pos")
     hits = matched.limit(_MAX_DV_ROWS + 1).collect()
     if len(hits) > _MAX_DV_ROWS:
         raise ValueError(
@@ -628,13 +686,34 @@ def delete_where_delta(spark: SparkSession, path: str, predicate) -> int:
     if not new_by_file:
         return versions[-1]  # nothing matched: no commit
 
+    # MERGE the deletionVectors feature into the table's existing protocol
+    # (last-protocol-wins: a hardcoded action would silently DROP features
+    # the table already declares, e.g. timestampNtz or appendOnly). When
+    # upgrading a LEGACY writer version to table features (7), the features
+    # the legacy version implied must ride along or their enforcement is
+    # lost to conformant writers: minWriterVersion >= 2 implies appendOnly
+    # + invariants (PROTOCOL.md legacy mapping; higher legacy versions are
+    # gated out by _check_protocol before we ever get here). Reader-side
+    # the only legacy-implied capability (columnMapping at reader 2) is
+    # "supported", not enabled — and enabled column mapping is refused at
+    # replay — so no reader legacy feature is carried.
+    cur = state.get("protocol") or {"minReaderVersion": 1, "minWriterVersion": 2}
+    legacy_writer: set[str] = set()
+    if not cur.get("writerFeatures") and cur.get("minWriterVersion", 2) >= 2:
+        legacy_writer = {"appendOnly", "invariants"}
     actions: list[dict] = [
         {
             "protocol": {
-                "minReaderVersion": 3,
-                "minWriterVersion": 7,
-                "readerFeatures": ["deletionVectors"],
-                "writerFeatures": ["deletionVectors"],
+                "minReaderVersion": max(cur.get("minReaderVersion", 1), 3),
+                "minWriterVersion": max(cur.get("minWriterVersion", 2), 7),
+                "readerFeatures": sorted(
+                    set(cur.get("readerFeatures") or []) | {"deletionVectors"}
+                ),
+                "writerFeatures": sorted(
+                    set(cur.get("writerFeatures") or [])
+                    | legacy_writer
+                    | {"deletionVectors"}
+                ),
             }
         }
     ]
@@ -647,8 +726,11 @@ def delete_where_delta(spark: SparkSession, path: str, predicate) -> int:
         if prev:
             positions |= set(read_dv_descriptor(path, prev))
         add["deletionVector"] = write_dv_file(path, sorted(positions))
-        add["dataChange"] = False  # same live rows' files; rows change via DV
-        actions.append({"remove": {"path": log_path, "dataChange": False}})
+        # dataChange TRUE: a DV delete CHANGES the logical table contents —
+        # dataChange=false marks reorganization-only commits (compaction)
+        # that incremental consumers may legally skip (review r8).
+        add["dataChange"] = True
+        actions.append({"remove": {"path": log_path, "dataChange": True}})
         actions.append({"add": add})
     actions.append(
         {"commitInfo": {"operation": "DELETE", "mode": "deletionVector"}}

@@ -575,3 +575,94 @@ def test_delta_partition_lookup_miss_fails_loud(spark, tmp_path, monkeypatch):
     )
     with pytest.raises(Exception, match="partition lookup missed"):
         DI.read_delta(spark, t).collect()
+
+
+def test_delta_dv_delete_review_contracts(spark, tmp_path):
+    """r8 review findings pinned: dataChange=true on DV-delete actions
+    (incremental consumers must NOT skip the commit), protocol MERGE keeps
+    pre-existing features + legacy-implied writer features, re-running a
+    delete whose rows are already dead mints NO new version, and a table
+    whose snapshot has zero live files returns without a commit."""
+    from pyspark.sql import functions as F
+
+    t = str(tmp_path / "dvrev")
+    df = spark.range(0, 40).select(
+        F.col("id").cast("int").alias("id"),
+        (F.col("id") % 2).cast("string").alias("grp"),
+        F.lit(1.0).alias("v"),
+    )
+    DI.write_delta(df, t, partition_by=["grp"])
+    # declare an extra reader feature the reader supports (timestampNtz)
+    _commit(
+        t,
+        1,
+        [
+            {
+                "protocol": {
+                    "minReaderVersion": 3,
+                    "minWriterVersion": 7,
+                    "readerFeatures": ["timestampNtz"],
+                    "writerFeatures": ["appendOnly"],
+                }
+            },
+            {"commitInfo": {"operation": "UPGRADE"}},
+        ],
+    )
+    v = DI.delete_where_delta(spark, t, "id < 4")
+    assert v == 2
+    with open(os.path.join(t, "_delta_log", f"{v:020d}.json")) as fh:
+        acts = [json.loads(line) for line in fh if line.strip()]
+    proto = [a["protocol"] for a in acts if "protocol" in a][0]
+    assert "timestampNtz" in proto["readerFeatures"]  # merged, not clobbered
+    assert "deletionVectors" in proto["readerFeatures"]
+    assert {"appendOnly", "deletionVectors"} <= set(proto["writerFeatures"])
+    for a in acts:
+        if "add" in a:
+            assert a["add"]["dataChange"] is True
+        if "remove" in a:
+            assert a["remove"]["dataChange"] is True
+    assert DI.read_delta(spark, t).count() == 36
+    # re-delete of already-dead rows: no new version
+    assert DI.delete_where_delta(spark, t, "id < 4") == v
+    # partial overlap still unions correctly
+    v2 = DI.delete_where_delta(spark, t, "id < 6")
+    assert v2 == v + 1 and DI.read_delta(spark, t).count() == 34
+
+
+def test_delta_dv_delete_empty_snapshot_no_commit(spark, tmp_path):
+    t = str(tmp_path / "dvempty")
+    _write_data(spark, t, "dt=2024-01-01/f0.parquet", [(1, 1.5)])
+    _commit(
+        t,
+        0,
+        [
+            {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+            _meta(),
+            _add("dt=2024-01-01/f0.parquet", "2024-01-01"),
+        ],
+    )
+    _commit(
+        t, 1, [{"remove": {"path": "dt=2024-01-01/f0.parquet", "dataChange": True}}]
+    )
+    assert DI.delete_where_delta(spark, t, "id = 1") == 1  # no crash, no commit
+    assert DI.delta_history(t)[-1]["version"] == 1
+
+
+def test_delta_dv_delete_many_partitions_single_scan(spark, tmp_path):
+    """The delete matcher keeps a constant-size plan above the literal-
+    groups cap (one scan + broadcast partition lookup, not a union branch
+    per partition tuple) and the predicate may reference partition cols."""
+    from pyspark.sql import functions as F
+
+    t = str(tmp_path / "dvmanydel")
+    n_groups = DI._MAX_LITERAL_GROUPS + 12
+    df = spark.range(0, 2 * n_groups).select(
+        F.col("id").cast("int").alias("id"),
+        (F.col("id") % n_groups).cast("string").alias("grp"),
+        F.lit(1.0).alias("v"),
+    )
+    DI.write_delta(df, t, partition_by=["grp"])
+    DI.delete_where_delta(spark, t, "grp = '3' OR id = 10")
+    d = DI.read_delta(spark, t)
+    assert d.count() == 2 * n_groups - 3  # grp=3 has ids {3, 3+n}; id=10
+    assert d.filter("grp = '3'").count() == 0 and d.filter("id = 10").count() == 0
