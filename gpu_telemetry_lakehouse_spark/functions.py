@@ -63,6 +63,31 @@ def md5_int(col: ColumnOrName) -> Column:
     return F.conv(F.substring(F.md5(_c(col)), 1, 15), 16, 10).cast("long")
 
 
+def guarded_seq_end(
+    end_col: Column, n_steps: Column, limit: int, what: str
+) -> Column:
+    """Loud span guard for timestamp ``sequence`` explodes (r8 extreme-
+    timestamp corpus): a corrupt sentinel timestamp (epoch 0, 1900-01-01,
+    9999-12-31 — all common in real ingests) otherwise turns ONE row into
+    millions of exploded spine rows, a denial-of-service that grinds BOTH
+    engines rather than erroring. Returns ``end_col`` unchanged when the
+    span is sane and raises a diagnosable error per offending row
+    otherwise; the guard never fires on in-domain data, so oracle hashes
+    are unaffected."""
+    return F.when(n_steps <= F.lit(limit), end_col).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(f"{what}: interval spans "),
+                n_steps.cast("string"),
+                F.lit(
+                    f" steps > {limit} — corrupt sentinel timestamp "
+                    "(epoch 0 / 9999-12-31)? clean the interval bounds"
+                ),
+            )
+        )
+    )
+
+
 def tokens(col: ColumnOrName) -> Column:
     """Whitespace tokenization, identical to DuckDB
     ``regexp_split_to_array(trim(x), '\\s+')``."""

@@ -15,6 +15,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from . import functions as FN
 from .functions import exact_avg
 
 
@@ -201,12 +202,21 @@ def gold_job_efficiency_daily(
         )
         .filter(F.col("__start").isNotNull() & (F.col("__end") > F.col("__start")))
     )
+    # day span guarded at 100 years: a corrupt sentinel end timestamp
+    # (9999-12-31) would otherwise explode one job into millions of rows
+    _start_day = F.date_trunc("day", "__start")
+    _end_day = F.date_trunc("day", F.col("__end") - F.expr("INTERVAL 1 MICROSECOND"))
     days = jobs.withColumn(
         "dt",
         F.explode(
             F.sequence(
-                F.date_trunc("day", "__start"),
-                F.date_trunc("day", F.col("__end") - F.expr("INTERVAL 1 MICROSECOND")),
+                _start_day,
+                FN.guarded_seq_end(
+                    _end_day,
+                    F.datediff(_end_day, _start_day),
+                    36_500,
+                    "efficiency-mart job-day explode",
+                ),
                 F.expr("INTERVAL 1 DAY"),
             )
         ),
@@ -270,17 +280,24 @@ def gold_user_gpu_usage_daily(silver_jobs: DataFrame) -> DataFrame:
         # end<start rows that would SUBTRACT from the user's daily hours —
         # the same guard the efficiency mart applies.
     ).filter(F.col("__start").isNotNull() & (F.col("__end") >= F.col("__start")))
+    _u_start_day = F.date_trunc("day", "__start")
+    _u_end_day = F.date_trunc(
+        "day",
+        F.greatest(
+            F.col("__end") - F.expr("INTERVAL 1 MICROSECOND"),
+            F.col("__start"),
+        ),
+    )
     days = jobs.withColumn(
         "dt",
         F.explode(
             F.sequence(
-                F.date_trunc("day", "__start"),
-                F.date_trunc(
-                    "day",
-                    F.greatest(
-                        F.col("__end") - F.expr("INTERVAL 1 MICROSECOND"),
-                        F.col("__start"),
-                    ),
+                _u_start_day,
+                FN.guarded_seq_end(
+                    _u_end_day,
+                    F.datediff(_u_end_day, _u_start_day),
+                    36_500,
+                    "user-rollup job-day explode",
                 ),
                 F.expr("INTERVAL 1 DAY"),
             )

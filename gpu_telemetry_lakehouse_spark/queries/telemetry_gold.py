@@ -122,13 +122,24 @@ def sim_jobs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _job_days(jobs: DataFrame) -> DataFrame:
     """Explode each job interval into the days it overlaps, with the exact
-    per-day overlap seconds (half-open [start_ts, end_ts))."""
+    per-day overlap seconds (half-open [start_ts, end_ts)). The day span is
+    guarded at 100 years: a corrupt sentinel end_ts (9999-12-31) would
+    otherwise explode ONE job into 2.9M day rows (functions.guarded_seq_end)."""
+    from ..functions import guarded_seq_end
+
+    start_day = F.date_trunc("day", "start_ts")
+    end_day = F.date_trunc("day", F.col("end_ts") - F.expr("INTERVAL 1 MICROSECOND"))
     days = jobs.withColumn(
         "dt",
         F.explode(
             F.sequence(
-                F.date_trunc("day", "start_ts"),
-                F.date_trunc("day", F.col("end_ts") - F.expr("INTERVAL 1 MICROSECOND")),
+                start_day,
+                guarded_seq_end(
+                    end_day,
+                    F.datediff(end_day, start_day),
+                    36_500,
+                    "gold job-day explode",
+                ),
                 F.expr("INTERVAL 1 DAY"),
             )
         ),

@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
+from ..functions import guarded_seq_end
 from .registry import query
 
 
@@ -67,9 +68,17 @@ def gapfill_hourly_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounds = hourly.agg(
         F.min("hour_start").alias("mn"), F.max("hour_start").alias("mx")
     )
+    # hourly-spine span guarded at 20 years: a corrupt sentinel timestamp
+    # (epoch 0 / 9999-12-31) in ONE event would otherwise explode the spine
+    # to 70M+ rows (functions.guarded_seq_end, r8 extreme-timestamp corpus)
+    n_hours = (F.unix_timestamp("mx") - F.unix_timestamp("mn")) / 3600
     hours = bounds.select(
         F.explode(
-            F.sequence("mn", "mx", F.expr("INTERVAL 1 HOUR"))
+            F.sequence(
+                "mn",
+                guarded_seq_end(F.col("mx"), n_hours, 175_320, "hourly gapfill spine"),
+                F.expr("INTERVAL 1 HOUR"),
+            )
         ).alias("hour_start")
     )
     spine = hourly.select("event_type").distinct().crossJoin(F.broadcast(hours))
@@ -177,10 +186,18 @@ def gapfill_hourly_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounds = hourly.agg(
         F.min("hour_start").alias("mn"), F.max("hour_start").alias("mx")
     )
+    # hourly-spine span guarded at 20 years: a corrupt sentinel timestamp
+    # (epoch 0 / 9999-12-31) in ONE event would otherwise explode the spine
+    # to 70M+ rows (functions.guarded_seq_end, r8 extreme-timestamp corpus)
+    n_hours = (F.unix_timestamp("mx") - F.unix_timestamp("mn")) / 3600
     hours = bounds.select(
-        F.explode(F.sequence("mn", "mx", F.expr("INTERVAL 1 HOUR"))).alias(
-            "hour_start"
-        )
+        F.explode(
+            F.sequence(
+                "mn",
+                guarded_seq_end(F.col("mx"), n_hours, 175_320, "hourly gapfill spine"),
+                F.expr("INTERVAL 1 HOUR"),
+            )
+        ).alias("hour_start")
     )
     spine = hourly.select("event_type").distinct().crossJoin(F.broadcast(hours))
     j = spine.join(hourly, ["event_type", "hour_start"], "left").withColumn(

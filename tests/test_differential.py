@@ -1013,3 +1013,93 @@ def skew_user_dir(tmp_path_factory):
 )
 def test_skewed_user_corpus_matches_oracle(spark, skew_user_dir, name):
     compare(spark, name, skew_user_dir)
+
+
+@pytest.fixture(scope="module")
+def extreme_ts_dir(tmp_path_factory):
+    """Sentinel timestamps (epoch 0, 1900-01-01, 9999-12-31, the 2038
+    boundary) rotated through events.ts, orders.o_orderdate and
+    lineitem.l_shipdate — the corrupt-ingest shape every real lake sees."""
+    import duckdb
+
+    from gpu_telemetry_lakehouse_spark.catalog import TABLES
+
+    src = "/root/testdata/sf0.001"
+    d = tmp_path_factory.mktemp("extreme_ts")
+    con = duckdb.connect()
+    rewrites = {
+        "events": f"""
+          SELECT event_id,
+                 CASE event_id % 12
+                      WHEN 0 THEN TIMESTAMP '1970-01-01 00:00:00'
+                      WHEN 1 THEN TIMESTAMP '1900-01-01 00:00:00'
+                      WHEN 2 THEN TIMESTAMP '9999-12-31 23:59:59'
+                      WHEN 3 THEN TIMESTAMP '2038-01-19 03:14:08'
+                      ELSE ts END AS ts,
+                 user_id, event_type, value, props
+          FROM '{src}/events.parquet'""",
+        "orders": f"""
+          SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+                 CASE o_orderkey % 9
+                      WHEN 0 THEN TIMESTAMP '1970-01-01 00:00:00'
+                      WHEN 1 THEN TIMESTAMP '9999-12-30 00:00:00'
+                      ELSE o_orderdate END AS o_orderdate,
+                 o_orderpriority
+          FROM '{src}/orders.parquet'""",
+        "lineitem": f"""
+          SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity,
+                 l_extendedprice, l_discount, l_tax, l_returnflag,
+                 l_linestatus,
+                 CASE l_orderkey % 11
+                      WHEN 0 THEN TIMESTAMP '1970-01-01 00:00:00'
+                      WHEN 1 THEN TIMESTAMP '9999-12-31 00:00:00'
+                      ELSE l_shipdate END AS l_shipdate
+          FROM '{src}/lineitem.parquet'""",
+    }
+    for t in TABLES:
+        sql = rewrites.get(t, f"SELECT * FROM '{src}/{t}.parquet'")
+        con.sql(f"COPY ({sql}) TO '{d}/{t}.parquet' (FORMAT PARQUET)")
+    con.close()
+    return str(d)
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["medallion_end_to_end", "gapfill_hourly_locf", "gapfill_hourly_linear"],
+)
+def test_sentinel_timestamp_span_guard_fires(spark, extreme_ts_dir, name):
+    """r8 defect class FIXED: a corrupt sentinel end timestamp used to
+    explode ONE interval into millions of spine rows — a 12+ minute DoS on
+    both engines. functions.guarded_seq_end now refuses per offending row
+    with a diagnosable message, in under a second."""
+    with pytest.raises(Exception, match="corrupt sentinel timestamp"):
+        QUERIES[name](spark, extreme_ts_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
+
+
+def test_sentinel_timestamp_bounded_refusals(spark, extreme_ts_dir):
+    """Pinned loud refusals on the same corpus: the recursive month spine
+    hits Spark's RECURSION_LEVEL_LIMIT (1970->9999 is ~97k months — the
+    engine's own bounded-recursion guard, same posture as ours), and the
+    driver-side collect of year-9999 gold days refuses at the Arrow
+    nanosecond bound rather than silently wrapping."""
+    with pytest.raises(Exception, match="RECURSION_LEVEL_LIMIT"):
+        QUERIES["recursive_month_spine"](spark, extreme_ts_dir).write.format(
+            "noop"
+        ).mode("overwrite").save()
+    with pytest.raises(Exception, match="out of bounds timestamp"):
+        QUERIES["anomaly_daily"](spark, extreme_ts_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
+
+
+@pytest.mark.parametrize(
+    "name", ["priority_line_counts", "text_lang_id", "constraint_null_probe"]
+)
+def test_extreme_ts_nontemporal_outputs_match_oracle(spark, extreme_ts_dir, name):
+    """Queries whose OUTPUT carries no timestamp column stay hash-identical
+    over the sentinel-bearing inputs (the comparator itself cannot hold a
+    year-9999 timestamp — Arrow ns bound — so temporal outputs are pinned
+    via the refusal tests above instead)."""
+    compare(spark, name, extreme_ts_dir)

@@ -45,7 +45,16 @@ def main() -> None:
             typed.append((name, f"{type(e).__name__}: {e}"))
             print(f"TYPED  {name}: {type(e).__name__}: {str(e)[:140]}", flush=True)
         except Exception as e:
-            msg = str(e).splitlines()[0][:200] if str(e) else repr(e)[:200]
+            # engine-authored plan-side refusals (F.raise_error guards, e.g.
+            # the sentinel-timestamp span guard) are typed fail-louds too —
+            # they carry a diagnosable message by construction
+            if "USER_RAISED_EXCEPTION" in str(e):
+                msg = str(e).splitlines()[0][:160]
+                typed.append((name, msg))
+                print(f"TYPED  {name}: {msg}", flush=True)
+                continue
+            nonempty = [ln for ln in str(e).splitlines() if ln.strip()]
+            msg = nonempty[0][:200] if nonempty else repr(e)[:200]
             defect.append((name, f"{type(e).__name__}: {msg}"))
             print(f"DEFECT {name}: {type(e).__name__}: {msg}", flush=True)
             if os.environ.get("DEGEN_TRACE"):
