@@ -198,6 +198,19 @@ def read_dv_descriptor(table_root: str, dv: dict) -> list[int]:
     Fails loud on every malformed case (size/CRC/magic mismatch, unknown
     storageType) — a silently-wrong DV un-deletes rows."""
     storage = dv.get("storageType")
+    # Validate required descriptor fields up front with a diagnosis — a
+    # foreign writer omitting e.g. the nominally-optional ``offset`` would
+    # otherwise escape as a bare KeyError from a module whose contract is
+    # fail-loud-with-diagnosis (ADVICE r8).
+    required = ("pathOrInlineDv", "sizeInBytes") if storage == "i" else (
+        "pathOrInlineDv", "offset", "sizeInBytes"
+    )
+    missing = [k for k in required if dv.get(k) is None]
+    if storage in ("i", "u", "p") and missing:
+        raise ValueError(
+            f"DV descriptor (storageType={storage!r}) missing required "
+            f"field(s) {missing}: {sorted(dv)}"
+        )
     if storage == "i":
         data = z85_decode(dv["pathOrInlineDv"])[: dv["sizeInBytes"]]
         if len(data) != dv["sizeInBytes"]:

@@ -17,13 +17,17 @@ Implements the documented transaction-log protocol (delta.io PROTOCOL.md):
   serialization against the table schema.
 
 Reader gating is strict by design: any ``readerFeatures`` beyond what
-replay implements (column mapping, v2 checkpoints, ...) raises
-``UnsupportedDeltaFeature``, and — because column mapping can be switched
-on at reader version 2 purely through table configuration —
-``delta.columnMapping.mode != none`` in the resolved metaData raises too,
-rather than returning silently wrong (all-NULL) rows. A hole in the
-version sequence below the replay target (log cleanup without a covering
-checkpoint) fails loud instead of reconstructing a wrong partial snapshot.
+replay implements (v2 checkpoints, ...) raises ``UnsupportedDeltaFeature``.
+COLUMN MAPPING (name and id modes) is implemented: the physical parquet
+schema is derived from the logical schemaString's
+``delta.columnMapping.physicalName`` / ``.id`` field metadata, name mode
+resolves parquet columns by physical name, id mode by parquet field id
+(Spark's native ``parquet.field.id`` matching), partitionValues are looked
+up under their physical keys, and the scan renames back to logical names —
+so renamed/dropped-column estates read correctly instead of silently
+all-NULL. A hole in the version sequence below the replay target (log
+cleanup without a covering checkpoint) fails loud instead of
+reconstructing a wrong partial snapshot.
 
 DELETION VECTORS are implemented (reader version 3 + the
 ``deletionVectors`` feature): each add's DV descriptor resolves through
@@ -69,9 +73,10 @@ _CHECKPOINT_PART_RE = re.compile(
 _MAX_LITERAL_GROUPS = 64
 
 # Replay implements: plain add/remove actions, JSON schemaString metadata,
-# partitionValues reconstitution, deletion vectors. Everything else must be
-# absent or the table is unreadable by this implementation.
-_SUPPORTED_READER_FEATURES = {"timestampNtz", "deletionVectors"}
+# partitionValues reconstitution, deletion vectors, column mapping (name
+# and id modes). Everything else must be absent or the table is unreadable
+# by this implementation.
+_SUPPORTED_READER_FEATURES = {"timestampNtz", "deletionVectors", "columnMapping"}
 
 # Resolved DV row positions are driver-side replay metadata (like the live-
 # file dict): bound what crosses. 10M positions ~ hundreds of MB of tuples —
@@ -149,9 +154,31 @@ def _check_protocol(action: dict) -> None:
         )
 
 
+def _dv_uid(dv: dict | None) -> str:
+    """PROTOCOL.md logical-file key half: a DV's unique id is
+    ``storageType + pathOrInlineDv`` (plus ``@offset`` when present);
+    empty string for no DV — so un-DV'd adds/removes key by path alone,
+    exactly as legacy path-only writers expect."""
+    if not dv or not dv.get("storageType"):
+        return ""
+    uid = f"{dv['storageType']}{dv.get('pathOrInlineDv', '')}"
+    if dv.get("offset") is not None:
+        uid += f"@{dv['offset']}"
+    return uid
+
+
 def _fold(state: dict, action: dict) -> None:
-    """Apply one log action to the replay state (protocol reconciliation:
-    an add of a path supersedes prior adds/removes of that path)."""
+    """Apply one log action to the replay state.
+
+    PROTOCOL.md action reconciliation keys logical files by
+    ``(path, deletionVector uniqueId)`` — NOT by path alone. Path-only
+    keying (the pre-r9 behavior, ADVICE r8 medium) made replay of a
+    foreign commit that updates a file's DV — ``remove(path, oldDV)`` +
+    ``add(path, newDV)`` in one commit — intra-commit order-dependent:
+    serialized add-before-remove (an order the protocol does not
+    constrain), the remove popped the fresh add and the file silently
+    vanished from the snapshot. Keyed by (path, dvId) the two actions
+    commute, and a remove tombstones only its matching logical file."""
     if "protocol" in action:
         _check_protocol(action)
         # last-wins, kept so writers can MERGE new features into the
@@ -163,9 +190,10 @@ def _fold(state: dict, action: dict) -> None:
         # an add may carry a deletionVector descriptor; read_delta resolves
         # it through deletion_vectors.read_dv_descriptor at scan time
         a = action["add"]
-        state["files"][a["path"]] = a
+        state["files"][(a["path"], _dv_uid(a.get("deletionVector")))] = a
     if "remove" in action:
-        state["files"].pop(action["remove"]["path"], None)
+        r = action["remove"]
+        state["files"].pop((r["path"], _dv_uid(r.get("deletionVector"))), None)
 
 
 def _replay(spark: SparkSession, path: str, version: int) -> dict:
@@ -228,17 +256,143 @@ def _replay(spark: SparkSession, path: str, version: int) -> dict:
         raise ValueError(f"no metaData action in log up to version {version}")
     # Column mapping can be enabled at minReaderVersion=2 purely via table
     # configuration (it only surfaces in readerFeatures at version 3): such
-    # tables store physical col-<uuid> parquet names, so a name-based read
-    # would return all-NULL columns. Gate on the resolved metaData.
+    # tables store physical col-<uuid> parquet names, resolved by
+    # _column_mapping / _physical_read_schema at scan time. Gate only the
+    # modes the protocol does not define.
     mode = (state["meta"].get("configuration") or {}).get(
         "delta.columnMapping.mode", "none"
     )
-    if mode != "none":
+    if mode not in ("none", "name", "id"):
         raise UnsupportedDeltaFeature(
-            f"delta.columnMapping.mode={mode}: physical column names differ "
-            "from logical; name-based parquet reads would be silently wrong"
+            f"delta.columnMapping.mode={mode!r} is not a protocol mode "
+            "(none/name/id)"
         )
+    # Snapshot validation: with (path, dvId) keying a nonconformant writer
+    # (e.g. one that re-logs a DV'd add without removing the superseded
+    # (path, oldDV) logical file) can leave the SAME physical path live
+    # twice — a conformant scan would read the file twice and silently
+    # duplicate rows. Fail loud instead (delta-spark's state-reconstruction
+    # check does the same).
+    seen: dict[str, str] = {}
+    for p, uid in state["files"]:
+        if p in seen:
+            raise ValueError(
+                f"invalid Delta snapshot at version {version}: path {p!r} is "
+                f"live under two deletionVector ids ({seen[p]!r}, {uid!r}) — "
+                "the writer failed to remove the superseded logical file"
+            )
+        seen[p] = uid
     return state
+
+
+# --- column mapping (PROTOCOL.md "Column Mapping") --------------------------
+# With delta.columnMapping.mode=name|id the parquet files carry PHYSICAL
+# column names (field metadata delta.columnMapping.physicalName, typically
+# col-<uuid>); the logical names live only in the schemaString. name mode
+# resolves parquet columns by physical name; id mode resolves by parquet
+# field id (field metadata delta.columnMapping.id), which Spark's native
+# reader matches when the read schema carries parquet.field.id metadata and
+# spark.sql.parquet.fieldId.read.enabled is set. Renames/drops are thus
+# metadata-only — exactly why the feature exists.
+
+
+def _cm_mode(meta: dict) -> str:
+    return (meta.get("configuration") or {}).get("delta.columnMapping.mode", "none")
+
+
+def _physical_type(dt: T.DataType, mode: str) -> T.DataType:
+    """Recursively rewrite a logical type to its physical parquet shape
+    (column mapping applies to nested struct fields too)."""
+    if isinstance(dt, T.StructType):
+        return T.StructType([_physical_field(f, mode) for f in dt.fields])
+    if isinstance(dt, T.ArrayType):
+        return T.ArrayType(_physical_type(dt.elementType, mode), dt.containsNull)
+    if isinstance(dt, T.MapType):
+        return T.MapType(
+            _physical_type(dt.keyType, mode),
+            _physical_type(dt.valueType, mode),
+            dt.valueContainsNull,
+        )
+    return dt
+
+
+def _physical_field(f: T.StructField, mode: str) -> T.StructField:
+    md = f.metadata or {}
+    phys = md.get("delta.columnMapping.physicalName")
+    if phys is None:
+        raise UnsupportedDeltaFeature(
+            f"delta.columnMapping.mode={mode} but field {f.name!r} carries no "
+            "delta.columnMapping.physicalName metadata — the physical parquet "
+            "column cannot be resolved"
+        )
+    out_md = {}
+    if mode == "id":
+        fid = md.get("delta.columnMapping.id")
+        if fid is None:
+            raise UnsupportedDeltaFeature(
+                f"delta.columnMapping.mode=id but field {f.name!r} carries no "
+                "delta.columnMapping.id metadata"
+            )
+        # Spark's parquet reader matches by field id when the read schema
+        # carries this key (and the fieldId.read conf is on) — the protocol-
+        # correct resolution for id mode, where file column NAMES are
+        # not required to match physicalName.
+        out_md["parquet.field.id"] = int(fid)
+    return T.StructField(phys, _physical_type(f.dataType, mode), f.nullable, out_md)
+
+
+def _cm_read_plan(spark: SparkSession, meta: dict, data_fields: list[T.StructField]):
+    """Physical read schema + a post-scan rename-to-logical callback for the
+    table's column-mapping mode (identity when mode=none). partitionValues
+    keys follow the same mode (the protocol tracks them by physical name)."""
+    mode = _cm_mode(meta)
+    if mode == "none":
+        return T.StructType(data_fields), (lambda df: df)
+    if mode == "id":
+        # runtime-settable SQL conf; required for parquet.field.id matching
+        spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+    read_schema = T.StructType([_physical_field(f, mode) for f in data_fields])
+
+    def to_logical(df: DataFrame) -> DataFrame:
+        # positional struct cast renames nested fields back to logical;
+        # __-prefixed scan tags (__dv_file/__dv_pos/__file_path) pass through
+        tags = [c for c in df.columns if c.startswith("__")]
+        return df.select(
+            *[
+                F.col(f"`{rf.name}`").cast(f.dataType).alias(f.name)
+                for rf, f in zip(read_schema.fields, data_fields)
+            ],
+            *[F.col(c) for c in tags],
+        )
+
+    return read_schema, to_logical
+
+
+def _pv_key(meta: dict, schema: T.StructType) -> dict[str, str]:
+    """Partition column logical name -> the key under which its value is
+    tracked in add.partitionValues (the physical name when column mapping is
+    enabled — PROTOCOL.md writer requirements)."""
+    mode = _cm_mode(meta)
+    part_cols = meta.get("partitionColumns") or []
+    if mode == "none":
+        return {c: c for c in part_cols}
+    by_name = {f.name: f for f in schema.fields}
+    out = {}
+    for c in part_cols:
+        md = by_name[c].metadata if c in by_name else {}
+        out[c] = (md or {}).get("delta.columnMapping.physicalName", c)
+    return out
+
+
+def _pv_get(a: dict, logical: str, pv_key: dict[str, str]) -> str | None:
+    """One add's partition value for a logical column: physical key first
+    (what conformant column-mapping writers track), logical as fallback for
+    tables upgraded in place whose old adds predate the mapping."""
+    pv = a.get("partitionValues") or {}
+    k = pv_key.get(logical, logical)
+    if k in pv:
+        return pv[k]
+    return pv.get(logical)
 
 
 def _partition_expr(value: str | None, field: T.StructField) -> F.Column:
@@ -317,7 +471,8 @@ def read_delta(
     schema = T.StructType.fromJson(json.loads(meta["schemaString"]))
     part_cols = meta.get("partitionColumns") or []
     data_fields = [f for f in schema.fields if f.name not in part_cols]
-    data_schema = T.StructType(data_fields)
+    read_schema, to_logical = _cm_read_plan(spark, meta, data_fields)
+    pvk = _pv_key(meta, schema)
 
     if not state["files"]:
         return spark.createDataFrame([], schema)
@@ -329,7 +484,7 @@ def read_delta(
 
     groups: dict[tuple, list[str]] = {}
     for a in state["files"].values():
-        key = tuple((a.get("partitionValues") or {}).get(c) for c in part_cols)
+        key = tuple(_pv_get(a, c, pvk) for c in part_cols)
         # PROTOCOL.md: add.path is URL-encoded relative to the table root
         groups.setdefault(key, []).append(os.path.join(path, unquote(a["path"])))
     by_name = {f.name: f for f in schema.fields}
@@ -337,14 +492,15 @@ def read_delta(
 
     if len(groups) > _MAX_LITERAL_GROUPS:
         return _read_joined_partitions(
-            spark, groups, part_cols, data_schema, schema, by_name, dv_excl
+            spark, groups, part_cols, read_schema, schema, by_name, dv_excl,
+            to_logical,
         )
 
     out = None
     tags = ["__dv_file", "__dv_pos"] if dv_excl is not None else []
     # repr-keyed sort: partition values may be None (not orderable vs str)
     for key, paths in sorted(groups.items(), key=lambda kv: repr(kv[0])):
-        df = spark.read.schema(data_schema).parquet(*sorted(paths))
+        df = spark.read.schema(read_schema).parquet(*sorted(paths))
         if dv_excl is not None:
             # tag at scan time — _metadata is only addressable on the scan
             df = df.select(
@@ -352,6 +508,7 @@ def read_delta(
                 _decoded_path_expr(F.col("_metadata.file_path")).alias("__dv_file"),
                 F.col("_metadata.row_index").alias("__dv_pos"),
             )
+        df = to_logical(df)
         for c, v in zip(part_cols, key):
             df = df.withColumn(c, _partition_expr(v, by_name[c]))
         df = df.select(*[f.name for f in schema.fields], *tags)
@@ -387,10 +544,11 @@ def _read_joined_partitions(
     spark: SparkSession,
     groups: dict[tuple, list[str]],
     part_cols: list[str],
-    data_schema: T.StructType,
+    read_schema: T.StructType,
     schema: T.StructType,
     by_name: dict[str, T.StructField],
     dv_excl: DataFrame | None = None,
+    to_logical=lambda df: df,
 ) -> DataFrame:
     """High-cardinality partition layout: ONE scan of every live file, with
     partition values joined back from the log keyed by the scanned file's
@@ -425,12 +583,16 @@ def _read_joined_partitions(
     )
     lookup = spark.createDataFrame(mapping, map_schema)
     df = (
-        spark.read.schema(data_schema)
+        spark.read.schema(read_schema)
         .parquet(*sorted(all_paths))
         .withColumn("__file_path", _decoded_path_expr(F.input_file_name()))
     )
     if dv_excl is not None:
-        df = df.withColumn("__dv_pos", F.col("_metadata.row_index")).join(
+        # tag before to_logical — _metadata is only addressable on the scan
+        df = df.withColumn("__dv_pos", F.col("_metadata.row_index"))
+    df = to_logical(df)
+    if dv_excl is not None:
+        df = df.join(
             F.broadcast(dv_excl.withColumnRenamed("__dv_file", "__file_path")),
             ["__file_path", "__dv_pos"],
             "left_anti",
@@ -607,23 +769,34 @@ def delete_where_delta(spark: SparkSession, path: str, predicate) -> int:
 
     pred = F.expr(predicate) if isinstance(predicate, str) else predicate
     versions = delta_versions(path)
-    if not versions:
-        raise ValueError(f"no Delta table at {path}")
-    state = _replay(spark, path, versions[-1])
+    if versions:
+        current = versions[-1]
+    else:
+        # Protocol-legal checkpoint-only log (mirror of read_delta's
+        # fallback, ADVICE r8): retention may have expired every commit
+        # json at or before the newest complete checkpoint, which then
+        # fully serves the snapshot; the delete commits as checkpoint
+        # version + 1.
+        cp = _checkpoint_before(path, 1 << 62)
+        if cp is None:
+            raise ValueError(f"no Delta table at {path}")
+        current = cp[0]
+    state = _replay(spark, path, current)
     meta = state["meta"]
     schema = T.StructType.fromJson(json.loads(meta["schemaString"]))
     part_cols = meta.get("partitionColumns") or []
-    data_schema = T.StructType(
-        [f for f in schema.fields if f.name not in part_cols]
-    )
+    data_fields = [f for f in schema.fields if f.name not in part_cols]
+    read_schema, to_logical = _cm_read_plan(spark, meta, data_fields)
+    pvk = _pv_key(meta, schema)
     by_name = {f.name: f for f in schema.fields}
     if not state["files"]:
-        return versions[-1]  # nothing live: nothing to delete, no commit
+        return current  # nothing live: nothing to delete, no commit
 
-    # abs data path -> the add's log key, so scan hits map back to actions
-    by_abs: dict[str, str] = {
-        os.path.abspath(os.path.join(path, unquote(p))): p
-        for p in state["files"]
+    # abs data path -> the live add action, so scan hits map back to
+    # actions (_replay validates path uniqueness across (path, dvId) keys)
+    by_abs: dict[str, dict] = {
+        os.path.abspath(os.path.join(path, unquote(a["path"]))): a
+        for a in state["files"].values()
     }
 
     # Match with ONE scan of every live file (constant-size plan at any
@@ -636,12 +809,8 @@ def delete_where_delta(spark: SparkSession, path: str, predicate) -> int:
     # excluded BEFORE the predicate, so re-running a delete no-ops and the
     # _MAX_DV_ROWS bound counts live matches only.
     mapping = []
-    for p, a in state["files"].items():
-        pv = a.get("partitionValues") or {}
-        mapping.append(
-            (os.path.abspath(os.path.join(path, unquote(p))), True)
-            + tuple(pv.get(c) for c in part_cols)
-        )
+    for abs_p, a in by_abs.items():
+        mapping.append((abs_p, True) + tuple(_pv_get(a, c, pvk) for c in part_cols))
     map_schema = T.StructType(
         [
             T.StructField("__dv_file", T.StringType(), False),
@@ -650,13 +819,14 @@ def delete_where_delta(spark: SparkSession, path: str, predicate) -> int:
         + [T.StructField(c, T.StringType(), True) for c in part_cols]
     )
     lookup = spark.createDataFrame(mapping, map_schema)
-    df = spark.read.schema(data_schema).parquet(
+    df = spark.read.schema(read_schema).parquet(
         *sorted(by_abs)
     ).select(
         "*",
         _decoded_path_expr(F.col("_metadata.file_path")).alias("__dv_file"),
         F.col("_metadata.row_index").alias("__dv_pos"),
     )
+    df = to_logical(df)  # predicate and partition casts bind logical names
     prev_excl = _dv_exclusions(spark, path, state["files"].values())
     if prev_excl is not None:
         df = df.join(F.broadcast(prev_excl), ["__dv_file", "__dv_pos"], "left_anti")
@@ -684,7 +854,7 @@ def delete_where_delta(spark: SparkSession, path: str, predicate) -> int:
     for r in hits:  # index access: Row blocks dunder attribute lookups
         new_by_file.setdefault(r["__dv_file"], set()).add(r["__dv_pos"])
     if not new_by_file:
-        return versions[-1]  # nothing matched: no commit
+        return current  # nothing matched: no commit
 
     # MERGE the deletionVectors feature into the table's existing protocol
     # (last-protocol-wins: a hardcoded action would silently DROP features
@@ -718,24 +888,31 @@ def delete_where_delta(spark: SparkSession, path: str, predicate) -> int:
         }
     ]
     for abs_file, positions in sorted(new_by_file.items()):
-        log_path = by_abs.get(abs_file)
-        if log_path is None:
+        prev_add = by_abs.get(abs_file)
+        if prev_add is None:
             raise ValueError(f"scan produced a file replay never added: {abs_file}")
-        add = dict(state["files"][log_path])
+        add = dict(prev_add)
         prev = add.get("deletionVector")
+        remove: dict = {"path": add["path"], "dataChange": True}
         if prev:
             positions |= set(read_dv_descriptor(path, prev))
+            # ADVICE r8 (high): reconciliation keys logical files by
+            # (path, dvId), so a bare remove(path) would NOT retire the
+            # superseded (path, oldDV) logical file — a conformant reader
+            # would keep both adds live and scan the file twice (silently
+            # duplicated rows). Stamp the old descriptor on the tombstone.
+            remove["deletionVector"] = prev
         add["deletionVector"] = write_dv_file(path, sorted(positions))
         # dataChange TRUE: a DV delete CHANGES the logical table contents —
         # dataChange=false marks reorganization-only commits (compaction)
         # that incremental consumers may legally skip (review r8).
         add["dataChange"] = True
-        actions.append({"remove": {"path": log_path, "dataChange": True}})
+        actions.append({"remove": remove})
         actions.append({"add": add})
     actions.append(
         {"commitInfo": {"operation": "DELETE", "mode": "deletionVector"}}
     )
-    version = versions[-1] + 1
+    version = current + 1
     entry = os.path.join(_log_dir(path), f"{version:020d}.json")
     fd = os.open(entry, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
     with os.fdopen(fd, "w") as fh:

@@ -46,8 +46,8 @@ def _build_delta_table(spark: SparkSession, sf_dir: str, table: str) -> None:
     DI.write_delta(li, table, partition_by=["l_returnflag"])
     state = DI._replay(spark, table, 0)
     v1 = [
-        {"remove": {"path": p, "dataChange": True}}
-        for p, a in sorted(state["files"].items())
+        {"remove": {"path": a["path"], "dataChange": True}}
+        for a in sorted(state["files"].values(), key=lambda a: a["path"])
         if a["partitionValues"]["l_returnflag"] == "R"
     ] + [{"commitInfo": {"operation": "DELETE"}}]
     with open(

@@ -173,9 +173,9 @@ def test_delta_checkpoint_replay(spark, delta_table):
 
 
 def test_delta_reader_gating(spark, tmp_path):
-    """Reader version 3 with ONLY implemented features (deletionVectors) now
-    reads; any unimplemented feature (v2Checkpoint, columnMapping) and any
-    reader version above 3 still fail loud."""
+    """Reader version 3 with ONLY implemented features (deletionVectors,
+    columnMapping) now reads; any unimplemented feature (v2Checkpoint,
+    typeWidening) and any reader version above 3 still fail loud."""
     t = str(tmp_path / "gated")
     _write_data(spark, t, "dt=2024-01-01/f0.parquet", [(1, 1.5)])
     proto_ok = {
@@ -188,9 +188,24 @@ def test_delta_reader_gating(spark, tmp_path):
     _commit(t, 0, [proto_ok, _meta(), _add("dt=2024-01-01/f0.parquet", "2024-01-01")])
     assert DI.read_delta(spark, t).count() == 1
 
+    # columnMapping as a declared FEATURE with mode unset reads fine now
+    proto_cm = {
+        "protocol": {
+            "minReaderVersion": 3,
+            "minWriterVersion": 7,
+            "readerFeatures": ["deletionVectors", "columnMapping"],
+        }
+    }
+    t_cm = str(tmp_path / "gated_cm")
+    _write_data(spark, t_cm, "dt=2024-01-01/f0.parquet", [(1, 1.5)])
+    _commit(
+        t_cm, 0, [proto_cm, _meta(), _add("dt=2024-01-01/f0.parquet", "2024-01-01")]
+    )
+    assert DI.read_delta(spark, t_cm).count() == 1
+
     for bad in (
         {"minReaderVersion": 3, "readerFeatures": ["deletionVectors", "v2Checkpoint"]},
-        {"minReaderVersion": 3, "readerFeatures": ["columnMapping"]},
+        {"minReaderVersion": 3, "readerFeatures": ["typeWidening"]},
         {"minReaderVersion": 4, "readerFeatures": []},
     ):
         t2 = str(tmp_path / f"gated_{bad.get('minReaderVersion')}_{len(bad['readerFeatures'])}")
@@ -303,12 +318,11 @@ def test_delta_partition_value_encoding_roundtrip(spark, tmp_path):
     assert back == rows
 
 
-def test_delta_column_mapping_config_gated(spark, tmp_path):
-    """Column mapping can be enabled at minReaderVersion=2 purely via table
-    configuration (readerFeatures only exists at version 3). Such tables
-    store physical col-<uuid> parquet names, so a name-based read would
-    return all-NULL columns — the reader must refuse, not return wrong
-    rows."""
+def test_delta_column_mapping_missing_metadata_fails_loud(spark, tmp_path):
+    """Column mapping enabled but the schemaString carries no
+    delta.columnMapping.physicalName metadata: the physical parquet column
+    cannot be resolved — refuse loudly, never read by logical name (which
+    would return all-NULL columns)."""
     t = str(tmp_path / "colmap")
     _write_data(spark, t, "dt=2024-01-01/f0.parquet", [(1, 1.5)])
     meta = _meta()
@@ -322,7 +336,13 @@ def test_delta_column_mapping_config_gated(spark, tmp_path):
             _add("dt=2024-01-01/f0.parquet", "2024-01-01"),
         ],
     )
-    with pytest.raises(DI.UnsupportedDeltaFeature, match="columnMapping"):
+    with pytest.raises(DI.UnsupportedDeltaFeature, match="physicalName"):
+        DI.read_delta(spark, t)
+    # a mode the protocol does not define is refused at replay
+    meta2 = _meta()
+    meta2["metaData"]["configuration"] = {"delta.columnMapping.mode": "bogus"}
+    _commit(t, 1, [meta2])
+    with pytest.raises(DI.UnsupportedDeltaFeature, match="bogus"):
         DI.read_delta(spark, t)
 
 
@@ -666,3 +686,354 @@ def test_delta_dv_delete_many_partitions_single_scan(spark, tmp_path):
     d = DI.read_delta(spark, t)
     assert d.count() == 2 * n_groups - 3  # grp=3 has ids {3, 3+n}; id=10
     assert d.filter("grp = '3'").count() == 0 and d.filter("id = 10").count() == 0
+
+
+def _write_file(spark, table, rel, rows):
+    """Write rows as ONE parquet file at exactly ``table/rel`` (the DV read
+    path joins on the true scanned file path, so the logged add.path must
+    be the data file itself, not a directory of part files)."""
+    import shutil
+
+    stage = os.path.join(table, "__stage__")
+    spark.createDataFrame(rows, "id int, v double").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(stage)
+    part = [f for f in os.listdir(stage) if f.endswith(".parquet")][0]
+    dest = os.path.join(table, rel)
+    os.makedirs(os.path.dirname(dest), exist_ok=True)
+    os.replace(os.path.join(stage, part), dest)
+    shutil.rmtree(stage)
+
+
+def _inline_dv(positions):
+    """Protocol inline-storage DV descriptor over the given row positions."""
+    from gpu_telemetry_lakehouse_spark import deletion_vectors as dvmod
+
+    data = dvmod.serialize_bitmap_array(sorted(positions))
+    pad = (-len(data)) % 4
+    return {
+        "storageType": "i",
+        "pathOrInlineDv": dvmod.z85_encode(data + b"\x00" * pad),
+        "sizeInBytes": len(data),
+        "cardinality": len(positions),
+    }
+
+
+_DV_PROTO = {
+    "protocol": {
+        "minReaderVersion": 3,
+        "minWriterVersion": 7,
+        "readerFeatures": ["deletionVectors"],
+        "writerFeatures": ["deletionVectors"],
+    }
+}
+
+
+def test_delta_fold_dv_update_order_independent(spark, tmp_path):
+    """ADVICE r8 (medium): a foreign commit that updates a file's DV may
+    serialize add(path, newDV) BEFORE remove(path, oldDV) — an intra-commit
+    order the protocol does not constrain. Path-only-keyed reconciliation
+    popped the fresh add and the file silently vanished; (path, dvId)
+    keying makes the two actions commute."""
+    t = str(tmp_path / "dvorder")
+    _write_file(spark, t, "dt=2024-01-01/f0.parquet", [(1, 1.5), (2, 2.5), (3, 3.5)])
+    dv1, dv2 = _inline_dv([0]), _inline_dv([1])
+    a1 = _add("dt=2024-01-01/f0.parquet", "2024-01-01")
+    a1["add"]["deletionVector"] = dv1
+    _commit(t, 0, [_DV_PROTO, _meta(), a1])
+    a2 = _add("dt=2024-01-01/f0.parquet", "2024-01-01")
+    a2["add"]["deletionVector"] = dv2
+    _commit(
+        t,
+        1,
+        [
+            a2,  # add FIRST — the hostile ordering
+            {
+                "remove": {
+                    "path": "dt=2024-01-01/f0.parquet",
+                    "dataChange": True,
+                    "deletionVector": dv1,
+                }
+            },
+        ],
+    )
+    d = DI.read_delta(spark, t)
+    assert sorted(r.id for r in d.collect()) == [1, 3]  # newDV (pos 1) applied
+    # time travel to v0 applies the OLD dv
+    assert sorted(r.id for r in DI.read_delta(spark, t, version=0).collect()) == [2, 3]
+
+
+def test_delta_duplicate_live_path_fails_loud(spark, tmp_path):
+    """A nonconformant writer that re-logs a DV'd add WITHOUT removing the
+    superseded (path, oldDV) logical file leaves the same physical path
+    live twice — a conformant scan would silently duplicate rows; replay
+    must refuse the snapshot instead."""
+    t = str(tmp_path / "dvdup")
+    _write_file(spark, t, "dt=2024-01-01/f0.parquet", [(1, 1.5), (2, 2.5)])
+    a1 = _add("dt=2024-01-01/f0.parquet", "2024-01-01")
+    a1["add"]["deletionVector"] = _inline_dv([0])
+    _commit(t, 0, [_DV_PROTO, _meta(), a1])
+    a2 = _add("dt=2024-01-01/f0.parquet", "2024-01-01")
+    a2["add"]["deletionVector"] = _inline_dv([1])
+    _commit(t, 1, [a2])  # no remove of (path, dv1) — writer bug
+    with pytest.raises(ValueError, match="live under two"):
+        DI.read_delta(spark, t)
+
+
+def test_delta_dv_tombstone_carries_superseded_descriptor(spark, tmp_path):
+    """ADVICE r8 (high): when delete_where_delta replaces a file's DV, the
+    remove tombstone must carry the superseded descriptor — reconciliation
+    keys logical files by (path, dvId), so a bare remove(path) would leave
+    BOTH adds live for a conformant reader (the file scanned twice)."""
+    from pyspark.sql import functions as F
+
+    t = str(tmp_path / "dvtomb")
+    df = spark.range(0, 30).select(
+        F.col("id").cast("int").alias("id"), F.lit(1.0).alias("v")
+    ).coalesce(1)  # ONE data file so both deletes hit the same file
+    DI.write_delta(df, t)
+    v1 = DI.delete_where_delta(spark, t, "id = 3")
+    v2 = DI.delete_where_delta(spark, t, "id = 7")  # same file, second DV
+    with open(os.path.join(t, "_delta_log", f"{v1:020d}.json")) as fh:
+        first = [json.loads(line) for line in fh if line.strip()]
+    with open(os.path.join(t, "_delta_log", f"{v2:020d}.json")) as fh:
+        second = [json.loads(line) for line in fh if line.strip()]
+    prev_dv = [a["add"]["deletionVector"] for a in first if "add" in a][0]
+    removes = [a["remove"] for a in second if "remove" in a]
+    assert len(removes) == 1 and removes[0]["deletionVector"] == prev_dv
+    # the first delete's tombstone has no DV (the file had none yet)
+    first_removes = [a["remove"] for a in first if "remove" in a]
+    assert len(first_removes) == 1 and "deletionVector" not in first_removes[0]
+    # (path, dvId)-keyed replay reconstructs exactly one live logical file
+    assert sorted(r.id for r in DI.read_delta(spark, t).collect()) == sorted(
+        set(range(30)) - {3, 7}
+    )
+
+
+def test_delta_dv_delete_checkpoint_only_log(spark, tmp_path):
+    """ADVICE r8 (low): delete_where_delta on a checkpoint-only log (every
+    commit json expired) resolves the snapshot from the newest complete
+    checkpoint and commits as checkpoint_version + 1, mirroring read_delta."""
+    t = str(tmp_path / "cpdel")
+    _write_file(spark, t, "dt=2024-01-01/f0.parquet", [(1, 1.5), (2, 2.5)])
+    _write_file(spark, t, "dt=2024-01-01/f2.parquet", [(4, 4.5)])
+    _commit(
+        t,
+        0,
+        [
+            {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+            _meta(),
+            _add("dt=2024-01-01/f0.parquet", "2024-01-01"),
+        ],
+    )
+    _commit(t, 1, [_add("dt=2024-01-01/f2.parquet", "2024-01-01")])
+    state_actions = [
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+        _meta(),
+        _add("dt=2024-01-01/f0.parquet", "2024-01-01"),
+        _add("dt=2024-01-01/f2.parquet", "2024-01-01"),
+    ]
+    log = os.path.join(t, "_delta_log")
+    jl = os.path.join(t, "cp_staging.jsonl")
+    build = os.path.join(t, "cp_build")
+    with open(jl, "w") as fh:
+        for a in state_actions:
+            fh.write(json.dumps(a) + "\n")
+    spark.read.json(jl).coalesce(1).write.mode("overwrite").parquet(build)
+    part = [f for f in os.listdir(build) if f.endswith(".parquet")][0]
+    os.replace(
+        os.path.join(build, part),
+        os.path.join(log, f"{1:020d}.checkpoint.parquet"),
+    )
+    for v in (0, 1):
+        os.remove(os.path.join(log, f"{v:020d}.json"))
+    v = DI.delete_where_delta(spark, t, "id = 1")
+    assert v == 2  # checkpoint version 1 + 1
+    d = DI.read_delta(spark, t)
+    assert sorted(r.id for r in d.collect()) == [2, 4]
+
+
+def test_dv_descriptor_missing_fields_fail_loud(tmp_path):
+    """ADVICE r8 (low): a sidecar descriptor missing the nominally-optional
+    offset (or sizeInBytes) raises a diagnosed ValueError, not a KeyError."""
+    from gpu_telemetry_lakehouse_spark import deletion_vectors as dvmod
+
+    desc = dvmod.write_dv_file(str(tmp_path), [1, 5, 9])
+    for drop in ("offset", "sizeInBytes", "pathOrInlineDv"):
+        broken = {k: v for k, v in desc.items() if k != drop}
+        with pytest.raises(ValueError, match=f"missing required.*{drop}"):
+            dvmod.read_dv_descriptor(str(tmp_path), broken)
+    inline = {"storageType": "i", "pathOrInlineDv": "abcde"}
+    with pytest.raises(ValueError, match="missing required.*sizeInBytes"):
+        dvmod.read_dv_descriptor(str(tmp_path), inline)
+
+
+# --- column mapping (name + id modes) ----------------------------------------
+
+
+def _cm_schema_str():
+    """Logical schema whose fields carry columnMapping metadata (the shape
+    delta-spark writes: physical col-<uuid> names + stable field ids)."""
+    def fld(name, typ, fid, phys):
+        return {
+            "name": name,
+            "type": typ,
+            "nullable": True,
+            "metadata": {
+                "delta.columnMapping.id": fid,
+                "delta.columnMapping.physicalName": phys,
+            },
+        }
+
+    return json.dumps(
+        {
+            "type": "struct",
+            "fields": [
+                fld("id", "integer", 1, "col-aaa"),
+                fld("v", "double", 2, "col-bbb"),
+                fld("dt", "date", 3, "col-ccc"),
+            ],
+        }
+    )
+
+
+def _cm_meta(mode):
+    return {
+        "metaData": {
+            "id": "99999999-8888-7777-6666-555555555555",
+            "format": {"provider": "parquet", "options": {}},
+            "schemaString": _cm_schema_str(),
+            "partitionColumns": ["dt"],
+            "configuration": {
+                "delta.columnMapping.mode": mode,
+                "delta.columnMapping.maxColumnId": "3",
+            },
+        }
+    }
+
+
+def _write_phys_file(table, rel, rows, names=("col-aaa", "col-bbb"), ids=(1, 2)):
+    """One parquet file with PHYSICAL column names and parquet field ids
+    (pyarrow maps the PARQUET:field_id field-metadata key to the parquet
+    schema's field_id on write) — what a column-mapping writer produces."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    fields = [
+        pa.field(names[0], pa.int32(), metadata={b"PARQUET:field_id": str(ids[0]).encode()}),
+        pa.field(names[1], pa.float64(), metadata={b"PARQUET:field_id": str(ids[1]).encode()}),
+    ]
+    t = pa.table(
+        [pa.array([r[0] for r in rows], pa.int32()),
+         pa.array([r[1] for r in rows], pa.float64())],
+        schema=pa.schema(fields),
+    )
+    dest = os.path.join(table, rel)
+    os.makedirs(os.path.dirname(dest), exist_ok=True)
+    pq.write_table(t, dest)
+
+
+def _cm_add(rel, dt):
+    # partitionValues tracked under the PHYSICAL name, per PROTOCOL.md
+    return {
+        "add": {
+            "path": rel,
+            "partitionValues": {"col-ccc": dt},
+            "size": 1,
+            "modificationTime": 0,
+            "dataChange": True,
+        }
+    }
+
+
+def test_delta_column_mapping_name_mode(spark, tmp_path):
+    """name mode: parquet columns resolve by delta.columnMapping.physicalName
+    and come back under logical names; partition values are looked up under
+    their physical key and reconstituted with the logical type."""
+    t = str(tmp_path / "cmname")
+    _write_phys_file(t, "part-0.parquet", [(1, 1.5), (2, 2.5)])
+    _write_phys_file(t, "part-1.parquet", [(3, 3.5)])
+    _commit(
+        t,
+        0,
+        [
+            {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+            _cm_meta("name"),
+            _cm_add("part-0.parquet", "2024-01-01"),
+            _cm_add("part-1.parquet", "2024-01-02"),
+        ],
+    )
+    d = DI.read_delta(spark, t)
+    assert d.columns == ["id", "v", "dt"]
+    assert _rows(d) == [
+        (1, 1.5, "2024-01-01"),
+        (2, 2.5, "2024-01-01"),
+        (3, 3.5, "2024-01-02"),
+    ]
+    assert d.schema["dt"].dataType.typeName() == "date"
+    # predicate on a LOGICAL name still prunes/filters correctly
+    assert d.filter("id = 3").count() == 1
+
+
+def test_delta_column_mapping_id_mode(spark, tmp_path):
+    """id mode: resolution is by parquet field id — the file's column NAMES
+    deliberately match neither logical nor physicalName, so only field-id
+    matching can produce these values."""
+    t = str(tmp_path / "cmid")
+    _write_phys_file(t, "part-0.parquet", [(7, 7.5), (8, 8.5)], names=("x1", "x2"))
+    _commit(
+        t,
+        0,
+        [
+            {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+            _cm_meta("id"),
+            _cm_add("part-0.parquet", "2024-03-01"),
+        ],
+    )
+    d = DI.read_delta(spark, t)
+    assert d.columns == ["id", "v", "dt"]
+    assert _rows(d) == [(7, 7.5, "2024-03-01"), (8, 8.5, "2024-03-01")]
+
+
+def test_delta_column_mapping_dv_delete(spark, tmp_path):
+    """delete_where_delta on a column-mapped table: the matcher scans with
+    the physical schema, binds the predicate to logical names, and the DV
+    round-trips through read_delta."""
+    t = str(tmp_path / "cmdel")
+    _write_phys_file(t, "part-0.parquet", [(1, 1.5), (2, 2.5), (3, 3.5)])
+    _commit(
+        t,
+        0,
+        [
+            {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+            _cm_meta("name"),
+            _cm_add("part-0.parquet", "2024-01-01"),
+        ],
+    )
+    v = DI.delete_where_delta(spark, t, "id = 2 AND dt = DATE'2024-01-01'")
+    assert v == 1
+    assert sorted(r.id for r in DI.read_delta(spark, t).collect()) == [1, 3]
+    # time travel to v0 still sees the full file
+    assert DI.read_delta(spark, t, version=0).count() == 3
+
+
+def test_delta_column_mapping_joined_path(spark, tmp_path):
+    """Column mapping on the >_MAX_LITERAL_GROUPS one-scan+broadcast path:
+    physical->logical rename composes with the partition-value join."""
+    n = DI._MAX_LITERAL_GROUPS + 5
+    t = str(tmp_path / "cmmany")
+    actions = [
+        {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+        _cm_meta("name"),
+    ]
+    for i in range(n):
+        rel = f"part-{i}.parquet"
+        _write_phys_file(t, rel, [(i, float(i))])
+        actions.append(_cm_add(rel, f"2024-{(i // 28) + 1:02d}-{(i % 28) + 1:02d}"))
+    _commit(t, 0, actions)
+    d = DI.read_delta(spark, t)
+    assert d.columns == ["id", "v", "dt"]
+    assert d.count() == n
+    plan = d._jdf.queryExecution().executedPlan().toString()
+    assert "Union" not in plan
+    assert d.filter("id = 40").select("v").collect()[0][0] == 40.0
