@@ -57,18 +57,18 @@ for _mod in (
     __import__(f"{__name__}.{_mod}")
 
 
-# The 50-entry driver window, ROTATED for round 8 (VERDICT r7 item #1):
+# The 50-entry driver window, ROTATED for round 9 (VERDICT r8 item #1):
 # the same 20 proven anchors (the §2.1 reference-parity core —
 # medallion_end_to_end alone carries S1/S2/S5/S6/Q2/X1/X2 — plus one proven
 # member of each high-level §2.2 family) + THIRTY first-exposure rotation
-# slots taken verbatim from the COVERAGE.md r8 queue head, in queue order.
-# Every r7 rotation slot demoted this round holds a hash-green r7 driver
-# row (CORRECTNESS_r07 was 50/50), so no external signal is lost; the
-# never-driver-checked backlog burns down 165/303 -> 195/303 on a green
-# round, exactly the VERDICT r7 cumulative target. All 30 entrants verified
+# slots taken verbatim from the COVERAGE.md r9 queue head, in queue order.
+# Every r8 rotation slot demoted this round holds a hash-green r8 driver
+# row (CORRECTNESS_r08 was 50/50), so no external signal is lost; the
+# never-driver-checked backlog burns down 195/303 -> 225/303 on a green
+# round, exactly the VERDICT r8 cumulative target. All 30 entrants verified
 # green vs DuckDB at sf0.01 under a vanilla neutral-cwd session before
-# rotation (the judge independently pre-verified 6 of the head). See the
-# COVERAGE.md per-query round map.
+# rotation (this round's pre-rotation full-registry sweep: 303 queries,
+# 0 failures). See the COVERAGE.md per-query round map.
 DRIVER_WINDOW: list[str] = [
     # --- §2.1 reference-parity core (anchors) ---
     "gold_daily_util",
@@ -93,44 +93,76 @@ DRIVER_WINDOW: list[str] = [
     "knn_cosine_brute",         # similarity search
     "text_lang_id",             # text analysis
     "variant_props_stats",      # JSON/VARIANT
-    # --- 30 rotation slots (r8; ALL first-ever driver rows, queue order) ---
-    "bigram_perplexity_docs",   # LM: bigram add-k perplexity per doc
-    "zipf_fit_tokens",          # Zipf rank-frequency log-log fit
-    "dp_noisy_counts_segments",  # DP: seeded Laplace noisy counts
-    "mixture_sampling_plan",    # corpus mixture allocation plan
-    "cms_event_counts",         # count-min sketch vs exact counts
-    "chi2_event_weekday",       # chi-square independence test
-    "mutual_info_event_bucket",  # discrete mutual information
-    "decision_stump_returns",   # 1-split decision stump (exact gini)
-    "tree_depth2_returns",      # depth-2 tree via repeated stump
-    "quota_sample_by_group",    # deterministic per-group quota sample
-    "alpha_mix_resample",       # alpha-weighted mixture resampling
-    "editdist_join_partnames",  # bounded edit-distance fuzzy join
-    "funnel_view_click_purchase",  # ordered conversion funnel
-    "winsorized_value_stats",   # winsorized/trimmed robust stats
-    "event_transition_matrix",  # first-order Markov transitions
-    "profile_orders_columns",   # per-column profiling report
-    "group_by_all_orders",      # GROUP BY ALL semantics
-    "null_safe_join_status",    # null-safe equality join (<=>)
-    "triangle_count_cousers",   # graph triangle counting
-    "decontam_span_report",     # n-gram decontamination span report
-    "key_skew_report",          # join-key skew diagnostics
-    "doc_length_deciles",       # corpus length decile table
-    "event_gap_detection",      # per-user silence-gap detection
-    "longest_event_streak",     # longest consecutive-day streak
-    "content_checksum_orders",  # content-addressed row checksums
-    "rolling_wau_dau",          # rolling WAU/DAU stickiness
-    "time_hierarchy_rollup",    # day/week/month hierarchy rollup
-    "source_lang_drift",        # per-source language drift
-    "funnel_conversion_stats",  # funnel stage conversion rates
-    "mad_value_by_type",        # median absolute deviation by type
+    # --- 30 rotation slots (r9; ALL first-ever driver rows, queue order) ---
+    "cusum_change_point",       # CUSUM change-point detection
+    "rfm_segments",             # RFM customer segmentation
+    "ab_experiment_readout",    # A/B readout (Welch t, lift CI)
+    "pseudonymized_join_integrity",  # PII-safe pseudonymized join audit
+    "event_cooccurrence_lift",  # event-pair co-occurrence lift
+    "top_event_paths",          # top-k ordered event paths
+    "weekday_seasonality",      # weekday seasonality profile
+    "daily_new_vs_returning",   # daily new-vs-returning users
+    "gold_hot_throttled_gpus",  # ref-future gold: hot/throttled GPUs
+    "job_runtime_distribution",  # job runtime distribution mart
+    "gold_error_spikes_daily",  # ref-future gold: error spike days
+    "text_repetition_gopher",   # Gopher repetition quality rules
+    "knn_cosine_vectorized",    # Arrow/BLAS vectorized brute kNN
+    "pattern_match_user_journeys",  # MATCH_RECOGNIZE-style journeys
+    "rollup_reuse_monthly",     # monthly rollup reusing daily agg
+    "neardup_lsh_pairs",        # sign-LSH near-dup candidate pairs
+    "embedding_quantize_error",  # int8 quantization error profile
+    "knn_pq_adc",               # PQ asymmetric-distance kNN payload
+    "knn_ivfpq",                # IVF+PQ composed ANN payload
+    "knn_eval_ndcg",            # ANN quality eval (recall/nDCG)
+    "text_stats",               # per-doc text stats profile
+    "multimodal_resize_summary",  # image resize plumbing summary
+    "tfidf_top_terms",          # corpus TF-IDF top terms
+    "doc_unigram_logprob",      # unigram LM doc log-probability
+    "sequence_packing",         # token sequence packing certificate
+    "tokens_with_position",     # posexplode tokenization
+    "array_set_ops_tokens",     # array set-ops on token arrays
+    "ngram_novelty_docs",       # n-gram novelty vs corpus
+    "dataset_card_by_source",   # per-source dataset-card stats
+    "multimodal_audio_decode",  # WAV decode + feature plumbing
 ]
 
 # Next in line if the driver sweeps deeper: previously-green queries whose
 # category is already represented above (consolidated near-duplicates).
-# Head = the 30 r7 rotation slots rotated OUT this round (ALL hold hard
-# hash-green r7 driver rows) + the r6 demotions + earlier rotations.
+# Head = the 30 r8 rotation slots rotated OUT this round (ALL hold hard
+# hash-green r8 driver rows) + the r7/r6 demotions + earlier rotations.
 _SECOND_TIER: list[str] = [
+    # r8 rotation slots, r8-green (demoted this round; every one holds a
+    # hash-green r8 driver row)
+    "bigram_perplexity_docs",
+    "zipf_fit_tokens",
+    "dp_noisy_counts_segments",
+    "mixture_sampling_plan",
+    "cms_event_counts",
+    "chi2_event_weekday",
+    "mutual_info_event_bucket",
+    "decision_stump_returns",
+    "tree_depth2_returns",
+    "quota_sample_by_group",
+    "alpha_mix_resample",
+    "editdist_join_partnames",
+    "funnel_view_click_purchase",
+    "winsorized_value_stats",
+    "event_transition_matrix",
+    "profile_orders_columns",
+    "group_by_all_orders",
+    "null_safe_join_status",
+    "triangle_count_cousers",
+    "decontam_span_report",
+    "key_skew_report",
+    "doc_length_deciles",
+    "event_gap_detection",
+    "longest_event_streak",
+    "content_checksum_orders",
+    "rolling_wau_dau",
+    "time_hierarchy_rollup",
+    "source_lang_drift",
+    "funnel_conversion_stats",
+    "mad_value_by_type",
     # r7 rotation slots, r7-green (infrastructure certification head,
     # causal/stats readouts, the last certified twins, r7 queue head)
     "streaming_gold_probe",
@@ -276,17 +308,6 @@ _SECOND_TIER: list[str] = [
     "embedding_neardup_pairs",
     "join_outer_histogram",
     "range_join_busy_windows",
-    "cusum_change_point",
-    "rfm_segments",
-    "ab_experiment_readout",
-    "pseudonymized_join_integrity",
-    "event_cooccurrence_lift",
-    "top_event_paths",
-    "weekday_seasonality",
-    "daily_new_vs_returning",
-    "gold_hot_throttled_gpus",
-    "job_runtime_distribution",
-    "gold_error_spikes_daily",
     "tpch_q3_shipping",
     "tpch_q5_local_volume",
     "hinted_join_revenue",
@@ -303,8 +324,6 @@ _SECOND_TIER: list[str] = [
     "dedup_shingle_jaccard",
     "dedup_simhash",
     "cross_source_contamination",
-    "text_repetition_gopher",
-    "knn_cosine_vectorized",
     "gold_daily_util_approx",
 ]
 
