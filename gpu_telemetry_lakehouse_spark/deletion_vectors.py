@@ -25,7 +25,7 @@ never required). Round-trip is property-tested against random index sets.
 Nothing here touches Spark: pure bytes -> sorted row indexes, so the module
 is unit-testable without a session and usable from the driver only — the
 row positions then travel to executors as an ordinary broadcast DataFrame
-(see delta_interop._apply_deletion_vectors).
+(see delta_interop._dv_exclusions).
 """
 
 from __future__ import annotations

@@ -249,11 +249,18 @@ def clicks_before_errors(
     )
 
 
+# Pending (not-yet-watermark-closed) sessions, parallel arrays sorted by
+# start. A LIST is required for disorder-correct sessionization: with one
+# (start, last, n) row, a cross-batch out-of-order row (legal while inside
+# the watermark) regressed ``last`` backward and mis-split later sessions —
+# the r9 disorder corpus surfaced it. Size is bounded by watermark/gap
+# (pending sessions per key inside the lateness horizon), the same state
+# bound the built-in session_window keeps internally.
 SESSION_STATE_SCHEMA = T.StructType(
     [
-        T.StructField("start_us", T.LongType()),
-        T.StructField("last_us", T.LongType()),
-        T.StructField("n", T.LongType()),
+        T.StructField("starts", T.ArrayType(T.LongType())),
+        T.StructField("lasts", T.ArrayType(T.LongType())),
+        T.StructField("ns", T.ArrayType(T.LongType())),
     ]
 )
 
@@ -276,15 +283,18 @@ def user_sessions_stateful(
 
     ``session_window`` (incremental_sessions) covers the built-in case; this
     is the arbitrary-state form a pipeline needs when sessions carry custom
-    payloads or close on custom rules. Mechanics: per user the state is
-    three longs (open session start/last/count). A batch's rows are walked
-    in event-time order, splitting on > ``gap_minutes`` silences — sessions
-    that closed *within* the batch emit immediately; the still-open tail is
-    stored and ``setTimeoutTimestamp(last + gap)`` arms an event-time alarm.
-    When the watermark passes that alarm without new rows for the user,
-    Spark calls back with ``hasTimedOut`` and the session emits + clears.
-    State per key is O(1); watermark bounds how long an idle key's state
-    lives — the same eviction contract as the windowed operators.
+    payloads or close on custom rules. Mechanics (disorder-correct, r9): per
+    user the state is the PENDING interval list [(start, last, n)] sorted by
+    start. Each batch's rows — minus rows at/behind the current watermark,
+    which could otherwise resurrect an already-emitted session — gap-merge
+    into that list (an out-of-order row inside the watermark lands in, or
+    bridges, whichever pending sessions it belongs to; nothing regresses).
+    A session emits EXACTLY ONCE, the moment the watermark passes
+    ``last + gap`` — the point the protocol proves no row can still extend
+    it; ``setTimeoutTimestamp`` arms the earliest pending close so idle keys
+    emit via ``hasTimedOut``. State per key is O(pending sessions inside the
+    lateness horizon) — bounded by watermark/gap, the same eviction contract
+    as the windowed operators.
     """
     from pyspark.sql.streaming.state import GroupStateTimeout
 
@@ -293,34 +303,44 @@ def user_sessions_stateful(
     def fn(key, pdfs, state):
         import pandas as pd
 
-        closed: list[tuple] = []
-        if state.hasTimedOut:
-            s, l, n = state.get
-            closed.append((key[0], s, l, n))
+        wm_us = state.getCurrentWatermarkMs() * 1_000
+        pend: list[list[int]] = []
+        if state.exists:
+            starts, lasts, ns = state.get
+            pend = [[starts[i], lasts[i], ns[i]] for i in range(len(starts))]
+        new_ts: list[int] = []
+        if not state.hasTimedOut:
+            for p in pdfs:
+                if len(p):
+                    new_ts += (p["ts"].astype("int64") // 1_000).tolist()
+            # the late-row rule: a row at/behind the watermark is dropped
+            # (it could only extend a session the watermark already closed)
+            new_ts = [t for t in new_ts if t >= wm_us]
+        merged: list[list[int]] = []
+        for it in sorted(pend + [[t, t, 1] for t in new_ts]):
+            if merged and it[0] - merged[-1][1] <= gap_us:
+                merged[-1][1] = max(merged[-1][1], it[1])
+                merged[-1][2] += it[2]
+            else:
+                merged.append(it)
+        closed = [iv for iv in merged if iv[1] + gap_us <= wm_us]
+        still = [iv for iv in merged if iv[1] + gap_us > wm_us]
+        if still:
+            state.update(
+                (
+                    [iv[0] for iv in still],
+                    [iv[1] for iv in still],
+                    [iv[2] for iv in still],
+                )
+            )
+            alarm_ms = min(iv[1] for iv in still) // 1_000 + gap_minutes * 60 * 1_000
+            # the alarm must sit strictly past the current watermark
+            state.setTimeoutTimestamp(max(alarm_ms, wm_us // 1_000 + 1))
+        elif state.exists:
             state.remove()
-        else:
-            parts = [p for p in pdfs if len(p)]
-            ts_us: list[int] = []
-            for p in parts:
-                ts_us += (p["ts"].astype("int64") // 1_000).tolist()
-            ts_us.sort()
-            if ts_us:
-                if state.exists:
-                    s, l, n = state.get
-                else:
-                    s, l, n = ts_us[0], ts_us[0], 0
-                    ts_us = ts_us[1:]
-                    n = 1
-                for t in ts_us:
-                    if t - l > gap_us:
-                        closed.append((key[0], s, l, n))
-                        s, l, n = t, t, 1
-                    else:
-                        l, n = t, n + 1
-                state.update((s, l, n))
-                state.setTimeoutTimestamp(l // 1_000 + gap_minutes * 60 * 1_000)
         out = pd.DataFrame(
-            closed, columns=["user_id", "start_us", "end_us", "n_events"]
+            [(key[0], iv[0], iv[1], iv[2]) for iv in closed],
+            columns=["user_id", "start_us", "end_us", "n_events"],
         ).astype("int64")
         yield pd.DataFrame(
             {

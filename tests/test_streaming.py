@@ -733,3 +733,154 @@ def test_streaming_neardup_maintenance_equals_batch(spark, sf_dir, tmp_path):
     }
     assert len(T.history(sig_tbl)) == n_versions  # no new commit
     assert set(again) <= set(full)
+
+
+# --- round-9 degenerate class: out-of-order / duplicate event-time replay ----
+# VERDICT r8 #4: disorder and redelivery are the streaming facts of life the
+# in-order replay_dir never exercises. Files below replay NEWEST-FIRST (every
+# subsequent file is "late" relative to the max event time already seen), so
+# correctness is entirely the watermark contract's job.
+
+
+@pytest.fixture(scope="module")
+def reverse_replay_dir(spark, sf_dir, tmp_path_factory):
+    """Events split into ts-ranged files replayed in REVERSE time order."""
+    import os
+    import shutil
+    import time
+
+    stage = tmp_path_factory.mktemp("rev_stage")
+    d = tmp_path_factory.mktemp("rev_replay")
+    ev = load_table(spark, sf_dir, "events")
+    ev.repartitionByRange(4, "ts").write.mode("overwrite").parquet(str(stage))
+    parts = sorted(p for p in os.listdir(str(stage)) if p.startswith("part-"))
+    base = time.time() - 100 * len(parts)
+    for i, name in enumerate(reversed(parts)):  # newest ts range first
+        tgt = os.path.join(str(d), name)
+        shutil.copy(os.path.join(str(stage), name), tgt)
+        os.utime(tgt, (base + 100 * i, base + 100 * i))
+    return str(d)
+
+
+def test_disordered_replay_hourly_parity(spark, sf_dir, reverse_replay_dir):
+    """stream == batch under full disorder when the watermark absorbs it:
+    a lateness horizon wider than the replay's time span means no row is
+    ever dropped as late, so the final rollup must be bit-identical to the
+    batch twin even though every file after the first arrives 'late'."""
+    stream = read_event_stream(spark, reverse_replay_dir)
+    q, result = run_to_memory(
+        incremental_hourly_gold(stream, watermark="3650 days"),
+        spark,
+        name="t_rev_hourly",
+    )
+    try:
+        got = {
+            (r.hour_start, r.event_type): (r.n, r.sum_value) for r in result.collect()
+        }
+    finally:
+        q.stop()
+    batch = hourly_agg(load_table(spark, sf_dir, "events"))
+    want = {
+        (r.hour_start, r.event_type): (r.n, r.sum_value) for r in batch.collect()
+    }
+    assert got == want
+
+
+def test_disordered_replay_sessions_parity(spark, sf_dir, reverse_replay_dir):
+    """Built-in session windows under reverse replay + absorbing watermark:
+    session merging must reassemble the same sessions the batch twin finds
+    no matter the arrival order."""
+    from gpu_telemetry_lakehouse_spark.streaming.pipeline import (
+        incremental_sessions,
+        session_agg,
+    )
+
+    stream = read_event_stream(spark, reverse_replay_dir, max_files_per_trigger=2)
+    q, result = run_to_memory(
+        incremental_sessions(stream, watermark="3650 days"), spark, name="t_rev_sess"
+    )
+    try:
+        got = {(r.user_id, r.session_start, r.n_events) for r in result.collect()}
+    finally:
+        q.stop()
+    batch = session_agg(load_table(spark, sf_dir, "events"))
+    want = {(r.user_id, r.session_start, r.n_events) for r in batch.collect()}
+    assert got == want
+
+
+def test_stateful_sessions_disorder_and_late_rows(spark, tmp_path):
+    """The r9 disorder defect, pinned: an out-of-order row INSIDE the
+    watermark must land in (or create) its true session — the old
+    single-(start,last,n) state regressed ``last`` backward and emitted a
+    garbage start>end session — while a row BEHIND the watermark is dropped
+    and resurrects nothing. Duplicate event-times count, never merge."""
+    import datetime as dt
+
+    from gpu_telemetry_lakehouse_spark.streaming.pipeline import (
+        EVENTS_STREAM_SCHEMA,
+        user_sessions_stateful,
+    )
+
+    def ev(event_id, hh, mm, uid=1):
+        return (
+            event_id,
+            dt.datetime(2024, 1, 1, hh, mm),
+            uid,
+            "telemetry",
+            1.0,
+            "{}",
+        )
+
+    d = str(tmp_path / "disorder_src")
+    emitted: list = []
+
+    def collect_batch(batch_df, epoch_id):
+        emitted.extend(
+            (r.user_id, r.session_start, r.session_end, r.n_events)
+            for r in batch_df.collect()
+        )
+
+    # phase 1: u1 02:00 + DUPLICATE event-times at 02:10 (distinct ids)
+    spark.createDataFrame(
+        [ev(1, 2, 0), ev(2, 2, 10), ev(3, 2, 10)], EVENTS_STREAM_SCHEMA
+    ).coalesce(1).write.mode("overwrite").parquet(d)
+
+    stream = (
+        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(d)
+    )
+    q = (
+        user_sessions_stateful(stream, gap_minutes=30, watermark="2 hours")
+        .writeStream.outputMode("append")
+        .foreachBatch(collect_batch)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # phase 2: u1 01:00 arrives OUT OF ORDER (watermark is 00:10 — the
+        # row is legal) and forms its own earlier session; u2 08:00 advances
+        # the watermark to 06:00, closing both u1 sessions
+        spark.createDataFrame(
+            [ev(4, 1, 0), ev(5, 8, 0, uid=2)], EVENTS_STREAM_SCHEMA
+        ).coalesce(1).write.mode("append").parquet(d)
+        q.processAllAvailable()
+        # phase 3: u1 01:05 is LATE (behind the 06:00 watermark) — dropped,
+        # no session resurrected; u2 09:00 keeps u2's session open
+        spark.createDataFrame(
+            [ev(6, 1, 5), ev(7, 9, 0, uid=2)], EVENTS_STREAM_SCHEMA
+        ).coalesce(1).write.mode("append").parquet(d)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    by_user: dict = {}
+    for uid, s, e, n in emitted:
+        by_user.setdefault(uid, []).append((s.isoformat(), e.isoformat(), n))
+    # u1: exactly the two true sessions, each emitted once, start <= end
+    assert sorted(by_user.get(1, [])) == [
+        ("2024-01-01T01:00:00", "2024-01-01T01:00:00", 1),
+        ("2024-01-01T02:00:00", "2024-01-01T02:10:00", 3),
+    ], by_user
+    # u2's trailing session never closed -> never emitted
+    assert 2 not in by_user, by_user
