@@ -543,7 +543,8 @@ def copurchase_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT lag, n,
            round((n * sxy - sx * sy)
-                 / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS acf
+                 / NULLIF(sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 0),
+                 6) AS acf
     FROM sums ORDER BY lag
     """,
 )
@@ -577,14 +578,21 @@ def acf_daily_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         exact_sum(F.col("y") * F.col("y"), 6).alias("syy"),
     )
     n = F.col("n").cast("double")
+    # symmetric NULLIF guard (r9 zero-variance corpus): a constant series
+    # has zero autocovariance denominator — ACF is undefined, both engines
+    # return NULL instead of ANSI DIVIDE_BY_ZERO; bit-identical on any
+    # non-degenerate series
     return sums.select(
         "lag",
         "n",
         F.round(
             (n * F.col("sxy") - F.col("sx") * F.col("sy"))
-            / F.sqrt(
-                (n * F.col("sxx") - F.col("sx") * F.col("sx"))
-                * (n * F.col("syy") - F.col("sy") * F.col("sy"))
+            / F.nullif(
+                F.sqrt(
+                    (n * F.col("sxx") - F.col("sx") * F.col("sx"))
+                    * (n * F.col("syy") - F.col("sy") * F.col("sy"))
+                ),
+                F.lit(0.0),
             ),
             6,
         ).alias("acf"),

@@ -1103,3 +1103,156 @@ def test_extreme_ts_nontemporal_outputs_match_oracle(spark, extreme_ts_dir, name
     year-9999 timestamp — Arrow ns bound — so temporal outputs are pinned
     via the refusal tests above instead)."""
     compare(spark, name, extreme_ts_dir)
+
+
+# --- round-9 degenerate classes (VERDICT r8 #4) -------------------------------
+# Three new adversarial corpora, each swept over all 303 queries
+# (tools/degen_sweep.py; results in COVERAGE.md): FK-orphan events (every
+# user_id missing from the customer dim), zero-variance features (constant
+# event values, identical embedding vectors), and whitespace-only /
+# zero-token documents. The fourth r9 class — out-of-order / duplicate
+# event-time replay — lives in tests/test_streaming.py (it is a streaming
+# semantics class, not a corpus-sweep class).
+
+
+@pytest.fixture(scope="module")
+def fk_orphans_dir(tmp_path_factory):
+    """Every events.user_id shifted out of the customer key space — the
+    referential break every real lake hits when a dim snapshot lags the
+    fact stream. Full 303-query sweep: zero defects."""
+    import duckdb
+
+    from gpu_telemetry_lakehouse_spark.catalog import TABLES
+
+    src = "/root/testdata/sf0.001"
+    d = tmp_path_factory.mktemp("fk_orphans")
+    con = duckdb.connect()
+    for t in TABLES:
+        if t == "events":
+            sql = f"""
+              SELECT event_id, ts, user_id + 1000000000 AS user_id,
+                     event_type, value, props
+              FROM '{src}/events.parquet'"""
+        else:
+            sql = f"SELECT * FROM '{src}/{t}.parquet'"
+        con.sql(f"COPY ({sql}) TO '{d}/{t}.parquet' (FORMAT PARQUET)")
+    con.close()
+    return str(d)
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "referential_orphan_summary",  # must REPORT the 100% orphan rate
+        "events_enriched_segment_hourly",  # inner enrichment joins go empty
+        "pseudonymized_join_integrity",  # pseudonym audit over zero matches
+        "daily_new_vs_returning",      # events-only control, unaffected
+        "session_windows_users",       # orphan keys still sessionize
+    ],
+)
+def test_fk_orphans_match_oracle(spark, fk_orphans_dir, name):
+    compare(spark, name, fk_orphans_dir)
+
+
+@pytest.fixture(scope="module")
+def zero_variance_dir(tmp_path_factory):
+    """Constant event values and identical embedding vectors: the
+    zero-variance shape that divides by a zero std in scalers, zeroes every
+    covariance in PCA, and collapses every cosine to the same score."""
+    import duckdb
+
+    from gpu_telemetry_lakehouse_spark.catalog import TABLES
+
+    src = "/root/testdata/sf0.001"
+    d = tmp_path_factory.mktemp("zero_var")
+    con = duckdb.connect()
+    for t in TABLES:
+        if t == "events":
+            sql = f"""
+              SELECT event_id, ts, user_id, event_type,
+                     CASE WHEN value IS NULL THEN NULL ELSE 1.0 END AS value,
+                     props
+              FROM '{src}/events.parquet'"""
+        elif t == "embeddings":
+            sql = f"""
+              SELECT vec_id,
+                     list_transform(embedding, x -> CAST(0.5 AS FLOAT))
+                         AS embedding,
+                     label
+              FROM '{src}/embeddings.parquet'"""
+        else:
+            sql = f"SELECT * FROM '{src}/{t}.parquet'"
+        con.sql(f"COPY ({sql}) TO '{d}/{t}.parquet' (FORMAT PARQUET)")
+    con.close()
+    return str(d)
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "pca_project_2d",         # zero covariance matrix eigenbasis
+        "cusum_change_point",     # no change point in a constant series
+        "robust_center_stats",    # MAD = 0, trimmed means constant
+        "embedding_quantize_error",  # quantizing a constant vector
+        "knn_cosine_brute",       # all-ties cosine, deterministic tie-break
+        "mad_value_by_type",      # per-group MAD of a constant = 0
+        "winsorized_value_stats",  # winsorizing a constant series
+        "acf_daily_value",        # r9 defect FIXED: NULL acf, not 0/0
+    ],
+)
+def test_zero_variance_matches_oracle(spark, zero_variance_dir, name):
+    compare(spark, name, zero_variance_dir)
+
+
+@pytest.fixture(scope="module")
+def ws_docs_dir(tmp_path_factory):
+    """Whitespace-only, punctuation-only (zero tokens after normalization),
+    non-alphanumeric-unicode and single-char documents rotated through the
+    corpus. Full 303-query sweep: 303/303 ok, zero defects."""
+    import duckdb
+
+    from gpu_telemetry_lakehouse_spark.catalog import TABLES
+
+    src = "/root/testdata/sf0.001"
+    d = tmp_path_factory.mktemp("ws_docs")
+    con = duckdb.connect()
+    case = """
+      CASE doc_id % 7
+           WHEN 0 THEN ''
+           WHEN 1 THEN '   '
+           WHEN 2 THEN chr(9) || chr(10) || '  ' || chr(9)
+           WHEN 3 THEN '!!! ,,, ... ;;;'
+           WHEN 4 THEN '§ © ® —'
+           WHEN 5 THEN ' a '
+           ELSE text END
+    """
+    for t in TABLES:
+        if t == "documents":
+            sql = f"""
+              SELECT doc_id, {case} AS text, lang, source,
+                     CAST(length({case}) AS BIGINT) AS n_chars
+              FROM '{src}/documents.parquet'"""
+        else:
+            sql = f"SELECT * FROM '{src}/{t}.parquet'"
+        con.sql(f"COPY ({sql}) TO '{d}/{t}.parquet' (FORMAT PARQUET)")
+    con.close()
+    return str(d)
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "text_stats",
+        "text_token_count",
+        "text_lang_id",
+        "text_quality_score",
+        "doc_length_deciles",
+        "tfidf_top_terms",
+        "doc_unigram_logprob",
+        "text_repetition_gopher",
+        "char_entropy_docs",
+        "chunk_documents_overlap",
+    ],
+)
+def test_ws_docs_match_oracle(spark, ws_docs_dir, name):
+    compare(spark, name, ws_docs_dir)
