@@ -14,6 +14,14 @@ Spark executes to a noop sink (no driver collect); DuckDB fetchall()s
 (its results are small aggregates; materialization cost is negligible).
 
 Usage: python tools/bench_scale_trend.py [--sf1-dir .scratch/sf1]
+         [--queries a,b,c] [--tiers sf1=.scratch/sf1,sf10=.scratch/sf10]
+         [--passes N]
+
+The r9 second-decade run (VERDICT r8 #2) uses --tiers to pit sf1 against
+sf10 on the TARGETED slice whose absolute cost grew fastest in r8
+(er_blocked_match_pairs, dedup_shingle_jaccard_capped,
+gold_job_efficiency_daily, kcore_peel_trace); --passes 1 there — minutes-
+scale runtimes make best-of-2 warmup discipline immaterial.
 """
 
 from __future__ import annotations
@@ -48,74 +56,127 @@ HEAVY_SLICE = [
 ]
 
 
-def spark_serial(spark, sf_dir: str, passes: int = 2) -> dict[str, float]:
+def spark_serial(spark, sf_dir: str, passes: int = 2, slice_=None) -> dict[str, float]:
     best: dict[str, float] = {}
     for _ in range(passes):
-        for name in HEAVY_SLICE:
+        for name in (slice_ or HEAVY_SLICE):
             t0 = time.perf_counter()
             QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
             t = time.perf_counter() - t0
+            print(f"  spark {name}: {t:.2f}s", flush=True)
             if name not in best or t < best[name]:
                 best[name] = t
     return {k: round(v, 3) for k, v in best.items()}
 
 
-def duck_serial(sf_dir: str, passes: int = 2) -> dict[str, float]:
+# A runaway oracle at the big tier must not fill the disk or hang the run:
+# DuckDB's spill is capped, and each query gets a wall-clock budget enforced
+# via connection interrupt (the r9 sf10 run found er_blocked's quadratic
+# oracle spilling >70 GB of temp before dying on a full disk). A query that
+# exceeds either bound records float('inf') — a DNF is itself the data
+# point: the single-node engine cannot complete what Spark completed.
+DUCK_TEMP_CAP = "40GB"
+DUCK_QUERY_BUDGET_S = 900
+
+
+def duck_serial(sf_dir: str, passes: int = 2, slice_=None) -> dict[str, float]:
+    import threading
+
     con = duck_con(sf_dir)
+    con.sql(f"SET max_temp_directory_size='{DUCK_TEMP_CAP}'")
     best: dict[str, float] = {}
     for _ in range(passes):
-        for name in HEAVY_SLICE:
+        for name in (slice_ or HEAVY_SLICE):
+            if best.get(name) == float("inf"):
+                continue  # no second attempt at a DNF
+            done = threading.Event()
+
+            def watchdog():
+                if not done.wait(DUCK_QUERY_BUDGET_S):
+                    con.interrupt()
+
+            wd = threading.Thread(target=watchdog, daemon=True)
+            wd.start()
             t0 = time.perf_counter()
-            con.sql(ORACLE[name]).fetchall()
-            t = time.perf_counter() - t0
+            try:
+                con.sql(ORACLE[name]).fetchall()
+                t = time.perf_counter() - t0
+            except Exception as e:
+                t = float("inf")
+                print(
+                    f"  duckdb {name}: DNF after {time.perf_counter() - t0:.0f}s "
+                    f"({type(e).__name__}: {str(e)[:120]})",
+                    flush=True,
+                )
+            else:
+                print(f"  duckdb {name}: {t:.2f}s", flush=True)
+            finally:
+                done.set()
+                wd.join()
             if name not in best or t < best[name]:
                 best[name] = t
     con.close()
-    return {k: round(v, 3) for k, v in best.items()}
+    return {k: (round(v, 3) if v != float("inf") else v) for k, v in best.items()}
 
 
 def main() -> None:
     sf1_dir = os.path.join(ROOT, ".scratch", "sf1")
     if "--sf1-dir" in sys.argv:
         sf1_dir = sys.argv[sys.argv.index("--sf1-dir") + 1]
-    if not os.path.isdir(sf1_dir):
-        sys.exit(f"{sf1_dir} missing — run tools/scale_testdata.py first")
-    sf01_dir = "/root/testdata/sf0.1"
+    slice_ = list(HEAVY_SLICE)
+    if "--queries" in sys.argv:
+        slice_ = sys.argv[sys.argv.index("--queries") + 1].split(",")
+    passes = 2
+    if "--passes" in sys.argv:
+        passes = int(sys.argv[sys.argv.index("--passes") + 1])
+    tiers = [("sf0.1", "/root/testdata/sf0.1"), ("sf1", sf1_dir)]
+    if "--tiers" in sys.argv:
+        tiers = [
+            tuple(kv.split("=", 1))
+            for kv in sys.argv[sys.argv.index("--tiers") + 1].split(",")
+        ]
+    for _, d in tiers:
+        if not os.path.isdir(d):
+            sys.exit(f"{d} missing — run tools/scale_testdata.py first")
 
     spark = get_spark(app="gtl-scale-trend")
-    # warm both tiers off the clock (codegen + plan cache, bench.py recipe)
-    for d in (sf01_dir, sf1_dir):
-        for name in HEAVY_SLICE:
+    # warm every tier off the clock (codegen + plan cache, bench.py recipe)
+    for _, d in tiers:
+        for name in slice_:
             QUERIES[name](spark, d).write.format("noop").mode("overwrite").save()
 
     out: dict[str, dict] = {}
-    for sf, d in (("sf0.1", sf01_dir), ("sf1", sf1_dir)):
-        s = spark_serial(spark, d)
-        k = duck_serial(d)
+    for sf, d in tiers:
+        s = spark_serial(spark, d, passes, slice_)
+        k = duck_serial(d, passes, slice_)
         out[sf] = {
             "spark": s,
             "duckdb": k,
             "spark_total": round(sum(s.values()), 3),
-            "duckdb_total": round(sum(k.values()), 3),
+            "duckdb_total": round(sum(v for v in k.values() if v != float("inf")), 3),
+            "duckdb_dnf": sorted(n for n, v in k.items() if v == float("inf")),
         }
         print(f"== {sf}: spark {out[sf]['spark_total']}s  duckdb {out[sf]['duckdb_total']}s", flush=True)
 
+    lo, hi = tiers[0][0], tiers[-1][0]
     rows = []
-    for name in HEAVY_SLICE:
-        r01 = out["sf0.1"]["spark"][name] / max(out["sf0.1"]["duckdb"][name], 1e-9)
-        r1 = out["sf1"]["spark"][name] / max(out["sf1"]["duckdb"][name], 1e-9)
-        rows.append(
-            {
-                "query": name,
-                "sf0.1_spark": out["sf0.1"]["spark"][name],
-                "sf0.1_duck": out["sf0.1"]["duckdb"][name],
-                "sf1_spark": out["sf1"]["spark"][name],
-                "sf1_duck": out["sf1"]["duckdb"][name],
-                "ratio_sf0.1": round(r01, 2),
-                "ratio_sf1": round(r1, 2),
-                "trend": "shrinks" if r1 < r01 else "grows",
-            }
+    for name in slice_:
+        row = {"query": name}
+        for sf, _ in tiers:
+            row[f"{sf}_spark"] = out[sf]["spark"][name]
+            dk = out[sf]["duckdb"][name]
+            row[f"{sf}_duck"] = dk if dk != float("inf") else "DNF"
+            row[f"ratio_{sf}"] = (
+                round(out[sf]["spark"][name] / max(dk, 1e-9), 2)
+                if dk != float("inf")
+                else 0.0  # Spark finished, the oracle did not
+            )
+        row["trend"] = (
+            "shrinks" if row[f"ratio_{hi}"] < row[f"ratio_{lo}"] else "grows"
         )
+        if row[f"{hi}_duck"] == "DNF":
+            row["trend"] = "oracle DNF (spark finished)"
+        rows.append(row)
     print(json.dumps({"slice": rows, "totals": {k: {kk: v[kk] for kk in ("spark_total", "duckdb_total")} for k, v in out.items()}}))
 
 

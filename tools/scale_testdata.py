@@ -40,7 +40,17 @@ Scale recipe — 10 deterministic replicas with key-stride remapping:
 Everything is seeded — no wall-clock, no unseeded RNG — so two runs
 produce byte-identical logical content.
 
-Usage:  python tools/scale_testdata.py [DST_DIR]   (default .scratch/sf1)
+The recipe COMPOSES decade over decade (VERDICT r8 #2): building from an
+already-scaled tier just multiplies every key stride by the tier's decade
+multiplier, so ``--src .scratch/sf1 --mult 10`` produces sf10 (~60M
+lineitem rows, ~1.8 GB parquet) with the same referential-integrity and
+distribution guarantees. Replica seeds scale with the decade multiplier
+(i * mult), so second-decade shuffles are seeded disjointly from
+first-decade ones; p_name suffixes draw from a DISJOINT per-decade
+vocabulary so no cross-decade name groups are cloned (NATO_BY_DECADE).
+
+Usage:  python tools/scale_testdata.py [DST_DIR] [--src DIR] [--mult N]
+        (default: build .scratch/sf1 from /root/testdata/sf0.1, mult 1)
 """
 
 from __future__ import annotations
@@ -55,6 +65,8 @@ SRC = os.environ.get("SPARK_GRAFT_SCALE_SRC", "/root/testdata/sf0.1")
 R = 10  # replicas for row tables (one decade)
 R_EMB = 4  # embeddings grow 4x per decade in the driver's own data
 
+# key cardinalities of the BASE sf0.1 tier; an already-scaled source tier
+# multiplies these by its decade multiplier (sf1 -> mult 10, sf10 -> 100)
 STRIDE = {
     "customer": 15_000,
     "supplier": 1_000,
@@ -69,7 +81,15 @@ STRIDE = {
 # pairwise levenshtein >= 3 and length within +-2 of each other is NOT
 # required — the editdist join prunes on |len diff| <= 2 AND lev <= 2, and
 # every pair below differs by >2 edits from every other and from ''.
-NATO = ["", "alpha", "bravo", "charlie", "delta", "echo", "foxtrot", "golf", "hotel", "india"]
+# Each decade uses a DISJOINT suffix vocabulary: reusing the first-decade
+# list would make second-decade replica j=1 of base name "x" collide with
+# first-decade replica i=1 ("x alpha" twice) — cloned name groups, the
+# exact quadratic artifact the regeneration exists to avoid.
+NATO_BY_DECADE = [
+    ["", "alpha", "bravo", "charlie", "delta", "echo", "foxtrot", "golf", "hotel", "india"],
+    ["", "zulu", "yankee", "xray", "whiskey", "victor", "uniform", "tango", "sierra", "romeo"],
+    ["", "juliett", "kilo", "lima", "mike", "november", "oscar", "papa", "quebec", "lambda"],
+]
 
 
 def _copy_sql(con: duckdb.DuckDBPyConnection, dst: str, table: str, sql: str) -> None:
@@ -79,11 +99,18 @@ def _copy_sql(con: duckdb.DuckDBPyConnection, dst: str, table: str, sql: str) ->
     print(f"  {table:12s} {n:>10,} rows")
 
 
-def build(dst: str) -> None:
+def build(dst: str, src_dir: str = SRC, mult: int = 1) -> None:
+    """Scale ``src_dir`` (a tier whose keys span mult * STRIDE[t]) by one
+    decade into ``dst``. mult=1 builds sf1 from the driver's sf0.1; mult=10
+    builds sf10 from a previously-built sf1; and so on."""
+    decade = len(str(mult)) - 1  # 1 -> 0, 10 -> 1, 100 -> 2
+    assert mult == 10 ** decade, f"mult must be a power of 10, got {mult}"
+    nato = NATO_BY_DECADE[decade % len(NATO_BY_DECADE)]
+    emb_mult = R_EMB ** decade  # embeddings grow 4x per decade, not 10x
     os.makedirs(dst, exist_ok=True)
     con = duckdb.connect()
     con.sql(f"SET threads TO {os.cpu_count() or 8}")
-    src = lambda t: f"'{SRC}/{t}.parquet'"  # noqa: E731
+    src = lambda t: f"'{src_dir}/{t}.parquet'"  # noqa: E731
 
     # fixed dims: verbatim copies
     for t in ("region", "nation"):
@@ -105,46 +132,46 @@ def build(dst: str) -> None:
     rep = f"CROSS JOIN range({R}) t(i)"
     _copy_sql(
         con, dst, "customer",
-        f"""SELECT c_custkey + i*{STRIDE['customer']} AS c_custkey,
-                   'Customer#' || lpad(CAST(c_custkey + i*{STRIDE['customer']} AS VARCHAR), 9, '0') AS c_name,
+        f"""SELECT c_custkey + i*{STRIDE['customer'] * mult} AS c_custkey,
+                   'Customer#' || lpad(CAST(c_custkey + i*{STRIDE['customer'] * mult} AS VARCHAR), 9, '0') AS c_name,
                    c_nationkey, c_acctbal, c_mktsegment
             FROM {src('customer')} {rep}""",
     )
     _copy_sql(
         con, dst, "supplier",
-        f"""SELECT s_suppkey + i*{STRIDE['supplier']} AS s_suppkey,
-                   'Supplier#' || lpad(CAST(s_suppkey + i*{STRIDE['supplier']} AS VARCHAR), 9, '0') AS s_name,
+        f"""SELECT s_suppkey + i*{STRIDE['supplier'] * mult} AS s_suppkey,
+                   'Supplier#' || lpad(CAST(s_suppkey + i*{STRIDE['supplier'] * mult} AS VARCHAR), 9, '0') AS s_name,
                    s_nationkey, s_acctbal
             FROM {src('supplier')} {rep}""",
     )
-    nato_list = "[" + ", ".join(f"'{w}'" for w in NATO) + "]"
+    nato_list = "[" + ", ".join(f"'{w}'" for w in nato) + "]"
     _copy_sql(
         con, dst, "part",
-        f"""SELECT p_partkey + i*{STRIDE['part']} AS p_partkey,
+        f"""SELECT p_partkey + i*{STRIDE['part'] * mult} AS p_partkey,
                    p_name || (CASE WHEN i = 0 THEN '' ELSE ' ' || {nato_list}[i + 1] END) AS p_name,
                    p_brand, p_type, p_size, p_retailprice
             FROM {src('part')} {rep}""",
     )
     _copy_sql(
         con, dst, "orders",
-        f"""SELECT o_orderkey + i*{STRIDE['orders']} AS o_orderkey,
-                   o_custkey + i*{STRIDE['customer']} AS o_custkey,
+        f"""SELECT o_orderkey + i*{STRIDE['orders'] * mult} AS o_orderkey,
+                   o_custkey + i*{STRIDE['customer'] * mult} AS o_custkey,
                    o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
             FROM {src('orders')} {rep}""",
     )
     _copy_sql(
         con, dst, "lineitem",
-        f"""SELECT l_orderkey + i*{STRIDE['orders']} AS l_orderkey,
-                   l_partkey + i*{STRIDE['part']} AS l_partkey,
-                   l_suppkey + i*{STRIDE['supplier']} AS l_suppkey,
+        f"""SELECT l_orderkey + i*{STRIDE['orders'] * mult} AS l_orderkey,
+                   l_partkey + i*{STRIDE['part'] * mult} AS l_partkey,
+                   l_suppkey + i*{STRIDE['supplier'] * mult} AS l_suppkey,
                    l_linenumber, l_quantity, l_extendedprice, l_discount,
                    l_tax, l_returnflag, l_linestatus, l_shipdate
             FROM {src('lineitem')} {rep}""",
     )
     _copy_sql(
         con, dst, "events",
-        f"""SELECT event_id + i*{STRIDE['events']} AS event_id, ts,
-                   user_id + i*{STRIDE['user']} AS user_id,
+        f"""SELECT event_id + i*{STRIDE['events'] * mult} AS event_id, ts,
+                   user_id + i*{STRIDE['user'] * mult} AS user_id,
                    event_type, value, props
             FROM {src('events')} {rep}""",
     )
@@ -158,11 +185,11 @@ def build(dst: str) -> None:
             texts = []
             for doc_id, text in zip(d["doc_id"].to_numpy(), d["text"].tolist()):
                 words = text.split()
-                rs = np.random.RandomState(int(doc_id) + 1_000_003 * i)
+                rs = np.random.RandomState(int(doc_id) + 1_000_003 * i * mult)
                 rs.shuffle(words)
                 texts.append(" ".join(words))
             d["text"] = texts
-        d["doc_id"] = d["doc_id"] + i * STRIDE["documents"]
+        d["doc_id"] = d["doc_id"] + i * STRIDE["documents"] * mult
         d["n_chars"] = d["text"].str.len().astype("int64")
         frames.append(d)
     import pandas as pd
@@ -183,11 +210,11 @@ def build(dst: str) -> None:
         if i > 0:
             vecs = []
             for vec_id, v in zip(e["vec_id"].to_numpy(), e["embedding"].tolist()):
-                rs = np.random.RandomState(int(vec_id) + 7_000_003 * i)
+                rs = np.random.RandomState(int(vec_id) + 7_000_003 * i * emb_mult)
                 arr = np.asarray(v, dtype=np.float64)
                 vecs.append((arr * (1.0 + rs.uniform(-0.01, 0.01, arr.shape))).astype(np.float32).tolist())
             e["embedding"] = vecs
-        e["vec_id"] = e["vec_id"] + i * STRIDE["embeddings"]
+        e["vec_id"] = e["vec_id"] + i * STRIDE["embeddings"] * emb_mult
         eframes.append(e)
     all_emb = pd.concat(eframes, ignore_index=True)
     con.register("all_emb", all_emb)
@@ -198,11 +225,18 @@ def build(dst: str) -> None:
         "CAST(label AS INTEGER) AS label FROM all_emb",
     )
     con.close()
-    print(f"sf1 written to {dst}")
+    print(f"scaled tier (mult {mult * 10}x of sf0.1) written to {dst}")
 
 
 if __name__ == "__main__":
-    dst = sys.argv[1] if len(sys.argv) > 1 else os.path.join(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".scratch", "sf1"
+    args = sys.argv[1:]
+    src_dir, mult = SRC, 1
+    if "--src" in args:
+        j = args.index("--src"); src_dir = args[j + 1]; del args[j:j + 2]
+    if "--mult" in args:
+        j = args.index("--mult"); mult = int(args[j + 1]); del args[j:j + 2]
+    dst = args[0] if args else os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        ".scratch", "sf1" if mult == 1 else f"sf{mult * 10}"
     )
-    build(dst)
+    build(dst, src_dir, mult)
