@@ -9,15 +9,19 @@ Implements the documented transaction-log protocol (delta.io PROTOCOL.md):
 - version files ``_delta_log/<20-digit>.json`` — newline-delimited JSON
   actions; ``add`` and ``remove`` replay into the live file set, last
   ``metaData`` wins the schema, ``protocol`` gates reader compatibility;
-- parquet checkpoints ``<v>.checkpoint.parquet`` + ``_last_checkpoint`` —
-  a snapshot of the action state at version v, so reconstruction reads
-  one parquet + the JSON tail, not the whole history;
+- parquet checkpoints ``<v>.checkpoint.parquet`` (single-file), classic
+  multi-part ``<v>.checkpoint.<part>.<n>.parquet``, and V2 checkpoints
+  ``<v>.checkpoint.<uuid>.{json,parquet}`` whose file actions may live in
+  sidecar parquet files under ``_delta_log/_sidecars/`` — a snapshot of
+  the action state at version v, so reconstruction reads the checkpoint
+  + the JSON tail, not the whole history (``_last_checkpoint`` is a hint
+  only; listing is authoritative);
 - partition columns are NOT stored in the data files — they come back from
   each add's ``partitionValues``, deserialized per the protocol's string
   serialization against the table schema.
 
 Reader gating is strict by design: any ``readerFeatures`` beyond what
-replay implements (v2 checkpoints, ...) raises ``UnsupportedDeltaFeature``.
+replay implements raises ``UnsupportedDeltaFeature``.
 COLUMN MAPPING (name and id modes) is implemented: the physical parquet
 schema is derived from the logical schemaString's
 ``delta.columnMapping.physicalName`` / ``.id`` field metadata, name mode
@@ -46,6 +50,12 @@ an ordinary multi-path parquet scan, so column pruning and predicate
 pushdown apply exactly as on a native table. Above ``_MAX_LITERAL_GROUPS``
 distinct partition tuples the scan switches to one-scan + broadcast
 partition-value join so plan size stays constant in partition count.
+
+The write side (``write_delta`` / ``append_delta`` / ``delete_where_delta``)
+emits protocol-conformant commits; ``checkpoint_delta`` writes a classic
+single-file parquet checkpoint + ``_last_checkpoint`` hint so long-lived
+append-heavy tables replay one parquet + a JSON tail instead of the whole
+commit history, and commit-json retention cleanup becomes protocol-legal.
 """
 
 from __future__ import annotations
@@ -64,6 +74,14 @@ _CHECKPOINT_RE = re.compile(r"^(\d{20})\.checkpoint\.parquet$")
 _CHECKPOINT_PART_RE = re.compile(
     r"^(\d{20})\.checkpoint\.(\d{10})\.(\d{10})\.parquet$"
 )
+# V2 checkpoints (PROTOCOL.md "V2 Checkpoints"): <v>.checkpoint.<uniqueStr>
+# .{json,parquet} — one top-level file carrying checkpointMetadata +
+# protocol/metaData, with add/remove actions either inline or offloaded to
+# `sidecar` actions pointing into _delta_log/_sidecars/. Exactly ONE middle
+# segment, so the two-numeric-segment multi-part pattern cannot collide.
+_CHECKPOINT_V2_RE = re.compile(
+    r"^(\d{20})\.checkpoint\.([^./\\]+)\.(json|parquet)$"
+)
 
 # Above this many distinct partitionValues tuples, read_delta switches from
 # one literal-column scan per partition group (analyzer cost linear in
@@ -74,9 +92,15 @@ _MAX_LITERAL_GROUPS = 64
 
 # Replay implements: plain add/remove actions, JSON schemaString metadata,
 # partitionValues reconstitution, deletion vectors, column mapping (name
-# and id modes). Everything else must be absent or the table is unreadable
-# by this implementation.
-_SUPPORTED_READER_FEATURES = {"timestampNtz", "deletionVectors", "columnMapping"}
+# and id modes), v2 checkpoints (top-level json/parquet + sidecars).
+# Everything else must be absent or the table is unreadable by this
+# implementation.
+_SUPPORTED_READER_FEATURES = {
+    "timestampNtz",
+    "deletionVectors",
+    "columnMapping",
+    "v2Checkpoint",
+}
 
 # Resolved DV row positions are driver-side replay metadata (like the live-
 # file dict): bound what crosses. 10M positions ~ hundreds of MB of tuples —
@@ -105,27 +129,41 @@ def delta_versions(path: str) -> list[int]:
     return sorted(out)
 
 
-def _checkpoint_before(path: str, version: int) -> tuple[int, list[str]] | None:
-    """Newest COMPLETE parquet checkpoint at or before ``version`` as
-    ``(checkpoint_version, part_paths)`` — single-file or classic
-    multi-part (``<v>.checkpoint.<part>.<n>.parquet``; complete means all
-    ``n`` parts are present, else that checkpoint is skipped).
+def _checkpoint_before(
+    path: str, version: int
+) -> tuple[int, list[str], str] | None:
+    """Newest COMPLETE checkpoint at or before ``version`` as
+    ``(checkpoint_version, part_paths, kind)`` — single-file parquet,
+    classic multi-part (``<v>.checkpoint.<part>.<n>.parquet``; complete
+    means all ``n`` parts are present, else that checkpoint is skipped),
+    or a V2 checkpoint (``kind`` is ``"classic"``, ``"v2parquet"`` or
+    ``"v2json"``; any complete checkpoint at a version serves the
+    snapshot, so at a tie classic wins, then v2 parquet, then v2 json,
+    lexicographically-largest uniqueStr for determinism).
 
     ``_last_checkpoint`` is an optimization hint only (it can lag or point
     past a time-travel target); listing is authoritative, exactly as the
     protocol prescribes for readers."""
     log = _log_dir(path)
-    candidates: dict[int, list[str]] = {}
+    candidates: dict[int, tuple[list[str], str]] = {}
     parts: dict[int, dict[int, tuple[int, str]]] = {}
+    v2: dict[int, dict[str, list[str]]] = {}
     for f in os.listdir(log):
         m = _CHECKPOINT_RE.match(f)
         if m and int(m.group(1)) <= version:
-            candidates[int(m.group(1))] = [os.path.join(log, f)]
+            candidates[int(m.group(1))] = ([os.path.join(log, f)], "classic")
             continue
         m = _CHECKPOINT_PART_RE.match(f)
         if m and int(m.group(1)) <= version:
             v, part, n = int(m.group(1)), int(m.group(2)), int(m.group(3))
             parts.setdefault(v, {})[part] = (n, os.path.join(log, f))
+            continue
+        m = _CHECKPOINT_V2_RE.match(f)
+        if m and int(m.group(1)) <= version:
+            kind = "v2parquet" if m.group(3) == "parquet" else "v2json"
+            v2.setdefault(int(m.group(1)), {}).setdefault(kind, []).append(
+                os.path.join(log, f)
+            )
     for v, by_part in parts.items():
         n_parts = {n for n, _ in by_part.values()}
         # complete means parts are EXACTLY 1..n (count alone would accept
@@ -134,12 +172,16 @@ def _checkpoint_before(path: str, version: int) -> tuple[int, list[str]] | None:
             range(1, next(iter(n_parts)) + 1)
         ):
             candidates.setdefault(
-                v, [p for _, (_, p) in sorted(by_part.items())]
+                v, ([p for _, (_, p) in sorted(by_part.items())], "classic")
             )
+    for v, by_kind in v2.items():
+        if v not in candidates:
+            kind = "v2parquet" if "v2parquet" in by_kind else "v2json"
+            candidates[v] = ([max(by_kind[kind])], kind)
     if not candidates:
         return None
     best = max(candidates)
-    return best, candidates[best]
+    return best, *candidates[best]
 
 
 def _check_protocol(action: dict) -> None:
@@ -196,6 +238,109 @@ def _fold(state: dict, action: dict) -> None:
         state["files"].pop((r["path"], _dv_uid(r.get("deletionVector"))), None)
 
 
+def _action_rows(cp_df: DataFrame) -> list[str]:
+    """Checkpoint parquet → JSON action rows for the driver-side fold.
+
+    A checkpoint is parquet of action structs; NULL columns mark absent
+    action kinds. Prune to the action columns replay folds (and drop
+    add.stats, the bulk of checkpoint bytes) BEFORE the collect — state
+    building is inherently driver-side in this design, so bound what
+    crosses. ``toJSON`` omits null fields, so each row carries exactly its
+    one present action, same shape as a commit-json line."""
+    cols = [
+        c
+        for c in ("protocol", "metaData", "add", "remove")
+        if c in cp_df.columns
+    ]
+    if not cols:
+        # a v2 top-level file may offload every file action to sidecars
+        return []
+    cp_df = cp_df.select(*cols)
+    if "add" in cols and "stats" in [
+        f.name for f in cp_df.schema["add"].dataType.fields
+    ]:
+        cp_df = cp_df.withColumn("add", F.col("add").dropFields("stats"))
+    return cp_df.toJSON().collect()
+
+
+def _v2_checkpoint_actions(
+    spark: SparkSession, path: str, cp_version: int, cp_file: str, kind: str
+):
+    """Yield the replay actions of a V2 checkpoint (PROTOCOL.md
+    "V2 Checkpoints", the ``v2Checkpoint`` reader feature).
+
+    The top-level file (``<v>.checkpoint.<uuid>.{json,parquet}``) must
+    carry exactly one ``checkpointMetadata`` action naming its version —
+    a mismatch means a torn or misnamed file, fail loud. protocol/metaData
+    (and any inline add/remove) fold directly; ``sidecar`` actions point
+    at parquet files under ``_delta_log/_sidecars/`` holding the offloaded
+    add/remove actions (the protocol puts ALL file actions in sidecars
+    when any sidecar is present). Missing sidecar files fail loud — a
+    partial snapshot is silent data loss."""
+    if kind == "v2json":
+        actions: list[dict] = []
+        with open(cp_file) as fh:
+            for line in fh:
+                if line.strip():
+                    actions.append(json.loads(line))
+    else:
+        df = spark.read.parquet(cp_file)
+        actions = []
+        if "checkpointMetadata" in df.columns:
+            for row in (
+                df.select("checkpointMetadata")
+                .where(F.col("checkpointMetadata").isNotNull())
+                .toJSON()
+                .collect()
+            ):
+                actions.append(json.loads(row))
+        if "sidecar" in df.columns:
+            for row in (
+                df.select("sidecar")
+                .where(F.col("sidecar").isNotNull())
+                .toJSON()
+                .collect()
+            ):
+                actions.append(json.loads(row))
+        actions.extend(json.loads(r) for r in _action_rows(df))
+    cms = [a["checkpointMetadata"] for a in actions if a.get("checkpointMetadata")]
+    if len(cms) != 1:
+        raise ValueError(
+            f"v2 checkpoint {cp_file} carries {len(cms)} checkpointMetadata "
+            "actions (the protocol requires exactly one)"
+        )
+    if int(cms[0].get("version", -1)) != cp_version:
+        raise ValueError(
+            f"v2 checkpoint {cp_file} names version {cms[0].get('version')} "
+            f"but its file name says {cp_version} — torn or misnamed "
+            "checkpoint, refusing to replay"
+        )
+    sidecars = [a["sidecar"] for a in actions if a.get("sidecar")]
+    for a in actions:
+        if any(a.get(k) for k in ("protocol", "metaData", "add", "remove")):
+            yield a
+    if sidecars:
+        sc_dir = os.path.join(_log_dir(path), "_sidecars")
+        sc_paths = []
+        for s in sidecars:
+            rel = s.get("path")
+            if not rel:
+                raise ValueError(
+                    f"v2 checkpoint {cp_file} carries a sidecar action "
+                    "without a path"
+                )
+            full = rel if os.path.isabs(rel) else os.path.join(sc_dir, rel)
+            if not os.path.exists(full):
+                raise ValueError(
+                    f"v2 checkpoint sidecar missing: {full} — a partial "
+                    "snapshot would silently lose files, refusing to replay"
+                )
+            sc_paths.append(full)
+        sc_df = spark.read.option("mergeSchema", "true").parquet(*sc_paths)
+        for row in _action_rows(sc_df):
+            yield json.loads(row)
+
+
 def _replay(spark: SparkSession, path: str, version: int) -> dict:
     """Reconstruct the action state at ``version``.
 
@@ -210,28 +355,20 @@ def _replay(spark: SparkSession, path: str, version: int) -> dict:
     start = 0
     cp = _checkpoint_before(path, version)
     if cp is not None:
-        cp_version, cp_paths = cp
-        # mergeSchema: multi-part checkpoints from foreign writers may have
-        # per-part schemas (one part all-adds, another protocol/metaData);
-        # single-file inference would silently drop the absent action kinds
-        cp_df = spark.read.option("mergeSchema", "true").parquet(*cp_paths)
-        # The checkpoint is parquet of action structs; NULL columns mark
-        # absent action kinds. Prune to the action columns replay folds
-        # (and drop add.stats, the bulk of checkpoint bytes) BEFORE the
-        # collect — state building is inherently driver-side in this
-        # design, so bound what crosses.
-        cols = [
-            c
-            for c in ("protocol", "metaData", "add", "remove")
-            if c in cp_df.columns
-        ]
-        cp_df = cp_df.select(*cols)
-        if "add" in cols and "stats" in [
-            f.name for f in cp_df.schema["add"].dataType.fields
-        ]:
-            cp_df = cp_df.withColumn("add", F.col("add").dropFields("stats"))
-        for row in cp_df.toJSON().collect():
-            _fold(state, json.loads(row))
+        cp_version, cp_paths, cp_kind = cp
+        if cp_kind == "classic":
+            # mergeSchema: multi-part checkpoints from foreign writers may
+            # have per-part schemas (one part all-adds, another protocol/
+            # metaData); single-file inference would silently drop the
+            # absent action kinds
+            cp_df = spark.read.option("mergeSchema", "true").parquet(*cp_paths)
+            for row in _action_rows(cp_df):
+                _fold(state, json.loads(row))
+        else:
+            for action in _v2_checkpoint_actions(
+                spark, path, cp_version, cp_paths[0], cp_kind
+            ):
+                _fold(state, action)
         start = cp_version + 1
     for v in range(start, version + 1):
         entry = os.path.join(_log_dir(path), f"{v:020d}.json")
@@ -925,9 +1062,17 @@ def append_delta(df: DataFrame, path: str) -> int:
     """Append ``df`` as a new version of an existing Delta table (the table's
     own partition columns and schema govern; column order is aligned)."""
     versions = delta_versions(path)
-    if not versions:
-        raise ValueError(f"no Delta table at {path}")
-    state = _replay(df.sparkSession, path, versions[-1])
+    if versions:
+        current = versions[-1]
+    else:
+        # checkpoint-only log: same fallback as read_delta/delete_where_delta
+        # (retention expired every commit json at or before the newest
+        # complete checkpoint); the append commits as checkpoint version + 1
+        cp = _checkpoint_before(path, 1 << 62)
+        if cp is None:
+            raise ValueError(f"no Delta table at {path}")
+        current = cp[0]
+    state = _replay(df.sparkSession, path, current)
     meta = state["meta"]
     schema = T.StructType.fromJson(json.loads(meta["schemaString"]))
     part_cols = meta.get("partitionColumns") or []
@@ -939,7 +1084,172 @@ def append_delta(df: DataFrame, path: str) -> int:
         aligned,
         path,
         part_cols,
-        versions[-1] + 1,
+        current + 1,
         schema,
         "APPEND",
     )
+
+
+# Checkpoint parquet schema (PROTOCOL.md "Checkpoint Schema"): one struct
+# column per action kind, nulls marking absence; partitionValues/
+# configuration are true MAP columns (json-inference would turn them into
+# per-key structs, which foreign readers reject). Optional fields foreign
+# metaData/protocol commonly carry (createdTime, name, features) are kept.
+_CP_DV_TYPE = T.StructType(
+    [
+        T.StructField("storageType", T.StringType(), True),
+        T.StructField("pathOrInlineDv", T.StringType(), True),
+        T.StructField("offset", T.IntegerType(), True),
+        T.StructField("sizeInBytes", T.IntegerType(), True),
+        T.StructField("cardinality", T.LongType(), True),
+    ]
+)
+_CP_SCHEMA = T.StructType(
+    [
+        T.StructField(
+            "protocol",
+            T.StructType(
+                [
+                    T.StructField("minReaderVersion", T.IntegerType(), True),
+                    T.StructField("minWriterVersion", T.IntegerType(), True),
+                    T.StructField(
+                        "readerFeatures", T.ArrayType(T.StringType()), True
+                    ),
+                    T.StructField(
+                        "writerFeatures", T.ArrayType(T.StringType()), True
+                    ),
+                ]
+            ),
+            True,
+        ),
+        T.StructField(
+            "metaData",
+            T.StructType(
+                [
+                    T.StructField("id", T.StringType(), True),
+                    T.StructField("name", T.StringType(), True),
+                    T.StructField("description", T.StringType(), True),
+                    T.StructField(
+                        "format",
+                        T.StructType(
+                            [
+                                T.StructField("provider", T.StringType(), True),
+                                T.StructField(
+                                    "options",
+                                    T.MapType(T.StringType(), T.StringType()),
+                                    True,
+                                ),
+                            ]
+                        ),
+                        True,
+                    ),
+                    T.StructField("schemaString", T.StringType(), True),
+                    T.StructField(
+                        "partitionColumns", T.ArrayType(T.StringType()), True
+                    ),
+                    T.StructField(
+                        "configuration",
+                        T.MapType(T.StringType(), T.StringType()),
+                        True,
+                    ),
+                    T.StructField("createdTime", T.LongType(), True),
+                ]
+            ),
+            True,
+        ),
+        T.StructField(
+            "add",
+            T.StructType(
+                [
+                    T.StructField("path", T.StringType(), True),
+                    T.StructField(
+                        "partitionValues",
+                        T.MapType(T.StringType(), T.StringType(), True),
+                        True,
+                    ),
+                    T.StructField("size", T.LongType(), True),
+                    T.StructField("modificationTime", T.LongType(), True),
+                    T.StructField("dataChange", T.BooleanType(), True),
+                    T.StructField("stats", T.StringType(), True),
+                    T.StructField(
+                        "tags", T.MapType(T.StringType(), T.StringType()), True
+                    ),
+                    T.StructField("deletionVector", _CP_DV_TYPE, True),
+                ]
+            ),
+            True,
+        ),
+    ]
+)
+
+
+def _cp_row(kind: str, payload: dict):
+    """One checkpoint row: ``payload`` pruned to the _CP_SCHEMA fields of
+    its action struct (unknown foreign keys cannot be carried in a typed
+    parquet column), other action kinds null."""
+
+    def prune(d, st):
+        out = {}
+        for f in st.fields:
+            v = d.get(f.name)
+            if v is not None and isinstance(f.dataType, T.StructType):
+                v = prune(v, f.dataType)
+            out[f.name] = v
+        return out
+
+    struct = prune(payload, _CP_SCHEMA[kind].dataType)
+    return {k.name: (struct if k.name == kind else None) for k in _CP_SCHEMA}
+
+
+def checkpoint_delta(
+    spark: SparkSession, path: str, version: int | None = None
+) -> int:
+    """Write a classic single-file parquet checkpoint of the snapshot at
+    ``version`` (default: the latest commit) plus the ``_last_checkpoint``
+    hint — the protocol's log-compaction device. Replay afterwards reads
+    ONE pruned parquet + the JSON tail instead of every commit since table
+    creation, and log-retention cleanup of commits at or before the
+    checkpoint becomes protocol-legal (read_delta and delete_where_delta
+    both already serve checkpoint-only logs).
+
+    The checkpoint carries the replayed protocol, metaData and every live
+    add (including deletionVector descriptors — a DV'd table checkpoints
+    and round-trips its deletes). Remove tombstones exist to fence
+    concurrent-reader VACUUM races during the retention window; this
+    single-writer implementation checkpoints a quiescent snapshot, so none
+    are retained — absent removes replay as "nothing to tombstone" in any
+    conformant reader. Scale shape: one createDataFrame of O(#live files)
+    action rows written as one parquet — the same driver-side metadata
+    bound as _replay itself."""
+    import uuid
+
+    versions = delta_versions(path)
+    if version is None:
+        if versions:
+            version = versions[-1]
+        else:
+            cp = _checkpoint_before(path, 1 << 62)
+            if cp is None:
+                raise ValueError(f"no Delta table at {path}")
+            version = cp[0]
+    state = _replay(spark, path, version)
+    rows = [
+        _cp_row("protocol", state["protocol"] or {"minReaderVersion": 1, "minWriterVersion": 2}),
+        _cp_row("metaData", state["meta"]),
+    ] + [_cp_row("add", a) for a in state["files"].values()]
+    log = _log_dir(path)
+    build = os.path.join(log, f".cp_build-{uuid.uuid4().hex[:8]}")
+    spark.createDataFrame(rows, _CP_SCHEMA).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(build)
+    part = [f for f in os.listdir(build) if f.endswith(".parquet")][0]
+    os.replace(
+        os.path.join(build, part),
+        os.path.join(log, f"{version:020d}.checkpoint.parquet"),
+    )
+    for leftover in os.listdir(build):
+        os.remove(os.path.join(build, leftover))
+    os.rmdir(build)
+    with open(os.path.join(log, "_last_checkpoint"), "w") as fh:
+        json.dump({"version": version, "size": len(rows)}, fh)
+    return version

@@ -174,8 +174,8 @@ def test_delta_checkpoint_replay(spark, delta_table):
 
 def test_delta_reader_gating(spark, tmp_path):
     """Reader version 3 with ONLY implemented features (deletionVectors,
-    columnMapping) now reads; any unimplemented feature (v2Checkpoint,
-    typeWidening) and any reader version above 3 still fail loud."""
+    columnMapping, v2Checkpoint) now reads; any unimplemented feature
+    (typeWidening) and any reader version above 3 still fail loud."""
     t = str(tmp_path / "gated")
     _write_data(spark, t, "dt=2024-01-01/f0.parquet", [(1, 1.5)])
     proto_ok = {
@@ -204,7 +204,7 @@ def test_delta_reader_gating(spark, tmp_path):
     assert DI.read_delta(spark, t_cm).count() == 1
 
     for bad in (
-        {"minReaderVersion": 3, "readerFeatures": ["deletionVectors", "v2Checkpoint"]},
+        {"minReaderVersion": 3, "readerFeatures": ["deletionVectors", "typeWidening"]},
         {"minReaderVersion": 3, "readerFeatures": ["typeWidening"]},
         {"minReaderVersion": 4, "readerFeatures": []},
     ):
@@ -1037,3 +1037,189 @@ def test_delta_column_mapping_joined_path(spark, tmp_path):
     plan = d._jdf.queryExecution().executedPlan().toString()
     assert "Union" not in plan
     assert d.filter("id = 40").select("v").collect()[0][0] == 40.0
+
+
+# --- V2 checkpoints (PROTOCOL.md "V2 Checkpoints") ---------------------------
+
+
+def _v1_state_actions():
+    """The action state of the delta_table fixture at version 1."""
+    return [
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+        _meta(),
+        _add("dt=2024-01-01/f0.parquet", "2024-01-01"),
+        _add("dt=2024-01-02/f1.parquet", "2024-01-02"),
+        _add("dt=2024-01-01/f2.parquet", "2024-01-01"),
+    ]
+
+
+def _write_actions_parquet(spark, table, actions, dest):
+    """Stage a list of action dicts as ONE parquet file at ``dest`` (the
+    shape a checkpoint/sidecar writer produces: struct columns per action
+    kind, nulls marking absent kinds)."""
+    jl = os.path.join(table, "v2_staging.jsonl")
+    build = os.path.join(table, "v2_build")
+    with open(jl, "w") as fh:
+        for a in actions:
+            fh.write(json.dumps(a) + "\n")
+    spark.read.json(jl).coalesce(1).write.mode("overwrite").parquet(build)
+    part = [f for f in os.listdir(build) if f.endswith(".parquet")][0]
+    os.makedirs(os.path.dirname(dest), exist_ok=True)
+    os.replace(os.path.join(build, part), dest)
+    os.remove(jl)
+
+
+def test_delta_v2_checkpoint_json_inline(spark, delta_table):
+    """A v2 JSON checkpoint (<v>.checkpoint.<uuid>.json) with inline file
+    actions must shortcut replay exactly like a classic parquet one."""
+    before = _rows(DI.read_delta(spark, delta_table))
+    log = os.path.join(delta_table, "_delta_log")
+    cp = os.path.join(log, f"{1:020d}.checkpoint.80a083e8-7026.json")
+    with open(cp, "w") as fh:
+        fh.write(json.dumps({"checkpointMetadata": {"version": 1}}) + "\n")
+        for a in _v1_state_actions():
+            fh.write(json.dumps(a) + "\n")
+    os.remove(os.path.join(log, f"{0:020d}.json"))
+    os.remove(os.path.join(log, f"{1:020d}.json"))
+    assert _rows(DI.read_delta(spark, delta_table, version=2)) == before
+    # checkpoint-only log (v2 json also expired): v1 snapshot still serves
+    os.remove(os.path.join(log, f"{2:020d}.json"))
+    assert {r.id for r in DI.read_delta(spark, delta_table).collect()} == {
+        1, 2, 3, 4,
+    }
+
+
+def test_delta_v2_checkpoint_parquet_sidecars(spark, delta_table):
+    """A v2 parquet checkpoint whose file actions are offloaded to TWO
+    sidecar parquet files under _delta_log/_sidecars/ must replay the same
+    snapshot; the top-level carries only checkpointMetadata/protocol/
+    metaData/sidecar."""
+    before = _rows(DI.read_delta(spark, delta_table))
+    log = os.path.join(delta_table, "_delta_log")
+    state = _v1_state_actions()
+    _write_actions_parquet(
+        spark, delta_table, state[2:4],
+        os.path.join(log, "_sidecars", "sc-aaa.parquet"),
+    )
+    _write_actions_parquet(
+        spark, delta_table, state[4:],
+        os.path.join(log, "_sidecars", "sc-bbb.parquet"),
+    )
+    top = [
+        {"checkpointMetadata": {"version": 1}},
+        state[0],
+        state[1],
+        {"sidecar": {"path": "sc-aaa.parquet", "sizeInBytes": 1}},
+        {"sidecar": {"path": "sc-bbb.parquet", "sizeInBytes": 1}},
+    ]
+    _write_actions_parquet(
+        spark, delta_table, top,
+        os.path.join(log, f"{1:020d}.checkpoint.5fba94ed-2d8c.parquet"),
+    )
+    os.remove(os.path.join(log, f"{0:020d}.json"))
+    os.remove(os.path.join(log, f"{1:020d}.json"))
+    assert _rows(DI.read_delta(spark, delta_table, version=2)) == before
+
+
+def test_delta_v2_checkpoint_version_mismatch_fails_loud(spark, delta_table):
+    """checkpointMetadata.version disagreeing with the file name means a
+    torn/misnamed checkpoint — replay must refuse, not reconstruct."""
+    log = os.path.join(delta_table, "_delta_log")
+    cp = os.path.join(log, f"{1:020d}.checkpoint.bad0bad0.json")
+    with open(cp, "w") as fh:
+        fh.write(json.dumps({"checkpointMetadata": {"version": 7}}) + "\n")
+        for a in _v1_state_actions():
+            fh.write(json.dumps(a) + "\n")
+    os.remove(os.path.join(log, f"{0:020d}.json"))
+    with pytest.raises(ValueError, match="names version 7"):
+        DI.read_delta(spark, delta_table, version=2)
+    # and a checkpoint with NO checkpointMetadata at all is equally torn
+    with open(cp, "w") as fh:
+        for a in _v1_state_actions():
+            fh.write(json.dumps(a) + "\n")
+    with pytest.raises(ValueError, match="checkpointMetadata"):
+        DI.read_delta(spark, delta_table, version=2)
+
+
+def test_delta_v2_checkpoint_missing_sidecar_fails_loud(spark, delta_table):
+    """A sidecar action pointing at an absent file must refuse to replay —
+    a partial snapshot is silent data loss."""
+    log = os.path.join(delta_table, "_delta_log")
+    cp = os.path.join(log, f"{1:020d}.checkpoint.cafe0001.json")
+    with open(cp, "w") as fh:
+        fh.write(json.dumps({"checkpointMetadata": {"version": 1}}) + "\n")
+        fh.write(json.dumps(_v1_state_actions()[0]) + "\n")
+        fh.write(json.dumps(_v1_state_actions()[1]) + "\n")
+        fh.write(
+            json.dumps({"sidecar": {"path": "gone.parquet", "sizeInBytes": 1}})
+            + "\n"
+        )
+    os.remove(os.path.join(log, f"{0:020d}.json"))
+    os.remove(os.path.join(log, f"{1:020d}.json"))
+    with pytest.raises(ValueError, match="sidecar missing"):
+        DI.read_delta(spark, delta_table, version=2)
+
+
+def test_delta_v2_checkpoint_reader_feature_accepted(spark, delta_table):
+    """protocol readerFeatures=[v2Checkpoint] at minReaderVersion 3 is now
+    a supported capability, not an UnsupportedDeltaFeature."""
+    before = _rows(DI.read_delta(spark, delta_table))
+    log = os.path.join(delta_table, "_delta_log")
+    cp = os.path.join(log, f"{1:020d}.checkpoint.feat0001.json")
+    actions = _v1_state_actions()
+    actions[0] = {
+        "protocol": {
+            "minReaderVersion": 3,
+            "minWriterVersion": 7,
+            "readerFeatures": ["v2Checkpoint"],
+            "writerFeatures": ["v2Checkpoint"],
+        }
+    }
+    with open(cp, "w") as fh:
+        fh.write(json.dumps({"checkpointMetadata": {"version": 1}}) + "\n")
+        for a in actions:
+            fh.write(json.dumps(a) + "\n")
+    os.remove(os.path.join(log, f"{0:020d}.json"))
+    os.remove(os.path.join(log, f"{1:020d}.json"))
+    assert _rows(DI.read_delta(spark, delta_table, version=2)) == before
+
+
+def test_delta_checkpoint_writer_roundtrip(spark, tmp_path):
+    """checkpoint_delta writes a classic parquet checkpoint + _last_checkpoint
+    that (a) serves a checkpoint-only log, (b) carries live DV descriptors
+    so deletes survive log cleanup, (c) composes with a later JSON tail."""
+    t = str(tmp_path / "cpw")
+    df = spark.createDataFrame(
+        [(i, float(i), f"d{i % 2}") for i in range(10)], "id int, v double, dt string"
+    )
+    DI.write_delta(df, t, partition_by=["dt"])
+    DI.delete_where_delta(spark, t, "id IN (3, 7)")  # v1, via deletion vectors
+    before = sorted(r.id for r in DI.read_delta(spark, t).collect())
+    assert before == [0, 1, 2, 4, 5, 6, 8, 9]
+    v = DI.checkpoint_delta(spark, t)
+    assert v == 1
+    log = os.path.join(t, "_delta_log")
+    assert os.path.exists(os.path.join(log, f"{1:020d}.checkpoint.parquet"))
+    hint = json.load(open(os.path.join(log, "_last_checkpoint")))
+    assert hint["version"] == 1
+    # partitionValues must be a true MAP column (json-inference structs
+    # would break foreign readers)
+    cp_df = spark.read.parquet(os.path.join(log, f"{1:020d}.checkpoint.parquet"))
+    import pyspark.sql.types as T
+
+    assert isinstance(
+        cp_df.schema["add"].dataType["partitionValues"].dataType, T.MapType
+    )
+    # (a)+(b): expire every commit json — the checkpoint alone serves the
+    # DV'd snapshot
+    os.remove(os.path.join(log, f"{0:020d}.json"))
+    os.remove(os.path.join(log, f"{1:020d}.json"))
+    assert sorted(r.id for r in DI.read_delta(spark, t).collect()) == before
+    # (c): append a JSON tail on top of the checkpoint-only log
+    more = spark.createDataFrame([(100, 100.0, "d0")], "id int, v double, dt string")
+    DI.append_delta(more, t)  # commits as checkpoint version + 1 = 2
+    assert sorted(r.id for r in DI.read_delta(spark, t).collect()) == before + [100]
+    # re-checkpoint at v2 and expire the tail too
+    assert DI.checkpoint_delta(spark, t) == 2
+    os.remove(os.path.join(log, f"{2:020d}.json"))
+    assert sorted(r.id for r in DI.read_delta(spark, t).collect()) == before + [100]
