@@ -43,6 +43,20 @@ def fit_embedding_classifier(
     from pyspark.ml.functions import array_to_vector
     from pyspark.sql import functions as F
 
+    # Dimension-uniformity gate: LBFGS over a ragged embedding column dies
+    # deep in the JVM with an undiagnosable Py4J error; one cheap agg on
+    # the training scan (negligible next to 50 LBFGS sweeps) names the
+    # corpus defect instead (ragged-embedding corpus class, round 9).
+    lo, hi = train.agg(
+        F.min(F.size(vec_col)), F.max(F.size(vec_col))
+    ).first()
+    if lo != hi:
+        raise ValueError(
+            f"fit_embedding_classifier: embedding dimensions are "
+            f"inconsistent across rows (min {lo}, max {hi}) — a ragged "
+            "embedding column cannot be fitted; re-embed or filter to a "
+            "single dimension first"
+        )
     prepped = train.select(
         array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"),
         F.col(label_col).cast("double").alias("label"),

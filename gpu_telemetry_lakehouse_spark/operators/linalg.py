@@ -24,6 +24,27 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def stack_uniform(arrays, context: str) -> np.ndarray:
+    """``np.stack`` with a diagnosed refusal on ragged input.
+
+    Cosine/codebook/Gram math over mismatched vector dimensions is
+    undefined, and numpy's own errors ("inhomogeneous shape", "all input
+    arrays must have the same shape") never name the corpus defect. Every
+    vector-stacking site in the engine funnels through here so a ragged
+    embedding column fails loud with the actual diagnosis — on a clean
+    corpus the length scan is a single O(n) pass over pointers, dwarfed by
+    the stack copy itself."""
+    sizes = {len(a) for a in arrays}
+    if len(sizes) > 1:
+        raise ValueError(
+            f"{context}: embedding dimensions are inconsistent across rows "
+            f"(sizes {sorted(sizes)[:8]}{'…' if len(sizes) > 8 else ''}) — "
+            "a ragged embedding column cannot be scored; re-embed or filter "
+            "to a single dimension first"
+        )
+    return np.stack(list(arrays))
+
+
 def gram_stats(df: DataFrame, vec_col: str = "embedding") -> tuple[int, np.ndarray, np.ndarray]:
     """One pass over the corpus -> (n, column-sum vector, X^T X Gram matrix).
 
@@ -40,11 +61,18 @@ def gram_stats(df: DataFrame, vec_col: str = "embedding") -> tuple[int, np.ndarr
         for pdf in batches:
             if not len(pdf):
                 continue
-            X = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            X = stack_uniform(pdf[vec_col].to_numpy(), "gram_stats").astype(
+                np.float64
+            )
             if s is None:
                 d = X.shape[1]
                 s = np.zeros(d, dtype=np.float64)
                 g = np.zeros((d, d), dtype=np.float64)
+            elif X.shape[1] != d:
+                raise ValueError(
+                    f"gram_stats: embedding dimension changed across batches "
+                    f"({d} then {X.shape[1]}) — ragged embedding column"
+                )
             n += X.shape[0]
             s += X.sum(axis=0)
             g += X.T @ X
@@ -60,6 +88,12 @@ def gram_stats(df: DataFrame, vec_col: str = "embedding") -> tuple[int, np.ndarr
     )
     if not rows:
         raise ValueError(f"gram_stats: no rows with a {vec_col!r} vector")
+    dims = {len(r["s"]) for r in rows}
+    if len(dims) > 1:
+        raise ValueError(
+            f"gram_stats: partitions disagree on embedding dimension "
+            f"(sizes {sorted(dims)}) — ragged embedding column"
+        )
     dim = len(rows[0]["s"])
     n = sum(r["n"] for r in rows)
     s = np.sum([np.array(r["s"]) for r in rows], axis=0)

@@ -60,7 +60,9 @@ def pq_fit(
         raise ValueError(
             f"pq_fit needs >= k={k} sample vectors, got {len(rows)}"
         )
-    X = np.array([r[1] for r in rows], dtype=np.float64)
+    from .linalg import stack_uniform
+
+    X = stack_uniform([r[1] for r in rows], "pq_fit sample").astype(np.float64)
     dim = X.shape[1]
     assert dim % m == 0, f"dim {dim} not divisible by m={m}"
     sub = dim // m
@@ -243,8 +245,10 @@ def ivfpq_topk(
 
     from pyspark.sql import Window as W
 
+    from .linalg import stack_uniform
+
     q = np.asarray(query, dtype=np.float64)
-    C = np.array(centroids, dtype=np.float64)
+    C = stack_uniform(centroids, "ivfpq centroids").astype(np.float64)
     sims = (C @ q) / (np.linalg.norm(C, axis=1) * np.linalg.norm(q) + 1e-12)
     probes = [int(i) for i in np.argsort(-sims, kind="stable")[:n_probe]]
 

@@ -61,9 +61,18 @@ def cosine_topk(
             dot_raw("n_vec", "q_vec") / (F.col("n_nrm") * F.col("q_nrm")), 6
         ).alias("cos_sim"),
     )
+    # Ragged-dimension exclusion (round-9 class): zip_with over vectors of
+    # DIFFERENT lengths NULL-pads, so their dot — and cosine — is NULL.
+    # Cosine across dimensions is undefined (same footing as the zero-norm
+    # exclusion above); left in, a NULL-cos pair could occupy a rank slot
+    # whenever a query has fewer than k same-dimension neighbors. Free on
+    # clean corpora (no exchange, never matches). DuckDB instead REFUSES
+    # mismatched dims (list_dot_product raises) — a pinned engine-parity
+    # divergence: we exclude, the oracle fails loud; neither is silent.
     w = W.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), "neighbor_id")
     return (
-        scored.withColumn("rn", F.row_number().over(w))
+        scored.filter(F.col("cos_sim").isNotNull())
+        .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= k)
         .select("query_id", "neighbor_id", "cos_sim", "rn")
     )
@@ -154,13 +163,27 @@ def assign_clusters_vectorized(
     """
     import numpy as np
 
-    C = np.array(centroids, dtype=np.float64).T  # (dim, k)
+    from .linalg import stack_uniform
+
+    C = stack_uniform(centroids, "assign_clusters_vectorized centroids").astype(
+        np.float64
+    ).T  # (dim, k)
     fields = [f for f in df.schema.fields if f.name != out_col]
     out_schema = T.StructType(fields + [T.StructField(out_col, T.IntegerType())])
 
     def assign(it):
+        from .linalg import stack_uniform
+
         for pdf in it:
-            V = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)  # (n, dim)
+            V = stack_uniform(
+                pdf[vec_col].to_numpy(), "assign_clusters_vectorized"
+            ).astype(np.float64)  # (n, dim)
+            if V.shape[1] != C.shape[0]:
+                raise ValueError(
+                    f"assign_clusters_vectorized: batch embedding dimension "
+                    f"{V.shape[1]} != centroid dimension {C.shape[0]} — "
+                    "ragged embedding column"
+                )
             pdf = pdf.copy()
             pdf[out_col] = (V @ C).argmax(axis=1).astype("int32")
             yield pdf
@@ -218,7 +241,11 @@ def kmeans_centroids(
         .select(F.transform("v", lambda x: x / F.col("nrm")).alias("u"))
         .collect()
     )
-    U = np.array([r.u for r in rows], dtype=np.float64)  # unit vectors
+    from .linalg import stack_uniform
+
+    U = stack_uniform(
+        [r.u for r in rows], "centroid sample"
+    ).astype(np.float64)  # unit vectors
     cents = U[:n_clusters].copy()
     for _ in range(n_iter):
         # assignment uses raw sample vectors' direction == unit vectors here;
@@ -407,8 +434,12 @@ def cosine_topk_vectorized(
     # same degenerate-vector contract as with_norm: NULL / zero-norm rows
     # have no direction and are excluded rather than dividing by zero
     queries_pdf = queries_pdf[queries_pdf[vec_col].notna()]
+    from .linalg import stack_uniform
+
     qids = queries_pdf[id_col].to_numpy()
-    Q = np.stack(queries_pdf[vec_col].to_numpy()).astype(np.float64)  # (q, d)
+    Q = stack_uniform(
+        queries_pdf[vec_col].to_numpy(), "cosine_topk_vectorized queries"
+    ).astype(np.float64)  # (q, d)
     qn = np.sqrt((Q * Q).sum(axis=1))  # (q,)
     qids, Q, qn = qids[qn > 0], Q[qn > 0], qn[qn > 0]
 
@@ -426,7 +457,15 @@ def cosine_topk_vectorized(
             if not len(pdf):
                 continue
             ids = pdf[id_col].to_numpy()
-            B = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)  # (n, d)
+            B = stack_uniform(
+                pdf[vec_col].to_numpy(), "cosine_topk_vectorized scan"
+            ).astype(np.float64)  # (n, d)
+            if B.shape[1] != Q.shape[1]:
+                raise ValueError(
+                    f"cosine_topk_vectorized: scan batch dimension "
+                    f"{B.shape[1]} != query dimension {Q.shape[1]} — "
+                    "ragged embedding column"
+                )
             bn = np.sqrt((B * B).sum(axis=1))
             ids, B, bn = ids[bn > 0], B[bn > 0], bn[bn > 0]
             if not len(ids):

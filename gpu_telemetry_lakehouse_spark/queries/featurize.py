@@ -340,10 +340,14 @@ def pca_project_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
     — the corpus is never shuffled, the fitted state is bytes."""
     m = int(_PCA_M)
     emb = load_table(spark, sf_dir, "embeddings")
+    # try_element_at: out-of-bounds -> NULL, exactly DuckDB's list-index
+    # semantics — a short/empty (ragged) vector contributes NULL moments
+    # and NULL projections in BOTH engines instead of an ANSI array-index
+    # crash on ours alone (ragged-embedding corpus class, round 9)
     pts = emb.select(
         "vec_id",
-        F.element_at("embedding", 1).cast("double").alias("x"),
-        F.element_at("embedding", 2).cast("double").alias("y"),
+        F.try_element_at("embedding", F.lit(1)).cast("double").alias("x"),
+        F.try_element_at("embedding", F.lit(2)).cast("double").alias("y"),
     )
 
     def stage(c):

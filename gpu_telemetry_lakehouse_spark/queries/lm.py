@@ -206,6 +206,16 @@ def zipf_fit_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 # below is unchanged.
 _BPE_ITERS = 4
 
+# Symmetric degenerate-input gate (giant-single-token corpus class, round
+# 9): a "word" of W chars char-splits into a W-symbol sequence whose pair
+# enumeration and left-to-right merge fold both cost O(W^2) — a single
+# multi-MB unbroken token (a binary blob that leaked into a text column)
+# stalls BOTH engines for hours. No natural-language word, URL, or
+# identifier approaches 1024 chars, so on real corpora the gate is a
+# no-op; it is applied in the Spark plan AND the DuckDB oracle so results
+# stay bit-identical on every corpus.
+_BPE_MAX_WORD = 1024
+
 # fold step, per engine (same semantics; Spark spells the suffix test
 # ``endswith``, DuckDB ``ends_with``)
 _BPE_FOLD_DUCK = (
@@ -220,11 +230,12 @@ _BPE_FOLD_SPARK = (
 
 def _bpe_oracle() -> str:
     parts = [
-        """
+        f"""
     WITH words AS (
         SELECT token AS w, COUNT(*) AS c
         FROM (SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS token
               FROM documents)
+        WHERE len(token) <= {_BPE_MAX_WORD}
         GROUP BY 1
     ),
     it0 AS (
@@ -264,6 +275,7 @@ def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     words = (
         docs.select(F.explode(tokens(F.col("text"))).alias("w"))
+        .filter(F.length("w") <= _BPE_MAX_WORD)
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("c"))
     )
@@ -327,11 +339,12 @@ def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 # two scalar aggregates over the vocab-sized table.
 def _bpe_apply_oracle() -> str:
     parts = [
-        """
+        f"""
     WITH words AS (
         SELECT token AS w, COUNT(*) AS c
         FROM (SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS token
               FROM documents)
+        WHERE len(token) <= {_BPE_MAX_WORD}
         GROUP BY 1
     ),
     it0 AS (
@@ -375,6 +388,7 @@ def bpe_apply_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     words = (
         docs.select(F.explode(tokens(F.col("text"))).alias("w"))
+        .filter(F.length("w") <= _BPE_MAX_WORD)
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("c"))
     )

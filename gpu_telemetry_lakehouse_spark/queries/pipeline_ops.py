@@ -16,8 +16,18 @@ from pyspark.sql import functions as F
 from ..catalog import load_table
 from .registry import query
 
-# Java-regex / RE2 common-subset PII patterns
-RE_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+# Java-regex / RE2 common-subset PII patterns.
+#
+# BOUNDED quantifiers on the email parts (giant-single-token corpus class,
+# round 9): `[…]+@` under Java's backtracking engine is O(n^2) on a long
+# alphanumeric run with no '@' — every start offset consumes the rest of
+# the run, fails, and find() restarts one char later; a single 1M-char
+# unbroken token (a binary blob in a text column) stalls the scan for
+# hours while DuckDB's RE2 automaton stays linear. RFC 5321 caps the
+# local part at 64 octets and the domain at 255, so {1,64}/{1,255} match
+# every real email identically in both engines AND cap the per-offset
+# backtrack at a constant — the scan is linear again.
+RE_EMAIL = r"[A-Za-z0-9._%+-]{1,64}@[A-Za-z0-9.-]{1,255}\.[A-Za-z]{2,24}"
 RE_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
 RE_PHONE = r"\+?\d[\d\- ]{7,}\d"
 

@@ -650,7 +650,8 @@ def longest_event_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     dau AS (SELECT d, COUNT(*) AS dau FROM du GROUP BY d)
     SELECT dau.d, CAST(dau.dau AS BIGINT) AS dau, CAST(wau.wau AS BIGINT) AS wau,
-           ROUND(CAST(dau.dau AS DOUBLE) / CAST(wau.wau AS DOUBLE), 6) AS stickiness
+           ROUND(CAST(dau.dau AS DOUBLE)
+                 / NULLIF(CAST(wau.wau AS DOUBLE), 0.0), 6) AS stickiness
     FROM dau JOIN wau ON wau.d = dau.d
     """,
 )
@@ -684,9 +685,15 @@ def rolling_wau_dau(spark: SparkSession, sf_dir: str) -> DataFrame:
             "d",
             "dau",
             "wau",
-            F.round(F.col("dau").cast("double") / F.col("wau").cast("double"), 6).alias(
-                "stickiness"
-            ),
+            # symmetric NULLIF guard (all-NULL-key corpus class, round 9):
+            # countDistinct skips NULLs, so an all-NULL user_id day has
+            # dau >= 1 rows but wau = 0 — stickiness is undefined, NULL in
+            # BOTH engines instead of an ANSI divide-by-zero on ours alone
+            F.round(
+                F.col("dau").cast("double")
+                / F.nullif(F.col("wau").cast("double"), F.lit(0.0)),
+                6,
+            ).alias("stickiness"),
         )
     )
 

@@ -1256,3 +1256,170 @@ def ws_docs_dir(tmp_path_factory):
 )
 def test_ws_docs_match_oracle(spark, ws_docs_dir, name):
     compare(spark, name, ws_docs_dir)
+
+
+# --- round-9b degenerate classes ----------------------------------------------
+# Ragged embeddings (per-row dimension drift), giant-single-token documents
+# (multi-MB unbroken tokens), and all-NULL join keys. Sweeps via
+# tools/degen_sweep.py recorded in COVERAGE.md; the pins below hold the
+# fixes: stack_uniform diagnosed refusals, the pca try_element_at NULL
+# symmetry, the _BPE_MAX_WORD symmetric gate, the cosine_topk NULL-cos
+# exclusion, and the rolling_wau_dau NULLIF guard.
+
+
+@pytest.fixture(scope="module")
+def ragged_embeddings_dir(tmp_path_factory):
+    """Embedding vectors whose lengths drift per row (empty, truncated,
+    full) — the corpus shape of a re-embedding migration gone half-way."""
+    import duckdb
+
+    from gpu_telemetry_lakehouse_spark.catalog import TABLES
+
+    src = "/root/testdata/sf0.001"
+    d = tmp_path_factory.mktemp("ragged_emb")
+    con = duckdb.connect()
+    for t in TABLES:
+        if t == "embeddings":
+            sql = f"""
+              SELECT vec_id,
+                     CASE
+                       WHEN vec_id % 7 = 0 THEN []::FLOAT[]
+                       WHEN vec_id % 3 = 0
+                         THEN embedding[1:CAST(1 + vec_id % 13 AS BIGINT)]
+                       ELSE embedding
+                     END AS embedding,
+                     label
+              FROM '{src}/embeddings.parquet'"""
+        else:
+            sql = f"SELECT * FROM '{src}/{t}.parquet'"
+        con.sql(f"COPY ({sql}) TO '{d}/{t}.parquet' (FORMAT PARQUET)")
+    con.close()
+    return str(d)
+
+
+def test_ragged_embeddings_pca_matches_oracle(spark, ragged_embeddings_dir):
+    """try_element_at gives out-of-bounds -> NULL, DuckDB's native list-index
+    semantics — short/empty vectors contribute NULL moments/projections in
+    BOTH engines instead of an ANSI array-index crash on ours."""
+    compare(spark, "pca_project_2d", ragged_embeddings_dir)
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["logreg_embedding_eval", "knn_cosine_vectorized", "knn_ivf", "knn_pq_adc"],
+)
+def test_ragged_embeddings_diagnosed_refusal(spark, ragged_embeddings_dir, name):
+    """Fit/stack paths must refuse a ragged embedding column with a message
+    that NAMES the defect — numpy's 'inhomogeneous shape' and the JVM's
+    Py4J fit crash did not (stack_uniform / fit gate, round 9)."""
+    from gpu_telemetry_lakehouse_spark.queries import QUERIES
+
+    with pytest.raises(ValueError, match="inconsistent"):
+        QUERIES[name](spark, ragged_embeddings_dir).collect()
+
+
+def test_ragged_embeddings_knn_brute_excludes_cross_dim(
+    spark, ragged_embeddings_dir
+):
+    """Pinned engine-parity divergence: Spark EXCLUDES cross-dimension pairs
+    (zip_with NULL-pads -> NULL cosine -> filtered, same footing as the
+    zero-norm exclusion), DuckDB REFUSES (list_dot_product raises on
+    mismatched lengths). Neither is silent; ranks stay contiguous over
+    same-dimension pairs only."""
+    import duckdb
+
+    from gpu_telemetry_lakehouse_spark.queries import ORACLE, QUERIES
+
+    from .oracle import duck_con
+
+    rows = QUERIES["knn_cosine_brute"](spark, ragged_embeddings_dir).collect()
+    assert rows
+    assert all(r.cos_sim is not None for r in rows)
+    # rank contiguity: each query's ranks are 1..n with no NULL-cos gaps
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r.rn)
+    for q, rns in by_q.items():
+        assert sorted(rns) == list(range(1, len(rns) + 1))
+    con = duck_con(ragged_embeddings_dir)
+    with pytest.raises(duckdb.Error, match="dimensions must be equal"):
+        con.sql(ORACLE["knn_cosine_brute"]).fetchall()
+
+
+@pytest.fixture(scope="module")
+def giant_token_dir(tmp_path_factory):
+    """Documents that are ONE unbroken token — no whitespace anywhere, a few
+    multi-MB (a binary blob that leaked into a text column). Char-splitting
+    BPE paid O(W^2) per word before the _BPE_MAX_WORD gate."""
+    import duckdb
+
+    from gpu_telemetry_lakehouse_spark.catalog import TABLES
+
+    src = "/root/testdata/sf0.001"
+    d = tmp_path_factory.mktemp("giant_token")
+    body = (
+        "CASE WHEN doc_id % 97 = 0 THEN repeat('a1b2c3d4', 131072)"
+        " ELSE repeat(concat('x', CAST(doc_id AS VARCHAR), 'y'), 3) END"
+    )
+    con = duckdb.connect()
+    for t in TABLES:
+        if t == "documents":
+            sql = f"""
+              SELECT doc_id, {body} AS text, lang, source,
+                     length({body}) AS n_chars
+              FROM '{src}/documents.parquet'"""
+        else:
+            sql = f"SELECT * FROM '{src}/{t}.parquet'"
+        con.sql(f"COPY ({sql}) TO '{d}/{t}.parquet' (FORMAT PARQUET)")
+    con.close()
+    return str(d)
+
+
+@pytest.mark.parametrize("name", ["bpe_learn_merges", "bpe_apply_stats"])
+def test_giant_token_bpe_gated_and_oracle_identical(spark, giant_token_dir, name):
+    """The _BPE_MAX_WORD gate excludes multi-MB 'words' from merge learning
+    in the Spark plan AND the oracle SQL — hash-identical on this corpus
+    (and a no-op on natural text), where the ungated form stalled for
+    hours on one 1M-char token."""
+    compare(spark, name, giant_token_dir)
+
+
+@pytest.fixture(scope="module")
+def null_keys_dir(tmp_path_factory):
+    """Every FK NULL (events.user_id, orders.o_custkey, customer.c_nationkey)
+    — distinct from the FK-orphan class (keys present but unmatched): NULL
+    keys exercise null-group and null-join semantics."""
+    import duckdb
+
+    from gpu_telemetry_lakehouse_spark.catalog import TABLES
+
+    src = "/root/testdata/sf0.001"
+    d = tmp_path_factory.mktemp("null_keys")
+    over = {
+        "events": "SELECT event_id, ts, NULL::BIGINT AS user_id, event_type,"
+        " value, props FROM '{s}/events.parquet'",
+        "orders": "SELECT o_orderkey, NULL::BIGINT AS o_custkey, o_orderstatus,"
+        " o_totalprice, o_orderdate, o_orderpriority FROM '{s}/orders.parquet'",
+        "customer": "SELECT c_custkey, c_name, NULL::INTEGER AS c_nationkey,"
+        " c_acctbal, c_mktsegment FROM '{s}/customer.parquet'",
+    }
+    con = duckdb.connect()
+    for t in TABLES:
+        sql = over.get(t, "SELECT * FROM '{s}/" + t + ".parquet'").format(s=src)
+        con.sql(f"COPY ({sql}) TO '{d}/{t}.parquet' (FORMAT PARQUET)")
+    con.close()
+    return str(d)
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "rolling_wau_dau",          # wau=0 under all-NULL users: NULLIF guard
+        "daily_new_vs_returning",   # NULL user grouping, engine-identical
+        "null_safe_join_status",    # the <=> family is BUILT for this corpus
+        "group_by_all_orders",      # NULL o_custkey groups agree
+        "join_outer_histogram",     # outer-join NULL-key fan agrees
+    ],
+)
+def test_null_keys_match_oracle(spark, null_keys_dir, name):
+    compare(spark, name, null_keys_dir)

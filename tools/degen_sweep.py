@@ -46,9 +46,11 @@ def main() -> None:
             print(f"TYPED  {name}: {type(e).__name__}: {str(e)[:140]}", flush=True)
         except Exception as e:
             # engine-authored plan-side refusals (F.raise_error guards, e.g.
-            # the sentinel-timestamp span guard) are typed fail-louds too —
+            # the sentinel-timestamp span guard) and Python-worker-raised
+            # ValueErrors (our pandas-UDF kernels' diagnosed refusals, which
+            # surface wrapped as PythonException) are typed fail-louds too —
             # they carry a diagnosable message by construction
-            if "USER_RAISED_EXCEPTION" in str(e):
+            if "USER_RAISED_EXCEPTION" in str(e) or "ValueError:" in str(e):
                 msg = str(e).splitlines()[0][:160]
                 typed.append((name, msg))
                 print(f"TYPED  {name}: {msg}", flush=True)
