@@ -93,6 +93,14 @@ _MAX_LITERAL_GROUPS = 64
 # Replay implements: plain add/remove actions, JSON schemaString metadata,
 # partitionValues reconstitution, deletion vectors, column mapping (name
 # and id modes), v2 checkpoints (top-level json/parquet + sidecars).
+# vacuumProtocolCheck is accepted because PROTOCOL.md assigns it no reader
+# requirement at all — it exists to force WRITERS to protocol-check before
+# VACUUM; a reader that refused it would reject perfectly readable tables.
+# typeWidening(-preview) is accepted because replay always scans with the
+# LOGICAL schemaString types, and Spark 4's parquet reader natively widens
+# narrower physical files into that read schema for every protocol-allowed
+# change (byte/short/int->long, float->double, int->double, decimal
+# precision/scale growth, date->timestampNTZ) — verified by fixture test.
 # Everything else must be absent or the table is unreadable by this
 # implementation.
 _SUPPORTED_READER_FEATURES = {
@@ -100,6 +108,9 @@ _SUPPORTED_READER_FEATURES = {
     "deletionVectors",
     "columnMapping",
     "v2Checkpoint",
+    "vacuumProtocolCheck",
+    "typeWidening",
+    "typeWidening-preview",
 }
 
 # Resolved DV row positions are driver-side replay metadata (like the live-

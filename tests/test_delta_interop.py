@@ -174,8 +174,9 @@ def test_delta_checkpoint_replay(spark, delta_table):
 
 def test_delta_reader_gating(spark, tmp_path):
     """Reader version 3 with ONLY implemented features (deletionVectors,
-    columnMapping, v2Checkpoint) now reads; any unimplemented feature
-    (typeWidening) and any reader version above 3 still fail loud."""
+    columnMapping, v2Checkpoint, vacuumProtocolCheck, typeWidening) now
+    reads; any unimplemented feature (variantType) and any reader version
+    above 3 still fail loud."""
     t = str(tmp_path / "gated")
     _write_data(spark, t, "dt=2024-01-01/f0.parquet", [(1, 1.5)])
     proto_ok = {
@@ -188,12 +189,16 @@ def test_delta_reader_gating(spark, tmp_path):
     _commit(t, 0, [proto_ok, _meta(), _add("dt=2024-01-01/f0.parquet", "2024-01-01")])
     assert DI.read_delta(spark, t).count() == 1
 
-    # columnMapping as a declared FEATURE with mode unset reads fine now
+    # columnMapping as a declared FEATURE with mode unset reads fine now;
+    # vacuumProtocolCheck has NO reader requirement per PROTOCOL.md, so a
+    # table declaring it must stay readable
     proto_cm = {
         "protocol": {
             "minReaderVersion": 3,
             "minWriterVersion": 7,
-            "readerFeatures": ["deletionVectors", "columnMapping"],
+            "readerFeatures": [
+                "deletionVectors", "columnMapping", "vacuumProtocolCheck",
+            ],
         }
     }
     t_cm = str(tmp_path / "gated_cm")
@@ -204,8 +209,8 @@ def test_delta_reader_gating(spark, tmp_path):
     assert DI.read_delta(spark, t_cm).count() == 1
 
     for bad in (
-        {"minReaderVersion": 3, "readerFeatures": ["deletionVectors", "typeWidening"]},
-        {"minReaderVersion": 3, "readerFeatures": ["typeWidening"]},
+        {"minReaderVersion": 3, "readerFeatures": ["deletionVectors", "variantType"]},
+        {"minReaderVersion": 3, "readerFeatures": ["variantType"]},
         {"minReaderVersion": 4, "readerFeatures": []},
     ):
         t2 = str(tmp_path / f"gated_{bad.get('minReaderVersion')}_{len(bad['readerFeatures'])}")
@@ -1223,3 +1228,74 @@ def test_delta_checkpoint_writer_roundtrip(spark, tmp_path):
     assert DI.checkpoint_delta(spark, t) == 2
     os.remove(os.path.join(log, f"{2:020d}.json"))
     assert sorted(r.id for r in DI.read_delta(spark, t).collect()) == before + [100]
+
+
+def test_delta_type_widening_reads(spark, tmp_path):
+    """typeWidening (PROTOCOL.md): files written BEFORE a widen carry the
+    narrower physical types; replay scans with the logical schemaString
+    types and Spark's parquet reader widens natively. Covers int->long,
+    float->double, decimal growth and date->timestampNTZ in one table."""
+    import pyspark.sql.types as T
+
+    t = str(tmp_path / "widen")
+    os.makedirs(t, exist_ok=True)
+    # physical file: narrow types (written before the widen)
+    spark.sql(
+        "SELECT 1 AS id, CAST(1.5 AS FLOAT) AS v,"
+        " CAST(12.3 AS DECIMAL(5,1)) AS dec, DATE'2024-01-02' AS dt"
+    ).coalesce(1).write.mode("overwrite").parquet(os.path.join(t, "part0"))
+    rel = "part0/" + [
+        f for f in os.listdir(os.path.join(t, "part0")) if f.endswith(".parquet")
+    ][0]
+    schema_str = json.dumps(
+        {
+            "type": "struct",
+            "fields": [
+                {"name": "id", "type": "long", "nullable": True, "metadata": {}},
+                {"name": "v", "type": "double", "nullable": True, "metadata": {}},
+                {"name": "dec", "type": "decimal(10,2)", "nullable": True,
+                 "metadata": {}},
+                {"name": "dt", "type": "timestamp_ntz", "nullable": True,
+                 "metadata": {}},
+            ],
+        }
+    )
+    _commit(
+        t,
+        0,
+        [
+            {
+                "protocol": {
+                    "minReaderVersion": 3,
+                    "minWriterVersion": 7,
+                    "readerFeatures": ["typeWidening", "timestampNtz"],
+                    "writerFeatures": ["typeWidening"],
+                }
+            },
+            {
+                "metaData": {
+                    "id": "widen-1",
+                    "format": {"provider": "parquet", "options": {}},
+                    "schemaString": schema_str,
+                    "partitionColumns": [],
+                    "configuration": {},
+                }
+            },
+            {
+                "add": {
+                    "path": rel,
+                    "partitionValues": {},
+                    "size": 1,
+                    "modificationTime": 0,
+                    "dataChange": True,
+                }
+            },
+        ],
+    )
+    out = DI.read_delta(spark, t)
+    assert [f.dataType for f in out.schema.fields] == [
+        T.LongType(), T.DoubleType(), T.DecimalType(10, 2), T.TimestampNTZType(),
+    ]
+    r = out.collect()[0]
+    assert (r.id, r.v, str(r.dec)) == (1, 1.5, "12.30")
+    assert r.dt.year == 2024 and r.dt.day == 2
