@@ -53,6 +53,8 @@ HEAVY_SLICE = [
     "roc_auc_price_returns",       # 1.22s
     "bootstrap_ci_event_value",    # 1.11s
     "semdedup_prune",              # 1.10s
+    "phrase_search_docs",          # 1.09s (joined the >1s tier in r9)
+    "naive_bayes_lang_confusion",  # 1.09s (joined the >1s tier in r9)
 ]
 
 
