@@ -101,6 +101,11 @@ _MAX_LITERAL_GROUPS = 64
 # narrower physical files into that read schema for every protocol-allowed
 # change (byte/short/int->long, float->double, int->double, decimal
 # precision/scale growth, date->timestampNTZ) — verified by fixture test.
+# variantType(-preview) is accepted because schemaString "variant" parses
+# straight into Spark's native VariantType and the protocol's physical
+# layout (a value/metadata binary pair) IS Spark's parquet variant layout —
+# verified by fixture test. SHREDDED variants (variantShredding-preview)
+# stay gated: their physical layout diverges per shredding schema.
 # Everything else must be absent or the table is unreadable by this
 # implementation.
 _SUPPORTED_READER_FEATURES = {
@@ -111,6 +116,8 @@ _SUPPORTED_READER_FEATURES = {
     "vacuumProtocolCheck",
     "typeWidening",
     "typeWidening-preview",
+    "variantType",
+    "variantType-preview",
 }
 
 # Resolved DV row positions are driver-side replay metadata (like the live-

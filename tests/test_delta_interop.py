@@ -174,9 +174,9 @@ def test_delta_checkpoint_replay(spark, delta_table):
 
 def test_delta_reader_gating(spark, tmp_path):
     """Reader version 3 with ONLY implemented features (deletionVectors,
-    columnMapping, v2Checkpoint, vacuumProtocolCheck, typeWidening) now
-    reads; any unimplemented feature (variantType) and any reader version
-    above 3 still fail loud."""
+    columnMapping, v2Checkpoint, vacuumProtocolCheck, typeWidening,
+    variantType) now reads; any unimplemented feature (shredded variants)
+    and any reader version above 3 still fail loud."""
     t = str(tmp_path / "gated")
     _write_data(spark, t, "dt=2024-01-01/f0.parquet", [(1, 1.5)])
     proto_ok = {
@@ -209,8 +209,9 @@ def test_delta_reader_gating(spark, tmp_path):
     assert DI.read_delta(spark, t_cm).count() == 1
 
     for bad in (
-        {"minReaderVersion": 3, "readerFeatures": ["deletionVectors", "variantType"]},
-        {"minReaderVersion": 3, "readerFeatures": ["variantType"]},
+        {"minReaderVersion": 3,
+         "readerFeatures": ["deletionVectors", "variantShredding-preview"]},
+        {"minReaderVersion": 3, "readerFeatures": ["variantShredding-preview"]},
         {"minReaderVersion": 4, "readerFeatures": []},
     ):
         t2 = str(tmp_path / f"gated_{bad.get('minReaderVersion')}_{len(bad['readerFeatures'])}")
@@ -1299,3 +1300,71 @@ def test_delta_type_widening_reads(spark, tmp_path):
     r = out.collect()[0]
     assert (r.id, r.v, str(r.dec)) == (1, 1.5, "12.30")
     assert r.dt.year == 2024 and r.dt.day == 2
+
+
+def test_delta_variant_type_reads(spark, tmp_path):
+    """variantType (PROTOCOL.md): schemaString "variant" parses into Spark's
+    native VariantType and the protocol's value/metadata binary-pair
+    physical layout IS Spark's parquet variant layout — an unshredded
+    variant column reads and variant_get extracts typed fields."""
+    from pyspark.sql import functions as F
+
+    t = str(tmp_path / "vart")
+    os.makedirs(t, exist_ok=True)
+    spark.sql(
+        "SELECT 1 AS id, parse_json('{\"a\": 5, \"tags\": [\"x\",\"y\"]}') AS props"
+        " UNION ALL SELECT 2, parse_json('{\"a\": 7}')"
+    ).coalesce(1).write.mode("overwrite").parquet(os.path.join(t, "part0"))
+    rel = "part0/" + [
+        f for f in os.listdir(os.path.join(t, "part0")) if f.endswith(".parquet")
+    ][0]
+    schema_str = json.dumps(
+        {
+            "type": "struct",
+            "fields": [
+                {"name": "id", "type": "integer", "nullable": True, "metadata": {}},
+                {"name": "props", "type": "variant", "nullable": True,
+                 "metadata": {}},
+            ],
+        }
+    )
+    _commit(
+        t,
+        0,
+        [
+            {
+                "protocol": {
+                    "minReaderVersion": 3,
+                    "minWriterVersion": 7,
+                    "readerFeatures": ["variantType"],
+                    "writerFeatures": ["variantType"],
+                }
+            },
+            {
+                "metaData": {
+                    "id": "variant-1",
+                    "format": {"provider": "parquet", "options": {}},
+                    "schemaString": schema_str,
+                    "partitionColumns": [],
+                    "configuration": {},
+                }
+            },
+            {
+                "add": {
+                    "path": rel,
+                    "partitionValues": {},
+                    "size": 1,
+                    "modificationTime": 0,
+                    "dataChange": True,
+                }
+            },
+        ],
+    )
+    out = DI.read_delta(spark, t)
+    assert out.schema["props"].dataType.typeName() == "variant"
+    got = sorted(
+        out.select(
+            "id", F.expr("variant_get(props, '$.a', 'int')").alias("a")
+        ).collect()
+    )
+    assert [(r.id, r.a) for r in got] == [(1, 5), (2, 7)]
