@@ -202,6 +202,59 @@ def _checkpoint_before(
     return best, *candidates[best]
 
 
+# PROTOCOL.md legacy protocol versions -> the table features they imply.
+# When a writer upgrades a legacy protocol to table features (reader 3 /
+# writer 7) it MUST list every implied feature, or a conformant runtime —
+# which consults ONLY the features list at those versions — silently loses
+# the capability (e.g. dropping columnMapping off a reader-2 mapped table
+# makes delta-spark read parquet by logical name and return all-NULL
+# columns). Review r9 found delete_where_delta's upgrade doing exactly
+# that; both maps now feed the upgrade merge.
+_LEGACY_READER_FEATURES: dict[int, frozenset] = {
+    1: frozenset(),
+    2: frozenset({"columnMapping"}),
+}
+_LEGACY_WRITER_FEATURES: dict[int, frozenset] = {
+    1: frozenset(),
+    2: frozenset({"appendOnly", "invariants"}),
+    3: frozenset({"appendOnly", "invariants", "checkConstraints"}),
+    4: frozenset(
+        {
+            "appendOnly",
+            "invariants",
+            "checkConstraints",
+            "changeDataFeed",
+            "generatedColumns",
+        }
+    ),
+    5: frozenset(
+        {
+            "appendOnly",
+            "invariants",
+            "checkConstraints",
+            "changeDataFeed",
+            "generatedColumns",
+            "columnMapping",
+        }
+    ),
+    6: frozenset(
+        {
+            "appendOnly",
+            "invariants",
+            "checkConstraints",
+            "changeDataFeed",
+            "generatedColumns",
+            "columnMapping",
+            "identityColumns",
+        }
+    ),
+}
+
+
+def _legacy_features(version: int, table: dict[int, frozenset]) -> frozenset:
+    return table.get(min(version, max(table)), table[max(table)])
+
+
 def _check_protocol(action: dict) -> None:
     p = action["protocol"]
     if p.get("minReaderVersion", 1) > 3 or set(
@@ -212,6 +265,20 @@ def _check_protocol(action: dict) -> None:
             f"features {p.get('readerFeatures')}; replay implements plain "
             "add/remove + partitionValues + deletion vectors only"
         )
+
+
+def _latest_version(path: str) -> int | None:
+    """Latest resolvable snapshot version: the newest commit json, else —
+    the protocol-legal checkpoint-only-log case, where retention expired
+    every commit at or before the newest complete checkpoint — that
+    checkpoint's version. None when neither exists (no Delta table).
+    Shared by read_delta/delete_where_delta/append_delta/checkpoint_delta
+    (the fallback used to be copy-pasted at all four sites, review r9)."""
+    versions = delta_versions(path)
+    if versions:
+        return versions[-1]
+    cp = _checkpoint_before(path, 1 << 62)
+    return None if cp is None else cp[0]
 
 
 def _dv_uid(dv: dict | None) -> str:
@@ -254,6 +321,14 @@ def _fold(state: dict, action: dict) -> None:
     if "remove" in action:
         r = action["remove"]
         state["files"].pop((r["path"], _dv_uid(r.get("deletionVector"))), None)
+    if "txn" in action:
+        # setTransaction: latest version per appId survives reconciliation.
+        # Foreign streaming writers key their idempotence on these; a
+        # checkpoint that dropped them (review r9) would make log cleanup
+        # silently re-appendable — PROTOCOL.md requires checkpoints to
+        # preserve them, so replay must carry them.
+        t = action["txn"]
+        state["txns"][t["appId"]] = t
 
 
 def _action_rows(cp_df: DataFrame) -> list[str]:
@@ -267,7 +342,7 @@ def _action_rows(cp_df: DataFrame) -> list[str]:
     one present action, same shape as a commit-json line."""
     cols = [
         c
-        for c in ("protocol", "metaData", "add", "remove")
+        for c in ("protocol", "metaData", "add", "remove", "txn")
         if c in cp_df.columns
     ]
     if not cols:
@@ -335,7 +410,7 @@ def _v2_checkpoint_actions(
         )
     sidecars = [a["sidecar"] for a in actions if a.get("sidecar")]
     for a in actions:
-        if any(a.get(k) for k in ("protocol", "metaData", "add", "remove")):
+        if any(a.get(k) for k in ("protocol", "metaData", "add", "remove", "txn")):
             yield a
     if sidecars:
         sc_dir = os.path.join(_log_dir(path), "_sidecars")
@@ -369,7 +444,7 @@ def _replay(spark: SparkSession, path: str, version: int) -> dict:
     ~10^7-file tables the upgrade path is a distributed fold (last-add-wins
     per path as a window over the checkpoint + tail) feeding the scan paths
     without a driver-side dict — see docs/PLANS.md."""
-    state: dict = {"files": {}, "meta": None, "protocol": None}
+    state: dict = {"files": {}, "meta": None, "protocol": None, "txns": {}}
     start = 0
     cp = _checkpoint_before(path, version)
     if cp is not None:
@@ -504,7 +579,14 @@ def _cm_read_plan(spark: SparkSession, meta: dict, data_fields: list[T.StructFie
     if mode == "none":
         return T.StructType(data_fields), (lambda df: df)
     if mode == "id":
-        # runtime-settable SQL conf; required for parquet.field.id matching
+        # Runtime-settable SQL conf required for parquet.field.id matching.
+        # Deliberately left set for the session (review r9 flagged the
+        # stickiness): the returned DataFrame is LAZY, so a save/restore
+        # around this function would race the actual scan. The flag is
+        # inert for every other read — field-id resolution only activates
+        # when the READ SCHEMA carries parquet.field.id metadata, which
+        # only these id-mode plans attach (pinned by
+        # test_delta_cm_fieldid_conf_inert).
         spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
     read_schema = T.StructType([_physical_field(f, mode) for f in data_fields])
 
@@ -534,8 +616,24 @@ def _pv_key(meta: dict, schema: T.StructType) -> dict[str, str]:
     by_name = {f.name: f for f in schema.fields}
     out = {}
     for c in part_cols:
-        md = by_name[c].metadata if c in by_name else {}
-        out[c] = (md or {}).get("delta.columnMapping.physicalName", c)
+        # Fail-loud parity with _physical_field (review r9): a mapped
+        # table whose partition field lacks physicalName metadata is
+        # nonconformant; a silent logical fallback here would resolve
+        # every partition value to NULL — indistinguishable from genuine
+        # NULL partitions — while data fields refuse the same breakage.
+        if c not in by_name:
+            raise UnsupportedDeltaFeature(
+                f"partition column {c!r} is missing from schemaString on a "
+                f"column-mapped table (mode={mode})"
+            )
+        phys = (by_name[c].metadata or {}).get("delta.columnMapping.physicalName")
+        if phys is None:
+            raise UnsupportedDeltaFeature(
+                f"delta.columnMapping.mode={mode} but partition field {c!r} "
+                "carries no delta.columnMapping.physicalName metadata — its "
+                "partitionValues key cannot be resolved"
+            )
+        out[c] = phys
     return out
 
 
@@ -610,17 +708,10 @@ def read_delta(
 ) -> DataFrame:
     """Read a Delta table snapshot (time travel via ``version``) as a
     DataFrame, reconstructing partition columns from the log."""
-    versions = delta_versions(path)
-    if versions:
-        target = versions[-1] if version is None else version
-    else:
-        # Protocol-legal checkpoint-only log: retention may have expired
-        # every commit json at or before a checkpoint at the latest version;
-        # the newest complete checkpoint fully serves that snapshot.
-        cp = _checkpoint_before(path, version if version is not None else (1 << 62))
-        if cp is None:
-            raise ValueError(f"no _delta_log versions under {path}")
-        target = cp[0] if version is None else version
+    latest = _latest_version(path)
+    if latest is None:
+        raise ValueError(f"no _delta_log versions under {path}")
+    target = latest if version is None else version
     state = _replay(spark, path, target)
     meta = state["meta"]
     schema = T.StructType.fromJson(json.loads(meta["schemaString"]))
@@ -902,6 +993,84 @@ def write_delta(
     )
 
 
+def _writer_gate(state: dict, operation: str) -> None:
+    """Conformant-writer refusals (PROTOCOL.md writer requirements).
+
+    A table property can OBLIGE the writer to do something — validate a
+    constraint, emit cdc files, assign identity values — and a commit that
+    skips the obligation is nonconformant even though it parses. Anything
+    this implementation does not implement must therefore fail LOUD before
+    writing, the same posture the reader takes via
+    ``_SUPPORTED_READER_FEATURES``. Feature names appearing in
+    ``writerFeatures`` alone are fine (supported-but-not-enabled); only the
+    enabling table property / field metadata triggers refusal."""
+    meta = state.get("meta") or {}
+    conf = meta.get("configuration") or {}
+
+    def enabled(key: str) -> bool:
+        return str(conf.get(key, "")).lower() == "true"
+
+    if operation == "delete":
+        if enabled("delta.appendOnly"):
+            raise UnsupportedDeltaFeature(
+                "delta.appendOnly=true forbids deletes on this table"
+            )
+        if enabled("delta.enableChangeDataFeed"):
+            raise UnsupportedDeltaFeature(
+                "delta.enableChangeDataFeed=true obliges DELETE commits to "
+                "write cdc files, which this writer does not implement"
+            )
+        if enabled("delta.enableIcebergCompatV1") or enabled(
+            "delta.enableIcebergCompatV2"
+        ):
+            raise UnsupportedDeltaFeature(
+                "icebergCompat forbids deletion-vector deletes; compact or "
+                "rewrite instead"
+            )
+    if operation == "append":
+        bad_conf = sorted(
+            k for k in conf if k.startswith("delta.constraints.")
+        )
+        if bad_conf:
+            raise UnsupportedDeltaFeature(
+                f"CHECK constraints {bad_conf} are not validated by this "
+                "writer — an append could silently violate them"
+            )
+        schema = (
+            T.StructType.fromJson(json.loads(meta["schemaString"]))
+            if meta.get("schemaString")
+            else T.StructType([])
+        )
+        for f in schema.fields:
+            md = f.metadata or {}
+            if "delta.invariants" in md:
+                raise UnsupportedDeltaFeature(
+                    f"column invariant on {f.name!r} is not validated by "
+                    "this writer"
+                )
+            if "delta.generationExpression" in md:
+                raise UnsupportedDeltaFeature(
+                    f"generated column {f.name!r} is not computed or "
+                    "validated by this writer"
+                )
+            if any(k.startswith("delta.identity.") for k in md):
+                raise UnsupportedDeltaFeature(
+                    f"identity column {f.name!r} is not assigned by this "
+                    "writer"
+                )
+    # obligations that bind EVERY commit kind
+    if enabled("delta.enableRowTracking"):
+        raise UnsupportedDeltaFeature(
+            "rowTracking obliges writers to assign baseRowIds and default "
+            "row commit versions, which this writer does not implement"
+        )
+    if enabled("delta.enableInCommitTimestamps"):
+        raise UnsupportedDeltaFeature(
+            "inCommitTimestamp obliges writers to stamp monotonic commit "
+            "timestamps, which this writer does not implement"
+        )
+
+
 def delete_where_delta(spark: SparkSession, path: str, predicate) -> int:
     """DELETE via deletion vectors: mark matching rows deleted WITHOUT
     rewriting any data file — the Delta-native sibling of tablog's
@@ -923,20 +1092,11 @@ def delete_where_delta(spark: SparkSession, path: str, predicate) -> int:
     from .deletion_vectors import read_dv_descriptor, write_dv_file
 
     pred = F.expr(predicate) if isinstance(predicate, str) else predicate
-    versions = delta_versions(path)
-    if versions:
-        current = versions[-1]
-    else:
-        # Protocol-legal checkpoint-only log (mirror of read_delta's
-        # fallback, ADVICE r8): retention may have expired every commit
-        # json at or before the newest complete checkpoint, which then
-        # fully serves the snapshot; the delete commits as checkpoint
-        # version + 1.
-        cp = _checkpoint_before(path, 1 << 62)
-        if cp is None:
-            raise ValueError(f"no Delta table at {path}")
-        current = cp[0]
+    current = _latest_version(path)
+    if current is None:
+        raise ValueError(f"no Delta table at {path}")
     state = _replay(spark, path, current)
+    _writer_gate(state, "delete")
     meta = state["meta"]
     schema = T.StructType.fromJson(json.loads(meta["schemaString"]))
     part_cols = meta.get("partitionColumns") or []
@@ -1014,25 +1174,33 @@ def delete_where_delta(spark: SparkSession, path: str, predicate) -> int:
     # MERGE the deletionVectors feature into the table's existing protocol
     # (last-protocol-wins: a hardcoded action would silently DROP features
     # the table already declares, e.g. timestampNtz or appendOnly). When
-    # upgrading a LEGACY writer version to table features (7), the features
-    # the legacy version implied must ride along or their enforcement is
-    # lost to conformant writers: minWriterVersion >= 2 implies appendOnly
-    # + invariants (PROTOCOL.md legacy mapping; higher legacy versions are
-    # gated out by _check_protocol before we ever get here). Reader-side
-    # the only legacy-implied capability (columnMapping at reader 2) is
-    # "supported", not enabled — and enabled column mapping is refused at
-    # replay — so no reader legacy feature is carried.
+    # upgrading a LEGACY protocol to table features (reader 3 / writer 7),
+    # every feature the legacy versions implied must ride along —
+    # PROTOCOL.md's legacy mapping, _LEGACY_READER/_WRITER_FEATURES. The
+    # reader side matters concretely: reader 2 implies columnMapping, and
+    # an upgrade that dropped it (pre-r9-review behavior) would hand a
+    # conformant runtime a mapped table whose features list says "resolve
+    # parquet by logical name" — every column silently NULL.
     cur = state.get("protocol") or {"minReaderVersion": 1, "minWriterVersion": 2}
-    legacy_writer: set[str] = set()
-    if not cur.get("writerFeatures") and cur.get("minWriterVersion", 2) >= 2:
-        legacy_writer = {"appendOnly", "invariants"}
+    legacy_reader: frozenset = frozenset()
+    if not cur.get("readerFeatures"):
+        legacy_reader = _legacy_features(
+            cur.get("minReaderVersion", 1), _LEGACY_READER_FEATURES
+        )
+    legacy_writer: frozenset = frozenset()
+    if not cur.get("writerFeatures"):
+        legacy_writer = _legacy_features(
+            cur.get("minWriterVersion", 2), _LEGACY_WRITER_FEATURES
+        )
     actions: list[dict] = [
         {
             "protocol": {
                 "minReaderVersion": max(cur.get("minReaderVersion", 1), 3),
                 "minWriterVersion": max(cur.get("minWriterVersion", 2), 7),
                 "readerFeatures": sorted(
-                    set(cur.get("readerFeatures") or []) | {"deletionVectors"}
+                    set(cur.get("readerFeatures") or [])
+                    | legacy_reader
+                    | {"deletionVectors"}
                 ),
                 "writerFeatures": sorted(
                     set(cur.get("writerFeatures") or [])
@@ -1078,27 +1246,48 @@ def delete_where_delta(spark: SparkSession, path: str, predicate) -> int:
 
 def append_delta(df: DataFrame, path: str) -> int:
     """Append ``df`` as a new version of an existing Delta table (the table's
-    own partition columns and schema govern; column order is aligned)."""
-    versions = delta_versions(path)
-    if versions:
-        current = versions[-1]
-    else:
-        # checkpoint-only log: same fallback as read_delta/delete_where_delta
-        # (retention expired every commit json at or before the newest
-        # complete checkpoint); the append commits as checkpoint version + 1
-        cp = _checkpoint_before(path, 1 << 62)
-        if cp is None:
-            raise ValueError(f"no Delta table at {path}")
-        current = cp[0]
-    state = _replay(df.sparkSession, path, current)
+    own partition columns and schema govern; column order is aligned).
+
+    Column-mapped tables (mode name/id) append PHYSICAL files: data columns
+    are renamed (recursively, nested structs included) to their
+    delta.columnMapping.physicalName and, in id mode, stamped with
+    parquet.field.id metadata so the written parquet carries field ids;
+    add.partitionValues are keyed by physical name as the protocol's writer
+    requirements demand. Review r9 found the pre-fix behavior writing
+    LOGICAL names into a physical-name table — rows that read back silently
+    all-NULL on any conformant reader, including this repo's own."""
+    spark = df.sparkSession
+    current = _latest_version(path)
+    if current is None:
+        raise ValueError(f"no Delta table at {path}")
+    state = _replay(spark, path, current)
+    _writer_gate(state, "append")
     meta = state["meta"]
     schema = T.StructType.fromJson(json.loads(meta["schemaString"]))
     part_cols = meta.get("partitionColumns") or []
     aligned = df.select(
         *[F.col(f.name).cast(f.dataType) for f in schema.fields]
     )
+    mode = _cm_mode(meta)
+    if mode != "none":
+        if mode == "id":
+            # default-on in Spark 4, pinned for safety: without it the
+            # written parquet drops the field ids id-mode readers key on
+            spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
+        cols, phys_name = [], {}
+        for f in schema.fields:
+            pf = _physical_field(f, mode)  # fail-loud on missing metadata
+            phys_name[f.name] = pf.name
+            c = F.col(f.name).cast(pf.dataType)  # positional cast renames
+            cols.append(                         # nested struct fields
+                c.alias(pf.name, metadata=dict(pf.metadata))
+                if pf.metadata
+                else c.alias(pf.name)
+            )
+        aligned = aligned.select(*cols)
+        part_cols = [phys_name[c] for c in part_cols]
     return _write_version(
-        df.sparkSession,
+        spark,
         aligned,
         path,
         part_cols,
@@ -1197,6 +1386,17 @@ _CP_SCHEMA = T.StructType(
             ),
             True,
         ),
+        T.StructField(
+            "txn",
+            T.StructType(
+                [
+                    T.StructField("appId", T.StringType(), True),
+                    T.StructField("version", T.LongType(), True),
+                    T.StructField("lastUpdated", T.LongType(), True),
+                ]
+            ),
+            True,
+        ),
     ]
 )
 
@@ -1230,9 +1430,11 @@ def checkpoint_delta(
     checkpoint becomes protocol-legal (read_delta and delete_where_delta
     both already serve checkpoint-only logs).
 
-    The checkpoint carries the replayed protocol, metaData and every live
-    add (including deletionVector descriptors — a DV'd table checkpoints
-    and round-trips its deletes). Remove tombstones exist to fence
+    The checkpoint carries the replayed protocol, metaData, every
+    setTransaction watermark (latest per appId — foreign streaming
+    writers' idempotence keys) and every live add (including
+    deletionVector descriptors — a DV'd table checkpoints and round-trips
+    its deletes). Remove tombstones exist to fence
     concurrent-reader VACUUM races during the retention window; this
     single-writer implementation checkpoints a quiescent snapshot, so none
     are retained — absent removes replay as "nothing to tombstone" in any
@@ -1241,20 +1443,32 @@ def checkpoint_delta(
     bound as _replay itself."""
     import uuid
 
-    versions = delta_versions(path)
     if version is None:
-        if versions:
-            version = versions[-1]
-        else:
-            cp = _checkpoint_before(path, 1 << 62)
-            if cp is None:
-                raise ValueError(f"no Delta table at {path}")
-            version = cp[0]
+        version = _latest_version(path)
+        if version is None:
+            raise ValueError(f"no Delta table at {path}")
     state = _replay(spark, path, version)
-    rows = [
-        _cp_row("protocol", state["protocol"] or {"minReaderVersion": 1, "minWriterVersion": 2}),
-        _cp_row("metaData", state["meta"]),
-    ] + [_cp_row("add", a) for a in state["files"].values()]
+    rows = (
+        [
+            _cp_row(
+                "protocol",
+                state["protocol"]
+                or {"minReaderVersion": 1, "minWriterVersion": 2},
+            ),
+            _cp_row("metaData", state["meta"]),
+        ]
+        # setTransaction watermarks MUST survive checkpointing (PROTOCOL.md
+        # checkpoint contents; review r9): foreign streaming writers key
+        # batch idempotence on them, and a checkpoint that dropped them
+        # would make the docstring's "cleanup becomes protocol-legal"
+        # silently false — a restarted foreign stream would re-append
+        # already-committed batches.
+        + [
+            _cp_row("txn", t)
+            for _, t in sorted(state["txns"].items())
+        ]
+        + [_cp_row("add", a) for a in state["files"].values()]
+    )
     log = _log_dir(path)
     build = os.path.join(log, f".cp_build-{uuid.uuid4().hex[:8]}")
     spark.createDataFrame(rows, _CP_SCHEMA).coalesce(1).write.mode(

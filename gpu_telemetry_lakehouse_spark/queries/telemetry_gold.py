@@ -40,6 +40,14 @@ _BASE_S = 1704067200
 _SPAN_S = 28 * 86400  # jobs start within the first 28 days of the month
 _STRIDE = 3607  # prime stride spreading same-date orders across the span
 
+# Broadcast the jobs dim only below this row count. ~48 bytes/row serialized
+# puts 5M rows at ~250 MB — comfortably inside executor broadcast memory and
+# the 1 GiB spark.driver.maxResultSize the r9 sf100 run saw an unconditional
+# broadcast exceed (jobs is a projection of orders, so it scales WITH the
+# fact table: 1.5M rows at sf1, 150M at sf100). Above the gate the join
+# falls back to the day-bucketed shuffle plan (see gold_job_efficiency_daily).
+_BROADCAST_JOBS_MAX = 5_000_000
+
 # Oracle-side jobs dimension — MUST stay the integer-for-integer mirror of
 # ``sim_jobs`` below. DuckDB make_timestamp(micros) == Spark
 # timestamp_seconds(s) at session-UTC for naive timestamps.
@@ -194,25 +202,54 @@ def gold_job_efficiency_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("value").isNotNull())
     )
     skeleton = _job_days(jobs)
-    # Broadcast the jobs DIM explicitly: telemetry is the 100 TB side, and
-    # at local fixture sizes AQE would otherwise broadcast whichever input
-    # happens to be smaller (events), the exact inversion of the scale plan.
-    samples = (
-        ev.join(
-            F.broadcast(jobs),
-            (ev["user_id"] == jobs["user_id"])
-            & (ev["ts"] >= jobs["start_ts"])
-            & (ev["ts"] < jobs["end_ts"]),
+    # Join strategy is SIZE-GATED (the r9 sf100 run found the hard-pinned
+    # broadcast dying at the third decade: 150M jobs blew past
+    # spark.driver.maxResultSize — the "dim" here is a projection of orders
+    # and GROWS with the fact side, so an unconditional broadcast is
+    # exactly the plan that fails a 100x scale-up):
+    #  * jobs small (usual dim shape): broadcast it explicitly — telemetry
+    #    is the 100 TB side, and at local fixture sizes AQE would otherwise
+    #    broadcast whichever input happens to be smaller (events), the
+    #    exact inversion of the scale plan.
+    #  * jobs large: day-bucketed equi-join — reuse the job-day explode
+    #    (bounded: a job spans ceil(duration/day)+1 <= 3 buckets at the
+    #    48h max duration, and guarded_seq_end caps corrupt spans), then
+    #    join events on (user_id, day(ts)) with the interval predicate as
+    #    a post-join filter. Shuffles on a users x days composite key —
+    #    no driver materialization, AQE handles residual skew. The sample
+    #    aggregation is an integer sum over scaled longs, so the result is
+    #    bit-identical to the broadcast plan under any partitioning.
+    agg_cols = [
+        F.count(F.lit(1)).alias("n_samples"),
+        # NO final round: both engines run the identical IEEE op sequence
+        # on the scaled-long sum, so the raw double is bit-exact, while
+        # ROUND(x, 6) tie-breaks differently on half-ulp decimals.
+        exact_avg(F.least(ev["value"], F.lit(100.0))).alias("avg_util_pct"),
+    ]
+    if jobs.count() <= _BROADCAST_JOBS_MAX:
+        samples = (
+            ev.join(
+                F.broadcast(jobs),
+                (ev["user_id"] == jobs["user_id"])
+                & (ev["ts"] >= jobs["start_ts"])
+                & (ev["ts"] < jobs["end_ts"]),
+            )
+            .groupBy("job_id", F.date_trunc("day", ev["ts"]).alias("dt"))
+            .agg(*agg_cols)
         )
-        .groupBy("job_id", F.date_trunc("day", ev["ts"]).alias("dt"))
-        .agg(
-            F.count(F.lit(1)).alias("n_samples"),
-            # NO final round: both engines run the identical IEEE op sequence
-            # on the scaled-long sum, so the raw double is bit-exact, while
-            # ROUND(x, 6) tie-breaks differently on half-ulp decimals.
-            exact_avg(F.least(ev["value"], F.lit(100.0))).alias("avg_util_pct"),
+    else:
+        jd = skeleton.select("job_id", "user_id", "start_ts", "end_ts", "dt")
+        samples = (
+            ev.join(
+                jd,
+                (ev["user_id"] == jd["user_id"])
+                & (F.date_trunc("day", ev["ts"]) == jd["dt"])
+                & (ev["ts"] >= jd["start_ts"])
+                & (ev["ts"] < jd["end_ts"]),
+            )
+            .groupBy("job_id", "dt")
+            .agg(*agg_cols)
         )
-    )
     alloc = (F.col("overlap_s") * F.col("gpus") / 3600.0).alias("alloc_gpu_hours")
     return (
         skeleton.join(samples, ["job_id", "dt"], "left")

@@ -323,8 +323,18 @@ def user_sessions_stateful(
                 merged[-1][2] += it[2]
             else:
                 merged.append(it)
-        closed = [iv for iv in merged if iv[1] + gap_us <= wm_us]
-        still = [iv for iv in merged if iv[1] + gap_us > wm_us]
+        # STRICT close (review r9): the keep rule above admits t >= wm
+        # while a session can be extended by any t <= last + gap, so the
+        # two rules only PARTITION the boundary point t == wm == last + gap
+        # when emission requires wm > last + gap. In practice Spark's own
+        # operator-level late filter drops t == wm rows before they reach
+        # this function (pinned by the boundary contract test), which made
+        # the pre-fix <= unreachable-by-race — but that is an undocumented
+        # boundary of an upstream filter; strict emission keeps this
+        # function self-consistent whichever way that boundary moves, at
+        # the cost of at most one watermark tick of emission latency.
+        closed = [iv for iv in merged if iv[1] + gap_us < wm_us]
+        still = [iv for iv in merged if iv[1] + gap_us >= wm_us]
         if still:
             state.update(
                 (

@@ -1368,3 +1368,294 @@ def test_delta_variant_type_reads(spark, tmp_path):
         ).collect()
     )
     assert [(r.id, r.a) for r in got] == [(1, 5), (2, 7)]
+
+
+# --- round-9 review fixes: cm writes, legacy upgrade, writer gate, txn ------
+
+
+@pytest.mark.parametrize("mode,names", [("name", ("col-aaa", "col-bbb")),
+                                        ("id", ("x1", "x2"))])
+def test_delta_cm_append_physical(spark, tmp_path, mode, names):
+    """append_delta on a column-mapped table writes PHYSICAL files: data
+    columns carry physicalName (and parquet field ids in id mode) and the
+    add keys partitionValues physically — pre-fix the writer emitted
+    logical names, which read back silently all-NULL (review r9 high)."""
+    from urllib.parse import unquote
+
+    import pyarrow.parquet as pq
+
+    t = str(tmp_path / f"cmapp_{mode}")
+    _write_phys_file(t, "part-0.parquet", [(1, 1.5)], names=names)
+    _commit(
+        t,
+        0,
+        [
+            {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+            _cm_meta(mode),
+            _cm_add("part-0.parquet", "2024-01-01"),
+        ],
+    )
+    df = spark.createDataFrame(
+        [(9, 9.5, datetime.date(2024, 2, 2))], "id int, v double, dt date"
+    )
+    assert DI.append_delta(df, t) == 1
+    out = DI.read_delta(spark, t)
+    assert sorted((r.id, r.v, str(r.dt)) for r in out.collect()) == [
+        (1, 1.5, "2024-01-01"),
+        (9, 9.5, "2024-02-02"),
+    ]
+    with open(os.path.join(t, "_delta_log", f"{1:020d}.json")) as fh:
+        acts = [json.loads(line) for line in fh if line.strip()]
+    add = next(a for a in acts if "add" in a)["add"]
+    assert add["partitionValues"] == {"col-ccc": "2024-02-02"}
+    sch = pq.read_schema(os.path.join(t, unquote(add["path"])))
+    assert set(sch.names) == {"col-aaa", "col-bbb"}
+    if mode == "id":
+        fids = {
+            f.name: (f.metadata or {}).get(b"PARQUET:field_id")
+            for f in sch
+        }
+        assert fids == {"col-aaa": b"1", "col-bbb": b"2"}
+
+
+def test_delta_upgrade_carries_legacy_features(spark, tmp_path):
+    """A DV delete that upgrades a legacy reader-2/writer-5 protocol to
+    table features must list every legacy-implied feature (PROTOCOL.md
+    legacy mapping) — dropping columnMapping would hand conformant
+    runtimes a mapped table they then read all-NULL (review r9 high)."""
+    t = str(tmp_path / "cmupg")
+    _write_phys_file(t, "part-0.parquet", [(1, 1.5), (2, 2.5), (3, 3.5)])
+    _commit(
+        t,
+        0,
+        [
+            {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+            _cm_meta("name"),
+            _cm_add("part-0.parquet", "2024-01-01"),
+        ],
+    )
+    assert DI.delete_where_delta(spark, t, "id = 2") == 1
+    with open(os.path.join(t, "_delta_log", f"{1:020d}.json")) as fh:
+        acts = [json.loads(line) for line in fh if line.strip()]
+    proto = next(a for a in acts if "protocol" in a)["protocol"]
+    assert proto["minReaderVersion"] == 3 and proto["minWriterVersion"] == 7
+    assert set(proto["readerFeatures"]) >= {"columnMapping", "deletionVectors"}
+    assert set(proto["writerFeatures"]) >= {
+        "appendOnly",
+        "invariants",
+        "checkConstraints",
+        "changeDataFeed",
+        "generatedColumns",
+        "columnMapping",
+        "deletionVectors",
+    }
+    assert sorted(r.id for r in DI.read_delta(spark, t).collect()) == [1, 3]
+
+
+def _write_single_file(table, rel, rows):
+    """ONE parquet file (not a Spark part-file directory) so DV-delete's
+    file-level _metadata paths match the add's path exactly."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    t = pa.table(
+        {
+            "id": pa.array([r[0] for r in rows], pa.int32()),
+            "v": pa.array([r[1] for r in rows], pa.float64()),
+        }
+    )
+    dest = os.path.join(table, rel)
+    os.makedirs(os.path.dirname(dest), exist_ok=True)
+    pq.write_table(t, dest)
+
+
+def _gated_table(spark, tmp_path, tag, configuration=None, field_md=None):
+    t = str(tmp_path / f"gate_{tag}")
+    _write_single_file(t, "dt=2024-01-01/f0.parquet", [(1, 1.5)])
+    schema = {
+        "type": "struct",
+        "fields": [
+            {"name": "id", "type": "integer", "nullable": True,
+             "metadata": (field_md or {}).get("id", {})},
+            {"name": "v", "type": "double", "nullable": True,
+             "metadata": (field_md or {}).get("v", {})},
+            {"name": "dt", "type": "date", "nullable": True, "metadata": {}},
+        ],
+    }
+    _commit(
+        t,
+        0,
+        [
+            {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+            {
+                "metaData": {
+                    "id": "gate-1",
+                    "format": {"provider": "parquet", "options": {}},
+                    "schemaString": json.dumps(schema),
+                    "partitionColumns": ["dt"],
+                    "configuration": configuration or {},
+                }
+            },
+            _add("dt=2024-01-01/f0.parquet", "2024-01-01"),
+        ],
+    )
+    return t
+
+
+def test_delta_writer_gate(spark, tmp_path):
+    """Conformant-writer refusals: a table property that OBLIGES the writer
+    to do something this implementation doesn't (validate constraints, emit
+    cdc, assign identity/row ids) fails loud instead of committing a
+    nonconformant version (review r9)."""
+    app = spark.createDataFrame(
+        [(9, 9.5, datetime.date(2024, 2, 2))], "id int, v double, dt date"
+    )
+
+    # appendOnly=true: deletes refused, appends fine
+    t = _gated_table(spark, tmp_path, "ao",
+                     configuration={"delta.appendOnly": "true"})
+    with pytest.raises(DI.UnsupportedDeltaFeature, match="appendOnly"):
+        DI.delete_where_delta(spark, t, "id = 1")
+    assert DI.append_delta(app, t) == 1
+    assert DI.read_delta(spark, t).count() == 2
+
+    # changeDataFeed: DELETE must write cdc files -> refused; append fine
+    # (CDF readers derive inserts from dataChange=true adds)
+    t = _gated_table(spark, tmp_path, "cdf",
+                     configuration={"delta.enableChangeDataFeed": "true"})
+    with pytest.raises(DI.UnsupportedDeltaFeature, match="cdc"):
+        DI.delete_where_delta(spark, t, "id = 1")
+    assert DI.append_delta(app, t) == 1
+
+    # CHECK constraints: appends not validated -> refused; DV delete can
+    # only remove rows, so it stays allowed
+    t = _gated_table(
+        spark, tmp_path, "ck",
+        configuration={"delta.constraints.positive": "v > 0"},
+    )
+    with pytest.raises(DI.UnsupportedDeltaFeature, match="constraints"):
+        DI.append_delta(app, t)
+    assert DI.delete_where_delta(spark, t, "id = 1") == 1
+
+    # column invariants / generated / identity metadata: appends refused
+    for tag, md, pat in (
+        ("inv", {"v": {"delta.invariants":
+                       '{"expression":{"expression":"v > 0"}}'}}, "invariant"),
+        ("gen", {"v": {"delta.generationExpression": "id + 1"}}, "generated"),
+        ("idn", {"id": {"delta.identity.start": 1,
+                        "delta.identity.step": 1}}, "identity"),
+    ):
+        t = _gated_table(spark, tmp_path, tag, field_md=md)
+        with pytest.raises(DI.UnsupportedDeltaFeature, match=pat):
+            DI.append_delta(app, t)
+
+    # rowTracking / inCommitTimestamp bind every commit kind
+    for key, pat in (
+        ("delta.enableRowTracking", "rowTracking"),
+        ("delta.enableInCommitTimestamps", "timestamp"),
+    ):
+        t = _gated_table(spark, tmp_path, key.split(".")[-1],
+                         configuration={key: "true"})
+        with pytest.raises(DI.UnsupportedDeltaFeature, match=pat):
+            DI.append_delta(app, t)
+        with pytest.raises(DI.UnsupportedDeltaFeature, match=pat):
+            DI.delete_where_delta(spark, t, "id = 1")
+
+
+def test_delta_checkpoint_preserves_txn(spark, tmp_path):
+    """setTransaction watermarks survive checkpoint + commit-json cleanup
+    (PROTOCOL.md checkpoint contents): foreign streaming writers key batch
+    idempotence on them — a checkpoint that dropped them would let a
+    restarted stream silently re-append committed batches (review r9)."""
+    t = str(tmp_path / "txncp")
+    _write_data(spark, t, "dt=2024-01-01/f0.parquet", [(1, 1.5)])
+    _commit(
+        t,
+        0,
+        [
+            {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+            _meta(),
+            _add("dt=2024-01-01/f0.parquet", "2024-01-01"),
+            {"txn": {"appId": "streamA", "version": 5}},
+        ],
+    )
+    _commit(
+        t,
+        1,
+        [
+            {"txn": {"appId": "streamA", "version": 6, "lastUpdated": 1700}},
+            {"txn": {"appId": "streamB", "version": 1}},
+        ],
+    )
+    assert DI.checkpoint_delta(spark, t) == 1
+    for v in (0, 1):
+        os.remove(os.path.join(t, "_delta_log", f"{v:020d}.json"))
+    state = DI._replay(spark, t, 1)
+    # latest-per-appId survived the checkpoint round-trip
+    assert state["txns"]["streamA"]["version"] == 6
+    assert state["txns"]["streamB"]["version"] == 1
+    # and the snapshot itself still serves
+    assert DI.read_delta(spark, t).count() == 1
+
+
+def test_delta_cm_fieldid_conf_inert(spark, tmp_path):
+    """The session-global parquet.fieldId.read conf an id-mode read leaves
+    set is inert for ordinary reads: field-id resolution only activates
+    when the READ SCHEMA carries parquet.field.id metadata, which only the
+    id-mode plans attach — a plain schema'd read still resolves by NAME."""
+    t = str(tmp_path / "cmid2")
+    _write_phys_file(t, "part-0.parquet", [(7, 7.5)], names=("x1", "x2"))
+    _commit(
+        t,
+        0,
+        [
+            {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+            _cm_meta("id"),
+            _cm_add("part-0.parquet", "2024-03-01"),
+        ],
+    )
+    assert DI.read_delta(spark, t).count() == 1
+    assert spark.conf.get("spark.sql.parquet.fieldId.read.enabled") == "true"
+    p = str(tmp_path / "plain")
+    spark.createDataFrame([(1, 2.5)], "a int, b double").write.parquet(p)
+    # schema lists b first: name-based resolution must still map correctly
+    got = spark.read.schema("b double, a int").parquet(p).collect()[0]
+    assert (got.a, got.b) == (1, 2.5)
+
+
+def test_delta_cm_partition_field_missing_physical_name(spark, tmp_path):
+    """_pv_key fail-loud parity (review r9): a mapped table whose PARTITION
+    field lacks physicalName metadata refuses instead of silently
+    reconstituting every partition value as NULL."""
+    def fld(name, typ, md):
+        return {"name": name, "type": typ, "nullable": True, "metadata": md}
+
+    cm = {"delta.columnMapping.id": 1,
+          "delta.columnMapping.physicalName": "col-aaa"}
+    cm2 = {"delta.columnMapping.id": 2,
+           "delta.columnMapping.physicalName": "col-bbb"}
+    schema = {"type": "struct", "fields": [
+        fld("id", "integer", cm), fld("v", "double", cm2),
+        fld("dt", "date", {}),  # nonconformant: no physicalName
+    ]}
+    t = str(tmp_path / "cmbadpv")
+    _write_phys_file(t, "part-0.parquet", [(1, 1.5)])
+    _commit(
+        t,
+        0,
+        [
+            {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+            {
+                "metaData": {
+                    "id": "badpv-1",
+                    "format": {"provider": "parquet", "options": {}},
+                    "schemaString": json.dumps(schema),
+                    "partitionColumns": ["dt"],
+                    "configuration": {"delta.columnMapping.mode": "name"},
+                }
+            },
+            _cm_add("part-0.parquet", "2024-01-01"),
+        ],
+    )
+    with pytest.raises(DI.UnsupportedDeltaFeature, match="partition field"):
+        DI.read_delta(spark, t)

@@ -364,3 +364,24 @@ def test_epoch_shuffle_deterministic_permutations(spark, sf_dir):
     )
     assert both.count() == n
     assert both.filter(F.col("p1") != F.col("p2")).count() > n // 2
+
+
+def test_gold_job_efficiency_bucketed_join_matches_broadcast(
+    spark, sf_dir, monkeypatch
+):
+    """The size-gated join strategy in gold_job_efficiency_daily (the r9
+    sf100 run killed the hard-pinned broadcast: jobs is a projection of
+    orders and GROWS with the fact side) must be a pure physical choice —
+    the day-bucketed shuffle plan's output is BIT-identical to the
+    broadcast plan's (the sample aggregate is an integer sum over scaled
+    longs, order-insensitive by construction)."""
+    from gpu_telemetry_lakehouse_spark.queries import telemetry_gold as TG
+
+    base = TG.gold_job_efficiency_daily(spark, sf_dir)
+    assert "BroadcastHashJoin" in plan_of(base)
+    broadcast_rows = sorted(map(tuple, base.collect()))
+
+    monkeypatch.setattr(TG, "_BROADCAST_JOBS_MAX", 0)
+    bucketed = TG.gold_job_efficiency_daily(spark, sf_dir)
+    bucketed_rows = sorted(map(tuple, bucketed.collect()))
+    assert bucketed_rows == broadcast_rows  # bit-exact, floats included

@@ -884,3 +884,90 @@ def test_stateful_sessions_disorder_and_late_rows(spark, tmp_path):
     ], by_user
     # u2's trailing session never closed -> never emitted
     assert 2 not in by_user, by_user
+
+
+def test_stateful_sessions_boundary_row_at_watermark(spark, tmp_path):
+    """Watermark-boundary contract (review r9): (1) an admissible row above
+    the watermark but within gap of a pending session MERGES — no spurious
+    session split; (2) a row at EXACTLY t == watermark is dropped by
+    Spark\'s operator-level late filter before reaching the state function
+    (this is the upstream boundary that made the pre-fix emit-at-equality
+    unreachable-by-race; the emit rule is now strict so the function stays
+    self-consistent either way) and resurrects/creates nothing; (3) the
+    session still emits exactly once."""
+    import datetime as dt
+
+    from gpu_telemetry_lakehouse_spark.streaming.pipeline import (
+        EVENTS_STREAM_SCHEMA,
+        user_sessions_stateful,
+    )
+
+    def ev(event_id, hh, mm, uid=1):
+        return (
+            event_id,
+            dt.datetime(2024, 1, 1, hh, mm),
+            uid,
+            "telemetry",
+            1.0,
+            "{}",
+        )
+
+    d = str(tmp_path / "boundary_src")
+    emitted: list = []
+
+    def collect_batch(batch_df, epoch_id):
+        emitted.extend(
+            (r.user_id, r.session_start, r.session_end, r.n_events)
+            for r in batch_df.collect()
+        )
+
+    # phase 1: u1 02:00+02:10 (gap 30m => extendable until 02:40); u2 04:35
+    # drives the watermark to 02:35 after this batch
+    spark.createDataFrame(
+        [ev(1, 2, 0), ev(2, 2, 10), ev(3, 4, 35, uid=2)], EVENTS_STREAM_SCHEMA
+    ).coalesce(1).write.mode("overwrite").parquet(d)
+
+    stream = (
+        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(d)
+    )
+    q = (
+        user_sessions_stateful(stream, gap_minutes=30, watermark="2 hours")
+        .writeStream.outputMode("append")
+        .foreachBatch(collect_batch)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # phase 2: u1 02:39 — above wm (02:35), within gap of 02:10 —
+        # must EXTEND the pending session, not start a second one
+        spark.createDataFrame([ev(4, 2, 39)], EVENTS_STREAM_SCHEMA).coalesce(
+            1
+        ).write.mode("append").parquet(d)
+        q.processAllAvailable()
+        # phase 3: u1 at EXACTLY t == wm == 02:35 — dropped upstream,
+        # changes nothing (neither count nor end)
+        spark.createDataFrame([ev(5, 2, 35)], EVENTS_STREAM_SCHEMA).coalesce(
+            1
+        ).write.mode("append").parquet(d)
+        q.processAllAvailable()
+        # phases 4+5: u2 10:00 pushes wm to 08:00; one more batch fires the
+        # event-time timeout that closes every pending u1 session
+        spark.createDataFrame(
+            [ev(6, 10, 0, uid=2)], EVENTS_STREAM_SCHEMA
+        ).coalesce(1).write.mode("append").parquet(d)
+        q.processAllAvailable()
+        spark.createDataFrame(
+            [ev(7, 10, 0, uid=3)], EVENTS_STREAM_SCHEMA
+        ).coalesce(1).write.mode("append").parquet(d)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    u1 = sorted(
+        (s.isoformat(), e.isoformat(), n)
+        for uid, s, e, n in emitted
+        if uid == 1
+    )
+    assert u1 == [("2024-01-01T02:00:00", "2024-01-01T02:39:00", 3)], emitted

@@ -84,17 +84,23 @@ DUCK_QUERY_BUDGET_S = 900
 def duck_serial(sf_dir: str, passes: int = 2, slice_=None) -> dict[str, float]:
     import threading
 
-    con = duck_con(sf_dir)
-    con.sql(f"SET max_temp_directory_size='{DUCK_TEMP_CAP}'")
+    def fresh_con():
+        c = duck_con(sf_dir)
+        c.sql(f"SET max_temp_directory_size='{DUCK_TEMP_CAP}'")
+        return c
+
+    con = fresh_con()
     best: dict[str, float] = {}
     for _ in range(passes):
         for name in (slice_ or HEAVY_SLICE):
             if best.get(name) == float("inf"):
                 continue  # no second attempt at a DNF
             done = threading.Event()
+            fired = threading.Event()
 
             def watchdog():
                 if not done.wait(DUCK_QUERY_BUDGET_S):
+                    fired.set()
                     con.interrupt()
 
             wd = threading.Thread(target=watchdog, daemon=True)
@@ -115,6 +121,15 @@ def duck_serial(sf_dir: str, passes: int = 2, slice_=None) -> dict[str, float]:
             finally:
                 done.set()
                 wd.join()
+            if fired.is_set():
+                # interrupt() may have landed AFTER the query completed (the
+                # wait timed out in the gap before done.set()); the pending
+                # interrupt flag would then poison the NEXT statement on
+                # this connection into a spurious never-retried DNF (review
+                # r9). Whenever the watchdog fired, rebuild the connection
+                # so no later query inherits it.
+                con.close()
+                con = fresh_con()
             if name not in best or t < best[name]:
                 best[name] = t
     con.close()
@@ -142,10 +157,15 @@ def main() -> None:
             sys.exit(f"{d} missing — run tools/scale_testdata.py first")
 
     spark = get_spark(app="gtl-scale-trend")
-    # warm every tier off the clock (codegen + plan cache, bench.py recipe)
-    for _, d in tiers:
-        for name in slice_:
-            QUERIES[name](spark, d).write.format("noop").mode("overwrite").save()
+    # warm every tier off the clock (codegen + plan cache, bench.py recipe).
+    # --no-warmup skips it for minutes-scale tiers (sf100): a warmup pass
+    # there costs as much as the measured pass while changing nothing the
+    # best-of-1 discipline cares about (codegen warm-up is milliseconds
+    # against minutes).
+    if "--no-warmup" not in sys.argv:
+        for _, d in tiers:
+            for name in slice_:
+                QUERIES[name](spark, d).write.format("noop").mode("overwrite").save()
 
     out: dict[str, dict] = {}
     for sf, d in tiers:

@@ -28,6 +28,25 @@ from gpu_telemetry_lakehouse_spark.queries import QUERIES  # noqa: E402
 from gpu_telemetry_lakehouse_spark.session import get_spark  # noqa: E402
 
 
+def _worker_raise_is_ours(msg: str) -> bool:
+    """A Python-worker ValueError counts as a typed fail-loud only when the
+    RAISING frame (the last ``File "..."`` line before the final ValueError
+    in the worker traceback) is this package's own code — a diagnosed
+    refusal authored at the raise site. A raw library ValueError escaping a
+    kernel (e.g. numpy's 'all input arrays must have the same shape' from
+    an unguarded np.stack) is exactly the defect class the sweep exists to
+    catch; the pre-r9-review blanket 'ValueError:' substring match counted
+    those as typed and made the sweep blind to them."""
+    last_file, verdict = None, False
+    for ln in msg.splitlines():
+        s = ln.strip()
+        if s.startswith('File "'):
+            last_file = s
+        elif s.startswith("ValueError") and last_file is not None:
+            verdict = "gpu_telemetry_lakehouse_spark" in last_file
+    return verdict
+
+
 def main() -> None:
     corpus = sys.argv[1]
     filt = sys.argv[2] if len(sys.argv) > 2 else ""
@@ -50,7 +69,9 @@ def main() -> None:
             # ValueErrors (our pandas-UDF kernels' diagnosed refusals, which
             # surface wrapped as PythonException) are typed fail-louds too —
             # they carry a diagnosable message by construction
-            if "USER_RAISED_EXCEPTION" in str(e) or "ValueError:" in str(e):
+            if "USER_RAISED_EXCEPTION" in str(e) or _worker_raise_is_ours(
+                str(e)
+            ):
                 msg = str(e).splitlines()[0][:160]
                 typed.append((name, msg))
                 print(f"TYPED  {name}: {msg}", flush=True)

@@ -105,7 +105,16 @@ def build(dst: str, src_dir: str = SRC, mult: int = 1) -> None:
     builds sf10 from a previously-built sf1; and so on."""
     decade = len(str(mult)) - 1  # 1 -> 0, 10 -> 1, 100 -> 2
     assert mult == 10 ** decade, f"mult must be a power of 10, got {mult}"
-    nato = NATO_BY_DECADE[decade % len(NATO_BY_DECADE)]
+    # HARD bound, not modulo (review r9): wrapping back to decade-0 words
+    # would clone cross-decade name groups — the exact quadratic artifact
+    # the per-decade-disjoint vocabulary exists to prevent — and nothing
+    # downstream would fail loud about it. Extend NATO_BY_DECADE to go
+    # further.
+    assert decade < len(NATO_BY_DECADE), (
+        f"decade {decade} exceeds the {len(NATO_BY_DECADE)} disjoint p_name "
+        "vocabularies; extend NATO_BY_DECADE before scaling further"
+    )
+    nato = NATO_BY_DECADE[decade]
     emb_mult = R_EMB ** decade  # embeddings grow 4x per decade, not 10x
     os.makedirs(dst, exist_ok=True)
     con = duckdb.connect()
