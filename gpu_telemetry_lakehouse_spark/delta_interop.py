@@ -1,10 +1,16 @@
-"""Read-only Delta Lake table reader: snapshot reconstruction from the
-public ``_delta_log`` protocol, no Delta runtime required.
+"""Delta Lake interop: snapshot reconstruction and conformant writes
+against the public ``_delta_log`` protocol, no Delta runtime required.
 
 The complement to ``tablog.export_manifest`` (which lets foreign engines
 consume OUR snapshots): this consumes the industry format, so a migration
-can point the engine at an existing Delta estate and query it in place.
-Implements the documented transaction-log protocol (delta.io PROTOCOL.md):
+can point the engine at an existing Delta estate, query it in place, and
+write back (create/append/DV-delete/checkpoint) commits that conformant
+runtimes replay. Write paths are gated the same way read paths are: a
+table property that OBLIGES the writer to do something unimplemented
+(CHECK constraints, CDF on delete, identity columns, row tracking, ...)
+fails loud via ``_writer_gate`` instead of committing a nonconformant
+version. Implements the documented transaction-log protocol (delta.io
+PROTOCOL.md):
 
 - version files ``_delta_log/<20-digit>.json`` — newline-delimited JSON
   actions; ``add`` and ``remove`` replay into the live file set, last

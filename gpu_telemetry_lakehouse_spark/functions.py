@@ -63,6 +63,22 @@ def md5_int(col: ColumnOrName) -> Column:
     return F.conv(F.substring(F.md5(_c(col)), 1, 15), 16, 10).cast("long")
 
 
+def epoch_floor_s(col: ColumnOrName) -> Column:
+    """Whole epoch seconds of a timestamp with FLOOR semantics — the exact
+    twin of the oracle's ``CAST(floor(epoch(ts)) AS BIGINT)``.
+
+    ``F.unix_timestamp`` truncates toward zero, which agrees with floor for
+    every non-negative epoch but is one second HIGH for every pre-1970
+    timestamp carrying a sub-second fraction (1964-01-02 00:00:00.778549:
+    unix_timestamp -189302399 vs floor -189302400 — found by the r9
+    pre-epoch degenerate corpus in twap_user_daily's covered_s).
+    ``CAST(timestamp AS LONG)`` is Spark's floorDiv of the micros and
+    matches DuckDB bit-for-bit on both sides of the epoch; use this at
+    every site whose input can carry fractional seconds (events.ts and
+    anything derived from it)."""
+    return _c(col).cast("long")
+
+
 def guarded_seq_end(
     end_col: Column, n_steps: Column, limit: int, what: str
 ) -> Column:

@@ -1514,16 +1514,22 @@ def robust_center_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Calendar-day latency (ship_latency_by_priority) over-penalizes weekend
 # spans; FP&A SLAs count WEEKDAYS. Closed form, no calendar explode: with
 # W(d) = number of weekdays in [anchor, d] for a Monday anchor
-# (1990-01-01), W(d) = 5*(k DIV 7) + LEAST(k % 7 + 1, 5) where
+# (1990-01-01), W(d) = 5*floor(k/7) + LEAST(floormod(k,7) + 1, 5) where
 # k = days(anchor -> d); business days in (order, ship] = W(ship) -
 # W(order). Pure integer arithmetic — bit-identical on any engine, O(1)
 # per row where a generate_series-per-row approach is O(span).
+# FLOOR division/modulo, spelled explicitly on the oracle side (review:
+# the r9 pre-epoch corpus found DuckDB's `//`/`%` truncating toward zero
+# for dates BEFORE the anchor, breaking the 0..6 weekday mapping the
+# closed form needs; Spark's pmod side was already floor). floor(k/7.0)
+# in double is exact at any calendar magnitude (|k| < 2^23).
 _BD_ANCHOR = "1990-01-01"
 
 
 def _bd_sql(col: str) -> str:
     k = f"date_diff('day', DATE '{_BD_ANCHOR}', {col})"
-    return f"(5 * ({k} // 7) + LEAST(({k} % 7) + 1, 5))"
+    fd = f"CAST(floor(({k}) / 7.0) AS BIGINT)"
+    return f"(5 * {fd} + LEAST(({k}) - 7 * {fd} + 1, 5))"
 
 
 @query(

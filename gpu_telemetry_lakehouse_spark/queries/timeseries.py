@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
-from ..functions import guarded_seq_end
+from ..functions import epoch_floor_s, guarded_seq_end
 from .registry import query
 
 
@@ -506,8 +506,10 @@ def twap_user_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         "dt",
         "value",
-        F.unix_timestamp("ts").alias("es"),
-        F.unix_timestamp(
+        # epoch_floor_s, not unix_timestamp: ts carries sub-second fractions
+        # and the oracle floors — trunc is 1s high on pre-epoch rows
+        epoch_floor_s("ts").alias("es"),
+        epoch_floor_s(
             F.coalesce(
                 F.lead("ts").over(w), F.col("dt") + F.expr("INTERVAL 1 DAY")
             )
@@ -561,7 +563,7 @@ def event_gap_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = ev.withColumn("prev_ts", F.lag("ts").over(w)).filter(
         F.col("prev_ts").isNotNull()
     )
-    gap = F.unix_timestamp("ts") - F.unix_timestamp("prev_ts")
+    gap = epoch_floor_s("ts") - epoch_floor_s("prev_ts")
     return s.filter(gap > GAP_S).select(
         "user_id",
         F.col("prev_ts").alias("gap_start"),
@@ -745,7 +747,7 @@ def funnel_conversion_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     funnel = funnel_view_click_purchase(spark, sf_dir)
     nv = funnel.groupBy().agg(F.count(F.lit(1)).cast("long").alias("n_viewers"))
     d = funnel.filter(F.col("t3").isNotNull()).select(
-        (F.unix_timestamp("t3") - F.unix_timestamp("t1")).alias("conv_s")
+        (epoch_floor_s("t3") - epoch_floor_s("t1")).alias("conv_s")
     )
     return (
         d.agg(

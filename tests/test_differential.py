@@ -1423,3 +1423,61 @@ def null_keys_dir(tmp_path_factory):
 )
 def test_null_keys_match_oracle(spark, null_keys_dir, name):
     compare(spark, name, null_keys_dir)
+
+
+# --- round-9c degenerate class: PRE-EPOCH timestamps -------------------------
+# Every temporal column shifted 60 years back, putting EVERY epoch value
+# NEGATIVE (1932-38 order dates, 1964 telemetry) — the floor-vs-truncate
+# division, negative-modulo and epoch-extraction boundaries that 1970+ data
+# never exercises (integer `x DIV n` truncates toward zero while floor(x/n)
+# rounds down; they agree on positives and differ by 1 on every non-exact
+# negative). Full 303-query sweep via tools/degen_sweep.py recorded in
+# COVERAGE.md; the pins below hold the time-bucketing family oracle-identical
+# on the corpus.
+
+
+@pytest.fixture(scope="module")
+def pre_epoch_dir(tmp_path_factory):
+    import duckdb
+
+    from gpu_telemetry_lakehouse_spark.catalog import TABLES
+
+    src = "/root/testdata/sf0.001"
+    d = tmp_path_factory.mktemp("pre_epoch")
+    shift = {
+        "events": "* REPLACE (ts - INTERVAL 60 YEAR AS ts)",
+        "orders": "* REPLACE (o_orderdate - INTERVAL 60 YEAR AS o_orderdate)",
+        "lineitem": "* REPLACE (l_shipdate - INTERVAL 60 YEAR AS l_shipdate)",
+    }
+    con = duckdb.connect()
+    for t in TABLES:
+        sel = shift.get(t, "*")
+        con.sql(
+            f"COPY (SELECT {sel} FROM '{src}/{t}.parquet') "
+            f"TO '{d}/{t}.parquet' (FORMAT PARQUET)"
+        )
+    con.close()
+    return str(d)
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "time_bucket_rollup_15m",
+        "events_hourly_window",
+        "gapfill_hourly_linear",
+        "twap_user_daily",
+        "weekday_seasonality",
+        "datetime_features_orders",
+        "ewma_daily_value",
+        "freshness_lag_report",
+        "sql_cte_daily",
+        "gold_daily_util",
+        "event_gap_detection",
+        "funnel_conversion_stats",
+        "business_day_latency",
+        "peak_concurrent_orders",
+    ],
+)
+def test_pre_epoch_time_family_matches_oracle(spark, pre_epoch_dir, name):
+    compare(spark, name, pre_epoch_dir)
