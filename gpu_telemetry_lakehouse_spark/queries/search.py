@@ -693,8 +693,16 @@ def _couser_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("w") >= _PR_W)
         .select("u", "v")
     )
-    sym = e.unionAll(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
-    return sym.localCheckpoint(eager=False)
+    # Checkpoint the DIRECTED edge list BEFORE the symmetric union: the two
+    # union branches share the pair-join exchange (reused), but each branch
+    # re-runs the post-shuffle (u,v) aggregation over every candidate pair —
+    # the whole reduce side of the heaviest shuffle, twice (r9 event-log
+    # profile: the union stage read 19.4 MB of shuffle = 2x the 9.7 MB the
+    # pair join wrote; checkpoint-first measured 3.51s -> 2.88s at sf0.1,
+    # bit-identical edges). The union then swaps columns over the
+    # materialized node-pair list, which downstream consumers re-read.
+    e = e.localCheckpoint(eager=False)
+    return e.unionAll(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
 
 
 def _pr_iter_sql(prev: str, out: str) -> str:

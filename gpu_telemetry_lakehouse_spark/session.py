@@ -30,6 +30,19 @@ RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
+    # AQE coalescing is BYTE-based, but the hash/pair-generation shuffles in
+    # this engine (minhash bands, shingle postings, co-activity pairs) carry
+    # ~10-30 bytes/row of longs while costing ~1 µs/row of CPU downstream —
+    # the byte heuristic under-provisions CPU-bound reducers by ~100x. The
+    # default 1 MB floor coalesced the kcore pair aggregation (1.2 MB shuffle,
+    # 1.2 s of md5/agg CPU) to ONE task (event-log stage 315, r9 profile).
+    # 64 KB keeps such stages parallel; at cluster data volumes every healthy
+    # partition is far above either floor, so the setting is inert there
+    # (advisoryPartitionSizeInBytes still governs). Env-overridable for
+    # cluster profiles that prefer the stock floor.
+    "spark.sql.adaptive.coalescePartitions.minPartitionSize": os.environ.get(
+        "SPARK_GRAFT_MIN_COALESCE", "64k"
+    ),
 }
 
 
