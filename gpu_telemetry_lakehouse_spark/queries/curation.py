@@ -261,38 +261,46 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = docs.select(
         "doc_id", "lang", F.explode(tokens(F.col("text"))).alias("t")
     ).select("doc_id", "lang", (md5_int(F.col("t")) % _DSIR_B).alias("bkt"))
-    raw = b.groupBy("bkt").agg(F.count(F.lit(1)).alias("cr"))
-    tgt = (
-        b.filter(F.col("lang") == "en")
-        .groupBy("bkt")
-        .agg(F.count(F.lit(1)).alias("ct"))
+    # Pre-aggregate the token stream to per-(doc, lang, bucket) counts ONCE:
+    # raw/tgt/tot/w previously each consumed `b` directly, so the tokenize +
+    # md5 explode (the dominant cost) ran FOUR times — separate lineages
+    # share nothing (r9 event-log profile: three ~equal explode stages).
+    # Every downstream number is an integer linear function of these counts,
+    # so all four fold out of `d` exactly; the two remaining consumers of
+    # `d` (the bucket distribution and the per-doc weight) share its
+    # exchange via ReuseExchange, so the corpus is tokenized once and the
+    # shuffle carries <= |docs| x _DSIR_B count rows instead of every token.
+    d = b.groupBy("doc_id", "lang", "bkt").agg(F.count(F.lit(1)).alias("k"))
+    g = d.groupBy("bkt").agg(
+        F.sum("k").alias("cr"),
+        F.sum(F.when(F.col("lang") == "en", F.col("k")).otherwise(0)).alias("ct"),
     )
-    tot = b.groupBy().agg(
-        F.count(F.lit(1)).alias("r"),
-        F.count(F.when(F.col("lang") == "en", 1)).alias("t"),
+    tot = g.groupBy().agg(
+        F.sum("cr").alias("r"),
+        F.sum("ct").alias("t"),
     )
     half_b = _DSIR_B * 0.5
-    lr = (
-        raw.join(tgt, "bkt", "left")
-        .crossJoin(F.broadcast(tot))
-        .select(
-            "bkt",
-            F.round(
-                F.log(
-                    ((F.coalesce("ct", F.lit(0)) + 0.5) / (F.col("t") + half_b))
-                    / ((F.col("cr") + 0.5) / (F.col("r") + half_b))
-                ),
-                9,
-            ).alias("lr"),
-        )
+    lr = g.crossJoin(F.broadcast(tot)).select(
+        "bkt",
+        F.round(
+            F.log(
+                ((F.col("ct") + 0.5) / (F.col("t") + half_b))
+                / ((F.col("cr") + 0.5) / (F.col("r") + half_b))
+            ),
+            9,
+        ).alias("lr"),
     )
+    # Per-token SUM(floor(lr*1e9+0.5)) == per-(doc,bkt) k * floor(...):
+    # integer arithmetic, bit-identical to the unaggregated form.
     w = (
-        b.join(F.broadcast(lr), "bkt")
+        d.join(F.broadcast(lr), "bkt")
         .groupBy("doc_id")
         .agg(
-            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("k").alias("n_tokens"),
             (
-                F.sum(F.floor(F.col("lr") * 1e9 + F.lit(0.5)).cast("long")).cast("double")
+                F.sum(
+                    F.col("k") * F.floor(F.col("lr") * 1e9 + F.lit(0.5)).cast("long")
+                ).cast("double")
                 / 1e9
             ).alias("sw"),
         )
@@ -347,10 +355,15 @@ def source_token_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = docs.select(
         "source", F.explode(tokens(F.col("text"))).alias("t")
     ).select("source", (md5_int(F.col("t")) % _DSIR_B).alias("bkt"))
-    cb = b.groupBy("bkt").agg(F.count(F.lit(1)).alias("c"))
+    # One tokenize pass: cs is the finest aggregate, and cb/ns/tot are exact
+    # integer rollups of it — deriving them from cs (instead of re-consuming
+    # `b`, which re-ran the tokenize+md5 explode once per branch) shares the
+    # (source, bkt) exchange across all consumers via ReuseExchange (same
+    # rewrite as dsir_importance_weights above).
     cs = b.groupBy("source", "bkt").agg(F.count(F.lit(1)).alias("csb"))
-    ns = b.groupBy("source").agg(F.count(F.lit(1)).alias("n_tokens"))
-    tot = b.groupBy().agg(F.count(F.lit(1)).alias("n"))
+    cb = cs.groupBy("bkt").agg(F.sum("csb").alias("c"))
+    ns = cs.groupBy("source").agg(F.sum("csb").alias("n_tokens"))
+    tot = cs.groupBy().agg(F.sum("csb").alias("n"))
     half_b = _DSIR_B * 0.5
     grid = ns.crossJoin(F.broadcast(cb))
     term = (

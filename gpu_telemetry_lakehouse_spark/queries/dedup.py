@@ -912,9 +912,19 @@ def exact_substring_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.explode(pos_grams).alias("u"))
         .select("doc_id", F.col("u.gh").alias("gh"), F.col("u.pos").alias("pos"))
     )
-    dup = grams.groupBy("gh").count().filter(F.col("count") > 1).select("gh")
-    hits = grams.join(dup, "gh").select(
-        "doc_id", "pos", (F.col("pos") + SUBSTR_L).alias("e")
+    # Repeated-gram flagging as ONE window count over gh instead of the
+    # groupBy(gh)+join-back pair: the join form consumed `grams` twice with
+    # different projections, so the md5-per-position explode (the dominant
+    # cost) ran twice and its exchange was not reused (r9 event-log profile:
+    # two ~equal gram-build stages). The window form builds grams once and
+    # shuffles it once; the sort it adds is over 12-byte (gh,pos) rows and
+    # spills gracefully — the right 100 TB shape. Measured 3.42s -> 1.88s at
+    # sf0.1, bit-identical output.
+    wg = W.partitionBy("gh")
+    hits = (
+        grams.withColumn("cnt", F.count(F.lit(1)).over(wg))
+        .filter(F.col("cnt") > 1)
+        .select("doc_id", "pos", (F.col("pos") + SUBSTR_L).alias("e"))
     )
     w = W.partitionBy("doc_id").orderBy("pos").rowsBetween(W.unboundedPreceding, -1)
     per = (

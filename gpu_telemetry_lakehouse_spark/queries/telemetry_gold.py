@@ -31,7 +31,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..catalog import load_table
+from ..catalog import load_table, spread_input
 from ..functions import exact_avg
 from .registry import query
 
@@ -196,7 +196,12 @@ def gold_job_efficiency_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the join so the sample count and the mean share one denominator on
     # both engines (least(NULL, 100) would otherwise smuggle NULL samples
     # into the sum as 100% — both Spark's and DuckDB's least skip nulls).
-    ev = (
+    # spread_input AFTER the pushed-down null filter: the local fixture is a
+    # one-row-group parquet file, so the scan -> broadcast-join -> partial-agg
+    # stage otherwise runs as ONE task (r9 event-log profile: stage 370,
+    # 0.92s single-task = the whole join+agg serial). At cluster scale the
+    # scan has thousands of splits and this is a no-op (catalog.spread_input).
+    ev = spread_input(
         load_table(spark, sf_dir, "events")
         .select("user_id", "ts", "value")
         .filter(F.col("value").isNotNull())

@@ -309,23 +309,43 @@ def sole_fault_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     # NULL suppkeys are invisible to the oracle's COUNT(DISTINCT ...) but
     # would form a counted group here — filter them for exact agreement on
     # adversarial corpora (they can never join supplier downstream anyway)
-    per_supp = (
+    # ONE fact pass, ONE fact exchange (r9: was two scans + three exchanges):
+    # the probe side (l_returnflag='R' rows) previously re-scanned and
+    # re-shuffled lineitem a second time, and the ord_stats self-join paid a
+    # third exchange. Shuffling the projected fact ONCE by l_orderkey lets
+    # the (order, supplier) aggregate, the per-order stats (as unbounded
+    # windows over the SAME partitioning — no extra exchange, no self-join)
+    # and the order-key semi-join all reuse that partitioning. numwait =
+    # SUM(n_r) over qualifying pairs is integer-exact vs counting the rows.
+    # Measured 1.46s -> 0.86s at sf0.1, bit-identical; plan: 4 -> 2
+    # exchanges. repartition("ok") carries no partition count, so AQE sizes
+    # it from the data at any scale.
+    from pyspark.sql import Window as W
+
+    li2 = (
         li.filter(F.col("l_suppkey").isNotNull())
-        .groupBy(F.col("l_orderkey").alias("ok"), "l_suppkey")
-        .agg(F.max((F.col("l_returnflag") == "R").cast("int")).alias("has_r"))
+        .select(
+            F.col("l_orderkey").alias("ok"),
+            "l_suppkey",
+            (F.col("l_returnflag") == "R").cast("int").alias("r"),
+        )
+        .repartition("ok")
     )
-    ord_stats = per_supp.groupBy("ok").agg(
-        F.count(F.lit(1)).alias("n_supp"),
-        F.sum("has_r").alias("n_supp_r"),
+    per_supp = li2.groupBy("ok", "l_suppkey").agg(
+        F.max("r").alias("has_r"),
+        F.sum("r").alias("n_r"),
+    )
+    w = W.partitionBy("ok")
+    qual = (
+        per_supp.withColumn("n_supp", F.count(F.lit(1)).over(w))
+        .withColumn("n_supp_r", F.sum("has_r").over(w))
+        .filter((F.col("n_r") > 0) & (F.col("n_supp") > 1) & (F.col("n_supp_r") == 1))
     )
     return (
-        li.filter(F.col("l_returnflag") == "R")
-        .join(o, F.col("l_orderkey") == F.col("o_orderkey"), "left_semi")
-        .join(ord_stats, F.col("l_orderkey") == F.col("ok"))
-        .filter((F.col("n_supp") > 1) & (F.col("n_supp_r") == 1))
+        qual.join(o, F.col("ok") == F.col("o_orderkey"), "left_semi")
         .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("s_name")
-        .agg(F.count(F.lit(1)).alias("numwait"))
+        .agg(F.sum("n_r").cast("long").alias("numwait"))
         .orderBy(F.col("numwait").desc(), "s_name")
         .limit(100)
     )
