@@ -475,11 +475,18 @@ def er_resolved_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     by construction (stars joined by verified pairs)."""
     from ..operators import dedup as DD
 
-    keyed = _records(spark, sf_dir).select(
-        "rid",
-        "entity_key",
-        _fingerprint(F.col("name")).alias("fp"),
-        _block_key(F.col("name")).alias("blk"),
+    keyed = (
+        _records(spark, sf_dir)
+        .select(
+            "rid",
+            "entity_key",
+            _fingerprint(F.col("name")).alias("fp"),
+            _block_key(F.col("name")).alias("blk"),
+        )
+        # four consumers (fpm/star/fuzzy both sides/resolved) otherwise each
+        # re-run the record synthesis + fingerprint string pipeline; the
+        # keyed frame is four narrow columns — checkpoint once (r9)
+        .localCheckpoint(eager=False)
     )
     fpm = keyed.groupBy("fp").agg(F.min("rid").alias("m"))
     star = (

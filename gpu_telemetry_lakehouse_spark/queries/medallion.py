@@ -123,10 +123,18 @@ def _fixture_csvs(spark: SparkSession, sf_dir: str, src_dir: str) -> None:
         ).alias("Shaders_TMUs_ROPs"),
     )
 
+    from ..catalog import spread_input
+
     for fname, df in [
-        ("pai_machine_metric.csv", metrics),
-        ("pai_job_table.csv", jobs),
-        ("pai_instance_table.csv", instances),
+        # spread the two fact-derived frames: the local one-row-group source
+        # otherwise serializes the whole CSV (number formatting is the cost)
+        # through ONE write task (r9 profile; no-op at cluster split counts).
+        # Multiple part files change only row order, and every consumer of
+        # these fixtures is order-insensitive (aggregates/joins; the one
+        # row_number in the pipeline orders by a full deterministic key).
+        ("pai_machine_metric.csv", spread_input(metrics)),
+        ("pai_job_table.csv", spread_input(jobs)),
+        ("pai_instance_table.csv", spread_input(instances)),
         ("pai_machine_spec.csv", machine_spec),
         ("tpu_gpus.csv", gpu_specs),
     ]:

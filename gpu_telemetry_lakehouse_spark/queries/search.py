@@ -1323,7 +1323,13 @@ def fp_growth_brand_itemsets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("l_orderkey", "p_brand")
         .distinct()
     )
-    tx = b.groupBy("l_orderkey").agg(F.collect_set("p_brand").alias("items"))
+    # checkpoint: the eager FPGrowth fit AND the basket count both consume
+    # the basket build (join+distinct+collect_set) — one pass, not two (r9)
+    tx = (
+        b.groupBy("l_orderkey")
+        .agg(F.collect_set("p_brand").alias("items"))
+        .localCheckpoint(eager=False)
+    )
     model = FPGrowth(
         itemsCol="items", minSupport=FP_MIN_SUPPORT, minConfidence=0.5
     ).fit(tx)

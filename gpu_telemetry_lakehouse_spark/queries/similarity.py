@@ -445,6 +445,9 @@ def _recall_certificate(ann: DataFrame, emb: DataFrame, qids, bound: float) -> D
     (n_queries, k, recall_ok) — a fitted-codebook regression drops recall
     below the bound, flips the flag, and hash-mismatches the driver gate."""
     queries = emb.filter(F.col("vec_id").isin(list(qids)))
+    # the certificate consumes the ANN answer twice (hit join + per-query
+    # denominator); checkpoint so the whole ANN pipeline runs once
+    ann = ann.localCheckpoint(eager=False)
     truth = SIM.cosine_topk(emb, queries, k=5).select("query_id", "neighbor_id")
     hits = (
         ann.join(truth, ["query_id", "neighbor_id"])
@@ -478,7 +481,10 @@ def _pq_adc_answers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = spread_input(load_table(spark, sf_dir, "embeddings"))
     books = _pq_books_for(spark, sf_dir)
-    codes = PQ.pq_encode(emb, books)
+    # checkpoint the code table: each per-query ADC scan below otherwise
+    # re-runs the row-local encode over the full embedding table (3 queries
+    # -> 3 encodes), and the codes are 32x smaller than the vectors
+    codes = PQ.pq_encode(emb, books).localCheckpoint(eager=False)
     qrows = {
         r["vec_id"]: np.array(r["embedding"], dtype=float)
         for r in emb.filter(F.col("vec_id") < 3).collect()
@@ -523,7 +529,8 @@ def _ivfpq_answers(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = spread_input(load_table(spark, sf_dir, "embeddings"))
     books = _pq_books_for(spark, sf_dir)
     cents = _centroids_for(spark, sf_dir, 8)
-    enc = PQ.ivfpq_encode(emb, cents, books)
+    # checkpoint: same per-query re-encode as _pq_adc_answers above
+    enc = PQ.ivfpq_encode(emb, cents, books).localCheckpoint(eager=False)
     qrows = {
         r["vec_id"]: np.array(r["embedding"], dtype=float)
         for r in emb.filter(F.col("vec_id") < 3).collect()
