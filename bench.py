@@ -113,24 +113,26 @@ def main() -> None:
     # costs at sf0.1; makespan scheduling (LPT) needs only a rough cost order
     # to kill the straggler tail.
     heavy = {
-        # re-measured serial costs at sf0.1 (36-query suite, round-8
-        # profile, serial 30.6s / duckdb 30.3s: kcore 2.9s at the top,
-        # exact-substring 2.4s after its chars-array rewrite, shingle
-        # 2.1s, then a broad 1.0-1.5s band; sole_fault dropped 1.6->1.2
-        # with the Expand elimination)
+        # re-measured serial costs at sf0.1 (36-query suite, round-9
+        # optimization close-out, best-of-two quiet-host passes, serial
+        # 33.8s / duckdb 37.2s: kcore 2.8s at the top, shingle 2.1s, then
+        # dsir/gold_job_eff/er_blocked 1.4-1.7s and a broad ~1.0-1.3s
+        # band; exact-substring dropped 2.4->1.3 with the window-count
+        # rewrite and sole_fault 1.5->1.1 with the one-exchange rewrite)
         "kcore_peel_trace": 5,
-        "dedup_shingle_jaccard": 4, "exact_substring_dup_spans": 4,
-        "gold_job_efficiency_daily": 3, "sole_fault_suppliers": 3,
-        "bootstrap_ci_event_value": 3, "dsir_importance_weights": 3,
-        "er_blocked_match_pairs": 3, "naive_bayes_lang_confusion": 3,
-        "bigram_perplexity_docs": 3, "semdedup_prune": 3,
-        "roc_auc_price_returns": 3, "phrase_search_docs": 3,
-        "dedup_boilerplate_segments": 3,
-        "source_token_kl": 2, "dedup_minhash_pairs": 2,
-        "benchmark_decontam": 2, "dedup_simhash": 2,
-        "nation_market_share": 2, "tpch_q5_local_volume": 2,
-        "anomaly_daily": 2, "gold_user_gpu_usage_daily": 2,
-        "knn_ivf_fixed": 2, "interval_join_shipments": 2,
+        "dedup_shingle_jaccard": 4,
+        "dsir_importance_weights": 3, "gold_job_efficiency_daily": 3,
+        "er_blocked_match_pairs": 3, "semdedup_prune": 3,
+        "exact_substring_dup_spans": 3, "bootstrap_ci_event_value": 3,
+        "roc_auc_price_returns": 3, "dedup_boilerplate_segments": 3,
+        "sole_fault_suppliers": 3, "dedup_minhash_pairs": 3,
+        "source_token_kl": 3, "bigram_perplexity_docs": 3,
+        "naive_bayes_lang_confusion": 3,
+        "benchmark_decontam": 2, "phrase_search_docs": 2,
+        "tpch_q5_local_volume": 2, "dedup_simhash": 2,
+        "knn_ivf_fixed": 2, "nation_market_share": 2,
+        "gold_user_gpu_usage_daily": 2, "interval_join_shipments": 2,
+        "tpch_q3_shipping": 2,
     }
     order = sorted(HEADLINE, key=lambda n: -heavy.get(n, 1))
 
